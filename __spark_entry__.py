@@ -1,38 +1,40 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``ipydataclean_spark.registry``: every implemented
+operator from SURVEY.md §2 registers a query fn plus (where
+SQL-expressible) a DuckDB oracle twin. See SURVEY.md §5.2 for the
+test strategy and functions/exact.py for the float-exactness contract
+that makes the value hashes match.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ipydataclean_spark.registry import QUERIES, load_all
+
+load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the TPC-H-Q1-style
+    pricing summary over a dirtied lineitem after a cleaning recipe
+    (string-mismatch fix C9 + fill-mean C2) — the engine's minimum
+    end-to-end slice (SURVEY.md §7 M0)."""
+    return QUERIES["q1_pricing_summary_cleaned"]["fn"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec["fn"] for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB twins; ops without one get the driver's rows-only check."""
+    return {name: spec["oracle"] for name, spec in QUERIES.items() if spec["oracle"] is not None}

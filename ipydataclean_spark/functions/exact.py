@@ -1,0 +1,85 @@
+"""Order-independent ("exact") aggregate helpers.
+
+Why: the driver's correctness gate hashes result values; a plain
+``SUM(double)`` differs between Spark and DuckDB in the last few bits
+because summation order differs across engines/partitionings. Routing
+the sum through DECIMAL makes it exact and associative — the same
+result regardless of partition count — so the hash matches AND the
+query is deterministic on a 1000-executor cluster, not just local[32].
+
+Fixture doubles carry ≤2 fractional digits (prices/discounts), so
+DECIMAL(28,6) loses nothing; products of two 2-decimal values have ≤4
+fractional digits.
+
+Each helper has a Spark form (Column) and an ``_sql`` twin emitting the
+equivalent DuckDB expression, so both sides compute identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,6)"
+DEC_SQL = "DECIMAL(28,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: Column | str) -> Column:
+    """Exact sum of a double column, returned as double."""
+    return F.sum(_c(col).cast(DEC)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
+
+
+def davg(col: Column | str) -> Column:
+    """Order-independent mean: exact decimal sum / count, both engines
+    perform the identical final IEEE division."""
+    c = _c(col)
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias("avg")
+
+
+def davg_sql(expr: str) -> str:
+    return f"(CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE) / COUNT({expr}))"
+
+
+def isum(col: Column | str) -> Column:
+    """Sum of an integer column as BIGINT (DuckDB sums ints to INT128;
+    cast both sides to BIGINT for schema parity)."""
+    return F.sum(_c(col)).cast("long")
+
+
+def isum_sql(expr: str) -> str:
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+def imax(col: Column | str) -> Column:
+    return F.max(_c(col))
+
+
+def dstddev(col: Column | str) -> Column:
+    """Order-independent sample stddev via exact decimal sums:
+    sqrt((sumsq - sum^2/n) / (n-1)) evaluated in identical double ops.
+
+    The square is computed in double (identical IEEE op both engines)
+    then decimal-summed; double→decimal rounding is unambiguous (no
+    double sits exactly on a 10^-6 half-boundary), so both engines sum
+    identical decimals in any order."""
+    c = _c(col)
+    n = F.count(c).cast("double")
+    s = F.sum(c.cast(DEC)).cast("double")
+    sq = F.sum((c * c).cast(DEC)).cast("double")
+    return F.sqrt((sq - s * s / n) / (n - F.lit(1.0)))
+
+
+def dstddev_sql(expr: str) -> str:
+    return (
+        f"SQRT((CAST(SUM(CAST(({expr}) * ({expr}) AS {DEC_SQL})) AS DOUBLE) - "
+        f"{dsum_sql(expr)} * {dsum_sql(expr)} / CAST(COUNT({expr}) AS DOUBLE)) "
+        f"/ (CAST(COUNT({expr}) AS DOUBLE) - 1.0))"
+    )

@@ -1,0 +1,494 @@
+"""Cleaning transformations — SURVEY.md §2.4 (C1-C17).
+
+The reference's fix surface [P]: fills, interpolation, drops,
+conversions, replacements, outlier treatment, dedup. All pure
+DataFrame→DataFrame, recipe-composable (recipe.py).
+
+Scale rules baked in:
+  - aggregate fills (C2-C4) are two-phase: a tiny scalar job, then a
+    literal substitution — never a window over the whole table;
+  - interpolation (C5) is per-key partitioned where semantics allow;
+    the global-order form is the documented small-data fallback;
+  - dedup (C16) shuffles on the dedup key once (window row_number),
+    deterministic survivor choice (min row id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.functions.text import norm_text_col, norm_text_sql
+from ipydataclean_spark.operators.qhelp import (
+    T,
+    documents_dup,
+    events_dirty,
+    lineitem_dirty,
+    with_documents_dup,
+    with_events_dirty,
+    with_lineitem_dirty,
+)
+from ipydataclean_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Reusable cleaning API (RecipeStep bodies)
+# ---------------------------------------------------------------------------
+
+
+def fill_value(df: DataFrame, col: str, value) -> DataFrame:
+    """C1: fillna with constant."""
+    return df.withColumn(col, F.coalesce(F.col(col), F.lit(value)))
+
+
+def fill_aggregate(df: DataFrame, col: str, strategy: str = "mean") -> DataFrame:
+    """C2/C3/C4: fill with mean/median/mode — two-phase scalar+literal."""
+    if strategy == "mean":
+        scalar = df.agg(exact.davg(col)).first()[0]
+    elif strategy == "median":
+        scalar = df.agg(F.expr(f"percentile({col}, 0.5)")).first()[0]
+    elif strategy == "mode":
+        scalar = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(col)
+            .count()
+            .orderBy(F.desc("count"), F.asc(col))
+            .first()[0]
+        )
+    else:
+        raise ValueError(f"unknown fill strategy: {strategy}")
+    return fill_value(df, col, scalar)
+
+
+def interpolate_linear(df: DataFrame, col: str, order_col: str, partition_by: str | None = None) -> DataFrame:
+    """C5: linear interpolation over row order (pandas Series.interpolate
+    parity: interior gaps blended, leading NULLs kept, trailing ffilled).
+
+    ``partition_by`` is the scale path (per-key windows); the global
+    form funnels one partition and is for small/ordered data only."""
+    wp = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    w_prev = wp.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
+    w_next = wp.orderBy(order_col).rowsBetween(0, Window.unboundedFollowing)
+    pos = F.col(order_col)
+    marked = F.when(F.col(col).isNotNull(), pos)
+    prev_val = F.last(col, ignorenulls=True).over(w_prev)
+    prev_pos = F.last(marked, ignorenulls=True).over(w_prev)
+    next_val = F.first(col, ignorenulls=True).over(w_next)
+    next_pos = F.first(marked, ignorenulls=True).over(w_next)
+    blend = prev_val + (next_val - prev_val) * (pos - prev_pos) / (next_pos - prev_pos)
+    out = (
+        F.when(F.col(col).isNotNull(), F.col(col))
+        .when(prev_val.isNotNull() & next_val.isNotNull(), blend)
+        .when(prev_val.isNotNull(), prev_val)
+    )
+    return df.withColumn(col, out)
+
+
+def fill_directional(df: DataFrame, col: str, order_col: str, partition_by: str, direction: str = "forward") -> Column:
+    """C6: ffill/bfill expression over a per-key window."""
+    wp = Window.partitionBy(partition_by).orderBy(order_col)
+    if direction == "forward":
+        return F.last(col, ignorenulls=True).over(wp.rowsBetween(Window.unboundedPreceding, 0))
+    return F.first(col, ignorenulls=True).over(wp.rowsBetween(0, Window.unboundedFollowing))
+
+
+def clip(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame:
+    """C11: winsorize at bounds."""
+    return df.withColumn(col, F.greatest(F.least(F.col(col), F.lit(hi)), F.lit(lo)))
+
+
+def dedup_exact(df: DataFrame, keys: list[str], order_col: str) -> DataFrame:
+    """C16: deterministic dedup — keep min(order_col) per key group."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+# ---------------------------------------------------------------------------
+# Registered queries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1_fill_value",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        f"{exact.dsum_sql('COALESCE(qty_parsed, 0.0)')} AS sum_filled, "
+        "CAST(SUM(CASE WHEN qty_parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_was_null "
+        "FROM lineitem_dirty GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("C1",),
+)
+def c1_fill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: constant fill; checksum per group proves row count invariance."""
+    df = lineitem_dirty(spark, sf_dir)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.dsum(F.coalesce(F.col("qty_parsed"), F.lit(0.0))).alias("sum_filled"),
+            F.sum(F.col("qty_parsed").isNull().cast("long")).alias("n_was_null"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_MEAN_SQL = f"(SELECT {exact.davg_sql('qty_parsed')} FROM lineitem_dirty)"
+_MEDIAN_SQL = "(SELECT QUANTILE_CONT(qty_parsed, 0.5) FROM lineitem_dirty)"
+_MODE_SQL = (
+    "(SELECT qty_parsed FROM lineitem_dirty WHERE qty_parsed IS NOT NULL "
+    "GROUP BY qty_parsed ORDER BY COUNT(*) DESC, qty_parsed ASC LIMIT 1)"
+)
+
+
+@register(
+    "c2_fill_mean",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, "
+        f"{exact.dsum_sql(f'COALESCE(qty_parsed, {_MEAN_SQL})')} AS sum_filled, "
+        f"{exact.davg_sql(f'COALESCE(qty_parsed, {_MEAN_SQL})')} AS avg_filled "
+        "FROM lineitem_dirty GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("C2",),
+)
+def c2_fill_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: fill-with-mean (exact order-independent mean, two-phase)."""
+    df = lineitem_dirty(spark, sf_dir)
+    filled = F.coalesce(F.col("qty_parsed"), F.lit(df.agg(exact.davg("qty_parsed")).first()[0]))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(exact.dsum(filled).alias("sum_filled"), exact.davg(filled).alias("avg_filled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "c3_fill_median",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, "
+        f"{exact.dsum_sql(f'COALESCE(qty_parsed, {_MEDIAN_SQL})')} AS sum_filled "
+        "FROM lineitem_dirty GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("C3",),
+)
+def c3_fill_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: fill-with-median (exact percentile; approx knob at scale)."""
+    df = lineitem_dirty(spark, sf_dir)
+    med = df.agg(F.expr("percentile(qty_parsed, 0.5)")).first()[0]
+    filled = F.coalesce(F.col("qty_parsed"), F.lit(med))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(exact.dsum(filled).alias("sum_filled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "c4_fill_mode",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, "
+        f"{exact.dsum_sql(f'COALESCE(qty_parsed, {_MODE_SQL})')} AS sum_filled "
+        "FROM lineitem_dirty GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("C4",),
+)
+def c4_fill_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: fill-with-mode, deterministic tie-break (max count, min value)."""
+    df = lineitem_dirty(spark, sf_dir)
+    mode = (
+        df.where(F.col("qty_parsed").isNotNull())
+        .groupBy("qty_parsed")
+        .count()
+        .orderBy(F.desc("count"), F.asc("qty_parsed"))
+        .first()[0]
+    )
+    filled = F.coalesce(F.col("qty_parsed"), F.lit(mode))
+    return (
+        df.groupBy("l_returnflag")
+        .agg(exact.dsum(filled).alias("sum_filled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "c5_interpolate_linear",
+    oracle=with_events_dirty(
+        ", w AS (SELECT event_id, row_id, value_gap, "
+        "LAST_VALUE(value_gap IGNORE NULLS) OVER (ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val, "
+        "LAST_VALUE(CASE WHEN value_gap IS NOT NULL THEN row_id END IGNORE NULLS) OVER (ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pos, "
+        "FIRST_VALUE(value_gap IGNORE NULLS) OVER (ORDER BY row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val, "
+        "FIRST_VALUE(CASE WHEN value_gap IS NOT NULL THEN row_id END IGNORE NULLS) OVER (ORDER BY row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pos "
+        "FROM events_dirty) "
+        "SELECT event_id, CASE WHEN value_gap IS NOT NULL THEN value_gap "
+        "WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN "
+        "prev_val + (next_val - prev_val) * (row_id - prev_pos) / (next_pos - prev_pos) "
+        "WHEN prev_val IS NOT NULL THEN prev_val ELSE NULL END AS value_interp "
+        "FROM w ORDER BY event_id"
+    ),
+    tags=("C5", "W2", "W3"),
+)
+def c5_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: linear interpolation over global row order (pandas parity;
+    global window documented as small-data path — see c5b for scale)."""
+    df = interpolate_linear(events_dirty(spark, sf_dir), "value_gap", "row_id")
+    return df.select("event_id", F.col("value_gap").alias("value_interp")).orderBy("event_id")
+
+
+@register(
+    "c5b_interpolate_per_user",
+    oracle=with_events_dirty(
+        ", w AS (SELECT event_id, row_id, user_id, value_gap, "
+        "LAST_VALUE(value_gap IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val, "
+        "LAST_VALUE(CASE WHEN value_gap IS NOT NULL THEN row_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_pos, "
+        "FIRST_VALUE(value_gap IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val, "
+        "FIRST_VALUE(CASE WHEN value_gap IS NOT NULL THEN row_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_pos "
+        "FROM events_dirty) "
+        "SELECT event_id, CASE WHEN value_gap IS NOT NULL THEN value_gap "
+        "WHEN prev_val IS NOT NULL AND next_val IS NOT NULL THEN "
+        "prev_val + (next_val - prev_val) * (row_id - prev_pos) / (next_pos - prev_pos) "
+        "WHEN prev_val IS NOT NULL THEN prev_val ELSE NULL END AS value_interp "
+        "FROM w ORDER BY event_id"
+    ),
+    tags=("C5",),
+)
+def c5b_interpolate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 scale path: per-user partitioned interpolation — the window
+    shuffles once on user_id; no single-partition funnel."""
+    df = interpolate_linear(events_dirty(spark, sf_dir), "value_gap", "row_id", partition_by="user_id")
+    return df.select("event_id", F.col("value_gap").alias("value_interp")).orderBy("event_id")
+
+
+@register(
+    "c6_ffill_bfill",
+    oracle=with_events_dirty(
+        "SELECT event_id, "
+        "LAST_VALUE(value_gap IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY row_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffilled, "
+        "FIRST_VALUE(value_gap IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY row_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfilled "
+        "FROM events_dirty ORDER BY event_id"
+    ),
+    tags=("C6", "W2"),
+)
+def c6_ffill_bfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: forward/backward fill per user (partitioned window — scales)."""
+    df = events_dirty(spark, sf_dir)
+    return df.select(
+        "event_id",
+        fill_directional(df, "value_gap", "row_id", "user_id", "forward").alias("ffilled"),
+        fill_directional(df, "value_gap", "row_id", "user_id", "backward").alias("bfilled"),
+    ).orderBy("event_id")
+
+
+@register(
+    "c7_dropna",
+    oracle=with_lineitem_dirty(
+        "SELECT COUNT(*) AS n_kept, "
+        f"{exact.dsum_sql('qty_parsed')} AS sum_kept "
+        "FROM lineitem_dirty WHERE qty_parsed IS NOT NULL"
+    ),
+    tags=("C7",),
+)
+def c7_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: drop rows with missing values in subset."""
+    df = lineitem_dirty(spark, sf_dir).na.drop(subset=["qty_parsed"])
+    return df.agg(F.count(F.lit(1)).alias("n_kept"), exact.dsum("qty_parsed").alias("sum_kept"))
+
+
+@register(
+    "c8_drop_by_predicate",
+    oracle=with_lineitem_dirty(
+        ", bounds AS (SELECT QUANTILE_CONT(price_out, 0.25) AS q1, "
+        "QUANTILE_CONT(price_out, 0.75) AS q3 FROM lineitem_dirty) "
+        "SELECT COUNT(*) AS n_kept, "
+        f"{exact.dsum_sql('price_out')} AS sum_kept "
+        "FROM lineitem_dirty, bounds "
+        "WHERE NOT (price_out < q1 - 1.5 * (q3 - q1) OR price_out > q3 + 1.5 * (q3 - q1))"
+    ),
+    tags=("C8", "C12"),
+)
+def c8_drop_by_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8/C12-drop: remove problem rows by detector predicate."""
+    df = lineitem_dirty(spark, sf_dir)
+    q1, q3 = df.agg(
+        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
+    ).first()
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    kept = df.where(~((F.col("price_out") < F.lit(lo)) | (F.col("price_out") > F.lit(hi))))
+    return kept.agg(F.count(F.lit(1)).alias("n_kept"), exact.dsum("price_out").alias("sum_kept"))
+
+
+@register(
+    "c9_convert_string_numeric",
+    oracle=with_lineitem_dirty(
+        "SELECT l_orderkey, l_linenumber, quantity_str, "
+        "TRY_CAST(REPLACE(REPLACE(quantity_str, ' kg', ''), ',', '') AS DOUBLE) AS qty_converted "
+        "FROM lineitem_dirty WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("C9",),
+)
+def c9_convert_string_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: coerce parseable strings to numeric (unit/thousands cleanup
+    then try_cast; unparseable → NULL feeds the D1/C1 pipeline)."""
+    df = lineitem_dirty(spark, sf_dir).where(F.col("l_orderkey") % 10 == 0)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        "quantity_str",
+        F.expr(
+            "TRY_CAST(REPLACE(REPLACE(quantity_str, ' kg', ''), ',', '') AS DOUBLE)"
+        ).alias("qty_converted"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "c10_replace_value",
+    oracle=with_lineitem_dirty(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN quantity_str = 'N/A' THEN 1 ELSE 0 END) AS BIGINT) AS n_na_before, "
+        "CAST(SUM(CASE WHEN CASE WHEN quantity_str = 'N/A' THEN '0' ELSE quantity_str END = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_after "
+        "FROM lineitem_dirty"
+    ),
+    tags=("C10",),
+)
+def c10_replace_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C10: replace a specific mismatched value (reference 'replace' fix)."""
+    df = lineitem_dirty(spark, sf_dir)
+    replaced = F.when(F.col("quantity_str") == "N/A", F.lit("0")).otherwise(F.col("quantity_str"))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("quantity_str") == "N/A").cast("long")).alias("n_na_before"),
+        F.sum((replaced == "0").cast("long")).alias("n_zero_after"),
+    )
+
+
+@register(
+    "c11_clip_outliers",
+    oracle=with_lineitem_dirty(
+        ", bounds AS (SELECT QUANTILE_CONT(price_out, 0.25) AS q1, "
+        "QUANTILE_CONT(price_out, 0.75) AS q3 FROM lineitem_dirty) "
+        "SELECT COUNT(*) AS n, "
+        "MIN(GREATEST(LEAST(price_out, q3 + 1.5 * (q3 - q1)), q1 - 1.5 * (q3 - q1))) AS min_clipped, "
+        "MAX(GREATEST(LEAST(price_out, q3 + 1.5 * (q3 - q1)), q1 - 1.5 * (q3 - q1))) AS max_clipped, "
+        f"{exact.dsum_sql('GREATEST(LEAST(price_out, q3 + 1.5 * (q3 - q1)), q1 - 1.5 * (q3 - q1))')} AS sum_clipped "
+        "FROM lineitem_dirty, bounds"
+    ),
+    tags=("C11",),
+)
+def c11_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11: winsorize at Tukey fences (greatest/least — no branching)."""
+    df = lineitem_dirty(spark, sf_dir)
+    q1, q3 = df.agg(
+        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
+    ).first()
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    clipped = F.greatest(F.least(F.col("price_out"), F.lit(hi)), F.lit(lo))
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(clipped).alias("min_clipped"),
+        F.max(clipped).alias("max_clipped"),
+        exact.dsum(clipped).alias("sum_clipped"),
+    )
+
+
+@register(
+    "c12_outlier_to_null",
+    oracle=with_lineitem_dirty(
+        ", bounds AS (SELECT QUANTILE_CONT(price_out, 0.25) AS q1, "
+        "QUANTILE_CONT(price_out, 0.75) AS q3 FROM lineitem_dirty) "
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN price_out < q1 - 1.5 * (q3 - q1) OR price_out > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_nulled, "
+        f"{exact.dsum_sql('CASE WHEN price_out < q1 - 1.5 * (q3 - q1) OR price_out > q3 + 1.5 * (q3 - q1) THEN NULL ELSE price_out END')} AS sum_kept "
+        "FROM lineitem_dirty, bounds"
+    ),
+    tags=("C12",),
+)
+def c12_outlier_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: outlier → NULL (then the missing-value pipeline applies)."""
+    df = lineitem_dirty(spark, sf_dir)
+    q1, q3 = df.agg(
+        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
+    ).first()
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    is_out = (F.col("price_out") < F.lit(lo)) | (F.col("price_out") > F.lit(hi))
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(is_out.cast("long")).alias("n_nulled"),
+        exact.dsum(F.when(is_out, F.lit(None)).otherwise(F.col("price_out"))).alias("sum_kept"),
+    )
+
+
+@register(
+    "c13_cast_column",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, "
+        "TRY_CAST(CAST(l_quantity AS STRING) AS DOUBLE) AS qty_roundtrip "
+        "FROM lineitem WHERE l_orderkey % 25 = 0 ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("C13",),
+)
+def c13_cast_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C13: cast column (strict + lenient try_cast round-trip)."""
+    df = T(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 25 == 0)
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("ship_date"),
+        F.expr("TRY_CAST(CAST(l_quantity AS STRING) AS DOUBLE)").alias("qty_roundtrip"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "c14_15_rename_drop",
+    oracle=(
+        "SELECT c_custkey AS customer_id, c_name AS customer_name, c_mktsegment AS segment "
+        "FROM customer ORDER BY customer_id"
+    ),
+    tags=("C14", "C15", "R1"),
+)
+def c14_15_rename_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C14 rename + C15 drop (projection narrowing reaches the scan)."""
+    return (
+        T(spark, sf_dir, "customer")
+        .withColumnRenamed("c_custkey", "customer_id")
+        .withColumnRenamed("c_name", "customer_name")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .drop("c_nationkey", "c_acctbal")
+        .orderBy("customer_id")
+    )
+
+
+@register(
+    "c16_dedup_exact",
+    oracle=with_documents_dup(
+        ", keyed AS (SELECT doc_id, lang, source, "
+        f"MD5({norm_text_sql('text')}) AS dup_key, "
+        f"ROW_NUMBER() OVER (PARTITION BY MD5({norm_text_sql('text')}) ORDER BY doc_id) AS rn "
+        "FROM documents_dup) "
+        "SELECT doc_id, lang, source FROM keyed WHERE rn = 1 ORDER BY doc_id"
+    ),
+    tags=("C16",),
+)
+def c16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C16: exact dedup, deterministic survivor (min doc_id per norm-key).
+
+    Window form (not dropDuplicates) so the survivor is stable across
+    partitionings — required for cluster-reproducible dedup."""
+    docs = documents_dup(spark, sf_dir).withColumn("dup_key", F.md5(norm_text_col("text")))
+    deduped = dedup_exact(docs, ["dup_key"], "doc_id")
+    return deduped.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "c17_normalize_text",
+    oracle=with_documents_dup(
+        f"SELECT doc_id, {norm_text_sql('text')} AS norm_text "
+        "FROM documents_dup WHERE doc_id % 7 = 0 ORDER BY doc_id"
+    ),
+    tags=("C17",),
+)
+def c17_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C17: trim/lower/collapse-whitespace normalization."""
+    return (
+        documents_dup(spark, sf_dir)
+        .where(F.col("doc_id") % 7 == 0)
+        .select("doc_id", norm_text_col("text").alias("norm_text"))
+        .orderBy("doc_id")
+    )

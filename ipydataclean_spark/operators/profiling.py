@@ -1,0 +1,305 @@
+"""Profiling / column statistics — SURVEY.md §2.2 (P1-P10).
+
+The reference's profiling scan [P] computes per-column dtype, null
+counts, distribution stats and histograms to drive its UI. Here each
+profile is a Spark aggregate; the engine rule for 100 TB is ONE wide
+agg per table (single scan, map-side partial aggregation), never one
+job per column.
+
+Exactness: float sums/avgs/stddevs route through DECIMAL
+(functions/exact.py) so results are partition-order independent —
+identical on local[32] and a 1000-executor cluster, and hash-equal to
+the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, FloatType, NumericType
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T, lineitem_dirty, with_lineitem_dirty
+from ipydataclean_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Reusable profiling API (the engine surface mirroring the reference)
+# ---------------------------------------------------------------------------
+
+
+def profile_exprs(df: DataFrame, cols: list[str] | None = None) -> list[F.Column]:
+    """P10: fused profile expressions for one wide agg — P1/P2/P3(approx)/P4."""
+    cols = cols or df.columns
+    exprs: list[F.Column] = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        field = df.schema[c]
+        exprs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"))
+        exprs.append(F.approx_count_distinct(c).alias(f"{c}__approx_distinct"))
+        if isinstance(field.dataType, NumericType):
+            exprs.append(F.min(c).alias(f"{c}__min"))
+            exprs.append(F.max(c).alias(f"{c}__max"))
+            if isinstance(field.dataType, (DoubleType, FloatType)):
+                exprs.append(exact.dsum(c).alias(f"{c}__sum"))
+            else:
+                exprs.append(exact.isum(c).alias(f"{c}__sum"))
+    return exprs
+
+
+def profile(df: DataFrame, cols: list[str] | None = None) -> dict:
+    """Single-scan whole-table profile (driver UI analogue). One job."""
+    row = df.agg(*profile_exprs(df, cols)).first()
+    return row.asDict()
+
+
+def histogram(df: DataFrame, col: str, n_buckets: int = 20) -> DataFrame:
+    """P7: two-phase histogram — tiny min/max job, then one bucketized agg.
+
+    No crossJoin of the scalar bounds: they come back to the driver
+    (constant-size) and are embedded as literals, so the big scan stays
+    a single stage with map-side combine.
+    """
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    width = (hi - lo) / n_buckets if hi != lo else 1.0
+    bucket = F.least(
+        F.floor((F.col(col) - F.lit(lo)) / F.lit(width)), F.lit(n_buckets - 1)
+    ).cast("long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (driver correctness gate)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_table_counts",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS tbl, COUNT(*) AS n_rows FROM {t}"
+        for t in ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+    ),
+    tags=("P1",),
+)
+def p1_table_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 row count for every catalog table, one row per table."""
+    tables = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+    parts = [
+        T(spark, sf_dir, t).agg(F.count(F.lit(1)).alias("n_rows")).select(F.lit(t).alias("tbl"), "n_rows")
+        for t in tables
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register(
+    "p2_null_profile",
+    oracle=with_lineitem_dirty(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN quantity_str IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        "(CAST(SUM(CASE WHEN quantity_str IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)) AS null_frac "
+        "FROM lineitem_dirty"
+    ),
+    tags=("P2", "D1"),
+)
+def p2_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 null count / fraction over the dirty string column."""
+    df = lineitem_dirty(spark, sf_dir)
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("quantity_str").isNull().cast("long")).alias("n_null"),
+        (F.sum(F.col("quantity_str").isNull().cast("long")).cast("double") / F.count(F.lit(1))).alias("null_frac"),
+    )
+
+
+@register(
+    "p3_distinct_counts",
+    oracle=(
+        "SELECT CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS d_returnflag, "
+        "CAST(COUNT(DISTINCT l_linestatus) AS BIGINT) AS d_linestatus, "
+        "CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_partkey, "
+        "CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orderkey FROM lineitem"
+    ),
+    tags=("P3",),
+)
+def p3_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 exact distinct counts (scale path: approx_count_distinct)."""
+    df = T(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.countDistinct("l_returnflag").alias("d_returnflag"),
+        F.countDistinct("l_linestatus").alias("d_linestatus"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+    )
+
+
+@register(
+    "p4_numeric_profile",
+    oracle=(
+        "SELECT MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty, "
+        f"{exact.davg_sql('l_quantity')} AS avg_qty, "
+        f"{exact.dstddev_sql('l_quantity')} AS std_qty, "
+        "MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price, "
+        f"{exact.davg_sql('l_extendedprice')} AS avg_price, "
+        f"{exact.dstddev_sql('l_extendedprice')} AS std_price FROM lineitem"
+    ),
+    tags=("P4",),
+)
+def p4_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 min/max/mean/stddev numeric profile, one scan, exact."""
+    df = T(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        exact.davg("l_quantity").alias("avg_qty"),
+        exact.dstddev("l_quantity").alias("std_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        exact.davg("l_extendedprice").alias("avg_price"),
+        exact.dstddev("l_extendedprice").alias("std_price"),
+    )
+
+
+@register(
+    "p5_quantiles",
+    oracle=(
+        "SELECT MEDIAN(l_extendedprice) AS med_price, "
+        "QUANTILE_CONT(l_extendedprice, 0.25) AS q25_price, "
+        "QUANTILE_CONT(l_extendedprice, 0.75) AS q75_price, "
+        "MEDIAN(o_totalprice_all) AS med_total FROM ("
+        "SELECT l_extendedprice, NULL AS o_totalprice_all FROM lineitem "
+        "UNION ALL SELECT NULL, o_totalprice FROM orders)"
+    ),
+    tags=("P5",),
+)
+def p5_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 exact median/quantiles (scale path: percentile_approx knob)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice"), F.lit(None).cast("double").alias("o_totalprice_all")
+    )
+    od = T(spark, sf_dir, "orders").select(
+        F.lit(None).cast("double").alias("l_extendedprice"), F.col("o_totalprice").alias("o_totalprice_all")
+    )
+    u = li.unionByName(od)
+    return u.agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("q25_price"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("q75_price"),
+        F.expr("percentile(o_totalprice_all, 0.5)").alias("med_total"),
+    )
+
+
+@register(
+    "p6_mode",
+    oracle=(
+        "SELECT l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS mode_n FROM ("
+        "SELECT l_quantity, COUNT(*) AS cnt FROM lineitem GROUP BY l_quantity) "
+        "ORDER BY cnt DESC, l_quantity ASC LIMIT 1"
+    ),
+    tags=("P6",),
+)
+def p6_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 mode with deterministic tie-break (max count, then min value)."""
+    df = T(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy(F.col("l_quantity").alias("mode_qty"))
+        .agg(F.count(F.lit(1)).alias("mode_n"))
+        .orderBy(F.desc("mode_n"), F.asc("mode_qty"))
+        .limit(1)
+    )
+
+
+@register(
+    "p7_histogram",
+    oracle=(
+        "WITH bounds AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem) "
+        "SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bucket, "
+        "COUNT(*) AS n FROM lineitem, bounds GROUP BY 1 ORDER BY bucket"
+    ),
+    tags=("P7",),
+)
+def p7_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 20-bucket histogram, two-phase (scalar bounds then one agg)."""
+    df = T(spark, sf_dir, "lineitem")
+    lo, hi = df.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    width = (hi - lo) / 20.0
+    bucket = F.least(F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)), F.lit(19)).cast("long")
+    return df.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n")).orderBy("bucket")
+
+
+@register(
+    "p8_castability",
+    oracle=with_lineitem_dirty(
+        "SELECT COUNT(quantity_str) AS n_nonnull, "
+        "CAST(SUM(CASE WHEN TRY_CAST(quantity_str AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric, "
+        "(CAST(SUM(CASE WHEN TRY_CAST(quantity_str AS DOUBLE) IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ COUNT(quantity_str)) AS frac_numeric "
+        "FROM lineitem_dirty WHERE quantity_str IS NOT NULL"
+    ),
+    tags=("P8", "D6"),
+)
+def p8_castability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 castability profile: fraction of non-null strings parseable as
+    double — drives the reference's string-mismatch suggestions [P]."""
+    df = lineitem_dirty(spark, sf_dir).where(F.col("quantity_str").isNotNull())
+    ok = F.expr("TRY_CAST(quantity_str AS DOUBLE)").isNotNull().cast("long")
+    return df.agg(
+        F.count("quantity_str").alias("n_nonnull"),
+        F.sum(ok).alias("n_numeric"),
+        (F.sum(ok).cast("double") / F.count("quantity_str")).alias("frac_numeric"),
+    )
+
+
+@register(
+    "p9_topk_values",
+    oracle=(
+        "SELECT p_brand, COUNT(*) AS n FROM part GROUP BY p_brand "
+        "ORDER BY n DESC, p_brand ASC LIMIT 10"
+    ),
+    tags=("P9", "R17"),
+)
+def p9_topk_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 top-k frequent values (deterministic tie-break by value)."""
+    df = T(spark, sf_dir, "part")
+    return (
+        df.groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("p_brand"))
+        .limit(10)
+    )
+
+
+@register(
+    "p10_summary_bundle",
+    oracle=(
+        "SELECT COUNT(*) AS n_rows, "
+        "CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls, "
+        "MIN(l_quantity) AS qty_min, MAX(l_quantity) AS qty_max, "
+        f"{exact.dsum_sql('l_quantity')} AS qty_sum, "
+        "CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS disc_nulls, "
+        "MIN(l_discount) AS disc_min, MAX(l_discount) AS disc_max, "
+        f"{exact.dsum_sql('l_discount')} AS disc_sum, "
+        "CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS price_nulls, "
+        "MIN(l_extendedprice) AS price_min, MAX(l_extendedprice) AS price_max, "
+        f"{exact.dsum_sql('l_extendedprice')} AS price_sum "
+        "FROM lineitem"
+    ),
+    tags=("P10",),
+)
+def p10_summary_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 fused multi-column profile — ONE scan for all columns (the
+    100 TB rule: never one job per column)."""
+    df = T(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, tag in (("l_quantity", "qty"), ("l_discount", "disc"), ("l_extendedprice", "price")):
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{tag}_nulls"),
+            F.min(c).alias(f"{tag}_min"),
+            F.max(c).alias(f"{tag}_max"),
+            exact.dsum(c).alias(f"{tag}_sum"),
+        ]
+    return df.agg(*aggs)

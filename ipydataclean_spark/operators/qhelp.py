@@ -1,0 +1,68 @@
+"""Shared helpers for registered queries: fixture loading and the
+DataFrame-API construction of the dirty fixtures (twin of dirty.py's
+SQL CTEs — both build identical inputs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.catalog import load_table
+from ipydataclean_spark.operators import dirty
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def lineitem_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem + quantity_str/qty_parsed/price_out dirt columns."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .withColumn("quantity_str", F.expr(dirty.QTY_STR))
+        .withColumn("qty_parsed", F.expr(dirty.QTY_PARSED))
+        .withColumn("price_out", F.expr(dirty.PRICE_OUT))
+    )
+
+
+def events_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + value_gap + stable global row_id.
+
+    The unpartitioned row_number window funnels through one partition —
+    acceptable for the 10k-row events fixture and for any "ordered
+    interpolation" semantics that are inherently sequential; the
+    scale path is the per-user variant (c5 partitioned form).
+    """
+    w = Window.orderBy("ts", "event_id")
+    return (
+        T(spark, sf_dir, "events")
+        .withColumn("value_gap", F.expr(dirty.VALUE_GAP))
+        .withColumn("row_id", F.row_number().over(w))
+    )
+
+
+def documents_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ re-cased/padded copy of every 5th doc (known dups)."""
+    docs = T(spark, sf_dir, "documents")
+    dup = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit("  ")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return docs.unionByName(dup)
+
+
+def with_lineitem_dirty(sql: str) -> str:
+    """Oracle helper: prefix a query with the lineitem_dirty CTE."""
+    return f"WITH lineitem_dirty AS ({dirty.lineitem_dirty_sql()}) {sql}"
+
+
+def with_events_dirty(sql: str) -> str:
+    return f"WITH events_dirty AS ({dirty.events_dirty_sql()}) {sql}"
+
+
+def with_documents_dup(sql: str) -> str:
+    return f"WITH documents_dup AS ({dirty.DOCUMENTS_DUP_SQL}) {sql}"

@@ -1,0 +1,664 @@
+"""Relational core — SURVEY.md §2.5 (R1-R25) + flagship query.
+
+All declarative DataFrame API: Catalyst supplies pushdown, pruning,
+join selection, and AQE supplies runtime coalescing/skew handling
+(SURVEY.md §4.2). Dimension joins broadcast explicitly (R6) so a
+1000-executor plan never shuffles the fact table against a 25-row dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T, lineitem_dirty, with_lineitem_dirty
+from ipydataclean_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Flagship (M0): clean (C9 parse + C2 fill-mean) then TPC-H-Q1-style agg
+# ---------------------------------------------------------------------------
+
+_Q1_MEAN_SQL = with_lineitem_dirty(
+    f"SELECT {exact.davg_sql('qty_parsed')} AS m FROM lineitem_dirty"
+)
+
+
+@register(
+    "q1_pricing_summary_cleaned",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, l_linestatus, "
+        f"{exact.dsum_sql(f'COALESCE(qty_parsed, ({_Q1_MEAN_SQL}))')} AS sum_qty, "
+        f"{exact.dsum_sql('l_extendedprice')} AS sum_base_price, "
+        f"{exact.dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price, "
+        f"{exact.dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge, "
+        f"{exact.davg_sql(f'COALESCE(qty_parsed, ({_Q1_MEAN_SQL}))')} AS avg_qty, "
+        f"{exact.davg_sql('l_extendedprice')} AS avg_price, "
+        f"{exact.davg_sql('l_discount')} AS avg_disc, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem_dirty GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    tags=("flagship", "C9", "C2", "R11"),
+)
+def q1_pricing_summary_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: dirty lineitem → C9 string→numeric parse → C2 fill-mean
+    (two-phase: tiny scalar job, then literal substitution — no
+    window-over-table shuffle) → Q1-style grouped pricing summary."""
+    df = lineitem_dirty(spark, sf_dir)
+    mean_qty = df.agg(exact.davg("qty_parsed")).first()[0]
+    qty = F.coalesce(F.col("qty_parsed"), F.lit(mean_qty))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact.dsum(qty).alias("sum_qty"),
+            exact.dsum("l_extendedprice").alias("sum_base_price"),
+            exact.dsum(disc_price).alias("sum_disc_price"),
+            exact.dsum(charge).alias("sum_charge"),
+            exact.davg(qty).alias("avg_qty"),
+            exact.davg("l_extendedprice").alias("avg_price"),
+            exact.davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q6_revenue_band",
+    oracle=(
+        f"SELECT {exact.dsum_sql('l_extendedprice * l_discount')} AS revenue, "
+        "COUNT(*) AS n FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+        "AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24"
+    ),
+    tags=("R2", "R13"),
+)
+def q6_revenue_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style filtered aggregate — pushdown-friendly predicates
+    (all reach the parquet scan as PushedFilters)."""
+    df = T(spark, sf_dir, "lineitem")
+    return (
+        df.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            exact.dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "q3_top_orders",
+    oracle=(
+        "SELECT l_orderkey, "
+        f"{exact.dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue, "
+        "MIN(o_orderdate) AS o_orderdate "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    tags=("R3", "R11", "R17"),
+)
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style 3-table join + top-k (TakeOrderedAndProject)."""
+    cust = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.min("o_orderdate").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    oracle=(
+        "SELECT n_name, r_name, "
+        f"{exact.dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue "
+        "FROM region JOIN nation ON n_regionkey = r_regionkey "
+        "JOIN customer ON c_nationkey = n_nationkey "
+        "JOIN orders ON o_custkey = c_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "GROUP BY n_name, r_name ORDER BY revenue DESC, n_name"
+    ),
+    tags=("R3", "R6", "R11"),
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style star join: fact joins broadcast dims (R6) — at
+    100 TB only lineitem⋈orders shuffles; all dim joins are map-side."""
+    region = T(spark, sf_dir, "region")
+    nation = T(spark, sf_dir, "nation")
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    dim = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(dim), orders.o_custkey == dim.c_custkey)
+        .groupBy("n_name", "r_name")
+        .agg(exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# R-series substrate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r2_filter_predicates",
+    oracle=(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderstatus IN ('O', 'F') AND o_totalprice BETWEEN 1000 AND 50000 "
+        "AND o_orderpriority LIKE '%URGENT%' AND o_custkey IS NOT NULL "
+        "ORDER BY o_orderkey"
+    ),
+    tags=("R1", "R2", "R15"),
+)
+def r2_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: conjunctive IN/BETWEEN/LIKE/NULL filters (all pushed down)."""
+    df = T(spark, sf_dir, "orders")
+    return (
+        df.where(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(1000, 50000)
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.col("o_custkey").isNotNull()
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "r4_left_join_counts",
+    oracle=(
+        "SELECT c_custkey, COUNT(o_orderkey) AS n_orders, "
+        f"{exact.dsum_sql('o_totalprice')} AS total_spend "
+        "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+        "GROUP BY c_custkey ORDER BY c_custkey"
+    ),
+    tags=("R4", "R11"),
+)
+def r4_left_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: left outer join keeping customers with zero orders.
+
+    dsum over an all-NULL group returns NULL in both engines."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            exact.dsum("o_totalprice").alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "r5_semi_anti",
+    oracle=(
+        "SELECT 'with_orders' AS kind, COUNT(*) AS n FROM customer "
+        "WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+        "UNION ALL "
+        "SELECT 'without_orders' AS kind, COUNT(*) AS n FROM customer "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    ),
+    tags=("R5",),
+)
+def r5_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: left-semi and left-anti joins (EXISTS / NOT EXISTS twins)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    semi = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("with_orders").alias("kind"), "n")
+    )
+    anti = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("without_orders").alias("kind"), "n")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "r7_cross_join",
+    oracle=(
+        "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name"
+    ),
+    tags=("R7",),
+)
+def r7_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7: cross join (tiny dims only — guarded at scale)."""
+    return (
+        T(spark, sf_dir, "region")
+        .crossJoin(T(spark, sf_dir, "nation"))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")
+    )
+
+
+@register(
+    "r8_range_join",
+    oracle=(
+        "WITH months AS (SELECT CAST(TIMESTAMP '1996-01-01' + INTERVAL (m) MONTH AS TIMESTAMP) AS m_start, "
+        "CAST(TIMESTAMP '1996-01-01' + INTERVAL (m + 1) MONTH AS TIMESTAMP) AS m_end "
+        "FROM (SELECT UNNEST(range(12)) AS m)) "
+        "SELECT m_start, COUNT(o_orderkey) AS n_orders, "
+        f"{exact.dsum_sql('o_totalprice')} AS month_total "
+        "FROM months LEFT JOIN orders ON o_orderdate >= m_start AND o_orderdate < m_end "
+        "GROUP BY m_start ORDER BY m_start"
+    ),
+    tags=("R8",),
+)
+def r8_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8: non-equi range join (orders into month intervals).
+
+    The 12-row interval side is broadcast, so the non-equi condition is
+    evaluated as a broadcast nested-loop join — the right plan at any
+    scale when the interval side is small; bucket-prefilter otherwise."""
+    months = (
+        spark.range(12)
+        .select(
+            F.add_months(F.lit("1996-01-01").cast("date"), F.col("id").cast("int")).cast("timestamp").alias("m_start"),
+            F.add_months(F.lit("1996-01-01").cast("date"), F.col("id").cast("int") + 1).cast("timestamp").alias("m_end"),
+        )
+    )
+    orders = T(spark, sf_dir, "orders")
+    return (
+        F.broadcast(months)
+        .join(orders, (orders.o_orderdate >= months.m_start) & (orders.o_orderdate < months.m_end), "left")
+        .groupBy("m_start")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            exact.dsum("o_totalprice").alias("month_total"),
+        )
+        .orderBy("m_start")
+    )
+
+
+@register(
+    "r9_asof_join",
+    oracle=(
+        "WITH probes AS (SELECT UNNEST(['2024-01-08 00:00:00', '2024-01-15 00:00:00', '2024-01-22 00:00:00']) AS p), "
+        "probe_ts AS (SELECT CAST(p AS TIMESTAMP) AS probe_ts FROM probes), "
+        "u AS (SELECT DISTINCT user_id FROM events) "
+        "SELECT u.user_id, probe_ts, MAX(e.ts) AS last_ts, ARG_MAX(e.value, e.ts) AS last_value "
+        "FROM u CROSS JOIN probe_ts "
+        "LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= probe_ts "
+        "GROUP BY u.user_id, probe_ts ORDER BY u.user_id, probe_ts"
+    ),
+    tags=("R9",),
+)
+def r9_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9: as-of join — latest event value at-or-before each probe time
+    per user. Implemented as broadcast probe join + max_by (argmax);
+    per-user ts is unique in the fixture so argmax is deterministic.
+    Streaming twin: stream-stream join with watermark (SURVEY §2.8)."""
+    ev = T(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    probes = spark.createDataFrame(
+        [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",), ("2024-01-22 00:00:00",)], ["p"]
+    ).select(F.col("p").cast("timestamp").alias("probe_ts"))
+    grid = users.crossJoin(F.broadcast(probes))
+    e = ev.select(F.col("user_id").alias("e_user"), "ts", "value")
+    return (
+        grid.join(e, (e.e_user == grid.user_id) & (e.ts <= grid.probe_ts), "left")
+        .groupBy("user_id", "probe_ts")
+        .agg(F.max("ts").alias("last_ts"), F.max_by("value", "ts").alias("last_value"))
+        .orderBy("user_id", "probe_ts")
+    )
+
+
+@register(
+    "r10_interval_self_join",
+    oracle=(
+        "SELECT e1.event_id AS base_event, COUNT(e2.event_id) AS n_following "
+        "FROM events e1 JOIN events e2 ON e2.user_id = e1.user_id "
+        "AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE "
+        "WHERE e1.event_type = 'purchase' "
+        "GROUP BY e1.event_id ORDER BY e1.event_id"
+    ),
+    tags=("R10",),
+)
+def r10_interval_self_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10: interval join — events within 5 minutes after each purchase,
+    equi-key (user_id) prefilter makes the range condition a per-key
+    nested loop, which scales (shuffle on user_id, not cross join)."""
+    ev = T(spark, sf_dir, "events")
+    e1 = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("base_event"), F.col("user_id").alias("u1"), F.col("ts").alias("t1")
+    )
+    e2 = ev.select(F.col("event_id").alias("e2_id"), F.col("user_id").alias("u2"), F.col("ts").alias("t2"))
+    return (
+        e1.join(
+            e2,
+            (e1.u1 == e2.u2)
+            & (e2.t2 > e1.t1)
+            & (e2.t2 <= e1.t1 + F.expr("INTERVAL 5 MINUTE")),
+            "inner",
+        )
+        .groupBy("base_event")
+        .agg(F.count("e2_id").alias("n_following"))
+        .orderBy("base_event")
+    )
+
+
+@register(
+    "r11_groupby_agg",
+    oracle=(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, "
+        f"{exact.dsum_sql('o_totalprice')} AS total, "
+        "MIN(o_orderdate) AS first_date, MAX(o_orderdate) AS last_date "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority "
+        "ORDER BY o_orderstatus, o_orderpriority"
+    ),
+    tags=("R11",),
+)
+def r11_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11: multi-key hash aggregate (partial+final, map-side combine)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.dsum("o_totalprice").alias("total"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@register(
+    "r12_rollup",
+    oracle=(
+        "SELECT COALESCE(r_name, 'ALL') AS region_name, "
+        "COALESCE(n_name, 'ALL') AS nation_name, COUNT(*) AS n_customers "
+        "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY ROLLUP (r_name, n_name) ORDER BY region_name, nation_name"
+    ),
+    tags=("R12",),
+)
+def r12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12: rollup hierarchy totals (region → nation → grand total)."""
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "n_customers",
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+@register(
+    "r13_conditional_agg",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_disc, "
+        f"{exact.dsum_sql('CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END')} AS high_disc_price, "
+        "COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("R13",),
+)
+def r13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R13: conditional aggregation (CASE-sum + FILTER clause)."""
+    df = T(spark, sf_dir, "lineitem")
+    high = F.col("l_discount") > 0.05
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("n_high_disc"),
+            exact.dsum(F.when(high, F.col("l_extendedprice")).otherwise(F.lit(0.0))).alias("high_disc_price"),
+            F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "r14_collect_set",
+    oracle=(
+        "SELECT l_returnflag, LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses, "
+        "LIST_SORT(COALESCE(LIST(DISTINCT CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity <= 3), [])) AS small_qtys "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("R14",),
+)
+def r14_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14: collect_set with array_sort for order-insensitive compare."""
+    df = T(spark, sf_dir, "lineitem")
+    return (
+        df.groupBy("l_returnflag")
+        .agg(
+            F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
+            F.array_sort(
+                F.collect_set(F.when(F.col("l_quantity") <= 3, F.col("l_quantity").cast("long")))
+            ).alias("small_qtys"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "r15_sort_nulls",
+    oracle=(
+        "SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS prio_or_null, o_totalprice "
+        "FROM orders ORDER BY prio_or_null DESC NULLS LAST, o_totalprice DESC, o_orderkey LIMIT 100"
+    ),
+    tags=("R15",),
+)
+def r15_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15: multi-key sort with explicit null ordering."""
+    df = T(spark, sf_dir, "orders")
+    return (
+        df.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("prio_or_null"),
+            "o_totalprice",
+        )
+        .orderBy(F.col("prio_or_null").desc_nulls_last(), F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "r16_limit_offset",
+    oracle=("SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100"),
+    tags=("R16",),
+)
+def r16_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: deterministic limit/offset (Spark 4.x offset)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@register(
+    "r18_topk_per_group",
+    oracle=(
+        "SELECT c_mktsegment, c_custkey, c_acctbal FROM ("
+        "SELECT c_mktsegment, c_custkey, c_acctbal, "
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn "
+        "FROM customer) WHERE rn <= 3 ORDER BY c_mktsegment, c_acctbal DESC, c_custkey"
+    ),
+    tags=("R18", "W1"),
+)
+def r18_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R18: top-k per group via ranking window (shuffles once on the
+    group key; AQE handles group-count skew)."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        T(spark, sf_dir, "customer")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+        .orderBy("c_mktsegment", F.desc("c_acctbal"), "c_custkey")
+    )
+
+
+@register(
+    "r19_union",
+    oracle=(
+        "SELECT 'all' AS kind, COUNT(*) AS n FROM "
+        "(SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier) "
+        "UNION ALL SELECT 'distinct' AS kind, COUNT(*) AS n FROM "
+        "(SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier)"
+    ),
+    tags=("R19",),
+)
+def r19_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: union all vs union distinct."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    ua = c.unionByName(s).agg(F.count(F.lit(1)).alias("n")).select(F.lit("all").alias("kind"), "n")
+    ud = (
+        c.unionByName(s).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("distinct").alias("kind"), "n")
+    )
+    return ua.unionByName(ud)
+
+
+@register(
+    "r20_intersect_except",
+    oracle=(
+        "SELECT 'both' AS kind, k FROM "
+        "(SELECT c_nationkey AS k FROM customer INTERSECT SELECT s_nationkey FROM supplier) "
+        "UNION ALL "
+        "SELECT 'customer_only' AS kind, k FROM "
+        "(SELECT c_nationkey AS k FROM customer EXCEPT SELECT s_nationkey FROM supplier) "
+        "ORDER BY kind, k"
+    ),
+    tags=("R20",),
+)
+def r20_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R20: intersect / except (distinct set semantics)."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k"))
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k"))
+    both = c.intersect(s).select(F.lit("both").alias("kind"), "k")
+    only = c.subtract(s).select(F.lit("customer_only").alias("kind"), "k")
+    return both.unionByName(only).orderBy("kind", "k")
+
+
+@register(
+    "r21_distinct",
+    oracle=(
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus"
+    ),
+    tags=("R21",),
+)
+def r21_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21: distinct (hash aggregate without agg functions)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register("r22_sample", oracle=None, tags=("R22",))
+def r22_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22: seeded Bernoulli sample (rows-only: engine-specific RNG)."""
+    return T(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
+
+
+@register(
+    "r23_pivot",
+    oracle=(
+        "SELECT l_returnflag, "
+        "CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F, "
+        "CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("R23",),
+)
+def r23_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R23: pivot with explicit value list (no extra distinct-values job)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O"])
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "r24_unpivot",
+    oracle=(
+        "SELECT p_partkey, metric, CAST(val AS DOUBLE) AS val FROM part "
+        "UNPIVOT (val FOR metric IN (p_size, p_retailprice)) "
+        "ORDER BY p_partkey, metric"
+    ),
+    tags=("R24",),
+)
+def r24_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24: unpivot/melt wide → long."""
+    df = T(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return df.unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "val").orderBy(
+        "p_partkey", "metric"
+    )
+
+
+@register(
+    "r25_scalar_subquery",
+    oracle=(
+        "SELECT COUNT(*) AS n_above, "
+        f"{exact.dsum_sql('o_totalprice')} AS sum_above "
+        f"FROM orders WHERE o_totalprice > (SELECT {exact.davg_sql('o_totalprice')} FROM orders)"
+    ),
+    tags=("R25",),
+)
+def r25_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25: scalar subquery via compute-then-literal (two-phase — the
+    scale-safe rewrite of a correlated scalar subquery)."""
+    orders = T(spark, sf_dir, "orders")
+    avg_total = orders.agg(exact.davg("o_totalprice")).first()[0]
+    return orders.where(F.col("o_totalprice") > F.lit(avg_total)).agg(
+        F.count(F.lit(1)).alias("n_above"),
+        exact.dsum("o_totalprice").alias("sum_above"),
+    )

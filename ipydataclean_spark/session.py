@@ -1,0 +1,43 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32); the
+same configs are what we'd set on a 1000-executor cluster, modulo
+sizing: AQE handles runtime re-planning (partition coalescing, skew
+joins), broadcast threshold keeps dimension joins shuffle-free, and
+the session timezone is pinned to UTC so timestamp semantics match
+the DuckDB oracle and are cluster-invariant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ipydataclean-spark", cpus: int | str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Knobs chosen for scale (SURVEY.md §4.2):
+      - AQE on: runtime partition coalescing + skew-join splitting means
+        one static ``shuffle.partitions`` setting survives a 100× scale-up.
+      - broadcast threshold 64 MB: region/nation/supplier/part-sized dims
+        never shuffle.
+      - Arrow enabled: any pandas_udf / toPandas path is Arrow-batched.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
