@@ -1,0 +1,76 @@
+"""Benchmark harness (BASELINE.md protocol, SURVEY.md §6/M6).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}
+
+Per query: one warm-up run, then median of 3 timed runs around the
+terminal action (count of the result, schema untouched).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ipydataclean_spark.registry import QUERIES, load_all
+from ipydataclean_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary_cleaned",  # flagship: clean + Q1 agg
+    "p10_summary_bundle",          # single-scan whole-table profile
+    "q5_nation_revenue",           # star join, broadcast dims
+    "q3_top_orders",               # 3-table join + top-k
+    "d3_outliers_iqr",             # two-phase outlier detect
+    "c5b_interpolate_per_user",    # partitioned window interpolation
+    "c16_dedup_exact",             # hash dedup, windowed survivor
+    "l1_exact_dedup",              # digest dedup
+    "l2_minhash_lsh",              # MinHash LSH near-dup
+    "l3_knn_exact",                # brute-force cosine top-k
+    "st1_tumbling_window",         # windowed agg (streaming twin)
+    "st3_session_window",          # sessionization
+    "w4_moving_avg",               # rolling window stats
+    "l10_token_count",             # regex token counting
+]
+
+
+def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
+    fn(spark, sf_dir).count()  # warm-up (JIT, broadcast, file listing)
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all()
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = round(time_query(spark, QUERIES[name]["fn"], sf_dir), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -477,6 +477,39 @@ def c16_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "recipe_pipeline",
+    oracle=with_lineitem_dirty(
+        ", conv AS (SELECT l_returnflag, "
+        "TRY_CAST(REPLACE(REPLACE(quantity_str, ' kg', ''), ',', '') AS DOUBLE) AS qty2 "
+        "FROM lineitem_dirty), "
+        "filled AS (SELECT l_returnflag, "
+        "COALESCE(qty2, (SELECT QUANTILE_CONT(qty2, 0.5) FROM conv)) AS qty3 FROM conv) "
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        f"{exact.dsum_sql('qty3')} AS sum_qty "
+        "FROM filled GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("recipe", "C9", "C3"),
+)
+def recipe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Recipe session (the engine's op-history IR): C9 parse →
+    C3 median fill, folded into one lazy plan, then summarized.
+    ``Recipe.to_code()`` round-trip is property-tested in tests."""
+    from ipydataclean_spark.recipe import Recipe
+
+    recipe = (
+        Recipe()
+        .convert_numeric("quantity_str", out="qty2")
+        .fill_aggregate("qty2", "median")
+    )
+    cleaned = recipe.apply(lineitem_dirty(spark, sf_dir))
+    return (
+        cleaned.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), exact.dsum("qty2").alias("sum_qty"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
     "c17_normalize_text",
     oracle=with_documents_dup(
         f"SELECT doc_id, {norm_text_sql('text')} AS norm_text "

@@ -1,1 +1,584 @@
-"""Placeholder — filled in this round."""
+"""LLM-data-pipeline operators — SURVEY.md §2.9 (L1-L10).
+
+Training-data-pipeline primitives over ``documents`` / ``embeddings``:
+exact + near dedup (MinHash-LSH, SimHash, n-gram Jaccard), embedding
+similarity search/join, text stats, slice metrics, quality filtering,
+keyword search, token counting.
+
+Scale shapes:
+  - exact dedup shuffles a 16-byte digest, not document bodies;
+  - MinHash signatures are built in ONE explode+groupBy pass (16 min
+    aggs), then banded so the candidate join touches only bucket
+    collisions — the standard sub-quadratic LSH path for 100 TB;
+  - exact cosine kernels are sequential folds (zip_with+aggregate) in
+    whole-stage codegen; the brute-force forms broadcast the small
+    query side, and the LSH variants bound candidates at scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.functions.text import norm_text_col, norm_text_sql
+from ipydataclean_spark.functions.vector import cosine_sim, cosine_sim_sql
+from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
+from ipydataclean_spark.registry import register
+
+STOPWORDS = ("the", "a", "of")
+SIM_TAU = 0.45  # pairwise cosine threshold (fixture max offdiag ≈ 0.513)
+
+
+# ---------------------------------------------------------------------------
+# Shared text helpers
+# ---------------------------------------------------------------------------
+
+
+def tokens_col(text_col: str = "text") -> F.Column:
+    return F.split(norm_text_col(text_col), " ")
+
+
+def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
+    """Word n-gram shingles (distinct) of the normalized text."""
+    t = tokens_col(text_col)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    parts = lambda i: reduce(  # noqa: E731
+        lambda acc, k: acc + [F.lit(" "), F.element_at(t, i + k)],
+        range(1, n),
+        [F.element_at(t, i)],
+    )
+    return F.array_distinct(F.transform(idx, lambda i: F.concat(*parts(i))))
+
+
+def shingles_sql(text_expr: str, n: int = 3) -> str:
+    norm = norm_text_sql(text_expr)
+    gram = " || ' ' || ".join(f"t[i + {k}]" for k in range(n)).replace("t[i + 0]", "t[i]")
+    return (
+        f"list_distinct(list_transform(range(1, len(string_split({norm}, ' ')) - {n - 2}), "
+        f"i -> {gram}))".replace("t[", f"string_split({norm}, ' ')[")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l1_exact_dedup",
+    oracle=with_documents_dup(
+        ", keyed AS (SELECT doc_id, lang, "
+        f"ROW_NUMBER() OVER (PARTITION BY SHA256({norm_text_sql('text')}) ORDER BY doc_id) AS rn "
+        "FROM documents_dup) "
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors "
+        "FROM keyed GROUP BY lang ORDER BY lang"
+    ),
+    tags=("L1",),
+)
+def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: normalize → sha256 → keep min doc_id per digest; per-lang
+    survivor counts. The shuffle key is the 32-byte digest."""
+    docs = documents_dup(spark, sf_dir)
+    key = F.sha2(norm_text_col("text"), 256)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_survivors"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L2 — near-dup dedup (MinHash-LSH, exact Jaccard oracle, SimHash)
+# ---------------------------------------------------------------------------
+
+_MINHASH_K = 16
+_BAND_ROWS = 4  # 4 bands × 4 rows
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_15): ONE explode + ONE groupBy with 16 min
+    aggs — a single shuffle regardless of K."""
+    sh = docs.select("doc_id", F.explode(shingles_col("text")).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        for seed in range(_MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@register("l2_minhash_lsh", oracle=None, tags=("L2", "D5"))
+def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: MinHash-LSH near-dup candidate pairs (rows-only; deterministic
+    xxhash64 seeds). Bands of 4 rows → bucket join → estimated Jaccard
+    (signature agreement) ≥ 0.5. Golden-tested against exact Jaccard
+    (l2b) in tests/test_llm.py."""
+    sigs = minhash_signatures(documents_dup(spark, sf_dir))
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_MINHASH_K // _BAND_ROWS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(F.concat_ws("_", *[
+                F.element_at(sig_arr, b * _BAND_ROWS + k + 1).cast("string")
+                for k in range(_BAND_ROWS)
+            ])).alias("band_hash"),
+        ),
+    )
+    banded = (
+        sigs.withColumn("sig", sig_arr)
+        .withColumn("band", F.explode(bands))
+        .select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    )
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash"
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash"
+    )
+    pairs = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(_MINHASH_K))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "l2b_jaccard_pairs",
+    oracle=with_documents_dup(
+        f", sh AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s FROM documents_dup), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common "
+        "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+        "SELECT doc_a, doc_b, "
+        "(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)) AS jaccard "
+        "FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b "
+        "WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6 "
+        "ORDER BY doc_a, doc_b"
+    ),
+    tags=("L2",),
+)
+def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 exact twin: word-3-gram Jaccard ≥ 0.6 via shingle self-join
+    (the verification pass LSH candidates feed into at scale)."""
+    docs = documents_dup(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode(shingles_col("text")).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.6)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register("l2c_simhash", oracle=None, tags=("L2",))
+def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 SimHash variant: 64-bit simhash per doc; near-dup pairs =
+    hamming distance ≤ 8 found via 4×16-bit band buckets (a pair within
+    hamming 3 must agree on ≥1 band — pigeonhole).
+
+    Bit sums are built in one explode+groupBy with 64 literal-shift
+    aggregates (rows-only: bit algebra not portable to the oracle).
+    Features are word-3-gram shingles (token sets are near-identical
+    across this corpus's small vocabulary; shingle sets discriminate)."""
+    docs = documents_dup(spark, sf_dir)
+    toks = docs.select("doc_id", F.explode(shingles_col("text")).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftrightunsigned(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_aggs)
+    sim = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b) if b < 63 else F.lit(-(1 << 63)).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    sh = sums.select("doc_id", sim.alias("simhash"))
+    banded = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_id"),
+                    F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
+    pairs = (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= 6)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L3/L4 — embedding similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l3_knn_exact",
+    oracle=(
+        "SELECT query_id, neighbor_id, cos_sim FROM ("
+        "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        f"{cosine_sim_sql('q.embedding', 'e.embedding')} AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{cosine_sim_sql('q.embedding', 'e.embedding')} DESC, e.vec_id) AS rn "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id) "
+        "WHERE rn <= 5 ORDER BY query_id, cos_sim DESC, neighbor_id"
+    ),
+    tags=("L3",),
+)
+def l3_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: brute-force cosine top-k (query side broadcast; the exact
+    baseline the LSH variant l3b is judged against)."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"))
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_sim("q_emb", "e_emb").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+@register("l3b_knn_lsh", oracle=None, tags=("L3",))
+def l3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: random-hyperplane LSH — 4 independent 6-bit
+    sign-sketch bands; a vector is a candidate if it collides with the
+    query in ANY band (multi-band OR amplification), then exact cosine
+    re-ranks candidates. Deterministic projections from xxhash64 (no
+    RNG — reproducible across cluster re-runs).
+
+    Pure DataFrame ops (no MLlib) so the same plan runs on any cluster;
+    recall measured against l3_knn_exact in tests."""
+    emb = T(spark, sf_dir, "embeddings")
+    n_bands, band_bits, dim = 4, 6, 64
+    # Deterministic pseudo-random hyperplanes: component j of plane p is
+    # a hash-derived value in [-1, 1).
+    plane = lambda p: F.array(  # noqa: E731
+        *[
+            (F.xxhash64(F.lit(p * dim + j)).cast("double") / F.lit(float(2**63)))
+            for j in range(dim)
+        ]
+    )
+    bit = lambda p: (  # noqa: E731
+        F.aggregate(
+            F.zip_with(F.col("embedding"), plane(p), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        > 0
+    ).cast("long")
+    band_val = lambda b: reduce(  # noqa: E731
+        lambda acc, k: acc + bit(b * band_bits + k) * F.lit(1 << k), range(1, band_bits), bit(b * band_bits)
+    )
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), band_val(b).alias("band_val")) for b in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select("vec_id", "embedding", "band.band_id", "band.band_val")
+    q = banded.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "band_id", "band_val"
+    )
+    cand = (
+        banded.join(F.broadcast(q), ["band_id", "band_val"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("q_emb"), F.col("embedding"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", cosine_sim("q_emb", "embedding").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
+
+
+@register(
+    "l4_sim_join_exact",
+    oracle=(
+        "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+        f"{cosine_sim_sql('a.embedding', 'b.embedding')} AS cos_sim "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {cosine_sim_sql('a.embedding', 'b.embedding')} >= {SIM_TAU} "
+        "ORDER BY vec_a, vec_b"
+    ),
+    tags=("L4",),
+)
+def l4_sim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: all-pairs cosine ≥ τ (exact, small-N baseline; LSH bounds the
+    pair space at scale — l2/l3b machinery)."""
+    emb = T(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_sim("emb_a", "emb_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= SIM_TAU)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "l4c_embed_dedup",
+    oracle=(
+        "WITH dropped AS (SELECT DISTINCT b.vec_id AS v "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        f"WHERE {cosine_sim_sql('a.embedding', 'b.embedding')} >= {SIM_TAU}) "
+        "SELECT e.vec_id, e.label FROM embeddings e "
+        "WHERE e.vec_id NOT IN (SELECT v FROM dropped) ORDER BY e.vec_id"
+    ),
+    tags=("L4", "dedup"),
+)
+def l4c_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup: greedy-by-id survivors — drop any
+    vector with cosine ≥ τ to a lower-id vector (anti-join on the
+    similarity pair set)."""
+    emb = T(spark, sf_dir, "embeddings")
+    pairs = l4_sim_join_exact(spark, sf_dir).select(F.col("vec_b").alias("vec_id"))
+    return (
+        emb.join(pairs, "vec_id", "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L5-L10 — text stats / slices / quality / search / tokens
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "l5_text_stats",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, n_chars, "
+        f"string_split({norm_text_sql('text')}, ' ') AS t FROM documents) "
+        "SELECT doc_id, n_chars, "
+        "CAST(LEN(t) AS INTEGER) AS n_tokens, "
+        "(CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS DOUBLE) / LEN(t)) AS avg_token_len, "
+        f"(CAST(LEN(list_filter(t, x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE) / LEN(t)) AS stopword_ratio "
+        "FROM toks WHERE doc_id % 4 = 0 ORDER BY doc_id"
+        .replace("['the', 'a', 'of']", "['the', 'a', 'of']")
+    ),
+    tags=("L5",),
+)
+def l5_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: per-doc text statistics (length, tokens, avg token length,
+    stopword ratio) — all array builtins, zero Python."""
+    df = T(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    t = tokens_col("text")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    total_len = F.aggregate(
+        F.transform(t, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return df.select(
+        "doc_id",
+        "n_chars",
+        F.size(t).alias("n_tokens"),
+        (total_len.cast("double") / F.size(t)).alias("avg_token_len"),
+        (F.size(F.filter(t, lambda x: F.array_contains(stop, x))).cast("double") / F.size(t)).alias(
+            "stopword_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l6_slice_metrics",
+    oracle=(
+        "SELECT lang, source, COUNT(*) AS n_docs, "
+        "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+        "MEDIAN(n_chars) AS med_chars, "
+        "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+        "FROM documents GROUP BY lang, source ORDER BY lang, source"
+    ),
+    tags=("L6",),
+)
+def l6_slice_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: per-(lang, source) slice metrics for corpus balancing."""
+    return (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            exact.isum("n_chars").alias("total_chars"),
+            F.expr("percentile(n_chars, 0.5)").alias("med_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "l7_quality_filter",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, n_chars, "
+        f"string_split({norm_text_sql('text')}, ' ') AS t FROM documents) "
+        "SELECT doc_id, "
+        "CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END AS len_ok, "
+        "CASE WHEN LEN(t) >= 20 THEN 1 ELSE 0 END AS tokens_ok, "
+        "CASE WHEN CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) >= 0.25 THEN 1 ELSE 0 END AS diversity_ok, "
+        "CASE WHEN CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS DOUBLE) / LEN(t) BETWEEN 2.0 AND 10.0 THEN 1 ELSE 0 END AS wordlen_ok, "
+        "CASE WHEN n_chars >= 100 AND LEN(t) >= 20 "
+        "AND CAST(LEN(list_distinct(t)) AS DOUBLE) / LEN(t) >= 0.25 "
+        "AND CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS DOUBLE) / LEN(t) BETWEEN 2.0 AND 10.0 "
+        "THEN 1 ELSE 0 END AS keep "
+        "FROM toks ORDER BY doc_id"
+    ),
+    tags=("L7",),
+)
+def l7_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: Gopher/C4-style heuristic quality rules (public heuristics):
+    min length, min tokens, lexical diversity, mean word length."""
+    df = T(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    n_tok = F.size(t)
+    diversity = F.size(F.array_distinct(t)).cast("double") / n_tok
+    mean_wl = (
+        F.aggregate(F.transform(t, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x)
+        .cast("double")
+        / n_tok
+    )
+    len_ok = (F.col("n_chars") >= 100).cast("int")
+    tokens_ok = (n_tok >= 20).cast("int")
+    diversity_ok = (diversity >= 0.25).cast("int")
+    wordlen_ok = ((mean_wl >= 2.0) & (mean_wl <= 10.0)).cast("int")
+    return df.select(
+        "doc_id",
+        len_ok.alias("len_ok"),
+        tokens_ok.alias("tokens_ok"),
+        diversity_ok.alias("diversity_ok"),
+        wordlen_ok.alias("wordlen_ok"),
+        (len_ok.cast("boolean") & tokens_ok.cast("boolean") & diversity_ok.cast("boolean") & wordlen_ok.cast("boolean"))
+        .cast("int")
+        .alias("keep"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "l8_keyword_search",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        f"string_split({norm_text_sql('text')}, ' ') AS t FROM documents) "
+        "SELECT doc_id, "
+        "CAST(LEN(list_filter(t, x -> x = 'spark')) AS INTEGER) AS tf_spark, "
+        "CAST(LEN(list_filter(t, x -> x = 'join')) AS INTEGER) AS tf_join, "
+        "CAST(LEN(list_filter(t, x -> x = 'spark')) + LEN(list_filter(t, x -> x = 'join')) AS INTEGER) AS score "
+        "FROM toks WHERE list_contains(t, 'spark') AND list_contains(t, 'join') "
+        "ORDER BY score DESC, doc_id LIMIT 20"
+    ),
+    tags=("L8",),
+)
+def l8_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: boolean keyword search ranked by naive term frequency."""
+    df = T(spark, sf_dir, "documents")
+    t = tokens_col("text")
+    tf = lambda term: F.size(F.filter(t, lambda x: x == term))  # noqa: E731
+    return (
+        df.select(
+            "doc_id",
+            tf("spark").alias("tf_spark"),
+            tf("join").alias("tf_join"),
+            (tf("spark") + tf("join")).alias("score"),
+            t.alias("__t"),
+        )
+        .where(F.array_contains("__t", "spark") & F.array_contains("__t", "join"))
+        .drop("__t")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@register(
+    "l10_token_count",
+    oracle=(
+        "SELECT lang, COUNT(*) AS n_docs, "
+        "CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, "
+        "(CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+'))) AS DOUBLE) / COUNT(*)) AS avg_tokens_per_doc "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    tags=("L10",),
+)
+def l10_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: regex token counting for training-budget estimates (BPE-less
+    proxy; the real-tokenizer path is a pandas_udf slot)."""
+    df = T(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).cast("long")
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            (F.sum(n_tok).cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+        )
+        .orderBy("lang")
+    )

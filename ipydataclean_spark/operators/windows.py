@@ -1,1 +1,136 @@
-"""Placeholder — filled in this round."""
+"""Window functions — SURVEY.md §2.6 (W1-W4).
+
+All windows partition by a natural key (user_id / mktsegment) so the
+shuffle is one exchange on the partition key and no single-partition
+funnel exists at scale. Window float sums go through DECIMAL: engines
+are free to aggregate frames in any order (segment trees vs running
+sums), so only an associative exact type guarantees stable results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions.exact import DEC, DEC_SQL
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+
+@register(
+    "w1_ranking",
+    oracle=(
+        "SELECT c_custkey, c_mktsegment, "
+        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, "
+        "RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk, "
+        "DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk, "
+        "NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile, "
+        "PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS prk, "
+        "CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS cd "
+        "FROM customer ORDER BY c_custkey"
+    ),
+    tags=("W1",),
+)
+def w1_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: full ranking family over a keyed window."""
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wv = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"))
+    return (
+        T(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(wv).alias("rnk"),
+            F.dense_rank().over(wv).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(wv).alias("prk"),
+            F.cume_dist().over(wv).alias("cd"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "w2_analytic",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_value, "
+        "LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts) AS next_value, "
+        "FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_val, "
+        "NTH_VALUE(value, 2) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_val "
+        "FROM events ORDER BY event_id"
+    ),
+    tags=("W2",),
+)
+def w2_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead/first/nth analytic functions per user."""
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    wf = wo.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.lag("value", 1).over(wo).alias("prev_value"),
+            F.lead("value", 1).over(wo).alias("next_value"),
+            F.first("value").over(wf).alias("first_val"),
+            F.nth_value("value", 2).over(wf).alias("second_val"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "w3_frames",
+    oracle=(
+        "SELECT event_id, "
+        f"CAST(SUM(CAST(value AS {DEC_SQL})) OVER "
+        "(PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum4, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS frame_n, "
+        f"CAST(SUM(CAST(value AS {DEC_SQL})) OVER "
+        "(PARTITION BY user_id ORDER BY CAST(FLOOR(EPOCH(ts)) AS BIGINT) RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS range_sum_10min "
+        "FROM events ORDER BY event_id"
+    ),
+    tags=("W3",),
+)
+def w3_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rows frames + time-range frame (rangeBetween over epoch secs)."""
+    ev = T(spark, sf_dir, "events").withColumn("epoch_s", F.unix_timestamp("ts"))
+    w_rows = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-3, 0)
+    w_range = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-600, 0)
+    return (
+        ev.select(
+            "event_id",
+            F.sum(F.col("value").cast(DEC)).over(w_rows).cast("double").alias("moving_sum4"),
+            F.count(F.lit(1)).over(w_rows).alias("frame_n"),
+            F.sum(F.col("value").cast(DEC)).over(w_range).cast("double").alias("range_sum_10min"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "w4_moving_avg",
+    oracle=(
+        "SELECT event_id, "
+        f"(CAST(SUM(CAST(value AS {DEC_SQL})) OVER w AS DOUBLE) / COUNT(value) OVER w) AS moving_avg8, "
+        "MIN(value) OVER w AS moving_min8, MAX(value) OVER w AS moving_max8 "
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) "
+        "ORDER BY event_id"
+    ),
+    tags=("W4",),
+)
+def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: rolling stats (exact moving average = decimal sum / count)."""
+    w = Window.partitionBy("user_id").orderBy("ts").rowsBetween(-7, 0)
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            (F.sum(F.col("value").cast(DEC)).over(w).cast("double") / F.count("value").over(w)).alias("moving_avg8"),
+            F.min("value").over(w).alias("moving_min8"),
+            F.max("value").over(w).alias("moving_max8"),
+        )
+        .orderBy("event_id")
+    )

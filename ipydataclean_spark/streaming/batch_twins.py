@@ -1,1 +1,163 @@
-"""Placeholder — filled in this round."""
+"""Streaming operators, batch twins — SURVEY.md §2.8 contract.
+
+Every streaming op has a batch-mode twin (same transformation over the
+static events table); the twin is what the DuckDB oracle checks, and
+streaming mode is verified by ``availableNow`` replay equality against
+the twin (tests/test_streaming.py, via streaming/stream.py).
+
+Window-start arithmetic is epoch-based (floor to the window stride) so
+Spark's ``F.window`` semantics are reproduced exactly in ANSI SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+_TUMBLE_ORACLE_BUCKET = "CAST(to_timestamp(FLOOR(EPOCH(ts) / 600) * 600) AS TIMESTAMP)"
+
+
+@register(
+    "st1_tumbling_window",
+    oracle=(
+        f"SELECT {_TUMBLE_ORACLE_BUCKET} AS window_start, event_type, "
+        "COUNT(*) AS n_events, "
+        f"{exact.dsum_sql('value')} AS total_value "
+        "FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"
+    ),
+    tags=("ST1",),
+)
+def st1_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1: 10-minute tumbling window aggregate. Streaming form swaps
+    the source for readStream + withWatermark — identical expression."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact.dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "st2_sliding_window",
+    oracle=(
+        "WITH starts AS (SELECT event_id, value, "
+        "UNNEST([FLOOR(EPOCH(ts) / 300) * 300, FLOOR(EPOCH(ts) / 300) * 300 - 300]) AS s "
+        "FROM events) "
+        "SELECT CAST(to_timestamp(s) AS TIMESTAMP) AS window_start, "
+        "COUNT(*) AS n_events, "
+        f"{exact.dsum_sql('value')} AS total_value "
+        "FROM starts GROUP BY s ORDER BY window_start"
+    ),
+    tags=("ST2",),
+)
+def st2_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2: 10-minute window sliding every 5 minutes (each event lands
+    in 2 windows — F.window handles the expansion)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), exact.dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+        .orderBy("window_start")
+    )
+
+
+_GAP_S = 4 * 3600  # 4-hour session gap
+
+
+@register(
+    "st3_session_window",
+    oracle=(
+        "WITH marked AS (SELECT user_id, ts, value, "
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL "
+        f"OR EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) > {_GAP_S} "
+        "THEN 1 ELSE 0 END AS new_session FROM events), "
+        "sessions AS (SELECT user_id, ts, value, "
+        "CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM marked) "
+        "SELECT user_id, session_id, COUNT(*) AS n_events, "
+        "MIN(ts) AS session_start, MAX(ts) AS session_end, "
+        f"{exact.dsum_sql('value')} AS session_value "
+        "FROM sessions GROUP BY user_id, session_id ORDER BY user_id, session_id"
+    ),
+    tags=("ST3",),
+)
+def st3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 batch twin: gap-based sessionization (lag + running sum —
+    shuffles once on user_id). Streaming form uses F.session_window;
+    replay equality is asserted in tests."""
+    ev = T(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts")
+    prev_ts = F.lag("ts").over(wo)
+    new_session = (
+        prev_ts.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts) > _GAP_S)
+    ).cast("long")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ev.withColumn("session_id", F.sum(new_session).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            exact.dsum("value").alias("session_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "st5_dedup_twin",
+    oracle=(
+        "SELECT COUNT(*) AS n_raw, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_deduped "
+        "FROM (SELECT event_id FROM events UNION ALL SELECT event_id FROM events WHERE event_id % 11 = 0)"
+    ),
+    tags=("ST5",),
+)
+def st5_dedup_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5 batch twin of streaming dropDuplicates: re-inject every 11th
+    event as a duplicate, dedup on event_id."""
+    ev = T(spark, sf_dir, "events").select("event_id")
+    dup = ev.where(F.col("event_id") % 11 == 0)
+    both = ev.unionByName(dup)
+    return both.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.countDistinct("event_id").alias("n_deduped"),
+    )
+
+
+@register(
+    "st7_stream_static_join",
+    oracle=(
+        "WITH dim AS (SELECT * FROM (VALUES ('click', 1.0), ('view', 0.5), ('purchase', 10.0), "
+        "('signup', 5.0), ('error', 0.0)) AS t(event_type, weight)) "
+        "SELECT e.event_type, COUNT(*) AS n, "
+        f"{exact.dsum_sql('e.value * d.weight')} AS weighted_value "
+        "FROM events e JOIN dim d ON e.event_type = d.event_type "
+        "GROUP BY e.event_type ORDER BY e.event_type"
+    ),
+    tags=("ST7",),
+)
+def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 batch twin: events ⋈ broadcast static dim (identical plan in
+    streaming mode — stream-static joins need no watermark)."""
+    ev = T(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("view", 0.5), ("purchase", 10.0), ("signup", 5.0), ("error", 0.0)],
+        ["event_type", "weight"],
+    )
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )

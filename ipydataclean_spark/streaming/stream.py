@@ -1,0 +1,97 @@
+"""Structured Streaming forms of the batch twins — SURVEY.md §2.8.
+
+``events_stream`` replays the static events parquet as an unbounded
+source (file source + availableNow trigger in tests); the transform
+builders are shared with batch_twins so stream and batch literally run
+the same expressions (the §2.8 contract). Watermarks bound state for
+the stateful ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ipydataclean_spark.functions import exact
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the stream reader takes
+# it as long nanos (schema below) and converts — same rule as the batch
+# catalog loader.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: unbounded events source (file source over the fixture dir)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST1/ST4: watermarked 10-minute tumbling aggregate (append-safe)."""
+    src = ev.withWatermark("ts", watermark) if ev.isStreaming else ev
+    return (
+        src.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact.dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def session_agg(ev: DataFrame, gap: str = "4 hours", watermark: str = "1 hour") -> DataFrame:
+    """ST3: native session_window form (streaming state-store backed)."""
+    src = ev.withWatermark("ts", watermark) if ev.isStreaming else ev
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact.dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(ev: DataFrame) -> DataFrame:
+    """ST5: drop duplicate event_ids within the watermark horizon."""
+    src = ev.withWatermark("ts", "1 hour") if ev.isStreaming else ev
+    return src.dropDuplicates(["event_id"])
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
+    """ST9: drain the whole source with trigger(availableNow=True) into
+    a memory sink; returns the materialized result table. This is the
+    replay-equality harness the batch twins are checked against."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark = stream_df.sparkSession
+    return spark.table(query_name)

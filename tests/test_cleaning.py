@@ -1,0 +1,89 @@
+"""Property-style invariants for cleaning ops (SURVEY.md §5.2.4) and
+pandas-parity spot checks (§5.2.5 — the 'same semantics as the
+reference' check while /root/reference is empty).
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.cleaning import (
+    clip,
+    dedup_exact,
+    fill_aggregate,
+    fill_value,
+    interpolate_linear,
+)
+from ipydataclean_spark.operators.qhelp import events_dirty, lineitem_dirty
+
+
+def test_fills_never_change_rowcount(spark, sf_dir):
+    df = lineitem_dirty(spark, sf_dir)
+    n = df.count()
+    assert fill_value(df, "qty_parsed", 0.0).count() == n
+    assert fill_aggregate(df, "qty_parsed", "mean").count() == n
+    assert fill_aggregate(df, "qty_parsed", "median").count() == n
+    assert fill_aggregate(df, "qty_parsed", "mode").count() == n
+
+
+def test_fill_leaves_no_nulls(spark, sf_dir):
+    df = lineitem_dirty(spark, sf_dir)
+    filled = fill_aggregate(df, "qty_parsed", "mean")
+    assert filled.where(F.col("qty_parsed").isNull()).count() == 0
+
+
+def test_drop_never_increases_rowcount(spark, sf_dir):
+    df = lineitem_dirty(spark, sf_dir)
+    n = df.count()
+    assert df.na.drop(subset=["qty_parsed"]).count() <= n
+
+
+def test_clip_bounds(spark, sf_dir):
+    df = lineitem_dirty(spark, sf_dir)
+    lo, hi = 1000.0, 50000.0
+    clipped = clip(df, "price_out", lo, hi)
+    row = clipped.agg(F.min("price_out"), F.max("price_out")).first()
+    assert row[0] >= lo and row[1] <= hi
+
+
+def test_dedup_idempotent(spark, sf_dir):
+    df = lineitem_dirty(spark, sf_dir).withColumn(
+        "k", (F.col("l_orderkey") % 100).cast("long")
+    )
+    once = dedup_exact(df, ["k"], "l_orderkey")
+    twice = dedup_exact(once, ["k"], "l_orderkey")
+    assert once.count() == twice.count() == 100
+
+
+def test_interpolate_matches_pandas(spark, sf_dir):
+    """Parity with pandas Series.interpolate(method='linear') — the
+    reference's own semantics [P] — on the events gap fixture."""
+    sdf = interpolate_linear(events_dirty(spark, sf_dir), "value_gap", "row_id")
+    got = (
+        sdf.select("row_id", "value_gap").orderBy("row_id").toPandas().set_index("row_id")
+    )
+    src = (
+        events_dirty(spark, sf_dir)
+        .select("row_id", "value_gap")
+        .orderBy("row_id")
+        .toPandas()
+        .set_index("row_id")
+    )
+    expect = src["value_gap"].interpolate(method="linear", limit_direction="forward")
+    pd.testing.assert_series_equal(
+        got["value_gap"], expect, check_exact=False, rtol=1e-12, check_names=False
+    )
+
+
+def test_recipe_to_code_roundtrip(spark, sf_dir):
+    """exec(to_code()) reproduces recipe.apply (§5.2.4)."""
+    from ipydataclean_spark.recipe import Recipe
+
+    recipe = Recipe().convert_numeric("quantity_str", out="qty2").fill_value("qty2", 0.0)
+    df = lineitem_dirty(spark, sf_dir)
+    direct = recipe.apply(df).agg(F.sum("qty2")).first()[0]
+
+    code = recipe.to_code("source_df")
+    ns = {"source_df": df}
+    exec(code, ns)  # noqa: S102 — round-trip contract test
+    via_code = ns["df"].agg(F.sum("qty2")).first()[0]
+    assert direct == via_code

@@ -1,0 +1,71 @@
+"""LLM-pipeline operator tests: LSH vs exact golden checks (§5.2.3)."""
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _q(name, spark, sf_dir):
+    return QUERIES[name]["fn"](spark, sf_dir)
+
+
+def test_minhash_recall_vs_exact_jaccard(spark, sf_dir):
+    """MinHash-LSH candidates must recover the high-Jaccard pairs: every
+    exact pair with Jaccard ≥ 0.9 (the injected duplicates) appears in
+    the LSH candidate output."""
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _q("l2b_jaccard_pairs", spark, sf_dir).collect()
+        if r.jaccard >= 0.9
+    }
+    lsh_pairs = {(r.doc_a, r.doc_b) for r in _q("l2_minhash_lsh", spark, sf_dir).collect()}
+    assert exact_pairs, "fixture should contain injected near-duplicates"
+    missed = exact_pairs - lsh_pairs
+    assert len(missed) / len(exact_pairs) <= 0.05, f"LSH missed {len(missed)}/{len(exact_pairs)}"
+
+
+def test_simhash_finds_injected_dups(spark, sf_dir):
+    """Injected dups differ only by case/padding → identical shingle
+    sets → hamming 0; simhash must pair them."""
+    pairs = {(r.doc_a, r.doc_b) for r in _q("l2c_simhash", spark, sf_dir).collect()}
+    injected = {(d, d + 1000000) for d in range(0, 500, 5)}
+    found = injected & pairs
+    assert len(found) >= 0.95 * len(injected & _all_doc_pairs(spark, sf_dir, injected))
+
+
+def _all_doc_pairs(spark, sf_dir, candidate):
+    from ipydataclean_spark.operators.qhelp import documents_dup
+
+    ids = {r.doc_id for r in documents_dup(spark, sf_dir).select("doc_id").collect()}
+    return {(a, b) for (a, b) in candidate if a in ids and b in ids}
+
+
+def test_lsh_knn_top1_matches_exact(spark, sf_dir):
+    """OR-amplified LSH kNN: candidate sets are non-empty per query and
+    every returned neighbor's cosine matches the exact kernel."""
+    exact_rows = _q("l3_knn_exact", spark, sf_dir).collect()
+    lsh_rows = _q("l3b_knn_lsh", spark, sf_dir).collect()
+    assert {r.query_id for r in lsh_rows} == {r.query_id for r in exact_rows}
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos_sim for r in exact_rows}
+    for r in lsh_rows:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cos_sim - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-12
+
+
+def test_exact_dedup_survivor_counts(spark, sf_dir):
+    """Every duplicated digest keeps exactly one survivor."""
+    from ipydataclean_spark.operators.qhelp import documents_dup
+    from ipydataclean_spark.functions.text import norm_text_col
+
+    docs = documents_dup(spark, sf_dir)
+    n_keys = docs.select(F.sha2(norm_text_col("text"), 256).alias("k")).distinct().count()
+    survivors = _q("l1_exact_dedup", spark, sf_dir).agg(F.sum("n_survivors")).first()[0]
+    assert survivors == n_keys
+
+
+def test_quality_filter_flags_consistent(spark, sf_dir):
+    rows = _q("l7_quality_filter", spark, sf_dir).collect()
+    for r in rows:
+        assert r.keep == int(r.len_ok and r.tokens_ok and r.diversity_ok and r.wordlen_ok)
