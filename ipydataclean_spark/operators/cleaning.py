@@ -46,7 +46,9 @@ def fill_aggregate(df: DataFrame, col: str, strategy: str = "mean") -> DataFrame
     if strategy == "mean":
         scalar = df.agg(exact.davg(col)).first()[0]
     elif strategy == "median":
-        scalar = df.agg(F.expr(f"percentile({col}, 0.5)")).first()[0]
+        from ipydataclean_spark.functions.quantiles import exact_median
+
+        scalar = exact_median(df, col)
     elif strategy == "mode":
         scalar = (
             df.where(F.col(col).isNotNull())
@@ -173,8 +175,9 @@ def c2_fill_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c3_fill_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C3: fill-with-median (exact percentile; approx knob at scale)."""
     df = lineitem_dirty(spark, sf_dir)
-    med = df.agg(F.expr("percentile(qty_parsed, 0.5)")).first()[0]
-    filled = F.coalesce(F.col("qty_parsed"), F.lit(med))
+    from ipydataclean_spark.functions.quantiles import exact_median
+
+    filled = F.coalesce(F.col("qty_parsed"), F.lit(exact_median(df, "qty_parsed")))
     return (
         df.groupBy("l_returnflag")
         .agg(exact.dsum(filled).alias("sum_filled"))
@@ -307,9 +310,9 @@ def c7_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c8_drop_by_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C8/C12-drop: remove problem rows by detector predicate."""
     df = lineitem_dirty(spark, sf_dir)
-    q1, q3 = df.agg(
-        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
-    ).first()
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    q1, q3 = exact_quantiles(df, "price_out", [0.25, 0.75])
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
     kept = df.where(~((F.col("price_out") < F.lit(lo)) | (F.col("price_out") > F.lit(hi))))
     return kept.agg(F.count(F.lit(1)).alias("n_kept"), exact.dsum("price_out").alias("sum_kept"))
@@ -375,9 +378,9 @@ def c10_replace_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c11_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C11: winsorize at Tukey fences (greatest/least — no branching)."""
     df = lineitem_dirty(spark, sf_dir)
-    q1, q3 = df.agg(
-        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
-    ).first()
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    q1, q3 = exact_quantiles(df, "price_out", [0.25, 0.75])
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
     clipped = F.greatest(F.least(F.col("price_out"), F.lit(hi)), F.lit(lo))
     return df.agg(
@@ -403,9 +406,9 @@ def c11_clip_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def c12_outlier_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C12: outlier → NULL (then the missing-value pipeline applies)."""
     df = lineitem_dirty(spark, sf_dir)
-    q1, q3 = df.agg(
-        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
-    ).first()
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    q1, q3 = exact_quantiles(df, "price_out", [0.25, 0.75])
     lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
     is_out = (F.col("price_out") < F.lit(lo)) | (F.col("price_out") > F.lit(hi))
     return df.agg(

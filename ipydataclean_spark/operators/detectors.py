@@ -41,10 +41,12 @@ def detect_string_mismatch(df: DataFrame, col: str) -> DataFrame:
 
 
 def iqr_bounds(df: DataFrame, col: str, k: float = 1.5) -> tuple[float, float]:
-    """D3: Tukey fences via one tiny exact-percentile job (two-phase)."""
-    q1, q3 = df.agg(
-        F.expr(f"percentile({col}, 0.25)"), F.expr(f"percentile({col}, 0.75)")
-    ).first()
+    """D3: Tukey fences — exact quantiles via histogram refinement
+    (functions/quantiles.py: 3 codegen scans, O(1) executor memory,
+    vs Spark's buffering `percentile` agg)."""
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    q1, q3 = exact_quantiles(df, col, [0.25, 0.75])
     iqr = q3 - q1
     return q1 - k * iqr, q3 + k * iqr
 
@@ -109,9 +111,9 @@ def d2_string_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def d3_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D3: Tukey-fence outliers (default 1.5·IQR contract, SURVEY §2.3)."""
     df = lineitem_dirty(spark, sf_dir)
-    q1, q3 = df.agg(
-        F.expr("percentile(price_out, 0.25)"), F.expr("percentile(price_out, 0.75)")
-    ).first()
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    q1, q3 = exact_quantiles(df, "price_out", [0.25, 0.75])
     lo = q1 - 1.5 * (q3 - q1)
     hi = q3 + 1.5 * (q3 - q1)
     return (

@@ -41,16 +41,28 @@ def tokens_col(text_col: str = "text") -> F.Column:
     return F.split(norm_text_col(text_col), " ")
 
 
-def shingles_col(text_col: str = "text", n: int = 3) -> F.Column:
-    """Word n-gram shingles (distinct) of the normalized text."""
-    t = tokens_col(text_col)
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+def shingles_col(tokens: F.Column, n: int = 3) -> F.Column:
+    """Word n-gram shingles (distinct) from a token-array column.
+
+    IMPORTANT: pass a MATERIALIZED column (withColumn'd attribute), not
+    the split(...) expression itself — element_at references inside the
+    lambda would otherwise re-evaluate the whole normalize+split per
+    shingle element (measured 4× slowdown at sf0.1)."""
+    idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     parts = lambda i: reduce(  # noqa: E731
-        lambda acc, k: acc + [F.lit(" "), F.element_at(t, i + k)],
+        lambda acc, k: acc + [F.lit(" "), F.element_at(tokens, i + k)],
         range(1, n),
-        [F.element_at(t, i)],
+        [F.element_at(tokens, i)],
     )
     return F.array_distinct(F.transform(idx, lambda i: F.concat(*parts(i))))
+
+
+def exploded_shingles(docs: DataFrame, alias: str = "shingle") -> DataFrame:
+    """(doc_id, shingle) rows — tokens materialized once per row."""
+    return (
+        docs.withColumn("__toks", tokens_col("text"))
+        .select("doc_id", F.explode(shingles_col(F.col("__toks"))).alias(alias))
+    )
 
 
 def shingles_sql(text_expr: str, n: int = 3) -> str:
@@ -107,7 +119,7 @@ _BAND_ROWS = 4  # 4 bands × 4 rows
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh_0..mh_15): ONE explode + ONE groupBy with 16 min
     aggs — a single shuffle regardless of K."""
-    sh = docs.select("doc_id", F.explode(shingles_col("text")).alias("shingle"))
+    sh = exploded_shingles(docs, "shingle")
     aggs = [
         F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
         for seed in range(_MINHASH_K)
@@ -181,7 +193,7 @@ def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 exact twin: word-3-gram Jaccard ≥ 0.6 via shingle self-join
     (the verification pass LSH candidates feed into at scale)."""
     docs = documents_dup(spark, sf_dir)
-    sh = docs.select("doc_id", F.explode(shingles_col("text")).alias("s"))
+    sh = exploded_shingles(docs, "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
     b = sh.select(F.col("doc_id").alias("doc_b"), "s")
@@ -215,7 +227,7 @@ def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Features are word-3-gram shingles (token sets are near-identical
     across this corpus's small vocabulary; shingle sets discriminate)."""
     docs = documents_dup(spark, sf_dir)
-    toks = docs.select("doc_id", F.explode(shingles_col("text")).alias("tok"))
+    toks = exploded_shingles(docs, "tok")
     h = F.xxhash64("tok")
     bit_aggs = [
         F.sum(
