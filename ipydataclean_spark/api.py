@@ -1,0 +1,166 @@
+"""DataCleaner — the reference-parity user API (SURVEY.md §3).
+
+``facultyai/ipydataclean`` exposes an interactive widget over a pandas
+DataFrame: profile columns, list detected problems, apply a chosen fix,
+keep an ordered history, export equivalent standalone code [P]. This
+is the same surface, Spark-native and headless:
+
+    cleaner = DataCleaner(df)
+    cleaner.profile()                     # per-column stats (one scan)
+    cleaner.problems()                    # [(column, kind, count), ...]
+    cleaner.apply_fix("qty", "missing", "fill_median")
+    cleaner.df                            # cleaned (lazy) DataFrame
+    cleaner.history                       # ordered applied-fix records
+    cleaner.to_code()                     # standalone PySpark source
+
+Differences from the reference, by design (SURVEY.md §1.1.4): fixes
+append to an immutable Recipe (lazy plan) instead of mutating eagerly;
+``checkpoint()`` bounds lineage between interactive steps the way the
+reference's eager mutation did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType, StringType
+
+from ipydataclean_spark.operators import cleaning, detectors
+from ipydataclean_spark.recipe import Recipe
+
+FIXES_FOR_PROBLEM = {
+    "missing": ("fill_value", "fill_mean", "fill_median", "fill_mode", "interpolate", "drop_rows"),
+    "string_mismatch": ("convert_numeric", "replace_value", "drop_rows"),
+    "outliers": ("clip", "to_null", "drop_rows"),
+}
+
+
+class DataCleaner:
+    """Headless, distributed analogue of the reference's cleaning widget."""
+
+    def __init__(self, df: DataFrame, outlier_k: float = 1.5):
+        self._source = df
+        self._df = df
+        self.outlier_k = outlier_k
+        self.recipe = Recipe()
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    @property
+    def df(self) -> DataFrame:
+        return self._df
+
+    def profile(self, cols: list[str] | None = None) -> dict:
+        """Per-column stats in ONE scan (P10)."""
+        from ipydataclean_spark.operators.profiling import profile
+
+        return profile(self._df, cols)
+
+    def problems(self, cols: list[str] | None = None) -> list[tuple[str, str, int]]:
+        """Detected problems: (column, kind, n_rows). Null counts for all
+        columns come from the fused profile; castability and outlier
+        checks run per candidate column (small scalar jobs)."""
+        cols = cols or self._df.columns
+        prof = self.profile(cols)
+        out: list[tuple[str, str, int]] = []
+        for c in cols:
+            n_null = prof.get(f"{c}__nulls", 0)
+            if n_null:
+                out.append((c, "missing", int(n_null)))
+            field = self._df.schema[c]
+            if isinstance(field.dataType, StringType):
+                n_mismatch = detectors.detect_string_mismatch(self._df, c).count()
+                non_null = prof["n_rows"] - n_null
+                # a string column is "numeric with mismatches" when most
+                # of it parses — the reference's string-mismatch rule [P]
+                if n_mismatch and non_null and (non_null - n_mismatch) / non_null >= 0.5:
+                    out.append((c, "string_mismatch", int(n_mismatch)))
+            elif isinstance(field.dataType, NumericType):
+                n_out = detectors.detect_outliers_iqr(self._df, c, self.outlier_k).count()
+                if n_out:
+                    out.append((c, "outliers", int(n_out)))
+        return out
+
+    # ------------------------------------------------------------------
+    def apply_fix(self, column: str, problem: str, fix: str, **params) -> "DataCleaner":
+        """Apply one fix (the widget's button-press). Appends to the
+        recipe, rebuilds the lazy cleaned DataFrame, records history."""
+        before = self._df
+        if fix == "fill_value":
+            self.recipe.fill_value(column, params["value"])
+        elif fix in ("fill_mean", "fill_median", "fill_mode"):
+            self.recipe.fill_aggregate(column, fix.removeprefix("fill_"))
+        elif fix == "interpolate":
+            order_col = params["order_col"]
+            pby = params.get("partition_by")
+            self.recipe.add(
+                "interpolate",
+                lambda df: cleaning.interpolate_linear(df, column, order_col, pby),
+                f"df = interpolate_linear(df, {column!r}, {order_col!r}, {pby!r})",
+                col=column,
+            )
+        elif fix == "drop_rows":
+            pred = {
+                "missing": lambda df: df.na.drop(subset=[column]),
+                "string_mismatch": lambda df: df.where(
+                    F.col(column).isNull() | F.expr(f"TRY_CAST({column} AS DOUBLE)").isNotNull()
+                ),
+                "outliers": lambda df: self._drop_outliers(df, column),
+            }[problem]
+            self.recipe.add("drop_rows", pred, f"df = <drop {problem} rows on {column!r}>", col=column)
+        elif fix == "convert_numeric":
+            self.recipe.convert_numeric(column, out=params.get("out", column))
+        elif fix == "replace_value":
+            a, b = params["old"], params["new"]
+            self.recipe.add(
+                "replace_value",
+                lambda df: df.withColumn(
+                    column, F.when(F.col(column) == a, F.lit(b)).otherwise(F.col(column))
+                ),
+                f"df = df.withColumn({column!r}, F.when(F.col({column!r}) == {a!r}, F.lit({b!r})).otherwise(F.col({column!r})))",
+                col=column,
+            )
+        elif fix == "clip":
+            lo, hi = detectors.iqr_bounds(before, column, self.outlier_k)
+            self.recipe.clip(column, lo, hi)
+        elif fix == "to_null":
+            lo, hi = detectors.iqr_bounds(before, column, self.outlier_k)
+            self.recipe.add(
+                "outlier_to_null",
+                lambda df: df.withColumn(
+                    column,
+                    F.when((F.col(column) < lo) | (F.col(column) > hi), F.lit(None)).otherwise(
+                        F.col(column)
+                    ),
+                ),
+                f"df = df.withColumn({column!r}, F.when((F.col({column!r}) < {lo!r}) | (F.col({column!r}) > {hi!r}), F.lit(None)).otherwise(F.col({column!r})))",
+                col=column,
+            )
+        else:
+            raise ValueError(f"unknown fix {fix!r} for problem {problem!r}")
+        step = self.recipe.steps[-1]
+        self._df = step.fn(self._df)
+        self.history.append({"column": column, "problem": problem, "fix": fix, "params": params})
+        return self
+
+    def _drop_outliers(self, df: DataFrame, column: str) -> DataFrame:
+        lo, hi = detectors.iqr_bounds(df, column, self.outlier_k)
+        return df.where(~((F.col(column) < lo) | (F.col(column) > hi)))
+
+    # ------------------------------------------------------------------
+    def checkpoint(self) -> "DataCleaner":
+        """Bound lineage between interactive steps (the Spark analogue of
+        the reference's eager mutation)."""
+        self._df = self._df.localCheckpoint(eager=True)
+        return self
+
+    def to_code(self, source_expr: str = "df") -> str:
+        """Standalone PySpark source reproducing the session (the
+        reference's pandas-code export, re-targeted)."""
+        return self.recipe.to_code(source_expr)
+
+    def reset(self) -> "DataCleaner":
+        self._df = self._source
+        self.recipe = Recipe()
+        self.history = []
+        return self

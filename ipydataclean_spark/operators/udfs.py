@@ -1,0 +1,136 @@
+"""UDF / UDAF surface — SURVEY.md §2.10 (U1-U5).
+
+Engine style rule: builtin expressions first (everything else in this
+repo is JVM-side); these operators exist for kernels that genuinely
+need Python. U1 is the documented slow path (row-at-a-time pickling);
+U2/U4 are Arrow-batched; U3 is the per-group pandas pattern.
+
+ALL worker-side functions are local closures — cloudpickle serializes
+them by value, so executors never import this package (the driver may
+run from any cwd; see multimodal.py for the incident this rule fixes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T, lineitem_dirty, with_lineitem_dirty
+from ipydataclean_spark.registry import register
+
+
+@register(
+    "u1_scalar_udf",
+    oracle=(
+        "SELECT c_custkey, UPPER(REVERSE(c_mktsegment)) AS rev_seg "
+        "FROM customer WHERE c_custkey % 40 = 0 ORDER BY c_custkey"
+    ),
+    tags=("U1",),
+)
+def u1_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: row-at-a-time Python UDF — THE SLOW PATH (per-row pickling,
+    no codegen). Exists for API completeness; everything it does here
+    is expressible as builtins (which the oracle uses)."""
+
+    @F.udf(returnType=StringType())
+    def rev_upper(s: str) -> str:
+        return s[::-1].upper() if s is not None else None
+
+    df = T(spark, sf_dir, "customer").where(F.col("c_custkey") % 40 == 0)
+    return df.select("c_custkey", rev_upper("c_mktsegment").alias("rev_seg")).orderBy("c_custkey")
+
+
+@register(
+    "u2_pandas_udf_zclamp",
+    oracle=with_lineitem_dirty(
+        f", stats AS (SELECT {exact.davg_sql('price_out')} AS m, "
+        f"{exact.dstddev_sql('price_out')} AS s FROM lineitem_dirty) "
+        "SELECT l_orderkey, l_linenumber, "
+        "GREATEST(LEAST((price_out - m) / s, 3.0), -3.0) AS z_clamped "
+        "FROM lineitem_dirty, stats WHERE l_orderkey % 30 = 0 "
+        "ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("U2",),
+)
+def u2_pandas_udf_zclamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: Arrow-batched vectorized scalar kernel (clamped z-score) —
+    the pattern for numeric kernels exprs can't express; ~10-100×
+    faster than U1 (whole numpy arrays per batch, no per-row boundary).
+    Mean/std are two-phase scalars, broadcast as closure literals."""
+    df = lineitem_dirty(spark, sf_dir)
+    m, s = df.agg(exact.davg("price_out"), exact.dstddev("price_out")).first()
+
+    @F.pandas_udf(DoubleType())
+    def z_clamp(x: pd.Series) -> pd.Series:
+        return ((x - m) / s).clip(-3.0, 3.0)
+
+    return (
+        df.where(F.col("l_orderkey") % 30 == 0)
+        .select("l_orderkey", "l_linenumber", z_clamp("price_out").alias("z_clamped"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "u3_applyinpandas_groupfill",
+    oracle=with_lineitem_dirty(
+        ", filled AS (SELECT l_returnflag, "
+        "COALESCE(qty_parsed, MEDIAN(qty_parsed) OVER (PARTITION BY l_returnflag)) AS q "
+        "FROM lineitem_dirty) "
+        "SELECT l_returnflag, COUNT(*) AS n, "
+        f"{exact.dsum_sql('q')} AS sum_filled "
+        "FROM filled GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("U3",),
+)
+def u3_applyinpandas_groupfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: grouped-map pandas — per-group cleaning (fill missing with
+    the GROUP median, pandas semantics inside each group). One shuffle
+    on the group key; each group must fit one executor's pandas frame —
+    the documented constraint of this pattern at scale."""
+    df = lineitem_dirty(spark, sf_dir).select("l_returnflag", "qty_parsed")
+
+    def fill_group_median(pdf: pd.DataFrame) -> pd.DataFrame:
+        med = pdf["qty_parsed"].median()  # sort-based: deterministic
+        out = pdf.copy()
+        out["qty_parsed"] = out["qty_parsed"].fillna(med)
+        return out
+
+    filled = df.groupBy("l_returnflag").applyInPandas(
+        fill_group_median, schema="l_returnflag string, qty_parsed double"
+    )
+    return (
+        filled.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), exact.dsum("qty_parsed").alias("sum_filled"))
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "u4_grouped_agg_mad",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, MAD(qty_parsed) AS qty_mad "
+        "FROM lineitem_dirty GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("U4",),
+)
+def u4_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: grouped-agg pandas UDAF — exact median absolute deviation
+    (the robust spread the reference's outlier rule is built on [P];
+    not expressible as a single builtin aggregate)."""
+
+    @F.pandas_udf(DoubleType())
+    def mad(x: pd.Series) -> float:
+        med = x.median()
+        return (x - med).abs().median()
+
+    df = lineitem_dirty(spark, sf_dir)
+    return (
+        df.groupBy("l_returnflag")
+        .agg(mad("qty_parsed").alias("qty_mad"))
+        .orderBy("l_returnflag")
+    )

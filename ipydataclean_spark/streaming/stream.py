@@ -80,6 +80,33 @@ def streaming_dedup(ev: DataFrame) -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def stateful_user_totals(ev: DataFrame) -> DataFrame:
+    """ST6: arbitrary stateful op — per-user running totals via
+    applyInPandasWithState (state store backed; emits the running
+    (n, total) per user on every batch).
+
+    The update fn is a local closure (pickle-by-value — executors never
+    import this package)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        stateStructType="n LONG, total DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str) -> DataFrame:
     """ST9: drain the whole source with trigger(availableNow=True) into
     a memory sink; returns the materialized result table. This is the

@@ -1,0 +1,77 @@
+"""Physical-plan quality gates (SURVEY.md §4.2) — the properties that
+decide whether a query survives a 100× scale-up, pinned as tests so a
+refactor can't silently regress them."""
+
+from ipydataclean_spark.plans import (
+    codegen_subtrees,
+    count_op,
+    formatted_plan,
+    has_python_eval,
+    n_parquet_scans,
+    pushed_filters,
+    read_schemas,
+)
+from ipydataclean_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def _q(name, spark, sf_dir):
+    return QUERIES[name]["fn"](spark, sf_dir)
+
+
+def test_q6_filters_reach_parquet_scan(spark, sf_dir):
+    """Date/discount/quantity predicates must appear as PushedFilters."""
+    plan_filters = " ".join(pushed_filters(_q("q6_revenue_band", spark, sf_dir)))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in plan_filters, f"{col} not pushed down: {plan_filters}"
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    """The scan must read only the 4 needed columns of 11."""
+    schemas = read_schemas(_q("q6_revenue_band", spark, sf_dir))
+    assert schemas and "l_orderkey" not in schemas[0] and "l_extendedprice" in schemas[0]
+
+
+def test_q5_dims_broadcast(spark, sf_dir):
+    """Star join: every dim side must broadcast; only the fact⋈orders
+    join may shuffle."""
+    df = _q("q5_nation_revenue", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") >= 3
+    assert count_op(df, "SortMergeJoin") + count_op(df, "ShuffledHashJoin") <= 1
+
+
+def test_flagship_stays_jvm_side(spark, sf_dir):
+    """Flagship + profile queries: zero row-at-a-time Python."""
+    for name in ("q1_pricing_summary_cleaned", "p10_summary_bundle", "st1_tumbling_window"):
+        assert not has_python_eval(_q(name, spark, sf_dir)), name
+
+
+def test_flagship_wholestage_codegen(spark, sf_dir):
+    """AQE defers codegen until stage materialization, so inspect the
+    static plan with AQE off: the whole flagship pipeline (scan →
+    project → partial agg) must sit inside WholeStageCodegen."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        assert codegen_subtrees(_q("q1_pricing_summary_cleaned", spark, sf_dir)) >= 1
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_profile_bundle_single_scan(spark, sf_dir):
+    """P10 must be ONE scan: a single parquet scan node, no joins."""
+    df = _q("p10_summary_bundle", spark, sf_dir)
+    assert n_parquet_scans(df) == 1
+    assert "Join" not in formatted_plan(df)
+
+
+def test_partial_aggregation_present(spark, sf_dir):
+    """Group-by aggregates must do map-side partial aggregation
+    (HashAggregate appears ≥2: partial + final)."""
+    assert count_op(_q("r11_groupby_agg", spark, sf_dir), "HashAggregate") >= 2
+
+
+def test_asof_probe_side_broadcast(spark, sf_dir):
+    assert count_op(_q("r9_asof_join", spark, sf_dir), "BroadcastNestedLoopJoin") + count_op(
+        _q("r9_asof_join", spark, sf_dir), "BroadcastHashJoin"
+    ) >= 1

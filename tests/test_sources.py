@@ -1,0 +1,78 @@
+"""Source/sink round-trips (S2/S3/S5) + stateful streaming (ST6)."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.catalog import load_table
+from ipydataclean_spark.sources import read_csv, read_json, write_parquet
+
+
+def test_csv_roundtrip(spark, sf_dir):
+    """S2: write customers as CSV, re-ingest with inference — the
+    reference's pandas.read_csv entry path [P]."""
+    cust = load_table(spark, sf_dir, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        cust.write.mode("overwrite").option("header", "true").csv(f"{d}/c")
+        back = read_csv(spark, f"{d}/c")
+        assert back.count() == cust.count()
+        assert set(back.columns) == set(cust.columns)
+        a = cust.agg(F.sum("c_custkey")).first()[0]
+        b = back.agg(F.sum("c_custkey")).first()[0]
+        assert a == b
+
+
+def test_json_roundtrip(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.mode("overwrite").json(f"{d}/j")
+        back = read_json(spark, f"{d}/j")
+        assert back.count() == docs.count()
+
+
+def test_parquet_sink_partitioned(spark, sf_dir):
+    """S5: partitioned sink enables partition pruning for readers."""
+    docs = load_table(spark, sf_dir, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        write_parquet(docs, f"{d}/p", partition_by=["lang"])
+        back = spark.read.parquet(f"{d}/p")
+        one = back.where(F.col("lang") == "en")
+        assert one.count() == docs.where(F.col("lang") == "en").count()
+        # partition pruning: the filtered scan lists only lang=en files
+        from ipydataclean_spark.plans import formatted_plan
+
+        assert "PartitionFilters" in formatted_plan(one)
+
+
+def test_stateful_user_totals_replay(spark, sf_dir):
+    """ST6: applyInPandasWithState drained with availableNow — final
+    per-user state equals the batch aggregate."""
+    from ipydataclean_spark.streaming.stream import events_stream, stateful_user_totals
+
+    ev = load_table(spark, sf_dir, "events")
+    expect = {
+        r.user_id: (r.n, round(r.total, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stateful_user_totals(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_state")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # last emitted row per user is the final state
+        rows = spark.table("t_state").groupBy("user_id").agg(
+            F.max("n_events").alias("n"), F.max("total_value").alias("total")
+        ).collect()
+        got = {r.user_id: (r.n, round(r.total, 6)) for r in rows}
+    assert got.keys() == expect.keys()
+    for u in expect:
+        assert got[u][0] == expect[u][0]
+        assert abs(got[u][1] - expect[u][1]) < 1e-6
