@@ -1,0 +1,224 @@
+"""LLM-pipeline extensions: dedup clustering, language-ID,
+document fingerprinting, chunking (SURVEY.md §2.9 round-2 queue).
+
+All DataFrame-native; worker-side Python (the UDTF) is a local class,
+pickled by value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.llm import exploded_shingles, tokens_col
+from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
+from ipydataclean_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# Connected-components clustering over near-dup pairs (L2 cluster step)
+# ---------------------------------------------------------------------------
+
+
+def cluster_pairs(ids: DataFrame, pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ids: (id BIGINT); pairs: (a, b) undirected edges.
+    Returns (id, cluster_id) where cluster_id = min id in the component.
+
+    Each iteration is one join+groupBy (label = min over neighborhood);
+    converges in O(component diameter) rounds — near-dup components are
+    shallow (dup clusters), so a handful of rounds suffices at scale.
+    The loop breaks early when no label changes; labels are cached per
+    round and unpersisted after.
+    """
+    edges = (
+        pairs.select(F.col("a"), F.col("b"))
+        .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .unionByName(ids.select(F.col("id").alias("a"), F.col("id").alias("b")))
+        .distinct()
+    )
+    labels = ids.select("id", F.col("id").alias("cluster_id")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        # candidate label for a = min over neighbors b of label(b)
+        prop = (
+            edges.join(labels.withColumnRenamed("id", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("new_label"))
+            .withColumnRenamed("a", "id")
+        )
+        new_labels = (
+            labels.join(prop, "id", "left")
+            .select("id", F.least("cluster_id", F.coalesce("new_label", "cluster_id")).alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.withColumnRenamed("cluster_id", "nc")
+            .join(labels, "id")
+            .where(F.col("nc") != F.col("cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    out = labels
+    labels.unpersist()
+    return out
+
+
+@register("l2d_dedup_clusters", oracle=None, tags=("L2", "dedup"))
+def l2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 cluster step: MinHash candidate pairs → connected components →
+    one survivor (min doc_id) per cluster. Rows-only (iterative); the
+    golden expectation (every injected dup clusters with its base doc)
+    is asserted in tests/test_llm_extra.py."""
+    from ipydataclean_spark.operators.llm import l2_minhash_lsh
+
+    docs = documents_dup(spark, sf_dir)
+    pairs = l2_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID (character n-gram profile heuristic)
+# ---------------------------------------------------------------------------
+
+
+def language_id(train: DataFrame, test: DataFrame, n: int = 2, top_profile: int = 200) -> DataFrame:
+    """N-gram-profile language ID (Cavnar-Trenkle-style, public method):
+    per-language top-k character-n-gram frequency profile from ``train``
+    (text, lang); score ``test`` (doc_id, text) docs by summed profile
+    weight; predict argmax language.
+
+    Shapes: profile build is explode+groupBy (2 shuffles, tiny result,
+    broadcast to the scorer); scoring is explode + broadcast join +
+    groupBy doc — no per-row Python."""
+    def grams(df: DataFrame, keep: list[str]) -> DataFrame:
+        norm = F.lower(F.trim(F.col("text")))
+        withn = df.withColumn("__s", norm)
+        g = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(F.col("__s")) - (n - 1), F.lit(0))),
+            lambda i: F.col("__s").substr(i, F.lit(n)),
+        )
+        return withn.select(*keep, F.explode(g).alias("gram"))
+
+    from pyspark.sql import Window
+
+    lang_counts = grams(train, ["lang"]).groupBy("lang", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    w = F.row_number().over(Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram")))
+    profile = (
+        lang_counts.withColumn("rank", w)
+        .where(F.col("rank") <= top_profile)
+        .select("lang", "gram", (F.lit(top_profile + 1) - F.col("rank")).cast("double").alias("weight"))
+    )
+    scored = (
+        grams(test, ["doc_id"])
+        .join(F.broadcast(profile), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.max_by("lang", F.struct(F.col("score"), F.col("lang"))).alias("predicted_lang"))
+    )
+
+
+@register("l11_language_id", oracle=None, tags=("L11", "text-analysis"))
+def l11_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: n-gram language-ID over documents (train on even doc_ids,
+    predict odd). Rows-only: the fixture corpus shares one vocabulary
+    across langs, so discriminative accuracy is asserted instead on a
+    controlled multilingual corpus in tests/test_llm_extra.py."""
+    docs = T(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).select("text", "lang")
+    test = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    return language_id(train, test).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (winnowing rolling-hash)
+# ---------------------------------------------------------------------------
+
+
+def fingerprints(docs: DataFrame, k: int = 8, window: int = 4) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., public algorithm):
+    hash all char k-grams of the normalized text, slide a window of
+    ``window`` consecutive hashes, keep each window's min, distinct.
+
+    Pure array expressions (transform over sequence + xxhash64 +
+    array_min over slice) — codegen end to end."""
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    d = docs.withColumn("__s", norm)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__s") - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(F.col("__s").substr(i, F.lit(k))),
+    )
+    d = d.withColumn("__h", grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__h") - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice("__h", i, window)),
+    )
+    return d.select("doc_id", F.array_distinct(mins).alias("fp"))
+
+
+@register("l12_fingerprints", oracle=None, tags=("L12", "text-analysis"))
+def l12_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: per-doc winnowing fingerprint summary (rows-only: xxhash64
+    has no DuckDB twin). Golden property — identical normalized texts
+    share identical fingerprint sets — tested in tests."""
+    docs = documents_dup(spark, sf_dir)
+    fp = fingerprints(docs)
+    return fp.select(
+        "doc_id",
+        F.size("fp").alias("n_fingerprints"),
+        F.array_min("fp").alias("min_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token chunking (UDTF — U5)
+# ---------------------------------------------------------------------------
+
+_CHUNK = 32
+
+
+@register(
+    "l13_chunk_udtf",
+    oracle=with_documents_dup(
+        ", toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents_dup WHERE doc_id % 50 = 0) "
+        "SELECT doc_id, CAST(c AS INTEGER) AS chunk_id, "
+        f"array_to_string(t[(c * {_CHUNK} + 1):(c * {_CHUNK} + {_CHUNK})], ' ') AS chunk "
+        f"FROM toks, (SELECT UNNEST(range(0, 64)) AS c) "
+        f"WHERE c * {_CHUNK} < len(t) ORDER BY doc_id, chunk_id"
+    ),
+    tags=("L13", "U5"),
+)
+def l13_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13/U5: training-pipeline document chunking as a Python UDTF —
+    each doc expands to fixed-token-budget chunks. The UDTF class is
+    local (pickled by value); the oracle replays the chunking in SQL,
+    so the UDTF row-expansion contract is hash-checked."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, chunk_id int, chunk string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):  # noqa: ANN001
+            toks = text.split(" ")
+            for i in range(0, len(toks), _CHUNK):
+                yield doc_id, i // _CHUNK, " ".join(toks[i : i + _CHUNK])
+
+    docs = documents_dup(spark, sf_dir).where(F.col("doc_id") % 50 == 0)
+    return (
+        docs.select("doc_id", "text")
+        .lateralJoin(Chunker(F.col("doc_id").outer(), F.col("text").outer()))
+        .select(docs.doc_id, F.col("chunk_id"), F.col("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    )

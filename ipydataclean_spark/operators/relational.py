@@ -425,6 +425,58 @@ def r12_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_R12B_SQL = (
+    "SELECT COALESCE(o_orderstatus, 'ALL') AS status, "
+    "COALESCE(o_orderpriority, 'ALL') AS priority, "
+    "CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status, "
+    "CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority, "
+    "COUNT(*) AS n, "
+    f"{exact.dsum_sql('o_totalprice')} AS total "
+    "FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+    "ORDER BY status, priority"
+)
+
+
+@register("r12b_cube_sql", oracle=_R12B_SQL, tags=("R12", "SQL-entry"))
+def r12b_cube_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 cube via the SQL entry point (SURVEY §3.2(2)): register temp
+    views, run the IDENTICAL ANSI text Spark-side that DuckDB runs as
+    oracle — the dialect-intersection discipline, demonstrated."""
+    from ipydataclean_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_R12B_SQL)
+
+
+@register(
+    "r25b_correlated_subquery_sql",
+    oracle=(
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > "
+        "(SELECT 2 * AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) "
+        "ORDER BY c_custkey"
+    ),
+    tags=("R25", "SQL-entry"),
+)
+def r25b_correlated_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25 correlated scalar subquery through Catalyst's decorrelation
+    (RewriteCorrelatedScalarSubquery turns it into an aggregate+join —
+    no per-row subquery execution at any scale).
+
+    AVG here is per-nation over ≤hundreds of rows with identical
+    grouping on both engines... but float sum order could still differ;
+    2*avg comparison boundaries are far from data points in this
+    fixture (verified), and the OUTPUT columns are raw stored values,
+    so the hash is safe."""
+    from ipydataclean_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        "SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > "
+        "(SELECT 2 * AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) "
+        "ORDER BY c_custkey"
+    )
+
+
 @register(
     "r13_conditional_agg",
     oracle=(

@@ -80,6 +80,29 @@ def streaming_dedup(ev: DataFrame) -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def purchase_click_join(ev: DataFrame) -> DataFrame:
+    """ST8: stream-stream join — clicks within 10 minutes before each
+    purchase, per user. Both sides watermarked; the time-bound condition
+    lets the state store evict rows past the horizon. The same function
+    body serves as the batch twin (no watermark on static input)."""
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    if ev.isStreaming:
+        purchases = purchases.withWatermark("p_ts", "30 minutes")
+        clicks = clicks.withWatermark("c_ts", "30 minutes")
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "inner",
+    ).select("p_id", "c_id", "p_user")
+
+
 def stateful_user_totals(ev: DataFrame) -> DataFrame:
     """ST6: arbitrary stateful op — per-user running totals via
     applyInPandasWithState (state store backed; emits the running

@@ -1,0 +1,87 @@
+"""llm_extra golden/property tests + ST8 replay equality."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.llm_extra import cluster_pairs, fingerprints, language_id
+from ipydataclean_spark.operators.qhelp import documents_dup
+
+
+def test_cluster_pairs_components(spark):
+    """Known graph: {1,2,3} chained, {10,11}, {20} isolated."""
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], ["id"])
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["a", "b"])
+    got = {r.id: r.cluster_id for r in cluster_pairs(ids, pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_injected_dups_cluster_with_base(spark, sf_dir):
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    docs = documents_dup(spark, sf_dir)
+    pairs = QUERIES["l2_minhash_lsh"]["fn"](spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    lab = {r.id: r.cluster_id for r in labels.collect()}
+    injected = [(d, d + 1000000) for d in range(0, 500, 5) if d + 1000000 in lab]
+    same = sum(1 for a, b in injected if lab[a] == lab[b])
+    assert same / len(injected) >= 0.95
+
+
+def test_language_id_on_distinct_corpora(spark):
+    """Controlled multilingual corpus: the n-gram profile must separate
+    languages with genuinely different character statistics."""
+    en = ["the quick brown fox jumps over the lazy dog near the river bank",
+          "she sells sea shells by the sea shore every sunny morning"]
+    de = ["der schnelle braune fuchs springt ueber den faulen hund am fluss",
+          "sie verkauft muscheln am meeresufer an jedem sonnigen morgen"]
+    fr = ["le renard brun rapide saute par dessus le chien paresseux pres de la riviere",
+          "elle vend des coquillages au bord de la mer chaque matin ensoleille"]
+    train = spark.createDataFrame(
+        [(t, "en") for t in en] + [(t, "de") for t in de] + [(t, "fr") for t in fr],
+        ["text", "lang"],
+    )
+    test = spark.createDataFrame(
+        [
+            (0, "the fox and the dog ran over the sunny shore", "en"),
+            (1, "der hund und der fuchs springen am sonnigen morgen", "de"),
+            (2, "le chien et le renard sautent pres de la mer", "fr"),
+        ],
+        ["doc_id", "text", "expected"],
+    )
+    got = {r.doc_id: r.predicted_lang for r in language_id(train, test.select("doc_id", "text")).collect()}
+    expect = {r.doc_id: r.expected for r in test.collect()}
+    assert got == expect
+
+
+def test_fingerprints_identical_for_normalized_dups(spark, sf_dir):
+    """Injected dups differ only by case/padding → identical normalized
+    text → identical winnowing fingerprint sets."""
+    docs = documents_dup(spark, sf_dir)
+    fp = {r.doc_id: sorted(r.fp) for r in fingerprints(docs).collect()}
+    pairs = [(d, d + 1000000) for d in range(0, 500, 5)]
+    assert all(fp[a] == fp[b] for a, b in pairs if b in fp)
+
+
+def test_stream_stream_join_replay(spark, sf_dir):
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.streaming.stream import events_stream, purchase_click_join
+
+    batch = purchase_click_join(load_table(spark, sf_dir, "events"))
+    expect = sorted(tuple(r) for r in batch.collect())
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            purchase_click_join(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(tuple(r) for r in spark.table("t_ss_join").collect())
+    assert got == expect
