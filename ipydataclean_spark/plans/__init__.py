@@ -45,6 +45,23 @@ def count_op(df: DataFrame, op: str) -> int:
     return formatted_plan(df).count(op)
 
 
+def plan_tree(df: DataFrame) -> list[str]:
+    """The tree section of the formatted plan (operators in tree order:
+    a node's children are the lines after it, deeper-indented)."""
+    lines = formatted_plan(df).splitlines()
+    out = []
+    started = False
+    for line in lines:
+        if line.startswith("== Physical Plan =="):
+            started = True
+            continue
+        if started:
+            if not line.strip():
+                break
+            out.append(line)
+    return out
+
+
 def n_parquet_scans(df: DataFrame) -> int:
     """Number of distinct parquet scan nodes (via Location lines)."""
     return sum(

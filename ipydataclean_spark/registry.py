@@ -35,6 +35,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.udfs",
     "ipydataclean_spark.operators.llm",
     "ipydataclean_spark.operators.llm_extra",
+    "ipydataclean_spark.operators.ivf",
     "ipydataclean_spark.operators.multimodal",
     "ipydataclean_spark.streaming.batch_twins",
 )

@@ -85,3 +85,24 @@ def test_stream_stream_join_replay(spark, sf_dir):
         q.awaitTermination(120)
         got = sorted(tuple(r) for r in spark.table("t_ss_join").collect())
     assert got == expect
+
+
+def test_ivf_knn_recall(spark, sf_dir):
+    """IVF(nprobe=4/16) must recover most exact top-5 neighbors — the
+    fixture embeddings are label-clustered, so cells align with true
+    neighborhoods."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact_rows = QUERIES["l3_knn_exact"]["fn"](spark, sf_dir).collect()
+    ivf_rows = QUERIES["l3c_knn_ivf"]["fn"](spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    ivf_sets = {}
+    for r in ivf_rows:
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls

@@ -1,0 +1,75 @@
+"""Scale-pattern demonstrations (SURVEY.md §4.2 leftovers): bucketed
+co-located joins (no shuffle at join time) and ANALYZE TABLE stats."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.catalog import load_table
+from ipydataclean_spark.plans import plan_tree
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir):
+    """Pre-bucketing both sides on the join key co-locates partitions:
+    the join plan must contain NO Exchange (shuffle) — the pattern that
+    turns a repeated 100 TB fact⋈fact join into a map-side merge."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    with tempfile.TemporaryDirectory() as d:
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        (
+            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+            .option("path", f"{d}/li").mode("overwrite").saveAsTable("li_b")
+        )
+        (
+            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+            .option("path", f"{d}/ord").mode("overwrite").saveAsTable("ord_b")
+        )
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            joined = (
+                spark.table("li_b")
+                .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            tree = plan_tree(joined)
+            join_idx = [i for i, line in enumerate(tree) if "SortMergeJoin" in line]
+            assert join_idx, "\n".join(tree)
+            # in the tree, the join's inputs print BELOW it; the only
+            # allowed Exchange (final groupBy) sits above the join.
+            below = tree[join_idx[0] + 1 :]
+            assert not any("Exchange" in line for line in below), "\n".join(tree)
+            got = {r.o_orderstatus: r.n for r in joined.collect()}
+            expect = {
+                r.o_orderstatus: r.n
+                for r in li.join(orders, li.l_orderkey == orders.o_orderkey)
+                .groupBy("o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            assert got == expect
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_analyze_table_stats_visible(spark, sf_dir):
+    """ANALYZE TABLE wires row-count/size stats into the catalog (CBO
+    join-reorder food)."""
+    cust = load_table(spark, sf_dir, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        spark.sql("DROP TABLE IF EXISTS cust_s")
+        cust.write.option("path", f"{d}/c").mode("overwrite").saveAsTable("cust_s")
+        try:
+            spark.sql("ANALYZE TABLE cust_s COMPUTE STATISTICS FOR COLUMNS c_custkey, c_acctbal")
+            desc = spark.sql("DESCRIBE EXTENDED cust_s c_custkey").collect()
+            info = {r.info_name: r.info_value for r in desc}
+            assert int(info["distinct_count"]) > 0
+            stats = spark.sql("DESCRIBE EXTENDED cust_s").collect()
+            rows = {r.col_name: r.data_type for r in stats}
+            assert "Statistics" in rows and "rows" in rows["Statistics"]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS cust_s")
