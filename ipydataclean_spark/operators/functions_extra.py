@@ -1,0 +1,67 @@
+"""Scalar-function surface, part 2 — §2.7 families without clean DuckDB
+twins (map functions, Spark-only string fns, approx aggregates).
+
+Rows-only in the registry; exact semantics pinned by pytest
+(tests/test_functions_extra.py) instead of the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+
+@register("f_map_functions", oracle=None, tags=("F-map",))
+def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family: create_map / map_keys / map_values / element_at /
+    map_concat / map_from_entries / explode over maps. Output flattened
+    to sorted arrays (maps hash engine-specifically → rows-only)."""
+    df = T(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("user"), F.col("user_id").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+    entries = F.array_sort(F.map_entries(m2))
+    return df.select(
+        "event_id",
+        F.array_sort(F.map_keys(m2)).alias("keys_sorted"),
+        F.element_at(m, F.lit("type")).alias("type_val"),
+        F.transform(entries, lambda e: e.key).alias("entry_keys"),
+        F.transform(entries, lambda e: e.value).alias("entry_values"),
+        F.map_keys(F.map_from_entries(entries)).alias("roundtrip_keys"),
+        F.size(m2).alias("map_size"),
+    ).orderBy("event_id")
+
+
+@register("f_misc_string", oracle=None, tags=("F-string",))
+def f_misc_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-only string fns (no DuckDB twin): initcap, soundex,
+    format_string, overlay, repeat."""
+    df = T(spark, sf_dir, "customer").where(F.col("c_custkey") % 100 == 0)
+    return df.select(
+        "c_custkey",
+        F.initcap(F.lower("c_mktsegment")).alias("segment_title"),
+        F.soundex("c_mktsegment").alias("segment_soundex"),
+        F.format_string("cust-%05d [%s]", "c_custkey", "c_mktsegment").alias("formatted"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.overlay(F.col("c_name"), F.lit("XXX"), 1, 3).alias("overlaid"),
+    ).orderBy("c_custkey")
+
+
+@register("p3b_approx_profile", oracle=None, tags=("P3", "P5", "approx"))
+def p3b_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB profiling path: HLL++ approx distinct + t-digest-style
+    approx percentiles in ONE scan. Error-bound vs the exact twins is
+    asserted in tests; rows-only in the registry (approx values are
+    engine-specific by definition, SURVEY §2.2 P3/P5)."""
+    df = T(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_d_partkey"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_d_orderkey"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
+    )

@@ -1,0 +1,107 @@
+"""Semantic pins for the rows-only function families + approx error
+bounds + skew-salting and foreachBatch patterns."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_map_functions_semantics(spark, sf_dir):
+    rows = QUERIES["f_map_functions"]["fn"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.keys_sorted == ["src", "type", "user"]
+        assert r.entry_keys == ["src", "type", "user"]
+        assert r.map_size == 3
+        assert sorted(r.roundtrip_keys) == ["src", "type", "user"]
+        assert r.type_val in ("click", "view", "purchase", "signup", "error")
+
+
+def test_misc_string_semantics(spark, sf_dir):
+    rows = {r.c_custkey: r for r in QUERIES["f_misc_string"]["fn"](spark, sf_dir).collect()}
+    r = rows[100]
+    assert r.segment_title == r.segment_title.title()
+    assert len(r.segment_soundex) == 4 and r.segment_soundex[0].isalpha()
+    assert r.formatted.startswith("cust-00100 [")
+    assert r.repeated == "ababab"
+    assert r.overlaid.startswith("XXX")
+
+
+def test_approx_profile_error_bounds(spark, sf_dir):
+    """Approx distinct within 3×rsd of exact; approx median within 1%
+    of exact (10k accuracy on 60k rows)."""
+    approx = QUERIES["p3b_approx_profile"]["fn"](spark, sf_dir).first()
+    from ipydataclean_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.agg(
+        F.countDistinct("l_partkey"), F.countDistinct("l_orderkey"),
+        F.expr("percentile(l_extendedprice, 0.5)"),
+    ).first()
+    assert abs(approx.approx_d_partkey - exact[0]) / exact[0] <= 0.06
+    assert abs(approx.approx_d_orderkey - exact[1]) / exact[1] <= 0.06
+    assert abs(approx.approx_med_price - exact[2]) / exact[2] <= 0.01
+    q25, q75 = approx.approx_quartiles
+    assert q25 < approx.approx_med_price < q75
+
+
+def test_salted_skew_join_equals_plain(spark, sf_dir):
+    """Salting pattern: explode the hot key into N salted sub-keys on
+    the build side, randomize salt on the probe side — result equality
+    with the plain join (the manual fallback when AQE skew-split isn't
+    enough)."""
+    from ipydataclean_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # make a skewed probe: all 'click' events share hot key 0
+    probe = ev.select(
+        F.when(F.col("event_type") == "click", 0).otherwise(F.col("user_id")).alias("k"),
+        "value",
+    )
+    dim = spark.range(60).select(F.col("id").alias("k"), (F.col("id") * 2).alias("w"))
+    plain = probe.join(dim, "k").agg(F.count("*").alias("n"), F.sum("w").alias("s")).first()
+
+    n_salt = 8
+    salted_probe = probe.withColumn("salt", (F.xxhash64("value") % n_salt + n_salt) % n_salt)
+    salted_dim = dim.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    salted = (
+        salted_probe.join(salted_dim, ["k", "salt"])
+        .agg(F.count("*").alias("n"), F.sum("w").alias("s"))
+        .first()
+    )
+    assert (salted.n, salted.s) == (plain.n, plain.s)
+
+
+def test_foreachbatch_sink(spark, sf_dir):
+    """ST9 foreachBatch: custom per-microbatch sink logic (the escape
+    hatch for sinks Structured Streaming lacks natively)."""
+    from ipydataclean_spark.streaming.stream import events_stream
+
+    with tempfile.TemporaryDirectory() as d:
+        out_dir = f"{d}/out"
+
+        def write_batch(batch_df, batch_id):
+            (
+                batch_df.groupBy("event_type")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.parquet(out_dir).agg(F.sum("n")).first()[0]
+        from ipydataclean_spark.catalog import load_table
+
+        assert got == load_table(spark, sf_dir, "events").count()
