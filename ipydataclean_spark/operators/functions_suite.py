@@ -111,7 +111,7 @@ def f_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT l_orderkey, l_linenumber, "
         "ABS(l_discount - 0.05) AS abs_dev, "
-        "SIGN(l_discount - 0.05) AS sign_dev, "
+        "CAST(SIGN(l_discount - 0.05) AS DOUBLE) AS sign_dev, "
         "CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k_floor, "
         "CAST(CEIL(l_quantity / 10) AS BIGINT) AS qty_decile_ceil, "
         "SQRT(l_extendedprice) AS price_sqrt, "
@@ -250,7 +250,8 @@ def f_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "s4_values_inline",
     oracle=(
-        "SELECT * FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL)) "
+        "SELECT CAST(id AS BIGINT) AS id, name, CAST(score AS DOUBLE) AS score "
+        "FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', NULL)) "
         "AS t(id, name, score) ORDER BY id"
     ),
     tags=("S4",),

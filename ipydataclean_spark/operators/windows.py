@@ -21,10 +21,10 @@ from ipydataclean_spark.registry import register
     "w1_ranking",
     oracle=(
         "SELECT c_custkey, c_mktsegment, "
-        "ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rn, "
-        "RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS rnk, "
-        "DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS drnk, "
-        "NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS quartile, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rn, "
+        "CAST(RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS rnk, "
+        "CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS drnk, "
+        "CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS quartile, "
         "PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS prk, "
         "CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS cd "
         "FROM customer ORDER BY c_custkey"

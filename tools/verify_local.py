@@ -31,6 +31,35 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+_SPARK_CANON = {
+    "bigint": "i64", "int": "i32", "smallint": "i16", "double": "f64", "float": "f32",
+    "string": "str", "boolean": "bool", "date": "date", "timestamp": "ts", "timestamp_ntz": "ts",
+}
+_DUCK_CANON = {
+    "BIGINT": "i64", "INTEGER": "i32", "SMALLINT": "i16", "HUGEINT": "i128", "TINYINT": "i8",
+    "DOUBLE": "f64", "FLOAT": "f32", "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date",
+    "TIMESTAMP": "ts", "TIMESTAMP_NS": "ts",
+}
+
+
+def canon_spark_type(dt) -> str:
+    s = dt.simpleString()
+    if s.startswith("array"):
+        return "list"
+    if s.startswith("decimal"):
+        return "dec"
+    return _SPARK_CANON.get(s, s)
+
+
+def canon_duck_type(t) -> str:
+    t = str(t)
+    if t.endswith("[]"):
+        return "list"
+    if t.startswith("DECIMAL"):
+        return "dec"
+    return _DUCK_CANON.get(t, t)
+
+
 def normalize(rows: list[tuple], cols: list[str]):
     """Sort columns by name, then rows; stringify for comparison."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
@@ -91,9 +120,10 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            res = con.execute(spec["oracle"])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            rel = con.sql(spec["oracle"])
+            ocols = list(rel.columns)
+            otypes = dict(zip(ocols, [canon_duck_type(t) for t in rel.types]))
+            orows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
@@ -102,6 +132,12 @@ def main() -> int:
         oc, ov = normalize(orows, ocols)
         if sc != oc:
             print(f"FAIL {name}: column mismatch spark={sc} duck={oc}")
+            n_fail += 1
+            continue
+        stypes = {f.name: canon_spark_type(f.dataType) for f in sdf.schema.fields}
+        type_diffs = {c: (stypes[c], otypes[c]) for c in stypes if stypes[c] != otypes.get(c)}
+        if type_diffs:
+            print(f"FAIL {name}: type mismatch {type_diffs}")
             n_fail += 1
             continue
         if len(sv) != len(ov):
