@@ -714,3 +714,163 @@ def r25_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_above"),
         exact.dsum("o_totalprice").alias("sum_above"),
     )
+
+
+@register(
+    "q4_priority_count",
+    oracle=(
+        "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "AND l_shipdate > o_orderdate) "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    tags=("R5", "R11"),
+)
+def q4_priority_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-style: EXISTS as a left-semi join on a non-trivial
+    condition, then priority counts."""
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=(
+        "SELECT supp_nation, cust_nation, l_year, "
+        f"{exact.dsum_sql('volume')} AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(YEAR(l_shipdate) AS INTEGER) AS l_year, "
+        "l_extendedprice * (1 - l_discount) AS volume "
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31') "
+        "GROUP BY supp_nation, cust_nation, l_year "
+        "ORDER BY supp_nation, cust_nation, l_year"
+    ),
+    tags=("R3", "R6", "R11"),
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-style: 6-way join with a disjunctive nation-pair filter
+    and per-year revenue; both nation joins broadcast."""
+    n1 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    j = (
+        T(spark, sf_dir, "supplier")
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(T(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(T(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .where(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        j.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(exact.dsum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=(
+        "SELECT c_custkey, c_name, n_name, "
+        f"{exact.dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    tags=("R3", "R6", "R17"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-style: returned-item revenue ranking, top 20."""
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(T(spark, sf_dir, "customer")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(T(spark, sf_dir, "nation")), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q15_top_supplier",
+    oracle=(
+        "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+        f"{exact.dsum_sql('l_extendedprice * (1 - l_discount)')} AS total_revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue FROM supplier "
+        "JOIN revenue ON s_suppkey = supplier_no "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue) "
+        "ORDER BY s_suppkey"
+    ),
+    tags=("R3", "R25"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-style: view + scalar-subquery max (two-phase: the max
+    is a scalar literal — exact decimal sums make the equality safe)."""
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue")).first()[0]
+    return (
+        T(spark, sf_dir, "supplier")
+        .join(revenue.where(F.col("total_revenue") == F.lit(max_rev)),
+              F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
