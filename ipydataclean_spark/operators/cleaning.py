@@ -67,16 +67,22 @@ def interpolate_linear(df: DataFrame, col: str, order_col: str, partition_by: st
     parity: interior gaps blended, leading NULLs kept, trailing ffilled).
 
     ``partition_by`` is the scale path (per-key windows); the global
-    form funnels one partition and is for small/ordered data only."""
+    form funnels one partition and is for small/ordered data only.
+
+    Both lookups are RUNNING windows (unboundedPreceding..current):
+    the 'next non-null' uses a descending sort instead of an
+    unboundedFollowing frame — following-frames degrade to per-row
+    frame scans (measured minutes at 100k rows), running frames
+    stream in O(n)."""
     wp = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
     w_prev = wp.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
-    w_next = wp.orderBy(order_col).rowsBetween(0, Window.unboundedFollowing)
+    w_next = wp.orderBy(F.desc(order_col)).rowsBetween(Window.unboundedPreceding, 0)
     pos = F.col(order_col)
     marked = F.when(F.col(col).isNotNull(), pos)
     prev_val = F.last(col, ignorenulls=True).over(w_prev)
     prev_pos = F.last(marked, ignorenulls=True).over(w_prev)
-    next_val = F.first(col, ignorenulls=True).over(w_next)
-    next_pos = F.first(marked, ignorenulls=True).over(w_next)
+    next_val = F.last(col, ignorenulls=True).over(w_next)
+    next_pos = F.last(marked, ignorenulls=True).over(w_next)
     blend = prev_val + (next_val - prev_val) * (pos - prev_pos) / (next_pos - prev_pos)
     out = (
         F.when(F.col(col).isNotNull(), F.col(col))
@@ -87,11 +93,14 @@ def interpolate_linear(df: DataFrame, col: str, order_col: str, partition_by: st
 
 
 def fill_directional(df: DataFrame, col: str, order_col: str, partition_by: str, direction: str = "forward") -> Column:
-    """C6: ffill/bfill expression over a per-key window."""
-    wp = Window.partitionBy(partition_by).orderBy(order_col)
+    """C6: ffill/bfill expression over a per-key RUNNING window (bfill
+    = ffill over the reversed sort — streams in O(n), no following
+    frame)."""
     if direction == "forward":
-        return F.last(col, ignorenulls=True).over(wp.rowsBetween(Window.unboundedPreceding, 0))
-    return F.first(col, ignorenulls=True).over(wp.rowsBetween(0, Window.unboundedFollowing))
+        wp = Window.partitionBy(partition_by).orderBy(order_col)
+    else:
+        wp = Window.partitionBy(partition_by).orderBy(F.desc(order_col))
+    return F.last(col, ignorenulls=True).over(wp.rowsBetween(Window.unboundedPreceding, 0))
 
 
 def clip(df: DataFrame, col: str, lo: float, hi: float) -> DataFrame:
