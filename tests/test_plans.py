@@ -75,3 +75,21 @@ def test_asof_probe_side_broadcast(spark, sf_dir):
     assert count_op(_q("r9_asof_join", spark, sf_dir), "BroadcastNestedLoopJoin") + count_op(
         _q("r9_asof_join", spark, sf_dir), "BroadcastHashJoin"
     ) >= 1
+
+
+def test_recipe_fuses_to_single_scan(spark, sf_dir):
+    """A multi-step Recipe must fold into ONE plan with ONE parquet scan
+    — Catalyst optimizes across step boundaries (SURVEY §3.2(1))."""
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+    from ipydataclean_spark.recipe import Recipe
+
+    recipe = (
+        Recipe()
+        .convert_numeric("quantity_str", out="q2")
+        .fill_value("q2", 0.0)
+        .clip("q2", 0.0, 45.0)
+        .drop_missing(["l_orderkey"])
+    )
+    out = recipe.apply(lineitem_dirty(spark, sf_dir)).select("l_orderkey", "q2")
+    assert n_parquet_scans(out) == 1
+    assert not has_python_eval(out)

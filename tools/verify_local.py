@@ -95,12 +95,22 @@ def values_equal(a, b) -> tuple[bool, float]:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--plain",
+        action="store_true",
+        help="use a default SparkSession (driver simulation) instead of the tuned engine session",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
     load_all()
     names = args.names or sorted(QUERIES)
-    spark = get_spark("verify-local")
+    if args.plain:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName("verify-plain").getOrCreate()
+    else:
+        spark = get_spark("verify-local")
     con = duck_con(args.sf_dir)
 
     n_pass = n_fail = n_rowsonly = 0
