@@ -874,3 +874,87 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "q1b_pricing_summary_single_scan",
+    oracle=with_lineitem_dirty(
+        "SELECT l_returnflag, l_linestatus, "
+        f"{exact.dsum_sql(f'COALESCE(qty_parsed, ({_Q1_MEAN_SQL}))')} AS sum_qty, "
+        f"{exact.dsum_sql('l_extendedprice')} AS sum_base_price, "
+        f"{exact.davg_sql(f'COALESCE(qty_parsed, ({_Q1_MEAN_SQL}))')} AS avg_qty, "
+        "COUNT(*) AS count_order "
+        "FROM lineitem_dirty GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus"
+    ),
+    tags=("flagship", "optimization"),
+)
+def q1b_pricing_summary_single_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship, ONE distributed scan: the fill-mean normally needs a
+    scalar pass before the grouped pass; here the grouped pass collects
+    per-group partials (decimal sums kept AS DECIMAL, null counts) and
+    the driver recombines them exactly:
+
+        global mean  m = Σ_g dec_sum_g / Σ_g n_nonnull_g   (exact)
+        sum_qty_g      = dec_sum_g + n_null_g · dec6(m)    (exact)
+
+    dec6(m) is the 6-dp decimal quantization of the double m — the
+    identical rounding Spark/DuckDB apply per row in COALESCE(q, m)
+    cast to DECIMAL (no double sits on a half boundary, so the mode
+    tie-break never fires). Result is bit-equal to the two-scan oracle.
+
+    At 100 TB this halves the flagship's I/O; driver work is O(groups).
+    """
+    from decimal import ROUND_HALF_EVEN, Decimal
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    df = lineitem_dirty(spark, sf_dir)
+    parts = (
+        df.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("qty_parsed").cast(exact.DEC)).alias("qty_dec_sum"),
+            F.count("qty_parsed").alias("n_nonnull"),
+            F.sum(F.col("qty_parsed").isNull().cast("long")).alias("n_null"),
+            F.sum(F.col("l_extendedprice").cast(exact.DEC)).alias("price_dec_sum"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .collect()
+    )
+    total_dec = sum((r.qty_dec_sum for r in parts), Decimal(0))
+    total_n = sum(r.n_nonnull for r in parts)
+    m = float(total_dec) / total_n
+    # Decimal(m) is the EXACT binary expansion (what the engines round);
+    # Decimal(repr(m)) would quantize the shortest string instead and
+    # can land on a fake half-boundary.
+    dec_m = Decimal(m).quantize(Decimal("0.000001"), rounding=ROUND_HALF_EVEN)
+    rows = []
+    for r in sorted(parts, key=lambda r: (r.l_returnflag, r.l_linestatus)):
+        filled_dec = r.qty_dec_sum + r.n_null * dec_m
+        rows.append(
+            (
+                r.l_returnflag,
+                r.l_linestatus,
+                float(filled_dec),
+                float(r.price_dec_sum),
+                float(filled_dec) / r.count_order,
+                r.count_order,
+            )
+        )
+    schema = StructType(
+        [
+            StructField("l_returnflag", StringType()),
+            StructField("l_linestatus", StringType()),
+            StructField("sum_qty", DoubleType()),
+            StructField("sum_base_price", DoubleType()),
+            StructField("avg_qty", DoubleType()),
+            StructField("count_order", LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("l_returnflag", "l_linestatus")
