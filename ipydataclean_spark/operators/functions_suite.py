@@ -270,3 +270,82 @@ def s4_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", None)], schema
     ).orderBy("id")
+
+
+@register(
+    "f_array2",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 11 = 0) "
+        "SELECT doc_id, "
+        "flatten([t[1:3], t[4:5]]) AS flat_head, "
+        "CAST(COALESCE(list_position(t, 'spark'), 0) AS BIGINT) AS spark_pos, "
+        "list_filter(t, x -> x <> 'the') AS without_the, "
+        "list_sort(list_distinct(t || ['zzz'])) AS union_zzz, "
+        "CASE WHEN len(list_filter(t, x -> LENGTH(x) > 6)) > 0 THEN 1 ELSE 0 END AS has_long, "
+        "CASE WHEN len(list_filter(t, x -> LENGTH(x) >= 1)) = len(t) THEN 1 ELSE 0 END AS all_nonempty "
+        "FROM toks ORDER BY doc_id"
+    ),
+    tags=("F-array",),
+)
+def f_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family 2: flatten, array_position, array_remove-style
+    filter, union+sort, exists, forall."""
+    df = T(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+    d = df.withColumn("t", F.split(F.col("text"), " "))
+    t = F.col("t")
+    return d.select(
+        "doc_id",
+        F.flatten(F.array(F.slice(t, 1, 3), F.slice(t, 4, 2))).alias("flat_head"),
+        F.array_position(t, "spark").alias("spark_pos"),
+        F.filter(t, lambda x: x != "the").alias("without_the"),
+        F.array_sort(F.array_distinct(F.concat(t, F.array(F.lit("zzz"))))).alias("union_zzz"),
+        F.exists(t, lambda x: F.length(x) > 6).cast("int").alias("has_long"),
+        F.forall(t, lambda x: F.length(x) >= 1).cast("int").alias("all_nonempty"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "f_posexplode",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 83 = 0) "
+        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, t[CAST(i AS INTEGER)] AS tok "
+        "FROM toks, (SELECT UNNEST(range(1, 500)) AS i) WHERE i <= len(t) "
+        "ORDER BY doc_id, pos"
+    ),
+    tags=("F-array",),
+)
+def f_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token position index (ordinal-preserving explode)."""
+    df = T(spark, sf_dir, "documents").where(F.col("doc_id") % 83 == 0)
+    d = df.withColumn("t", F.split(F.col("text"), " "))
+    return d.select("doc_id", F.posexplode("t").alias("pos", "tok")).orderBy("doc_id", "pos")
+
+
+@register(
+    "f_datetime2",
+    oracle=(
+        "SELECT o_orderkey, "
+        "CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr, "
+        "CAST(WEEKOFYEAR(o_orderdate) AS INTEGER) AS iso_week, "
+        "CAST(DAYOFYEAR(o_orderdate) AS INTEGER) AS doy, "
+        "MAKE_DATE(CAST(YEAR(o_orderdate) AS INTEGER), CAST(MONTH(o_orderdate) AS INTEGER), 1) AS month_start_made, "
+        "CAST(DATE_TRUNC('quarter', o_orderdate) AS DATE) AS quarter_start, "
+        "CAST(CAST(o_orderdate AS DATE) - CAST(DATE_TRUNC('year', o_orderdate) AS DATE) AS INTEGER) AS days_into_year "
+        "FROM orders WHERE o_orderkey % 40 = 0 ORDER BY o_orderkey"
+    ),
+    tags=("F-datetime",),
+)
+def f_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family 2: quarter, ISO week, day-of-year, make_date,
+    quarter trunc, date arithmetic."""
+    df = T(spark, sf_dir, "orders").where(F.col("o_orderkey") % 40 == 0)
+    d = F.col("o_orderdate")
+    return df.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofyear(d).alias("doy"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start_made"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.datediff(d.cast("date"), F.date_trunc("year", d).cast("date")).alias("days_into_year"),
+    ).orderBy("o_orderkey")
