@@ -33,6 +33,7 @@ HEADLINE = [
     "l1_exact_dedup",              # digest dedup
     "l2_minhash_lsh",              # MinHash LSH near-dup
     "l3_knn_exact",                # brute-force cosine top-k
+    "pipeline_corpus_curation",    # quality->dedup->budget composite
     "st1_tumbling_window",         # windowed agg (streaming twin)
     "st3_session_window",          # sessionization
     "w4_moving_avg",               # rolling window stats

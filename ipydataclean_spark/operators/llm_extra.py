@@ -222,3 +222,60 @@ def l13_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(docs.doc_id, F.col("chunk_id"), F.col("chunk"))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus curation (composite pipeline)
+# ---------------------------------------------------------------------------
+
+_CURATION_ORACLE = (
+    "WITH documents_dup AS (SELECT doc_id, text, lang, source, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, CONCAT('  ', UPPER(text), '  '), lang, source, n_chars "
+    "FROM documents WHERE doc_id % 5 = 0), "
+    "toks AS (SELECT *, string_split(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g'))), ' ') AS t "
+    "FROM documents_dup), "
+    "quality AS (SELECT * FROM toks WHERE n_chars >= 100 AND len(t) >= 20 "
+    "AND CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.25), "
+    "deduped AS (SELECT *, ROW_NUMBER() OVER ("
+    "PARTITION BY SHA256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) ORDER BY doc_id) AS rn "
+    "FROM quality) "
+    "SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(len(t)) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM deduped WHERE rn = 1 GROUP BY lang ORDER BY lang"
+)
+
+
+@register("pipeline_corpus_curation", oracle=_CURATION_ORACLE, tags=("L1", "L7", "L10", "pipeline"))
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation, composed from the engine's
+    own operators: quality filter (L7 rules) → exact dedup (L1, digest
+    survivor) → per-language token budget (L10). One fused lazy plan:
+    the filter pushes below the dedup window, the dedup shuffles on the
+    32-byte digest, the budget agg is partial+final.
+
+    This is the pipeline a reference user runs daily at corpus scale —
+    each stage is the same function they can use à la carte."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.text import norm_text_col
+
+    docs = documents_dup(spark, sf_dir)
+    t = F.split(norm_text_col("text"), " ")
+    staged = docs.withColumn("t", t).where(
+        (F.col("n_chars") >= 100)
+        & (F.size("t") >= 20)
+        & (F.size(F.array_distinct("t")).cast("double") / F.size("t") >= 0.25)
+    )
+    key = F.sha2(norm_text_col("text"), 256)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    deduped = staged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("t")).cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
