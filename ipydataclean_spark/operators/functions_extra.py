@@ -65,3 +65,19 @@ def p3b_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),
         F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
     )
+
+
+@register("f_hash_misc", oracle=None, tags=("F-hash",))
+def f_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash/ID family part 2 (engine-specific digests → rows-only):
+    crc32, xxhash64, hash, monotonically_increasing_id, uuid.
+    Uniqueness/determinism pinned in tests."""
+    df = T(spark, sf_dir, "customer").where(F.col("c_custkey") % 100 == 0)
+    return df.select(
+        "c_custkey",
+        F.crc32(F.col("c_name").cast("binary")).alias("name_crc32"),
+        F.xxhash64("c_name").alias("name_xxh64"),
+        F.hash("c_name", "c_mktsegment").alias("row_hash"),
+        F.monotonically_increasing_id().alias("mono_id"),
+        F.expr("uuid()").alias("row_uuid"),
+    ).orderBy("c_custkey")

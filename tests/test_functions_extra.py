@@ -105,3 +105,16 @@ def test_foreachbatch_sink(spark, sf_dir):
         from ipydataclean_spark.catalog import load_table
 
         assert got == load_table(spark, sf_dir, "events").count()
+
+
+def test_hash_misc_determinism_and_uniqueness(spark, sf_dir):
+    q = QUERIES["f_hash_misc"]["fn"]
+    a = q(spark, sf_dir).collect()
+    b = q(spark, sf_dir).collect()
+    # content hashes are deterministic across runs
+    assert [(r.c_custkey, r.name_crc32, r.name_xxh64, r.row_hash) for r in a] == [
+        (r.c_custkey, r.name_crc32, r.name_xxh64, r.row_hash) for r in b
+    ]
+    # generated ids are unique within a run (uniqueness, not stability)
+    assert len({r.mono_id for r in a}) == len(a)
+    assert len({r.row_uuid for r in a}) == len(a)
