@@ -30,6 +30,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.detectors",
     "ipydataclean_spark.operators.cleaning",
     "ipydataclean_spark.operators.relational",
+    "ipydataclean_spark.operators.tpch_extra",
     "ipydataclean_spark.operators.windows",
     "ipydataclean_spark.operators.functions_suite",
     "ipydataclean_spark.operators.functions_extra",
