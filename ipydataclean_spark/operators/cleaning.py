@@ -537,3 +537,62 @@ def c17_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", norm_text_col("text").alias("norm_text"))
         .orderBy("doc_id")
     )
+
+
+_MERGE_UPDATES_SQL = (
+    "SELECT o_orderkey AS u_orderkey, o_totalprice * 1.10 AS u_totalprice, "
+    "'P' AS u_orderstatus FROM orders WHERE o_orderkey % 13 = 0 "
+    "UNION ALL "
+    "SELECT o_orderkey + 10000000 AS u_orderkey, o_totalprice AS u_totalprice, "
+    "'N' AS u_orderstatus FROM orders WHERE o_orderkey % 17 = 0"
+)
+
+
+@register(
+    "c18_merge_upsert",
+    oracle=(
+        f"WITH updates AS ({_MERGE_UPDATES_SQL}) "
+        "SELECT COALESCE(u_orderkey, o_orderkey) AS o_orderkey, "
+        "COALESCE(u_totalprice, o_totalprice) AS o_totalprice, "
+        "COALESCE(u_orderstatus, o_orderstatus) AS o_orderstatus, "
+        "CASE WHEN o_orderkey IS NULL THEN 'insert' "
+        "WHEN u_orderkey IS NULL THEN 'keep' ELSE 'update' END AS merge_action "
+        "FROM orders FULL JOIN updates ON u_orderkey = o_orderkey "
+        "ORDER BY o_orderkey"
+    ),
+    tags=("C18", "R4"),
+)
+def c18_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18: MERGE/upsert without a table format — the full-outer-join
+    form of `MERGE INTO target USING updates ON key WHEN MATCHED THEN
+    UPDATE WHEN NOT MATCHED THEN INSERT`. The updates side is a
+    deterministic CTE over orders (keys %13 repriced, %17 offset-keyed
+    as inserts).
+
+    At scale this is ONE shuffle on the merge key for both sides; with
+    a bucketed target (tests/test_scale_patterns.py) the shuffle
+    disappears entirely. Delta/Iceberg MERGE is this same plan plus
+    file-level conflict tracking (not in this container — STATUS.md
+    round-2 queue)."""
+    orders = T(spark, sf_dir, "orders")
+    updates = orders.where(F.col("o_orderkey") % 13 == 0).select(
+        F.col("o_orderkey").alias("u_orderkey"),
+        (F.col("o_totalprice") * F.lit(1.10)).alias("u_totalprice"),
+        F.lit("P").alias("u_orderstatus"),
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 17 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("u_orderkey"),
+            F.col("o_totalprice").alias("u_totalprice"),
+            F.lit("N").alias("u_orderstatus"),
+        )
+    )
+    merged = orders.join(updates, F.col("u_orderkey") == F.col("o_orderkey"), "full_outer")
+    return merged.select(
+        F.coalesce("u_orderkey", "o_orderkey").alias("o_orderkey"),
+        F.coalesce("u_totalprice", "o_totalprice").alias("o_totalprice"),
+        F.coalesce("u_orderstatus", "o_orderstatus").alias("o_orderstatus"),
+        F.when(F.col("o_orderkey").isNull(), "insert")
+        .when(F.col("u_orderkey").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    ).orderBy("o_orderkey")

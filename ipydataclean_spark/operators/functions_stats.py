@@ -1,0 +1,175 @@
+"""Statistical aggregate surface, part 3 — exact moment statistics,
+extra aggregates, and bitwise scalars.
+
+`f_moment_stats` is the 100 TB-relevant piece: corr / covariance /
+skewness / kurtosis computed from ONE pass of decimal power sums
+(n, Σx, Σy, Σxy, Σx², Σy², Σx³, Σx⁴), then identical IEEE double
+arithmetic on the partials in both engines. This is bit-exact AND
+order-independent — the same result on any partition count — unlike
+the builtin `F.corr`/`F.skewness` whose streaming double updates are
+partitioning-dependent in the last bits (fine operationally; not
+hash-comparable). The decimal partial sums are map-side-combinable,
+so the whole profile is a single shuffle-light aggregate at scale.
+
+Power-sum representability (fixtures, FIXTURES.md): l_quantity is
+integer-valued ≤ 50 (x⁴ ≤ 6.25e6, exact in DECIMAL(28,6));
+l_extendedprice has 2 fractional digits (y² has 4 ≤ 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+
+@register(
+    "f_moment_stats",
+    oracle=(
+        "WITH s AS (SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"{exact.dsum_sql('l_quantity')} AS sx, "
+        f"{exact.dsum_sql('l_extendedprice')} AS sy, "
+        f"{exact.dsum_sql('l_quantity * l_extendedprice')} AS sxy, "
+        f"{exact.dsum_sql('l_quantity * l_quantity')} AS sxx, "
+        f"{exact.dsum_sql('l_extendedprice * l_extendedprice')} AS syy, "
+        f"{exact.dsum_sql('l_quantity * l_quantity * l_quantity')} AS sxxx, "
+        f"{exact.dsum_sql('l_quantity * l_quantity * l_quantity * l_quantity')} AS sxxxx "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_returnflag, "
+        "(sxy - sx * sy / n) / n AS covar_pop, "
+        "(sxy - sx * sy / n) / (n - 1.0) AS covar_samp, "
+        "ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 12) AS corr_qty_price, "
+        "(sxxx / n - 3.0 * (sx / n) * (sxx / n) + 2.0 * (sx / n) * (sx / n) * (sx / n)) "
+        "/ (SQRT(sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))) AS skewness_pop, "
+        "(sxxxx / n - 4.0 * (sx / n) * (sxxx / n) + 6.0 * (sx / n) * (sx / n) * (sxx / n) "
+        "- 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n)) "
+        "/ ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n))) - 3.0 AS kurtosis_pop "
+        "FROM s ORDER BY l_returnflag"
+    ),
+    tags=("P4", "F-stats"),
+)
+def f_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact one-pass moment statistics: corr, covar_pop/samp (x=qty,
+    y=price), skewness, kurtosis from decimal power sums. The final
+    arithmetic mirrors the oracle SQL token-for-token so every IEEE op
+    is identical."""
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            exact.dsum(x).alias("sx"),
+            exact.dsum(y).alias("sy"),
+            exact.dsum(x * y).alias("sxy"),
+            exact.dsum(x * x).alias("sxx"),
+            exact.dsum(y * y).alias("syy"),
+            exact.dsum(x * x * x).alias("sxxx"),
+            exact.dsum(x * x * x * x).alias("sxxxx"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    sxxx, sxxxx = F.col("sxxx"), F.col("sxxxx")
+    m = sx / n  # same (sx / n) subtree the SQL repeats
+    var_pop = sxx / n - m * m
+    return s.select(
+        "l_returnflag",
+        ((sxy - sx * sy / n) / n).alias("covar_pop"),
+        ((sxy - sx * sy / n) / (n - F.lit(1.0))).alias("covar_samp"),
+        # corr is the one formula where DuckDB's compiled `a*b - c*d`
+        # contracts to FMA (one ulp off the JVM's two-op form) — round
+        # to 12 dp on both sides, far above the 1-ulp noise floor.
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            12,
+        ).alias("corr_qty_price"),
+        (
+            (sxxx / n - F.lit(3.0) * m * (sxx / n) + F.lit(2.0) * m * m * m)
+            / (F.sqrt(var_pop) * var_pop)
+        ).alias("skewness_pop"),
+        (
+            (
+                sxxxx / n
+                - F.lit(4.0) * m * (sxxx / n)
+                + F.lit(6.0) * m * m * (sxx / n)
+                - F.lit(3.0) * m * m * m * m
+            )
+            / (var_pop * var_pop)
+            - F.lit(3.0)
+        ).alias("kurtosis_pop"),
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "f_agg_extra",
+    oracle=(
+        "SELECT o_orderpriority, "
+        "MIN_BY(o_totalprice, o_orderkey) AS first_price, "
+        "MAX_BY(o_totalprice, o_orderkey) AS last_price, "
+        "BOOL_AND(o_totalprice > 0) AS all_positive, "
+        "BOOL_OR(o_totalprice > 400000) AS any_huge, "
+        "CAST(COUNT_IF(o_orderstatus = 'F') AS BIGINT) AS n_finished, "
+        "BIT_AND(o_orderkey % 256) AS key_bit_and, "
+        "BIT_OR(o_orderkey % 256) AS key_bit_or, "
+        "BIT_XOR(o_orderkey % 256) AS key_bit_xor "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    tags=("R11", "F-agg"),
+)
+def f_agg_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extra aggregate family: min_by/max_by (argmin/argmax keyed by
+    the unique o_orderkey, so tie-free deterministic), bool_and/or,
+    count_if, and the bitwise aggregates."""
+    df = T(spark, sf_dir, "orders")
+    key = F.col("o_orderkey") % 256
+    return (
+        df.groupBy("o_orderpriority")
+        .agg(
+            F.min_by("o_totalprice", "o_orderkey").alias("first_price"),
+            F.max_by("o_totalprice", "o_orderkey").alias("last_price"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_huge"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.bit_and(key).alias("key_bit_and"),
+            F.bit_or(key).alias("key_bit_or"),
+            F.bit_xor(key).alias("key_bit_xor"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "f_bitwise",
+    oracle=(
+        "SELECT o_orderkey, "
+        "o_orderkey & 255 AS band, "
+        "o_orderkey | 4096 AS bor, "
+        "XOR(o_orderkey, 170) AS bxor, "
+        "~o_orderkey AS bnot, "
+        "o_orderkey << 3 AS shl, "
+        "o_orderkey >> 2 AS shr, "
+        "CAST(BIT_COUNT(o_orderkey) AS INTEGER) AS popcount "
+        "FROM orders WHERE o_orderkey % 101 = 0 ORDER BY o_orderkey"
+    ),
+    tags=("F-bitwise",),
+)
+def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family (codegen'd JVM ops; DuckDB spells xor as
+    XOR(a,b) since ^ is exponentiation there)."""
+    df = T(spark, sf_dir, "orders").where(F.col("o_orderkey") % 101 == 0)
+    k = F.col("o_orderkey")
+    return df.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(4096)).alias("bor"),
+        k.bitwiseXOR(F.lit(170)).alias("bxor"),
+        F.bitwise_not(k).alias("bnot"),
+        F.shiftleft(k, 3).alias("shl"),
+        F.shiftright(k, 2).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    ).orderBy("o_orderkey")

@@ -958,3 +958,34 @@ def q1b_pricing_summary_single_scan(spark: SparkSession, sf_dir: str) -> DataFra
         ]
     )
     return spark.createDataFrame(rows, schema).orderBy("l_returnflag", "l_linestatus")
+
+
+@register(
+    "r9b_asof_join_forward",
+    oracle=(
+        "WITH probes AS (SELECT UNNEST(['2024-01-08 00:00:00', '2024-01-15 00:00:00', '2024-01-22 00:00:00']) AS p), "
+        "probe_ts AS (SELECT CAST(p AS TIMESTAMP) AS probe_ts FROM probes), "
+        "u AS (SELECT DISTINCT user_id FROM events) "
+        "SELECT u.user_id, probe_ts, MIN(e.ts) AS next_ts, ARG_MIN(e.value, e.ts) AS next_value "
+        "FROM u CROSS JOIN probe_ts "
+        "LEFT JOIN events e ON e.user_id = u.user_id AND e.ts >= probe_ts "
+        "GROUP BY u.user_id, probe_ts ORDER BY u.user_id, probe_ts"
+    ),
+    tags=("R9",),
+)
+def r9b_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 forward variant: first event value at-or-after each probe
+    time per user (min_by argmin mirror of r9_asof_join)."""
+    ev = T(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    probes = spark.createDataFrame(
+        [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",), ("2024-01-22 00:00:00",)], ["p"]
+    ).select(F.col("p").cast("timestamp").alias("probe_ts"))
+    grid = users.crossJoin(F.broadcast(probes))
+    e = ev.select(F.col("user_id").alias("e_user"), "ts", "value")
+    return (
+        grid.join(e, (e.e_user == grid.user_id) & (e.ts >= grid.probe_ts), "left")
+        .groupBy("user_id", "probe_ts")
+        .agg(F.min("ts").alias("next_ts"), F.min_by("value", "ts").alias("next_value"))
+        .orderBy("user_id", "probe_ts")
+    )

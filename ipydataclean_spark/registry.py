@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.windows",
     "ipydataclean_spark.operators.functions_suite",
     "ipydataclean_spark.operators.functions_extra",
+    "ipydataclean_spark.operators.functions_stats",
     "ipydataclean_spark.operators.udfs",
     "ipydataclean_spark.operators.llm",
     "ipydataclean_spark.operators.llm_extra",
