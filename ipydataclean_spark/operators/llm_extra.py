@@ -279,3 +279,68 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def countmin_sketch(
+    occurrences: DataFrame, token_col: str = "tok", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch build: one row per token OCCURRENCE in, a
+    (seed, bucket, count) cell table out — at most depth×width rows
+    regardless of corpus size. Cells are plain partial-aggregable
+    counts, so the build is a single map-side-combined shuffle and
+    sketches from different corpus shards merge by adding cell counts
+    (the property that matters at 100 TB: fixed memory, one pass,
+    associative merge). Hashing is xxhash64(seed, token) — JVM-side,
+    deterministic across runs and partitionings."""
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    return (
+        occurrences.select(F.col(token_col).alias("tok"), F.explode(seeds).alias("seed"))
+        .select("seed", F.pmod(F.xxhash64("seed", "tok"), F.lit(width)).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame, candidates: DataFrame, token_col: str = "tok", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Point-query the sketch for each candidate token: hash with the
+    same seeds, broadcast-join the (≤depth×width row) sketch, take the
+    per-token MIN over the depth cells — the classic CMS upper-bound
+    estimate (estimate ≥ true count, overshoot ≤ e·N/width w.h.p.)."""
+    seeds = F.array(*[F.lit(i) for i in range(depth)])
+    probes = candidates.select(F.col(token_col).alias("tok"), F.explode(seeds).alias("seed")).select(
+        "tok", "seed", F.pmod(F.xxhash64("seed", "tok"), F.lit(width)).alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok")
+        .agg(F.min("cell_count").alias("cms_estimate"))
+    )
+
+
+@register("l14_countmin_heavy_hitters", oracle=None, tags=("L14", "sketch", "text-analysis"))
+def l14_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: heavy hitters with a count-min sketch. Exact top-15 tokens
+    (the small ground truth the test checks the sketch against) joined
+    with their CMS estimates. Rows-only: the sketch estimate is not
+    SQL-expressible; tests/test_llm_extra.py pins the CMS guarantees
+    (estimate ≥ exact; overshoot within the e·N/width bound)."""
+    occ = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("tok"))
+        .where(F.length("tok") > 0)
+    )
+    exact_top = (
+        occ.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+        .limit(15)
+    )
+    sketch = countmin_sketch(occ)
+    est = countmin_estimate(sketch, exact_top.select("tok"))
+    return (
+        exact_top.join(est, "tok")
+        .select("tok", "exact_count", "cms_estimate")
+        .orderBy(F.desc("exact_count"), F.asc("tok"))
+    )

@@ -989,3 +989,26 @@ def r9b_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("next_ts"), F.min_by("value", "ts").alias("next_value"))
         .orderBy("user_id", "probe_ts")
     )
+
+
+_R12C_SQL = (
+    "SELECT o_orderstatus, o_orderpriority, "
+    "CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status, "
+    "CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio, "
+    f"COUNT(*) AS n, {exact.dsum_sql('o_totalprice')} AS total "
+    "FROM orders "
+    "GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) "
+    "ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"
+)
+
+
+@register("r12c_grouping_sets_sql", oracle=_R12C_SQL, tags=("R12", "SQL-entry"))
+def r12c_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 explicit GROUPING SETS via the SQL entry point (identical
+    ANSI text both engines; NULLS FIRST pinned — Spark and DuckDB
+    default null ordering differs). One Expand+HashAggregate pass, not
+    one scan per set."""
+    from ipydataclean_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_R12C_SQL)

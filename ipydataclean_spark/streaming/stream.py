@@ -145,3 +145,20 @@ def run_available_now(stream_df: DataFrame, query_name: str, checkpoint_dir: str
     q.awaitTermination(120)
     spark = stream_df.sparkSession
     return spark.table(query_name)
+
+
+def rate_micro_batch_stream(spark: SparkSession, rows_per_batch: int = 100) -> DataFrame:
+    """S6 rate-source variant: the deterministic `rate-micro-batch`
+    source — exactly rows_per_batch rows per trigger, value column is
+    a gapless 0..n sequence, timestamps advance a fixed 1000 ms per
+    batch from epoch 0. The synthetic-load twin of the file-replay
+    source (used for throughput smoke tests where no fixture file is
+    wanted)."""
+    return (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", rows_per_batch)
+        .option("numPartitions", 2)
+        .option("startTimestamp", 0)
+        .option("advanceMillisPerBatch", 1000)
+        .load()
+    )

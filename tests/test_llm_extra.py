@@ -106,3 +106,32 @@ def test_ivf_knn_recall(spark, sf_dir):
         len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
     assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_countmin_heavy_hitters(spark, sf_dir):
+    """CMS guarantees on the documents fixture: estimate >= exact for
+    every heavy hitter, overshoot within e*N/width, and the estimate
+    is deterministic across runs (fixed xxhash64 seeds)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.llm import tokens_col
+    from ipydataclean_spark.operators.llm_extra import l14_countmin_heavy_hitters
+
+    df = l14_countmin_heavy_hitters(spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) == 15
+    n_total = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens_col("text")).alias("tok"))
+        .where(F.length("tok") > 0)
+        .count()
+    )
+    bound = math.e * n_total / 1024
+    for r in rows:
+        assert r.cms_estimate >= r.exact_count, r
+        assert r.cms_estimate - r.exact_count <= bound, (r, bound)
+    again = {(r.tok, r.cms_estimate) for r in l14_countmin_heavy_hitters(spark, sf_dir).collect()}
+    assert again == {(r.tok, r.cms_estimate) for r in rows}

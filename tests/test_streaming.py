@@ -40,3 +40,37 @@ def test_streaming_dedup_replay(spark, sf_dir):
         )
         q.awaitTermination(120)
         assert spark.table("t_dedup").count() == batch_n
+
+
+def test_rate_micro_batch_source(spark):
+    """Rate source demo (STATUS round-2 queue): deterministic
+    rows-per-batch generation, gapless values, fixed per-batch
+    timestamp advance."""
+    import time
+
+    from ipydataclean_spark.streaming.stream import rate_micro_batch_stream
+
+    rows_per_batch = 100
+    stream = rate_micro_batch_stream(spark, rows_per_batch)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_rate")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline and spark.table("t_rate").count() < 3 * rows_per_batch:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    rows = spark.table("t_rate").select("timestamp", "value").collect()
+    assert len(rows) >= 3 * rows_per_batch
+    values = sorted(r.value for r in rows)
+    # gapless 0..n-1 sequence, exactly one row per value
+    assert values == list(range(len(values)))
+    # batch k (values [k*rpb, (k+1)*rpb)) carries timestamp epoch + k seconds
+    for r in rows:
+        assert int(r.timestamp.timestamp() * 1000) == (r.value // rows_per_batch) * 1000
+
