@@ -606,3 +606,45 @@ def l10_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "l4d_label_centroids",
+    oracle=(
+        "SELECT label, CAST(gs.i AS INTEGER) AS pos, "
+        "(CAST(SUM(CAST(FLOOR(embedding[gs.i] * 16777216.0) AS BIGINT)) AS DOUBLE) "
+        "/ COUNT(*)) / 16777216.0 AS centroid_val "
+        "FROM embeddings CROSS JOIN generate_series(1, 64) AS gs(i) "
+        "GROUP BY label, gs.i ORDER BY label, pos"
+    ),
+    tags=("L4", "L3", "embeddings"),
+)
+def l4d_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid embedding (the class-prototype op a training
+    pipeline runs before nearest-centroid dedup/classification; also
+    the oracle-checked twin of the Lloyd update inside ivf.build_ivf).
+
+    posexplode → groupBy(label, pos) → exact fixed-point mean: values
+    scale by 2^24 (an exact power-of-two multiply), floor to integers,
+    sum as BIGINT — order-independent and bit-identical across engines
+    (float→decimal casts are NOT: Spark rounds the shortest-string
+    repr, DuckDB the exact binary expansion). ONE shuffle
+    keyed (label, pos) — dim fans the data out 64×, but partial
+    (map-side) aggregation collapses each partition to ≤ labels×64
+    rows before it, so the shuffle payload is tiny at any scale.
+    Long (label, pos, val) form: hash-comparable and directly
+    array_agg-able back to vectors when needed."""
+    return (
+        T(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), F.col("val").cast("double").alias("v"))
+        .groupBy("label", "pos")
+        .agg(
+            (
+                F.sum(F.floor(F.col("v") * F.lit(16777216.0))).cast("double")
+                / F.count(F.lit(1))
+                / F.lit(16777216.0)
+            ).alias("centroid_val")
+        )
+        .orderBy("label", "pos")
+    )

@@ -108,3 +108,88 @@ def l9_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         F.col("ok").cast("int").alias("ok"),
     ).orderBy("doc_id")
+
+
+RESIZE_SCHEMA = "doc_id BIGINT, mime STRING, thumb BINARY, thumb_bytes INT, thumb_md5 STRING"
+
+
+def resize_media(media: DataFrame, thumb_size: int = 64) -> DataFrame:
+    """L9 resize stage: Arrow-batched mapInPandas, binary in → binary
+    out. The STUB "resize" truncates the payload to thumb_size bytes
+    (no codec libs in this container — swap in PIL thumbnailing here);
+    the production-shaped parts are the binary column round-trip
+    through Arrow, the per-batch kernel, and the narrow-map plan
+    (no shuffle; partitions sized by maxPartitionBytes carry the
+    payload bytes exactly once)."""
+
+    def resize_stub(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            thumbs = pdf["payload"].map(lambda b: bytes(b)[:thumb_size])
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["media_meta"].map(lambda m: m["mime"]),
+                    "thumb": thumbs,
+                    "thumb_bytes": thumbs.map(len).astype("int32"),
+                    "thumb_md5": thumbs.map(lambda b: hashlib.md5(b).hexdigest()),
+                }
+            )
+
+    return media.mapInPandas(resize_stub, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4, frame_bytes: int = 16) -> DataFrame:
+    """L9 frame-sample stage — pure built-ins, NO Python in the loop:
+    n_frames evenly-spaced offsets per video payload via
+    sequence+transform, exploded, then binary substring slices the
+    "frame" bytes JVM-side. Only the codec decode of a frame needs a
+    UDF (and that decode is the stubbed part of this container);
+    the sampling itself is whole-stage-codegen."""
+    video = media.where(F.col("media_meta.mime") == "video/mp4")
+    stride = (F.col("media_meta.n_bytes").cast("double") / F.lit(n_frames)).cast("long")
+    offs = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: i.cast("long") * stride,
+    )
+    return video.select(
+        "doc_id", F.col("media_meta.n_bytes").alias("n_bytes"), "payload",
+        F.posexplode(offs).alias("frame_idx", "frame_off"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        "frame_off",
+        F.expr(f"substring(payload, cast(frame_off + 1 AS INT), {frame_bytes})").alias("frame"),
+    )
+
+
+@register("l9b_media_resize", oracle=None, tags=("L9", "multimodal", "U5"))
+def l9b_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9b: thumbnail/resize summary per mime — counts and md5-distinct
+    thumbs prove the binary round-trip (rows-only; pytest checks the
+    md5s against driver-side hashlib on samples)."""
+    media = attach_binary_payload(T(spark, sf_dir, "documents"))
+    thumbs = resize_media(media)
+    return (
+        thumbs.groupBy("mime")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("thumb_md5").alias("n_distinct_thumbs"),
+            F.max("thumb_bytes").alias("max_thumb_bytes"),
+        )
+        .orderBy("mime")
+    )
+
+
+@register("l9c_frame_sample", oracle=None, tags=("L9", "multimodal"))
+def l9c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9c: per-video frame sampling — 4 evenly-spaced binary slices
+    per payload, all JVM-side (rows-only; pytest pins offsets/shapes)."""
+    media = attach_binary_payload(T(spark, sf_dir, "documents"))
+    frames = sample_frames(media)
+    return frames.select(
+        "doc_id", "frame_idx", "frame_off", F.octet_length("frame").alias("frame_len")
+    ).orderBy("doc_id", "frame_idx")

@@ -31,6 +31,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.cleaning",
     "ipydataclean_spark.operators.relational",
     "ipydataclean_spark.operators.tpch_extra",
+    "ipydataclean_spark.operators.analytics",
     "ipydataclean_spark.operators.windows",
     "ipydataclean_spark.operators.functions_suite",
     "ipydataclean_spark.operators.functions_extra",

@@ -69,3 +69,46 @@ def test_quality_filter_flags_consistent(spark, sf_dir):
     rows = _q("l7_quality_filter", spark, sf_dir).collect()
     for r in rows:
         assert r.keep == int(r.len_ok and r.tokens_ok and r.diversity_ok and r.wordlen_ok)
+
+
+def test_media_resize_roundtrip(spark, sf_dir):
+    """Binary payloads survive the Arrow mapInPandas round-trip: the
+    executor-computed thumb md5 equals driver-side hashlib on the
+    truncated utf-8 payload."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.multimodal import attach_binary_payload, resize_media
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    out = resize_media(attach_binary_payload(docs)).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(out) == len(texts)
+    for r in out:
+        expect = texts[r.doc_id].encode("utf-8")[:64]
+        assert bytes(r.thumb) == expect
+        assert r.thumb_bytes == len(expect)
+        assert r.thumb_md5 == hashlib.md5(expect).hexdigest()
+
+
+def test_frame_sampling_offsets(spark, sf_dir):
+    """Frame sampling: 4 evenly-spaced offsets per video payload,
+    frame bytes match driver-side slicing."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.multimodal import attach_binary_payload, sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 30)
+    media = attach_binary_payload(docs)
+    frames = sample_frames(media).collect()
+    payloads = {
+        r.doc_id: r.payload for r in media.where(F.col("media_meta.mime") == "video/mp4").collect()
+    }
+    assert payloads and len(frames) == 4 * len(payloads)
+    for r in frames:
+        pay = bytes(payloads[r.doc_id])
+        assert r.frame_off == r.frame_idx * (len(pay) // 4)
+        assert bytes(r.frame) == pay[r.frame_off : r.frame_off + 16]
