@@ -199,18 +199,22 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "lineitem")
         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
-        .agg(exact.dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(exact.DEC)).alias(
+                "pv_dec"
+            )
+        )
+        .localCheckpoint()
     )
-    # Exact: decimal re-sum of the decimal partials equals a direct
-    # decimal sum; threshold double math is then identical in DuckDB.
-    total = (
-        T(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
-        .agg(exact.dsum(F.col("l_extendedprice") * F.col("l_quantity")))
-        .first()[0]
-    )
+    # ONE fact scan: the per-part DECIMAL partials re-sum to the exact
+    # national total (decimal addition is associative — identical to a
+    # direct decimal sum, so the threshold math matches DuckDB's
+    # independent full-scan computation bit-for-bit). localCheckpoint
+    # materializes pv so the scalar job and the filter reuse it.
+    total = pv.agg(F.sum("pv_dec").cast("double")).first()[0]
     return (
-        pv.where(F.col("part_value") > F.lit(total * 0.001))
+        pv.select("l_partkey", F.col("pv_dec").cast("double").alias("part_value"))
+        .where(F.col("part_value") > F.lit(total * 0.001))
         .orderBy(F.desc("part_value"), F.asc("l_partkey"))
     )
 

@@ -93,3 +93,28 @@ def test_recipe_fuses_to_single_scan(spark, sf_dir):
     out = recipe.apply(lineitem_dirty(spark, sf_dir)).select("l_orderkey", "q2")
     assert n_parquet_scans(out) == 1
     assert not has_python_eval(out)
+
+
+def test_tpch_extra_dims_broadcast(spark, sf_dir):
+    """New TPC-H analogues: every dim join broadcasts; at most the one
+    fact⋈fact join (lineitem⋈orders) shuffles."""
+    for name, min_bcast in (("q9_product_profit", 3), ("q19_disjunctive_revenue", 1),
+                            ("q8_market_share", 5)):
+        df = _q(name, spark, sf_dir)
+        assert count_op(df, "BroadcastHashJoin") >= min_bcast, name
+        assert count_op(df, "SortMergeJoin") + count_op(df, "ShuffledHashJoin") <= 1, name
+
+
+def test_q16_anti_join_broadcast(spark, sf_dir):
+    """The NOT IN supplier blacklist must execute as a broadcast anti
+    join, never a shuffle."""
+    plan = formatted_plan(_q("q16_supplier_count", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_funnel_no_self_join(spark, sf_dir):
+    """Funnel must be aggregate-only (conditional mins), not the naive
+    3-way self-join; both aggregates map-side partial."""
+    df = _q("q_funnel_conversion", spark, sf_dir)
+    assert "Join" not in formatted_plan(df)
+    assert count_op(df, "HashAggregate") >= 4  # partial+final × 2 stages

@@ -73,3 +73,40 @@ def test_analyze_table_stats_visible(spark, sf_dir):
             assert "Statistics" in rows and "rows" in rows["Statistics"]
         finally:
             spark.sql("DROP TABLE IF EXISTS cust_s")
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: a fact table partitioned on disk by a join column is pruned
+    at runtime by the dim-side filter — the scan shows a
+    dynamicpruning expression instead of reading every partition."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.plans import formatted_plan
+
+    fact_dir = str(tmp_path / "orders_by_year")
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    orders.write.mode("overwrite").partitionBy("o_year").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    # DPP fires only when the build side carries a selective predicate
+    dim = spark.createDataFrame(
+        [(1996, "k"), (1997, "k"), (1998, "x")], ["d_year", "keep"]
+    ).where(F.col("keep") == "k")
+    joined = fact.join(dim, fact.o_year == dim.d_year).groupBy("o_year").count()
+    assert "dynamicpruning" in formatted_plan(joined).lower()
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Planner obeys per-join strategy hints — the escape hatch when a
+    skewed or mis-estimated join needs a manual strategy at scale."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.plans import count_op
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    shj = li.join(orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey)
+    assert count_op(shj, "ShuffledHashJoin") >= 1
+    smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert count_op(smj, "SortMergeJoin") >= 1
