@@ -162,3 +162,57 @@ def rate_micro_batch_stream(spark: SparkSession, rows_per_batch: int = 100) -> D
         .option("advanceMillisPerBatch", 1000)
         .load()
     )
+
+
+def stateful_user_totals_tws(ev: DataFrame) -> DataFrame:
+    """ST6 on the Spark 4.x transformWithStateInPandas API: the same
+    per-user running (n, total) as stateful_user_totals, expressed as a
+    StatefulProcessor with an explicit ValueState handle — the
+    forward-looking form (RocksDB-backed state store, per-state-var
+    schemas, timer support) that replaces applyInPandasWithState.
+
+    Defined as a LOCAL class for pickle-by-value (same rule as the
+    other kernels: executors never import this package).
+
+    Environment note: the TWS state-server protocol needs
+    google.protobuf, absent in this container — the replay test gates
+    on that import; applyInPandasWithState above is the tested ST6
+    path here. Also set
+    spark.sql.streaming.stateStore.providerClass=...RocksDBStateStoreProvider
+    (transformWithState requires the RocksDB provider)."""
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = self._state.get() if self._state.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id LONG, n_events LONG, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )

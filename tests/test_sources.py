@@ -76,3 +76,56 @@ def test_stateful_user_totals_replay(spark, sf_dir):
     for u in expect:
         assert got[u][0] == expect[u][0]
         assert abs(got[u][1] - expect[u][1]) < 1e-6
+
+
+def test_stateful_user_totals_tws_replay(spark, sf_dir):
+    """transformWithStateInPandas twin: drained with availableNow it
+    must equal the batch per-user aggregate (same contract as the
+    applyInPandasWithState form).
+
+    Requires google.protobuf (the TWS state-server protocol): absent
+    in this container, so the test gates on the import and the
+    applyInPandasWithState twin (test_stateful_user_totals_replay)
+    carries the ST6 contract."""
+    import tempfile
+
+    import pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf unavailable: transformWithState needs its state-server proto")
+
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.streaming.stream import events_stream, stateful_user_totals_tws
+
+    batch = {
+        (r.user_id, r.n_events, round(r.total_value, 6))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("total_value"),
+        )
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stateful_user_totals_tws(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # update mode: keep the LAST emitted row per user
+        out = spark.table("t_tws").groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        got = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in out.collect()}
+    assert got == batch
