@@ -303,3 +303,43 @@ def p10_summary_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.dsum(c).alias(f"{tag}_sum"),
         ]
     return df.agg(*aggs)
+
+
+@register(
+    "p11_column_entropy",
+    oracle=(
+        "WITH freq AS (SELECT o_orderpriority AS v, CAST(COUNT(*) AS DOUBLE) AS c "
+        "FROM orders GROUP BY o_orderpriority), "
+        "tot AS (SELECT CAST(SUM(CAST(c AS BIGINT)) AS DOUBLE) AS n FROM freq) "
+        "SELECT ROUND(-SUM((c / n) * LN(c / n)), 8) AS entropy_nats, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+        "ROUND(MAX(c / n), 8) AS top_fraction "
+        "FROM freq CROSS JOIN tot"
+    ),
+    tags=("P11", "profiling"),
+)
+def p11_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: Shannon entropy of a categorical column (profiling signal
+    the reference's per-column UI implies: uniformity / skew of the
+    value distribution; also the split-quality metric feature
+    pipelines compute). Two partial-aggregable stages: value counts,
+    then -Σ p·ln p over the (distinct-values-sized) count table.
+    LN is libm → rounded to 8 dp on both sides (module convention).
+    ONE scan: the total is a window-sum over the tiny count table
+    (its single-partition funnel holds |distinct| rows, not |table|),
+    not a second pass over orders."""
+    from pyspark.sql import Window
+
+    freq = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("v"))
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    total = F.sum(F.col("c").cast("long")).over(Window.partitionBy()).cast("double")
+    freq = freq.withColumn("p", F.col("c") / total)
+    p = F.col("p")
+    return freq.agg(
+        F.round(-F.sum(p * F.log(p)), 8).alias("entropy_nats"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(F.max(p), 8).alias("top_fraction"),
+    )

@@ -110,3 +110,27 @@ def test_join_strategy_hints_respected(spark, sf_dir):
     assert count_op(shj, "ShuffledHashJoin") >= 1
     smj = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
     assert count_op(smj, "SortMergeJoin") >= 1
+
+
+def test_observation_metrics_piggyback(spark, sf_dir):
+    """Observation metrics ride along an existing action — free
+    row-count/quality telemetry with NO extra scan (the production
+    monitoring hook for a 100 TB pipeline run)."""
+    from pyspark.sql import Observation
+
+    from ipydataclean_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("li_profile")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    out_rows = observed.where(F.col("l_quantity") > 25).count()
+    metrics = obs.get
+    assert metrics["n_rows"] == li.count()
+    assert metrics["qty_nulls"] == 0
+    assert metrics["max_shipdate"] is not None
+    assert 0 < out_rows < metrics["n_rows"]
