@@ -1,0 +1,120 @@
+"""Iterative graph algorithm over DataFrames — PageRank on the
+customer↔supplier trade graph.
+
+Why it's here: SURVEY.md §5.2 carves out "iterative algorithms" as
+the non-SQL-expressible class (the driver's weaker rows-only check);
+llm_extra.cluster_pairs already does iterative min-label propagation
+for dedup clustering. PageRank is the canonical second shape: a
+fixed-point loop where each step is a join + aggregate, i.e. exactly
+what Spark's DAG scheduler pipelines. Everything stays declarative —
+the loop composes lazy plans and localCheckpoints per iteration to
+cut lineage (at 100 TB the per-iteration shuffle is rank-table-sized,
+not fact-table-sized: edges are derived once and cached).
+
+Determinism: rank sums route through DECIMAL (functions/exact.py
+rationale) so results are independent of partitioning — bit-stable
+across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+DEC = "decimal(28,18)"
+
+
+def pagerank(
+    edges: DataFrame, damping: float = 0.85, iterations: int = 10
+) -> DataFrame:
+    """PageRank with uniform teleport over a directed edge list
+    (src BIGINT, dst BIGINT). Returns (node, rank). Dangling mass is
+    redistributed uniformly each step so total rank stays = n_nodes."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    n_nodes = nodes.count()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # out-degree is consulted every iteration: attach once, cache.
+    e = edges.join(out_deg, "src").select("src", "dst", "out_deg").cache()
+    e.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    # rank table = one row per node. Below ~10M nodes broadcast it so
+    # the per-iteration join is map-side over the CACHED edge table
+    # (zero edge shuffle per iteration); above that, Spark's planner
+    # shuffles both sides — the standard Pregel-style regime.
+    bcast = n_nodes < 10_000_000
+    for _ in range(iterations):
+        ranks_j = F.broadcast(ranks) if bcast else ranks
+        contribs = (
+            e.join(ranks_j, e.src == ranks_j.node)
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("out_deg")).cast(DEC).alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("double").alias("in_sum"))
+        )
+        # dangling nodes (no out-edges) leak their mass; re-spread it
+        # uniformly. Computed INSIDE the plan (1-row agg, broadcast
+        # cross join) — no per-iteration driver round-trip, so the
+        # whole fixed point executes as one pipelined job chain.
+        dang = (
+            ranks.join(
+                F.broadcast(out_deg) if bcast else out_deg,
+                ranks.node == out_deg.src,
+                "left_anti",
+            )
+            .agg(
+                (
+                    F.coalesce(F.sum(F.col("rank").cast(DEC)).cast("double"), F.lit(0.0))
+                    / F.lit(float(n_nodes))
+                ).alias("dang_share")
+            )
+        )
+        ranks = (
+            ranks.select("node")
+            .join(F.broadcast(contribs) if bcast else contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("dang_share"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
+@register("g1_pagerank", oracle=None, tags=("G1",))
+def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: PageRank over the bipartite customer→supplier graph derived
+    from lineitem⋈orders (edge = customer bought from supplier;
+    supplier nodes offset by 10^6 to disjoin the id spaces). Top 25
+    by rank. Rows-only: iterative fixed point has no SQL twin; the
+    known-graph identity is pinned in tests/test_graph.py."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    # make it a two-way flow so customers also receive rank
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, iterations=10)
+    return ranks.orderBy(F.desc("rank"), "node").limit(25)

@@ -1,0 +1,261 @@
+"""Data-quality extensions beyond the reference's three problem kinds.
+
+The reference detects missing / string-mismatch / outlier problems
+[P]; production cleaning at 100 TB needs the adjacent checks every
+data-quality system (Deequ, GE) ships: multi-format date parsing,
+unit standardization, MAD-robust outliers, constraint suites, and
+distribution-drift detection between slices. Each op here is a pure
+DataFrame fn with a DuckDB oracle twin, designed as one scan (or one
+scan + a tiny scalar job) so the cost model holds at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions.quantiles import exact_quantiles
+from ipydataclean_spark.operators.qhelp import T, lineitem_dirty, with_lineitem_dirty
+from ipydataclean_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# C19: multi-format date parsing
+# ---------------------------------------------------------------------------
+
+# Deterministic dirty date strings in the Spark∩DuckDB SQL dialect
+# (dirty.py rules): ISO / dd/MM/yyyy / compact yyyyMMdd / junk.
+_Y = "CAST(YEAR(o_orderdate) AS STRING)"
+_M = "LPAD(CAST(MONTH(o_orderdate) AS STRING), 2, '0')"
+_D = "LPAD(CAST(DAY(o_orderdate) AS STRING), 2, '0')"
+DATE_STR = (
+    "CASE WHEN o_orderkey % 37 = 0 THEN 'not a date' "
+    f"WHEN o_orderkey % 3 = 0 THEN CONCAT({_D}, '/', {_M}, '/', {_Y}) "
+    f"WHEN o_orderkey % 3 = 1 THEN CONCAT({_Y}, {_M}, {_D}) "
+    f"ELSE CONCAT({_Y}, '-', {_M}, '-', {_D}) END"
+)
+
+
+@register(
+    "c19_parse_dates_multi",
+    oracle=(
+        f"WITH d AS (SELECT o_orderkey, {DATE_STR} AS date_str FROM orders) "
+        "SELECT o_orderkey, date_str, CAST(COALESCE("
+        "try_strptime(date_str, '%Y-%m-%d'), "
+        "try_strptime(date_str, '%d/%m/%Y'), "
+        "try_strptime(date_str, '%Y%m%d')) AS DATE) AS parsed_date "
+        "FROM d ORDER BY o_orderkey"
+    ),
+    tags=("C19", "C9"),
+)
+def c19_parse_dates_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C19: coerce a multi-format date-string column to DATE by trying
+    an ordered list of formats; unparseable -> NULL (then the D1/C1
+    missing pipeline applies). One scan; the format cascade is a
+    COALESCE of try_to_timestamp exprs inside codegen — no UDF."""
+    d = T(spark, sf_dir, "orders").select(
+        "o_orderkey", F.expr(DATE_STR).alias("date_str")
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp("date_str", F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp("date_str", F.lit("dd/MM/yyyy")),
+        F.try_to_timestamp("date_str", F.lit("yyyyMMdd")),
+    ).cast("date")
+    return d.select("o_orderkey", "date_str", parsed.alias("parsed_date")).orderBy(
+        "o_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# C20: unit standardization
+# ---------------------------------------------------------------------------
+
+WEIGHT_STR = (
+    "CASE WHEN l_orderkey % 4 = 0 THEN CONCAT(CAST(l_quantity AS STRING), ' kg') "
+    "WHEN l_orderkey % 4 = 1 THEN CONCAT(CAST(l_quantity * 1000 AS STRING), ' g') "
+    "WHEN l_orderkey % 4 = 2 THEN CONCAT(CAST(l_quantity AS STRING), 'kg') "
+    "ELSE CAST(l_quantity AS STRING) END"
+)
+
+
+@register(
+    "c20_standardize_units",
+    oracle=(
+        f"WITH w AS (SELECT l_orderkey, l_linenumber, {WEIGHT_STR} AS weight_str FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        "TRY_CAST(regexp_extract(weight_str, '^([0-9.]+)', 1) AS DOUBLE) * "
+        "(CASE WHEN regexp_extract(weight_str, '([a-z]+)$', 1) = 'g' THEN 0.001 ELSE 1.0 END) "
+        "AS weight_kg FROM w ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("C20", "C9"),
+)
+def c20_standardize_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C20: normalize a value+unit string column ('23.0 kg', '500 g',
+    '23.0kg') to one numeric unit. regexp_extract splits magnitude and
+    unit; a CASE applies the conversion factor — all codegen exprs,
+    identical no-match→'' semantics in both engines."""
+    w = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.expr(WEIGHT_STR).alias("weight_str")
+    )
+    num = F.regexp_extract("weight_str", r"^([0-9.]+)", 1).try_cast("double")
+    unit = F.regexp_extract("weight_str", r"([a-z]+)$", 1)
+    kg = num * F.when(unit == "g", F.lit(0.001)).otherwise(F.lit(1.0))
+    return w.select("l_orderkey", "l_linenumber", kg.alias("weight_kg")).orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+# ---------------------------------------------------------------------------
+# D3c: MAD-robust outliers (modified z-score, Iglewicz–Hoaglin)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d3c_outliers_mad",
+    oracle=with_lineitem_dirty(
+        ", med AS (SELECT QUANTILE_CONT(price_out, 0.5) AS m FROM lineitem_dirty), "
+        "mad AS (SELECT QUANTILE_CONT(ABS(price_out - m), 0.5) AS d FROM lineitem_dirty, med) "
+        "SELECT l_orderkey, l_linenumber, price_out FROM lineitem_dirty, med, mad "
+        "WHERE ABS(0.6745 * (price_out - m) / d) > 3.5 "
+        "ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("D3",),
+)
+def d3c_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3 MAD variant: modified z-score 0.6745·(x−med)/MAD > 3.5.
+    Median and MAD via exact_quantiles (histogram refinement — codegen
+    scans, O(1) executor memory); two tiny scalar jobs, then one
+    pushdown-friendly filter scan."""
+    df = lineitem_dirty(spark, sf_dir)
+    (m,) = exact_quantiles(df, "price_out", [0.5])
+    dev = df.withColumn("absdev", F.abs(F.col("price_out") - F.lit(m)))
+    (d,) = exact_quantiles(dev, "absdev", [0.5])
+    z = F.lit(0.6745) * (F.col("price_out") - F.lit(m)) / F.lit(d)
+    return (
+        df.where(F.abs(z) > 3.5)
+        .select("l_orderkey", "l_linenumber", "price_out")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P13: constraint suite (Deequ-style checks, ONE scan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p13_constraint_suite",
+    oracle=(
+        "SELECT COUNT(*) AS n_rows, "
+        "COUNT(o_totalprice) AS n_totalprice, "
+        "COUNT(DISTINCT o_orderkey) AS n_distinct_orderkey, "
+        "(COUNT(DISTINCT o_orderkey) = COUNT(*)) AS orderkey_unique, "
+        "MIN(o_totalprice) AS min_totalprice, MAX(o_totalprice) AS max_totalprice, "
+        "(MIN(o_totalprice) >= 0.0) AS totalprice_nonneg, "
+        "CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS n_status_valid, "
+        "CAST(SUM(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_wellformed "
+        "FROM orders"
+    ),
+    tags=("P13", "P10"),
+)
+def p13_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: a Deequ-style constraint suite — completeness, uniqueness,
+    range, set-membership, and format checks — computed in ONE
+    aggregate over one scan (the 100 TB profiling rule, §4.3.1)."""
+    o = T(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_totalprice").alias("n_totalprice"),
+        F.countDistinct("o_orderkey").alias("n_distinct_orderkey"),
+        (F.countDistinct("o_orderkey") == F.count(F.lit(1))).alias("orderkey_unique"),
+        F.min("o_totalprice").alias("min_totalprice"),
+        F.max("o_totalprice").alias("max_totalprice"),
+        (F.min("o_totalprice") >= F.lit(0.0)).alias("totalprice_nonneg"),
+        F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long")).alias(
+            "n_status_valid"
+        ),
+        F.sum(F.col("o_orderpriority").rlike("^[1-5]-").cast("long")).alias(
+            "n_priority_wellformed"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D7: distribution drift between two slices (two-sample KS statistic)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d7_drift_ks",
+    oracle=(
+        "WITH s AS (SELECT o_totalprice AS x, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS g FROM orders), "
+        "c AS (SELECT x, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c2 FROM s GROUP BY x), "
+        "t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2 FROM c), "
+        "cum AS (SELECT CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS f1, "
+        "CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS f2 FROM c) "
+        "SELECT MAX(ABS(f1 / n1 - f2 / n2)) AS ks_stat FROM cum, t"
+    ),
+    tags=("D7",),
+)
+def d7_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: two-sample Kolmogorov–Smirnov statistic between two slices
+    of a column — drift detection for pipeline monitoring. Empirical
+    CDFs via a cumulative window over the *grouped-by-value* table
+    (cardinality = distinct values, not rows), so the single-partition
+    ordered window is over an already-aggregated small relation; the
+    heavy lifting (per-value counts) is a normal partial-agg shuffle.
+
+    NOTE on the global window: after groupBy(x) the relation is
+    |distinct x| rows; for a 100 TB fact with high-cardinality x,
+    bucket x into quantile-spaced bins first (P7) — same MAX|ΔCDF|
+    shape, bounded window input."""
+    o = T(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("g"),
+    )
+    c = s.groupBy("x").agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
+    )
+    n1, n2 = c.agg(
+        F.sum("c1").cast("double"), F.sum("c2").cast("double")
+    ).first()
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = c.select(
+        F.sum("c1").over(w).cast("double").alias("f1"),
+        F.sum("c2").over(w).cast("double").alias("f2"),
+    )
+    return cum.agg(
+        F.max(F.abs(F.col("f1") / F.lit(n1) - F.col("f2") / F.lit(n2))).alias("ks_stat")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D8: pattern-validity profile over a dirty string column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d8_pattern_validity",
+    oracle=with_lineitem_dirty(
+        "SELECT CAST(SUM(CASE WHEN quantity_str IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+        "CAST(SUM(CASE WHEN regexp_matches(quantity_str, '^[0-9]+(\\.[0-9]+)?$') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric, "
+        "CAST(SUM(CASE WHEN regexp_matches(quantity_str, '^[0-9.]+ ?[a-z]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_with_unit, "
+        "CAST(SUM(CASE WHEN quantity_str = 'N/A' THEN 1 ELSE 0 END) AS BIGINT) AS n_na_marker "
+        "FROM lineitem_dirty"
+    ),
+    tags=("D8", "D2"),
+)
+def d8_pattern_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: classify a dirty string column's values by shape (clean
+    numeric / numeric+unit / NA marker / null) in one scan — the
+    profile that drives which C9/C10/C20 fix to suggest."""
+    df = lineitem_dirty(spark, sf_dir)
+    q = F.col("quantity_str")
+    return df.agg(
+        F.sum(q.isNull().cast("long")).alias("n_null"),
+        F.sum(q.rlike(r"^[0-9]+(\.[0-9]+)?$").cast("long")).alias("n_numeric"),
+        F.sum(q.rlike(r"^[0-9.]+ ?[a-z]+$").cast("long")).alias("n_with_unit"),
+        F.sum((q == "N/A").cast("long")).alias("n_na_marker"),
+    )

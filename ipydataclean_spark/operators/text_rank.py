@@ -1,0 +1,97 @@
+"""Ranked text retrieval + semi-structured (VARIANT) ops.
+
+l8_keyword_search (llm.py) is boolean match + naive tf; real corpus
+curation ranks. l8b implements BM25-style ranking with a *rational*
+idf — (N − df + 0.5)/(df + 0.5), no log — so every per-term score is
+a chain of identical IEEE ops in Spark and DuckDB and the result is
+hash-checkable (log/libm results differ in the last ulp between
+engines; a rational idf preserves the same ordering for ranking).
+
+f_variant exercises Spark 4.x VARIANT: parse once into the binary
+semi-structured encoding, then typed path extraction — the scale
+replacement for repeated get_json_object string re-parsing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+QUERY_TERMS = ("model", "data", "learning")
+
+_TOKEN_SPLIT = "[^a-z]+"
+
+
+@register(
+    "l8b_bm25_search",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+        f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t FROM documents) u WHERE t <> ''), "
+        "n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents), "
+        "tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+        f"WHERE t IN ('{QUERY_TERMS[0]}', '{QUERY_TERMS[1]}', '{QUERY_TERMS[2]}') GROUP BY doc_id, t), "
+        "df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t) "
+        "SELECT tf.doc_id, "
+        + exact.dsum_sql("tf * (n_docs - df + 0.5) / (df + 0.5)")
+        + " AS score FROM tf JOIN df ON tf.t = df.t CROSS JOIN n "
+        "GROUP BY tf.doc_id, n_docs ORDER BY score DESC, tf.doc_id LIMIT 20"
+    ),
+    tags=("L8",),
+)
+def l8b_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8b: BM25-style ranked retrieval with rational idf. Plan shape:
+    tokenize→explode only matching terms survive the IN filter (pushed
+    below the explode's projection), tf is a partial-agg shuffle keyed
+    (doc_id, term), df is a tiny 3-row aggregate BROADCAST back onto
+    tf — no fact-side re-shuffle — and the final per-doc sum is
+    decimal-exact (order-independent)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("t"),
+        )
+        .where(F.col("t").isin(*QUERY_TERMS))
+    )
+    n_docs = float(docs.select(F.countDistinct("doc_id")).first()[0])
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = tf.join(F.broadcast(dfreq), "t")
+    term_score = F.col("tf") * (F.lit(n_docs) - F.col("df") + 0.5) / (
+        F.col("df") + 0.5
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(exact.dsum(term_score).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "f_variant",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k_val, "
+        "(json_extract(props, '$.missing') IS NULL) AS missing_is_null "
+        "FROM events WHERE event_id % 50 = 0 ORDER BY event_id"
+    ),
+    tags=("F", "S3"),
+)
+def f_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT path: parse_json once → binary variant, then typed
+    variant_get extraction. At 100 TB this beats get_json_object
+    chains (each of which re-parses the JSON string per call); the
+    variant encoding is parsed once per row and pushdown-prunable."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") % 50 == 0)
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
+    ).orderBy("event_id")

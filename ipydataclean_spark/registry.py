@@ -36,6 +36,11 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.functions_suite",
     "ipydataclean_spark.operators.functions_extra",
     "ipydataclean_spark.operators.functions_stats",
+    "ipydataclean_spark.operators.quality",
+    "ipydataclean_spark.operators.groupstats",
+    "ipydataclean_spark.operators.graph",
+    "ipydataclean_spark.operators.sketches",
+    "ipydataclean_spark.operators.text_rank",
     "ipydataclean_spark.operators.udfs",
     "ipydataclean_spark.operators.llm",
     "ipydataclean_spark.operators.llm_extra",

@@ -1,0 +1,90 @@
+"""Semantic checks for the data-quality extensions (operators/quality.py).
+Oracle hash-parity is covered by tools/verify_local.py; these pin the
+semantics the oracle can't see (flags, conversions, bounds)."""
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.catalog import load_table
+from ipydataclean_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name]["fn"](spark, sf_dir)
+
+
+def test_parse_dates_multi_roundtrip(spark, sf_dir):
+    """Every non-junk format variant must parse back to o_orderdate;
+    junk rows (orderkey % 37 == 0) must be NULL."""
+    parsed = q("c19_parse_dates_multi", spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("expect")
+    )
+    j = parsed.join(orders, "o_orderkey")
+    bad = j.where(
+        (F.col("o_orderkey") % 37 == 0) & F.col("parsed_date").isNotNull()
+    ).count()
+    wrong = j.where(
+        (F.col("o_orderkey") % 37 != 0) & (F.col("parsed_date") != F.col("expect"))
+    ).count()
+    missed = j.where(
+        (F.col("o_orderkey") % 37 != 0) & F.col("parsed_date").isNull()
+    ).count()
+    assert bad == 0 and wrong == 0 and missed == 0
+
+
+def test_standardize_units_recovers_quantity(spark, sf_dir):
+    """All three unit spellings must normalize back to l_quantity kg.
+    Compared in-row (the fixture's (orderkey, linenumber) is NOT a
+    unique key, so a join compare would multiply rows)."""
+    from ipydataclean_spark.operators.quality import WEIGHT_STR
+
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "weight_str", F.expr(WEIGHT_STR)
+    )
+    num = F.regexp_extract("weight_str", r"^([0-9.]+)", 1).try_cast("double")
+    unit = F.regexp_extract("weight_str", r"([a-z]+)$", 1)
+    kg = num * F.when(unit == "g", F.lit(0.001)).otherwise(F.lit(1.0))
+    j = li.withColumn("weight_kg", kg)
+    off = j.where(F.abs(F.col("weight_kg") - F.col("l_quantity")) > 1e-9).count()
+    assert off == 0
+    assert j.where(F.col("weight_kg").isNull()).count() == 0
+    # and the registered op emits one row per input row, none null
+    w = q("c20_standardize_units", spark, sf_dir)
+    assert w.count() == li.count()
+    assert w.where(F.col("weight_kg").isNull()).count() == 0
+
+
+def test_mad_outliers_subset_of_injected(spark, sf_dir):
+    """MAD-robust detection must flag exactly the injected ×1000 rows
+    (orderkey % 101 == 0) on this fixture — no false positives at
+    threshold 3.5 given the price distribution."""
+    out = q("d3c_outliers_mad", spark, sf_dir)
+    assert out.where(F.col("l_orderkey") % 101 != 0).count() == 0
+    assert out.count() > 0
+
+
+def test_constraint_suite_flags(spark, sf_dir):
+    row = q("p13_constraint_suite", spark, sf_dir).first()
+    assert row.orderkey_unique is True
+    assert row.totalprice_nonneg is True
+    assert row.n_status_valid == row.n_rows
+    assert row.n_priority_wellformed == row.n_rows
+    assert row.n_distinct_orderkey == row.n_rows
+
+
+def test_ks_stat_bounds_and_null_case(spark, sf_dir):
+    """KS ∈ [0, 1]; an even/odd orderkey split of the same distribution
+    must show SMALL drift (same generator both halves)."""
+    ks = q("d7_drift_ks", spark, sf_dir).first().ks_stat
+    assert 0.0 <= ks <= 1.0
+    assert ks < 0.2, f"even/odd split of one distribution drifted: {ks}"
+
+
+def test_pattern_validity_partition(spark, sf_dir):
+    """Shape classes must cover the column: null + numeric + unit + NA
+    == all rows (fixture dirt has no other shapes)."""
+    row = q("d8_pattern_validity", spark, sf_dir).first()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    assert row.n_null + row.n_numeric + row.n_with_unit + row.n_na_marker == total

@@ -1,0 +1,112 @@
+"""Sketch + layout operator checks (operators/sketches.py): error
+bounds for the estimate-based ops (no DuckDB twin exists) and the
+file-skipping payoff of the z-order writer."""
+
+import tempfile
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.catalog import load_table
+from ipydataclean_spark.operators.sketches import zorder_write
+from ipydataclean_spark.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_hll_profile_within_rsd(spark, sf_dir):
+    """HLL estimates (lgConfigK=12 → rsd ~1.6%) must sit within 5% of
+    exact distinct counts, per source AND for the merged rollup."""
+    est = {
+        r.source: r.n_distinct_est
+        for r in QUERIES["p12_hll_profile"]["fn"](spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents")
+    exact_per = {
+        r.source: r.n
+        for r in docs.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    }
+    exact_per["__all__"] = docs.select(F.countDistinct("doc_id")).first()[0]
+    assert set(est) == set(exact_per)
+    for k, exact_n in exact_per.items():
+        assert abs(est[k] - exact_n) <= max(1, 0.05 * exact_n), (k, est[k], exact_n)
+
+
+def test_theta_set_algebra(spark, sf_dir):
+    """Theta estimates obey set algebra vs exact distinct counts."""
+    row = QUERIES["p14_theta_setops"]["fn"](spark, sf_dir).first()
+    ev = load_table(spark, sf_dir, "events")
+
+    def exact_users(t):
+        return ev.where(F.col("event_type") == t).select("user_id").distinct().count()
+
+    n_click, n_purchase = exact_users("click"), exact_users("purchase")
+    n_either = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    tol = lambda n: max(2, 0.06 * n)
+    assert abs(row.n_click_users - n_click) <= tol(n_click)
+    assert abs(row.n_purchase_users - n_purchase) <= tol(n_purchase)
+    assert abs(row.n_either - n_either) <= tol(n_either)
+    # inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|
+    n_both = n_click + n_purchase - n_either
+    assert abs(row.n_both - n_both) <= tol(max(n_both, 1))
+    assert abs(row.n_click_only - (n_click - n_both)) <= tol(max(n_click - n_both, 1))
+
+
+def test_bitmap_distinct_is_exact(spark, sf_dir):
+    """The bitmap rollup is EXACT (not an estimate): equals
+    COUNT(DISTINCT) groupwise."""
+    got = {
+        r.l_returnflag: r.n_distinct_parts
+        for r in QUERIES["p15_bitmap_distinct"]["fn"](spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    expect = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_zorder_write_skips_files(spark, sf_dir):
+    """After z-order layout on (l_partkey, l_suppkey), a selective
+    range filter on EITHER column must be satisfiable from a strict
+    subset of files via footer min/max — the data-skipping payoff.
+    A plain (unsorted) write gives every file ~full-range min/max, so
+    nothing can be skipped."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def overlap_fraction(path, col, lo, hi):
+        ds = pq.ParquetDataset(path)
+        tot, hit = 0, 0
+        for frag in ds.fragments:
+            md = frag.metadata
+            fmin, fmax = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        s = c.statistics
+                        fmin = s.min if fmin is None else min(fmin, s.min)
+                        fmax = s.max if fmax is None else max(fmax, s.max)
+            tot += 1
+            if fmin is not None and not (fmax < lo or fmin > hi):
+                hit += 1
+        return hit / tot, tot
+
+    with tempfile.TemporaryDirectory() as d:
+        zorder_write(li, f"{d}/z", "l_partkey", "l_suppkey", n_files=8)
+        # query one z-locality cell: low partkey-bucket AND low suppkey
+        frac_p, n_files = overlap_fraction(f"{d}/z", "l_partkey", 0, 10)
+        assert n_files >= 4
+        assert frac_p <= 0.5, f"partkey range hits {frac_p:.0%} of z-ordered files"
+        # correctness: layout is a permutation, not a transformation
+        assert spark.read.parquet(f"{d}/z").count() == li.count()
