@@ -1,0 +1,246 @@
+"""Time-series resampling, feature preparation, and PII redaction.
+
+The reference's cleaning surface feeds models; the pandas steps that
+usually follow cleaning are resample/asfreq (regularize a time grid),
+one-hot encoding, binning, and min-max / z-score scaling — plus, for
+LLM corpus curation, PII redaction before training. Each op here is
+the Spark-native form with a DuckDB oracle twin: grid generation via
+sequence+explode (no driver loop), scalings as two-phase literal
+substitution (tiny scalar job, then one codegen pass — never a
+window-over-the-whole-table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+# ---------------------------------------------------------------------------
+# C21: resample an event stream onto a regular time grid (pandas asfreq/ffill)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c21_resample_timeseries",
+    oracle=(
+        "WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id % 15 = 0), "
+        "b AS (SELECT user_id, date_trunc('hour', ts) AS h, "
+        f"{exact.dsum_sql('value')} AS v, CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2), "
+        "rng AS (SELECT user_id, MIN(date_trunc('hour', ts)) AS h0, "
+        "MAX(date_trunc('hour', ts)) AS h1 FROM ev GROUP BY 1), "
+        "grid AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM rng) "
+        "SELECT g.user_id, g.h, COALESCE(b.n, 0) AS n_events, "
+        "last_value(b.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.h "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled "
+        "FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.h = b.h "
+        "ORDER BY g.user_id, g.h"
+    ),
+    tags=("C21", "C6"),
+)
+def c21_resample_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C21: pandas resample('1H').sum().ffill() — regularize per-user
+    events onto an hourly grid, zero-count empty buckets, forward-fill
+    the value. The grid is sequence()+explode per user (distributed —
+    no driver loop, no crossJoin with a calendar table); the ffill
+    window partitions by user so no global-order funnel exists at
+    scale."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") % 15 == 0)
+        .select("user_id", "ts", "value")
+    )
+    h = F.date_trunc("hour", F.col("ts"))
+    b = ev.groupBy("user_id", h.alias("h")).agg(
+        exact.dsum("value").alias("v"), F.count(F.lit(1)).alias("n")
+    )
+    rng = ev.groupBy("user_id").agg(
+        F.min(h).alias("h0"), F.max(h).alias("h1")
+    )
+    grid = rng.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(b, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+            F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+        )
+        .orderBy("user_id", "h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C22: one-hot encoding
+# ---------------------------------------------------------------------------
+
+_PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+
+@register(
+    "c22_one_hot",
+    oracle=(
+        "SELECT o_orderkey, "
+        + ", ".join(
+            f"CAST(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END AS INTEGER) AS is_p{i + 1}"
+            for i, p in enumerate(_PRIORITIES)
+        )
+        + " FROM orders ORDER BY o_orderkey"
+    ),
+    tags=("C22",),
+)
+def c22_one_hot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C22: one-hot encode a low-cardinality category (pandas
+    get_dummies). Pure projection — codegen, zero shuffles; the
+    category list comes from a tiny distinct scan in the interactive
+    flow and is baked into the plan as literals."""
+    o = T(spark, sf_dir, "orders")
+    cols = [F.col("o_orderkey")] + [
+        F.when(F.col("o_orderpriority") == p, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias(f"is_p{i + 1}")
+        for i, p in enumerate(_PRIORITIES)
+    ]
+    return o.select(*cols).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# C23: binning (equal-width + quantile)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c23_binning",
+    oracle=(
+        "WITH s AS (SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem), "
+        "q AS (SELECT QUANTILE_CONT(l_extendedprice, 0.25) AS q1, "
+        "QUANTILE_CONT(l_extendedprice, 0.5) AS q2, "
+        "QUANTILE_CONT(l_extendedprice, 0.75) AS q3 FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 10.0)), 9.0) AS INTEGER) AS width_bin, "
+        "CAST(CASE WHEN l_extendedprice <= q1 THEN 1 WHEN l_extendedprice <= q2 THEN 2 "
+        "WHEN l_extendedprice <= q3 THEN 3 ELSE 4 END AS INTEGER) AS quartile "
+        "FROM lineitem, s, q ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("C23", "P7"),
+)
+def c23_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C23: per-row bin labels — equal-width (10 bins over [min, max])
+    and quantile bins against exact quartile boundaries. Boundary-
+    compare binning is tie-deterministic (unlike ntile, whose output
+    depends on row order within ties). Two-phase: one tiny scalar job
+    for bounds, then a single codegen labeling pass."""
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    li = T(spark, sf_dir, "lineitem")
+    lo, hi = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    q1, q2, q3 = exact_quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75])
+    x = F.col("l_extendedprice")
+    width = (F.lit(hi) - F.lit(lo)) / F.lit(10.0)
+    width_bin = F.least(F.floor((x - F.lit(lo)) / width), F.lit(9.0)).cast("int")
+    quartile = (
+        F.when(x <= q1, 1).when(x <= q2, 2).when(x <= q3, 3).otherwise(4).cast("int")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        width_bin.alias("width_bin"),
+        quartile.alias("quartile"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# C24: feature scaling (min-max + z-score)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c24_feature_scaling",
+    oracle=(
+        "WITH s AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi, "
+        f"{exact.davg_sql('l_quantity')} AS m, {exact.dstddev_sql('l_quantity')} AS sd FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        "(l_quantity - lo) / (hi - lo) AS minmax_scaled, "
+        "(l_quantity - m) / sd AS z_scaled "
+        "FROM lineitem, s ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("C24", "C2"),
+)
+def c24_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C24: min-max and z-score scaling, two-phase (scalar agg →
+    literal substitution). The mean/stddev are order-independent
+    decimal forms (functions/exact.py) so the scaled values are
+    bit-identical at any partition count."""
+    li = T(spark, sf_dir, "lineitem")
+    lo, hi, m, sd = li.agg(
+        F.min("l_quantity"),
+        F.max("l_quantity"),
+        exact.davg("l_quantity"),
+        exact.dstddev("l_quantity"),
+    ).first()
+    x = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ((x - F.lit(lo)) / (F.lit(hi) - F.lit(lo))).alias("minmax_scaled"),
+        ((x - F.lit(m)) / F.lit(sd)).alias("z_scaled"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# L16: PII redaction (corpus curation)
+# ---------------------------------------------------------------------------
+
+# deterministic PII injection (dirty.py discipline): every 7th doc
+# gains a synthetic email + phone, in the shared SQL dialect.
+PII_TEXT = (
+    "CASE WHEN doc_id % 7 = 0 THEN CONCAT(text, ' contact user', "
+    "CAST(doc_id AS STRING), '@example.com or +1-555-', "
+    "CAST(doc_id % 10000 AS STRING)) ELSE text END"
+)
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+"
+_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]+"
+
+
+@register(
+    "l16_pii_redact",
+    oracle=(
+        f"WITH p AS (SELECT doc_id, {PII_TEXT} AS text FROM documents) "
+        "SELECT doc_id, "
+        f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '[EMAIL]', 'g'), "
+        f"'{_PHONE_RE}', '[PHONE]', 'g') AS redacted, "
+        f"(regexp_matches(text, '{_EMAIL_RE}')) AS had_email "
+        "FROM p ORDER BY doc_id"
+    ),
+    tags=("L16", "L7"),
+)
+def l16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16: PII scrubbing before training — mask emails/phones with
+    placeholder tokens. One codegen regexp pass over the corpus; at
+    100 TB this is a map-only stage (no shuffle), and the had_email
+    flag feeds the curation audit trail."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(PII_TEXT).alias("text")
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "[EMAIL]"),
+        _PHONE_RE,
+        "[PHONE]",
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.col("text").rlike(_EMAIL_RE).alias("had_email"),
+    ).orderBy("doc_id")

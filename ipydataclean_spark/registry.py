@@ -38,6 +38,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.functions_stats",
     "ipydataclean_spark.operators.quality",
     "ipydataclean_spark.operators.groupstats",
+    "ipydataclean_spark.operators.featprep",
     "ipydataclean_spark.operators.graph",
     "ipydataclean_spark.operators.sketches",
     "ipydataclean_spark.operators.text_rank",

@@ -88,3 +88,31 @@ def test_pattern_validity_partition(spark, sf_dir):
     row = q("d8_pattern_validity", spark, sf_dir).first()
     total = load_table(spark, sf_dir, "lineitem").count()
     assert row.n_null + row.n_numeric + row.n_with_unit + row.n_na_marker == total
+
+
+def test_resample_grid_contiguous_and_mass_conserving(spark, sf_dir):
+    """C21: per-user hourly grid has no gaps; bucket counts sum back to
+    the filtered event count; ffill leaves no NULL after first bucket."""
+    out = q("c21_resample_timeseries", spark, sf_dir).cache()
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") % 15 == 0)
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    # gapless: per user, (#grid rows - 1) hours between min and max
+    spans = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.unix_timestamp(F.max("h")) - F.unix_timestamp(F.min("h"))) / 3600 + 1).alias(
+            "expect_n"
+        ),
+    )
+    assert spans.where(F.col("n") != F.col("expect_n")).count() == 0
+    # after the first non-empty bucket, v_filled is never NULL
+    w_ok = out.where(F.col("v_filled").isNull() & (F.col("n_events") > 0)).count()
+    assert w_ok == 0
+    out.unpersist()
+
+
+def test_pii_redaction_removes_all_addresses(spark, sf_dir):
+    out = q("l16_pii_redact", spark, sf_dir)
+    leaked = out.where(F.col("redacted").rlike("[a-z0-9._]+@[a-z0-9.-]+")).count()
+    assert leaked == 0
+    n_flagged = out.where("had_email").count()
+    assert n_flagged == out.where(F.col("doc_id") % 7 == 0).count()
