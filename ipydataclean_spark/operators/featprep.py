@@ -20,6 +20,76 @@ from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
 # ---------------------------------------------------------------------------
+# Reusable cleaning fns (Recipe-composable; the registered queries below
+# are their driver-checked instantiations)
+# ---------------------------------------------------------------------------
+
+
+def parse_dates(df: DataFrame, col: str, formats: list[str], out: str | None = None) -> DataFrame:
+    """Coerce a multi-format date-string column to DATE (C19): try each
+    format in order, first hit wins, unparseable -> NULL."""
+    parsed = F.coalesce(
+        *[F.try_to_timestamp(F.col(col), F.lit(f)) for f in formats]
+    ).cast("date")
+    return df.withColumn(out or col, parsed)
+
+
+def standardize_units(
+    df: DataFrame, col: str, conversions: dict[str, float], out: str | None = None
+) -> DataFrame:
+    """Split '<magnitude><unit>' strings and convert to a canonical
+    unit (C20). ``conversions`` maps unit suffix -> factor; unitless
+    values keep factor 1.0."""
+    num = F.regexp_extract(F.col(col), r"^([0-9.]+)", 1).try_cast("double")
+    unit = F.regexp_extract(F.col(col), r"([a-z]+)$", 1)
+    factor = F.lit(1.0)
+    for u, k in sorted(conversions.items()):
+        factor = F.when(unit == u, F.lit(float(k))).otherwise(factor)
+    return df.withColumn(out or col, num * factor)
+
+
+def scale_zscore(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Z-score standardization (C24), two-phase: one scalar job for
+    exact mean/stddev, then a literal-substituted codegen pass."""
+    m, sd = df.agg(exact.davg(col), exact.dstddev(col)).first()
+    return df.withColumn(out or col, (F.col(col) - F.lit(m)) / F.lit(sd))
+
+
+def scale_minmax(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """Min-max scaling to [0, 1] (C24), two-phase like scale_zscore."""
+    lo, hi = df.agg(F.min(col), F.max(col)).first()
+    return df.withColumn(
+        out or col, (F.col(col) - F.lit(lo)) / (F.lit(hi) - F.lit(lo))
+    )
+
+
+def one_hot(df: DataFrame, col: str, values: list[str] | None = None) -> DataFrame:
+    """One-hot indicator columns for each category (C22). If ``values``
+    is None, derive the category list with a tiny distinct job first
+    (fine interactively; pass it explicitly in pipelines)."""
+    if values is None:
+        values = [r[0] for r in df.select(col).distinct().collect()]
+    cols = {
+        f"{col}__{str(v).lower().replace(' ', '_').replace('-', '_')}": F.when(
+            F.col(col) == v, 1
+        )
+        .otherwise(0)
+        .cast("int")
+        for v in sorted(values)
+    }
+    return df.withColumns(cols)
+
+
+def redact_patterns(
+    df: DataFrame, col: str, patterns: dict[str, str], out: str | None = None
+) -> DataFrame:
+    """Mask every regex match with its placeholder (L16)."""
+    c = F.col(col)
+    for pat, repl in patterns.items():
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out or col, c)
+
+# ---------------------------------------------------------------------------
 # C21: resample an event stream onto a regular time grid (pandas asfreq/ffill)
 # ---------------------------------------------------------------------------
 

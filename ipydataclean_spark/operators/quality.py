@@ -52,16 +52,15 @@ def c19_parse_dates_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ordered list of formats; unparseable -> NULL (then the D1/C1
     missing pipeline applies). One scan; the format cascade is a
     COALESCE of try_to_timestamp exprs inside codegen — no UDF."""
+    from ipydataclean_spark.operators.featprep import parse_dates
+
     d = T(spark, sf_dir, "orders").select(
         "o_orderkey", F.expr(DATE_STR).alias("date_str")
     )
-    parsed = F.coalesce(
-        F.try_to_timestamp("date_str", F.lit("yyyy-MM-dd")),
-        F.try_to_timestamp("date_str", F.lit("dd/MM/yyyy")),
-        F.try_to_timestamp("date_str", F.lit("yyyyMMdd")),
-    ).cast("date")
-    return d.select("o_orderkey", "date_str", parsed.alias("parsed_date")).orderBy(
-        "o_orderkey"
+    return (
+        parse_dates(d, "date_str", ["yyyy-MM-dd", "dd/MM/yyyy", "yyyyMMdd"], "parsed_date")
+        .select("o_orderkey", "date_str", "parsed_date")
+        .orderBy("o_orderkey")
     )
 
 
@@ -93,14 +92,15 @@ def c20_standardize_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     '23.0kg') to one numeric unit. regexp_extract splits magnitude and
     unit; a CASE applies the conversion factor — all codegen exprs,
     identical no-match→'' semantics in both engines."""
+    from ipydataclean_spark.operators.featprep import standardize_units
+
     w = T(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", F.expr(WEIGHT_STR).alias("weight_str")
     )
-    num = F.regexp_extract("weight_str", r"^([0-9.]+)", 1).try_cast("double")
-    unit = F.regexp_extract("weight_str", r"([a-z]+)$", 1)
-    kg = num * F.when(unit == "g", F.lit(0.001)).otherwise(F.lit(1.0))
-    return w.select("l_orderkey", "l_linenumber", kg.alias("weight_kg")).orderBy(
-        "l_orderkey", "l_linenumber"
+    return (
+        standardize_units(w, "weight_str", {"g": 0.001, "kg": 1.0}, "weight_kg")
+        .select("l_orderkey", "l_linenumber", "weight_kg")
+        .orderBy("l_orderkey", "l_linenumber")
     )
 
 

@@ -44,6 +44,11 @@ class Recipe:
         lines = [
             "from pyspark.sql import functions as F",
             "from pyspark.sql import Window",
+            "from ipydataclean_spark.operators.cleaning import dedup_exact, fill_aggregate",
+            "from ipydataclean_spark.operators.featprep import (",
+            "    one_hot, parse_dates, redact_patterns, scale_minmax, scale_zscore,",
+            "    standardize_units,",
+            ")",
             f"df = {source_expr}",
         ]
         for step in self.steps:
@@ -119,4 +124,66 @@ class Recipe:
             f"df = dedup_exact(df, {keys!r}, {order_col!r})",
             keys=tuple(keys),
             order_col=order_col,
+        )
+
+    def parse_dates(self, col: str, formats: list[str], out: str | None = None) -> "Recipe":
+        from ipydataclean_spark.operators.featprep import parse_dates
+
+        return self.add(
+            "parse_dates",
+            lambda df: parse_dates(df, col, formats, out),
+            f"df = parse_dates(df, {col!r}, {formats!r}, {out!r})",
+            col=col,
+            formats=tuple(formats),
+            out=out,
+        )
+
+    def standardize_units(
+        self, col: str, conversions: dict[str, float], out: str | None = None
+    ) -> "Recipe":
+        from ipydataclean_spark.operators.featprep import standardize_units
+
+        return self.add(
+            "standardize_units",
+            lambda df: standardize_units(df, col, conversions, out),
+            f"df = standardize_units(df, {col!r}, {conversions!r}, {out!r})",
+            col=col,
+            conversions=tuple(sorted(conversions.items())),
+            out=out,
+        )
+
+    def scale(self, col: str, method: str = "zscore", out: str | None = None) -> "Recipe":
+        from ipydataclean_spark.operators.featprep import scale_minmax, scale_zscore
+
+        fn = scale_zscore if method == "zscore" else scale_minmax
+        return self.add(
+            "scale",
+            lambda df: fn(df, col, out),
+            f"df = {fn.__name__}(df, {col!r}, {out!r})  # two-phase scalar job + codegen pass",
+            col=col,
+            method=method,
+            out=out,
+        )
+
+    def one_hot(self, col: str, values: list[str]) -> "Recipe":
+        from ipydataclean_spark.operators.featprep import one_hot
+
+        return self.add(
+            "one_hot",
+            lambda df: one_hot(df, col, values),
+            f"df = one_hot(df, {col!r}, {values!r})",
+            col=col,
+            values=tuple(values),
+        )
+
+    def redact(self, col: str, patterns: dict[str, str], out: str | None = None) -> "Recipe":
+        from ipydataclean_spark.operators.featprep import redact_patterns
+
+        return self.add(
+            "redact",
+            lambda df: redact_patterns(df, col, patterns, out),
+            f"df = redact_patterns(df, {col!r}, {patterns!r}, {out!r})",
+            col=col,
+            patterns=tuple(patterns.items()),
+            out=out,
         )

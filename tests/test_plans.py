@@ -8,6 +8,7 @@ from ipydataclean_spark.plans import (
     formatted_plan,
     has_python_eval,
     n_parquet_scans,
+    plan_tree,
     pushed_filters,
     read_schemas,
 )
@@ -118,3 +119,59 @@ def test_funnel_no_self_join(spark, sf_dir):
     df = _q("q_funnel_conversion", spark, sf_dir)
     assert "Join" not in formatted_plan(df)
     assert count_op(df, "HashAggregate") >= 4  # partial+final × 2 stages
+
+
+def test_bm25_df_side_broadcast(spark, sf_dir):
+    """l8b: the 3-row document-frequency table must broadcast back onto
+    tf (no fact-side re-shuffle) and the whole pipeline stays JVM-side."""
+    df = _q("l8b_bm25_search", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert not has_python_eval(df)
+
+
+def test_resample_windows_are_keyed(spark, sf_dir):
+    """c21: the ffill window partitions by user — no single-partition
+    funnel anywhere in the plan (the classic resample scale bug)."""
+    assert "SinglePartition" not in formatted_plan(
+        _q("c21_resample_timeseries", spark, sf_dir)
+    )
+
+
+def test_featprep_single_scan_no_join(spark, sf_dir):
+    """c23/c24 label/scale passes: scalars were folded to literals, so
+    the final plan is ONE parquet scan with zero joins."""
+    for name in ("c23_binning", "c24_feature_scaling"):
+        df = _q(name, spark, sf_dir)
+        assert n_parquet_scans(df) == 1, name
+        assert "Join" not in formatted_plan(df), name
+
+
+def test_bitmap_rollup_two_level_aggregate(spark, sf_dir):
+    """p15: bucket-level bitmap build then popcount re-aggregation —
+    two aggregate levels, one scan, no join, no Python."""
+    df = _q("p15_bitmap_distinct", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Aggregate") >= 2
+    assert n_parquet_scans(df) == 1
+    assert "Join" not in plan
+    assert not has_python_eval(df)
+
+
+def test_ks_window_input_is_preaggregated(spark, sf_dir):
+    """d7: the cumulative-CDF window must consume the grouped-by-value
+    relation (aggregate below window), never raw rows."""
+    tree = plan_tree(_q("d7_drift_ks", spark, sf_dir))
+    win_idx = [i for i, l in enumerate(tree) if "Window" in l]
+    agg_idx = [i for i, l in enumerate(tree) if "Aggregate" in l]
+    assert win_idx and agg_idx
+    # children print below: at least one aggregate sits under the window
+    assert any(a > win_idx[0] for a in agg_idx), "\n".join(tree)
+
+
+def test_zorder_values_pruned_scan(spark, sf_dir):
+    """z1: bit-interleaving is pure codegen (no Python) and the scan
+    reads only the 4 needed columns."""
+    df = _q("z1_zorder_values", spark, sf_dir)
+    assert not has_python_eval(df)
+    schemas = read_schemas(df)
+    assert schemas and "l_extendedprice" not in schemas[0]

@@ -116,3 +116,34 @@ def test_pii_redaction_removes_all_addresses(spark, sf_dir):
     assert leaked == 0
     n_flagged = out.where("had_email").count()
     assert n_flagged == out.where(F.col("doc_id") % 7 == 0).count()
+
+
+def test_recipe_featprep_steps_roundtrip(spark, sf_dir):
+    """New fluent steps (parse_dates / standardize_units / scale /
+    one_hot / redact) compose in a Recipe and exec(to_code()) ≡ apply."""
+    from ipydataclean_spark.operators.quality import WEIGHT_STR
+    from ipydataclean_spark.recipe import Recipe
+
+    df = load_table(spark, sf_dir, "lineitem").withColumn(
+        "weight_str", F.expr(WEIGHT_STR)
+    )
+    recipe = (
+        Recipe()
+        .standardize_units("weight_str", {"g": 0.001, "kg": 1.0}, out="w_kg")
+        .scale("w_kg", method="zscore", out="w_z")
+        .scale("w_kg", method="minmax", out="w_mm")
+        .one_hot("l_returnflag", ["A", "N", "R"])
+    )
+    direct = recipe.apply(df)
+    got = direct.agg(
+        F.sum("w_z"), F.sum("w_mm"), F.sum("l_returnflag__a")
+    ).first()
+    code = recipe.to_code("source_df")
+    ns = {"source_df": df}
+    exec(code, ns)  # noqa: S102 — round-trip contract
+    via = ns["df"].agg(F.sum("w_z"), F.sum("w_mm"), F.sum("l_returnflag__a")).first()
+    assert tuple(got) == tuple(via)
+    # z-scored column is centered; minmax lands in [0, 1]
+    stats = direct.agg(F.avg("w_z"), F.min("w_mm"), F.max("w_mm")).first()
+    assert abs(stats[0]) < 1e-9
+    assert stats[1] >= 0.0 and stats[2] <= 1.0
