@@ -89,3 +89,71 @@ def r22b_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag")
     )
+
+
+@register(
+    "w6_validity_intervals",
+    oracle=(
+        "WITH s AS (SELECT o_custkey, o_orderdate, o_orderstatus, "
+        "lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status, "
+        "o_orderkey FROM orders), "
+        "chg AS (SELECT o_custkey, o_orderdate, o_orderstatus, o_orderkey FROM s "
+        "WHERE prev_status IS NULL OR prev_status <> o_orderstatus) "
+        "SELECT o_custkey, o_orderstatus AS status, o_orderdate AS valid_from, "
+        "lead(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS valid_to "
+        "FROM chg ORDER BY o_custkey, valid_from, status"
+    ),
+    tags=("W6", "W2"),
+)
+def w6_validity_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: SCD2-style validity intervals — collapse a change stream to
+    [valid_from, valid_to) rows per key (open interval = current).
+    Two keyed windows (lag to find change points, lead to close the
+    interval); no self-join, no global order. The MERGE-shaped upsert
+    twin is c18_merge_upsert."""
+    from pyspark.sql import Window
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = o.withColumn(
+        "prev_status", F.lag("o_orderstatus").over(w)
+    ).where(
+        F.col("prev_status").isNull()
+        | (F.col("prev_status") != F.col("o_orderstatus"))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return chg.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w2).alias("valid_to"),
+    ).orderBy("o_custkey", "valid_from", "status")
+
+
+@register(
+    "c25_hash_split",
+    oracle=(
+        "SELECT CAST(SUM(CASE WHEN md5(CAST(l_orderkey AS STRING)) < 'cccccccc' "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_train, "
+        "CAST(SUM(CASE WHEN md5(CAST(l_orderkey AS STRING)) >= 'cccccccc' "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_test, "
+        "CAST(COUNT(*) AS BIGINT) AS n_total FROM lineitem"
+    ),
+    tags=("C25", "R22"),
+)
+def c25_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C25: deterministic train/test split by hash of a stable key —
+    the reproducible alternative to rand() sampling: every engine,
+    run, and cluster size assigns each row identically, and new rows
+    never reshuffle old assignments. md5-hex < 'cccccccc' ≈ 80%
+    ('c'/16 = 0.75 + 0.05 from the next digit). One scan; the split
+    predicate is codegen and pushes into downstream reads if the
+    split column is persisted."""
+    li = T(spark, sf_dir, "lineitem")
+    h = F.md5(F.col("l_orderkey").cast("string"))
+    is_train = h < "cccccccc"
+    return li.agg(
+        F.sum(is_train.cast("long")).alias("n_train"),
+        F.sum((~is_train).cast("long")).alias("n_test"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
