@@ -259,3 +259,56 @@ def d8_pattern_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(q.rlike(r"^[0-9.]+ ?[a-z]+$").cast("long")).alias("n_with_unit"),
         F.sum((q == "N/A").cast("long")).alias("n_na_marker"),
     )
+
+
+# ---------------------------------------------------------------------------
+# D9: rolling-window anomaly detection (per-key online z-score)
+# ---------------------------------------------------------------------------
+
+_ROLL = "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING"
+
+
+@register(
+    "d9_rolling_anomaly",
+    oracle=(
+        "WITH w AS (SELECT event_id, user_id, value, "
+        f"CAST(SUM(CAST(value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id {_ROLL}) AS DOUBLE) AS s, "
+        f"CAST(SUM(CAST(value * value AS DECIMAL(28,6))) OVER (PARTITION BY user_id ORDER BY ts, event_id {_ROLL}) AS DOUBLE) AS sq, "
+        f"CAST(COUNT(value) OVER (PARTITION BY user_id ORDER BY ts, event_id {_ROLL}) AS DOUBLE) AS n "
+        "FROM events), "
+        "z AS (SELECT event_id, user_id, value, "
+        "(value - s / n) / SQRT((sq - s * s / n) / (n - 1.0)) AS zscore, n, "
+        "SQRT((sq - s * s / n) / (n - 1.0)) AS sd FROM w WHERE n >= 10) "
+        "SELECT event_id, user_id, value, zscore FROM z "
+        "WHERE sd > 0 AND ABS(zscore) > 2.5 ORDER BY event_id"
+    ),
+    tags=("D9", "D3", "W4"),
+)
+def d9_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: per-user rolling z-score anomaly flagging — the value is
+    compared against the PRECEDING 20 events only (no lookahead), the
+    batch twin of an online detector (streaming form: ST6 stateful
+    op). Rolling mean/std come from decimal-exact sum/sumsq window
+    frames so both engines compute identical doubles; keyed windows,
+    no global funnel."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    v = F.col("value")
+    s = F.sum(v.cast("decimal(28,6)")).over(w).cast("double")
+    sq = F.sum((v * v).cast("decimal(28,6)")).over(w).cast("double")
+    n = F.count(v).over(w).cast("double")
+    base = ev.select(
+        "event_id", "user_id", "value", s.alias("s"), sq.alias("sq"), n.alias("n")
+    ).where(F.col("n") >= 10)
+    sd = F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - F.lit(1.0)))
+    z = (F.col("value") - F.col("s") / F.col("n")) / sd
+    return (
+        base.select("event_id", "user_id", "value", z.alias("zscore"), sd.alias("sd"))
+        .where((F.col("sd") > 0) & (F.abs(F.col("zscore")) > 2.5))
+        .select("event_id", "user_id", "value", "zscore")
+        .orderBy("event_id")
+    )

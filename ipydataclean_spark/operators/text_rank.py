@@ -95,3 +95,52 @@ def f_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "bigint").alias("k_val"),
         F.variant_get(v, "$.missing", "string").isNull().alias("missing_is_null"),
     ).orderBy("event_id")
+
+
+@register(
+    "l17_bigram_topk",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, "
+        f"list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS t "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform("
+        "list_zip(t[1:len(t)-1], t[2:]), x -> x[1] || ' ' || x[2])) AS bigram "
+        "FROM toks WHERE len(t) >= 2) "
+        "SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM bg GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25"
+    ),
+    tags=("L17", "L5"),
+)
+def l17_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L17: corpus bigram frequencies (language-model-ish n-gram
+    stats). Bigrams are built ARRAY-side with zip_with over two slices
+    of the token array — one codegen projection, then a single
+    explode+groupBy shuffle keyed by bigram. The same shape extends to
+    any n by sliding the slice windows."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != ""
+        ).alias("t"),
+    ).where(F.size("t") >= 2)
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.size("t") - 1),
+                F.slice(F.col("t"), 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n"), "bigram")
+        .limit(25)
+    )

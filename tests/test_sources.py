@@ -129,3 +129,40 @@ def test_stateful_user_totals_tws_replay(spark, sf_dir):
         )
         got = {(r.user_id, r.n_events, round(r.total_value, 6)) for r in out.collect()}
     assert got == batch
+
+
+def test_schema_evolution_merged_read(spark, sf_dir, tmp_path):
+    """S1b: files written under old (no n_chars) and new (+quality)
+    schemas read as the union schema; old rows NULL out new columns."""
+    from ipydataclean_spark.sources import read_parquet_merged
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.select("doc_id", "text", "lang")
+    new = docs.select("doc_id", "text", "lang", (F.col("n_chars") / 100.0).alias("quality"))
+    old.write.parquet(f"{tmp_path}/ds/batch=0")
+    new.write.parquet(f"{tmp_path}/ds/batch=1")
+    merged = read_parquet_merged(spark, f"{tmp_path}/ds")
+    assert "quality" in merged.columns
+    assert merged.count() == 2 * docs.count()
+    assert merged.where(F.col("quality").isNull()).count() == docs.count()
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    """S5b: a 64-file fragmented dataset compacts to the computed
+    target count with identical contents."""
+    import glob
+
+    from ipydataclean_spark.sources import compact_parquet
+
+    li = load_table(spark, sf_dir, "lineitem")
+    li.repartition(64).write.parquet(f"{tmp_path}/frag")
+    n_in = len(glob.glob(f"{tmp_path}/frag/*.parquet"))
+    assert n_in >= 32
+    n_out = compact_parquet(spark, f"{tmp_path}/frag", f"{tmp_path}/compact", target_file_mb=128)
+    n_files = len(glob.glob(f"{tmp_path}/compact/*.parquet"))
+    assert n_files == n_out
+    assert n_files <= 2
+    a = spark.read.parquet(f"{tmp_path}/compact")
+    assert a.count() == li.count()
+    assert a.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).first()[0] == \
+        li.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).first()[0]
