@@ -32,6 +32,17 @@ FIXES_FOR_PROBLEM = {
     "missing": ("fill_value", "fill_mean", "fill_median", "fill_mode", "interpolate", "drop_rows"),
     "string_mismatch": ("convert_numeric", "replace_value", "drop_rows"),
     "outliers": ("clip", "to_null", "drop_rows"),
+    "dates": ("parse_dates", "drop_rows"),
+    "units": ("standardize_units", "drop_rows"),
+    "pii": ("redact",),
+}
+
+# detection defaults for the extended string-column problems
+DATE_FORMATS = ("yyyy-MM-dd", "dd/MM/yyyy", "yyyyMMdd", "MM/dd/yyyy")
+UNIT_RE = r"^[0-9.]+ ?[a-z]+$"
+PII_RES = {
+    "[a-zA-Z0-9._]+@[a-zA-Z0-9.-]+": "[EMAIL]",
+    r"\+[0-9]{1,2}-[0-9]{3}-[0-9]+": "[PHONE]",
 }
 
 
@@ -69,16 +80,48 @@ class DataCleaner:
                 out.append((c, "missing", int(n_null)))
             field = self._df.schema[c]
             if isinstance(field.dataType, StringType):
-                n_mismatch = detectors.detect_string_mismatch(self._df, c).count()
-                non_null = prof["n_rows"] - n_null
-                # a string column is "numeric with mismatches" when most
-                # of it parses — the reference's string-mismatch rule [P]
-                if n_mismatch and non_null and (non_null - n_mismatch) / non_null >= 0.5:
-                    out.append((c, "string_mismatch", int(n_mismatch)))
+                out.extend(self._string_problems(c, prof["n_rows"] - n_null))
             elif isinstance(field.dataType, NumericType):
                 n_out = detectors.detect_outliers_iqr(self._df, c, self.outlier_k).count()
                 if n_out:
                     out.append((c, "outliers", int(n_out)))
+        return out
+
+    def _string_problems(self, c: str, non_null: int) -> list[tuple[str, str, int]]:
+        """Classify one string column in ONE fused aggregate: numeric
+        mismatches (reference rule [P]) vs date-typed vs unit-suffixed
+        vs PII-bearing. Mutually exclusive suggestions, checked in
+        specificity order (dates beat numerics: '20240102' parses as
+        BOTH, and a date column full of compact dates must not be
+        'converted to double')."""
+        col = F.col(c)
+        any_pii = F.lit(False)
+        for pat in PII_RES:
+            any_pii = any_pii | col.rlike(pat)
+        row = self._df.agg(
+            F.sum(
+                (col.isNotNull() & F.expr(f"TRY_CAST({c} AS DOUBLE)").isNull()).cast("long")
+            ).alias("n_mismatch"),
+            F.sum(
+                F.coalesce(
+                    *[F.try_to_timestamp(col, F.lit(f)) for f in DATE_FORMATS]
+                ).isNotNull().cast("long")
+            ).alias("n_date"),
+            F.sum(col.rlike(UNIT_RE).cast("long")).alias("n_unit"),
+            F.sum(any_pii.cast("long")).alias("n_pii"),
+        ).first()
+        out: list[tuple[str, str, int]] = []
+        if not non_null:
+            return out
+        if row.n_pii:
+            out.append((c, "pii", int(row.n_pii)))
+        if row.n_date / non_null >= 0.8:
+            out.append((c, "dates", int(non_null)))
+        elif row.n_unit / non_null >= 0.5:
+            out.append((c, "units", int(non_null)))
+        elif row.n_mismatch and (non_null - row.n_mismatch) / non_null >= 0.5:
+            # mostly-numeric with mismatches — the reference's rule [P]
+            out.append((c, "string_mismatch", int(row.n_mismatch)))
         return out
 
     # ------------------------------------------------------------------
@@ -110,6 +153,18 @@ class DataCleaner:
             self.recipe.add("drop_rows", pred, f"df = <drop {problem} rows on {column!r}>", col=column)
         elif fix == "convert_numeric":
             self.recipe.convert_numeric(column, out=params.get("out", column))
+        elif fix == "parse_dates":
+            self.recipe.parse_dates(
+                column, list(params.get("formats", DATE_FORMATS)), params.get("out")
+            )
+        elif fix == "standardize_units":
+            self.recipe.standardize_units(
+                column, params["conversions"], params.get("out")
+            )
+        elif fix == "redact":
+            self.recipe.redact(
+                column, dict(params.get("patterns", PII_RES)), params.get("out")
+            )
         elif fix == "replace_value":
             a, b = params["old"], params["new"]
             self.recipe.add(

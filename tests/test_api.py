@@ -55,3 +55,47 @@ def test_to_code_reflects_history(spark, sf_dir):
     cleaner.apply_fix("quantity_str", "string_mismatch", "convert_numeric")
     code = cleaner.to_code()
     assert "TRY_CAST" in code and code.startswith("from pyspark.sql import functions as F")
+
+
+def test_extended_string_problems_and_fixes(spark):
+    """dates / units / pii problem kinds detect and their fixes apply."""
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.api import DataCleaner
+
+    rows = [
+        Row(
+            id=i,
+            d=f"2024-0{1 + i % 9}-11" if i % 2 == 0 else f"1{i % 9}/03/2024",
+            w=f"{10 + i}.5 kg" if i % 3 else f"{(10 + i) * 1000}.0 g",
+            note=f"call me at u{i}@mail.com" if i % 4 == 0 else "nothing here",
+            qty=float(i),
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    cleaner = DataCleaner(df)
+    kinds = {(c, k) for c, k, _ in cleaner.problems()}
+    assert ("d", "dates") in kinds
+    assert ("w", "units") in kinds
+    assert ("note", "pii") in kinds
+    assert ("d", "string_mismatch") not in kinds  # dates win over numerics
+
+    cleaner.apply_fix("d", "dates", "parse_dates")
+    cleaner.apply_fix("w", "units", "standardize_units", conversions={"g": 0.001, "kg": 1.0})
+    cleaner.apply_fix("note", "pii", "redact")
+    got = cleaner.df
+    assert dict(got.dtypes)["d"] == "date"
+    from pyspark.sql import functions as F2
+
+    assert got.where(F2.col("d").isNull()).count() == 0
+    assert got.where(F2.col("w").isNull()).count() == 0
+    # grams rows converted into the same magnitude range as kg rows
+    assert got.agg(F2.max("w")).first()[0] < 100
+    assert got.where(F2.col("note").contains("@")).count() == 0
+    assert got.where(F2.col("note").contains("[EMAIL]")).count() == 10
+    # history + code export still line up
+    assert [h["fix"] for h in cleaner.history] == [
+        "parse_dates", "standardize_units", "redact"
+    ]
+    assert "parse_dates" in cleaner.to_code()
