@@ -216,3 +216,64 @@ def stateful_user_totals_tws(ev: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def rolling_anomaly_stream(
+    ev: DataFrame, window_n: int = 20, min_n: int = 10, z_thresh: float = 2.5
+) -> DataFrame:
+    """ST6: streaming twin of d9_rolling_anomaly — per-user online
+    z-score against the trailing ``window_n`` values, kept as a
+    ring-buffer in the state store (ARRAY<DOUBLE> state, bounded at
+    ``window_n`` elements per user — O(keys·window) total state, safe
+    for an unbounded stream). Emits only flagged events (append mode).
+
+    The update fn is a local closure (pickle-by-value — executors never
+    import this package). Batch rows are processed in (ts, event_id)
+    order so replay over time-ordered micro-batches reproduces the
+    batch twin's window semantics exactly."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        vals = list(state.get[0]) if state.exists else []
+        out_id, out_val, out_z = [], [], []
+        batch = pd.concat(list(pdfs))
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for eid, v in zip(batch["event_id"], batch["value"]):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    continue
+                n = len(vals)
+                if n >= min_n:
+                    s = sum(vals)
+                    sq = sum(x * x for x in vals)
+                    var = (sq - s * s / n) / (n - 1)
+                    sd = math.sqrt(var) if var > 0 else 0.0
+                    if sd > 0:
+                        z = (float(v) - s / n) / sd
+                        if abs(z) > z_thresh:
+                            out_id.append(int(eid))
+                            out_val.append(float(v))
+                            out_z.append(float(z))
+                vals.append(float(v))
+                if len(vals) > window_n:
+                    vals.pop(0)
+        state.update((vals,))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_id),
+                "event_id": out_id,
+                "value": out_val,
+                "zscore": out_z,
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, event_id LONG, value DOUBLE, zscore DOUBLE",
+        stateStructType="vals ARRAY<DOUBLE>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

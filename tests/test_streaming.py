@@ -74,3 +74,37 @@ def test_rate_micro_batch_source(spark):
     for r in rows:
         assert int(r.timestamp.timestamp() * 1000) == (r.value // rows_per_batch) * 1000
 
+
+
+def test_rolling_anomaly_replay_equals_batch(spark, sf_dir):
+    """ST6: the streaming rolling-anomaly detector drained with
+    availableNow flags exactly the rows the batch twin (d9) flags,
+    with matching z-scores."""
+    import tempfile
+
+    from ipydataclean_spark.registry import QUERIES, load_all
+    from ipydataclean_spark.streaming.stream import events_stream, rolling_anomaly_stream
+
+    load_all()
+    batch = {
+        (r.user_id, r.event_id): r.zscore
+        for r in QUERIES["d9_rolling_anomaly"]["fn"](spark, sf_dir).collect()
+    }
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            rolling_anomaly_stream(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_anom")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.event_id): r.zscore
+            for r in spark.table("t_anom").collect()
+        }
+    assert got.keys() == batch.keys()
+    for k in batch:
+        assert abs(got[k] - batch[k]) < 1e-9, k
