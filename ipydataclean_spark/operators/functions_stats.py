@@ -173,3 +173,68 @@ def f_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 2).alias("shr"),
         F.bit_count(k).alias("popcount"),
     ).orderBy("o_orderkey")
+
+
+_CM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CM_PAIRS = [
+    (a, b) for i, a in enumerate(_CM_COLS) for b in _CM_COLS[i + 1 :]
+]
+
+
+def _cm_short(c: str) -> str:
+    return c.removeprefix("l_")
+
+
+@register(
+    "p18_corr_matrix",
+    oracle=(
+        "WITH s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+        + ", ".join(
+            f"{exact.dsum_sql(c)} AS s_{_cm_short(c)}, "
+            f"{exact.dsum_sql(f'{c} * {c}')} AS ss_{_cm_short(c)}"
+            for c in _CM_COLS
+        )
+        + ", "
+        + ", ".join(
+            f"{exact.dsum_sql(f'{a} * {b}')} AS sp_{_cm_short(a)}_{_cm_short(b)}"
+            for a, b in _CM_PAIRS
+        )
+        + " FROM lineitem) SELECT "
+        + ", ".join(
+            f"ROUND((n * sp_{_cm_short(a)}_{_cm_short(b)} - s_{_cm_short(a)} * s_{_cm_short(b)}) / "
+            f"(SQRT(n * ss_{_cm_short(a)} - s_{_cm_short(a)} * s_{_cm_short(a)}) * "
+            f"SQRT(n * ss_{_cm_short(b)} - s_{_cm_short(b)} * s_{_cm_short(b)})), 12) "
+            f"AS corr_{_cm_short(a)}_{_cm_short(b)}"
+            for a, b in _CM_PAIRS
+        )
+        + " FROM s"
+    ),
+    tags=("P18", "P4"),
+)
+def p18_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18: full pairwise correlation matrix of 4 numeric columns in
+    ONE scan — 14 decimal power sums feed all 6 Pearson coefficients
+    (order-independent, so bit-stable at any partition count; the
+    builtin streaming corr is not). The agg count is O(k²) in columns
+    but the scan count stays 1 — the 100 TB rule."""
+    li = T(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in _CM_COLS:
+        sh = _cm_short(c)
+        aggs.append(exact.dsum(c).alias(f"s_{sh}"))
+        aggs.append(exact.dsum(F.col(c) * F.col(c)).alias(f"ss_{sh}"))
+    for a, b in _CM_PAIRS:
+        aggs.append(
+            exact.dsum(F.col(a) * F.col(b)).alias(f"sp_{_cm_short(a)}_{_cm_short(b)}")
+        )
+    s = li.agg(*aggs)
+    outs = []
+    n = F.col("n")
+    for a, b in _CM_PAIRS:
+        sa, sb = _cm_short(a), _cm_short(b)
+        num = n * F.col(f"sp_{sa}_{sb}") - F.col(f"s_{sa}") * F.col(f"s_{sb}")
+        den = F.sqrt(n * F.col(f"ss_{sa}") - F.col(f"s_{sa}") * F.col(f"s_{sa}")) * F.sqrt(
+            n * F.col(f"ss_{sb}") - F.col(f"s_{sb}") * F.col(f"s_{sb}")
+        )
+        outs.append(F.round(num / den, 12).alias(f"corr_{sa}_{sb}"))
+    return s.select(*outs)

@@ -312,3 +312,104 @@ def d9_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "value", "zscore")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# P16: referential-integrity audit (FK orphan counts)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p16_fk_integrity",
+    oracle=(
+        "SELECT "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM orders o WHERE NOT EXISTS "
+        "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS orphan_customers"
+    ),
+    tags=("P16", "R5"),
+)
+def p16_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: referential-integrity audit — orphan counts per FK edge via
+    left-anti joins (broadcast dims where small). The constraint-suite
+    (p13) companion for multi-table catalogs; at 100 TB each check is
+    one anti-join whose build side is the (smaller) referenced key
+    set."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    li = T(spark, sf_dir, "lineitem")
+    n = T(spark, sf_dir, "nation")
+    orphan_orders = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    orphan_lineitems = (
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    orphan_customers = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_customers"))
+    )
+    return orphan_orders.crossJoin(orphan_lineitems).crossJoin(orphan_customers)
+
+
+# ---------------------------------------------------------------------------
+# P17: Benford first-digit profile
+# ---------------------------------------------------------------------------
+
+# expected Benford frequencies, precomputed ONCE in Python and injected
+# as identical literals into both engines (log10 at query time would
+# hit each engine's libm and can differ in the last ulp).
+_BENFORD = {d: __import__("math").log10(1 + 1 / d) for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE first_digit "
+    + " ".join(f"WHEN '{d}' THEN {f!r}" for d, f in _BENFORD.items())
+    + " END"
+)
+
+
+@register(
+    "p17_benford_profile",
+    oracle=(
+        "WITH d AS (SELECT regexp_extract(CAST(o_totalprice AS STRING), '[1-9]') AS first_digit "
+        "FROM orders WHERE o_totalprice > 0), "
+        "c AS (SELECT first_digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY first_digit), "
+        "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c) "
+        "SELECT first_digit, n, n / total AS observed, "
+        f"CAST({_BENFORD_CASE} AS DOUBLE) AS expected, "
+        f"n / total - CAST({_BENFORD_CASE} AS DOUBLE) AS deviation "
+        "FROM c, t ORDER BY first_digit"
+    ),
+    tags=("P17", "P7"),
+)
+def p17_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: Benford's-law first-significant-digit profile — the fraud /
+    data-fabrication smoke test. The digit comes from the decimal
+    string form (regexp, identical in both engines — no per-row log10,
+    whose libm rounding differs across engines); expected frequencies
+    are Python-precomputed literals. One scan + 9-row agg."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.regexp_extract(F.col("o_totalprice").cast("string"), "[1-9]", 0).alias(
+            "first_digit"
+        )
+    )
+    c = d.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    total = float(c.agg(F.sum("n")).first()[0])
+    expected = F.lit(None).cast("double")
+    for digit, freq in reversed(_BENFORD.items()):
+        expected = F.when(F.col("first_digit") == str(digit), F.lit(freq)).otherwise(
+            expected
+        )
+    obs = F.col("n") / F.lit(total)
+    return c.select(
+        "first_digit",
+        "n",
+        obs.alias("observed"),
+        expected.alias("expected"),
+        (obs - expected).alias("deviation"),
+    ).orderBy("first_digit")
