@@ -12,6 +12,8 @@ run from any cwd; see multimodal.py for the incident this rule fixes).
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -134,3 +136,31 @@ def u4_grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(mad("qty_parsed").alias("qty_mad"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "u7_pandas_iter_udf",
+    oracle=(
+        "SELECT doc_id, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) "
+        "AS n_tokens FROM documents ORDER BY doc_id"
+    ),
+    tags=("U7", "U2", "L10"),
+)
+def u7_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U7: ITERATOR-form pandas UDF (Iterator[Series] -> Iterator[
+    Series]) — the variant that amortizes expensive per-worker init
+    (compiled regex here; a real tokenizer/model in production) across
+    every Arrow batch of a partition instead of paying it per batch.
+    The UDF is a local closure (executors never import this package)."""
+    import re
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def n_tokens(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        pat = re.compile(r"[a-z0-9]+")  # init once per worker task
+        for s in batches:
+            yield s.map(lambda t: len(pat.findall(t.lower())) if t is not None else None)
+
+    docs = T(spark, sf_dir, "documents")
+    return docs.select("doc_id", n_tokens("text").alias("n_tokens")).orderBy("doc_id")

@@ -277,3 +277,18 @@ def rolling_anomaly_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sliding_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST2: watermarked sliding-window aggregate (10-minute windows
+    every 5 minutes — each event lands in 2 windows). Same shape in
+    batch and streaming; the replay test drains with availableNow in
+    complete mode and must equal the batch run."""
+    src = ev.withWatermark("ts", watermark) if ev.isStreaming else ev
+    return (
+        src.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), exact.dsum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+    )

@@ -134,3 +134,45 @@ def test_observation_metrics_piggyback(spark, sf_dir):
     assert metrics["qty_nulls"] == 0
     assert metrics["max_shipdate"] is not None
     assert 0 < out_rows < metrics["n_rows"]
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime row-level filtering: with a selective dim-side filter on
+    a shuffle join, Catalyst injects a bloom filter built from the
+    small side and applies it to the fact scan side — rows that cannot
+    join are dropped BEFORE the shuffle. At 100 TB this is the knob
+    that turns a 'shuffle everything then discard 99%' join into a
+    pre-shuffle semi-filter. (Thresholds lowered because the fixture
+    is far below the 10 GB default application-side size.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).agg(F.count(F.lit(1)).alias("n"))
+        from ipydataclean_spark.plans import formatted_plan
+
+        plan = formatted_plan(joined).lower()
+        assert "bloomfilter" in plan or "bloom_filter" in plan, plan[:3000]
+        # and it must not change the answer
+        expect = (
+            li.join(orders.where(F.col("o_orderpriority") == "1-URGENT"),
+                    li.l_orderkey == orders.o_orderkey)
+            .count()
+        )
+        assert joined.agg(F.sum("n")).first()[0] == expect
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

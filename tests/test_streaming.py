@@ -108,3 +108,23 @@ def test_rolling_anomaly_replay_equals_batch(spark, sf_dir):
     assert got.keys() == batch.keys()
     for k in batch:
         assert abs(got[k] - batch[k]) < 1e-9, k
+
+
+def test_sliding_replay_equals_batch(spark, sf_dir):
+    """ST2: sliding windows drained with availableNow equal the batch
+    twin (every event double-counted into its 2 overlapping windows)."""
+    import tempfile as _tf
+
+    from ipydataclean_spark.streaming.stream import sliding_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = sliding_counts(ev)
+    # sanity: overlapping windows double-count vs row count
+    total = batch.agg({"n_events": "sum"}).first()[0]
+    assert total == 2 * ev.count()
+    with _tf.TemporaryDirectory() as ckpt:
+        replay = run_available_now(
+            sliding_counts(events_stream(spark, sf_dir)), "t_sliding", ckpt
+        )
+        cols = ["window_start", "event_type", "n_events", "total_value"]
+        assert _sorted_rows(replay, cols) == _sorted_rows(batch, cols)
