@@ -164,3 +164,40 @@ def u7_pandas_iter_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return docs.select("doc_id", n_tokens("text").alias("n_tokens")).orderBy("doc_id")
+
+
+@register(
+    "u8_map_in_arrow",
+    oracle=(
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, "
+        "CAST(length(text) AS BIGINT) AS n_codepoints "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tags=("U8", "U5"),
+)
+def u8_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8: mapInArrow — the zero-copy batch boundary: the worker
+    receives raw pyarrow RecordBatches (no pandas conversion at all)
+    and answers with Arrow compute kernels. The right tier for
+    byte-level work (hashing, binary feature extraction) where even
+    the pandas bridge would cost a copy. Local closure."""
+
+    def arrow_lengths(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index("text"))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(batch.schema.get_field_index("doc_id")),
+                    pc.cast(pc.binary_length(pc.cast(text, pa.binary())), pa.int64()),
+                    pc.cast(pc.utf8_length(text), pa.int64()),
+                ],
+                names=["doc_id", "n_bytes", "n_codepoints"],
+            )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        arrow_lengths, "doc_id LONG, n_bytes LONG, n_codepoints LONG"
+    ).orderBy("doc_id")

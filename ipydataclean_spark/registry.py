@@ -48,6 +48,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.ivf",
     "ipydataclean_spark.operators.multimodal",
     "ipydataclean_spark.streaming.batch_twins",
+    "ipydataclean_spark.sources.pydatasource",
 )
 
 

@@ -1,0 +1,134 @@
+"""Custom Python DataSource (Spark 4.x datasource API) — S8.
+
+A deterministic dirty-data generator registered as a first-class
+`spark.read.format("dirtygen")` source: schema declaration, option
+handling, and PARTITIONED reads (each InputPartition generates its own
+id range, so the scan parallelizes like any file source — this is the
+pattern for wrapping internal services/APIs as Spark sources at scale).
+
+The DataSource classes are defined inside the registration factory so
+cloudpickle serializes them BY VALUE — executors never need this
+package importable (the engine's closure rule).
+
+The generator rule is pure arithmetic on the row id, so the source has
+a DuckDB oracle twin over generate_series — a custom source whose scan
+is still hash-checkable end-to-end (s8_pyds_scan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.registry import register
+
+# the dirt rule, shared (as SQL text) with the DuckDB oracle:
+#   value: NULL every 97th id, ×1000 outlier every 101st, else id % 50
+DIRT_RULE_SQL = (
+    "CASE WHEN ({id} % 97) = 0 THEN NULL "
+    "WHEN ({id} % 101) = 0 THEN 1000.0 * {id} "
+    "ELSE CAST({id} % 50 AS DOUBLE) END"
+)
+
+
+def register_dirtygen(spark: SparkSession) -> None:
+    """Register the ``dirtygen`` Python data source on this session."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class DirtyGenReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", 1000))
+            self.nparts = int(options.get("partitions", 8))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.nparts)]
+
+        def read(self, partition):
+            # contiguous id range per partition — a distributed scan,
+            # not a driver-side generate-and-parallelize
+            i = partition.value
+            per = -(-self.rows // self.nparts)  # ceil
+            for k in range(i * per, min((i + 1) * per, self.rows)):
+                if k % 97 == 0:
+                    value = None
+                elif k % 101 == 0:
+                    value = 1000.0 * k
+                else:
+                    value = float(k % 50)
+                yield (k, value, f"g{k % 5}")
+
+    class DirtyGenDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "dirtygen"
+
+        def schema(self):
+            return "id BIGINT, value DOUBLE, grp STRING"
+
+        def reader(self, schema):
+            return DirtyGenReader(self.options)
+
+    spark.dataSource.register(DirtyGenDataSource)
+
+
+@register(
+    "s8_pyds_scan",
+    oracle=(
+        "SELECT CAST(g.generate_series AS BIGINT) AS id, "
+        + DIRT_RULE_SQL.format(id="g.generate_series")
+        + " AS value, 'g' || CAST(g.generate_series % 5 AS STRING) AS grp "
+        "FROM generate_series(0, 1999) g ORDER BY id"
+    ),
+    tags=("S8",),
+)
+def s8_pyds_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: scan through the custom Python data source (2000 rows, 8
+    generator partitions). The oracle reproduces the same deterministic
+    rule over generate_series, so even a from-scratch source stays
+    value-hash-checked."""
+    register_dirtygen(spark)
+    df = (
+        spark.read.format("dirtygen")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.orderBy("id")
+
+
+@register(
+    "s8b_pyds_cleaned",
+    oracle=(
+        "WITH src AS (SELECT CAST(g.generate_series AS BIGINT) AS id, "
+        + DIRT_RULE_SQL.format(id="g.generate_series")
+        + " AS value, 'g' || CAST(g.generate_series % 5 AS STRING) AS grp "
+        "FROM generate_series(0, 1999) g), "
+        "m AS (SELECT QUANTILE_CONT(value, 0.5) AS med FROM src) "
+        "SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(COALESCE(value, med) AS DECIMAL(28,6))) AS DOUBLE) AS total "
+        "FROM src, m GROUP BY grp ORDER BY grp"
+    ),
+    tags=("S8", "C3"),
+)
+def s8b_pyds_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8b: the custom source composed with the cleaning engine —
+    median-fill the generator's injected nulls (C3 two-phase), then a
+    grouped rollup; proves a from-scratch source feeds the same
+    operator pipeline as parquet."""
+    from ipydataclean_spark.functions import exact
+    from ipydataclean_spark.functions.quantiles import exact_median
+
+    register_dirtygen(spark)
+    src = (
+        spark.read.format("dirtygen")
+        .option("rows", "2000")
+        .option("partitions", "8")
+        .load()
+    )
+    med = exact_median(src, "value")
+    filled = src.withColumn("value", F.coalesce(F.col("value"), F.lit(med)))
+    return (
+        filled.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), exact.dsum("value").alias("total"))
+        .orderBy("grp")
+    )

@@ -166,3 +166,17 @@ def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
     assert a.count() == li.count()
     assert a.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).first()[0] == \
         li.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).first()[0]
+
+
+def test_pyds_partitioned_scan(spark):
+    """S8: the custom Python data source scans with one task per
+    declared InputPartition (a distributed read, not a driver loop),
+    and its dirt rule lands where declared."""
+    from ipydataclean_spark.sources.pydatasource import register_dirtygen
+
+    register_dirtygen(spark)
+    df = spark.read.format("dirtygen").option("rows", "2000").option("partitions", "8").load()
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 2000
+    assert df.where(F.col("value").isNull()).count() == len(range(0, 2000, 97))
+    assert df.where(F.col("value") > 10000).count() > 0
