@@ -157,3 +157,39 @@ def c25_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~is_train).cast("long")).alias("n_test"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+def salted_sum(
+    df: DataFrame, key: str, val, out: str, salt_n: int = 16
+) -> DataFrame:
+    """Two-stage skew-safe aggregation: stage 1 groups by (key, salt)
+    — a hot key's rows spread over ``salt_n`` reducers — stage 2
+    re-aggregates the per-salt partials by key. Decimal partials make
+    the re-sum exact, so the result is identical to a direct groupBy
+    at any salt_n. AQE's skew handling covers joins; aggregation-side
+    hot keys still need this explicit spread when one key dominates a
+    100 TB shuffle."""
+    part = (
+        df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n)))
+        .groupBy(key, "__salt")
+        .agg(F.sum(val.cast("decimal(28,6)")).alias("__p"))
+    )
+    return part.groupBy(key).agg(F.sum("__p").cast("double").alias(out))
+
+
+@register(
+    "r11b_salted_agg",
+    oracle=(
+        "SELECT l_returnflag, CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,6))) AS DOUBLE) "
+        "AS revenue FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("R11", "skew"),
+)
+def r11b_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11b: salted two-stage aggregation over a 3-value (maximally
+    hot) grouping key — hash-checked identical to the direct groupBy
+    because the partials are decimal-exact and associative."""
+    li = T(spark, sf_dir, "lineitem")
+    return salted_sum(
+        li, "l_returnflag", F.col("l_extendedprice"), "revenue", salt_n=16
+    ).orderBy("l_returnflag")

@@ -32,8 +32,44 @@ DIRT_RULE_SQL = (
 
 
 def register_dirtygen(spark: SparkSession) -> None:
-    """Register the ``dirtygen`` Python data source on this session."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    """Register the ``dirtygen`` Python data source on this session —
+    batch reads (partitioned) AND a micro-batch stream reader (offset =
+    next unemitted id; ``chunk`` rows per batch), so the same generator
+    rule feeds both engines' entry points."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+        SimpleDataSourceStreamReader,
+    )
+
+    def _gen_row(k: int):
+        if k % 97 == 0:
+            value = None
+        elif k % 101 == 0:
+            value = 1000.0 * k
+        else:
+            value = float(k % 50)
+        return (k, value, f"g{k % 5}")
+
+    class DirtyGenStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows", 1000))
+            self.chunk = int(options.get("chunk", 250))
+
+        def initialOffset(self):
+            return {"next": 0}
+
+        def read(self, start):
+            lo = start["next"]
+            hi = min(lo + self.chunk, self.rows)
+            return iter([_gen_row(k) for k in range(lo, hi)]), {"next": hi}
+
+        def readBetweenOffsets(self, start, end):
+            return iter([_gen_row(k) for k in range(start["next"], end["next"])])
+
+        def commit(self, end):
+            pass
 
     class DirtyGenReader(DataSourceReader):
         def __init__(self, options):
@@ -67,6 +103,9 @@ def register_dirtygen(spark: SparkSession) -> None:
 
         def reader(self, schema):
             return DirtyGenReader(self.options)
+
+        def simpleStreamReader(self, schema):
+            return DirtyGenStreamReader(self.options)
 
     spark.dataSource.register(DirtyGenDataSource)
 

@@ -180,3 +180,36 @@ def test_pyds_partitioned_scan(spark):
     assert df.count() == 2000
     assert df.where(F.col("value").isNull()).count() == len(range(0, 2000, 97))
     assert df.where(F.col("value") > 10000).count() > 0
+
+
+def test_pyds_stream_replay_equals_batch(spark):
+    """S8c: the custom source's micro-batch stream reader, drained with
+    availableNow over 8 chunks, yields exactly the batch scan."""
+    from ipydataclean_spark.sources.pydatasource import register_dirtygen
+
+    register_dirtygen(spark)
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("dirtygen")
+        .option("rows", "2000").option("partitions", "4").load().collect()
+    )
+    import time
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            spark.readStream.format("dirtygen")
+            .option("rows", "2000").option("chunk", "250").load()
+            .writeStream.format("memory").queryName("t_pyds")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # the generator is exhausted once the offset reaches `rows`;
+        # each micro-batch advances it by `chunk` (8 batches total)
+        deadline = time.time() + 120
+        while time.time() < deadline and spark.table("t_pyds").count() < 2000:
+            time.sleep(0.5)
+        q.stop()
+        got = sorted(tuple(r) for r in spark.table("t_pyds").collect())
+    assert got == batch
