@@ -413,3 +413,68 @@ def p17_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected"),
         (obs - expected).alias("deviation"),
     ).orderBy("first_digit")
+
+
+# ---------------------------------------------------------------------------
+# P19: missingness-pattern analysis (multi-column null co-occurrence)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p19_missingness_patterns",
+    oracle=with_lineitem_dirty(
+        "SELECT CONCAT(CASE WHEN quantity_str IS NULL THEN '1' ELSE '0' END, "
+        "CASE WHEN qty_parsed IS NULL THEN '1' ELSE '0' END) AS pattern, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM lineitem_dirty GROUP BY pattern ORDER BY pattern"
+    ),
+    tags=("P19", "P2", "D1"),
+)
+def p19_missingness_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19: missingness co-occurrence patterns (the md.pattern view):
+    each row maps to its null-indicator bitstring across the audited
+    columns; pattern counts reveal STRUCTURED missingness ('01' here =
+    raw string present but unparseable — fix with C9/C10, not a fill).
+    One scan, one tiny agg, any column count."""
+    df = lineitem_dirty(spark, sf_dir)
+    pattern = F.concat(
+        *[
+            F.when(F.col(c).isNull(), "1").otherwise("0")
+            for c in ("quantity_str", "qty_parsed")
+        ]
+    )
+    return (
+        df.groupBy(pattern.alias("pattern"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("pattern")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C26: rank (quantile) normalization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c26_rank_normalize",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        "percent_rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS price_pct "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, price_pct"
+    ),
+    tags=("C26", "W1", "C24"),
+)
+def c26_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C26: rank-normalize a column to [0, 1] within each group
+    (percent_rank — ties share a rank, so it's deterministic). The
+    distribution-free cousin of z-scoring (C24): heavy tails and
+    outliers can't dominate. Keyed window; at scale an ungrouped
+    version should go through the P7 histogram CDF instead of a
+    global-order window."""
+    li = T(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.percent_rank().over(w).alias("price_pct"),
+    ).orderBy("l_orderkey", "l_linenumber", "price_pct")

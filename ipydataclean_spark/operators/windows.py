@@ -134,3 +134,34 @@ def w4_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "w5_rolling_median",
+    oracle=(
+        "SELECT event_id, user_id, "
+        "quantile_cont(value, 0.5) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS med10 "
+        "FROM events ORDER BY event_id"
+    ),
+    tags=("W5", "W4", "P5"),
+)
+def w5_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: rolling median over the trailing 10 events per user — the
+    robust denoiser a rolling mean can't be (one spike shifts a mean,
+    not a median). Keyed frames only; both engines interpolate
+    identically, so it hash-checks. Frame state is 10 values/row —
+    O(frame) not O(partition) memory at scale."""
+    from ipydataclean_spark.operators.qhelp import T
+
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.percentile("value", F.lit(0.5)).over(w).alias("med10"),
+    ).orderBy("event_id")
