@@ -50,14 +50,21 @@ def standardize_units(
 
 def scale_zscore(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     """Z-score standardization (C24), two-phase: one scalar job for
-    exact mean/stddev, then a literal-substituted codegen pass."""
+    exact mean/stddev, then a literal-substituted codegen pass. A
+    (near-)constant column has sd == 0 — ANSI mode would raise on the
+    division, so it scales to 0.0 (already centered) instead."""
     m, sd = df.agg(exact.davg(col), exact.dstddev(col)).first()
+    if not sd or sd == 0.0:
+        return df.withColumn(out or col, F.when(F.col(col).isNotNull(), F.lit(0.0)))
     return df.withColumn(out or col, (F.col(col) - F.lit(m)) / F.lit(sd))
 
 
 def scale_minmax(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
-    """Min-max scaling to [0, 1] (C24), two-phase like scale_zscore."""
+    """Min-max scaling to [0, 1] (C24), two-phase like scale_zscore;
+    a constant column maps to 0.0 (ANSI-safe, no 0/0)."""
     lo, hi = df.agg(F.min(col), F.max(col)).first()
+    if lo is None or hi is None or lo == hi:
+        return df.withColumn(out or col, F.when(F.col(col).isNotNull(), F.lit(0.0)))
     return df.withColumn(
         out or col, (F.col(col) - F.lit(lo)) / (F.lit(hi) - F.lit(lo))
     )

@@ -106,3 +106,99 @@ def test_interpolate_matches_pandas(spark, xs):
                 xs,
                 got,
             )
+
+
+# ---------------------------------------------------------------------------
+# Continuation ops: scaling, rank-normalize, salted agg, z-order
+# ---------------------------------------------------------------------------
+
+floats_nonempty = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=2,
+    max_size=25,
+)
+
+
+@given(xs=floats_nonempty)
+@settings(**_SETTINGS)
+def test_minmax_scale_bounds_and_order(spark, xs):
+    """scale_minmax lands every value in [0,1] (endpoints hit) and is
+    monotone — order of values never changes."""
+    from ipydataclean_spark.operators.featprep import scale_minmax
+
+    assume(max(xs) - min(xs) > 1e-3)
+    out = scale_minmax(_df(spark, xs), "v", "s").orderBy("row_id").collect()
+    vals = [r.s for r in out]
+    assert min(vals) == 0.0 and max(vals) == 1.0
+    # monotone (not strictly: sub-ulp input gaps may collapse): sorting
+    # inputs must leave the scaled sequence non-decreasing
+    by_x = sorted(zip(xs, vals))
+    assert all(b[1] >= a[1] for a, b in zip(by_x, by_x[1:]))
+
+
+@given(xs=floats_nonempty)
+@settings(**_SETTINGS)
+def test_zscore_scale_centers(spark, xs):
+    from ipydataclean_spark.operators.featprep import scale_zscore
+
+    assume(max(xs) - min(xs) > 1e-3)
+    out = scale_zscore(_df(spark, xs), "v", "z").collect()
+    m = sum(r.z for r in out) / len(out)
+    # decimal(28,6) quantization of ~1e6-magnitude inputs bounds the
+    # center error well below 1e-2 z-units
+    assert abs(m) < 1e-2
+
+
+@given(xs=floats_nonempty, salt_n=st.integers(min_value=1, max_value=32))
+@settings(**_SETTINGS)
+def test_salted_sum_equals_direct(spark, xs, salt_n):
+    """salted_sum is exactly the direct grouped sum at ANY salt count
+    (decimal partials are associative)."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.groupstats import salted_sum
+
+    df = spark.createDataFrame(
+        [(i % 3, x) for i, x in enumerate(xs)], "k INT, v DOUBLE"
+    )
+    got = {
+        r.k: r.total
+        for r in salted_sum(df, "k", F.col("v"), "total", salt_n=salt_n).collect()
+    }
+    expect = {
+        r.k: r.total
+        for r in df.groupBy("k")
+        .agg(F.sum(F.col("v").cast("decimal(28,6)")).cast("double").alias("total"))
+        .collect()
+    }
+    assert got == expect
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=255),
+            st.integers(min_value=0, max_value=255),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(**_SETTINGS)
+def test_zvalue_bijective_and_bounded(spark, pairs):
+    """Morton code: invertible on 8-bit pairs (distinct pairs →
+    distinct z) and bounded by 2^16."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.sketches import zvalue
+
+    df = spark.createDataFrame(pairs, "x LONG, y LONG")
+    out = df.select("x", "y", zvalue(F.col("x"), F.col("y")).alias("z")).collect()
+    assert all(0 <= r.z < (1 << 16) for r in out)
+    zmap = {}
+    for r in out:
+        if (r.x, r.y) in zmap:
+            assert zmap[(r.x, r.y)] == r.z
+        else:
+            zmap[(r.x, r.y)] = r.z
+    assert len(set(zmap.values())) == len(zmap)
