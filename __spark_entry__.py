@@ -17,9 +17,12 @@ if "/root/repo" not in sys.path:
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ipydataclean_spark.registry import QUERIES, load_all
+from ipydataclean_spark.registry import QUERIES, ordered_queries
 
-load_all()
+#: Driver-facing view: queries without a prior-round driver-green row come
+#: first, so the driver's bounded CORRECTNESS window verifies fresh queries
+#: each round (VERDICT r01, next-round item #1).
+_ORDERED = ordered_queries()
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,9 +35,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec["fn"] for name, spec in QUERIES.items()}
+    return {name: spec["fn"] for name, spec in _ORDERED.items()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB twins; ops without one get the driver's rows-only check."""
-    return {name: spec["oracle"] for name, spec in QUERIES.items() if spec["oracle"] is not None}
+    return {name: spec["oracle"] for name, spec in _ORDERED.items() if spec["oracle"] is not None}

@@ -38,6 +38,11 @@ HEADLINE = [
     "st3_session_window",          # sessionization
     "w4_moving_avg",               # rolling window stats
     "l10_token_count",             # regex token counting
+    # round-2 additions (VERDICT r01 #6): the heaviest plans in the repo,
+    # previously invisible to the headline
+    "q9_product_profit",           # 5-table join, per-nation/year profit
+    "q21_sole_return_suppliers",   # semi/anti multi-join (TPC-H Q21 shape)
+    "r25b_correlated_subquery_sql",  # Catalyst-decorrelated scalar subquery
 ]
 
 

@@ -143,12 +143,24 @@ class DataCleaner:
                 col=column,
             )
         elif fix == "drop_rows":
+            formats = list(params.get("formats", DATE_FORMATS))
             pred = {
                 "missing": lambda df: df.na.drop(subset=[column]),
                 "string_mismatch": lambda df: df.where(
                     F.col(column).isNull() | F.expr(f"TRY_CAST({column} AS DOUBLE)").isNotNull()
                 ),
                 "outliers": lambda df: self._drop_outliers(df, column),
+                # drop rows whose non-null value parses under NO known format
+                "dates": lambda df: df.where(
+                    F.col(column).isNull()
+                    | F.coalesce(
+                        *[F.try_to_timestamp(F.col(column), F.lit(f)) for f in formats]
+                    ).isNotNull()
+                ),
+                # drop rows whose non-null value lacks a number+unit shape
+                "units": lambda df: df.where(
+                    F.col(column).isNull() | F.col(column).rlike(UNIT_RE)
+                ),
             }[problem]
             self.recipe.add("drop_rows", pred, f"df = <drop {problem} rows on {column!r}>", col=column)
         elif fix == "convert_numeric":

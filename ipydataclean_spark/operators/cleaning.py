@@ -596,3 +596,78 @@ def c18_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("update")
         .alias("merge_action"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# C18b: file-level MERGE into partitioned parquet (no table format)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c18b_merge_files",
+    oracle=(
+        "WITH updates AS ("
+        "SELECT o_orderkey AS u_orderkey, o_totalprice * 1.10 AS u_totalprice, "
+        "'P' AS u_orderstatus FROM orders WHERE o_orderkey % 64 = 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 10000000 AS u_orderkey, o_totalprice AS u_totalprice, "
+        "'N' AS u_orderstatus FROM orders WHERE o_orderkey % 128 = 0) "
+        "SELECT COALESCE(u_orderkey, o_orderkey) AS o_orderkey, "
+        "COALESCE(u_totalprice, o_totalprice) AS o_totalprice, "
+        "COALESCE(u_orderstatus, o_orderstatus) AS o_orderstatus, "
+        "CAST(COALESCE(u_orderkey, o_orderkey) % 16 AS BIGINT) AS pk "
+        "FROM orders FULL JOIN updates ON u_orderkey = o_orderkey "
+        "ORDER BY o_orderkey"
+    ),
+    tags=("C18", "S5", "S9"),
+)
+def c18b_merge_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C18b: MERGE executed at the FILE level against a partitioned
+    parquet dataset (sources.merge_into_parquet) — the incremental-
+    cleaning-run path VERDICT r01 #5 asked for. The target is seeded
+    from orders partitioned by pk = o_orderkey % 16 (a key-derived,
+    update-stable partition column); the update batch touches only keys
+    ≡ 0 (mod 64/128), i.e. ONLY partition pk=0, so the merge reads one
+    partition (static pruning) and dynamic-partition-overwrite rewrites
+    one partition — the other 15 partitions' files are untouched on
+    disk (asserted in tests/test_sources.py). The query returns the
+    post-merge table state, which the oracle reproduces as a plain
+    full-outer MERGE over all rows."""
+    import pathlib
+
+    from ipydataclean_spark.sources import merge_into_parquet
+
+    # session-unique scratch: two concurrent sessions (e.g. verify + a
+    # smoke run) must not race on the same target dataset
+    scratch = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"c18b_merge_{spark.sparkContext.applicationId}"
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus",
+        (F.col("o_orderkey") % 16).alias("pk"),
+    )
+    orders.write.mode("overwrite").partitionBy("pk").parquet(scratch)
+    updates = orders.where(F.col("o_orderkey") % 64 == 0).select(
+        F.col("o_orderkey").alias("u_o_orderkey"),
+        (F.col("o_totalprice") * F.lit(1.10)).alias("u_o_totalprice"),
+        F.lit("P").alias("u_o_orderstatus"),
+        F.col("pk"),
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 128 == 0).select(
+            (F.col("o_orderkey") + 10000000).alias("u_o_orderkey"),
+            F.col("o_totalprice").alias("u_o_totalprice"),
+            F.lit("N").alias("u_o_orderstatus"),
+            ((F.col("o_orderkey") + 10000000) % 16).alias("pk"),
+        )
+    )
+    merge_into_parquet(spark, scratch, updates, key="o_orderkey", part="pk")
+    return (
+        spark.read.parquet(scratch)
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderstatus",
+            F.col("pk").cast("long").alias("pk"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -76,14 +76,17 @@ def one_hot(df: DataFrame, col: str, values: list[str] | None = None) -> DataFra
     (fine interactively; pass it explicitly in pipelines)."""
     if values is None:
         values = [r[0] for r in df.select(col).distinct().collect()]
-    cols = {
-        f"{col}__{str(v).lower().replace(' ', '_').replace('-', '_')}": F.when(
-            F.col(col) == v, 1
-        )
-        .otherwise(0)
-        .cast("int")
-        for v in sorted(values)
-    }
+    cols: dict[str, F.Column] = {}
+    for v in sorted(values):
+        name = f"{col}__{str(v).lower().replace(' ', '_').replace('-', '_')}"
+        if name in cols:
+            # distinct categories ('A-B' vs 'a b') collapsing to one
+            # normalized name would silently drop an indicator
+            raise ValueError(
+                f"one_hot: categories collide on normalized column name {name!r}; "
+                "pass explicit disambiguated values"
+            )
+        cols[name] = F.when(F.col(col) == v, 1).otherwise(0).cast("int")
     return df.withColumns(cols)
 
 

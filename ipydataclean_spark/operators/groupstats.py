@@ -168,9 +168,16 @@ def salted_sum(
     the re-sum exact, so the result is identical to a direct groupBy
     at any salt_n. AQE's skew handling covers joins; aggregation-side
     hot keys still need this explicit spread when one key dominates a
-    100 TB shuffle."""
+    100 TB shuffle.
+
+    The salt is ``spark_partition_id() % salt_n`` — deterministic under
+    task retry (a retried task keeps its partition id), unlike
+    rand()/monotonically_increasing_id() salts whose reassignment on
+    shuffle-retry can double-count partially-fetched map output. Each
+    input partition lands on one reducer salt, which spreads a hot key
+    across however many input partitions carry it."""
     part = (
-        df.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(salt_n)))
+        df.withColumn("__salt", F.pmod(F.spark_partition_id().cast("long"), F.lit(salt_n)))
         .groupBy(key, "__salt")
         .agg(F.sum(val.cast("decimal(28,6)")).alias("__p"))
     )

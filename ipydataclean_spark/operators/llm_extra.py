@@ -62,7 +62,12 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame, max_iter: int = 10) -> DataF
         labels = new_labels
         if changed == 0:
             break
-    out = labels
+    # Materialize before dropping the cache: unpersisting the frame we
+    # return would make the caller's first action replay the whole
+    # max_iter-deep join chain (VERDICT r01 "What's wrong" #2).
+    # localCheckpoint severs the lineage eagerly, so the returned frame
+    # is a stored table, not a recipe.
+    out = labels.localCheckpoint(eager=True)
     labels.unpersist()
     return out
 

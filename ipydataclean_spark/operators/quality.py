@@ -184,47 +184,68 @@ def p13_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_KS_BINS = 2048
+
+
 @register(
     "d7_drift_ks",
     oracle=(
         "WITH s AS (SELECT o_totalprice AS x, "
         "CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS g FROM orders), "
-        "c AS (SELECT x, CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c2 FROM s GROUP BY x), "
-        "t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2 FROM c), "
-        "cum AS (SELECT CAST(SUM(c1) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS f1, "
-        "CAST(SUM(c2) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS f2 FROM c) "
+        "bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s), "
+        f"b AS (SELECT CAST(LEAST(FLOOR((x - lo) / ((hi - lo) / {_KS_BINS}.0)), {_KS_BINS - 1}) AS BIGINT) AS bucket, "
+        "CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c2 FROM s, bounds GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2 FROM b), "
+        "cum AS (SELECT CAST(SUM(c1) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS f1, "
+        "CAST(SUM(c2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS f2 FROM b) "
         "SELECT MAX(ABS(f1 / n1 - f2 / n2)) AS ks_stat FROM cum, t"
     ),
     tags=("D7",),
 )
 def d7_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D7: two-sample Kolmogorov–Smirnov statistic between two slices
-    of a column — drift detection for pipeline monitoring. Empirical
-    CDFs via a cumulative window over the *grouped-by-value* table
-    (cardinality = distinct values, not rows), so the single-partition
-    ordered window is over an already-aggregated small relation; the
-    heavy lifting (per-value counts) is a normal partial-agg shuffle.
+    of a column — drift detection for pipeline monitoring.
 
-    NOTE on the global window: after groupBy(x) the relation is
-    |distinct x| rows; for a 100 TB fact with high-cardinality x,
-    bucket x into quantile-spaced bins first (P7) — same MAX|ΔCDF|
-    shape, bounded window input."""
+    Binned form (the default, per VERDICT r01 #2): x is bucketed into
+    equi-width bins via the P7 two-phase pattern (scalar min/max, then
+    one partial-agg shuffle to per-bin counts), and the CDF difference
+    is evaluated at bin edges. The cumulative counts come from a
+    broadcast triangular self-join over the <= _KS_BINS-row bin table
+    (bb.bucket <= a.bucket), so there is NO global-order window
+    anywhere in the plan — the old Window.orderBy(x) form funneled
+    |distinct x| rows through one partition, which for a near-continuous
+    column is the whole table. Binning bounds the KS error by the max
+    bin mass (<= ~1/_KS_BINS for smooth data); the oracle bins
+    identically so the comparison is exact."""
     o = T(spark, sf_dir, "orders")
     s = o.select(
         F.col("o_totalprice").alias("x"),
         F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("g"),
     )
-    c = s.groupBy("x").agg(
+    lo, hi = s.agg(F.min("x"), F.max("x")).first()
+    width = (hi - lo) / float(_KS_BINS)
+    bucket = F.least(
+        F.floor((F.col("x") - F.lit(lo)) / F.lit(width)), F.lit(_KS_BINS - 1)
+    ).cast("long")
+    b = s.groupBy(bucket.alias("bucket")).agg(
         F.sum("g").cast("long").alias("c1"),
         F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
     )
-    n1, n2 = c.agg(
+    n1, n2 = b.agg(
         F.sum("c1").cast("double"), F.sum("c2").cast("double")
     ).first()
-    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = c.select(
-        F.sum("c1").over(w).cast("double").alias("f1"),
-        F.sum("c2").over(w).cast("double").alias("f2"),
+    bb = b.select(
+        F.col("bucket").alias("bb_bucket"),
+        F.col("c1").alias("bb_c1"),
+        F.col("c2").alias("bb_c2"),
+    )
+    cum = (
+        b.join(F.broadcast(bb), F.col("bb_bucket") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("bb_c1").cast("double").alias("f1"),
+            F.sum("bb_c2").cast("double").alias("f2"),
+        )
     )
     return cum.agg(
         F.max(F.abs(F.col("f1") / F.lit(n1) - F.col("f2") / F.lit(n2))).alias("ks_stat")

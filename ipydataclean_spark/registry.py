@@ -69,3 +69,52 @@ def load_all() -> dict[str, dict[str, Any]]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     return QUERIES
+
+
+#: Queries already driver-verified green (rows+schema+hash) in a prior round's
+#: CORRECTNESS_r*.json. The driver's per-round correctness window covers the
+#: first ~50 entries of ``queries()`` in order, so ``ordered_queries`` floats
+#: not-yet-driver-checked queries to the front each round (VERDICT r01 #1).
+#: Append each new round's green names here once its CORRECTNESS file lands.
+DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
+    # CORRECTNESS_r01.json — 50/50 green
+    "p1_table_counts", "p2_null_profile", "p3_distinct_counts",
+    "p4_numeric_profile", "p5_quantiles", "p6_mode", "p7_histogram",
+    "p8_castability", "p9_topk_values", "p10_summary_bundle",
+    "p11_column_entropy", "d1_missing_rows", "d2_string_mismatch",
+    "d3_outliers_iqr", "d3b_outliers_zscore", "d4_duplicate_rows",
+    "d6_castability_report", "c1_fill_value", "c2_fill_mean",
+    "c3_fill_median", "c4_fill_mode", "c5_interpolate_linear",
+    "c5b_interpolate_per_user", "c6_ffill_bfill", "c7_dropna",
+    "c8_drop_by_predicate", "c9_convert_string_numeric", "c10_replace_value",
+    "c11_clip_outliers", "c12_outlier_to_null", "c13_cast_column",
+    "c14_15_rename_drop", "c16_dedup_exact", "recipe_pipeline",
+    "c17_normalize_text", "c18_merge_upsert", "q1_pricing_summary_cleaned",
+    "q6_revenue_band", "q3_top_orders", "q5_nation_revenue",
+    "r2_filter_predicates", "r4_left_join_counts", "r5_semi_anti",
+    "r7_cross_join", "r8_range_join", "r9_asof_join",
+    "r10_interval_self_join", "r11_groupby_agg", "r12_rollup",
+    "r12b_cube_sql",
+})
+
+
+def ordered_queries() -> dict[str, dict[str, Any]]:
+    """Registry reordered for the driver's bounded correctness window.
+
+    Order: (1) oracle-backed queries with no prior driver-green row — these
+    get the strongest new signal; (2) rows-only queries not yet checked;
+    (3) queries already proven in a prior round's CORRECTNESS file.
+    Within each tier, registration order is preserved (deterministic).
+    """
+    load_all()
+    fresh_oracle: dict[str, dict[str, Any]] = {}
+    fresh_rows_only: dict[str, dict[str, Any]] = {}
+    proven: dict[str, dict[str, Any]] = {}
+    for name, spec in QUERIES.items():
+        if name in DRIVER_GREEN_PRIOR_ROUNDS:
+            proven[name] = spec
+        elif spec["oracle"] is not None:
+            fresh_oracle[name] = spec
+        else:
+            fresh_rows_only[name] = spec
+    return {**fresh_oracle, **fresh_rows_only, **proven}

@@ -57,18 +57,73 @@ def compact_parquet(
     THE silent killer of 100 TB scans (one task + one footer fetch per
     tiny file); streaming sinks and over-parallel writers create it
     constantly. Sizing comes from the dataset's actual bytes (driver
-    sums file sizes — metadata only, no data read). Returns the number
+    sums file sizes — metadata only, no data read). File sizes are
+    resolved through the Hadoop FileSystem API, so any supported
+    scheme (file://, hdfs://, s3a://) sizes correctly — os.path.getsize
+    over a local glob would fail on remote stores. Returns the number
     of output files."""
-    import glob as _glob
-    import os as _os
-
-    total_bytes = sum(
-        _os.path.getsize(f)
-        for f in _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
-    )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = 0
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().getName().endswith(".parquet"):
+            total_bytes += st.getLen()
     n_files = max(1, round(total_bytes / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
     # repartition(n) (round-robin) balances skewed input files; for a
     # sort-clustered layout compose with sketches.zorder_write instead.
     df.repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files
+
+
+def merge_into_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    part: str,
+) -> list:
+    """S9/C18b: file-level MERGE (upsert) into a partitioned parquet
+    dataset without a table format — the round-2 answer to the
+    Delta/Iceberg gap (VERDICT r01 #5, container has no table-format
+    libs).
+
+    Semantics: ``MERGE INTO path USING updates ON key WHEN MATCHED
+    UPDATE WHEN NOT MATCHED INSERT``, restricted at the FILE level to
+    the partitions the updates actually touch:
+
+      1. affected partitions = distinct ``part`` values in ``updates``
+         (bounded driver pull — O(partitions), never O(rows));
+      2. read ONLY those partitions of the target (static partition
+         pruning — the scan never opens untouched files);
+      3. full-outer merge on ``key`` (the c18 plan shape: one shuffle,
+         or zero with a bucketed layout);
+      4. dynamic-partition-overwrite write: Spark replaces exactly the
+         partitions present in the merged output, leaving every other
+         partition's files untouched on disk.
+
+    REQUIREMENT: ``part`` must be stable under update (derive it from
+    the immutable merge key, e.g. ``pmod(hash(key), n)``) — a merge
+    that moves a row across partitions would leave the old copy behind.
+    ``updates`` must carry columns ``u_<col>`` for every data column,
+    plus ``part``. Returns the list of rewritten partition values."""
+    from pyspark.sql import functions as F
+
+    parts = sorted(r[0] for r in updates.select(part).distinct().collect())
+    base = spark.read.parquet(path).where(F.col(part).isin(parts))
+    u = updates
+    data_cols = [c for c in base.columns if c != part]
+    merged = base.join(u, u[f"u_{key}"] == base[key], "full_outer").select(
+        *[F.coalesce(f"u_{c}", c).alias(c) for c in data_cols],
+        F.coalesce(u[part], base[part]).alias(part),
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(part).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts

@@ -230,7 +230,11 @@ def rolling_anomaly_stream(
     The update fn is a local closure (pickle-by-value — executors never
     import this package). Batch rows are processed in (ts, event_id)
     order so replay over time-ordered micro-batches reproduces the
-    batch twin's window semantics exactly."""
+    batch twin's window semantics exactly. Null values occupy a frame
+    slot in the batch twin's ROWS BETWEEN frame (COUNT(value) just
+    skips them), so the ring buffer keeps a NaN placeholder for them —
+    dropping nulls entirely would let the streaming window reach
+    further back than the batch one (ADVICE r01)."""
     import math
 
     import pandas as pd
@@ -243,21 +247,24 @@ def rolling_anomaly_stream(
         if len(batch):
             batch = batch.sort_values(["ts", "event_id"])
             for eid, v in zip(batch["event_id"], batch["value"]):
-                if v is None or (isinstance(v, float) and math.isnan(v)):
-                    continue
-                n = len(vals)
-                if n >= min_n:
-                    s = sum(vals)
-                    sq = sum(x * x for x in vals)
-                    var = (sq - s * s / n) / (n - 1)
-                    sd = math.sqrt(var) if var > 0 else 0.0
-                    if sd > 0:
-                        z = (float(v) - s / n) / sd
-                        if abs(z) > z_thresh:
-                            out_id.append(int(eid))
-                            out_val.append(float(v))
-                            out_z.append(float(z))
-                vals.append(float(v))
+                is_null = v is None or (isinstance(v, float) and math.isnan(v))
+                if not is_null:
+                    live = [x for x in vals if not math.isnan(x)]
+                    n = len(live)
+                    if n >= min_n:
+                        s = sum(live)
+                        sq = sum(x * x for x in live)
+                        var = (sq - s * s / n) / (n - 1)
+                        sd = math.sqrt(var) if var > 0 else 0.0
+                        if sd > 0:
+                            z = (float(v) - s / n) / sd
+                            if abs(z) > z_thresh:
+                                out_id.append(int(eid))
+                                out_val.append(float(v))
+                                out_z.append(float(z))
+                # nulls take a frame slot (as NaN) to mirror the
+                # batch twin's row-based frame
+                vals.append(float("nan") if is_null else float(v))
                 if len(vals) > window_n:
                     vals.pop(0)
         state.update((vals,))

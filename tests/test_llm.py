@@ -112,3 +112,40 @@ def test_frame_sampling_offsets(spark, sf_dir):
         pay = bytes(payloads[r.doc_id])
         assert r.frame_off == r.frame_idx * (len(pay) // 4)
         assert bytes(r.frame) == pay[r.frame_off : r.frame_off + 16]
+
+
+def test_lsh_hot_bucket_split_bounds_join(spark, sf_dir):
+    """VERDICT r01 #7: a template cluster (200 near-identical docs, all
+    landing in ONE band bucket) must not produce a quadratic candidate
+    join. With cap=8 the bucket is sub-split into doc_id-salted groups
+    plus a hub bucket, so candidates are O(m·cap) not O(m²) — and
+    cluster-level connectivity is preserved (all members reach one
+    connected component through the hubs)."""
+    from ipydataclean_spark.operators.llm import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+
+    m = 200
+    template = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{template} {i % 3}") for i in range(m)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sigs = minhash_signatures(docs).cache()
+
+    uncapped = lsh_candidate_pairs(sigs, cap=None).count()
+    capped_df = lsh_candidate_pairs(sigs, cap=8).cache()
+    capped = capped_df.count()
+    # quadratic without the cap, near-linear with it
+    assert uncapped > m * (m - 1) / 2 * 0.5
+    assert capped < m * 8 * 4  # ≤ ~m·cap per band
+    # connectivity preserved: all docs that shared the bucket end up in
+    # ONE connected component via hub edges
+    ids = docs.select(F.col("doc_id").alias("id"))
+    labels = cluster_pairs(ids, capped_df.select("doc_a", "doc_b").withColumnRenamed("doc_a", "a").withColumnRenamed("doc_b", "b"))
+    n_components = labels.select("cluster_id").distinct().count()
+    # docs differ only in the trailing "i % 3" token -> 3 true template
+    # variants, but all share ≥1 band -> single component is expected
+    assert n_components == 1, f"expected 1 component, got {n_components}"
+    sigs.unpersist()
+    capped_df.unpersist()
