@@ -499,3 +499,71 @@ def c26_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.percent_rank().over(w).alias("price_pct"),
     ).orderBy("l_orderkey", "l_linenumber", "price_pct")
+
+
+# ---------------------------------------------------------------------------
+# D10: snapshot diff — per-key change audit between two table versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "d10_snapshot_diff",
+    oracle=(
+        "WITH new_snap AS ("
+        "SELECT o_orderkey, "
+        "CASE WHEN o_orderkey % 23 = 0 THEN o_totalprice * 1.05 ELSE o_totalprice END AS o_totalprice, "
+        "o_orderstatus FROM orders WHERE o_orderkey % 31 <> 0 "
+        "UNION ALL "
+        "SELECT o_orderkey + 20000000, o_totalprice, 'N' FROM orders WHERE o_orderkey % 37 = 0) "
+        "SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+        "WHEN n.o_orderkey IS NULL THEN 'removed' "
+        "WHEN o.o_totalprice <> n.o_totalprice OR o.o_orderstatus <> n.o_orderstatus THEN 'changed' "
+        "ELSE 'same' END AS status, COUNT(*) AS n "
+        "FROM orders o FULL JOIN new_snap n ON n.o_orderkey = o.o_orderkey "
+        "GROUP BY 1 ORDER BY status"
+    ),
+    tags=("D10", "D7"),
+)
+def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: per-key diff between two snapshots of a table — the audit a
+    pipeline runs after every incremental load (what changed, what was
+    added, what disappeared). One full-outer join on the key; the
+    classification is plain column comparison, so at scale it is a
+    single co-partitionable shuffle (zero with a bucketed layout) and
+    the aggregate is map-side partial. The 'new' snapshot here is a
+    deterministic CTE over orders (reprice %23, drop %31, insert %37
+    shifted) so the oracle reproduces it exactly."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new_snap = orders.where(F.col("o_orderkey") % 31 != 0).select(
+        F.col("o_orderkey").alias("n_orderkey"),
+        F.when(F.col("o_orderkey") % 23 == 0, F.col("o_totalprice") * F.lit(1.05))
+        .otherwise(F.col("o_totalprice"))
+        .alias("n_totalprice"),
+        F.col("o_orderstatus").alias("n_orderstatus"),
+    ).unionByName(
+        orders.where(F.col("o_orderkey") % 37 == 0).select(
+            (F.col("o_orderkey") + 20000000).alias("n_orderkey"),
+            F.col("o_totalprice").alias("n_totalprice"),
+            F.lit("N").alias("n_orderstatus"),
+        )
+    )
+    joined = orders.join(
+        new_snap, new_snap.n_orderkey == orders.o_orderkey, "full_outer"
+    )
+    status = (
+        F.when(F.col("o_orderkey").isNull(), "added")
+        .when(F.col("n_orderkey").isNull(), "removed")
+        .when(
+            (F.col("o_totalprice") != F.col("n_totalprice"))
+            | (F.col("o_orderstatus") != F.col("n_orderstatus")),
+            "changed",
+        )
+        .otherwise("same")
+    )
+    return (
+        joined.groupBy(status.alias("status"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status")
+    )

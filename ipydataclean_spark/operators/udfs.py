@@ -201,3 +201,64 @@ def u8_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         arrow_lengths, "doc_id LONG, n_bytes LONG, n_codepoints LONG"
     ).orderBy("doc_id")
+
+
+@register(
+    "u9_cogroup_asof",
+    oracle=(
+        "WITH probes AS (SELECT UNNEST(['2024-01-08 00:00:00', '2024-01-15 00:00:00', '2024-01-22 00:00:00']) AS p), "
+        "probe_ts AS (SELECT CAST(p AS TIMESTAMP) AS probe_ts FROM probes), "
+        "u AS (SELECT DISTINCT user_id FROM events) "
+        "SELECT u.user_id, probe_ts, MAX(e.ts) AS last_ts, ARG_MAX(e.value, e.ts) AS last_value "
+        "FROM u CROSS JOIN probe_ts "
+        "LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= probe_ts "
+        "GROUP BY u.user_id, probe_ts ORDER BY u.user_id, probe_ts"
+    ),
+    tags=("U9", "U5", "R9"),
+)
+def u9_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U9: cogrouped applyInPandas — the missing cogroup corner of the
+    UDF surface. Probes and events are cogrouped per user_id; each
+    group pair runs pandas.merge_asof (backward), the pandas-native
+    as-of kernel. Same semantics and oracle as r9_asof_join, which is
+    the pure-JVM broadcast+argmax form — this variant is the template
+    for per-key Python kernels that genuinely need BOTH sides of a
+    keyed join in memory (model scoring against reference curves,
+    per-entity calibration). Both sides shuffle once on user_id; group
+    pairs stream through Arrow.
+
+    NaN→NULL on the output value column mirrors the engine's ingest
+    rule (catalog.normalize_nan): merge_asof emits NaN for probes with
+    no preceding event, and the oracle's LEFT JOIN emits NULL."""
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "value")
+    probes = spark.createDataFrame(
+        [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",), ("2024-01-22 00:00:00",)], ["p"]
+    ).select(F.col("p").cast("timestamp").alias("probe_ts"))
+    # separate scan for the probe grid: cogrouping two frames that share
+    # one parent relation trips the ambiguous-self-join analyzer check
+    users = T(spark, sf_dir, "events").select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(probes))
+
+    def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values("probe_ts")
+        right = right.sort_values("ts")
+        out = pd.merge_asof(
+            left, right[["ts", "value"]],
+            left_on="probe_ts", right_on="ts", direction="backward",
+        )
+        return out.rename(columns={"ts": "last_ts", "value": "last_value"})[
+            ["user_id", "probe_ts", "last_ts", "last_value"]
+        ]
+
+    res = (
+        grid.groupby("user_id")
+        .cogroup(ev.groupby("user_id"))
+        .applyInPandas(
+            asof,
+            "user_id LONG, probe_ts TIMESTAMP, last_ts TIMESTAMP, last_value DOUBLE",
+        )
+    )
+    v = F.col("last_value")
+    return res.withColumn(
+        "last_value", F.when(F.isnan(v), F.lit(None)).otherwise(v)
+    ).orderBy("user_id", "probe_ts")
