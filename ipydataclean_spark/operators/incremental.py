@@ -1,0 +1,126 @@
+"""Incremental maintenance patterns — recurring stats without rescans.
+
+At 100 TB the profiling/aggregation cost model flips: the expensive
+thing is not the aggregate but the SCAN. Recurring statistics must be
+maintained from a small stored state table plus the day's delta, never
+by re-reading the history. The public pattern (summary/aggregate
+tables, Spark partial aggregation, Delta-style incremental rollups):
+
+  1. store PARTIAL aggregates keyed by an append-aligned dimension
+     (e.g. month) — counts and DECIMAL sums, both associative;
+  2. each load computes the delta's partials (one scan of the delta
+     only) and appends/overwrites the affected state partitions;
+  3. any query over the state table re-aggregates partials — exact,
+     because count/decimal-sum are mergeable (the same property Spark's
+     map-side partial aggregation relies on inside one job).
+
+``inc1_incremental_stats`` exercises the full loop (seed state, delta
+partials, merged final equals the direct aggregate — oracle-checked);
+``stream_merge_to_parquet`` wires the same idea to Structured Streaming
+via foreachBatch + sources.merge_into_parquet (replay-tested in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+_CUTOFF = "1997-01-01"
+
+
+def _month_partials(df: DataFrame) -> DataFrame:
+    """Mergeable per-(month, status) partials: BIGINT count + DECIMAL
+    sum. The sum stays DECIMAL in the state table — casting to double
+    before storage would make re-aggregation order-dependent."""
+    return df.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        "o_orderstatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(exact.DEC)).alias("s"),
+    )
+
+
+@register(
+    "inc1_incremental_stats",
+    oracle=(
+        "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+        f"{exact.dsum_sql('o_totalprice')} AS total_price "
+        "FROM orders GROUP BY 1 ORDER BY o_orderstatus"
+    ),
+    tags=("INC1", "P1", "R11"),
+)
+def inc1_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC1: incremental statistics maintenance. Seeds a stored state
+    table of per-month partial aggregates from the 'history' (orders
+    before the cutoff), computes partials for the 'new load' (orders
+    from the cutoff on) by scanning ONLY the delta, merges, and answers
+    the global per-status stats from partials alone. The oracle is the
+    direct aggregate over all of orders — equality proves the partials
+    are lossless. State is month-keyed, so a real deployment overwrites
+    only the delta's month partitions (the c18b dynamic-overwrite
+    path)."""
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderdate", "o_orderstatus", "o_totalprice"
+    )
+    scratch = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"inc1_state_{spark.sparkContext.applicationId}"
+    )
+    history = orders.where(F.col("o_orderdate") < _CUTOFF)
+    delta = orders.where(F.col("o_orderdate") >= _CUTOFF)
+    _month_partials(history).write.mode("overwrite").parquet(scratch)
+    state = spark.read.parquet(scratch)
+    merged = state.unionByName(_month_partials(delta))
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n").cast("long").alias("n_orders"),
+            F.sum("s").cast("double").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+def stream_merge_to_parquet(
+    stream_df: DataFrame,
+    path: str,
+    key: str,
+    part_expr,
+    checkpoint_dir: str,
+):
+    """ST9/C18b composed: continuous incremental load — each micro-batch
+    is MERGEd into a partitioned parquet target at the file level
+    (partition-pruned read, dynamic-partition-overwrite write).
+    ``part_expr`` derives the update-stable partition column from the
+    batch (must be a function of ``key``). Returns the started query;
+    caller awaits termination.
+
+    foreachBatch gives exactly-once per epoch on the batch id, and
+    merge-by-key makes replays idempotent — re-merging a batch the sink
+    already has changes nothing, which is exactly the property a
+    restart-safe 100 TB ingest needs."""
+    def do_merge(batch: DataFrame, _epoch: int) -> None:
+        from ipydataclean_spark.sources import merge_into_parquet
+
+        spark = batch.sparkSession
+        updates = batch.select(
+            *[F.col(c).alias(f"u_{c}") for c in batch.columns],
+            part_expr.alias("pk"),
+        )
+        merge_into_parquet(spark, path, updates, key=key, part="pk")
+
+    return (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -46,6 +46,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.llm",
     "ipydataclean_spark.operators.llm_extra",
     "ipydataclean_spark.operators.ivf",
+    "ipydataclean_spark.operators.incremental",
     "ipydataclean_spark.operators.multimodal",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",

@@ -3,6 +3,8 @@ streaming op drained with availableNow must equal its batch twin."""
 
 import tempfile
 
+from pyspark.sql import functions as F
+
 from ipydataclean_spark.catalog import load_table
 from ipydataclean_spark.streaming.stream import (
     events_stream,
@@ -128,3 +130,51 @@ def test_sliding_replay_equals_batch(spark, sf_dir):
         )
         cols = ["window_start", "event_type", "n_events", "total_value"]
         assert _sorted_rows(replay, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_merge_to_parquet_idempotent_upsert(spark, sf_dir, tmp_path):
+    """ST9+C18b: drain the events stream through foreachBatch MERGE
+    into a partitioned parquet target seeded with half the events. The
+    final table must equal the full events set (evens updated in place,
+    odds inserted), and re-running the same merge must change nothing
+    (idempotent replay)."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.incremental import stream_merge_to_parquet
+    from ipydataclean_spark.sources import merge_into_parquet
+    from ipydataclean_spark.streaming.stream import events_stream
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    target = str(tmp_path / "target")
+    seed = ev.where(F.col("event_id") % 2 == 0).withColumn(
+        "pk", F.col("event_id") % 8
+    )
+    seed.write.mode("overwrite").partitionBy("pk").parquet(target)
+
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = stream_merge_to_parquet(
+        stream, target, key="event_id",
+        part_expr=F.col("event_id") % 8,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    back = spark.read.parquet(target)
+    n_total = ev.count()
+    assert back.count() == n_total
+    assert back.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+
+    # idempotent replay: merging the full set again changes nothing
+    updates = ev.select(
+        F.col("event_id").alias("u_event_id"),
+        F.col("user_id").alias("u_user_id"),
+        F.col("value").alias("u_value"),
+        (F.col("event_id") % 8).alias("pk"),
+    )
+    merge_into_parquet(spark, target, updates, key="event_id", part="pk")
+    again = spark.read.parquet(target)
+    assert again.count() == n_total
+    a = again.agg(F.sum("event_id"), F.sum("user_id")).first()
+    b = ev.agg(F.sum("event_id"), F.sum("user_id")).first()
+    assert tuple(a) == tuple(b)
