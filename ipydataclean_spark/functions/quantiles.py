@@ -77,20 +77,24 @@ def _value_at_ranks(
         by_set: dict[tuple, list[int]] = {}
         for k in unresolved:
             by_set.setdefault(state[k].path, []).append(k)
+        # pulls are batched per level into ONE tagged job: each entry is
+        # (path_cond, [(rank, index_into_sorted_bucket)]) — separate
+        # collect()s per rank would pay per-job fixed cost twice for the
+        # typical (q1, q3) pair
+        pulls: list[tuple[Column, list[tuple[int, int]]]] = []
         for path, ks in by_set.items():
             st = state[ks[0]]
             subset = base.where(_cond(path, n_buckets))
             if st.rlo == st.rhi or level == max_levels - 1:
                 # degenerate range or level budget exhausted: direct pull
-                vals = sorted(r.v for r in subset.collect())
-                for k in ks:
-                    resolved[k] = vals[k - st.offset]
+                pulls.append((_cond(path, n_buckets), [(k, k - st.offset) for k in ks]))
                 continue
             width = (st.rhi - st.rlo) / n_buckets
             bexpr = _bucket_expr(st.rlo, width, n_buckets)
             hist = sorted(
                 subset.groupBy(bexpr.alias("b")).agg(F.count(F.lit(1)).alias("cnt")).collect()
             )
+            pull_by_bucket: dict[int, list[tuple[int, int]]] = {}
             for k in ks:
                 local = k - st.offset
                 cum = 0
@@ -100,8 +104,7 @@ def _value_at_ranks(
                     cum += cnt
                 child_path = path + ((st.rlo, width, b),)
                 if cnt <= pull_threshold:
-                    vals = sorted(r.v for r in base.where(_cond(child_path, n_buckets)).collect())
-                    resolved[k] = vals[local - cum]
+                    pull_by_bucket.setdefault(b, []).append((k, local - cum))
                 else:
                     state[k] = _State(
                         child_path,
@@ -109,6 +112,20 @@ def _value_at_ranks(
                         min(st.rlo + (b + 1) * width, st.rhi),
                         st.offset + cum,
                     )
+            for b, reqs in pull_by_bucket.items():
+                pulls.append((_cond(path + ((st.rlo, width, b),), n_buckets), reqs))
+        if pulls:
+            tag = F.when(pulls[0][0], 0)
+            for i, (cond, _) in enumerate(pulls[1:], 1):
+                tag = tag.when(cond, i)
+            rows = base.select(tag.alias("t"), "v").where(F.col("t").isNotNull()).collect()
+            by_tag: dict[int, list[float]] = {}
+            for r in rows:
+                by_tag.setdefault(r.t, []).append(r.v)
+            for i, (_, reqs) in enumerate(pulls):
+                vals = sorted(by_tag.get(i, []))
+                for k, idx in reqs:
+                    resolved[k] = vals[idx]
     return resolved
 
 
