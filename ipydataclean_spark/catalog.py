@@ -73,9 +73,24 @@ def load_catalog(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Da
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+def register_views(
+    spark: SparkSession,
+    sf_dir: str | None = None,
+    only: tuple[str, ...] | None = None,
+) -> dict[str, DataFrame]:
     """Create one temp view per fixture table (the SQL entry point —
-    SURVEY.md §3.2(2)). Returns the DataFrames as well."""
+    SURVEY.md §3.2(2)). Returns the DataFrames as well.
+
+    ``only`` restricts registration to the named tables — each view is
+    a fresh read (file listing + footer), so a SQL-entry query that
+    touches one table should not pay the 10-table setup cost on a cold
+    session."""
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if only is not None:
+        dfs = {name: load_table(spark, sf_dir, name) for name in only}
+        for name, df in dfs.items():
+            df.createOrReplaceTempView(name)
+        return dfs
     dfs = load_catalog(spark, sf_dir)
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)

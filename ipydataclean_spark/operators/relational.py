@@ -444,7 +444,7 @@ def r12b_cube_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — the dialect-intersection discipline, demonstrated."""
     from ipydataclean_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(_R12B_SQL)
 
 
@@ -469,7 +469,7 @@ def r25b_correlated_subquery_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the hash is safe."""
     from ipydataclean_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer",))
     return spark.sql(
         "SELECT c_custkey, c_acctbal FROM customer c WHERE c_acctbal > "
         "(SELECT 2 * AVG(c2.c_acctbal) FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey) "
@@ -1010,5 +1010,5 @@ def r12c_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan per set."""
     from ipydataclean_spark.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders",))
     return spark.sql(_R12C_SQL)
