@@ -135,3 +135,26 @@ def test_countmin_heavy_hitters(spark, sf_dir):
         assert r.cms_estimate - r.exact_count <= bound, (r, bound)
     again = {(r.tok, r.cms_estimate) for r in l14_countmin_heavy_hitters(spark, sf_dir).collect()}
     assert again == {(r.tok, r.cms_estimate) for r in rows}
+
+
+def test_pq_knn_recall(spark, sf_dir):
+    """PQ/ADC (4 subspaces, 16 codes, rerank 100) must recover most
+    exact top-5 neighbors — codes are lossy but the exact re-rank of
+    the ADC-ranked head restores the ordering."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    exact_rows = QUERIES["l3_knn_exact"]["fn"](spark, sf_dir).collect()
+    pq_rows = QUERIES["l3e_knn_pq"]["fn"](spark, sf_dir).collect()
+    exact_sets = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    pq_sets = {}
+    for r in pq_rows:
+        pq_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(exact_sets[q] & pq_sets.get(q, set())) / len(exact_sets[q])
+        for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    assert min(recalls) >= 0.6, recalls
