@@ -99,3 +99,39 @@ def test_extended_string_problems_and_fixes(spark):
         "parse_dates", "standardize_units", "redact"
     ]
     assert "parse_dates" in cleaner.to_code()
+
+
+def test_drop_rows_for_dates_and_units(spark):
+    """ADVICE r01: FIXES_FOR_PROBLEM advertises drop_rows for dates and
+    units — apply_fix must implement both (previously KeyError)."""
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.api import DataCleaner, FIXES_FOR_PROBLEM
+
+    assert "drop_rows" in FIXES_FOR_PROBLEM["dates"]
+    assert "drop_rows" in FIXES_FOR_PROBLEM["units"]
+
+    rows = [
+        Row(
+            id=i,
+            d="2024-03-11" if i % 3 else "not a date",
+            w="12.5 kg" if i % 4 else "garbage",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+
+    c1 = DataCleaner(df).apply_fix("d", "dates", "drop_rows")
+    out1 = c1.df
+    assert out1.count() == df.where("d <> 'not a date'").count()
+
+    c2 = DataCleaner(df).apply_fix("w", "units", "drop_rows")
+    out2 = c2.df
+    assert out2.count() == df.where("w <> 'garbage'").count()
+
+    # null values are kept (missing is its own problem kind)
+    df_null = df.withColumn(
+        "d", F.when(F.col("id") % 5 == 0, None).otherwise(F.col("d"))
+    )
+    c3 = DataCleaner(df_null).apply_fix("d", "dates", "drop_rows")
+    assert c3.df.where(F.col("d").isNull()).count() == df_null.where(F.col("d").isNull()).count()
