@@ -176,3 +176,58 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE skew-join handling: a join where one key holds ~90% of the
+    rows must execute with the hot partition split (SortMergeJoin
+    skew=true / AQEShuffleRead skewed) instead of one straggler task —
+    the runtime complement to the explicit salting in
+    groupstats.salted_sum (aggregation-side) and the LSH bucket split
+    (candidate-join-side)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    ]
+    saved = {}
+    for k in keys:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        # thresholds scaled down so the tiny fixture-sized shuffle
+        # exhibits the same decision a multi-GB partition would
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+        left = spark.range(300000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        right = spark.range(50000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("r")
+        )
+        j = left.join(right, "k")
+        rows = j.collect()  # execute THIS plan so explain shows the final AQE plan
+        assert len(rows) == 275000
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain()
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan or "skewed" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
