@@ -1,0 +1,166 @@
+"""Similarity-search strategy facade — SURVEY §7(6a), recipe-level.
+
+The engine carries four kNN physical strategies with one logical
+contract ((query_id, neighbor_id, cos_sim) top-k):
+
+  exact  — brute-force broadcast kernel (llm.knn_exact shape): O(n·q),
+           unbeatable under ~10^5 stored vectors where the scan is one
+           task wave anyway, and the correctness oracle for the rest;
+  lsh    — hyperplane-LSH banding (llm.l3b shape): sub-quadratic
+           candidate generation, recall tuned by bands;
+  ivf    — k-means cells + nprobe probing (ivf.ivf_knn): the stored-
+           table shape — cells are partition keys, probing is partition
+           pruning;
+  pq     — product-quantized ADC (ivf.pq_knn): compressed-domain
+           scoring for when even the raw vectors are too big to scan.
+
+``choose_strategy`` encodes the dispatch rule the SURVEY deferred to a
+Catalyst rewrite: it needs only a row-count ESTIMATE (catalog stats or
+a cached count — never a fresh O(n) job at plan time). ``knn`` applies
+it. A Catalyst `extraOptimizations` rule would pattern-match the
+crossJoin+rank plan instead; the facade keeps the same decision in
+plain Python where it is testable and explainable.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions.vector import cosine_sim
+
+#: below this, brute force wins (one task wave, zero index build cost)
+EXACT_LIMIT = 100_000
+#: above this, raw-vector scans dominate: go compressed-domain
+PQ_LIMIT = 50_000_000
+
+
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+def knn_exact(vectors: DataFrame, queries: DataFrame, k_neighbors: int = 5) -> DataFrame:
+    """Brute-force cosine top-k, query side broadcast (the l3 shape)."""
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = vectors.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_sim("q_emb", "e_emb").alias("cos_sim"))
+    )
+    return _topk(scored, k_neighbors)
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    dim: int = 64,
+    n_bands: int = 12,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Hyperplane-LSH candidates (multi-band OR), exact re-rank — the
+    l3b shape with deterministic hash-derived planes."""
+    plane = lambda p: F.array(  # noqa: E731
+        *[
+            (F.xxhash64(F.lit(p * dim + j)).cast("double") / F.lit(float(2**63)))
+            for j in range(dim)
+        ]
+    )
+    bit = lambda p: (  # noqa: E731
+        F.aggregate(
+            F.zip_with(F.col("embedding"), plane(p), lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        > 0
+    ).cast("long")
+    band_val = lambda b: reduce(  # noqa: E731
+        lambda acc, k: acc + bit(b * band_bits + k) * F.lit(1 << k),
+        range(1, band_bits),
+        bit(b * band_bits),
+    )
+
+    def banded(df: DataFrame) -> DataFrame:
+        return df.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(b).alias("band_id"), band_val(b).alias("band_val"))
+                    for b in range(n_bands)
+                ])
+            ).alias("band"),
+        ).select("vec_id", "embedding", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+
+    bq = banded(queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "band_id", "band_val"
+    )
+    cand = (
+        banded(vectors).join(F.broadcast(bq), ["band_id", "band_val"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim("q_emb", "embedding").alias("cos_sim"),
+        )
+    )
+    return _topk(cand, k_neighbors)
+
+
+def choose_strategy(n_vectors: int, stored_table: bool = False) -> str:
+    """Pick the kNN physical strategy for an estimated corpus size.
+
+    ``stored_table=True`` means the vectors live in a table that will
+    be queried repeatedly — index build cost amortizes, and IVF's
+    cell-partitioned layout (partition pruning per probe) beats LSH's
+    per-query banding."""
+    if n_vectors <= EXACT_LIMIT:
+        return "exact"
+    if n_vectors > PQ_LIMIT:
+        return "pq"
+    return "ivf" if stored_table else "lsh"
+
+
+def knn(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    strategy: str = "auto",
+    n_vectors: int | None = None,
+    stored_table: bool = False,
+) -> DataFrame:
+    """Top-k cosine neighbors under the chosen (or auto) strategy.
+
+    ``n_vectors`` is the planning estimate for auto mode; falls back to
+    a count only if absent (fine interactively, pass it in pipelines).
+    """
+    if strategy == "auto":
+        if n_vectors is None:
+            n_vectors = vectors.count()
+        strategy = choose_strategy(n_vectors, stored_table)
+    if strategy == "exact":
+        return knn_exact(vectors, queries, k_neighbors)
+    if strategy == "lsh":
+        return knn_lsh(vectors, queries, k_neighbors)
+    if strategy == "ivf":
+        from ipydataclean_spark.operators.ivf import ivf_knn
+
+        return ivf_knn(vectors, queries, k_neighbors)
+    if strategy == "pq":
+        from ipydataclean_spark.operators.ivf import pq_knn
+
+        return pq_knn(vectors, queries, k_neighbors)
+    raise ValueError(f"unknown kNN strategy: {strategy!r}")

@@ -407,61 +407,26 @@ def l3_knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("l3b_knn_lsh", oracle=None, tags=("L3",))
 def l3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: random-hyperplane LSH — 4 independent 6-bit
-    sign-sketch bands; a vector is a candidate if it collides with the
-    query in ANY band (multi-band OR amplification), then exact cosine
-    re-ranks candidates. Deterministic projections from xxhash64 (no
-    RNG — reproducible across cluster re-runs).
+    """L3 scale path: random-hyperplane LSH — independent sign-sketch
+    bands; a vector is a candidate if it collides with the query in ANY
+    band (multi-band OR amplification), then exact cosine re-ranks
+    candidates. Deterministic projections from xxhash64 (no RNG —
+    reproducible across cluster re-runs). Kernel in functions/knn.py
+    (shared with the strategy facade).
 
-    Pure DataFrame ops (no MLlib) so the same plan runs on any cluster;
-    recall measured against l3_knn_exact in tests."""
+    Band tuning (round 2): the fixture's true top-5 neighbors sit at
+    cosine ≈ 0.3, where a 6-bit band collides with P ≈ 0.05 — the
+    round-1 4×6-bit config measured only 0.16 top-5 recall (the old
+    test checked candidate non-emptiness, not recall). 12 bands × 4
+    bits measures 0.96 mean / 0.8 min recall, now pinned by test.
+    ``band_bits`` is the selectivity knob (2^bits buckets/band): grow
+    it with corpus size, add bands to buy recall back."""
     emb = T(spark, sf_dir, "embeddings")
-    n_bands, band_bits, dim = 4, 6, 64
-    # Deterministic pseudo-random hyperplanes: component j of plane p is
-    # a hash-derived value in [-1, 1).
-    plane = lambda p: F.array(  # noqa: E731
-        *[
-            (F.xxhash64(F.lit(p * dim + j)).cast("double") / F.lit(float(2**63)))
-            for j in range(dim)
-        ]
-    )
-    bit = lambda p: (  # noqa: E731
-        F.aggregate(
-            F.zip_with(F.col("embedding"), plane(p), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        > 0
-    ).cast("long")
-    band_val = lambda b: reduce(  # noqa: E731
-        lambda acc, k: acc + bit(b * band_bits + k) * F.lit(1 << k), range(1, band_bits), bit(b * band_bits)
-    )
-    banded = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), band_val(b).alias("band_val")) for b in range(n_bands)
-            ])
-        ).alias("band"),
-    ).select("vec_id", "embedding", "band.band_id", "band.band_val")
-    q = banded.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "band_id", "band_val"
-    )
-    cand = (
-        banded.join(F.broadcast(q), ["band_id", "band_val"])
-        .where(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), F.col("q_emb"), F.col("embedding"))
-        .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id", cosine_sim("q_emb", "embedding").alias("cos_sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id", "cos_sim")
-        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
-    )
+    from ipydataclean_spark.functions.knn import knn_lsh
+
+    return knn_lsh(
+        emb, emb.where(F.col("vec_id") < 5), n_bands=12, band_bits=4
+    ).orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
 
 
 @register(

@@ -158,3 +158,35 @@ def test_pq_knn_recall(spark, sf_dir):
     ]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
     assert min(recalls) >= 0.6, recalls
+
+
+def test_knn_facade_strategies_agree(spark, sf_dir):
+    """functions.knn facade: auto dispatch picks exact at fixture size;
+    every strategy returns the same schema and ≥0.6 recall vs exact."""
+    from ipydataclean_spark.functions.knn import choose_strategy, knn
+    from ipydataclean_spark.operators.qhelp import T
+    from pyspark.sql import functions as F
+
+    assert choose_strategy(1_000) == "exact"
+    assert choose_strategy(1_000_000) == "lsh"
+    assert choose_strategy(1_000_000, stored_table=True) == "ivf"
+    assert choose_strategy(100_000_000) == "pq"
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 3)
+    exact = knn(emb, q, strategy="auto")  # auto -> exact at 500 vectors
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert set(exact_sets) == {0, 1, 2}
+    for strat in ("lsh", "ivf", "pq"):
+        got = knn(emb, q, strategy=strat)
+        assert got.columns == ["query_id", "neighbor_id", "cos_sim"]
+        sets = {}
+        for r in got.collect():
+            sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        recalls = [
+            len(exact_sets[k] & sets.get(k, set())) / len(exact_sets[k])
+            for k in exact_sets
+        ]
+        assert sum(recalls) / len(recalls) >= 0.6, (strat, recalls)
