@@ -105,7 +105,10 @@ def test_ivf_knn_recall(spark, sf_dir):
     recalls = [
         len(exact_sets[q] & ivf_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # deterministic pipeline: measured 0.84 mean / 0.8 min — pin a floor
+    # close to it (the old 0.5 floor could mask a halved recall)
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+    assert min(recalls) >= 0.6, recalls
 
 
 def test_countmin_heavy_hitters(spark, sf_dir):
