@@ -15,7 +15,13 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, FloatType
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    LongType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 TABLES = (
     "region",
@@ -42,15 +48,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     once downstream code uses select/filter — Catalyst pushes both into
     this scan (verify with .explain: PushedFilters / ReadSchema).
 
-    events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-    reader rejects; read nanos as long and convert to microsecond
-    timestamps (integer div — exactly DuckDB's truncation semantics).
+    events.parquet has stored ``ts`` as TIMESTAMP(NANOS) in some fixture
+    generations (which Spark's vectorized reader rejects — read nanos as
+    long and integer-divide, exactly DuckDB's truncation semantics) and
+    as plain TIMESTAMP(MICROS) in others (arrives as TIMESTAMP_NTZ under
+    Spark 4's NTZ inference). Dispatch on the observed type so either
+    fixture vintage yields one canonical session-TZ TimestampType column.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(df)
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Canonicalize the events ``ts`` column to session-TZ TimestampType.
+
+    LongType means the file was TIMESTAMP(NANOS) read via nanosAsLong;
+    TIMESTAMP_NTZ means a micros file under NTZ inference (session TZ is
+    UTC, so the cast preserves wall-clock values bit-for-bit).
+    """
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(TimestampType()))
+    return df
 
 
 def normalize_nan(df: DataFrame) -> DataFrame:

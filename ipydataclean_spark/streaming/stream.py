@@ -11,41 +11,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
 
+from ipydataclean_spark import catalog
 from ipydataclean_spark.functions import exact
-
-# events.parquet stores ts as TIMESTAMP(NANOS); the stream reader takes
-# it as long nanos (schema below) and converts — same rule as the batch
-# catalog loader.
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6: unbounded events source (file source over the fixture dir)."""
+    """S6: unbounded events source (file source over the fixture dir).
+
+    The stream reader needs an explicit schema; take it from a batch
+    footer read (one cheap metadata job) so either fixture vintage —
+    TIMESTAMP(NANOS) read as long nanos, or TIMESTAMP(MICROS) read as
+    NTZ — streams with the same canonical ``ts`` rule as the batch
+    catalog loader (catalog.normalize_events_ts)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return catalog.normalize_events_ts(raw)
 
 
 def tumbling_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
