@@ -62,16 +62,19 @@ def knn_exact(vectors: DataFrame, queries: DataFrame, k_neighbors: int = 5) -> D
     return _topk(scored, k_neighbors)
 
 
-def knn_lsh(
-    vectors: DataFrame,
-    queries: DataFrame,
-    k_neighbors: int = 5,
+def hyperplane_bands(
+    df: DataFrame,
     dim: int = 64,
     n_bands: int = 12,
     band_bits: int = 4,
 ) -> DataFrame:
-    """Hyperplane-LSH candidates (multi-band OR), exact re-rank — the
-    l3b shape with deterministic hash-derived planes."""
+    """(vec_id, embedding, band_id, band_val) sign-sketch banding.
+
+    Projections are derived from xxhash64 of the plane/coordinate index
+    — deterministic across sessions and cluster re-runs, no RNG state
+    to ship. One codegen projection computes every band; explode fans
+    a vector to its n_bands (band, bucket) rows. Shared by the kNN
+    probe path (knn_lsh) and the near-dup pair self-join (llm.l4b)."""
     plane = lambda p: F.array(  # noqa: E731
         *[
             (F.xxhash64(F.lit(p * dim + j)).cast("double") / F.lit(float(2**63)))
@@ -91,18 +94,36 @@ def knn_lsh(
         range(1, band_bits),
         bit(b * band_bits),
     )
+    return df.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_id"), band_val(b).alias("band_val"))
+                for b in range(n_bands)
+            ])
+        ).alias("band"),
+    ).select(
+        "vec_id",
+        "embedding",
+        F.col("band.band_id").alias("band_id"),
+        F.col("band.band_val").alias("band_val"),
+    )
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    dim: int = 64,
+    n_bands: int = 12,
+    band_bits: int = 4,
+) -> DataFrame:
+    """Hyperplane-LSH candidates (multi-band OR), exact re-rank — the
+    l3b shape with deterministic hash-derived planes."""
 
     def banded(df: DataFrame) -> DataFrame:
-        return df.select(
-            "vec_id",
-            "embedding",
-            F.explode(
-                F.array(*[
-                    F.struct(F.lit(b).alias("band_id"), band_val(b).alias("band_val"))
-                    for b in range(n_bands)
-                ])
-            ).alias("band"),
-        ).select("vec_id", "embedding", F.col("band.band_id").alias("band_id"), F.col("band.band_val").alias("band_val"))
+        return hyperplane_bands(df, dim=dim, n_bands=n_bands, band_bits=band_bits)
 
     bq = banded(queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "band_id", "band_val"

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ipydataclean_spark.functions import exact
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
@@ -133,3 +134,29 @@ def l2e_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key_a", "key_b", F.levenshtein("name_a", "name_b").alias("edit_dist"))
         .orderBy("key_a", "key_b")
     )
+
+
+_T1_SQL = (
+    "SELECT CAST(GROUPING(d) AS INTEGER) AS g_day, "
+    "CAST(GROUPING(h) AS INTEGER) AS g_hour, d AS day_bucket, h AS hour_bucket, "
+    f"COUNT(*) AS n_events, {exact.dsum_sql('value')} AS total_value "
+    "FROM (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, "
+    "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, value FROM events) "
+    "GROUP BY GROUPING SETS ((d, h), (d), ()) "
+    "ORDER BY g_day, g_hour, day_bucket NULLS FIRST, hour_bucket NULLS FIRST"
+)
+
+
+@register("t1_time_rollup_sql", oracle=_T1_SQL, tags=("analytics", "R12", "SQL-entry", "ST1"))
+def t1_time_rollup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity time rollup: hour buckets,
+    day buckets, and the grand total in ONE Expand+HashAggregate pass
+    over events (GROUPING SETS — never one scan per granularity).
+    The continuous-aggregate shape a time-series store maintains
+    incrementally; inc1_incremental_stats carries the delta-merge form.
+    SQL entry point: identical ANSI text on both engines; grouping
+    flags disambiguate the NULL bucket rows."""
+    from ipydataclean_spark.catalog import register_views
+
+    register_views(spark, sf_dir, only=("events",))
+    return spark.sql(_T1_SQL)

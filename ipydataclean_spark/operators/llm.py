@@ -483,6 +483,44 @@ def l4c_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("l4b_embed_neardup_lsh", oracle=None, tags=("L4", "L2", "dedup"))
+def l4b_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 scale path: embedding near-dup pairs via hyperplane-LSH
+    banding — the sub-quadratic form of l4_sim_join_exact. Band each
+    vector once (functions/knn.hyperplane_bands, deterministic planes),
+    self-join on (band_id, band_val) so only same-bucket pairs are
+    scored, dedup candidates, then exact cosine ≥ τ verifies.
+
+    Rows-only by design: at the fixture's τ = 0.45 (true pairs sit at
+    cosine 0.45-0.51) a 4-bit band collides with P ≈ 0.18, so 16 bands
+    give ~0.96 expected pair recall, not 1.0 — the measured floor is
+    pinned by test_llm.py::test_embed_neardup_lsh_recall, and the
+    miss set is deterministic (hash-derived planes, no RNG). At a
+    production near-dup τ (≥ 0.9) the same banding recalls ≈ 1.
+    Candidate volume is bounded by bucket collisions (n²/2^bits per
+    band worst case), the 100 TB contrast to l4's O(n²) join."""
+    emb = T(spark, sf_dir, "embeddings")
+    from ipydataclean_spark.functions.knn import hyperplane_bands
+
+    sigs = hyperplane_bands(emb, n_bands=16, band_bits=4)
+    a = sigs.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        "band_id", "band_val",
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        "band_id", "band_val",
+    )
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+        .select("vec_a", "vec_b", cosine_sim("emb_a", "emb_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= SIM_TAU)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # L5-L10 — text stats / slices / quality / search / tokens
 # ---------------------------------------------------------------------------

@@ -343,3 +343,53 @@ def p11_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.round(F.max(p), 8).alias("top_fraction"),
     )
+
+
+@register(
+    "p20_skew_profile",
+    oracle=(
+        "WITH c AS (SELECT l_partkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM lineitem GROUP BY l_partkey), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, "
+        "CAST(SUM(cnt) AS BIGINT) AS total FROM c) "
+        "SELECT key, cnt, "
+        "ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 8) AS share, "
+        "ROUND(CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE), 8) AS skew_ratio, "
+        "CAST(CEIL(CAST(cnt * n_keys AS DOUBLE) / CAST(total AS DOUBLE)) AS INTEGER) AS suggested_salt "
+        "FROM c CROSS JOIN t ORDER BY cnt DESC, key LIMIT 10"
+    ),
+    tags=("P20", "profiling", "scale"),
+)
+def p20_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P20: join-key skew audit — the pre-shuffle planning signal for
+    salting/AQE decisions (groupstats.salted_sum consumes exactly this
+    shape). Per hottest key: row count, share of table, skew ratio vs
+    a uniform spread (cnt / (total/n_keys)), and the salt factor that
+    would level it. Two partial-aggregable stages: per-key counts (one
+    scan, map-side combine), then window totals over the
+    |distinct-keys|-sized count table — never a second fact scan.
+    skew_ratio is computed as (cnt·n_keys)/total — one integer product
+    and ONE double division, the same IEEE op order both engines."""
+    from pyspark.sql import Window
+
+    counts = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy()
+    counts = counts.withColumn("n_keys", F.count(F.lit(1)).over(w)).withColumn(
+        "total", F.sum("cnt").over(w)
+    )
+    ratio = (F.col("cnt") * F.col("n_keys")).cast("double") / F.col("total").cast("double")
+    return (
+        counts.select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("total").cast("double"), 8).alias("share"),
+            F.round(ratio, 8).alias("skew_ratio"),
+            F.ceil(ratio).cast("int").alias("suggested_salt"),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+    )

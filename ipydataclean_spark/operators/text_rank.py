@@ -144,3 +144,62 @@ def l17_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(25)
     )
+
+
+@register(
+    "l8c_tfidf_search",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+        f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t FROM documents) u WHERE t <> ''), "
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS doc_len FROM toks GROUP BY doc_id), "
+        "n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents), "
+        "tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+        f"WHERE t IN ('{QUERY_TERMS[0]}', '{QUERY_TERMS[1]}', '{QUERY_TERMS[2]}') GROUP BY doc_id, t), "
+        "df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t) "
+        "SELECT tf.doc_id, "
+        + exact.dsum_sql(
+            "(CAST(tf AS DOUBLE) / CAST(doc_len AS DOUBLE)) * ((n_docs + 1.0) / (df + 1.0))"
+        )
+        + " AS score FROM tf JOIN df ON tf.t = df.t "
+        "JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN n "
+        "GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 20"
+    ),
+    tags=("L8",),
+)
+def l8c_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8c: classic TF-IDF ranking (length-normalized tf × rational
+    idf (N+1)/(df+1) — no log, same hash-checkability rationale as
+    l8b's BM25). Plan: the term-filtered explode feeds tf keyed
+    (doc_id, term); doc lengths are a second partial agg over the SAME
+    exploded tokens (Catalyst reuses the projection, both are map-side
+    combinable); df is a ≤|terms|-row aggregate BROADCAST onto tf, and
+    doc_len joins on the already-(doc_id)-clustered tf side. Per-term
+    products are two IEEE doubles in a fixed order, summed decimal-
+    exact — bit-identical between engines."""
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("t"),
+        )
+        .where(F.col("t") != "")
+    )
+    doc_len = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    n_docs = float(docs.select(F.countDistinct("doc_id")).first()[0])
+    tf = (
+        toks.where(F.col("t").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    term_score = (
+        F.col("tf").cast("double") / F.col("doc_len").cast("double")
+    ) * ((F.lit(n_docs) + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+    return (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(doc_len, "doc_id")
+        .groupBy("doc_id")
+        .agg(exact.dsum(term_score).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )

@@ -127,3 +127,34 @@ def merge_into_parquet(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return parts
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """S10: ORC sink — same layout rules as the parquet sink (ORC is
+    the other columnar format a migrating warehouse hands you; Spark's
+    native vectorized ORC reader gives it the same pushdown/pruning
+    treatment as parquet)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """S10: ORC scan. Predicate pushdown + column pruning reach the
+    scan exactly as with parquet (assert PushedFilters in the plan)."""
+    return spark.read.orc(path)
+
+
+def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
+    """S11: raw text ingest — one row per line (``value`` column), or
+    one row per FILE with ``wholetext`` (the shape a document corpus
+    lands in before chunking; pair with l13_chunk_udtf downstream).
+    Line mode splits on newlines at block boundaries, so it
+    parallelizes across and within large files."""
+    return spark.read.text(path, wholetext=whole_file)

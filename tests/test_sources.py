@@ -263,3 +263,37 @@ def test_merge_into_parquet_rewrites_only_touched_partitions(spark, sf_dir):
             == n_upd
         )
         assert doubled >= n_upd
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """S10: ORC round-trips exactly (decimal-sum compare) and a
+    filtered read pushes the predicate into the ORC scan."""
+    from ipydataclean_spark.plans import formatted_plan
+    from ipydataclean_spark.sources import read_orc, write_orc
+
+    li = load_table(spark, sf_dir, "lineitem")
+    write_orc(li, f"{tmp_path}/orc")
+    back = read_orc(spark, f"{tmp_path}/orc")
+    assert back.count() == li.count()
+    assert back.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).first()[0] == \
+        li.agg(F.sum(F.col("l_quantity").cast("decimal(28,6)"))).first()[0]
+    filtered = back.where(F.col("l_orderkey") == 1).select("l_orderkey", "l_quantity")
+    plan = formatted_plan(filtered)
+    assert "PushedFilters: [" in plan and "l_orderkey" in plan.split("PushedFilters")[1][:120]
+
+
+def test_text_source_line_and_wholefile(spark, tmp_path):
+    """S11: line mode yields one row per line; wholetext one per file."""
+    from ipydataclean_spark.sources import read_text
+
+    p = tmp_path / "corpus"
+    p.mkdir()
+    (p / "a.txt").write_text("alpha\nbeta\ngamma\n")
+    (p / "b.txt").write_text("delta\nepsilon\n")
+    lines = read_text(spark, str(p))
+    assert lines.columns == ["value"]
+    assert lines.count() == 5
+    assert {r.value for r in lines.collect()} == {"alpha", "beta", "gamma", "delta", "epsilon"}
+    whole = read_text(spark, str(p), whole_file=True)
+    assert whole.count() == 2
+    assert {r.value.count("\n") for r in whole.collect()} == {2, 3}
