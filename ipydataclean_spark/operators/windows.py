@@ -165,3 +165,38 @@ def w5_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.percentile("value", F.lit(0.5)).over(w).alias("med10"),
     ).orderBy("event_id")
+
+
+@register(
+    "w7_distribution_ranks",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, "
+        "CAST(NTILE(4) OVER w AS BIGINT) AS price_quartile, "
+        "ROUND(CUME_DIST() OVER w, 8) AS cume, "
+        "ROUND(PERCENT_RANK() OVER w, 8) AS pct_rank "
+        "FROM orders "
+        "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) "
+        "ORDER BY o_orderkey"
+    ),
+    tags=("W7", "W1"),
+)
+def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: distribution-position window family — ntile quartiles,
+    cumulative distribution, percent rank, all per priority class over
+    one keyed sort (ONE window spec → one shuffle+sort serves all
+    three functions; Spark collapses same-spec windows into a single
+    WindowExec). Keyed partitions bound sort memory at scale; ranks
+    are tie-broken on the key for cross-engine determinism. The
+    divisions are single IEEE ops, rounded to 8 dp (module
+    convention for libm-free but division-bearing outputs)."""
+    from ipydataclean_spark.operators.qhelp import T
+
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+        F.round(F.cume_dist().over(w), 8).alias("cume"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+    ).orderBy("o_orderkey")

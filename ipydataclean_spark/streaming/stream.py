@@ -90,6 +90,32 @@ def purchase_click_join(ev: DataFrame) -> DataFrame:
     ).select("p_id", "c_id", "p_user")
 
 
+def purchase_click_join_outer(ev: DataFrame) -> DataFrame:
+    """ST8b: stream-stream LEFT OUTER join — every purchase, with its
+    preceding-10-minute clicks or a NULL pad. The outer (null) row for
+    a purchase can only emit once the watermark has closed its join
+    window — the state store must know no matching click can still
+    arrive — so unmatched purchases inside the final watermark horizon
+    of a drained stream are held back forever. The replay test asserts
+    exactly that boundary instead of pretending replay equals batch."""
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    if ev.isStreaming:
+        purchases = purchases.withWatermark("p_ts", "30 minutes")
+        clicks = clicks.withWatermark("c_ts", "30 minutes")
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_outer",
+    ).select("p_id", "c_id", "p_user", "p_ts")
+
+
 def stateful_user_totals(ev: DataFrame) -> DataFrame:
     """ST6: arbitrary stateful op — per-user running totals via
     applyInPandasWithState (state store backed; emits the running

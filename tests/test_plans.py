@@ -224,3 +224,54 @@ def test_c18b_merge_reads_only_touched_partitions(spark, sf_dir):
             if l.strip().startswith("PartitionFilters:")
         ]
         assert pf and any("pk" in l for l in pf), plan
+
+
+def _tree_nodes(df, op):
+    """Count op NODES in the plan tree (count_op substring-counts the
+    whole formatted text, where each node also appears in its detail
+    header)."""
+    import re as _re
+
+    return sum(1 for line in plan_tree(df) if _re.search(rf"\b{op} \(\d+\)", line))
+
+
+def test_p20_skew_profile_single_fact_scan(spark, sf_dir):
+    """P20 must compute totals over the count table, not re-scan the
+    fact: exactly one parquet scan, and the groupBy carries a partial
+    (map-side) aggregate."""
+    df = _q("p20_skew_profile", spark, sf_dir)
+    assert n_parquet_scans(df) == 1
+    assert _tree_nodes(df, "HashAggregate") >= 2  # partial + final
+
+
+def test_t1_rollup_single_expand_pass(spark, sf_dir):
+    """T1: the three granularities come from ONE Expand over one scan —
+    never a scan or aggregate pass per grouping set."""
+    df = _q("t1_time_rollup_sql", spark, sf_dir)
+    assert n_parquet_scans(df) == 1
+    assert _tree_nodes(df, "Expand") == 1
+
+
+def test_tfidf_df_side_broadcast(spark, sf_dir):
+    """L8c: the tiny document-frequency aggregate must broadcast back
+    onto tf — a shuffle join there would re-shuffle the fact side."""
+    df = _q("l8c_tfidf_search", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert not has_python_eval(df)
+
+
+def test_w7_single_window_exec(spark, sf_dir):
+    """W7: ntile + cume_dist + percent_rank share one window spec →
+    Spark must collapse them into a single Window operator (one
+    shuffle+sort serves all three)."""
+    df = _q("w7_distribution_ranks", spark, sf_dir)
+    assert _tree_nodes(df, "Window") == 1
+
+
+def test_embed_neardup_band_join_not_cartesian(spark, sf_dir):
+    """L4b: the pair generator must join on (band_id, band_val) —
+    a cartesian/broadcast-nested-loop product would be the O(n²)
+    plan the banding exists to avoid."""
+    df = _q("l4b_embed_neardup_lsh", spark, sf_dir)
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0

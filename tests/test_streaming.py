@@ -178,3 +178,50 @@ def test_stream_merge_to_parquet_idempotent_upsert(spark, sf_dir, tmp_path):
     a = again.agg(F.sum("event_id"), F.sum("user_id")).first()
     b = ev.agg(F.sum("event_id"), F.sum("user_id")).first()
     assert tuple(a) == tuple(b)
+
+
+def test_stream_stream_left_outer_join_replay(spark, sf_dir):
+    """ST8b: left-outer stream-stream join drained with availableNow.
+    Inner matches must equal the batch twin exactly; null-padded rows
+    may only appear for genuinely unmatched purchases (subset), and
+    every unmatched purchase older than the final watermark horizon
+    (30 min delay + 10 min join window, with slack for per-batch
+    watermark granularity) must have emitted — the held-back tail is
+    exactly the rows whose join window the watermark never closed."""
+    import datetime
+    import tempfile
+
+    from ipydataclean_spark.streaming.stream import (
+        events_stream,
+        purchase_click_join_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    b_rows = purchase_click_join_outer(ev).collect()
+    b_inner = {(r.p_id, r.c_id) for r in b_rows if r.c_id is not None}
+    b_null = {r.p_id for r in b_rows if r.c_id is None}
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            purchase_click_join_outer(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_ss_outer")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        s_rows = spark.table("t_ss_outer").collect()
+    s_inner = {(r.p_id, r.c_id) for r in s_rows if r.c_id is not None}
+    s_null = {r.p_id for r in s_rows if r.c_id is None}
+    assert s_inner == b_inner
+    assert s_null <= b_null
+    # global watermark = min over both sides of (max event time - delay);
+    # an outer row emits once the watermark passes its join window, so
+    # assert coverage strictly below that, with one batch of slack.
+    max_p = ev.where(F.col("event_type") == "purchase").agg(F.max("ts")).first()[0]
+    max_c = ev.where(F.col("event_type") == "click").agg(F.max("ts")).first()[0]
+    horizon = min(max_p, max_c) - datetime.timedelta(minutes=30 + 10 + 5)
+    old_nulls = {r.p_id for r in b_rows if r.c_id is None and r.p_ts < horizon}
+    assert old_nulls <= s_null, f"watermark-closed outer rows missing: {sorted(old_nulls - s_null)[:5]}"
+    assert len(s_null) >= 0.9 * len(b_null)
