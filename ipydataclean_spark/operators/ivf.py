@@ -244,3 +244,63 @@ def l3e_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_knn(emb, emb.where(F.col("vec_id") < 5)).orderBy(
         "query_id", F.desc("cos_sim"), "neighbor_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index persistence — the stored-table ANN path
+# ---------------------------------------------------------------------------
+
+
+def ivf_write(vectors: DataFrame, path: str, n_cells: int = 16) -> None:
+    """Materialize an IVF index on disk: vectors cell-partitioned
+    (``{path}/cells/cell=N/``) plus the tiny centroid table. This is
+    the 100 TB layout the in-memory l3c form models: once written,
+    every probe query scans ONLY its probed cells' files — partition
+    pruning does the candidate bounding that the bucketed join does
+    in-memory. Rebuild cadence is an offline choice (centroids drift
+    slowly; cells re-shard on rewrite)."""
+    assigned, cents = build_ivf(vectors, k=n_cells)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    cents.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_knn_stored(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k_neighbors: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """kNN over a persisted IVF index. The probed-cell set is computed
+    against the broadcast-small centroid table and collected (bounded:
+    ≤ min(queries × nprobe, n_cells) values — index metadata, never
+    row-scaled), then applied as a STATIC partition filter so the scan
+    lists only probed cells' files (assert PartitionFilters in the
+    plan). Exact cosine re-ranks within candidates."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    probe_rank = Window.partitionBy("query_id").orderBy("qd2", "cid")
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "q_emb", "cid", _sq_dist(F.col("q_emb"), F.col("centroid")).alias("qd2"))
+        .withColumn("pr", F.row_number().over(probe_rank))
+        .where(F.col("pr") <= nprobe)
+        .select("query_id", "q_emb", F.col("cid").alias("cell"))
+    )
+    probed_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
+    assigned = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed_cells))
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim("q_emb", "embedding").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", "cos_sim")
+    )

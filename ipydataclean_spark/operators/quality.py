@@ -567,3 +567,53 @@ def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("status")
     )
+
+
+@register(
+    "d11_drift_psi",
+    oracle=(
+        "WITH s AS (SELECT o_totalprice AS x, "
+        "CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS g FROM orders), "
+        "bounds AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM s), "
+        f"b AS (SELECT CAST(LEAST(FLOOR((x - lo) / ((hi - lo) / {_KS_BINS}.0)), {_KS_BINS - 1}) AS BIGINT) AS bucket, "
+        "CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c2 FROM s, bounds GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2 FROM b) "
+        "SELECT ROUND(SUM(((CAST(c1 AS DOUBLE) + 0.5) / (n1 + " f"{_KS_BINS}.0 * 0.5) "
+        "- (CAST(c2 AS DOUBLE) + 0.5) / (n2 + " f"{_KS_BINS}.0 * 0.5)) "
+        "* LN(((CAST(c1 AS DOUBLE) + 0.5) / (n1 + " f"{_KS_BINS}.0 * 0.5)) "
+        "/ ((CAST(c2 AS DOUBLE) + 0.5) / (n2 + " f"{_KS_BINS}.0 * 0.5)))), 8) AS psi, "
+        "CAST(COUNT(*) AS BIGINT) AS n_bins FROM b CROSS JOIN t"
+    ),
+    tags=("D11", "D7"),
+)
+def d11_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11: Population Stability Index between two slices of a column —
+    the binned drift score ML monitoring dashboards standardize on
+    (PSI < 0.1 stable, > 0.2 action). Same two-phase shape as the
+    binned KS (d7): scalar min/max pull, ONE partial-agg shuffle to
+    per-bin counts, then the score is a single aggregate over the
+    ≤ _KS_BINS-row bin table — no second fact scan, no global window.
+    Laplace-smoothed (+0.5/bin) so empty bins never produce ±inf;
+    LN is libm → final score rounded to 8 dp (module convention)."""
+    o = T(spark, sf_dir, "orders")
+    s = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit(1)).otherwise(F.lit(0)).alias("g"),
+    )
+    lo, hi = s.agg(F.min("x"), F.max("x")).first()
+    width = (hi - lo) / float(_KS_BINS)
+    bucket = F.least(
+        F.floor((F.col("x") - F.lit(lo)) / F.lit(width)), F.lit(_KS_BINS - 1)
+    ).cast("long")
+    b = s.groupBy(bucket.alias("bucket")).agg(
+        F.sum("g").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
+    )
+    n1, n2 = b.agg(F.sum("c1").cast("double"), F.sum("c2").cast("double")).first()
+    smooth = float(_KS_BINS) * 0.5
+    p1 = (F.col("c1").cast("double") + 0.5) / (F.lit(n1) + F.lit(smooth))
+    p2 = (F.col("c2").cast("double") + 0.5) / (F.lit(n2) + F.lit(smooth))
+    return b.agg(
+        F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 8).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )

@@ -193,3 +193,23 @@ def test_knn_facade_strategies_agree(spark, sf_dir):
             for k in exact_sets
         ]
         assert sum(recalls) / len(recalls) >= 0.6, (strat, recalls)
+
+
+def test_ivf_stored_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index answers identically to the in-memory
+    form, and the probe scan lists ONLY probed cells (static partition
+    pruning visible as PartitionFilters on the cell key)."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.ivf import ivf_knn, ivf_knn_stored, ivf_write
+    from ipydataclean_spark.plans import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    ivf_write(emb, f"{tmp_path}/ivf")
+    stored = ivf_knn_stored(spark, f"{tmp_path}/ivf", queries)
+    mem = ivf_knn(emb, queries)
+    got = {(r.query_id, r.neighbor_id) for r in stored.collect()}
+    want = {(r.query_id, r.neighbor_id) for r in mem.collect()}
+    assert got == want
+    plan = formatted_plan(stored)
+    assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
