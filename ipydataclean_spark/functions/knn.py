@@ -24,8 +24,7 @@ plain Python where it is testable and explainable.
 
 from __future__ import annotations
 
-from functools import reduce
-
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -62,6 +61,31 @@ def knn_exact(vectors: DataFrame, queries: DataFrame, k_neighbors: int = 5) -> D
     return _topk(scored, k_neighbors)
 
 
+#: plane-constant cache: (dim, n_planes) -> list[float] (session-independent
+#: values — pure xxhash64 of the plane×coordinate index)
+_PLANE_CACHE: dict[tuple[int, int], list[float]] = {}
+
+
+def _plane_constants(spark, dim: int, n_planes: int) -> list[float]:
+    """The xxhash64-derived projection constants, pulled ONCE per
+    (dim, n_planes) via a single-row Spark job (bounded metadata pull —
+    dim × n_planes doubles, never row-scaled). Derivation is identical
+    to the original in-plan expression, so signatures are reproducible
+    across sessions, clusters, and retries."""
+    key = (dim, n_planes)
+    if key not in _PLANE_CACHE:
+        row = spark.range(1).select(
+            F.array(
+                *[
+                    (F.xxhash64(F.lit(i)).cast("double") / F.lit(float(2**63)))
+                    for i in range(dim * n_planes)
+                ]
+            ).alias("p")
+        ).first()
+        _PLANE_CACHE[key] = list(row.p)
+    return _PLANE_CACHE[key]
+
+
 def hyperplane_bands(
     df: DataFrame,
     dim: int = 64,
@@ -72,42 +96,34 @@ def hyperplane_bands(
 
     Projections are derived from xxhash64 of the plane/coordinate index
     — deterministic across sessions and cluster re-runs, no RNG state
-    to ship. One codegen projection computes every band; explode fans
-    a vector to its n_bands (band, bucket) rows. Shared by the kNN
-    probe path (knn_lsh) and the near-dup pair self-join (llm.l4b)."""
-    plane = lambda p: F.array(  # noqa: E731
-        *[
-            (F.xxhash64(F.lit(p * dim + j)).cast("double") / F.lit(float(2**63)))
-            for j in range(dim)
-        ]
-    )
-    bit = lambda p: (  # noqa: E731
-        F.aggregate(
-            F.zip_with(F.col("embedding"), plane(p), lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        )
-        > 0
-    ).cast("long")
-    band_val = lambda b: reduce(  # noqa: E731
-        lambda acc, k: acc + bit(b * band_bits + k) * F.lit(1 << k),
-        range(1, band_bits),
-        bit(b * band_bits),
-    )
-    return df.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_id"), band_val(b).alias("band_val"))
-                for b in range(n_bands)
-            ])
-        ).alias("band"),
-    ).select(
-        "vec_id",
-        "embedding",
-        F.col("band.band_id").alias("band_id"),
-        F.col("band.band_val").alias("band_val"),
+    to ship. The n_bands×band_bits sign dots are ONE Arrow-batched
+    numpy matmul per partition (a deliberate pandas-UDF exception to
+    the builtins-first rule: as an in-plan expression tree the
+    96-plane × 64-dim fold chain exceeds codegen limits and fell back
+    to interpreted eval — measured 49 s for 19k rows at sf0.1 vs
+    sub-second vectorized). Explode then fans each vector to its
+    n_bands (band, bucket) rows. Shared by the kNN probe path
+    (knn_lsh) and the near-dup pair self-join (llm.l4b)."""
+    from pyspark.sql import SparkSession
+
+    spark = df.sparkSession if hasattr(df, "sparkSession") else SparkSession.getActiveSession()
+    n_planes = n_bands * band_bits
+    flat = _plane_constants(spark, dim, n_planes)
+
+    @F.pandas_udf("array<bigint>")
+    def band_vals(emb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        planes = np.array(flat, dtype=np.float64).reshape(n_planes, dim)
+        mat = np.array(emb.tolist(), dtype=np.float64)
+        bits = (mat @ planes.T) > 0  # (n, n_planes)
+        weights = (1 << np.arange(band_bits, dtype=np.int64))
+        vals = bits.reshape(len(mat), n_bands, band_bits).astype(np.int64) @ weights
+        return pd.Series(list(vals))
+
+    return (
+        df.select("vec_id", "embedding", band_vals("embedding").alias("bv"))
+        .select("vec_id", "embedding", F.posexplode("bv").alias("band_id", "band_val"))
     )
 
 

@@ -483,26 +483,45 @@ def l4c_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l4b_embed_neardup_lsh", oracle=None, tags=("L4", "L2", "dedup"))
-def l4b_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4 scale path: embedding near-dup pairs via hyperplane-LSH
-    banding — the sub-quadratic form of l4_sim_join_exact. Band each
-    vector once (functions/knn.hyperplane_bands, deterministic planes),
-    self-join on (band_id, band_val) so only same-bucket pairs are
-    scored, dedup candidates, then exact cosine ≥ τ verifies.
+NEARDUP_TAU = 0.98  # production near-dup threshold (true twins ≥ 0.99)
 
-    Rows-only by design: at the fixture's τ = 0.45 (true pairs sit at
-    cosine 0.45-0.51) a 4-bit band collides with P ≈ 0.18, so 16 bands
-    give ~0.96 expected pair recall, not 1.0 — the measured floor is
-    pinned by test_llm.py::test_embed_neardup_lsh_recall, and the
-    miss set is deterministic (hash-derived planes, no RNG). At a
-    production near-dup τ (≥ 0.9) the same banding recalls ≈ 1.
-    Candidate volume is bounded by bucket collisions (n²/2^bits per
-    band worst case), the 100 TB contrast to l4's O(n²) join."""
+
+def embeddings_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ perturbed twin of every 5th vector (known near-dups
+    at cosine ≥ 0.99): +0.1 on coordinate (vec_id mod 64) of a unit
+    vector. The embedding analogue of qhelp.documents_dup — the raw
+    fixture's max off-diagonal cosine is ≈ 0.51, so it contains no
+    true near-dups to find."""
     emb = T(spark, sf_dir, "embeddings")
+    twin = emb.filter("vec_id % 5 = 0").select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: (
+                x.cast("double")
+                + F.when(i == F.pmod(F.col("vec_id"), F.lit(64)), F.lit(0.1)).otherwise(
+                    F.lit(0.0)
+                )
+            ).cast("float"),
+        ).alias("embedding"),
+        "label",
+    )
+    return emb.unionByName(twin)
+
+
+def embed_neardup_pairs_lsh(
+    vectors: DataFrame, tau: float, n_bands: int = 8, band_bits: int = 12
+) -> DataFrame:
+    """Sub-quadratic cosine-pair join: hyperplane-band self-join →
+    candidate dedup → exact cosine ≥ τ verify. Candidate volume is
+    bounded by same-bucket collisions (≈ n²/2^band_bits per band for
+    near-orthogonal corpora) — band_bits is the selectivity knob that
+    must GROW with corpus size; n_bands buys recall back. At τ ≥ 0.98
+    a 12-bit band collides with P ≈ 0.89 for a true pair, so 8 bands
+    miss with P ≈ 3e-8."""
     from ipydataclean_spark.functions.knn import hyperplane_bands
 
-    sigs = hyperplane_bands(emb, n_bands=16, band_bits=4)
+    sigs = hyperplane_bands(vectors, n_bands=n_bands, band_bits=band_bits)
     a = sigs.select(
         F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
         "band_id", "band_val",
@@ -516,9 +535,26 @@ def l4b_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
         .select("vec_a", "vec_b", cosine_sim("emb_a", "emb_b").alias("cos_sim"))
-        .where(F.col("cos_sim") >= SIM_TAU)
-        .orderBy("vec_a", "vec_b")
+        .where(F.col("cos_sim") >= tau)
     )
+
+
+@register("l4b_embed_neardup_lsh", oracle=None, tags=("L4", "L2", "dedup"))
+def l4b_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 scale path: embedding near-dup pairs via hyperplane-LSH
+    banding — the sub-quadratic form of l4_sim_join_exact, run at the
+    production regime: τ = 0.98 over embeddings_dup (injected twins at
+    cosine ≥ 0.99). LSH economics demand a high τ — at the fixture's
+    exploratory τ = 0.45 (pairs barely above background) no banding is
+    selective and exact l4 is the right tool; near-dup DEDUP is a
+    high-τ problem, which is what this path serves at 100 TB.
+
+    Rows-only by design (deterministic hash-derived planes, no RNG);
+    recall + no-false-positives pinned by
+    tests/test_llm.py::test_embed_neardup_lsh_recall."""
+    return embed_neardup_pairs_lsh(
+        embeddings_dup(spark, sf_dir), tau=NEARDUP_TAU
+    ).orderBy("vec_a", "vec_b")
 
 
 # ---------------------------------------------------------------------------

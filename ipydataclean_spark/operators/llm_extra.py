@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ipydataclean_spark.operators import llm
 from ipydataclean_spark.operators.llm import exploded_shingles, tokens_col
 from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
 from ipydataclean_spark.registry import register
@@ -348,4 +349,53 @@ def l14_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact_top.join(est, "tok")
         .select("tok", "exact_count", "cms_estimate")
         .orderBy(F.desc("exact_count"), F.asc("tok"))
+    )
+
+
+@register(
+    "l15_boilerplate_ratio",
+    oracle=(
+        "WITH ds AS (SELECT doc_id, unnest("
+        + llm.shingles_sql("text")
+        + ") AS sh FROM documents), "
+        "freq AS (SELECT sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd "
+        "FROM ds GROUP BY sh) "
+        "SELECT ds.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+        "CAST(COUNT_IF(freq.nd >= 5) AS BIGINT) AS n_common, "
+        "ROUND(CAST(COUNT_IF(freq.nd >= 5) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) "
+        "AS boilerplate_ratio "
+        "FROM ds JOIN freq ON ds.sh = freq.sh "
+        "GROUP BY ds.doc_id HAVING COUNT_IF(freq.nd >= 5) > 0 "
+        "ORDER BY boilerplate_ratio DESC, ds.doc_id LIMIT 50"
+    ),
+    tags=("L15", "L5", "L7"),
+)
+def l15_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: cross-document repetition score — the fraction of a doc's
+    distinct 3-shingles that recur in ≥ 5 documents (the C4/Gopher-
+    style boilerplate signal: headers, licenses, and template text
+    score high and get filtered or deduped before training).
+
+    Plan: ONE explode pass builds (doc_id, shingle) [distinct per doc
+    by construction — shingles_col array_distincts]; shingle document-
+    frequencies are a partial-agg shuffle keyed shingle; the join back
+    is shingle-keyed on both sides so it reuses that clustering; the
+    per-doc ratio is a second small shuffle keyed doc_id. No UDFs, no
+    driver pulls — every stage is map-side combinable."""
+    ds = exploded_shingles(T(spark, sf_dir, "documents"), alias="sh")
+    freq = ds.groupBy("sh").agg(F.countDistinct("doc_id").alias("nd"))
+    common = F.sum((F.col("nd") >= 5).cast("long"))
+    return (
+        ds.join(freq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            common.alias("n_common"),
+            F.round(
+                common.cast("double") / F.count(F.lit(1)).cast("double"), 8
+            ).alias("boilerplate_ratio"),
+        )
+        .where(F.col("n_common") > 0)
+        .orderBy(F.desc("boilerplate_ratio"), "doc_id")
+        .limit(50)
     )

@@ -1012,3 +1012,26 @@ def r12c_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, only=("orders",))
     return spark.sql(_R12C_SQL)
+
+
+@register("r22c_weighted_sample", oracle=None, tags=("R22",))
+def r22c_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22c: weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): each row draws u ∈ (0,1] and ranks by u^(1/weight); the
+    global top-k is a weighted sample without replacement. u comes from
+    xxhash64 of the row key — NOT rand() — so the sample is a pure
+    function of the data (reproducible across retries, partitionings,
+    and cluster re-runs; rand(seed) is only deterministic per partition
+    layout). Selection is TakeOrderedAndProject — O(k) per partition,
+    no global sort. Rows-only: DuckDB has no xxhash64 twin; the
+    distributional contract is pinned in tests/test_properties.py."""
+    o = T(spark, sf_dir, "orders")
+    u = (F.pmod(F.xxhash64("o_orderkey"), F.lit(1 << 20)) + 1).cast("double") / F.lit(
+        float(1 << 20)
+    )
+    score = F.pow(u, F.lit(1.0) / F.col("o_totalprice"))
+    return (
+        o.select("o_orderkey", "o_totalprice", score.alias("es_key"))
+        .orderBy(F.desc("es_key"), "o_orderkey")
+        .limit(200)
+    )

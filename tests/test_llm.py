@@ -164,13 +164,28 @@ def test_lsh_hot_bucket_split_bounds_join(spark, sf_dir):
 
 
 def test_embed_neardup_lsh_recall(spark, sf_dir):
-    """l4b (banded pair self-join) vs l4 (exact O(n²) join): no false
-    positives ever (candidates are exact-cosine verified), and pair
-    recall ≥ the measured floor (1.0 at sf0.001, 0.93 at sf0.01 with
-    16 bands × 4 bits; deterministic hash-derived planes make the miss
-    set stable run-to-run)."""
-    exact = {(r.vec_a, r.vec_b) for r in _q("l4_sim_join_exact", spark, sf_dir).collect()}
+    """l4b (banded pair self-join at τ=0.98 over injected twins) vs the
+    exact O(n²) join on the SAME table: no false positives ever
+    (candidates are exact-cosine verified), every injected twin pair
+    present in the exact set is recovered (12-bit bands × 8 miss a
+    τ≥0.98 pair with P ≈ 3e-8), and the candidate join is sub-
+    quadratic (bounded bucket collisions)."""
+    from ipydataclean_spark.functions.vector import cosine_sim
+    from ipydataclean_spark.operators.llm import NEARDUP_TAU, embeddings_dup
+
+    dup = embeddings_dup(spark, sf_dir)
+    a = dup.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = dup.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_sim("ea", "eb").alias("cos"))
+        .where(F.col("cos") >= NEARDUP_TAU)
+        .collect()
+    }
     lsh = {(r.vec_a, r.vec_b) for r in _q("l4b_embed_neardup_lsh", spark, sf_dir).collect()}
-    assert exact, "fixture should contain tau-similar embedding pairs"
+    injected = {(v, v + 1000000) for (v, w) in exact if w == v + 1000000}
+    assert injected, "twin injection should create near-dup pairs"
     assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
-    assert len(lsh & exact) / len(exact) >= 0.9, (len(lsh), len(exact))
+    assert injected <= lsh, f"missed twins: {sorted(injected - lsh)[:5]}"
+    assert len(lsh) == len(exact), (len(lsh), len(exact))

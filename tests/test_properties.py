@@ -202,3 +202,30 @@ def test_zvalue_bijective_and_bounded(spark, pairs):
         else:
             zmap[(r.x, r.y)] = r.z
     assert len(set(zmap.values())) == len(zmap)
+
+
+def test_weighted_sample_is_deterministic_and_biased(spark, sf_dir):
+    """R22c: (1) two runs give the identical sample (hash-derived
+    uniforms, no RNG); (2) exactly k rows; (3) the sample's mean weight
+    exceeds the population's — high-weight rows must be
+    overrepresented, the entire point of weighted sampling."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    fn = QUERIES["r22c_weighted_sample"]["fn"]
+    a = [(r.o_orderkey, r.es_key) for r in fn(spark, sf_dir).collect()]
+    b = [(r.o_orderkey, r.es_key) for r in fn(spark, sf_dir).collect()]
+    assert a == b
+    assert len(a) == 200
+    sample_ids = [k for k, _ in a]
+    from ipydataclean_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_dir, "orders")
+    pop_mean = orders.agg(F.avg("o_totalprice")).first()[0]
+    samp_mean = (
+        orders.where(F.col("o_orderkey").isin(sample_ids))
+        .agg(F.avg("o_totalprice"))
+        .first()[0]
+    )
+    assert samp_mean > pop_mean * 1.05, (samp_mean, pop_mean)
