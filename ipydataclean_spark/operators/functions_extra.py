@@ -81,3 +81,33 @@ def f_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.monotonically_increasing_id().alias("mono_id"),
         F.expr("uuid()").alias("row_uuid"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "f_regexp",
+    oracle=(
+        "SELECT c_custkey, "
+        "regexp_extract_all(c_name, '[0-9]+') AS all_digit_runs, "
+        "regexp_matches(c_name, '0{3,}') AS has_zero_run, "
+        "CAST(LEN(regexp_extract_all(c_name, '0')) AS INTEGER) AS n_zeros, "
+        "regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits, "
+        "regexp_replace(c_name, '^Customer#0*', '', 'g') AS short_id "
+        "FROM customer WHERE c_custkey % 100 = 0 ORDER BY c_custkey"
+    ),
+    tags=("F-regexp", "F"),
+)
+def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract-all (array of matches), rlike, match
+    counting, anchored group extraction, and prefix stripping — the
+    workhorses of string cleaning (C9/C17/D2 are built on these). All
+    JVM-side codegen expressions; regexp_count maps to DuckDB's
+    LEN(regexp_extract_all) twin."""
+    df = T(spark, sf_dir, "customer").where(F.col("c_custkey") % 100 == 0)
+    return df.select(
+        "c_custkey",
+        F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0).alias("all_digit_runs"),
+        F.col("c_name").rlike("0{3,}").alias("has_zero_run"),
+        F.regexp_count("c_name", F.lit("0")).cast("int").alias("n_zeros"),
+        F.regexp_extract("c_name", "([0-9]+)$", 1).alias("trailing_digits"),
+        F.regexp_replace("c_name", "^Customer#0*", "").alias("short_id"),
+    ).orderBy("c_custkey")
