@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ipydataclean_spark.functions import exact
 from ipydataclean_spark.operators import llm
 from ipydataclean_spark.operators.llm import exploded_shingles, tokens_col
 from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
@@ -398,4 +399,57 @@ def l15_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_common") > 0)
         .orderBy(F.desc("boilerplate_ratio"), "doc_id")
         .limit(50)
+    )
+
+
+@register(
+    "l18_unigram_logprob",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+        "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents) u "
+        "WHERE t <> ''), "
+        "freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t), "
+        "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq), "
+        "lp AS (SELECT t, ROUND(LN(CAST(cnt AS DOUBLE) / total), 4) AS lp "
+        "FROM freq CROSS JOIN tot) "
+        "SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        "ROUND(" + exact.dsum_sql("lp") + " / CAST(COUNT(*) AS DOUBLE), 8) AS avg_logprob "
+        "FROM toks JOIN lp ON toks.t = lp.t "
+        "GROUP BY toks.doc_id ORDER BY toks.doc_id"
+    ),
+    tags=("L18", "L7"),
+)
+def l18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L18: unigram language-model score — mean log-probability of a
+    doc's tokens under the corpus unigram distribution (the CCNet-
+    style LM-quality signal: gibberish and boilerplate-heavy docs
+    score low and get filtered or down-weighted before training; a
+    real pipeline swaps in an n-gram/KenLM table, same plan shape).
+
+    Exactness: LN is libm, so per-token logprobs are rounded to 4 dp
+    FIRST, summed decimal-exact (order-independent), then the per-doc
+    mean rounds to 8 dp — cross-engine double summation order never
+    touches the result. Plan: one explode pass, vocabulary-keyed freq
+    agg joined back on the token key, doc-keyed final agg — all
+    partial-aggregable, the corpus scan happens twice (freq + score)
+    which an offline pipeline amortizes by persisting freq."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
+    ).where(F.col("t") != "")
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
+    total = float(freq.agg(F.sum("cnt")).first()[0])
+    lp = freq.select(
+        "t", F.round(F.log(F.col("cnt").cast("double") / F.lit(total)), 4).alias("lp")
+    )
+    return (
+        toks.join(lp, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                exact.dsum("lp") / F.count(F.lit(1)).cast("double"), 8
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
     )

@@ -617,3 +617,30 @@ def d11_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 8).alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
     )
+
+
+@register(
+    "c27_flatten_json",
+    oracle=(
+        "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+        "FROM events WHERE props IS NOT NULL AND event_id % 25 = 0 "
+        "ORDER BY event_id"
+    ),
+    tags=("C27", "S3", "F"),
+)
+def c27_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C27: promote a semi-structured JSON column to typed columns —
+    the cleaning move that turns a props blob into queryable schema.
+    The schema is INFERRED from one sampled row (schema_of_json on an
+    O(1) driver pull — at 100 TB, sample more rows offline and pin the
+    schema; inference must never be a per-query full scan), then ONE
+    from_json per row parses into a struct whose fields project out.
+    Contrast with get_json_object chains: each chained call re-parses
+    the string per field, N parses per row instead of one."""
+    ev = T(spark, sf_dir, "events").where(
+        F.col("props").isNotNull() & (F.col("event_id") % 25 == 0)
+    )
+    sample = ev.select("props").first()[0]
+    schema = F.schema_of_json(F.lit(sample))
+    parsed = ev.select("event_id", F.from_json("props", schema).alias("p"))
+    return parsed.select("event_id", F.col("p.k").alias("k")).orderBy("event_id")

@@ -67,6 +67,20 @@ def streaming_dedup(ev: DataFrame) -> DataFrame:
     return src.dropDuplicates(["event_id"])
 
 
+def streaming_dedup_within_watermark(ev: DataFrame) -> DataFrame:
+    """ST5b: dropDuplicatesWithinWatermark — unlike plain
+    dropDuplicates (state grows with distinct keys forever), state for
+    a key is EVICTED once the watermark passes its first-seen event
+    time + delay, so duplicates are only suppressed within the horizon
+    and state is bounded. That eviction bound is the production
+    contract for at-least-once sources whose retries cluster in time —
+    the 100 TB answer to unbounded dedup state. Batch fallback is
+    plain dropDuplicates (the horizon is a streaming concept)."""
+    if not ev.isStreaming:
+        return ev.dropDuplicates(["event_id"])
+    return ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+
+
 def purchase_click_join(ev: DataFrame) -> DataFrame:
     """ST8: stream-stream join — clicks within 10 minutes before each
     purchase, per user. Both sides watermarked; the time-bound condition

@@ -225,3 +225,33 @@ def test_stream_stream_left_outer_join_replay(spark, sf_dir):
     old_nulls = {r.p_id for r in b_rows if r.c_id is None and r.p_ts < horizon}
     assert old_nulls <= s_null, f"watermark-closed outer rows missing: {sorted(old_nulls - s_null)[:5]}"
     assert len(s_null) >= 0.9 * len(b_null)
+
+
+def test_streaming_dedup_within_watermark_replay(spark, sf_dir):
+    """ST5b: dropDuplicatesWithinWatermark drained over the fixture
+    (whose duplicate event_ids arrive close together) yields the same
+    distinct set as batch dedup — while bounding state to the
+    watermark horizon, which plain dropDuplicates does not."""
+    import tempfile
+
+    from ipydataclean_spark.streaming.stream import (
+        events_stream,
+        streaming_dedup_within_watermark,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    want = {r.event_id for r in ev.select("event_id").distinct().collect()}
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            streaming_dedup_within_watermark(events_stream(spark, sf_dir))
+            .writeStream.format("memory")
+            .queryName("t_dedup_wm")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = [r.event_id for r in spark.table("t_dedup_wm").select("event_id").collect()]
+    assert len(got) == len(set(got)), "emitted duplicate event_ids"
+    assert set(got) == want
