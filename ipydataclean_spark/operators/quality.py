@@ -644,3 +644,63 @@ def c27_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = F.schema_of_json(F.lit(sample))
     parsed = ev.select("event_id", F.from_json("props", schema).alias("p"))
     return parsed.select("event_id", F.col("p.k").alias("k")).orderBy("event_id")
+
+
+@register(
+    "p22_cramers_v",
+    oracle=(
+        "WITH obs AS (SELECT o_orderstatus AS s, o_orderpriority AS p, "
+        "CAST(COUNT(*) AS BIGINT) AS o FROM orders GROUP BY 1, 2), "
+        "rt AS (SELECT s, CAST(SUM(o) AS BIGINT) AS rs FROM obs GROUP BY s), "
+        "ct AS (SELECT p, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY p), "
+        "t AS (SELECT CAST(SUM(o) AS DOUBLE) AS n, "
+        "CAST(COUNT(DISTINCT s) AS BIGINT) AS r, CAST(COUNT(DISTINCT p) AS BIGINT) AS c FROM obs) "
+        "SELECT ROUND(SUM((CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+        "* (CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+        "/ (CAST(rs * cs AS DOUBLE) / n)), 8) AS chi2, "
+        "ROUND(SQRT(SUM((CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+        "* (CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+        "/ (CAST(rs * cs AS DOUBLE) / n)) / (MAX(n) * CAST(LEAST(MAX(r) - 1, MAX(c) - 1) AS DOUBLE))), 8) AS cramers_v, "
+        "CAST(MAX(n) AS BIGINT) AS n_rows, MAX(r) AS n_status, MAX(c) AS n_priority "
+        "FROM obs JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN t"
+    ),
+    tags=("P22", "P18"),
+)
+def p22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P22: Cramér's V association between two categorical columns —
+    the categorical companion to the Pearson matrix (p18): χ² over the
+    contingency table, normalized to [0,1]. ONE fact scan builds the
+    ≤ r×c-cell contingency table; marginals and the grand total are
+    window/group sums over that tiny table, never a second scan. χ² is
+    a ~15-term double sum → rounded 8 dp (module convention); SQRT is
+    correctly-rounded IEEE, identical across engines."""
+    from pyspark.sql import Window
+
+    obs = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    obs = (
+        obs.withColumn("rs", F.sum("o").over(Window.partitionBy("s")))
+        .withColumn("cs", F.sum("o").over(Window.partitionBy("p")))
+        .withColumn("n", F.sum("o").over(Window.partitionBy()).cast("double"))
+        .withColumn("r", F.size(F.collect_set("s").over(Window.partitionBy())))
+        .withColumn("c", F.size(F.collect_set("p").over(Window.partitionBy())))
+    )
+    exp = (F.col("rs") * F.col("cs")).cast("double") / F.col("n")
+    dev = F.col("o").cast("double") - exp
+    term = dev * dev / exp
+    return obs.agg(
+        F.round(F.sum(term), 8).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.sum(term)
+                / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1).cast("double"))
+            ),
+            8,
+        ).alias("cramers_v"),
+        F.max("n").cast("long").alias("n_rows"),
+        F.max("r").cast("long").alias("n_status"),
+        F.max("c").cast("long").alias("n_priority"),
+    )
