@@ -275,3 +275,23 @@ def test_embed_neardup_band_join_not_cartesian(spark, sf_dir):
     df = _q("l4b_embed_neardup_lsh", spark, sf_dir)
     assert count_op(df, "CartesianProduct") == 0
     assert count_op(df, "BroadcastNestedLoopJoin") == 0
+
+
+def test_drift_and_association_single_fact_scan(spark, sf_dir):
+    """d11 (PSI) and p22 (Cramér's V): marginals/totals must come from
+    the tiny aggregated table, never a second scan of orders."""
+    for name in ("d11_drift_psi", "p22_cramers_v"):
+        assert n_parquet_scans(_q(name, spark, sf_dir)) == 1, name
+
+
+def test_flatten_json_single_parse(spark, sf_dir):
+    """c27: one from_json per row (JsonToStructs), not a
+    get_json_object chain re-parsing per extracted field."""
+    plan = formatted_plan(_q("c27_flatten_json", spark, sf_dir))
+    assert plan.count("from_json") <= 2  # node + detail header
+    assert "get_json_object" not in plan
+
+
+def test_unigram_logprob_no_python(spark, sf_dir):
+    """l18 is pure builtins — token scoring must not drop into Python."""
+    assert not has_python_eval(_q("l18_unigram_logprob", spark, sf_dir))
