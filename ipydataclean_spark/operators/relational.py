@@ -1035,3 +1035,29 @@ def r22c_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("es_key"), "o_orderkey")
         .limit(200)
     )
+
+
+_R26_SQL = (
+    "SELECT o.o_orderkey, t.l_linenumber, t.l_extendedprice "
+    "FROM orders o, LATERAL ("
+    "SELECT l_linenumber, l_extendedprice FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey "
+    "ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2) t "
+    "WHERE o.o_orderkey % 500 = 0 "
+    "ORDER BY o.o_orderkey, t.l_extendedprice DESC, t.l_linenumber"
+)
+
+
+@register("r26_lateral_topk_sql", oracle=_R26_SQL, tags=("R26", "R18", "SQL-entry"))
+def r26_lateral_topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26: correlated LATERAL subquery — per-order top-2 line items
+    via the SQL entry point, identical ANSI text on both engines. The
+    declarative twin of r18's window-rank form: Catalyst decorrelates
+    the LATERAL into a join + per-key rank rather than executing the
+    inner query once per outer row (which a naive nested-loop LATERAL
+    would — the difference between O(n) subquery launches and one
+    shuffle at 100 TB)."""
+    from ipydataclean_spark.catalog import register_views
+
+    register_views(spark, sf_dir, only=("orders", "lineitem"))
+    return spark.sql(_R26_SQL)

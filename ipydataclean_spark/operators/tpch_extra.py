@@ -598,3 +598,40 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "q23_part_cooccurrence",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+        "SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders "
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 ORDER BY n_orders DESC, part_a, part_b LIMIT 25"
+    ),
+    tags=("Q23", "R3", "analytics"),
+)
+def q23_part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q23 (beyond TPC-H): market-basket co-occurrence — part pairs
+    bought together, the association-mining primitive. Basket-keyed
+    self-join on the distinct (order, part) table: fanout per order is
+    C(basket,2), bounded by basket size (≤ 7 here), so the pair table
+    stays ~(avg_basket · rows) — NOT n². At 100 TB the guard is a
+    basket-size cap before the join (one mega-basket explodes
+    quadratically; filter or sample those first), then this exact
+    shape. Pair counts are one partial-agg shuffle keyed (a, b);
+    TakeOrderedAndProject serves the top-k."""
+    items = (
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )

@@ -262,3 +262,37 @@ def u9_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn(
         "last_value", F.when(F.isnan(v), F.lit(None)).otherwise(v)
     ).orderBy("user_id", "probe_ts")
+
+
+@register(
+    "u10_arrow_udf",
+    oracle=(
+        "SELECT c_custkey, "
+        "UPPER(REVERSE(c_mktsegment)) AS rev_seg, "
+        "CAST(LENGTH(c_name) AS INTEGER) AS name_len "
+        "FROM customer WHERE c_custkey % 40 = 0 ORDER BY c_custkey"
+    ),
+    tags=("U10", "U1"),
+)
+def u10_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U10: Arrow-optimized scalar Python UDF (useArrow=True) — same
+    per-ROW Python semantics as u1 but the executor⇄Python transfer is
+    Arrow-batched columnar instead of per-row pickling, the cheap
+    migration step before a full pandas_udf rewrite (u2): flip a flag,
+    keep the row function. Still not JVM-side — the oracle twin shows
+    the builtin form Catalyst would codegen."""
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def rev_upper(s: str) -> str:
+        return s[::-1].upper() if s is not None else None
+
+    @F.udf(returnType="int", useArrow=True)
+    def nlen(s: str) -> int:
+        return len(s) if s is not None else None
+
+    df = T(spark, sf_dir, "customer").where(F.col("c_custkey") % 40 == 0)
+    return df.select(
+        "c_custkey",
+        rev_upper("c_mktsegment").alias("rev_seg"),
+        nlen("c_name").alias("name_len"),
+    ).orderBy("c_custkey")
