@@ -324,3 +324,41 @@ def l16_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         redacted.alias("redacted"),
         F.col("text").rlike(_EMAIL_RE).alias("had_email"),
     ).orderBy("doc_id")
+
+
+@register(
+    "c29_target_encode",
+    oracle=(
+        "WITH g AS (SELECT o_orderpriority AS cat, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM orders GROUP BY 1) "
+        "SELECT o_orderkey, o_orderpriority, "
+        "ROUND((s - CAST(o_totalprice AS DOUBLE)) / CAST(n - 1 AS DOUBLE), 8) "
+        "AS te_priority "
+        "FROM orders JOIN g ON o_orderpriority = g.cat "
+        "WHERE o_orderkey % 200 = 0 ORDER BY o_orderkey"
+    ),
+    tags=("C29", "C22", "featprep"),
+)
+def c29_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C29: leave-one-out mean target encoding — replace a category
+    with the mean target of the OTHER rows in its category
+    ((sum − own)/(n − 1)), the standard leakage guard over naive mean
+    encoding. Two-phase: per-category (decimal-exact sum, count) is a
+    tiny partial-agg table BROADCAST back onto the fact rows — no
+    fact-side re-shuffle, no window over the fact table. The
+    subtraction/division are the same two IEEE ops both engines."""
+    o = T(spark, sf_dir, "orders")
+    g = o.groupBy(F.col("o_orderpriority").alias("cat")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(28,6)")).cast("double").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    te = (F.col("s") - F.col("o_totalprice").cast("double")) / (
+        F.col("n") - 1
+    ).cast("double")
+    return (
+        o.where(F.col("o_orderkey") % 200 == 0)
+        .join(F.broadcast(g), o.o_orderpriority == F.col("cat"))
+        .select("o_orderkey", "o_orderpriority", F.round(te, 8).alias("te_priority"))
+        .orderBy("o_orderkey")
+    )

@@ -704,3 +704,42 @@ def p22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("r").cast("long").alias("n_status"),
         F.max("c").cast("long").alias("n_priority"),
     )
+
+
+@register(
+    "d12_volume_anomaly",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1) "
+        "SELECT d, n, prev_n, "
+        "ROUND(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE), 8) AS rel_change "
+        "FROM (SELECT d, n, LAG(n) OVER (ORDER BY d) AS prev_n FROM daily) "
+        "WHERE prev_n IS NOT NULL "
+        "AND ABS(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)) >= 0.25 "
+        "ORDER BY d"
+    ),
+    tags=("D12", "D7", "ST1"),
+)
+def d12_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: ingestion-volume anomaly — days whose event count moved
+    ≥ 25% vs the previous day (the pipeline-monitoring alarm that
+    catches upstream outages and double-loads before content checks
+    run). ONE fact scan to daily counts (partial-agg shuffle), then
+    lag + filter over the ~|days|-row table — the global-order window
+    funnels DAYS through one partition, not events (bounded by
+    calendar size, the same rationale as d7's bin table)."""
+    from pyspark.sql import Window
+
+    daily = (
+        T(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    daily = daily.withColumn("prev_n", F.lag("n").over(Window.orderBy("d")))
+    rel = (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n").cast("double")
+    return (
+        daily.where(F.col("prev_n").isNotNull())
+        .select("d", "n", "prev_n", F.round(rel, 8).alias("rel_change"))
+        .where(F.abs(rel) >= 0.25)
+        .orderBy("d")
+    )
