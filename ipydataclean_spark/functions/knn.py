@@ -121,8 +121,12 @@ def hyperplane_bands(
         vals = bits.reshape(len(mat), n_bands, band_bits).astype(np.int64) @ weights
         return pd.Series(list(vals))
 
+    # NULL or wrong-dimension embeddings would make the batch matrix
+    # ragged and crash the matmul; drop them up front (the old in-plan
+    # expression form null-propagated to the same no-candidates effect).
+    clean = df.where(F.col("embedding").isNotNull() & (F.size("embedding") == dim))
     return (
-        df.select("vec_id", "embedding", band_vals("embedding").alias("bv"))
+        clean.select("vec_id", "embedding", band_vals("embedding").alias("bv"))
         .select("vec_id", "embedding", F.posexplode("bv").alias("band_id", "band_val"))
     )
 

@@ -287,6 +287,10 @@ def ivf_knn_stored(
         .where(F.col("pr") <= nprobe)
         .select("query_id", "q_emb", F.col("cid").alias("cell"))
     )
+    # probes feed BOTH the partition-filter collect and the broadcast
+    # join; localCheckpoint materializes the tiny table once instead of
+    # re-running the centroid read + scoring subtree per consumer.
+    probes = probes.localCheckpoint()
     probed_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     assigned = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed_cells))
     cand = (

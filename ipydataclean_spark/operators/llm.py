@@ -510,15 +510,22 @@ def embeddings_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embed_neardup_pairs_lsh(
-    vectors: DataFrame, tau: float, n_bands: int = 8, band_bits: int = 12
+    vectors: DataFrame, tau: float, n_bands: int = 16, band_bits: int = 12
 ) -> DataFrame:
     """Sub-quadratic cosine-pair join: hyperplane-band self-join →
     candidate dedup → exact cosine ≥ τ verify. Candidate volume is
     bounded by same-bucket collisions (≈ n²/2^band_bits per band for
     near-orthogonal corpora) — band_bits is the selectivity knob that
-    must GROW with corpus size; n_bands buys recall back. At τ ≥ 0.98
-    a 12-bit band collides with P ≈ 0.89 for a true pair, so 8 bands
-    miss with P ≈ 3e-8."""
+    must GROW with corpus size; n_bands buys recall back.
+
+    Recall math (per-plane sign-flip P = θ/π): an injected twin at
+    cos ≈ 0.995 flips with P ≈ 0.032, so a 12-bit band collides with
+    P ≈ 0.968^12 ≈ 0.68 and 16 bands miss with P ≈ 0.32^16 ≈ 1e-8;
+    a boundary pair at exactly cos = 0.98 (flip ≈ 0.064) misses with
+    P ≈ 0.55^16 ≈ 7e-5 — margins sized so a regenerated fixture with
+    hundreds of twins still recalls them all with overwhelming odds
+    (8 bands left ~1e-4/pair on twins, too thin across fixture
+    regenerations)."""
     from ipydataclean_spark.functions.knn import hyperplane_bands
 
     sigs = hyperplane_bands(vectors, n_bands=n_bands, band_bits=band_bits)

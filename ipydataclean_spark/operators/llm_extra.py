@@ -437,10 +437,14 @@ def l18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
     ).where(F.col("t") != "")
+    from pyspark.sql import Window
+
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    total = float(freq.agg(F.sum("cnt")).first()[0])
+    # corpus total as a window sum over the vocabulary-sized freq table
+    # (an eager .first() pull would cost a full third corpus pass)
+    total = F.sum("cnt").over(Window.partitionBy()).cast("double")
     lp = freq.select(
-        "t", F.round(F.log(F.col("cnt").cast("double") / F.lit(total)), 4).alias("lp")
+        "t", F.round(F.log(F.col("cnt").cast("double") / total), 4).alias("lp")
     )
     return (
         toks.join(lp, "t")

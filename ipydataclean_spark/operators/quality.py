@@ -609,10 +609,15 @@ def d11_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("long").alias("c1"),
         F.sum(F.lit(1) - F.col("g")).cast("long").alias("c2"),
     )
-    n1, n2 = b.agg(F.sum("c1").cast("double"), F.sum("c2").cast("double")).first()
+    # totals in-plan as window sums over the <=_KS_BINS-row bin table
+    # (a .first() pull here would re-run the whole fact scan eagerly)
+    w0 = Window.partitionBy()
+    b = b.withColumn("n1", F.sum("c1").over(w0).cast("double")).withColumn(
+        "n2", F.sum("c2").over(w0).cast("double")
+    )
     smooth = float(_KS_BINS) * 0.5
-    p1 = (F.col("c1").cast("double") + 0.5) / (F.lit(n1) + F.lit(smooth))
-    p2 = (F.col("c2").cast("double") + 0.5) / (F.lit(n2) + F.lit(smooth))
+    p1 = (F.col("c1").cast("double") + 0.5) / (F.col("n1") + F.lit(smooth))
+    p2 = (F.col("c2").cast("double") + 0.5) / (F.col("n2") + F.lit(smooth))
     return b.agg(
         F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 8).alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
@@ -640,8 +645,10 @@ def c27_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = T(spark, sf_dir, "events").where(
         F.col("props").isNotNull() & (F.col("event_id") % 25 == 0)
     )
-    sample = ev.select("props").first()[0]
-    schema = F.schema_of_json(F.lit(sample))
+    head = ev.select("props").head(1)
+    if not head:  # nothing to infer from: empty result, typed empty frame
+        return ev.select("event_id", F.lit(None).cast("bigint").alias("k")).limit(0)
+    schema = F.schema_of_json(F.lit(head[0][0]))
     parsed = ev.select("event_id", F.from_json("props", schema).alias("p"))
     return parsed.select("event_id", F.col("p.k").alias("k")).orderBy("event_id")
 
@@ -728,8 +735,6 @@ def d12_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag + filter over the ~|days|-row table — the global-order window
     funnels DAYS through one partition, not events (bounded by
     calendar size, the same rationale as d7's bin table)."""
-    from pyspark.sql import Window
-
     daily = (
         T(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", F.col("ts")).alias("d"))

@@ -14,8 +14,10 @@ without this, every doc would gain 9 near-identical copies and the LSH
 pair output would grow quadratically BY CONSTRUCTION, which would
 measure the fixture, not the engine.
 
-events.ts is kept as the raw nanos BIGINT (read with nanosAsLong) so
-catalog.load_table's div-1000 conversion works identically on sf1.
+events.ts is copied in whatever physical type the source fixture has
+(nanos-as-long BIGINT or micros TIMESTAMP_NTZ, depending on fixture
+vintage); catalog.normalize_events_ts dispatches on the observed type
+at read time, so sf1 loads identically either way.
 
 Usage: python tools/gen_sf1.py [--reps 10] [--out localdata/sf1]
 """
