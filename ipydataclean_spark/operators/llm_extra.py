@@ -457,3 +457,41 @@ def l18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register("c30_dedup_keep_best", oracle=None, tags=("L2", "C16", "dedup"))
+def c30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30: near-dup dedup keeping the BEST copy, not the first —
+    the corpus-curation end move: MinHash-LSH pairs → connected
+    components (cluster_pairs) → one survivor per cluster by quality
+    (here: least raw length — the un-padded, un-shouting copy; a real
+    pipeline plugs in l7's quality score), doc_id as the deterministic
+    tie-break. Survivor choice is max_by over a struct — ONE shuffle
+    keyed cluster_id on the labels table (cluster-table-sized, not
+    corpus-sized). Rows-only (iterative clustering upstream); the
+    golden expectation — every injected dup cluster keeps exactly its
+    base doc — is pinned in tests/test_llm_extra.py."""
+    from ipydataclean_spark.operators.llm import l2_minhash_lsh
+
+    docs = documents_dup(spark, sf_dir)
+    pairs = l2_minhash_lsh(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
+    )
+    # prefer the shortest raw text (normalized dups differ only by
+    # padding/case), then lowest doc_id; negate for max_by semantics
+    pref = F.struct(
+        (-F.col("raw_len")).alias("neg_len"), (-F.col("id")).alias("neg_id")
+    )
+    return (
+        labels.join(quality, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("id", pref).alias("survivor_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .orderBy("cluster_id")
+    )

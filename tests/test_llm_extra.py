@@ -213,3 +213,28 @@ def test_ivf_stored_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == want
     plan = formatted_plan(stored)
     assert "PartitionFilters: [" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_dedup_keep_best_prefers_base_doc(spark, sf_dir):
+    """c30: every injected dup cluster (base doc + padded/upper twin)
+    must keep the BASE doc — the shorter, un-padded copy — and
+    singleton clusters keep themselves."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["c30_dedup_keep_best"]["fn"](spark, sf_dir).collect()
+    by_cluster = {r.cluster_id: r for r in rows}
+    # injected twins: doc d (d % 5 == 0) twins with d + 1000000;
+    # min-label clustering labels that cluster with the base id
+    dup_clusters = [r for r in rows if r.cluster_size >= 2]
+    assert dup_clusters, "fixture should produce dup clusters"
+    for r in dup_clusters:
+        # the survivor is always an original (the twin is longer by
+        # padding); clusters may merge several similar base docs, so
+        # only a pure base+twin pair pins survivor == base exactly
+        assert r.survivor_id < 1000000, (r.cluster_id, r.survivor_id)
+        if r.cluster_size == 2 and r.cluster_id % 5 == 0:
+            assert r.survivor_id == r.cluster_id
+    singles = [r for r in rows if r.cluster_size == 1]
+    for r in singles[:50]:
+        assert r.survivor_id == r.cluster_id
