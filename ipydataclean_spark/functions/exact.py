@@ -37,6 +37,24 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
 
 
+DEC12 = "decimal(38,12)"
+DEC12_SQL = "DECIMAL(38,12)"
+
+
+def rsum12(col: Column | str) -> Column:
+    """Order-independent sum of SMALL transcendental terms (log/division
+    results): round each term to 12 dp first — making the double→decimal
+    conversion unambiguous on both engines — then sum exactly in
+    DECIMAL(38,12). For scores built from libm terms (PSI, χ²,
+    entropy) where a raw double sum's last-ulp ordering difference
+    could flip a subsequent ROUND(...,8) at a boundary."""
+    return F.sum(F.round(_c(col), 12).cast(DEC12)).cast("double")
+
+
+def rsum12_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(ROUND({expr}, 12) AS {DEC12_SQL})) AS DOUBLE)"
+
+
 def davg(col: Column | str) -> Column:
     """Order-independent mean: exact decimal sum / count, both engines
     perform the identical final IEEE division."""

@@ -115,7 +115,9 @@ def hyperplane_bands(
         import numpy as np
 
         planes = np.array(flat, dtype=np.float64).reshape(n_planes, dim)
-        mat = np.array(emb.tolist(), dtype=np.float64)
+        if len(emb) == 0:  # zero-row Arrow batch: shape-(0,) array would
+            return pd.Series([], dtype=object)  # break the matmul below
+        mat = np.array(emb.tolist(), dtype=np.float64).reshape(len(emb), dim)
         bits = (mat @ planes.T) > 0  # (n, n_planes)
         weights = (1 << np.arange(band_bits, dtype=np.int64))
         vals = bits.reshape(len(mat), n_bands, band_bits).astype(np.int64) @ weights

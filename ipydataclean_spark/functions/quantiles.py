@@ -167,3 +167,178 @@ def exact_quantiles(
 
 def exact_median(df: DataFrame, col: str) -> float | None:
     return exact_quantiles(df, col, [0.5])[0]
+
+
+# ---------------------------------------------------------------------------
+# Multi-column engine: all columns' refinement fused into O(levels) jobs
+# ---------------------------------------------------------------------------
+
+
+def _col_bucket_expr(c: str, rlo: float, width: float, n_buckets: int) -> Column:
+    v = F.col(c)
+    return F.least(F.floor((v - F.lit(rlo)) / F.lit(width)), F.lit(n_buckets - 1)).cast("int")
+
+
+def _col_cond(c: str, path: tuple[tuple[float, float, int], ...], n_buckets: int) -> Column:
+    cond = F.col(c).isNotNull()
+    for rlo, width, b in path:
+        cond = cond & (_col_bucket_expr(c, rlo, width, n_buckets) == b)
+    return cond
+
+
+def exact_quantiles_multi(
+    df: DataFrame,
+    specs: dict[str, list[float]],
+    n_buckets: int = 2048,
+    pull_threshold: int = 4096,
+    max_levels: int = 6,
+    stats: dict[str, tuple[int, float | None, float | None]] | None = None,
+) -> dict[str, list[float | None]]:
+    """Exact interpolated quantiles for MANY columns in O(levels) jobs.
+
+    The single-column engine runs its histogram/pull jobs per column —
+    an interactive ``problems()`` over a 100-column table would launch
+    ~100 scans. Here every column's per-level work is fused: one
+    explode(array(struct(set_id, bucket)))->groupBy job computes ALL
+    columns' histograms, and one tagged select pulls ALL resolved
+    buckets. Job count is O(refinement levels), independent of column
+    count — the P10 single-scan rule applied to quantiles.
+
+    ``stats``: optional {col: (non_null_count, min, max)} from an
+    already-run profile scan, skipping the count/min/max job.
+    """
+    cols = list(specs)
+    out: dict[str, list[float | None]] = {}
+    if not cols:
+        return out
+    base = df.select(*[F.col(c).cast("double").alias(c) for c in cols]).persist()
+    try:
+        if stats is None:
+            aggs: list[Column] = []
+            for c in cols:
+                aggs += [F.count(c), F.min(c), F.max(c)]
+            row = base.agg(*aggs).first()
+            stats = {c: (row[3 * i], row[3 * i + 1], row[3 * i + 2]) for i, c in enumerate(cols)}
+
+        # Per-(col, rank) refinement state; trivially-resolved columns
+        # (empty / constant) never enter the loop.
+        state: dict[tuple[str, int], _State] = {}
+        resolved: dict[tuple[str, int], float] = {}
+        targets: dict[str, list[tuple[float, int, int]]] = {}
+        for c in cols:
+            n, lo, hi = stats[c]
+            n = int(n or 0)
+            if n == 0:
+                out[c] = [None] * len(specs[c])
+                continue
+            if lo == hi:
+                out[c] = [float(lo)] * len(specs[c])
+                continue
+            tgt = []
+            for q in specs[c]:
+                r = (n - 1) * q
+                k0 = int(r)
+                tgt.append((r, k0, min(k0 + 1, n - 1)))
+            targets[c] = tgt
+            for k in {k for (_, k0, k1) in tgt for k in (k0, k1)}:
+                state[(c, k)] = _State((), float(lo), float(hi), 0)
+
+        active = sorted(targets)
+        for level in range(max_levels):
+            unresolved = [key for key in state if key not in resolved]
+            if not unresolved:
+                break
+            by_set: dict[tuple[str, tuple], list[int]] = {}
+            for c, k in unresolved:
+                by_set.setdefault((c, state[(c, k)].path), []).append(k)
+
+            hist_sets: list[tuple[str, tuple, float, float]] = []  # (col, path, rlo, width)
+            pulls: list[tuple[str, Column, list[tuple[int, int]]]] = []
+            for (c, path), ks in sorted(by_set.items()):
+                st = state[(c, ks[0])]
+                if st.rlo == st.rhi or level == max_levels - 1:
+                    pulls.append((c, _col_cond(c, path, n_buckets), [(k, k - st.offset) for k in ks]))
+                    continue
+                width = (st.rhi - st.rlo) / n_buckets
+                hist_sets.append((c, path, st.rlo, width))
+
+            # ONE histogram job for every (col, path) set at this level
+            hists: dict[int, list[tuple[int, int]]] = {}
+            if hist_sets:
+                entries = []
+                for sid, (c, path, rlo, width) in enumerate(hist_sets):
+                    entries.append(
+                        F.when(
+                            _col_cond(c, path, n_buckets),
+                            F.struct(
+                                F.lit(sid).alias("sid"),
+                                _col_bucket_expr(c, rlo, width, n_buckets).alias("b"),
+                            ),
+                        )
+                    )
+                e = F.explode(F.filter(F.array(*entries), lambda x: x.isNotNull())).alias("e")
+                rows = (
+                    base.select(e)
+                    .groupBy(F.col("e.sid").alias("sid"), F.col("e.b").alias("b"))
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                    .collect()
+                )
+                for r in rows:
+                    hists.setdefault(r.sid, []).append((r.b, r.cnt))
+                for sid in hists:
+                    hists[sid].sort()
+
+            for sid, (c, path, rlo, width) in enumerate(hist_sets):
+                hist = hists.get(sid, [])
+                ks = by_set[(c, path)]
+                st = state[(c, ks[0])]
+                pull_by_bucket: dict[int, list[tuple[int, int]]] = {}
+                for k in ks:
+                    local = k - st.offset
+                    cum = 0
+                    for b, cnt in hist:
+                        if cum + cnt > local:
+                            break
+                        cum += cnt
+                    child_path = path + ((rlo, width, b),)
+                    if cnt <= pull_threshold:
+                        pull_by_bucket.setdefault(b, []).append((k, local - cum))
+                    else:
+                        state[(c, k)] = _State(
+                            child_path,
+                            rlo + b * width,
+                            min(rlo + (b + 1) * width, st.rhi),
+                            st.offset + cum,
+                        )
+                for b, reqs in sorted(pull_by_bucket.items()):
+                    pulls.append((c, _col_cond(c, path + ((rlo, width, b),), n_buckets), reqs))
+
+            # ONE pull job for every resolved bucket at this level
+            if pulls:
+                tag_entries = []
+                for i, (c, cond, _) in enumerate(pulls):
+                    tag_entries.append(
+                        F.when(cond, F.struct(F.lit(i).alias("t"), F.col(c).alias("v")))
+                    )
+                e = F.explode(F.filter(F.array(*tag_entries), lambda x: x.isNotNull())).alias("e")
+                rows = base.select(e).select("e.t", "e.v").collect()
+                by_tag: dict[int, list[float]] = {}
+                for r in rows:
+                    by_tag.setdefault(r.t, []).append(r.v)
+                for i, (c, _, reqs) in enumerate(pulls):
+                    vals = sorted(by_tag.get(i, []))
+                    for k, idx in reqs:
+                        resolved[(c, k)] = vals[idx]
+
+        for c in active:
+            vals: list[float | None] = []
+            for r, k0, k1 in targets[c]:
+                v0 = resolved[(c, k0)]
+                if k1 == k0:
+                    vals.append(float(v0))
+                else:
+                    vals.append(float(v0 + (resolved[(c, k1)] - v0) * (r - k0)))
+            out[c] = vals
+        return out
+    finally:
+        base.unpersist()

@@ -62,18 +62,41 @@ def fill_aggregate(df: DataFrame, col: str, strategy: str = "mean") -> DataFrame
     return fill_value(df, col, scalar)
 
 
-def interpolate_linear(df: DataFrame, col: str, order_col: str, partition_by: str | None = None) -> DataFrame:
+#: Hard cap for the GLOBAL (single-partition) interpolate form. Above
+#: this, the un-partitioned window is an executor-memory funnel; callers
+#: must supply ``partition_by`` (the c5b scale path).
+GLOBAL_INTERP_MAX_ROWS = 5_000_000
+
+
+def interpolate_linear(
+    df: DataFrame,
+    col: str,
+    order_col: str,
+    partition_by: str | None = None,
+    max_global_rows: int = GLOBAL_INTERP_MAX_ROWS,
+) -> DataFrame:
     """C5: linear interpolation over row order (pandas Series.interpolate
     parity: interior gaps blended, leading NULLs kept, trailing ffilled).
 
     ``partition_by`` is the scale path (per-key windows); the global
-    form funnels one partition and is for small/ordered data only.
+    form funnels one partition and is GUARDED: above
+    ``max_global_rows`` it raises instead of silently building a plan
+    that funnels the table through one task (SURVEY hard-parts note —
+    enforced in code, not docs).
 
     Both lookups are RUNNING windows (unboundedPreceding..current):
     the 'next non-null' uses a descending sort instead of an
     unboundedFollowing frame — following-frames degrade to per-row
     frame scans (measured minutes at 100k rows), running frames
     stream in O(n)."""
+    if partition_by is None:
+        n = df.count()
+        if n > max_global_rows:
+            raise ValueError(
+                f"global interpolate_linear funnels all {n:,} rows through ONE "
+                f"partition (> {max_global_rows:,} cap); pass partition_by= for "
+                "the per-key scale path (c5b_interpolate_per_user)"
+            )
     wp = Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
     w_prev = wp.orderBy(order_col).rowsBetween(Window.unboundedPreceding, 0)
     w_next = wp.orderBy(F.desc(order_col)).rowsBetween(Window.unboundedPreceding, 0)

@@ -87,7 +87,7 @@ def f_hash_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f_regexp",
     oracle=(
         "SELECT c_custkey, "
-        "regexp_extract_all(c_name, '[0-9]+') AS all_digit_runs, "
+        "array_to_string(regexp_extract_all(c_name, '[0-9]+'), ',') AS all_digit_runs, "
         "regexp_matches(c_name, '0{3,}') AS has_zero_run, "
         "CAST(LEN(regexp_extract_all(c_name, '0')) AS INTEGER) AS n_zeros, "
         "regexp_extract(c_name, '([0-9]+)$', 1) AS trailing_digits, "
@@ -105,7 +105,7 @@ def f_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = T(spark, sf_dir, "customer").where(F.col("c_custkey") % 100 == 0)
     return df.select(
         "c_custkey",
-        F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0).alias("all_digit_runs"),
+        F.array_join(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0), ",").alias("all_digit_runs"),
         F.col("c_name").rlike("0{3,}").alias("has_zero_run"),
         F.regexp_count("c_name", F.lit("0")).cast("int").alias("n_zeros"),
         F.regexp_extract("c_name", "([0-9]+)$", 1).alias("trailing_digits"),

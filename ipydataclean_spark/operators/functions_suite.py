@@ -178,18 +178,20 @@ def f_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(LEN(t) AS INTEGER) AS n_tokens, "
         "CAST(LEN(list_distinct(t)) AS INTEGER) AS n_distinct, "
         "CASE WHEN list_contains(t, 'spark') THEN 1 ELSE 0 END AS has_spark, "
-        "list_sort(list_distinct(t))[1:3] AS first3_sorted, "
+        "array_to_string(list_sort(list_distinct(t))[1:3], '_') AS first3_sorted, "
         "array_to_string(t[1:5], '_') AS first5_joined, "
         "CAST(LEN(list_filter(t, x -> LENGTH(x) > 4)) AS INTEGER) AS n_long_tokens, "
         "CAST(list_sum(list_transform(t, x -> LENGTH(x))) AS BIGINT) AS total_chars, "
-        "list_transform(range(1, 4), i -> i * 10) AS tens "
+        "array_to_string(list_transform(range(1, 4), i -> i * 10), '_') AS tens "
         "FROM toks ORDER BY doc_id"
     ),
     tags=("F-array",),
 )
 def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array function family: split/size/distinct/contains/slice/join/
-    filter/transform/aggregate/sequence — all higher-order builtins."""
+    filter/transform/aggregate/sequence — all higher-order builtins.
+    Array-valued results are array_join-ed to strings so the driver's
+    pandas canonicalization can hash every output cell."""
     df = T(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
     t = F.split(F.col("text"), " ")
     return df.select(
@@ -197,13 +199,15 @@ def f_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(t).alias("n_tokens"),
         F.size(F.array_distinct(t)).alias("n_distinct"),
         F.array_contains(t, "spark").cast("int").alias("has_spark"),
-        F.slice(F.array_sort(F.array_distinct(t)), 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(F.array_sort(F.array_distinct(t)), 1, 3), "_").alias("first3_sorted"),
         F.array_join(F.slice(t, 1, 5), "_").alias("first5_joined"),
         F.size(F.filter(t, lambda x: F.length(x) > 4)).alias("n_long_tokens"),
         F.aggregate(
             F.transform(t, lambda x: F.length(x).cast("long")), F.lit(0).cast("long"), lambda a, x: a + x
         ).alias("total_chars"),
-        F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: i * 10).alias("tens"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), F.lit(3)), lambda i: (i * 10).cast("string")), "_"
+        ).alias("tens"),
     ).orderBy("doc_id")
 
 
@@ -277,10 +281,10 @@ def s4_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id % 11 = 0) "
         "SELECT doc_id, "
-        "flatten([t[1:3], t[4:5]]) AS flat_head, "
+        "array_to_string(flatten([t[1:3], t[4:5]]), '_') AS flat_head, "
         "CAST(COALESCE(list_position(t, 'spark'), 0) AS BIGINT) AS spark_pos, "
-        "list_filter(t, x -> x <> 'the') AS without_the, "
-        "list_sort(list_distinct(t || ['zzz'])) AS union_zzz, "
+        "array_to_string(list_filter(t, x -> x <> 'the'), '_') AS without_the, "
+        "array_to_string(list_sort(list_distinct(t || ['zzz'])), '_') AS union_zzz, "
         "CASE WHEN len(list_filter(t, x -> LENGTH(x) > 6)) > 0 THEN 1 ELSE 0 END AS has_long, "
         "CASE WHEN len(list_filter(t, x -> LENGTH(x) >= 1)) = len(t) THEN 1 ELSE 0 END AS all_nonempty "
         "FROM toks ORDER BY doc_id"
@@ -289,16 +293,19 @@ def s4_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family 2: flatten, array_position, array_remove-style
-    filter, union+sort, exists, forall."""
+    filter, union+sort, exists, forall. Array results flattened to
+    joined strings for driver-harness hashability."""
     df = T(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
     d = df.withColumn("t", F.split(F.col("text"), " "))
     t = F.col("t")
     return d.select(
         "doc_id",
-        F.flatten(F.array(F.slice(t, 1, 3), F.slice(t, 4, 2))).alias("flat_head"),
+        F.array_join(F.flatten(F.array(F.slice(t, 1, 3), F.slice(t, 4, 2))), "_").alias("flat_head"),
         F.array_position(t, "spark").alias("spark_pos"),
-        F.filter(t, lambda x: x != "the").alias("without_the"),
-        F.array_sort(F.array_distinct(F.concat(t, F.array(F.lit("zzz"))))).alias("union_zzz"),
+        F.array_join(F.filter(t, lambda x: x != "the"), "_").alias("without_the"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.concat(t, F.array(F.lit("zzz"))))), "_"
+        ).alias("union_zzz"),
         F.exists(t, lambda x: F.length(x) > 6).cast("int").alias("has_long"),
         F.forall(t, lambda x: F.length(x) >= 1).cast("int").alias("all_nonempty"),
     ).orderBy("doc_id")

@@ -264,6 +264,50 @@ def ivf_write(vectors: DataFrame, path: str, n_cells: int = 16) -> None:
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
 
+def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
+    """Incremental index maintenance — the op a 100 TB pipeline runs
+    daily: assign NEW vectors to the EXISTING centroids (broadcast
+    crossJoin + min_by, one narrow map — no Lloyd re-run, no touch of
+    stored rows) and append them to their cell partitions. Existing
+    cell files are untouched (append mode only adds files); probe
+    queries see old+new rows immediately through the same partition
+    pruning. Centroids drift as the corpus grows — watch
+    :func:`ivf_drift` and rebuild (ivf_write) when the assignment
+    quality decays past the rebuild threshold."""
+    cents = spark.read.parquet(f"{path}/centroids")
+    assigned = assign_cells(new_vectors, cents)
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
+
+
+def ivf_drift(spark: SparkSession, path: str) -> DataFrame:
+    """Index-health metric: per cell, member count and mean squared
+    distance to the cell centroid, plus the '__all__' rollup row.
+    Rising mean_d2 (vs the post-build baseline) means appended vectors
+    no longer fit the trained cells — the rebuild trigger. ONE scan of
+    the cells table joined to the broadcast centroid table; per-vector
+    d2 terms are rounded then decimal-summed (exact.rsum12) so the
+    metric is partition-order independent (same number on local[32]
+    and a 1000-executor cluster)."""
+    from ipydataclean_spark.functions import exact
+
+    cents = spark.read.parquet(f"{path}/centroids")
+    members = spark.read.parquet(f"{path}/cells")
+    scored = members.join(
+        F.broadcast(cents), members["cell"] == cents["cid"]
+    ).select("cell", _sq_dist(F.col("embedding"), F.col("centroid")).alias("d2"))
+    per_cell = scored.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(exact.rsum12("d2") / F.count(F.lit(1)), 8).alias("mean_d2"),
+    )
+    overall = scored.agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(exact.rsum12("d2") / F.count(F.lit(1)), 8).alias("mean_d2"),
+    ).select(F.lit(-1).alias("cell"), "n_members", "mean_d2")
+    return per_cell.select(F.col("cell").cast("int").alias("cell"), "n_members", "mean_d2").unionByName(
+        overall
+    ).orderBy("cell")
+
+
 def ivf_knn_stored(
     spark: SparkSession,
     path: str,

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
+from ipydataclean_spark.functions.text import norm_text_sql
 from ipydataclean_spark.operators import llm
 from ipydataclean_spark.operators.llm import exploded_shingles, tokens_col
 from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
@@ -326,29 +327,58 @@ def countmin_estimate(
     )
 
 
-@register("l14_countmin_heavy_hitters", oracle=None, tags=("L14", "sketch", "text-analysis"))
+@register(
+    "l14_countmin_heavy_hitters",
+    oracle=(
+        "WITH toks AS (SELECT unnest(string_split("
+        + norm_text_sql("text")
+        + ", ' ')) AS tok FROM documents), "
+        "f AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count "
+        "FROM toks WHERE tok <> '' GROUP BY tok) "
+        "SELECT tok, exact_count, 1 AS cms_within_bound FROM f "
+        "ORDER BY exact_count DESC, tok LIMIT 15"
+    ),
+    tags=("L14", "sketch", "text-analysis"),
+)
 def l14_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L14: heavy hitters with a count-min sketch. Exact top-15 tokens
-    (the small ground truth the test checks the sketch against) joined
-    with their CMS estimates. Rows-only: the sketch estimate is not
-    SQL-expressible; tests/test_llm_extra.py pins the CMS guarantees
-    (estimate ≥ exact; overshoot within the e·N/width bound)."""
+    (the small ground truth) joined with their CMS estimates.
+
+    Driver-checkable promotion (was rows-only): the CMS estimate is
+    engine-specific, so the output instead carries the exact counts
+    plus ``cms_within_bound`` = (exact ≤ cms ≤ exact + 2·N/width) as
+    0/1, verified in-plan (N = total occurrences, from a window sum
+    over the vocabulary-sized freq table — no extra corpus scan). The
+    oracle computes the exact top-15 and expects 1; a sketch
+    regression turns the driver row red. The tighter e·N/width bound
+    stays pinned in tests/test_llm_extra.py."""
+    from pyspark.sql import Window
+
+    width = 1024
     occ = (
         T(spark, sf_dir, "documents")
         .select(F.explode(tokens_col("text")).alias("tok"))
         .where(F.length("tok") > 0)
     )
+    freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    total = F.sum("exact_count").over(Window.partitionBy()).cast("double")
     exact_top = (
-        occ.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("exact_count"))
+        freq.withColumn("total", total)
         .orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(15)
     )
-    sketch = countmin_sketch(occ)
-    est = countmin_estimate(sketch, exact_top.select("tok"))
+    sketch = countmin_sketch(occ, width=width)
+    est = countmin_estimate(sketch, exact_top.select("tok"), width=width)
+    bound_ok = (
+        (F.col("cms_estimate") >= F.col("exact_count"))
+        & (
+            F.col("cms_estimate").cast("double")
+            <= F.col("exact_count").cast("double") + 2.0 * F.col("total") / F.lit(float(width))
+        )
+    ).cast("int")
     return (
         exact_top.join(est, "tok")
-        .select("tok", "exact_count", "cms_estimate")
+        .select("tok", "exact_count", bound_ok.alias("cms_within_bound"))
         .orderBy(F.desc("exact_count"), F.asc("tok"))
     )
 

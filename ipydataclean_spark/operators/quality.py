@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ipydataclean_spark.functions import exact
 from ipydataclean_spark.functions.quantiles import exact_quantiles
 from ipydataclean_spark.operators.qhelp import T, lineitem_dirty, with_lineitem_dirty
 from ipydataclean_spark.registry import register
@@ -578,10 +579,12 @@ def d10_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"b AS (SELECT CAST(LEAST(FLOOR((x - lo) / ((hi - lo) / {_KS_BINS}.0)), {_KS_BINS - 1}) AS BIGINT) AS bucket, "
         "CAST(SUM(g) AS BIGINT) AS c1, CAST(SUM(1 - g) AS BIGINT) AS c2 FROM s, bounds GROUP BY 1), "
         "t AS (SELECT CAST(SUM(c1) AS DOUBLE) AS n1, CAST(SUM(c2) AS DOUBLE) AS n2 FROM b) "
-        "SELECT ROUND(SUM(((CAST(c1 AS DOUBLE) + 0.5) / (n1 + " f"{_KS_BINS}.0 * 0.5) "
-        "- (CAST(c2 AS DOUBLE) + 0.5) / (n2 + " f"{_KS_BINS}.0 * 0.5)) "
-        "* LN(((CAST(c1 AS DOUBLE) + 0.5) / (n1 + " f"{_KS_BINS}.0 * 0.5)) "
-        "/ ((CAST(c2 AS DOUBLE) + 0.5) / (n2 + " f"{_KS_BINS}.0 * 0.5)))), 8) AS psi, "
+        "SELECT ROUND(" + exact.rsum12_sql(
+            f"((CAST(c1 AS DOUBLE) + 0.5) / (n1 + {_KS_BINS}.0 * 0.5) "
+            f"- (CAST(c2 AS DOUBLE) + 0.5) / (n2 + {_KS_BINS}.0 * 0.5)) "
+            f"* LN(((CAST(c1 AS DOUBLE) + 0.5) / (n1 + {_KS_BINS}.0 * 0.5)) "
+            f"/ ((CAST(c2 AS DOUBLE) + 0.5) / (n2 + {_KS_BINS}.0 * 0.5)))"
+        ) + ", 8) AS psi, "
         "CAST(COUNT(*) AS BIGINT) AS n_bins FROM b CROSS JOIN t"
     ),
     tags=("D11", "D7"),
@@ -594,7 +597,10 @@ def d11_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bin counts, then the score is a single aggregate over the
     ≤ _KS_BINS-row bin table — no second fact scan, no global window.
     Laplace-smoothed (+0.5/bin) so empty bins never produce ±inf;
-    LN is libm → final score rounded to 8 dp (module convention)."""
+    LN is libm → each per-bin term is rounded to 12 dp and summed
+    order-independently in DECIMAL(38,12) (exact.rsum12, the l18
+    convention) so cross-engine summation order can't flip the final
+    8 dp rounding at a boundary."""
     o = T(spark, sf_dir, "orders")
     s = o.select(
         F.col("o_totalprice").alias("x"),
@@ -619,7 +625,7 @@ def d11_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     p1 = (F.col("c1").cast("double") + 0.5) / (F.col("n1") + F.lit(smooth))
     p2 = (F.col("c2").cast("double") + 0.5) / (F.col("n2") + F.lit(smooth))
     return b.agg(
-        F.round(F.sum((p1 - p2) * F.log(p1 / p2)), 8).alias("psi"),
+        F.round(exact.rsum12((p1 - p2) * F.log(p1 / p2)), 8).alias("psi"),
         F.count(F.lit(1)).alias("n_bins"),
     )
 
@@ -640,12 +646,16 @@ def c27_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) driver pull — at 100 TB, sample more rows offline and pin the
     schema; inference must never be a per-query full scan), then ONE
     from_json per row parses into a struct whose fields project out.
+    The sample row is the MIN-event_id row (a TakeOrdered pull), not an
+    arbitrary head(1): which row head() returns is partition-order
+    dependent, so heterogeneous payloads would make the inferred
+    schema — and oracle parity — nondeterministic across runs.
     Contrast with get_json_object chains: each chained call re-parses
     the string per field, N parses per row instead of one."""
     ev = T(spark, sf_dir, "events").where(
         F.col("props").isNotNull() & (F.col("event_id") % 25 == 0)
     )
-    head = ev.select("props").head(1)
+    head = ev.orderBy("event_id").select("props").head(1)
     if not head:  # nothing to infer from: empty result, typed empty frame
         return ev.select("event_id", F.lit(None).cast("bigint").alias("k")).limit(0)
     schema = F.schema_of_json(F.lit(head[0][0]))
@@ -662,12 +672,16 @@ def c27_flatten_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ct AS (SELECT p, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY p), "
         "t AS (SELECT CAST(SUM(o) AS DOUBLE) AS n, "
         "CAST(COUNT(DISTINCT s) AS BIGINT) AS r, CAST(COUNT(DISTINCT p) AS BIGINT) AS c FROM obs) "
-        "SELECT ROUND(SUM((CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
-        "* (CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
-        "/ (CAST(rs * cs AS DOUBLE) / n)), 8) AS chi2, "
-        "ROUND(SQRT(SUM((CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
-        "* (CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
-        "/ (CAST(rs * cs AS DOUBLE) / n)) / (MAX(n) * CAST(LEAST(MAX(r) - 1, MAX(c) - 1) AS DOUBLE))), 8) AS cramers_v, "
+        "SELECT ROUND(" + exact.rsum12_sql(
+            "(CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+            "* (CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+            "/ (CAST(rs * cs AS DOUBLE) / n)"
+        ) + ", 8) AS chi2, "
+        "ROUND(SQRT(" + exact.rsum12_sql(
+            "(CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+            "* (CAST(o AS DOUBLE) - CAST(rs * cs AS DOUBLE) / n) "
+            "/ (CAST(rs * cs AS DOUBLE) / n)"
+        ) + " / (MAX(n) * CAST(LEAST(MAX(r) - 1, MAX(c) - 1) AS DOUBLE))), 8) AS cramers_v, "
         "CAST(MAX(n) AS BIGINT) AS n_rows, MAX(r) AS n_status, MAX(c) AS n_priority "
         "FROM obs JOIN rt USING (s) JOIN ct USING (p) CROSS JOIN t"
     ),
@@ -678,9 +692,10 @@ def p22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     the categorical companion to the Pearson matrix (p18): χ² over the
     contingency table, normalized to [0,1]. ONE fact scan builds the
     ≤ r×c-cell contingency table; marginals and the grand total are
-    window/group sums over that tiny table, never a second scan. χ² is
-    a ~15-term double sum → rounded 8 dp (module convention); SQRT is
-    correctly-rounded IEEE, identical across engines."""
+    window/group sums over that tiny table, never a second scan. χ²'s
+    per-cell terms are rounded to 12 dp and summed order-independently
+    in DECIMAL(38,12) (exact.rsum12) before the final 8 dp rounding;
+    SQRT is correctly-rounded IEEE, identical across engines."""
     from pyspark.sql import Window
 
     obs = (
@@ -699,10 +714,10 @@ def p22_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = F.col("o").cast("double") - exp
     term = dev * dev / exp
     return obs.agg(
-        F.round(F.sum(term), 8).alias("chi2"),
+        F.round(exact.rsum12(term), 8).alias("chi2"),
         F.round(
             F.sqrt(
-                F.sum(term)
+                exact.rsum12(term)
                 / (F.max("n") * F.least(F.max("r") - 1, F.max("c") - 1).cast("double"))
             ),
             8,

@@ -506,21 +506,34 @@ def r13_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "r14_collect_set",
     oracle=(
-        "SELECT l_returnflag, LIST_SORT(LIST(DISTINCT l_linestatus)) AS statuses, "
-        "LIST_SORT(COALESCE(LIST(DISTINCT CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity <= 3), [])) AS small_qtys "
+        "SELECT l_returnflag, ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT l_linestatus)), ',') AS statuses, "
+        "ARRAY_TO_STRING(LIST_SORT(COALESCE(LIST(DISTINCT CAST(l_quantity AS BIGINT)) FILTER (WHERE l_quantity <= 3), [])), ',') AS small_qtys "
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
     ),
     tags=("R14",),
 )
 def r14_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R14: collect_set with array_sort for order-insensitive compare."""
+    """R14: collect_set, flattened to sorted CSV strings.
+
+    The sets are sorted then ``array_join``-ed so the output is scalar-typed:
+    the driver harness canonicalizes results with pandas ``sort_values`` /
+    ``factorize``, which cannot hash list-typed cells (round-2 red row).
+    Sorting happens on the native element type (long for quantities) BEFORE
+    stringification so numeric order is preserved.
+    """
     df = T(spark, sf_dir, "lineitem")
     return (
         df.groupBy("l_returnflag")
         .agg(
-            F.array_sort(F.collect_set("l_linestatus")).alias("statuses"),
-            F.array_sort(
-                F.collect_set(F.when(F.col("l_quantity") <= 3, F.col("l_quantity").cast("long")))
+            F.array_join(F.array_sort(F.collect_set("l_linestatus")), ",").alias("statuses"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_set(F.when(F.col("l_quantity") <= 3, F.col("l_quantity").cast("long")))
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
             ).alias("small_qtys"),
         )
         .orderBy("l_returnflag")

@@ -57,26 +57,63 @@ def p15_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("p12_hll_profile", oracle=None, tags=("P12", "P3"))
+@register(
+    "p12_hll_profile",
+    oracle=(
+        "SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct_exact, "
+        "1 AS est_within_5pct FROM documents GROUP BY source "
+        "UNION ALL SELECT '__all__', CAST(COUNT(DISTINCT doc_id) AS BIGINT), 1 FROM documents "
+        "ORDER BY source"
+    ),
+    tags=("P12", "P3", "P15"),
+)
 def p12_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P12: per-source distinct-doc estimates from HLL sketches, plus
-    the corpus-wide estimate obtained by MERGING the per-source
-    sketches (hll_union_agg) — the rollup never rescans documents.
-    DataSketches HLL, lgConfigK=12 → ~1.6% rsd, 2-4 KB per sketch;
-    error bounds pinned in tests/test_sketches.py."""
+    """P12: per-source distinct-doc counts with HLL estimates checked
+    IN-PLAN against an exact mergeable rollup. One scan builds BOTH
+    summaries per (source, bitmap-bucket): a roaring bitmap (exact,
+    mergeable — the p15 pattern) and a DataSketches HLL sketch
+    (lgConfigK=12, ~1.6% rsd). Per-source and corpus-wide ('__all__')
+    rollups then merge summaries only — no fact rescan.
+
+    Driver-checkable promotion (was rows-only): the output carries the
+    exact counts plus ``est_within_5pct`` = |hll_est − exact|/exact
+    ≤ 0.05 as 0/1. The oracle computes the exact counts and expects 1 —
+    if the sketch estimate ever drifts out of bounds, the row hashes
+    red. HLL union is register-wise max, so merged estimates equal a
+    single-pass sketch of the union exactly."""
     docs = T(spark, sf_dir, "documents")
-    per_source = docs.groupBy("source").agg(
-        F.hll_sketch_agg("doc_id", F.lit(12)).alias("sk")
-    )
-    per = per_source.select(
-        "source", F.hll_sketch_estimate("sk").alias("n_distinct_est")
-    )
-    merged = per_source.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias(
-            "n_distinct_est"
+    per_bucket = (
+        docs.groupBy("source", F.bitmap_bucket_number("doc_id").alias("bucket"))
+        .agg(
+            F.bitmap_construct_agg(F.bitmap_bit_position("doc_id")).alias("bm"),
+            F.hll_sketch_agg("doc_id", F.lit(12)).alias("sk"),
         )
-    ).select(F.lit("__all__").alias("source"), "n_distinct_est")
-    return per.unionByName(merged).orderBy("source")
+        .localCheckpoint(eager=False)  # tiny; both rollups reuse one scan
+    )
+    within = lambda est, ex: (  # noqa: E731
+        (F.abs(est.cast("double") - ex) / ex) <= 0.05
+    ).cast("int")
+    per = per_bucket.groupBy("source").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct_exact"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est"),
+    )
+    per = per.select(
+        "source", "n_distinct_exact", within(F.col("est"), F.col("n_distinct_exact")).alias("est_within_5pct")
+    )
+    overall = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"), F.hll_union_agg("sk", F.lit(False)).alias("sk"))
+        .agg(
+            F.sum(F.bitmap_count("bm")).cast("long").alias("n_distinct_exact"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk", F.lit(False))).alias("est"),
+        )
+        .select(
+            F.lit("__all__").alias("source"),
+            "n_distinct_exact",
+            within(F.col("est"), F.col("n_distinct_exact")).alias("est_within_5pct"),
+        )
+    )
+    return per.unionByName(overall).orderBy("source")
 
 
 # ---------------------------------------------------------------------------
@@ -84,34 +121,77 @@ def p12_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register("p14_theta_setops", oracle=None, tags=("P14", "P3"))
+@register(
+    "p14_theta_setops",
+    oracle=(
+        "SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN user_id END) AS BIGINT) AS n_click_users, "
+        "CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS BIGINT) AS n_purchase_users, "
+        "CAST(COUNT(DISTINCT CASE WHEN event_type IN ('click','purchase') THEN user_id END) AS BIGINT) AS n_either, "
+        "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click' "
+        "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase') i) AS BIGINT) AS n_both, "
+        "CAST((SELECT COUNT(*) FROM (SELECT user_id FROM events WHERE event_type = 'click' "
+        "EXCEPT SELECT user_id FROM events WHERE event_type = 'purchase') e) AS BIGINT) AS n_click_only, "
+        "1 AS sketch_within_5pct FROM events"
+    ),
+    tags=("P14", "P3"),
+)
 def p14_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P14: audience set algebra without a self-join — Theta sketches
     support union/intersection/difference on the SUMMARIES. 'users who
     clicked AND purchased' at 100 TB is two sketch builds (one scan)
-    plus O(sketch) set ops, vs a distinct-distinct join. Bounds pinned
-    in tests/test_sketches.py."""
+    plus O(sketch) set ops, vs a distinct-distinct join.
+
+    Driver-checkable promotion (was rows-only): the exact five counts
+    come from the same scan (conditional distinct aggregates; the set
+    ops the sketches replace at scale), and ``sketch_within_5pct``
+    verifies ALL five theta estimates against them in-plan (theta is
+    exact below its k=4096 retention, ±5% above). The oracle expects
+    the exact counts and indicator 1 — sketch drift turns the driver
+    row red."""
     ev = T(spark, sf_dir, "events")
+    click = F.when(F.col("event_type") == "click", F.col("user_id"))
+    purchase = F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    either = F.when(F.col("event_type").isin("click", "purchase"), F.col("user_id"))
     sk = ev.agg(
-        F.theta_sketch_agg(
-            F.when(F.col("event_type") == "click", F.col("user_id"))
-        ).alias("click_sk"),
-        F.theta_sketch_agg(
-            F.when(F.col("event_type") == "purchase", F.col("user_id"))
-        ).alias("purchase_sk"),
+        F.theta_sketch_agg(click).alias("click_sk"),
+        F.theta_sketch_agg(purchase).alias("purchase_sk"),
+        F.count_distinct(click).alias("x_click"),
+        F.count_distinct(purchase).alias("x_purchase"),
+        F.count_distinct(either).alias("x_either"),
     )
-    return sk.select(
-        F.theta_sketch_estimate("click_sk").cast("long").alias("n_click_users"),
-        F.theta_sketch_estimate("purchase_sk").cast("long").alias("n_purchase_users"),
-        F.theta_sketch_estimate(F.theta_union("click_sk", "purchase_sk"))
-        .cast("long")
-        .alias("n_either"),
-        F.theta_sketch_estimate(F.theta_intersection("click_sk", "purchase_sk"))
-        .cast("long")
-        .alias("n_both"),
-        F.theta_sketch_estimate(F.theta_difference("click_sk", "purchase_sk"))
-        .cast("long")
-        .alias("n_click_only"),
+    est = sk.select(
+        "x_click",
+        "x_purchase",
+        "x_either",
+        F.theta_sketch_estimate("click_sk").alias("e_click"),
+        F.theta_sketch_estimate("purchase_sk").alias("e_purchase"),
+        F.theta_sketch_estimate(F.theta_union("click_sk", "purchase_sk")).alias("e_either"),
+        F.theta_sketch_estimate(F.theta_intersection("click_sk", "purchase_sk")).alias("e_both"),
+        F.theta_sketch_estimate(F.theta_difference("click_sk", "purchase_sk")).alias("e_click_only"),
+    )
+    # inclusion-exclusion closes the exact both/only counts from the
+    # three conditional distincts — still the single scan
+    est = est.withColumn("x_both", F.col("x_click") + F.col("x_purchase") - F.col("x_either"))
+    est = est.withColumn("x_click_only", F.col("x_click") - F.col("x_both"))
+    ok = F.lit(True)
+    for e, x in (
+        ("e_click", "x_click"),
+        ("e_purchase", "x_purchase"),
+        ("e_either", "x_either"),
+        ("e_both", "x_both"),
+        ("e_click_only", "x_click_only"),
+    ):
+        ok = ok & (
+            F.abs(F.col(e) - F.col(x).cast("double"))
+            <= 0.05 * F.greatest(F.col(x).cast("double"), F.lit(1.0))
+        )
+    return est.select(
+        F.col("x_click").cast("long").alias("n_click_users"),
+        F.col("x_purchase").cast("long").alias("n_purchase_users"),
+        F.col("x_either").cast("long").alias("n_either"),
+        F.col("x_both").cast("long").alias("n_both"),
+        F.col("x_click_only").cast("long").alias("n_click_only"),
+        ok.cast("int").alias("sketch_within_5pct"),
     )
 
 

@@ -211,7 +211,10 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # direct decimal sum, so the threshold math matches DuckDB's
     # independent full-scan computation bit-for-bit). localCheckpoint
     # materializes pv so the scalar job and the filter reuse it.
-    total = pv.agg(F.sum("pv_dec").cast("double")).first()[0]
+    # None when the nation has no lineitems at tiny SF — 0.0 keeps the
+    # filter well-formed and the (empty) result identical to the oracle's
+    # NULL-threshold comparison.
+    total = pv.agg(F.sum("pv_dec").cast("double")).first()[0] or 0.0
     return (
         pv.select("l_partkey", F.col("pv_dec").cast("double").alias("part_value"))
         .where(F.col("part_value") > F.lit(total * 0.001))

@@ -96,6 +96,25 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "r7_cross_join", "r8_range_join", "r9_asof_join",
     "r10_interval_self_join", "r11_groupby_agg", "r12_rollup",
     "r12b_cube_sql",
+    # CORRECTNESS_r02.json — 49/50 green (r14_collect_set stays fresh:
+    # its output was re-flattened to strings for round 3)
+    "p20_skew_profile", "c18b_merge_files", "r25b_correlated_subquery_sql",
+    "r13_conditional_agg", "r15_sort_nulls", "r16_limit_offset",
+    "r18_topk_per_group", "r19_union", "r20_intersect_except",
+    "r21_distinct", "r23_pivot", "r24_unpivot", "r25_scalar_subquery",
+    "q4_priority_count", "q7_volume_shipping", "q10_returned_items",
+    "q15_top_supplier", "q1b_pricing_summary_single_scan",
+    "r9b_asof_join_forward", "r12c_grouping_sets_sql", "r26_lateral_topk_sql",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q12_priority_by_status",
+    "q13_order_count_distribution", "q14_promo_revenue", "q16_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_part_share_suppliers",
+    "q21_sole_return_suppliers", "q22_dormant_customers",
+    "q23_part_cooccurrence", "q_funnel_conversion", "q_cohort_retention",
+    "l2e_fuzzy_match_join", "t1_time_rollup_sql", "w1_ranking", "w2_analytic",
+    "w3_frames", "w4_moving_avg", "w5_rolling_median", "w7_distribution_ranks",
+    "f_string", "f_datetime", "f_math",
 })
 
 

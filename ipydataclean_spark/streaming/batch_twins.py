@@ -161,3 +161,50 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "st8_purchase_click_join",
+    oracle=(
+        "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON c.user_id = p.user_id AND c.ts < p.ts "
+        "AND c.ts >= p.ts - INTERVAL 10 MINUTE "
+        "ORDER BY p_id, c_id"
+    ),
+    tags=("ST8",),
+)
+def st8_purchase_click_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8 batch twin: clicks within 10 minutes before each purchase,
+    per user — the SAME function body as the streaming stream-stream
+    join (stream.purchase_click_join; watermarks apply only on
+    streaming input). Driver-hashable surface for the join logic the
+    availableNow replay test pins in streaming mode; one user_id-keyed
+    shuffle join with the time-range predicate evaluated on the
+    co-located pairs."""
+    from ipydataclean_spark.streaming.stream import purchase_click_join
+
+    return purchase_click_join(T(spark, sf_dir, "events")).orderBy("p_id", "c_id")
+
+
+@register(
+    "st8b_purchase_click_outer",
+    oracle=(
+        "SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id AS p_user, p.ts AS p_ts "
+        "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+        "LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+        "ON c.user_id = p.user_id AND c.ts < p.ts "
+        "AND c.ts >= p.ts - INTERVAL 10 MINUTE "
+        "ORDER BY p_id, c_id"
+    ),
+    tags=("ST8",),
+)
+def st8b_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST8b batch twin: LEFT OUTER purchase⋈click — every purchase with
+    its preceding clicks or a NULL pad (stream.purchase_click_join_outer
+    body; watermark-closed outer emission is the streaming-only part,
+    pinned by the replay test)."""
+    from ipydataclean_spark.streaming.stream import purchase_click_join_outer
+
+    return purchase_click_join_outer(T(spark, sf_dir, "events")).orderBy("p_id", "c_id")

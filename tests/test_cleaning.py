@@ -87,3 +87,22 @@ def test_recipe_to_code_roundtrip(spark, sf_dir):
     exec(code, ns)  # noqa: S102 — round-trip contract test
     via_code = ns["df"].agg(F.sum("qty2")).first()[0]
     assert direct == via_code
+
+
+def test_global_interpolate_guarded_above_cap(spark):
+    """The single-partition global interpolate form refuses large
+    inputs instead of silently funneling them through one task."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.cleaning import interpolate_linear
+
+    df = spark.range(100).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 3 == 0, F.col("id").cast("double")).alias("v"),
+    )
+    with pytest.raises(ValueError, match="partition_by"):
+        interpolate_linear(df, "v", "row_id", max_global_rows=10)
+    # under the cap the small-data pandas-parity form still works
+    out = interpolate_linear(df, "v", "row_id", max_global_rows=1000)
+    assert out.where(F.col("v").isNull()).count() == 0

@@ -167,7 +167,7 @@ def test_embed_neardup_lsh_recall(spark, sf_dir):
     """l4b (banded pair self-join at τ=0.98 over injected twins) vs the
     exact O(n²) join on the SAME table: no false positives ever
     (candidates are exact-cosine verified), every injected twin pair
-    present in the exact set is recovered (12-bit bands × 8 miss a
+    present in the exact set is recovered (12-bit bands × 16 miss a
     τ≥0.98 pair with P ≈ 3e-8), and the candidate join is sub-
     quadratic (bounded bucket collisions)."""
     from ipydataclean_spark.functions.vector import cosine_sim

@@ -36,3 +36,43 @@ def test_every_query_has_fn_and_doc():
     for name, spec in QUERIES.items():
         assert callable(spec["fn"]), name
         assert spec["doc"], f"{name} has no docstring"
+
+
+def test_query_names_are_wellformed_and_unique():
+    """Driver hygiene: every registry key is a lowercase identifier
+    (the harness uses names as JSON keys and file fragments), and
+    re-registering a taken name raises rather than silently replacing
+    a query — a renamed query can't shadow another and re-enter the
+    driver window as 'fresh'."""
+    import re
+
+    import pytest
+
+    from ipydataclean_spark.registry import register
+
+    load_all()
+    pat = re.compile(r"^[a-z0-9_]+$")
+    for name in QUERIES:
+        assert pat.match(name), f"malformed query name: {name!r}"
+    taken = next(iter(QUERIES))
+    with pytest.raises(ValueError, match="duplicate"):
+        register(taken)(lambda spark, sf_dir: None)
+
+
+def test_prior_green_rounds_match_correctness_files():
+    """Every name in DRIVER_GREEN_PRIOR_ROUNDS must correspond to a
+    green row in a committed CORRECTNESS_r*.json — the rotation list
+    can't drift from the driver's actual evidence."""
+    import glob
+    import json
+
+    green: set[str] = set()
+    for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
+                    green.add(name)
+    assert DRIVER_GREEN_PRIOR_ROUNDS <= green, (
+        "names listed as prior-green without a green CORRECTNESS row: "
+        f"{sorted(DRIVER_GREEN_PRIOR_ROUNDS - green)}"
+    )

@@ -15,12 +15,11 @@ load_all()
 
 
 def test_hll_profile_within_rsd(spark, sf_dir):
-    """HLL estimates (lgConfigK=12 → rsd ~1.6%) must sit within 5% of
-    exact distinct counts, per source AND for the merged rollup."""
-    est = {
-        r.source: r.n_distinct_est
-        for r in QUERIES["p12_hll_profile"]["fn"](spark, sf_dir).collect()
-    }
+    """p12 now emits exact counts (bitmap rollup) + an in-plan 5%-bound
+    check of the HLL estimates (lgConfigK=12 → rsd ~1.6%), per source
+    AND for the merged '__all__' rollup."""
+    rows = QUERIES["p12_hll_profile"]["fn"](spark, sf_dir).collect()
+    got = {r.source: (r.n_distinct_exact, r.est_within_5pct) for r in rows}
     docs = load_table(spark, sf_dir, "documents")
     exact_per = {
         r.source: r.n
@@ -29,13 +28,14 @@ def test_hll_profile_within_rsd(spark, sf_dir):
         .collect()
     }
     exact_per["__all__"] = docs.select(F.countDistinct("doc_id")).first()[0]
-    assert set(est) == set(exact_per)
+    assert set(got) == set(exact_per)
     for k, exact_n in exact_per.items():
-        assert abs(est[k] - exact_n) <= max(1, 0.05 * exact_n), (k, est[k], exact_n)
+        assert got[k] == (exact_n, 1), (k, got[k], exact_n)
 
 
 def test_theta_set_algebra(spark, sf_dir):
-    """Theta estimates obey set algebra vs exact distinct counts."""
+    """p14 now emits exact set-op counts + an in-plan 5%-bound check
+    of all five theta estimates."""
     row = QUERIES["p14_theta_setops"]["fn"](spark, sf_dir).first()
     ev = load_table(spark, sf_dir, "events")
 
@@ -49,14 +49,13 @@ def test_theta_set_algebra(spark, sf_dir):
         .distinct()
         .count()
     )
-    tol = lambda n: max(2, 0.06 * n)
-    assert abs(row.n_click_users - n_click) <= tol(n_click)
-    assert abs(row.n_purchase_users - n_purchase) <= tol(n_purchase)
-    assert abs(row.n_either - n_either) <= tol(n_either)
-    # inclusion-exclusion: |A∩B| ≈ |A| + |B| − |A∪B|
     n_both = n_click + n_purchase - n_either
-    assert abs(row.n_both - n_both) <= tol(max(n_both, 1))
-    assert abs(row.n_click_only - (n_click - n_both)) <= tol(max(n_click - n_both, 1))
+    assert row.n_click_users == n_click
+    assert row.n_purchase_users == n_purchase
+    assert row.n_either == n_either
+    assert row.n_both == n_both
+    assert row.n_click_only == n_click - n_both
+    assert row.sketch_within_5pct == 1
 
 
 def test_bitmap_distinct_is_exact(spark, sf_dir):

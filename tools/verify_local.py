@@ -108,7 +108,15 @@ def main() -> int:
     if args.plain:
         from pyspark.sql import SparkSession
 
-        spark = SparkSession.builder.master("local[8]").appName("verify-plain").getOrCreate()
+        # pin UTC like session.py: the TIMESTAMP_NTZ->TIMESTAMP cast in
+        # catalog.normalize_events_ts reads wall-clock in the session TZ,
+        # so a non-UTC host would shift events timestamps vs DuckDB
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("verify-plain")
+            .config("spark.sql.session.timeZone", "UTC")
+            .getOrCreate()
+        )
     else:
         spark = get_spark("verify-local")
     con = duck_con(args.sf_dir)
