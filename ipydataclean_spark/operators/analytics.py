@@ -160,3 +160,134 @@ def t1_time_rollup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, only=("events",))
     return spark.sql(_T1_SQL)
+
+
+@register(
+    "q_rfm_segments",
+    oracle=(
+        "WITH rfm AS (SELECT o_custkey, MAX(o_orderdate) AS r, "
+        "CAST(COUNT(*) AS BIGINT) AS f, "
+        + exact.dsum_sql("o_totalprice")
+        + " AS m FROM orders GROUP BY o_custkey), "
+        "tiles AS (SELECT o_custkey, m, "
+        "NTILE(4) OVER (ORDER BY r DESC, o_custkey) AS rt, "
+        "NTILE(4) OVER (ORDER BY f DESC, o_custkey) AS ft, "
+        "NTILE(4) OVER (ORDER BY m DESC, o_custkey) AS mt FROM rfm) "
+        "SELECT CAST(rt AS INT) AS r_tile, CAST(ft AS INT) AS f_tile, "
+        "CAST(mt AS INT) AS m_tile, CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "ROUND(" + exact.dsum_sql("m") + ", 2) AS total_monetary "
+        "FROM tiles GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+    ),
+    tags=("analytics", "W1", "R13"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — quartile-bin each customer on
+    Recency (latest order), Frequency (order count), Monetary (exact
+    decimal spend), then size each of the ≤64 segments (the classic
+    retention-marketing rollup a reference user runs post-clean).
+
+    Determinism: every NTILE orders by (metric, o_custkey) so tile
+    assignment is total-order stable across engines/partitionings.
+    Plan: one o_custkey-keyed partial agg, three unpartitioned NTILE
+    windows over the CUSTOMER-level table (not the fact table — rows
+    = |customers|, a single-partition sort each; at 100 TB swap for
+    percentile-bound binning via exact_quantiles, same output), one
+    tiny final agg."""
+    from pyspark.sql import Window
+
+    rfm = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("r"),
+            F.count(F.lit(1)).alias("f"),
+            exact.dsum("o_totalprice").alias("m"),
+        )
+    )
+    tiles = rfm.select(
+        "o_custkey",
+        "m",
+        F.ntile(4).over(Window.orderBy(F.desc("r"), "o_custkey")).alias("r_tile"),
+        F.ntile(4).over(Window.orderBy(F.desc("f"), "o_custkey")).alias("f_tile"),
+        F.ntile(4).over(Window.orderBy(F.desc("m"), "o_custkey")).alias("m_tile"),
+    )
+    return (
+        tiles.groupBy("r_tile", "f_tile", "m_tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(exact.dsum("m"), 2).alias("total_monetary"),
+        )
+        .orderBy("r_tile", "f_tile", "m_tile")
+    )
+
+
+@register(
+    "q_pareto_revenue",
+    oracle=(
+        "WITH rev AS (SELECT o_custkey, "
+        + exact.dsum_sql("o_totalprice")
+        + " AS m FROM orders GROUP BY o_custkey), "
+        "tot AS (SELECT " + exact.dsum_sql("m") + " AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM rev), "
+        "ranked AS (SELECT ROW_NUMBER() OVER (ORDER BY m DESC, o_custkey) AS rnk, "
+        "CAST(SUM(CAST(m AS DECIMAL(28,6))) OVER (ORDER BY m DESC, o_custkey "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM rev) "
+        "SELECT CAST(tot.n AS BIGINT) AS n_customers, "
+        "ROUND(CAST(MIN(CASE WHEN cum / tot.total >= 0.5 THEN rnk END) AS DOUBLE) / tot.n, 8) AS frac_for_50pct, "
+        "ROUND(CAST(MIN(CASE WHEN cum / tot.total >= 0.8 THEN rnk END) AS DOUBLE) / tot.n, 8) AS frac_for_80pct, "
+        "ROUND(CAST(MIN(CASE WHEN cum / tot.total >= 0.9 THEN rnk END) AS DOUBLE) / tot.n, 8) AS frac_for_90pct "
+        "FROM ranked CROSS JOIN tot GROUP BY tot.n"
+    ),
+    tags=("analytics", "W2"),
+)
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto curve readout): the smallest
+    fraction of customers whose exact cumulative revenue reaches
+    50% / 80% / 90% of the total — the "how top-heavy is this
+    dimension" profile a skew-aware pipeline checks before choosing
+    join/partition strategies (it is literally the skew diagnostic
+    for o_custkey).
+
+    Exactness: per-customer revenue and the running total both sum in
+    DECIMAL, so the cum/total division and threshold comparisons see
+    bit-identical inputs on both engines. Plan: one partial agg keyed
+    o_custkey; the ranking window runs over the CUSTOMER-level table
+    (single-partition sort of |customers| rows — at 100 TB replace
+    with exact_quantiles over the revenue column, same semantics);
+    final fold is a 1-row agg."""
+    from pyspark.sql import Window
+
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(exact.dsum("o_totalprice").alias("m"))
+    )
+    w = Window.orderBy(F.desc("m"), "o_custkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = rev.select(
+        F.row_number().over(Window.orderBy(F.desc("m"), "o_custkey")).alias("rnk"),
+        F.sum(F.col("m").cast("decimal(28,6)")).over(w).cast("double").alias("cum"),
+    )
+    tot = rev.agg(
+        exact.dsum("m").alias("total"), F.count(F.lit(1)).cast("long").alias("n")
+    )
+    share = F.col("cum") / F.col("total")
+    frac = lambda thr: F.round(  # noqa: E731
+        F.min(F.when(share >= thr, F.col("rnk"))).cast("double") / F.col("n"), 8
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            frac(0.5).alias("frac_for_50pct"),
+            frac(0.8).alias("frac_for_80pct"),
+            frac(0.9).alias("frac_for_90pct"),
+        )
+        .select(
+            F.col("n").alias("n_customers"),
+            "frac_for_50pct",
+            "frac_for_80pct",
+            "frac_for_90pct",
+        )
+    )

@@ -118,3 +118,56 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, damping=0.85, iterations=10)
     return ranks.orderBy(F.desc("rank"), "node").limit(25)
+
+
+@register(
+    "g2_triangle_count",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT a.l_partkey AS x, b.l_partkey AS y "
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2) "
+        "SELECT e1.x AS part_a, e1.y AS part_b, e2.y AS part_c "
+        "FROM e e1 JOIN e e2 ON e1.y = e2.x "
+        "JOIN e e3 ON e1.x = e3.x AND e2.y = e3.y "
+        "ORDER BY part_a, part_b, part_c"
+    ),
+    tags=("G2", "analytics"),
+)
+def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: triangle enumeration on the part co-occurrence graph
+    (edges = part pairs bought together in ≥ 2 orders) — the
+    clustering-coefficient / community primitive, and the canonical
+    non-iterative graph query (vs g1's fixed-point PageRank).
+
+    Algorithm: the standard edge-iterator join with a TOTAL ORDER on
+    vertices — every edge is stored once as (x < y), and a triangle
+    {a,b,c} with a<b<c is found exactly once as e(a,b)⋈e(b,c)⋈e(a,c).
+    The ordering is the scale trick (public, Schank-Wagner): each
+    triangle is counted once, no candidate is generated twice, and
+    orienting edges low→high bounds join fanout by out-degree. At
+    100 TB: degree-order instead of id-order (orient toward the
+    higher-degree endpoint) so hub fanout is √m-bounded; the support
+    threshold is the edge sparsifier that keeps |e| linear-ish in
+    orders, and both joins shuffle on a single part key."""
+    items = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("x", "y")
+    )
+    e1 = e.select(F.col("x").alias("part_a"), F.col("y").alias("part_b"))
+    e2 = e.select(F.col("x").alias("part_b"), F.col("y").alias("part_c"))
+    e3 = e.select(F.col("x").alias("part_a"), F.col("y").alias("part_c"))
+    return (
+        e1.join(e2, "part_b")
+        .join(e3, ["part_a", "part_c"])
+        .select("part_a", "part_b", "part_c")
+        .orderBy("part_a", "part_b", "part_c")
+    )

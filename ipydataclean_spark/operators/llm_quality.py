@@ -1,0 +1,221 @@
+"""Training-corpus quality rules and budget sampling (SURVEY.md §2.9
+round-3 queue): Gopher-style per-document quality signals, repetition
+scoring, and per-domain token budgeting — the filters a 100 TB text
+pipeline runs between ingest and dedup.
+
+Method provenance (public): the signal set follows the published
+quality heuristics of Gopher (Rae et al. 2021, §A1.1), C4 (Raffel et
+al. 2020, §2.2) and CCNet — word counts, mean word length, stop-word
+presence, repetition fractions, per-source budgets. The fixture's
+documents are single-line synthetic word streams, so the line-based
+variants (bullet/ellipsis line fractions) are represented by their
+word-level counterparts; the line rules drop in as extra array_filter
+terms on ``split(text, '\\n')`` with identical plan shape.
+
+Scale notes: l19 is MAP-ONLY (per-row array expressions, zero
+shuffles before the final sort) — on 100 TB it is a pure scan-side
+filter that pipelines with whatever runs next. l21 uses the
+explode+groupBy shape (two key-partitioned shuffles, both map-side
+combinable) because per-array frequency counting via nested
+higher-order functions is O(words x distinct) per row — fine for
+short docs, quadratic for long ones; the shuffle form is linear. l20
+is one window over (source)-partitioned data — a single shuffle keyed
+by the budget dimension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.functions.text import norm_text_sql
+from ipydataclean_spark.operators.llm import tokens_col
+from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.registry import register
+
+# Gopher-adapted thresholds, documented so the keep flag is auditable.
+# (Gopher uses 50..100k words / mean len 3..10 / stop-word presence on
+# web pages; the fixture's synthetic docs are 20..80 words, so the word
+# floor is scaled to keep the flag non-degenerate at fixture scale.)
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_MEAN_WL = 3.0
+MAX_MEAN_WL = 10.0
+STOPWORDS = ("the", "a")
+
+_STOP_SQL = "(x = 'the' OR x = 'a')"
+
+
+@register(
+    "l19_gopher_quality",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        + norm_text_sql("text")
+        + " AS nt FROM documents), "
+        "s AS (SELECT doc_id, source, "
+        "CAST(len(string_split(nt, ' ')) AS BIGINT) AS n_words, "
+        "ROUND(CAST(len(nt) - (len(string_split(nt, ' ')) - 1) AS DOUBLE) "
+        " / CAST(len(string_split(nt, ' ')) AS DOUBLE), 8) AS mean_word_len, "
+        "ROUND(CAST(len(list_filter(string_split(nt, ' '), x -> "
+        + _STOP_SQL
+        + ")) AS DOUBLE) / CAST(len(string_split(nt, ' ')) AS DOUBLE), 8) AS stop_frac, "
+        "ROUND(CAST(len(list_distinct(string_split(nt, ' '))) AS DOUBLE) "
+        " / CAST(len(string_split(nt, ' ')) AS DOUBLE), 8) AS distinct_frac "
+        "FROM d) "
+        "SELECT doc_id, source, n_words, mean_word_len, stop_frac, distinct_frac, "
+        f"CAST(n_words >= {MIN_WORDS} AND n_words <= {MAX_WORDS} "
+        f"AND mean_word_len >= {MIN_MEAN_WL} AND mean_word_len <= {MAX_MEAN_WL} "
+        "AND stop_frac > 0.0 AS BOOLEAN) AS keep "
+        "FROM s ORDER BY doc_id"
+    ),
+    tags=("L19", "L7", "quality"),
+)
+def l19_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L19: Gopher-rule document quality signals — word count, mean
+    word length, stop-word fraction, distinct-word fraction, and the
+    resulting keep/reject flag (published Gopher §A1.1 heuristics,
+    word-level adaptation for the single-line fixture).
+
+    Plan: MAP-ONLY. Every signal is an array expression over the
+    normalized token split (mean word length exploits the
+    single-space collapse: len(text) = sum(word lens) + (n-1), so the
+    SQL twin reads it off the normalized string while the Spark side
+    folds the token array — identical values); the only
+    exchange in the plan is the output sort. On 100 TB this runs as a
+    scan-side filter fused into whole-stage codegen."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens_col("text"))
+    toks = F.col("__toks")
+    n = F.size(toks).cast("long")
+    wl_sum = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    mean_wl = F.round(wl_sum.cast("double") / n.cast("double"), 8)
+    stop_n = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
+    stop_frac = F.round(stop_n.cast("double") / n.cast("double"), 8)
+    distinct_frac = F.round(
+        F.size(F.array_distinct(toks)).cast("double") / n.cast("double"), 8
+    )
+    out = docs.select(
+        "doc_id",
+        "source",
+        n.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        distinct_frac.alias("distinct_frac"),
+    ).withColumn(
+        "keep",
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("n_words") <= MAX_WORDS)
+        & (F.col("mean_word_len") >= MIN_MEAN_WL)
+        & (F.col("mean_word_len") <= MAX_MEAN_WL)
+        & (F.col("stop_frac") > 0.0),
+    )
+    return out.orderBy("doc_id")
+
+
+@register(
+    "l21_top_bigram_frac",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, string_split("
+        + norm_text_sql("text")
+        + ", ' ') AS t FROM documents), "
+        "bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), "
+        "i -> t[i] || ' ' || t[i + 1])) AS b FROM toks WHERE len(t) >= 2), "
+        "cnt AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM bg GROUP BY doc_id, b) "
+        "SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams, "
+        "MAX(c) AS top_count, "
+        "ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 8) AS top_frac "
+        "FROM cnt GROUP BY doc_id ORDER BY top_frac DESC, doc_id"
+    ),
+    tags=("L21", "L7", "quality"),
+)
+def l21_top_bigram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L21: repetition score — the fraction of a document's word
+    bigrams occupied by its single most frequent bigram (the Gopher
+    "top-2-gram character fraction" signal, word-level form);
+    template/spam text scores high and is filtered before training.
+
+    Plan: bigrams are built map-side from the materialized token
+    array (sequence+transform, no self-join), then ONE explode feeds
+    a (doc_id, bigram)-keyed count and a doc_id-keyed rollup — two
+    map-side-combinable shuffles, linear in corpus size. The
+    all-in-array alternative (filter-count per distinct element) is
+    O(words x distinct) per row and loses on long documents."""
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens_col("text"))
+    toks = F.col("__toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat(F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)),
+    )
+    bg = (
+        docs.where(F.size(toks) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("b"))
+    )
+    cnt = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").alias("top_count"),
+            F.round(
+                F.max("c").cast("double") / F.sum("c").cast("double"), 8
+            ).alias("top_frac"),
+        )
+        .orderBy(F.desc("top_frac"), "doc_id")
+    )
+
+
+#: Per-source word budget for l20 (chosen so roughly half of each
+#: fixture source's docs survive — keeps the query non-degenerate).
+SOURCE_BUDGET_WORDS = 700
+
+
+@register(
+    "l20_domain_budget",
+    oracle=(
+        "WITH d AS (SELECT doc_id, source, "
+        "CAST(len(string_split("
+        + norm_text_sql("text")
+        + ", ' ')) AS BIGINT) AS n_words FROM documents), "
+        "r AS (SELECT doc_id, source, n_words, "
+        "CAST(SUM(n_words) OVER (PARTITION BY source "
+        "ORDER BY n_words DESC, doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_words "
+        "FROM d) "
+        f"SELECT source, doc_id, n_words, cum_words FROM r WHERE cum_words <= {SOURCE_BUDGET_WORDS} "
+        "ORDER BY source, cum_words"
+    ),
+    tags=("L20", "sampling", "quality"),
+)
+def l20_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L20: per-domain budget sampling — cap each source at a fixed
+    word budget, keeping its longest documents first (the CCNet/
+    Gopher-style mixture-balancing step that stops one over-crawled
+    domain from dominating the training mixture).
+
+    Deterministic: the greedy order is (n_words DESC, doc_id), so the
+    kept set is unique. Plan: ONE shuffle keyed source (the window
+    partition); the running sum is a single WindowExec per partition —
+    at 100 TB the source key has far more groups than executors, so
+    the window parallelizes on the budget dimension; a skewed mega-
+    domain is bounded by its own budget cutoff (rows past the budget
+    still sort within the group — mitigate with a pre-filter on
+    rank when a single domain exceeds executor memory)."""
+    d = (
+        T(spark, sf_dir, "documents")
+        .withColumn("__toks", tokens_col("text"))
+        .select(
+            "doc_id", "source", F.size("__toks").cast("long").alias("n_words")
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_words"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d.withColumn("cum_words", F.sum("n_words").over(w).cast("long"))
+        .where(F.col("cum_words") <= SOURCE_BUDGET_WORDS)
+        .select("source", "doc_id", "n_words", "cum_words")
+        .orderBy("source", "cum_words")
+    )

@@ -45,11 +45,13 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.udfs",
     "ipydataclean_spark.operators.llm",
     "ipydataclean_spark.operators.llm_extra",
+    "ipydataclean_spark.operators.llm_quality",
     "ipydataclean_spark.operators.ivf",
     "ipydataclean_spark.operators.incremental",
     "ipydataclean_spark.operators.multimodal",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
+    "ipydataclean_spark.sources.txlog",
 )
 
 

@@ -1,0 +1,161 @@
+"""Behavioral pins for the round-3 corpus-quality / analytics queries
+(oracle parity itself is covered by tools/verify_local.py + the driver
+window; these assert the SEMANTICS hold on the fixture)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.llm_quality import (
+    MIN_WORDS,
+    SOURCE_BUDGET_WORDS,
+    l19_gopher_quality,
+    l20_domain_budget,
+    l21_top_bigram_frac,
+)
+
+
+def test_gopher_signals_consistent(spark, sf_dir):
+    rows = l19_gopher_quality(spark, sf_dir).collect()
+    assert rows, "fixture documents produced no signals"
+    kept = [r for r in rows if r.keep]
+    assert kept, "keep flag degenerate: everything rejected"
+    for r in rows:
+        assert 0.0 < r.distinct_frac <= 1.0
+        assert 0.0 <= r.stop_frac <= 1.0
+        # keep flag is exactly the documented threshold conjunction
+        expect = (
+            MIN_WORDS <= r.n_words
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.stop_frac > 0.0
+        )
+        assert r.keep == expect, f"doc {r.doc_id}: keep != thresholds"
+
+
+def test_gopher_matches_python_recompute(spark, sf_dir):
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    words = " ".join(doc.text.lower().split()).split(" ")
+    row = (
+        l19_gopher_quality(spark, sf_dir)
+        .where(F.col("doc_id") == doc.doc_id)
+        .first()
+    )
+    assert row.n_words == len(words)
+    assert row.mean_word_len == pytest.approx(
+        sum(len(w) for w in words) / len(words), abs=1e-6
+    )
+    assert row.stop_frac == pytest.approx(
+        sum(w in ("the", "a") for w in words) / len(words), abs=1e-6
+    )
+    assert row.distinct_frac == pytest.approx(
+        len(set(words)) / len(words), abs=1e-6
+    )
+
+
+def test_top_bigram_matches_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .select("doc_id", "text")
+        .first()
+    )
+    words = " ".join(doc.text.lower().split()).split(" ")
+    bigrams = Counter(
+        f"{words[i]} {words[i + 1]}" for i in range(len(words) - 1)
+    )
+    row = (
+        l21_top_bigram_frac(spark, sf_dir)
+        .where(F.col("doc_id") == doc.doc_id)
+        .first()
+    )
+    assert row.n_bigrams == len(words) - 1
+    assert row.top_count == max(bigrams.values())
+    assert row.top_frac == pytest.approx(
+        max(bigrams.values()) / (len(words) - 1), abs=1e-6
+    )
+
+
+def test_domain_budget_is_greedy_prefix(spark, sf_dir):
+    out = l20_domain_budget(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "budget kept nothing"
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    docs = {
+        (r.source, r.doc_id): r.n_words
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .withColumn("n_words", F.size(F.split(F.lower(F.trim(F.regexp_replace("text", r"\s+", " "))), " ")))
+        .select("source", "doc_id", "n_words")
+        .collect()
+    }
+    for src, kept in per_src.items():
+        assert all(r.cum_words <= SOURCE_BUDGET_WORDS for r in kept)
+        # kept set == greedy (longest-first, doc_id tiebreak) prefix
+        pool = sorted(
+            ((n, did) for (s, did), n in docs.items() if s == src),
+            key=lambda t: (-t[0], t[1]),
+        )
+        expect, cum = [], 0
+        for n, did in pool:
+            if cum + n > SOURCE_BUDGET_WORDS:
+                break
+            cum += n
+            expect.append(did)
+        assert [r.doc_id for r in kept] == expect, f"source {src}"
+
+
+def test_rfm_partitions_customers(spark, sf_dir):
+    from ipydataclean_spark.operators.analytics import q_rfm_segments
+
+    seg = q_rfm_segments(spark, sf_dir).collect()
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in seg) == n_cust
+    for r in seg:
+        assert 1 <= r.r_tile <= 4 and 1 <= r.f_tile <= 4 and 1 <= r.m_tile <= 4
+
+
+def test_pareto_fracs_monotone(spark, sf_dir):
+    from ipydataclean_spark.operators.analytics import q_pareto_revenue
+
+    row = q_pareto_revenue(spark, sf_dir).first()
+    assert 0.0 < row.frac_for_50pct <= row.frac_for_80pct <= row.frac_for_90pct <= 1.0
+
+
+def test_triangles_are_closed_and_canonical(spark, sf_dir):
+    import duckdb
+
+    from ipydataclean_spark.operators.graph import g2_triangle_count
+
+    tris = g2_triangle_count(spark, sf_dir).collect()
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    edges = set(
+        map(
+            tuple,
+            con.sql(
+                "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) "
+                "SELECT a.l_partkey, b.l_partkey FROM items a JOIN items b "
+                "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+                "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+            ).fetchall(),
+        )
+    )
+    for t in tris:
+        assert t.part_a < t.part_b < t.part_c
+        assert (t.part_a, t.part_b) in edges
+        assert (t.part_b, t.part_c) in edges
+        assert (t.part_a, t.part_c) in edges

@@ -1,0 +1,122 @@
+"""ACID semantics of the commit-log parquet table (sources/txlog.py):
+snapshot isolation, optimistic concurrency, time travel, file-level
+merge pruning, vacuum."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.sources.txlog import ConflictError, TxTable
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+
+
+def test_create_read_append_overwrite(spark, base_df, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), base_df)
+    assert t.version() == 0
+    assert t.read().count() == 100
+
+    t.append(spark.range(100, 120).select(F.col("id").alias("k"), F.lit(0).alias("v")))
+    assert t.version() == 1
+    assert t.read().count() == 120
+
+    t.overwrite(base_df.limit(5))
+    assert t.version() == 2
+    assert t.read().count() == 5
+    ops = [c["op"] for c in t.history()]
+    assert ops == ["create", "append", "overwrite"]
+
+
+def test_time_travel_and_snapshot_isolation(spark, base_df, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), base_df)
+    # resolve a reader BEFORE the overwrite commits
+    old_reader = t.read()
+    t.overwrite(base_df.where(F.col("k") < 10))
+    # the pre-commit reader still sees version 0's rows (immutable files)
+    assert old_reader.count() == 100
+    # explicit time travel agrees
+    assert t.read(version=0).count() == 100
+    assert t.read().count() == 10
+
+
+def test_commit_race_append_rebases_merge_conflicts(spark, base_df, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), base_df)
+    # steal version 1: simulate a concurrent writer publishing first
+    # (an append that removes nothing)
+    os.makedirs(t.root + "/_txlog", exist_ok=True)
+    with open(os.path.join(t.root, "_txlog", f"{1:08d}.json"), "w") as f:
+        json.dump(
+            {"version": 1, "op": "append", "add": [], "remove": [],
+             "read_version": 0, "ts": 0.0},
+            f,
+        )
+    # append loses the race for v1, rebases to v2 (no files conflict)
+    v = t.append(base_df.limit(1))
+    assert v == 2
+
+    # now steal v3 with a commit that REMOVES the files an in-flight
+    # merge (already snapshotted at v2) is rewriting -> write-write
+    # conflict even with retries. Drive the commit phase directly so
+    # the interleaving is deterministic: the merge resolved its
+    # snapshot BEFORE the stolen commit landed.
+    live_rel = [os.path.relpath(p, t.root) for p in t.live_files()]
+    with open(os.path.join(t.root, "_txlog", f"{3:08d}.json"), "w") as f:
+        json.dump(
+            {"version": 3, "op": "overwrite", "add": [], "remove": live_rel,
+             "read_version": 2, "ts": 0.0},
+            f,
+        )
+    with pytest.raises(ConflictError):
+        t._publish("merge", add=[], remove=[live_rel[0]],
+                   read_version=2, max_retries=2)
+
+
+def test_merge_upserts_and_prunes_files(spark, tmp_path):
+    # 4 range-clustered files -> tight footer min/max on k
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+    files_v0 = set(t.live_files())
+    assert len(files_v0) == 4
+
+    # update batch confined to k in [0, 50] -> intersects exactly 1 file
+    upd = spark.range(0, 51).select(
+        F.col("id").alias("k"), F.lit(-1).alias("v")
+    )
+    t.merge(upd, key="k")
+    files_v1 = set(t.live_files())
+    carried = files_v0 & files_v1
+    assert len(files_v0 - files_v1) == 1, "exactly one file rewritten"
+    assert len(carried) == 3, "untouched files carry over by reference"
+
+    got = {r.k: r.v for r in t.read().collect()}
+    assert len(got) == 400
+    assert all(got[k] == -1 for k in range(0, 51))
+    assert all(got[k] == 2 * k for k in range(51, 400))
+
+
+def test_merge_empty_batch_is_noop(spark, base_df, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), base_df)
+    v = t.merge(base_df.where(F.lit(False)), key="k")
+    assert v == 0 and t.version() == 0
+
+
+def test_vacuum_drops_old_versions_only(spark, base_df, tmp_path):
+    t = TxTable.create(spark, str(tmp_path / "t"), base_df)
+    t.overwrite(base_df.limit(7))
+    deleted = t.vacuum(retain_versions=1)
+    assert deleted, "v0 files should be deleted"
+    assert t.read().count() == 7  # current snapshot intact
+    with pytest.raises(Exception):
+        t.read(version=0).count()  # time travel past vacuum horizon fails
