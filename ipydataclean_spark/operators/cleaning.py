@@ -694,3 +694,61 @@ def c18b_merge_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Recipe SQL export (to_sql): the generated SQL IS the oracle
+# ---------------------------------------------------------------------------
+
+
+from ipydataclean_spark.operators import dirty as _dirty  # noqa: E402
+
+
+def _sql_export_recipe():
+    from ipydataclean_spark.recipe import Recipe
+
+    return (
+        Recipe()
+        .convert_numeric("quantity_str", out="qty2")
+        .fill_aggregate("qty2", "mean")
+        .clip("qty2", 5.0, 45.0)
+        .one_hot("l_returnflag", ["A", "N", "R"])
+    )
+
+
+_RS_BODY, _RS_LAST = _sql_export_recipe().sql_ctes("lineitem_dirty")
+
+
+@register(
+    "recipe_sql_export",
+    oracle=(
+        f"WITH lineitem_dirty AS ({_dirty.lineitem_dirty_sql()})"
+        f"{_RS_BODY} "
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"{exact.dsum_sql('qty2')} AS sum_qty, "
+        "CAST(SUM(l_returnflag__a) AS BIGINT) AS n_a, "
+        "CAST(SUM(l_returnflag__r) AS BIGINT) AS n_r "
+        f"FROM {_RS_LAST} GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("recipe", "C9", "C3", "C11", "C22"),
+)
+def recipe_sql_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe.to_sql round-trip under the driver's value-hash gate:
+    the ORACLE for this query is literally the SQL that
+    ``Recipe.sql_ctes`` generated for the same four-step session
+    (parse → mean-fill → clip → one-hot), so the interop export is
+    hash-verified against the Spark execution of the identical
+    recipe — not eyeballed. ``to_code`` (PySpark export) is the
+    property-tested sibling."""
+    recipe = _sql_export_recipe()
+    cleaned = recipe.apply(lineitem_dirty(spark, sf_dir))
+    return (
+        cleaned.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.dsum("qty2").alias("sum_qty"),
+            F.sum("l_returnflag__a").cast("long").alias("n_a"),
+            F.sum("l_returnflag__r").cast("long").alias("n_r"),
+        )
+        .orderBy("l_returnflag")
+    )
