@@ -1,0 +1,227 @@
+"""Declarative data-quality expectations (Deequ-style, public method:
+Schelter et al., "Automating Large-Scale Data Quality Verification",
+VLDB 2018) — a check suite where EVERY check contributes one aggregate
+expression and the whole suite evaluates in a SINGLE scan/agg pass,
+the same P10 one-pass rule the profiler follows.
+
+Spark-first shape: checks fold into one ``agg`` (all partial-
+aggregable, map-side combined); the per-check verdict rows come from
+exploding a literal-indexed array over the 1-row metric result —
+zero extra scans, zero shuffles beyond the single global agg. On a
+100 TB table the suite costs exactly one pass regardless of how many
+checks it carries.
+
+Each check also emits a DuckDB SQL twin, so a suite can be exported
+as one oracle query (`x1_expectations` is hash-verified this way —
+the registered oracle is generated from the same check objects).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.operators.qhelp import T, lineitem_dirty
+from ipydataclean_spark.operators.qhelp import with_lineitem_dirty
+from ipydataclean_spark.registry import register
+
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    #: thunk -> aggregate Column (lazy: Columns need an active
+    #: SparkContext, but suites are also built at import time to
+    #: generate the oracle SQL)
+    metric: "object"
+    metric_sql: str  # DuckDB twin of ``metric()``
+    # verdict bounds: metric must land in [lo, hi] (None = unbounded)
+    lo: float | None
+    hi: float | None
+
+    def passed(self, m: Column) -> Column:
+        conds = []
+        if self.lo is not None:
+            conds.append(m >= self.lo)
+        if self.hi is not None:
+            conds.append(m <= self.hi)
+        out = F.lit(True)
+        for c in conds:
+            out = out & c
+        return out
+
+    def passed_sql(self, m: str) -> str:
+        conds = []
+        if self.lo is not None:
+            conds.append(f"{m} >= {self.lo!r}")
+        if self.hi is not None:
+            conds.append(f"{m} <= {self.hi!r}")
+        return " AND ".join(conds) if conds else "TRUE"
+
+
+def _frac(cond: Column) -> Column:
+    return F.round(
+        F.sum(cond.cast("long")).cast("double") / F.count(F.lit(1)), 8
+    )
+
+
+def _frac_sql(cond: str) -> str:
+    return f"ROUND(CAST(COUNT_IF({cond}) AS DOUBLE) / COUNT(*), 8)"
+
+
+class Suite:
+    """Fluent builder for a one-pass expectation suite."""
+
+    def __init__(self) -> None:
+        self.checks: list[Check] = []
+
+    def _add(self, c: Check) -> "Suite":
+        if any(x.name == c.name for x in self.checks):
+            raise ValueError(f"duplicate check name: {c.name}")
+        self.checks.append(c)
+        return self
+
+    # -- check constructors -------------------------------------------
+
+    def completeness(self, col: str, min_ratio: float) -> "Suite":
+        return self._add(Check(
+            f"completeness_{col}",
+            lambda: _frac(F.col(col).isNotNull()),
+            _frac_sql(f"{col} IS NOT NULL"),
+            lo=min_ratio, hi=None,
+        ))
+
+    def uniqueness(self, col: str, min_ratio: float = 1.0) -> "Suite":
+        """distinct / non-null count (1.0 = key-like)."""
+        return self._add(Check(
+            f"uniqueness_{col}",
+            lambda: F.round(
+                F.countDistinct(F.col(col)).cast("double")
+                / F.sum(F.col(col).isNotNull().cast("long")), 8
+            ),
+            f"ROUND(CAST(COUNT(DISTINCT {col}) AS DOUBLE) / COUNT({col}), 8)",
+            lo=min_ratio, hi=None,
+        ))
+
+    def bounds(self, col: str, lo: float, hi: float) -> "Suite":
+        """Every non-null value inside [lo, hi] (metric = conforming
+        fraction, must be 1.0)."""
+        return self._add(Check(
+            f"bounds_{col}",
+            lambda: _frac(
+                F.col(col).isNull() | ((F.col(col) >= lo) & (F.col(col) <= hi))
+            ),
+            _frac_sql(f"({col} IS NULL OR ({col} >= {lo!r} AND {col} <= {hi!r}))"),
+            lo=1.0, hi=None,
+        ))
+
+    def mean_between(self, col: str, lo: float, hi: float) -> "Suite":
+        return self._add(Check(
+            f"mean_{col}",
+            lambda: F.round(exact.davg(col), 8),
+            f"ROUND({exact.davg_sql(col)}, 8)",
+            lo=lo, hi=hi,
+        ))
+
+    def contained_in(self, col: str, values: list[str], min_ratio: float) -> "Suite":
+        vals = sorted(values)
+        in_sql = ", ".join(f"'{v}'" for v in vals)
+        return self._add(Check(
+            f"contained_{col}",
+            lambda: _frac(F.col(col).isin(vals)),
+            _frac_sql(f"{col} IN ({in_sql})"),
+            lo=min_ratio, hi=None,
+        ))
+
+    def matches(self, col: str, pattern: str, min_ratio: float) -> "Suite":
+        return self._add(Check(
+            f"matches_{col}",
+            lambda: _frac(F.col(col).rlike(pattern)),
+            _frac_sql(f"REGEXP_MATCHES({col}, '{pattern}')"),
+            lo=min_ratio, hi=None,
+        ))
+
+    def size_between(self, lo: int, hi: int) -> "Suite":
+        return self._add(Check(
+            "size",
+            lambda: F.count(F.lit(1)).cast("double"),
+            "CAST(COUNT(*) AS DOUBLE)",
+            lo=float(lo), hi=float(hi),
+        ))
+
+    # -- evaluation ----------------------------------------------------
+
+    def evaluate(self, df: DataFrame) -> DataFrame:
+        """ONE agg pass -> (check_name, metric, passed) rows.
+
+        Plan: a single partial-aggregable global Aggregate computes
+        every metric; the verdict rows explode a literal array over
+        the 1-row result (driver-free, still one job)."""
+        agged = df.agg(
+            *[c.metric().alias(f"__m{i}") for i, c in enumerate(self.checks)]
+        )
+        rows = F.array(*[
+            F.struct(
+                F.lit(c.name).alias("check_name"),
+                F.col(f"__m{i}").cast("double").alias("metric"),
+                c.passed(F.col(f"__m{i}")).alias("passed"),
+            )
+            for i, c in enumerate(self.checks)
+        ])
+        return (
+            agged.select(F.explode(rows).alias("r"))
+            .select("r.check_name", "r.metric", "r.passed")
+            .orderBy("check_name")
+        )
+
+    def to_sql(self, source: str) -> str:
+        """The whole suite as ONE DuckDB query over ``source`` (single
+        scan there too: one metric CTE + a literal unpivot)."""
+        metrics = ", ".join(
+            f"{c.metric_sql} AS __m{i}" for i, c in enumerate(self.checks)
+        )
+        arms = " UNION ALL ".join(
+            f"SELECT '{c.name}' AS check_name, CAST(__m{i} AS DOUBLE) AS metric, "
+            f"CAST({c.passed_sql(f'__m{i}')} AS BOOLEAN) AS passed FROM m"
+            for i, c in enumerate(self.checks)
+        )
+        return f"WITH m AS (SELECT {metrics} FROM {source}) {arms} ORDER BY check_name"
+
+    def to_sql_embedded(self, source: str) -> str:
+        """Same query shaped for composition inside an existing WITH:
+        ``", m AS (...) SELECT ..."`` appended after the caller's CTEs."""
+        full = self.to_sql(source)
+        return ", " + full[len("WITH ") :]
+
+
+def _x1_suite() -> Suite:
+    return (
+        Suite()
+        .completeness("qty_parsed", 0.97)
+        .completeness("l_quantity", 1.0)
+        .uniqueness("l_orderkey", 0.9)   # fails: ~4 lines per order
+        .bounds("l_discount", 0.0, 0.1)
+        .mean_between("l_quantity", 20.0, 30.0)
+        .contained_in("l_returnflag", ["A", "N", "R"], 1.0)
+        .contained_in("l_linestatus", ["F", "O"], 1.0)
+        .matches("quantity_str", "^[0-9]+(\\.[0-9]+)?$", 0.9)
+        .size_between(1000, 10_000_000)
+    )
+
+
+@register(
+    "x1_expectations",
+    oracle=with_lineitem_dirty(_x1_suite().to_sql_embedded("lineitem_dirty")),
+    tags=("X1", "P2", "D1", "quality"),
+)
+def x1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: declarative expectation suite over the dirty fixture — 8
+    checks (completeness, uniqueness, bounds, mean window, set
+    containment, regex conformity, table size) in ONE scan+agg; the
+    oracle is the suite's own ``to_sql`` export, so the check
+    semantics are value-hash-verified end to end. The uniqueness
+    check on l_orderkey is intentionally failing (lineitem has ~4
+    rows per order) so the verdict column carries signal."""
+    return _x1_suite().evaluate(lineitem_dirty(spark, sf_dir))

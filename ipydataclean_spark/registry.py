@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.functions_extra",
     "ipydataclean_spark.operators.functions_stats",
     "ipydataclean_spark.operators.quality",
+    "ipydataclean_spark.operators.expectations",
     "ipydataclean_spark.operators.groupstats",
     "ipydataclean_spark.operators.featprep",
     "ipydataclean_spark.operators.graph",

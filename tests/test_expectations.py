@@ -1,0 +1,63 @@
+"""Expectation-suite semantics + the one-pass plan guarantee."""
+
+import pytest
+from pyspark.sql import Row
+
+from ipydataclean_spark.operators.expectations import Suite, x1_expectations
+from ipydataclean_spark.plans import plan_tree
+
+
+def test_x1_single_scan_single_agg(spark, sf_dir):
+    """However many checks the suite carries, the plan holds ONE
+    parquet scan and one global aggregate pair (partial+final)."""
+    df = x1_expectations(spark, sf_dir)
+    tree = plan_tree(df)
+    scans = [l for l in tree if "Scan parquet" in l or "Relation" in l]
+    assert len(scans) == 1, "\n".join(tree)
+    joins = [l for l in tree if "Join" in l]
+    assert not joins, "\n".join(tree)
+
+
+def test_x1_verdicts(spark, sf_dir):
+    rows = {r.check_name: r for r in x1_expectations(spark, sf_dir).collect()}
+    assert len(rows) == 9
+    assert not rows["uniqueness_l_orderkey"].passed  # ~4 lines/order
+    assert rows["bounds_l_discount"].passed
+    assert rows["contained_l_returnflag"].passed
+    assert rows["size"].passed
+    for r in rows.values():
+        assert r.metric is not None
+
+
+def test_suite_semantics_on_known_data(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, v=10.0, s="a"),
+            Row(k=2, v=None, s="b"),
+            Row(k=2, v=30.0, s="zz"),
+            Row(k=4, v=50.0, s=None),
+        ]
+    )
+    suite = (
+        Suite()
+        .completeness("v", 0.8)        # 3/4 = 0.75 -> fail
+        .uniqueness("k", 1.0)          # 3 distinct / 4 -> fail
+        .bounds("v", 0.0, 100.0)       # all non-null in range -> pass
+        .mean_between("v", 29.0, 31.0) # exact mean 30 -> pass
+        .contained_in("s", ["a", "b"], 0.5)  # 2/4 -> pass
+        .matches("s", "^[a-b]$", 0.6)  # 2/4 = 0.5 -> fail
+        .size_between(4, 4)            # pass
+    )
+    got = {r.check_name: r for r in suite.evaluate(df).collect()}
+    assert got["completeness_v"].metric == 0.75 and not got["completeness_v"].passed
+    assert got["uniqueness_k"].metric == 0.75 and not got["uniqueness_k"].passed
+    assert got["bounds_v"].passed
+    assert got["mean_v"].metric == 30.0 and got["mean_v"].passed
+    assert got["contained_s"].metric == 0.5 and got["contained_s"].passed
+    assert got["matches_s"].metric == 0.5 and not got["matches_s"].passed
+    assert got["size"].metric == 4.0 and got["size"].passed
+
+
+def test_duplicate_check_name_rejected(spark):
+    with pytest.raises(ValueError, match="duplicate"):
+        Suite().completeness("v", 0.5).completeness("v", 0.9)
