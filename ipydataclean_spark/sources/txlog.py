@@ -173,16 +173,18 @@ class TxTable:
         return self.spark.read.parquet(*files)
 
     def _publish(self, op: str, add: list[str], remove: list[str],
-                 read_version: int, max_retries: int) -> int:
+                 read_version: int, max_retries: int,
+                 meta: dict | None = None) -> int:
         """Commit-with-retry: on losing the version race, rebase iff
         none of our removed files was removed by the interleaved
-        commits (write-write conflict check)."""
+        commits (write-write conflict check). ``meta`` keys are merged
+        into the commit record (e.g. a streaming sink's batch id)."""
         attempt_version = read_version + 1
         for _ in range(max_retries + 1):
             if self._try_commit(
                 {"version": attempt_version, "op": op, "add": add,
                  "remove": remove, "read_version": read_version,
-                 "ts": time.time()}
+                 "ts": time.time(), **(meta or {})}
             ):
                 return attempt_version
             commits = self._commits()
@@ -214,7 +216,8 @@ class TxTable:
         add = self._stage(df)
         return self._publish("overwrite", add, remove, read_v, max_retries)
 
-    def merge(self, updates: DataFrame, key: str, max_retries: int = 0) -> int:
+    def merge(self, updates: DataFrame, key: str, max_retries: int = 0,
+              meta: dict | None = None) -> int:
         """Upsert ``updates`` by ``key`` with FILE-LEVEL pruning: only
         data files whose parquet footer [min,max] range on ``key``
         intersects the update batch's key range are rewritten; all
@@ -259,15 +262,12 @@ class TxTable:
                 hit.append(path)
             else:
                 carry.append(path)
-        base = (
-            self.spark.read.parquet(*hit)
-            if hit
-            else self.read(read_v).limit(0)
-        )
+        # empty-table edge: no live files -> schema comes from updates
+        base = self.spark.read.parquet(*hit) if hit else updates.limit(0)
         merged = base.join(updates, key, "left_anti").unionByName(updates)
         add = self._stage(merged)
         remove = [os.path.relpath(p, self.root) for p in hit]
-        return self._publish("merge", add, remove, read_v, max_retries)
+        return self._publish("merge", add, remove, read_v, max_retries, meta)
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the last
@@ -300,6 +300,45 @@ class TxTable:
         # time travel to v < keep_from now raises on read (missing
         # files), which `read` surfaces naturally.
         return deleted
+
+
+def stream_merge_to_txtable(
+    stream_df: DataFrame,
+    table: TxTable,
+    key: str,
+    checkpoint_dir: str,
+    source_name: str = "stream",
+):
+    """ST9 on the ACID path: continuous ingest where each micro-batch
+    MERGEs transactionally into a TxTable. Exactly-once END TO END:
+    the commit record carries (source_name, batch_id), and a batch
+    whose id is already in the log is SKIPPED — so a replay after a
+    lost checkpoint (the case plain foreachBatch double-applies for
+    non-idempotent sinks) re-commits nothing. Concurrent readers see
+    each batch atomically (snapshot isolation) instead of the
+    mid-swap states a dynamic-partition-overwrite sink exposes.
+
+    ``source_name`` scopes the batch-id ledger: one logical stream
+    per name; two different streams feeding one table must use
+    distinct names (their epoch counters both start at 0)."""
+    def do_merge(batch: DataFrame, epoch_id: int) -> None:
+        seen = {
+            (c.get("source_name"), c.get("batch_id"))
+            for c in table.history()
+        }
+        if (source_name, epoch_id) in seen:
+            return
+        table.merge(
+            batch, key=key,
+            meta={"source_name": source_name, "batch_id": epoch_id},
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(do_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 # ---------------------------------------------------------------------------

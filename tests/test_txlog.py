@@ -120,3 +120,49 @@ def test_vacuum_drops_old_versions_only(spark, base_df, tmp_path):
     assert t.read().count() == 7  # current snapshot intact
     with pytest.raises(Exception):
         t.read(version=0).count()  # time travel past vacuum horizon fails
+
+
+def test_stream_merge_to_txtable_exactly_once(spark, sf_dir, tmp_path):
+    """ST9 on the ACID path: drain the events stream into a TxTable
+    seeded with half the events; the final snapshot equals the full
+    set. Then REPLAY the whole stream with a FRESH checkpoint (the
+    lost-checkpoint disaster case): every batch re-fires, but the
+    (source_name, batch_id) ledger in the commit log skips them all —
+    version count and table state must not change."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.sources.txlog import TxTable, stream_merge_to_txtable
+    from ipydataclean_spark.streaming.stream import events_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t = TxTable.create(
+        spark,
+        str(tmp_path / "t"),
+        ev.where(F.col("event_id") % 2 == 0)
+        .repartitionByRange(4, "event_id")
+        .sortWithinPartitions("event_id"),
+    )
+
+    stream = events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = stream_merge_to_txtable(
+        stream, t, key="event_id", checkpoint_dir=str(tmp_path / "ckpt1")
+    )
+    q.awaitTermination(120)
+
+    n_total = ev.count()
+    assert t.read().count() == n_total
+    assert (
+        t.read().agg(F.sum("event_id")).first()[0]
+        == ev.agg(F.sum("event_id")).first()[0]
+    )
+    v_after = t.version()
+    assert any("batch_id" in c for c in t.history())
+
+    # full replay with a fresh checkpoint: all batches re-fire, ledger
+    # skips every one
+    q2 = stream_merge_to_txtable(
+        events_stream(spark, sf_dir).select("event_id", "user_id", "value"),
+        t, key="event_id", checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert t.version() == v_after
+    assert t.read().count() == n_total
