@@ -183,6 +183,29 @@ class DataCleaner:
             out.append((c, "string_mismatch", int(n_mismatch)))
         return out
 
+    #: Problem kind -> applicable fixes, most-recommended first (the
+    #: reference widget's per-problem button row; every name is an
+    #: ``apply_fix`` fix).
+    FIX_MENU: dict[str, tuple[str, ...]] = {
+        "missing": ("fill_mean", "fill_median", "fill_mode", "fill_value",
+                    "interpolate", "drop_rows"),
+        "outliers": ("clip", "to_null", "drop_rows"),
+        "string_mismatch": ("convert_numeric", "replace_value", "drop_rows"),
+        "dates": ("parse_dates", "drop_rows"),
+        "units": ("standardize_units", "drop_rows"),
+        "pii": ("redact",),
+    }
+
+    def suggest(self, cols: list[str] | None = None) -> list[dict]:
+        """The widget's suggestion panel: every detected problem with
+        its applicable fixes, most-recommended first. Costs the same
+        O(1) jobs as ``problems`` (it IS one problems() call)."""
+        return [
+            {"column": c, "problem": kind, "n_rows": n,
+             "fixes": list(self.FIX_MENU[kind])}
+            for c, kind, n in self.problems(cols)
+        ]
+
     # ------------------------------------------------------------------
     def apply_fix(self, column: str, problem: str, fix: str, **params) -> "DataCleaner":
         """Apply one fix (the widget's button-press). Appends to the
@@ -284,6 +307,13 @@ class DataCleaner:
         """Standalone PySpark source reproducing the session (the
         reference's pandas-code export, re-targeted)."""
         return self.recipe.to_code(source_expr)
+
+    def to_sql(self, source: str) -> str:
+        """The session as one DuckDB-dialect SQL query (warehouse
+        interop; see Recipe.to_sql). Steps added through fixes that
+        have no SQL twin (interpolate, drop_rows, replace_value,
+        to_null) raise with the step name."""
+        return self.recipe.to_sql(source)
 
     def reset(self) -> "DataCleaner":
         self._df = self._source

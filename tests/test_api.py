@@ -200,3 +200,61 @@ def test_problems_job_count_independent_of_columns(spark, sf_dir):
     assert n_wide == n_narrow, f"jobs grew with column count: {n_narrow} -> {n_wide}"
     # profile scan + fused histogram + fused bucket pull + global counter agg
     assert n_wide <= 4, f"problems() used {n_wide} jobs; budget is 4"
+
+
+def test_suggest_maps_problems_to_fix_menu(spark, sf_dir):
+    """suggest() = problems() + the per-kind fix menu; every listed fix
+    name must be accepted by apply_fix's dispatch table."""
+    import inspect
+
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    dc = DataCleaner(lineitem_dirty(spark, sf_dir).select(
+        "l_quantity", "quantity_str", "qty_parsed", "price_out"
+    ))
+    sugg = dc.suggest()
+    assert sugg, "dirty fixture must surface problems"
+    kinds = {s["problem"] for s in sugg}
+    assert "missing" in kinds or "string_mismatch" in kinds
+    src = inspect.getsource(DataCleaner.apply_fix)
+    for s in sugg:
+        assert s["fixes"], s
+        for fix in s["fixes"]:
+            assert f'"{fix}"' in src, f"fix {fix!r} not dispatchable"
+
+
+def test_to_sql_export_of_fix_session(spark, sf_dir):
+    """A fix session built through apply_fix exports to SQL that DuckDB
+    parses and that reproduces the Spark result."""
+    import duckdb
+
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    base = lineitem_dirty(spark, sf_dir).select("l_orderkey", "quantity_str")
+    dc = (
+        DataCleaner(base)
+        .apply_fix("quantity_str", "string_mismatch", "convert_numeric", out="q")
+        .apply_fix("q", "missing", "fill_median")
+    )
+    sql = dc.to_sql("src")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        base.coalesce(1).write.mode("overwrite").parquet(f"{d}/src")
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW src AS SELECT * FROM '{d}/src/*.parquet'")
+        duck = dict(con.sql(
+            f"SELECT l_orderkey, SUM(q) FROM ({sql}) GROUP BY 1"
+        ).fetchall())
+        con.close()
+    got = {
+        r[0]: r[1]
+        for r in dc.df.groupBy("l_orderkey").agg(F.sum("q")).collect()
+    }
+    assert len(got) == len(duck)
+    import math
+
+    for k, v in duck.items():
+        assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-9)
