@@ -219,3 +219,62 @@ def l20_domain_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_words", "cum_words")
         .orderBy("source", "cum_words")
     )
+
+
+@register(
+    "l23_char_entropy",
+    oracle=(
+        "WITH ch AS (SELECT doc_id, unnest(string_split_regex("
+        + norm_text_sql("text")
+        + ", '')) AS c FROM documents), "
+        "ch2 AS (SELECT doc_id, c FROM ch WHERE c <> ''), "
+        "cnt AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM ch2 GROUP BY doc_id, c), "
+        "tot AS (SELECT doc_id, CAST(SUM(n) AS DOUBLE) AS t FROM cnt GROUP BY doc_id) "
+        "SELECT cnt.doc_id, CAST(tot.t AS BIGINT) AS n_chars, "
+        "CAST(COUNT(*) AS BIGINT) AS n_distinct, "
+        "ROUND(" + exact.rsum12_sql("-(cnt.n / tot.t) * LN(cnt.n / tot.t)") + ", 8) "
+        "AS entropy_nats "
+        "FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id "
+        "GROUP BY cnt.doc_id, tot.t ORDER BY entropy_nats, cnt.doc_id"
+    ),
+    tags=("L23", "L7", "quality"),
+)
+def l23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L23: per-document character entropy (nats) — the CCNet-class
+    gibberish signal: natural text sits in a narrow entropy band,
+    while base64 blobs / key-mash / single-char spam fall far outside
+    it and get filtered before training.
+
+    Exactness: each -p·ln p term is rounded to 12 dp then summed in
+    DECIMAL(38,12) (exact.rsum12), so the per-doc entropy is
+    independent of summation order on both engines. Plan: one explode
+    feeds a (doc_id, char)-keyed count (map-side combinable; the char
+    alphabet bounds group width), per-doc totals ride the same
+    aggregate tree, and the entropy fold is a doc_id-keyed agg —
+    linear, two shuffles, no UDFs."""
+    docs = T(spark, sf_dir, "documents").withColumn(
+        "__nt", F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+    )
+    ch = (
+        docs.select("doc_id", F.explode(F.split("__nt", "")).alias("c"))
+        .where(F.col("c") != "")
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("doc_id").agg(F.sum("n").cast("double").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id", "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.round(exact.rsum12(-p * F.log(p)), 8).alias("entropy_nats"),
+        )
+        .select(
+            "doc_id",
+            F.col("t").cast("long").alias("n_chars"),
+            "n_distinct",
+            "entropy_nats",
+        )
+        .orderBy("entropy_nats", "doc_id")
+    )
