@@ -171,3 +171,92 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_a", "part_b", "part_c")
         .orderBy("part_a", "part_b", "part_c")
     )
+
+
+@register(
+    "g2b_triangles_degree_oriented",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "e AS (SELECT a.l_partkey AS x, b.l_partkey AS y "
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2 HAVING COUNT(*) >= 2), "
+        "deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM "
+        "(SELECT x AS v FROM e UNION ALL SELECT y AS v FROM e) GROUP BY v), "
+        "o AS (SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u, "
+        "CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v "
+        "FROM e JOIN deg dx ON dx.v = e.x JOIN deg dy ON dy.v = e.y), "
+        "wedge AS (SELECT o1.u, o1.v AS b, o2.v AS c FROM o o1 JOIN o o2 "
+        "ON o1.u = o2.u AND o1.v < o2.v), "
+        "tri AS (SELECT w.u, w.b, w.c FROM wedge w JOIN o ON "
+        "((o.u = w.b AND o.v = w.c) OR (o.u = w.c AND o.v = w.b))) "
+        "SELECT LEAST(u, b, c) AS part_a, "
+        "u + b + c - LEAST(u, b, c) - GREATEST(u, b, c) AS part_b, "
+        "GREATEST(u, b, c) AS part_c FROM tri "
+        "ORDER BY part_a, part_b, part_c"
+    ),
+    tags=("G2", "analytics"),
+)
+def g2b_triangles_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2b: the SCALE form of triangle enumeration — edges oriented
+    from the (degree, id)-SMALLER endpoint to the larger one before
+    the wedge join (public method: Schank-Wagner / Latapy
+    forward-algorithm). Every triangle is generated exactly once, at
+    its (deg,id)-minimal vertex, and wedge fanout is bounded by
+    out-degree ≤ O(√m) instead of a hub's full degree — the property
+    that makes triangle counting feasible on power-law graphs at
+    100 TB (g2's id-ordering can leave a low-id hub with out-degree ≈
+    its full degree; degree-ordering cannot). Same triangle set as
+    g2, canonicalized back to part_a < part_b < part_c.
+
+    Plan: degree table (one groupBy over the edge list), broadcast-
+    joined orientation (degree table is vertex-sized), wedge self-join
+    keyed on the source vertex, closing-edge semi-probe keyed on the
+    wedge endpoints — every join on a single part key."""
+    items = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
+    e = (
+        a.join(b, "ok")
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("x", "y")
+    )
+    deg = (
+        e.select(F.col("x").alias("v"))
+        .unionByName(e.select(F.col("y").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dx = deg.select(F.col("v").alias("x"), F.col("d").alias("dx"))
+    dy = deg.select(F.col("v").alias("y"), F.col("d").alias("dy"))
+    x_first = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    o = (
+        e.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
+        .select(
+            F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("u"),
+            F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("v"),
+        )
+    )
+    o1 = o.select("u", F.col("v").alias("b"))
+    o2 = o.select("u", F.col("v").alias("c"))
+    wedge = o1.join(o2, "u").where(F.col("b") < F.col("c"))
+    closing = o.select(F.col("u").alias("b"), F.col("v").alias("c")).unionByName(
+        o.select(F.col("u").alias("c"), F.col("v").alias("b"))
+    )
+    tri = wedge.join(closing, ["b", "c"], "leftsemi")
+    lo = F.least("u", "b", "c")
+    hi = F.greatest("u", "b", "c")
+    return (
+        tri.select(
+            lo.alias("part_a"),
+            (F.col("u") + F.col("b") + F.col("c") - lo - hi).alias("part_b"),
+            hi.alias("part_c"),
+        )
+        .orderBy("part_a", "part_b", "part_c")
+    )

@@ -39,3 +39,17 @@ def test_pagerank_fixture_query(spark, sf_dir):
     rows = out.collect()
     assert len(rows) == 25
     assert all(rows[i].rank >= rows[i + 1].rank for i in range(len(rows) - 1))
+
+
+def test_degree_oriented_triangles_equal_id_oriented(spark, sf_dir):
+    """g2b (forward-algorithm orientation) must enumerate EXACTLY the
+    triangle set of g2 (id orientation) — same graph, different
+    generation order."""
+    from ipydataclean_spark.operators.graph import (
+        g2_triangle_count,
+        g2b_triangles_degree_oriented,
+    )
+
+    a = {tuple(r) for r in g2_triangle_count(spark, sf_dir).collect()}
+    b = {tuple(r) for r in g2b_triangles_degree_oriented(spark, sf_dir).collect()}
+    assert a == b and a, f"id-oriented {len(a)} vs degree-oriented {len(b)}"
