@@ -166,3 +166,66 @@ def test_stream_merge_to_txtable_exactly_once(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     assert t.version() == v_after
     assert t.read().count() == n_total
+
+
+# ---------------------------------------------------------------------------
+# Model-based property: random op sequences vs an in-memory dict model
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_kv = st.dictionaries(st.integers(0, 40), st.integers(-5, 5), min_size=1, max_size=8)
+_op = st.one_of(
+    st.tuples(st.just("append"), _kv),
+    st.tuples(st.just("overwrite"), _kv),
+    st.tuples(st.just("merge"), _kv),
+)
+
+
+@given(init=_kv, ops=st.lists(_op, min_size=1, max_size=4))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_txtable_matches_dict_model(spark, tmp_path_factory, init, ops):
+    """Fold a random create/append/overwrite/merge sequence into both
+    a TxTable and a plain dict model (merge/overwrite are keyed;
+    append is multiset). Final snapshot and every historical version
+    must match the model's trajectory; version ids are contiguous."""
+    import collections
+
+    def mk(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k long, v long"
+        )
+
+    root = str(tmp_path_factory.mktemp("txprop") / "t")
+    t = TxTable.create(spark, root, mk(init))
+    # model: multiset of (k, v) rows
+    model = collections.Counter(init.items())
+    trajectory = [collections.Counter(model)]
+
+    for name, d in ops:
+        if name == "append":
+            t.append(mk(d))
+            model.update(d.items())
+        elif name == "overwrite":
+            t.overwrite(mk(d))
+            model = collections.Counter(d.items())
+        else:  # merge: upsert by key over the current state
+            t.merge(mk(d), key="k")
+            kept = collections.Counter(
+                {(k, v): n for (k, v), n in model.items() if k not in d}
+            )
+            kept.update(d.items())
+            model = kept
+        trajectory.append(collections.Counter(model))
+
+    assert t.version() == len(ops)
+    for v, expect in enumerate(trajectory):
+        got = collections.Counter(
+            (r.k, r.v) for r in t.read(version=v).collect()
+        )
+        assert got == expect, f"version {v}"
