@@ -50,6 +50,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.ivf",
     "ipydataclean_spark.operators.incremental",
     "ipydataclean_spark.operators.multimodal",
+    "ipydataclean_spark.operators.media_codecs",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
