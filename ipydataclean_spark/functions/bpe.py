@@ -1,0 +1,76 @@
+"""From-scratch byte-pair encoding (public algorithm: Sennrich et al.
+2016 for training, the GPT-2 greedy-rank merge loop for application)
+— closes the README "token counting is a regex proxy" limitation
+without any tokenizer library.
+
+Scale design: BPE never touches the corpus row-by-row. Training folds
+over the WORD-FREQUENCY table (vocabulary-sized, collected to the
+driver — the same bounded pull as every two-phase scalar in this
+repo, with a ``max_vocab`` guard); application tokenizes each
+DISTINCT word once on the vocabulary table (Python on |vocab| rows,
+not |corpus|), producing a (word → n_subtokens) mapping that joins
+back to the exploded corpus as a broadcast — so the per-token hot
+path is a JVM hash-join lookup, not Python.
+
+Determinism: pair selection breaks ties lexicographically, so the
+merge list — and every downstream count — is bit-stable across runs,
+partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+END = "</w>"
+
+
+def train_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` merges from a word-frequency dict. Each word
+    is a symbol sequence (chars + terminal </w>); each step merges the
+    most frequent adjacent pair (count desc, pair lexicographic asc —
+    the deterministic tie-break)."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + (END,): c for w, c in word_counts.items() if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < 2:
+            break  # nothing recurs; further merges are memorization
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == best[0] and sym[i + 1] == best[1]:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Tokenize one word with a learned merge table: repeatedly apply
+    the LOWEST-rank applicable merge (the GPT-2 loop)."""
+    sym = list(word) + [END]
+    while len(sym) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym

@@ -278,3 +278,59 @@ def l23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entropy_nats", "doc_id")
     )
+
+
+#: Driver-side vocabulary guard for BPE training (the two-phase scalar
+#: rule: the pull is vocab-sized, never corpus-sized; above the cap,
+#: train on the TOP max_vocab words by frequency — standard practice,
+#: rare-tail words still tokenize via the learned merges).
+BPE_MAX_VOCAB = 100_000
+BPE_N_MERGES = 200
+
+
+@register("l10b_bpe_token_count", oracle=None, tags=("L10", "L7", "U2"))
+def l10b_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10b: REAL byte-pair-encoding token counts (functions/bpe.py,
+    Sennrich-style training + GPT-2 merge loop, no tokenizer lib) —
+    upgrades l10's regex proxy to learned-subword counts.
+
+    Scale shape: (1) one explode+groupBy builds the word-frequency
+    table; (2) the driver trains merges over the TOP-``BPE_MAX_VOCAB``
+    vocabulary (bounded pull, deterministic tie-breaks); (3) a pandas
+    UDF tokenizes each DISTINCT word once — Python cost is |vocab|,
+    not |corpus|; (4) the (word → n_subtokens) mapping broadcast-joins
+    back to the exploded corpus, so the per-occurrence hot path is a
+    JVM hash lookup. Rows-only (the training loop is not
+    SQL-expressible); semantics pinned in tests/test_llm_quality.py
+    against an independent recompute."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ipydataclean_spark.functions.bpe import apply_bpe, train_bpe
+
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens_col("text"))
+    words = docs.select("doc_id", F.explode("__toks").alias("w"))
+    wc = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(BPE_MAX_VOCAB)
+    )
+    vocab_counts = {r.w: r.c for r in wc.collect()}
+    merges = train_bpe(vocab_counts, BPE_N_MERGES)
+    ranks = {m: i for i, m in enumerate(merges)}
+
+    # lambda form: the module's `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's hint parser can't resolve
+    n_subtokens = pandas_udf(
+        lambda w: w.map(lambda x: len(apply_bpe(x, ranks))).astype("int32"),
+        "int",
+    )
+    mapping = wc.select("w", n_subtokens("w").alias("n_sub"))
+    return (
+        words.join(F.broadcast(mapping), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.coalesce("n_sub", F.lit(1))).cast("long").alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )

@@ -159,3 +159,55 @@ def test_triangles_are_closed_and_canonical(spark, sf_dir):
         assert (t.part_a, t.part_b) in edges
         assert (t.part_b, t.part_c) in edges
         assert (t.part_a, t.part_c) in edges
+
+
+def test_bpe_training_and_application_semantics():
+    from ipydataclean_spark.functions.bpe import END, apply_bpe, train_bpe
+
+    # 'ab' is the most frequent pair (appears in all three words)
+    wc = {"abc": 5, "abd": 3, "ab": 2}
+    merges = train_bpe(wc, 10)
+    assert merges[0] == ("a", "b")
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in wc:
+        toks = apply_bpe(w, ranks)
+        assert "".join(toks) == w + END  # lossless segmentation
+        assert 1 <= len(toks) <= len(w) + 1
+    # frequent whole word collapses to a single token
+    assert len(apply_bpe("abc", ranks)) <= 2
+
+
+def test_bpe_merges_are_deterministic():
+    from ipydataclean_spark.functions.bpe import train_bpe
+
+    wc = {"xy": 2, "yx": 2, "xx": 2}  # tied pair counts
+    assert train_bpe(wc, 3) == train_bpe(dict(reversed(list(wc.items()))), 3)
+
+
+def test_bpe_token_count_query(spark, sf_dir):
+    from ipydataclean_spark.functions.bpe import apply_bpe, train_bpe
+    from ipydataclean_spark.operators.llm_quality import l10b_bpe_token_count
+
+    out = {r.doc_id: r for r in l10b_bpe_token_count(spark, sf_dir).collect()}
+    assert out
+    # independent recompute for one doc
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .orderBy("doc_id")
+        .first()
+    )
+    corpus_words = []
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect():
+        corpus_words.extend(" ".join(r.text.lower().split()).split(" "))
+    from collections import Counter
+
+    merges = train_bpe(dict(Counter(corpus_words)), 200)
+    ranks = {m: i for i, m in enumerate(merges)}
+    words = " ".join(doc.text.lower().split()).split(" ")
+    expect = sum(len(apply_bpe(w, ranks)) for w in words)
+    got = out[doc.doc_id]
+    assert got.n_words == len(words)
+    assert got.n_bpe_tokens == expect
+    # subword counts are bounded: >= one token per word, <= chars+1 per word
+    for r in out.values():
+        assert r.n_bpe_tokens >= r.n_words
