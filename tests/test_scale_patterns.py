@@ -231,3 +231,46 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_correct_and_spreads_hot_key(spark):
+    """functions/skew.salted_join: result must equal the plain join on
+    a 100k-row hot-key fact; the physical join keys must include the
+    salt (the spreading mechanism); left-join null semantics hold."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.functions.skew import salted_join
+    from ipydataclean_spark.plans import plan_tree
+
+    big = spark.range(0, 100_000).select(
+        F.when(F.col("id") < 90_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(k, f"dim{k}") for k in range(0, 40)], "k LONG, name STRING"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        got = salted_join(big, small, "k", salt_n=8)
+        plain = big.join(small, "k")
+        assert got.count() == plain.count()
+        a = got.agg(F.sum("payload"), F.count(F.lit(1))).first()
+        b = plain.agg(F.sum("payload"), F.count(F.lit(1))).first()
+        assert tuple(a) == tuple(b)
+        explained = got._jdf.queryExecution().executedPlan().toString()
+        assert "__salt" in explained, explained[:2000]
+        assert any("Join" in l for l in plan_tree(got))
+
+        # left join keeps unmatched big rows exactly once
+        left = salted_join(big, small, "k", salt_n=8, how="left")
+        assert left.count() == big.count()
+        assert left.where(F.col("name").isNull()).count() == big.join(
+            small, "k", "left_anti"
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, small, "k", how="full")
