@@ -68,6 +68,36 @@ def _data_dir(root: str) -> str:
     return os.path.join(root, "data")
 
 
+#: stats are recorded only for JSON-safe scalar types (numbers and
+#: strings); other columns simply aren't prunable by log metadata.
+_STATS_OK = (int, float, str, bool)
+
+
+def _footer_stats(path: str) -> dict:
+    """{column: [min, max]} from one parquet file's footer (rolled up
+    over row groups); columns with absent/unsafe stats are omitted."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    out: dict[str, list] = {}
+    for ci in range(md.num_columns):
+        name = md.schema.column(ci).name
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                lo = None
+                break
+            if not (isinstance(st.min, _STATS_OK) and isinstance(st.max, _STATS_OK)):
+                lo = None
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if lo is not None:
+            out[name] = [lo, hi]
+    return out
+
+
 class TxTable:
     """Handle to a commit-log parquet table (see module docstring)."""
 
@@ -133,19 +163,27 @@ class TxTable:
             json.dump(record, f)
         return True
 
-    def _stage(self, df: DataFrame) -> list[str]:
+    def _stage(self, df: DataFrame) -> tuple[list[str], dict]:
         """Write df's rows as immutable files under data/<token>-…;
-        returns table-relative paths. The stage directory is unique per
-        attempt, so a lost race leaves only unreferenced garbage (which
-        vacuum sweeps) — never a torn table."""
+        returns (table-relative paths, per-file column min/max stats
+        harvested from the parquet footers). The stats ride in the
+        commit record, so later reads and merges prune files from LOG
+        METADATA alone — Delta-style data skipping without opening a
+        single footer on the read path. The stage directory is unique
+        per attempt, so a lost race leaves only unreferenced garbage
+        (which vacuum sweeps) — never a torn table."""
         token = uuid.uuid4().hex[:12]
         stage = os.path.join(_data_dir(self.root), token)
         df.write.mode("overwrite").parquet(stage)
-        rel = []
+        rel, stats = [], {}
         for name in sorted(os.listdir(stage)):
             if name.endswith(".parquet"):
-                rel.append(os.path.join("data", token, name))
-        return rel
+                p = os.path.join("data", token, name)
+                rel.append(p)
+                st = _footer_stats(os.path.join(stage, name))
+                if st:
+                    stats[p] = st
+        return rel, stats
 
     # -- operations ---------------------------------------------------
 
@@ -154,37 +192,82 @@ class TxTable:
         os.makedirs(_log_dir(root), exist_ok=False)
         os.makedirs(_data_dir(root), exist_ok=True)
         t = TxTable(spark, root)
-        add = t._stage(df)
+        add, stats = t._stage(df)
         ok = t._try_commit(
             {"version": 0, "op": "create", "add": add, "remove": [],
-             "read_version": None, "ts": time.time()}
+             "read_version": None, "ts": time.time(), "stats": stats}
         )
         if not ok:  # pragma: no cover - create is exclusive via makedirs
             raise ConflictError(f"concurrent create at {root}")
         return t
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
         """Snapshot read (optionally time travel). The file list is
         resolved NOW; the returned DataFrame stays consistent under
-        concurrent commits because data files are immutable."""
+        concurrent commits because data files are immutable.
+        ``merge_schema=True`` unions file schemas — the schema-
+        evolution read for a table whose later appends added columns
+        (older rows surface NULL there)."""
         files = self.live_files(version)
         if not files:
             raise ValueError("empty snapshot")
-        return self.spark.read.parquet(*files)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
+
+    def file_stats(self, version: int | None = None) -> dict:
+        """{relpath: {col: [min, max]}} folded from the commit log for
+        the given snapshot — metadata-only (no file opens)."""
+        commits = self._commits(up_to=version)
+        live = {os.path.relpath(p, self.root) for p in self.live_files(version)}
+        out: dict[str, dict] = {}
+        for c in commits:
+            for p, st in (c.get("stats") or {}).items():
+                if p in live:
+                    out[p] = st
+        return out
+
+    def prune_files(self, col: str, lo, hi, version: int | None = None) -> list[str]:
+        """Files whose [min,max] on ``col`` may intersect [lo, hi],
+        resolved purely from LOG stats (files without recorded stats
+        are conservatively kept). Absolute paths."""
+        stats = self.file_stats(version)
+        keep = []
+        for p in self.live_files(version):
+            rel = os.path.relpath(p, self.root)
+            b = stats.get(rel, {}).get(col)
+            if b is None or (b[0] <= hi and b[1] >= lo):
+                keep.append(p)
+        return keep
+
+    def read_where(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Data-skipping read: prune files by log stats, then apply
+        the predicate (row-group/page pruning inside surviving files
+        still happens via normal parquet pushdown). On a key-clustered
+        layout a point-range read opens ~the files that contain it."""
+        files = self.prune_files(col, lo, hi, version)
+        if not files:
+            return self.read(version).limit(0).where(F.lit(False))
+        return (
+            self.spark.read.parquet(*files)
+            .where((F.col(col) >= lo) & (F.col(col) <= hi))
+        )
 
     def _publish(self, op: str, add: list[str], remove: list[str],
                  read_version: int, max_retries: int,
-                 meta: dict | None = None) -> int:
+                 meta: dict | None = None, stats: dict | None = None) -> int:
         """Commit-with-retry: on losing the version race, rebase iff
         none of our removed files was removed by the interleaved
         commits (write-write conflict check). ``meta`` keys are merged
-        into the commit record (e.g. a streaming sink's batch id)."""
+        into the commit record (e.g. a streaming sink's batch id);
+        ``stats`` is the staged files' column min/max map."""
         attempt_version = read_version + 1
         for _ in range(max_retries + 1):
             if self._try_commit(
                 {"version": attempt_version, "op": op, "add": add,
                  "remove": remove, "read_version": read_version,
-                 "ts": time.time(), **(meta or {})}
+                 "ts": time.time(), "stats": stats or {}, **(meta or {})}
             ):
                 return attempt_version
             commits = self._commits()
@@ -203,9 +286,9 @@ class TxTable:
     def append(self, df: DataFrame, max_retries: int = 3) -> int:
         """Blind append — conflicts with nothing (removes no files);
         always rebases onto the latest version."""
-        add = self._stage(df)
+        add, stats = self._stage(df)
         return self._publish(
-            "append", add, [], self.version(), max_retries
+            "append", add, [], self.version(), max_retries, stats=stats
         )
 
     def overwrite(self, df: DataFrame, max_retries: int = 0) -> int:
@@ -213,8 +296,8 @@ class TxTable:
         overwrite racing anything is a real conflict)."""
         read_v = self.version()
         remove = [os.path.relpath(p, self.root) for p in self.live_files(read_v)]
-        add = self._stage(df)
-        return self._publish("overwrite", add, remove, read_v, max_retries)
+        add, stats = self._stage(df)
+        return self._publish("overwrite", add, remove, read_v, max_retries, stats=stats)
 
     def merge(self, updates: DataFrame, key: str, max_retries: int = 0,
               meta: dict | None = None) -> int:
@@ -234,40 +317,42 @@ class TxTable:
         duplicate a key both writers inserted (the same anomaly
         write-serializable Delta permits); opting into retries is the
         caller's statement that appends are key-disjoint."""
-        import pyarrow.parquet as pq
-
         read_v = self.version()
-        files = self.live_files(read_v)
         bounds = updates.agg(
             F.min(key).alias("lo"), F.max(key).alias("hi")
         ).first()
         if bounds.lo is None:
             return read_v  # empty update batch: no-op
-        hit, carry = [], []
-        for path in files:
-            md = pq.ParquetFile(path).metadata
-            ci = {md.schema.column(i).name: i for i in range(md.num_columns)}
-            if key not in ci:
-                hit.append(path)
-                continue
-            lo = hi = None
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci[key]).statistics
-                if st is None or not st.has_min_max:
-                    lo = None
-                    break
-                lo = st.min if lo is None else min(lo, st.min)
-                hi = st.max if hi is None else max(hi, st.max)
-            if lo is None or (lo <= bounds.hi and hi >= bounds.lo):
-                hit.append(path)
-            else:
-                carry.append(path)
+        # file pruning straight from LOG stats (no footer opens);
+        # files without recorded stats are conservatively rewritten
+        hit = self.prune_files(key, bounds.lo, bounds.hi, version=read_v)
         # empty-table edge: no live files -> schema comes from updates
         base = self.spark.read.parquet(*hit) if hit else updates.limit(0)
         merged = base.join(updates, key, "left_anti").unionByName(updates)
-        add = self._stage(merged)
+        add, stats = self._stage(merged)
         remove = [os.path.relpath(p, self.root) for p in hit]
-        return self._publish("merge", add, remove, read_v, max_retries, meta)
+        return self._publish("merge", add, remove, read_v, max_retries, meta, stats)
+
+    def compact(self, n_files: int = 4, cluster_by: str | None = None,
+                max_retries: int = 0) -> int:
+        """Small-file maintenance: rewrite the current snapshot as
+        ``n_files`` files, range-clustered on ``cluster_by`` so the
+        recorded per-file [min,max] on that column are tight and
+        disjoint — the layout that makes read_where/merge pruning
+        surgical. Data is unchanged (op="compact" commit replaces all
+        files); time travel to pre-compaction versions still works
+        until vacuum. The daily job a streaming-ingested table needs:
+        each micro-batch commit adds small files, compaction folds
+        them back into fat clustered ones."""
+        df = self.read()
+        if cluster_by:
+            df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(cluster_by)
+        else:
+            df = df.coalesce(n_files)
+        read_v = self.version()
+        remove = [os.path.relpath(p, self.root) for p in self.live_files(read_v)]
+        add, stats = self._stage(df)
+        return self._publish("compact", add, remove, read_v, max_retries, stats=stats)
 
     def vacuum(self, retain_versions: int = 1) -> list[str]:
         """Delete data files not referenced by the last

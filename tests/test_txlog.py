@@ -229,3 +229,92 @@ def test_txtable_matches_dict_model(spark, tmp_path_factory, init, ops):
             (r.k, r.v) for r in t.read(version=v).collect()
         )
         assert got == expect, f"version {v}"
+
+
+def test_log_stats_data_skipping(spark, tmp_path):
+    """Per-file min/max ride in the commit log; read_where prunes
+    files from LOG METADATA alone and returns exactly the filtered
+    rows."""
+    df = (
+        spark.range(0, 400)
+        .select(F.col("id").alias("k"), (F.col("id") % 7).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+    stats = t.file_stats()
+    assert len(stats) == 4 and all("k" in s for s in stats.values())
+
+    pruned = t.prune_files("k", 120, 180)
+    assert len(pruned) < len(t.live_files()), "no files were skipped"
+    got = sorted(r.k for r in t.read_where("k", 120, 180).collect())
+    assert got == list(range(120, 181))
+
+
+def test_merge_prunes_from_log_stats_without_footers(spark, tmp_path, monkeypatch):
+    """After create, merge must not open any parquet footer — pruning
+    comes from the log. (Footer reads would also break on object
+    stores where the driver lacks posix access.)"""
+    import ipydataclean_spark.sources.txlog as txmod
+
+    df = (
+        spark.range(0, 200)
+        .select(F.col("id").alias("k"), F.lit(1).alias("v"))
+        .repartitionByRange(4, "k")
+        .sortWithinPartitions("k")
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+
+    calls = []
+    real = txmod._footer_stats
+
+    def counting(path):
+        calls.append(path)
+        return real(path)
+
+    pre_merge_files = set(t.live_files())
+    monkeypatch.setattr(txmod, "_footer_stats", counting)
+    t.merge(
+        spark.range(0, 10).select(F.col("id").alias("k"), F.lit(-1).alias("v")),
+        key="k",
+    )
+    # _footer_stats runs only on the NEWLY STAGED files (to record
+    # their stats), never on pre-existing data files
+    assert calls, "stats were not recorded for staged files"
+    assert not (set(calls) & pre_merge_files), "footers read on existing files"
+
+
+def test_compact_folds_small_files_and_keeps_data(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.range(0, 50).select(F.col("id").alias("k"), F.lit(0).alias("v")),
+    )
+    for i in range(3):  # streaming-style small appends
+        t.append(
+            spark.range(50 + i * 10, 60 + i * 10).select(
+                F.col("id").alias("k"), F.lit(i + 1).alias("v")
+            )
+        )
+    before = t.read().groupBy().agg(F.count(F.lit(1)), F.sum("k")).first()
+    n_before = len(t.live_files())
+    t.compact(n_files=2, cluster_by="k")
+    assert len(t.live_files()) == 2 < n_before
+    after = t.read().groupBy().agg(F.count(F.lit(1)), F.sum("k")).first()
+    assert tuple(before) == tuple(after)
+    # clustered layout -> tight disjoint k-ranges in the log stats
+    ranges = sorted(tuple(s["k"]) for s in t.file_stats().values())
+    assert ranges[0][1] < ranges[1][0]
+
+
+def test_schema_evolution_read(spark, tmp_path):
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        spark.range(0, 5).select(F.col("id").alias("k")),
+    )
+    t.append(
+        spark.range(5, 8).select(F.col("id").alias("k"), F.lit("x").alias("tag"))
+    )
+    evolved = t.read(merge_schema=True)
+    assert set(evolved.columns) == {"k", "tag"}
+    assert evolved.where(F.col("tag").isNull()).count() == 5
+    assert evolved.count() == 8
