@@ -500,3 +500,54 @@ def tx1_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "tx2_skipping_read",
+    oracle=(
+        "SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice "
+        "FROM orders WHERE o_orderkey >= 4000 AND o_orderkey <= 6000 "
+        "ORDER BY o_orderkey"
+    ),
+    tags=("S9b", "S5", "ACID"),
+)
+def tx2_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b data skipping end-to-end: orders lands in a TxTable
+    range-clustered on o_orderkey (8 files, tight disjoint log-stats
+    ranges), then a key-range read resolves its file list from LOG
+    metadata alone — the assertion inside (pruned < total files) makes
+    the query FAIL LOUDLY if skipping ever regresses to
+    read-everything, and the oracle pins result equality to a plain
+    range filter over all rows."""
+    import pathlib
+    import shutil
+
+    from ipydataclean_spark.operators.qhelp import T
+
+    root = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"tx2_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions("o_orderkey"),
+    )
+    lo, hi = 4000, 6000
+    pruned = t.prune_files("o_orderkey", lo, hi)
+    if len(pruned) >= len(t.live_files()):
+        raise AssertionError(
+            f"data skipping regressed: {len(pruned)}/{len(t.live_files())} files read"
+        )
+    return (
+        t.read_where("o_orderkey", lo, hi)
+        .select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
+        )
+        .orderBy("o_orderkey")
+    )
