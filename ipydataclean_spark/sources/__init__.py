@@ -26,6 +26,38 @@ def read_json(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.json(path)
 
 
+def read_csv_tolerant(
+    spark: SparkSession, path: str, schema: str, header: bool = True
+) -> DataFrame:
+    """S2b: corrupt-tolerant CSV ingest — PERMISSIVE mode with the
+    raw offending line captured in ``_corrupt_record`` instead of
+    failing the job (the 100 TB-crawl reality: a few malformed lines
+    must not kill a 6-hour ingest). Callers split the frame on
+    ``_corrupt_record IS NULL`` into clean rows and a quarantine
+    table. Requires an explicit schema (+ the _corrupt_record slot) —
+    inference can't coexist with capture."""
+    full = schema + ", _corrupt_record STRING"
+    return (
+        spark.read.schema(full)
+        .option("header", str(header).lower())
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+
+
+def read_json_tolerant(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """S3b: corrupt-tolerant JSON-lines ingest (same contract as
+    read_csv_tolerant)."""
+    full = schema + ", _corrupt_record STRING"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
 def write_parquet(
     df: DataFrame,
     path: str,

@@ -297,3 +297,45 @@ def test_text_source_line_and_wholefile(spark, tmp_path):
     whole = read_text(spark, str(p), whole_file=True)
     assert whole.count() == 2
     assert {r.value.count("\n") for r in whole.collect()} == {2, 3}
+
+
+def test_tolerant_csv_quarantines_corrupt_rows(spark, tmp_path):
+    """S2b: malformed lines land in _corrupt_record (verbatim) instead
+    of failing the read; clean rows parse fully typed."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.sources import read_csv_tolerant
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "k,v\n"
+        "1,10.5\n"
+        "2,not_a_number\n"
+        "3,30.0\n"
+    )
+    df = read_csv_tolerant(spark, str(p), "k INT, v DOUBLE").cache()
+    clean = df.where(F.col("_corrupt_record").isNull())
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    assert clean.count() == 2
+    assert {r.k for r in clean.collect()} == {1, 3}
+    quarantined = [r._corrupt_record for r in bad.collect()]
+    assert quarantined == ["2,not_a_number"]
+    df.unpersist()
+
+
+def test_tolerant_json_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.sources import read_json_tolerant
+
+    p = tmp_path / "in.jsonl"
+    p.write_text(
+        '{"k": 1, "v": 10.5}\n'
+        "this is not json\n"
+        '{"k": 3, "v": 30.0}\n'
+    )
+    df = read_json_tolerant(spark, str(p), "k INT, v DOUBLE").cache()
+    assert df.where(F.col("_corrupt_record").isNull()).count() == 2
+    bad = df.where(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record == "this is not json"
+    df.unpersist()
