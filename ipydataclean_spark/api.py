@@ -183,6 +183,18 @@ class DataCleaner:
             out.append((c, "string_mismatch", int(n_mismatch)))
         return out
 
+    def validate(self, suite) -> list[dict]:
+        """Evaluate an ``operators.expectations.Suite`` against the
+        CURRENT (post-fix) frame — the accept/reject gate a pipeline
+        runs after cleaning. One scan+agg regardless of check count;
+        returns the failing checks (empty list = all green)."""
+        rows = suite.evaluate(self._df).collect()
+        return [
+            {"check": r.check_name, "metric": r.metric}
+            for r in rows
+            if not r.passed
+        ]
+
     #: Problem kind -> applicable fixes, most-recommended first (the
     #: reference widget's per-problem button row; every name is an
     #: ``apply_fix`` fix).

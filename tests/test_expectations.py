@@ -61,3 +61,20 @@ def test_suite_semantics_on_known_data(spark):
 def test_duplicate_check_name_rejected(spark):
     with pytest.raises(ValueError, match="duplicate"):
         Suite().completeness("v", 0.5).completeness("v", 0.9)
+
+
+def test_cleaner_validate_gate(spark, sf_dir):
+    """DataCleaner.validate: the post-clean accept gate — a fix
+    session must flip a failing completeness check to green."""
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    dc = DataCleaner(
+        lineitem_dirty(spark, sf_dir).select("l_orderkey", "qty_parsed")
+    )
+    suite = Suite().completeness("qty_parsed", 1.0)
+    failing = dc.validate(suite)
+    assert [f["check"] for f in failing] == ["completeness_qty_parsed"]
+
+    dc.apply_fix("qty_parsed", "missing", "fill_median")
+    assert dc.validate(suite) == []
