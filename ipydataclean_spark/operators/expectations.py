@@ -143,6 +143,36 @@ class Suite:
             lo=min_ratio, hi=None,
         ))
 
+    def unique_rows(self, cols: list[str], min_ratio: float = 1.0) -> "Suite":
+        """Multi-column key check: distinct(cols-tuple) / rows."""
+        name = "unique_" + "_".join(cols)
+        tup = ", ".join(cols)
+        return self._add(Check(
+            name,
+            lambda: F.round(
+                F.countDistinct(*[F.col(c) for c in cols]).cast("double")
+                / F.count(F.lit(1)), 8
+            ),
+            f"ROUND(CAST(COUNT(DISTINCT ({tup})) AS DOUBLE) / COUNT(*), 8)",
+            lo=min_ratio, hi=None,
+        ))
+
+    def fresh_after(self, ts_col: str, cutoff_iso: str) -> "Suite":
+        """Freshness: max(ts_col) must be at or after the cutoff
+        (metric = max epoch seconds; bound = cutoff epoch seconds).
+        The staleness alarm a daily-loaded table needs."""
+        import datetime as _dt
+
+        cut = _dt.datetime.fromisoformat(cutoff_iso).replace(
+            tzinfo=_dt.timezone.utc
+        ).timestamp()
+        return self._add(Check(
+            f"fresh_{ts_col}",
+            lambda: F.unix_timestamp(F.max(ts_col)).cast("double"),
+            f"CAST(EPOCH(MAX({ts_col})) AS DOUBLE)",
+            lo=float(cut), hi=None,
+        ))
+
     def size_between(self, lo: int, hi: int) -> "Suite":
         return self._add(Check(
             "size",
@@ -225,3 +255,30 @@ def x1_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     check on l_orderkey is intentionally failing (lineitem has ~4
     rows per order) so the verdict column carries signal."""
     return _x1_suite().evaluate(lineitem_dirty(spark, sf_dir))
+
+
+def _x2_suite() -> Suite:
+    return (
+        Suite()
+        .unique_rows(["o_orderkey"], 1.0)                  # true key
+        .unique_rows(["o_custkey", "o_orderdate"], 0.999)  # near-key
+        .completeness("o_totalprice", 1.0)
+        .bounds("o_totalprice", 0.0, 1_000_000.0)
+        .fresh_after("o_orderdate", "1998-01-01T00:00:00")
+        .size_between(1000, 10_000_000)
+    )
+
+
+@register(
+    "x2_expectations_orders",
+    oracle="WITH src AS (SELECT * FROM orders)"
+    + _x2_suite().to_sql_embedded("src"),
+    tags=("X1", "P16", "quality"),
+)
+def x2_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: the table-contract checks on orders — single- and
+    multi-column key uniqueness, value bounds, and FRESHNESS (max
+    order date at/after cutoff, the staleness alarm for a daily
+    load) — still ONE scan+agg; oracle generated by the suite's own
+    to_sql."""
+    return _x2_suite().evaluate(T(spark, sf_dir, "orders"))

@@ -2,6 +2,7 @@
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from ipydataclean_spark.operators.expectations import Suite, x1_expectations
 from ipydataclean_spark.plans import plan_tree
@@ -78,3 +79,35 @@ def test_cleaner_validate_gate(spark, sf_dir):
 
     dc.apply_fix("qty_parsed", "missing", "fill_median")
     assert dc.validate(suite) == []
+
+
+def test_unique_rows_and_freshness_checks(spark):
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(a=1, b="x", ts="2024-01-01 00:00:00"),
+            Row(a=1, b="y", ts="2024-06-01 00:00:00"),
+            Row(a=1, b="y", ts="2024-03-01 00:00:00"),
+        ]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    # two fresh_after on the same column collide on check name
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="duplicate"):
+        (
+            Suite()
+            .fresh_after("ts", "2024-05-01T00:00:00")
+            .fresh_after("ts", "2025-01-01T00:00:00")
+        )
+
+    suite3 = (
+        Suite()
+        .unique_rows(["a"], 1.0)
+        .unique_rows(["a", "b"], 0.6)
+        .fresh_after("ts", "2024-05-01T00:00:00")
+    )
+    got = {r.check_name: r for r in suite3.evaluate(df).collect()}
+    assert not got["unique_a"].passed and got["unique_a"].metric == pytest.approx(1 / 3, abs=1e-6)
+    assert got["unique_a_b"].passed
+    assert got["fresh_ts"].passed
