@@ -40,6 +40,9 @@ class Check:
     # verdict bounds: metric must land in [lo, hi] (None = unbounded)
     lo: float | None
     hi: float | None
+    #: True for checks whose Spark metric depends on the session
+    #: timezone (evaluate() enforces UTC for these)
+    tz_sensitive: bool = False
 
     def passed(self, m: Column) -> Column:
         conds = []
@@ -127,7 +130,7 @@ class Suite:
 
     def contained_in(self, col: str, values: list[str], min_ratio: float) -> "Suite":
         vals = sorted(values)
-        in_sql = ", ".join(f"'{v}'" for v in vals)
+        in_sql = ", ".join("'" + str(v).replace("'", "''") + "'" for v in vals)
         return self._add(Check(
             f"contained_{col}",
             lambda: _frac(F.col(col).isin(vals)),
@@ -136,31 +139,46 @@ class Suite:
         ))
 
     def matches(self, col: str, pattern: str, min_ratio: float) -> "Suite":
+        pat_sql = pattern.replace("'", "''")
         return self._add(Check(
             f"matches_{col}",
             lambda: _frac(F.col(col).rlike(pattern)),
-            _frac_sql(f"REGEXP_MATCHES({col}, '{pattern}')"),
+            _frac_sql(f"REGEXP_MATCHES({col}, '{pat_sql}')"),
             lo=min_ratio, hi=None,
         ))
 
     def unique_rows(self, cols: list[str], min_ratio: float = 1.0) -> "Suite":
-        """Multi-column key check: distinct(cols-tuple) / rows."""
+        """Multi-column key check: distinct(cols-tuple) / rows.
+        NULL semantics pinned to Spark's countDistinct (tuples with
+        any NULL column are excluded from the distinct count); the
+        SQL twin wraps the tuple in a CASE so DuckDB's ROW(NULL,...)
+        counting can't diverge."""
         name = "unique_" + "_".join(cols)
         tup = ", ".join(cols)
+        not_null = " AND ".join(f"{c} IS NOT NULL" for c in cols)
         return self._add(Check(
             name,
             lambda: F.round(
                 F.countDistinct(*[F.col(c) for c in cols]).cast("double")
                 / F.count(F.lit(1)), 8
             ),
-            f"ROUND(CAST(COUNT(DISTINCT ({tup})) AS DOUBLE) / COUNT(*), 8)",
+            f"ROUND(CAST(COUNT(DISTINCT CASE WHEN {not_null} THEN ({tup}) END) "
+            "AS DOUBLE) / COUNT(*), 8)",
             lo=min_ratio, hi=None,
         ))
 
     def fresh_after(self, ts_col: str, cutoff_iso: str) -> "Suite":
         """Freshness: max(ts_col) must be at or after the cutoff
-        (metric = max epoch seconds; bound = cutoff epoch seconds).
-        The staleness alarm a daily-loaded table needs."""
+        (metric = max epoch seconds; bound = cutoff epoch seconds,
+        cutoff interpreted as UTC). The staleness alarm a
+        daily-loaded table needs.
+
+        TIMEZONE-SENSITIVE: Spark's unix_timestamp reads wall-clock
+        DATE/NTZ values in the SESSION timezone, while the DuckDB
+        twin's EPOCH() is UTC — so evaluate() refuses to run this
+        check unless spark.sql.session.timeZone is UTC (the engine
+        session pins it; a foreign session gets a clear error instead
+        of a ±14 h alarm skew)."""
         import datetime as _dt
 
         cut = _dt.datetime.fromisoformat(cutoff_iso).replace(
@@ -171,6 +189,7 @@ class Suite:
             lambda: F.unix_timestamp(F.max(ts_col)).cast("double"),
             f"CAST(EPOCH(MAX({ts_col})) AS DOUBLE)",
             lo=float(cut), hi=None,
+            tz_sensitive=True,
         ))
 
     def size_between(self, lo: int, hi: int) -> "Suite":
@@ -189,6 +208,15 @@ class Suite:
         Plan: a single partial-aggregable global Aggregate computes
         every metric; the verdict rows explode a literal array over
         the 1-row result (driver-free, still one job)."""
+        if any(c.tz_sensitive for c in self.checks):
+            tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "")
+            if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                names = [c.name for c in self.checks if c.tz_sensitive]
+                raise ValueError(
+                    f"checks {names} need spark.sql.session.timeZone=UTC "
+                    f"(session has {tz!r}); Spark reads wall-clock values "
+                    "in the session zone while the SQL twin uses UTC"
+                )
         agged = df.agg(
             *[c.metric().alias(f"__m{i}") for i, c in enumerate(self.checks)]
         )

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
-from ipydataclean_spark.functions.text import norm_text_sql
+from ipydataclean_spark.functions.text import norm_text_col, norm_text_sql
 from ipydataclean_spark.operators.llm import tokens_col
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
@@ -254,7 +254,7 @@ def l23_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate tree, and the entropy fold is a doc_id-keyed agg —
     linear, two shuffles, no UDFs."""
     docs = T(spark, sf_dir, "documents").withColumn(
-        "__nt", F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+        "__nt", norm_text_col("text")
     )
     ch = (
         docs.select("doc_id", F.explode(F.split("__nt", "")).alias("c"))
@@ -296,13 +296,17 @@ def l10b_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: (1) one explode+groupBy builds the word-frequency
     table; (2) the driver trains merges over the TOP-``BPE_MAX_VOCAB``
-    vocabulary (bounded pull, deterministic tie-breaks); (3) a pandas
-    UDF tokenizes each DISTINCT word once — Python cost is |vocab|,
-    not |corpus|; (4) the (word → n_subtokens) mapping broadcast-joins
-    back to the exploded corpus, so the per-occurrence hot path is a
-    JVM hash lookup. Rows-only (the training loop is not
-    SQL-expressible); semantics pinned in tests/test_llm_quality.py
-    against an independent recompute."""
+    vocabulary (ONLY the training pull is capped — bounded driver
+    memory, deterministic tie-breaks); (3) a pandas UDF tokenizes
+    every DISTINCT word, distributed — rare-tail words outside the
+    training cap still tokenize through the learned merges, so
+    Python cost is |distinct words|, not |corpus|; (4) the
+    (word → n_subtokens) mapping broadcast-joins back to the exploded
+    corpus, so the per-occurrence hot path is a JVM hash lookup (at
+    web-scale vocabularies, drop the broadcast hint and the join
+    shuffles on the word key instead). Rows-only (the training loop
+    is not SQL-expressible); semantics pinned in
+    tests/test_llm_quality.py against an independent recompute."""
     from pyspark.sql.functions import pandas_udf
 
     from ipydataclean_spark.functions.bpe import apply_bpe, train_bpe
@@ -324,7 +328,12 @@ def l10b_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda w: w.map(lambda x: len(apply_bpe(x, ranks))).astype("int32"),
         "int",
     )
-    mapping = wc.select("w", n_subtokens("w").alias("n_sub"))
+    # apply over ALL distinct words (distributed, not a driver pull):
+    # only TRAINING is capped at BPE_MAX_VOCAB — rare-tail words still
+    # tokenize through the learned merges instead of being miscounted
+    mapping = (
+        words.select("w").distinct().select("w", n_subtokens("w").alias("n_sub"))
+    )
     return (
         words.join(F.broadcast(mapping), "w", "left")
         .groupBy("doc_id")

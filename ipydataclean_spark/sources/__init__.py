@@ -32,10 +32,11 @@ def read_csv_tolerant(
     """S2b: corrupt-tolerant CSV ingest — PERMISSIVE mode with the
     raw offending line captured in ``_corrupt_record`` instead of
     failing the job (the 100 TB-crawl reality: a few malformed lines
-    must not kill a 6-hour ingest). Callers split the frame on
-    ``_corrupt_record IS NULL`` into clean rows and a quarantine
-    table. Requires an explicit schema (+ the _corrupt_record slot) —
-    inference can't coexist with capture."""
+    must not kill a 6-hour ingest). Split clean rows from the
+    quarantine with ``split_quarantine`` (NOT a bare filter — Spark
+    requires caching before the internal corrupt column can be
+    queried alone). Requires an explicit schema (+ the
+    _corrupt_record slot) — inference can't coexist with capture."""
     full = schema + ", _corrupt_record STRING"
     return (
         spark.read.schema(full)
@@ -56,6 +57,21 @@ def read_json_tolerant(spark: SparkSession, path: str, schema: str) -> DataFrame
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(path)
     )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Split a tolerant read into (clean, quarantine). Spark refuses
+    queries that reference ONLY the internal corrupt-record column of
+    an uncached tolerant read ("cache the dataset first"), so this
+    helper caches once and hands back both halves — use it instead of
+    filtering `_corrupt_record` by hand. The caller unpersists when
+    both halves are consumed (or lets it age out)."""
+    from pyspark.sql import functions as F
+
+    df = df.cache()
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.where(F.col("_corrupt_record").isNotNull())
+    return clean, bad
 
 
 def write_parquet(

@@ -21,11 +21,13 @@ Iceberg spec — re-expressed from scratch for plain parquet):
   `merge_into_parquet` cannot close: its dynamic partition overwrite
   deletes files a concurrent reader may still be scanning).
 * **Atomic commits.** Writers stage data files under a fresh unique
-  token, then publish by creating `_txlog/<version>.json` with
-  O_CREAT|O_EXCL — the filesystem arbitrates exactly one winner per
-  version (the same "atomic put-if-absent on the log object" that
-  Delta uses; on S3-like stores swap this one call for a conditional
-  put or a lock service — the documented seam).
+  token, write the commit record to a temp file (fsync'd), then
+  publish with os.link — an atomic put-if-absent: the filesystem
+  arbitrates exactly one winner per version, and a crash mid-write
+  can never leave a torn commit in the log (the same "atomic
+  put-if-absent on the log object" that Delta uses; on S3-like stores
+  swap this one call for a conditional put or a lock service — the
+  documented seam).
 * **Optimistic concurrency.** A loser of the version race re-reads
   the log and retries iff its removed-file set is still live
   (write-write conflicts on the same files raise ConflictError).
@@ -153,15 +155,27 @@ class TxTable:
         return sorted(os.path.join(self.root, p) for p in live)
 
     def _try_commit(self, record: dict) -> bool:
-        """Publish a commit via exclusive create; False = lost the race."""
-        path = os.path.join(_log_dir(self.root), f"{record['version']:08d}.json")
+        """Publish a commit atomically; False = lost the race.
+
+        Torn-write safety: the record is fully written + fsync'd to a
+        private temp file first, then published with os.link — an
+        atomic put-if-absent (fails with FileExistsError if the
+        version is taken). A crash mid-write leaves only an orphan
+        temp file (swept by vacuum), never a half-written commit that
+        would brick every later _commits() parse."""
+        final = os.path.join(_log_dir(self.root), f"{record['version']:08d}.json")
+        tmp = final + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(record, f)
+            f.flush()
+            os.fsync(f.fileno())
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, final)
+            return True
         except FileExistsError:
             return False
-        with os.fdopen(fd, "w") as f:
-            json.dump(record, f)
-        return True
+        finally:
+            os.unlink(tmp)
 
     def _stage(self, df: DataFrame) -> tuple[list[str], dict]:
         """Write df's rows as immutable files under data/<token>-…;
@@ -343,22 +357,37 @@ class TxTable:
         files); time travel to pre-compaction versions still works
         until vacuum. The daily job a streaming-ingested table needs:
         each micro-batch commit adds small files, compaction folds
-        them back into fat clustered ones."""
-        df = self.read()
+        them back into fat clustered ones.
+
+        Snapshot and commit base are pinned to the SAME version, read
+        FIRST — a commit landing during the rewrite then makes our
+        publish lose the version race, where the conflict check
+        rejects/rebases correctly instead of silently erasing the
+        interleaved commit's rows."""
+        read_v = self.version()
+        df = self.read(version=read_v)
         if cluster_by:
             df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(cluster_by)
         else:
             df = df.coalesce(n_files)
-        read_v = self.version()
         remove = [os.path.relpath(p, self.root) for p in self.live_files(read_v)]
         add, stats = self._stage(df)
         return self._publish("compact", add, remove, read_v, max_retries, stats=stats)
 
-    def vacuum(self, retain_versions: int = 1) -> list[str]:
+    def vacuum(self, retain_versions: int = 1,
+               min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files not referenced by the last
         ``retain_versions`` versions, then drop the log entries older
         than the retained window's base (time travel shrinks — the
-        documented Delta-style tradeoff). Returns deleted paths."""
+        documented Delta-style tradeoff). Returns deleted paths.
+
+        ``min_age_seconds`` is the in-flight-writer guard (Delta's
+        deletion retention window): an unreferenced file younger than
+        the threshold may belong to a writer that has STAGED but not
+        yet COMMITTED, so it is skipped — deleting it would break the
+        commit that is about to reference it. Set it above the
+        longest plausible stage-to-commit latency; 0 only in tests or
+        single-writer maintenance windows."""
         commits = self._commits()
         latest = commits[-1]["version"]
         keep_from = max(0, latest - retain_versions + 1)
@@ -367,17 +396,29 @@ class TxTable:
             keep |= {
                 os.path.relpath(p, self.root) for p in self.live_files(v)
             }
+        now = time.time()
         deleted = []
         data_root = _data_dir(self.root)
         for sub in sorted(os.listdir(data_root)):
             subdir = os.path.join(data_root, sub)
             for name in sorted(os.listdir(subdir)):
                 rel = os.path.join("data", sub, name)
-                if name.endswith(".parquet") and rel not in keep:
-                    os.remove(os.path.join(self.root, rel))
-                    deleted.append(rel)
+                full = os.path.join(self.root, rel)
+                if not name.endswith(".parquet") or rel in keep:
+                    continue
+                if now - os.path.getmtime(full) < min_age_seconds:
+                    continue  # possibly staged by an in-flight writer
+                os.remove(full)
+                deleted.append(rel)
             if not os.listdir(subdir):
                 os.rmdir(subdir)
+        # orphan commit temp files (crashed writers) age out the same way
+        log_root = _log_dir(self.root)
+        for name in sorted(os.listdir(log_root)):
+            if ".tmp." in name:
+                full = os.path.join(log_root, name)
+                if now - os.path.getmtime(full) >= min_age_seconds:
+                    os.unlink(full)
         # squash pre-window history into a checkpoint commit record:
         # rewrite version files < keep_from as explicit snapshots is
         # unnecessary — live_files(v) for v >= keep_from still folds
@@ -406,17 +447,24 @@ def stream_merge_to_txtable(
     ``source_name`` scopes the batch-id ledger: one logical stream
     per name; two different streams feeding one table must use
     distinct names (their epoch counters both start at 0)."""
+    # ledger bootstrap: read the log ONCE at sink start, then maintain
+    # the seen-set incrementally — per-batch bookkeeping is O(1), not
+    # O(commits) re-parses (this sink is the only writer for its
+    # source_name, so the in-memory set stays complete)
+    seen = {
+        c.get("batch_id")
+        for c in table.history()
+        if c.get("source_name") == source_name
+    }
+
     def do_merge(batch: DataFrame, epoch_id: int) -> None:
-        seen = {
-            (c.get("source_name"), c.get("batch_id"))
-            for c in table.history()
-        }
-        if (source_name, epoch_id) in seen:
+        if epoch_id in seen:
             return
         table.merge(
             batch, key=key,
             meta={"source_name": source_name, "batch_id": epoch_id},
         )
+        seen.add(epoch_id)
 
     return (
         stream_df.writeStream.foreachBatch(do_merge)

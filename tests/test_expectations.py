@@ -111,3 +111,27 @@ def test_unique_rows_and_freshness_checks(spark):
     assert not got["unique_a"].passed and got["unique_a"].metric == pytest.approx(1 / 3, abs=1e-6)
     assert got["unique_a_b"].passed
     assert got["fresh_ts"].passed
+
+
+def test_unique_rows_null_parity_with_sql_twin(spark, tmp_path):
+    """Regression (review finding): Spark countDistinct excludes
+    tuples containing NULL; the generated SQL twin must agree instead
+    of counting ROW(NULL, x) as distinct."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, "x"), (None, "x"), (2, "y"), (None, "z")], "a INT, b STRING"
+    )
+    path = str(tmp_path / "t.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    suite = Suite().unique_rows(["a", "b"], 0.5)
+    spark_row = suite.evaluate(df).first()
+    con = duckdb.connect()
+    try:
+        con.sql(f"CREATE VIEW src AS SELECT * FROM '{path}/*.parquet'")
+        duck_row = con.sql(suite.to_sql("src")).fetchone()
+    finally:
+        con.close()
+    # 2 non-null-tuple distinct / 4 rows on BOTH engines
+    assert spark_row.metric == 0.5 == duck_row[1]
+    assert spark_row.passed and duck_row[2]

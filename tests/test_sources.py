@@ -304,7 +304,7 @@ def test_tolerant_csv_quarantines_corrupt_rows(spark, tmp_path):
     of failing the read; clean rows parse fully typed."""
     from pyspark.sql import functions as F
 
-    from ipydataclean_spark.sources import read_csv_tolerant
+    from ipydataclean_spark.sources import read_csv_tolerant, split_quarantine
 
     p = tmp_path / "in.csv"
     p.write_text(
@@ -313,20 +313,18 @@ def test_tolerant_csv_quarantines_corrupt_rows(spark, tmp_path):
         "2,not_a_number\n"
         "3,30.0\n"
     )
-    df = read_csv_tolerant(spark, str(p), "k INT, v DOUBLE").cache()
-    clean = df.where(F.col("_corrupt_record").isNull())
-    bad = df.where(F.col("_corrupt_record").isNotNull())
+    clean, bad = split_quarantine(read_csv_tolerant(spark, str(p), "k INT, v DOUBLE"))
     assert clean.count() == 2
+    assert "_corrupt_record" not in clean.columns
     assert {r.k for r in clean.collect()} == {1, 3}
     quarantined = [r._corrupt_record for r in bad.collect()]
     assert quarantined == ["2,not_a_number"]
-    df.unpersist()
 
 
 def test_tolerant_json_quarantines_corrupt_rows(spark, tmp_path):
     from pyspark.sql import functions as F
 
-    from ipydataclean_spark.sources import read_json_tolerant
+    from ipydataclean_spark.sources import read_json_tolerant, split_quarantine
 
     p = tmp_path / "in.jsonl"
     p.write_text(
@@ -334,8 +332,7 @@ def test_tolerant_json_quarantines_corrupt_rows(spark, tmp_path):
         "this is not json\n"
         '{"k": 3, "v": 30.0}\n'
     )
-    df = read_json_tolerant(spark, str(p), "k INT, v DOUBLE").cache()
-    assert df.where(F.col("_corrupt_record").isNull()).count() == 2
-    bad = df.where(F.col("_corrupt_record").isNotNull()).collect()
-    assert len(bad) == 1 and bad[0]._corrupt_record == "this is not json"
-    df.unpersist()
+    clean, bad = split_quarantine(read_json_tolerant(spark, str(p), "k INT, v DOUBLE"))
+    assert clean.count() == 2
+    rows = bad.collect()
+    assert len(rows) == 1 and rows[0]._corrupt_record == "this is not json"

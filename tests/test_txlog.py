@@ -115,7 +115,7 @@ def test_merge_empty_batch_is_noop(spark, base_df, tmp_path):
 def test_vacuum_drops_old_versions_only(spark, base_df, tmp_path):
     t = TxTable.create(spark, str(tmp_path / "t"), base_df)
     t.overwrite(base_df.limit(7))
-    deleted = t.vacuum(retain_versions=1)
+    deleted = t.vacuum(retain_versions=1, min_age_seconds=0)
     assert deleted, "v0 files should be deleted"
     assert t.read().count() == 7  # current snapshot intact
     with pytest.raises(Exception):
@@ -318,3 +318,33 @@ def test_schema_evolution_read(spark, tmp_path):
     assert set(evolved.columns) == {"k", "tag"}
     assert evolved.where(F.col("tag").isNull()).count() == 5
     assert evolved.count() == 8
+
+
+def test_compact_does_not_erase_interleaved_append(spark, base_df, tmp_path, monkeypatch):
+    """Regression (review finding): compact() pins snapshot and commit
+    base to the same version, so an append landing DURING the rewrite
+    makes compact lose the version race — rebase keeps the appended
+    file live (rows survive); it is never silently erased."""
+    t = TxTable.create(spark, str(tmp_path / "t"), base_df)
+    writer = TxTable(spark, t.root)
+    orig_stage = TxTable._stage
+    fired = {"done": False}
+
+    def stage_with_interleave(self, df):
+        out = orig_stage(self, df)
+        if self is t and not fired["done"]:
+            fired["done"] = True
+            # concurrent writer commits while compact has staged but
+            # not yet published
+            writer.append(
+                spark.range(1000, 1010).select(
+                    F.col("id").alias("k"), F.lit(-7).cast("long").alias("v")
+                )
+            )
+        return out
+
+    monkeypatch.setattr(TxTable, "_stage", stage_with_interleave)
+    t.compact(n_files=2, cluster_by="k", max_retries=1)
+    got = {r.k for r in t.read().collect()}
+    assert set(range(100)) <= got
+    assert set(range(1000, 1010)) <= got, "interleaved append was erased"
