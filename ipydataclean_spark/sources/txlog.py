@@ -39,10 +39,14 @@ Iceberg spec — re-expressed from scratch for plain parquet):
 Scale notes: the log is METADATA-sized — O(commits) driver-side JSON,
 never data-sized; file lists per commit are O(files touched). Reads
 pass explicit paths so Catalyst still gets footer pushdown/pruning on
-each parquet file. MERGE prunes at the FILE level via parquet footer
-min/max on the merge key (pyarrow metadata only — no data read):
-untouched files survive by reference, so a 100 TB table with a 1 GB
-update batch rewrites ~the files the batch intersects, not the table.
+each parquet file. Every commit records its staged files' per-column
+min/max (harvested once, at write time), so `read_where` and MERGE
+prune at the FILE level from LOG stats alone — zero footer opens on
+the read path: untouched files survive by reference, and a 100 TB
+table with a 1 GB update batch rewrites ~the files the batch
+intersects, not the table. `compact` re-clusters small files so those
+recorded ranges stay tight; `vacuum`'s retention window keeps
+in-flight writers' staged files safe.
 """
 
 from __future__ import annotations
