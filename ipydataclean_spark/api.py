@@ -183,6 +183,21 @@ class DataCleaner:
             out.append((c, "string_mismatch", int(n_mismatch)))
         return out
 
+    def commit_to(self, table, key: str, suite=None) -> int:
+        """Publish the cleaned frame transactionally: MERGE the
+        current (post-fix) rows into a ``sources.txlog.TxTable`` by
+        ``key`` — concurrent readers see the whole cleaning session
+        atomically (snapshot isolation) instead of a half-applied
+        rewrite. If ``suite`` is given, it gates the commit: any
+        failing expectation raises before a single byte is published
+        (the validate-then-commit pattern). Returns the new table
+        version."""
+        if suite is not None:
+            failing = self.validate(suite)
+            if failing:
+                raise ValueError(f"expectation gate failed: {failing}")
+        return table.merge(self._df, key=key)
+
     def validate(self, suite) -> list[dict]:
         """Evaluate an ``operators.expectations.Suite`` against the
         CURRENT (post-fix) frame — the accept/reject gate a pipeline

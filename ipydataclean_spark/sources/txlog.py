@@ -351,13 +351,17 @@ class TxTable:
         remove = [os.path.relpath(p, self.root) for p in hit]
         return self._publish("merge", add, remove, read_v, max_retries, meta, stats)
 
-    def compact(self, n_files: int = 4, cluster_by: str | None = None,
+    def compact(self, n_files: int = 4,
+                cluster_by: str | list[str] | None = None,
                 max_retries: int = 0) -> int:
         """Small-file maintenance: rewrite the current snapshot as
         ``n_files`` files, range-clustered on ``cluster_by`` so the
         recorded per-file [min,max] on that column are tight and
         disjoint — the layout that makes read_where/merge pruning
-        surgical. Data is unchanged (op="compact" commit replaces all
+        surgical. Pass TWO columns for Morton z-order clustering
+        (OPTIMIZE ZORDER analogue): per-file ranges then stay
+        selective on BOTH dimensions, so read_where prunes on either
+        column. Data is unchanged (op="compact" commit replaces all
         files); time travel to pre-compaction versions still works
         until vacuum. The daily job a streaming-ingested table needs:
         each micro-batch commit adds small files, compaction folds
@@ -370,8 +374,23 @@ class TxTable:
         interleaved commit's rows."""
         read_v = self.version()
         df = self.read(version=read_v)
-        if cluster_by:
-            df = df.repartitionByRange(n_files, cluster_by).sortWithinPartitions(cluster_by)
+        if isinstance(cluster_by, (list, tuple)) and len(cluster_by) == 2:
+            from ipydataclean_spark.operators.sketches import zvalue
+
+            mod = 1 << 8
+            z = zvalue(
+                (F.col(cluster_by[0]) % mod).cast("long"),
+                (F.col(cluster_by[1]) % mod).cast("long"),
+            )
+            df = (
+                df.withColumn("__z", z)
+                .repartitionByRange(n_files, "__z")
+                .sortWithinPartitions("__z")
+                .drop("__z")
+            )
+        elif cluster_by:
+            col = cluster_by if isinstance(cluster_by, str) else cluster_by[0]
+            df = df.repartitionByRange(n_files, col).sortWithinPartitions(col)
         else:
             df = df.coalesce(n_files)
         remove = [os.path.relpath(p, self.root) for p in self.live_files(read_v)]

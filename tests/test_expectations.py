@@ -135,3 +135,34 @@ def test_unique_rows_null_parity_with_sql_twin(spark, tmp_path):
     # 2 non-null-tuple distinct / 4 rows on BOTH engines
     assert spark_row.metric == 0.5 == duck_row[1]
     assert spark_row.passed and duck_row[2]
+
+
+def test_commit_to_gated_by_suite(spark, sf_dir, tmp_path):
+    """validate-then-commit: a failing expectation blocks the MERGE
+    (table version unchanged); after the fix, the commit lands and
+    the table holds the cleaned rows."""
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+    from ipydataclean_spark.sources.txlog import TxTable
+
+    base = (
+        lineitem_dirty(spark, sf_dir)
+        .select("l_orderkey", "l_linenumber", "qty_parsed")
+        .withColumn(
+            "rid", F.col("l_orderkey") * 100 + F.col("l_linenumber")
+        )
+        .select("rid", "qty_parsed")
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), base)
+    dc = DataCleaner(base)
+    gate = Suite().completeness("qty_parsed", 1.0)
+
+    with pytest.raises(ValueError, match="expectation gate failed"):
+        dc.commit_to(t, key="rid", suite=gate)
+    assert t.version() == 0, "failed gate must publish nothing"
+
+    dc.apply_fix("qty_parsed", "missing", "fill_median")
+    v = dc.commit_to(t, key="rid", suite=gate)
+    assert v == 1
+    assert t.read().where(F.col("qty_parsed").isNull()).count() == 0
+    assert t.read().count() == base.count()

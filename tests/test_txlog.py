@@ -348,3 +348,23 @@ def test_compact_does_not_erase_interleaved_append(spark, base_df, tmp_path, mon
     got = {r.k for r in t.read().collect()}
     assert set(range(100)) <= got
     assert set(range(1000, 1010)) <= got, "interleaved append was erased"
+
+
+def test_compact_zorder_two_columns(spark, tmp_path):
+    """Two-column compact clusters by Morton z-value: per-file log
+    stats become selective on BOTH dimensions, so read_where prunes
+    on either column."""
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b"),
+        F.col("id").alias("payload"),
+    )
+    t = TxTable.create(spark, str(tmp_path / "t"), df.coalesce(1))
+    t.compact(n_files=8, cluster_by=["a", "b"])
+    n = len(t.live_files())
+    pruned_a = t.prune_files("a", 0, 7)
+    pruned_b = t.prune_files("b", 0, 7)
+    assert len(pruned_a) < n and len(pruned_b) < n, (
+        f"z-order must prune on both dims: a={len(pruned_a)}/{n} b={len(pruned_b)}/{n}"
+    )
+    got = t.read_where("a", 0, 7).count()
+    assert got == 4096 // 8  # 8 of 64 'a' values, uniform
