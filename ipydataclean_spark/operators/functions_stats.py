@@ -238,3 +238,63 @@ def p18_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         outs.append(F.round(num / den, 12).alias(f"corr_{sa}_{sb}"))
     return s.select(*outs)
+
+
+@register(
+    "p25_mutual_info",
+    oracle=(
+        "WITH cells AS (SELECT CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qbin, "
+        "l_returnflag AS flag, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY 1, 2), "
+        "tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cells), "
+        "marg AS (SELECT c.qbin, c.flag, c.n, tot.t, "
+        "SUM(c.n) OVER (PARTITION BY c.qbin) AS nx, "
+        "SUM(c.n) OVER (PARTITION BY c.flag) AS ny "
+        "FROM cells c CROSS JOIN tot) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "ROUND(" + exact.rsum12_sql(
+            "(n / t) * LN((n * t) / (CAST(nx AS DOUBLE) * ny))"
+        ) + ", 8) AS mutual_info_nats "
+        "FROM marg"
+    ),
+    tags=("P25", "P18", "featprep"),
+)
+def p25_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P25: mutual information between a binned numeric feature
+    (quantity deciles-of-10) and a categorical target (returnflag) —
+    the model-free feature-relevance score that catches nonlinear
+    association Pearson (p18) misses and complements Cramér's V
+    (p22) with an information-theoretic scale.
+
+    Exactness: each p(x,y)·ln(p(x,y)/(p(x)p(y))) term is rounded to
+    12 dp then decimal-summed (exact.rsum12) — order-independent
+    across engines. Plan: ONE fact scan feeds the contingency agg
+    (map-side combinable, cells ≤ |bins|×|flags|); totals and
+    marginals are windows over the CELL table (contingency-sized,
+    not fact-sized); the MI fold is a 1-row agg."""
+    cells = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.floor(F.col("l_quantity") / 10).cast("long").alias("qbin"),
+            F.col("l_returnflag").alias("flag"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    t = F.sum("n").over(Window.partitionBy()).cast("double")
+    nx = F.sum("n").over(Window.partitionBy("qbin"))
+    ny = F.sum("n").over(Window.partitionBy("flag"))
+    marg = cells.select(
+        "n",
+        t.alias("t"),
+        nx.alias("nx"),
+        ny.alias("ny"),
+    )
+    term = (F.col("n") / F.col("t")) * F.log(
+        (F.col("n") * F.col("t")) / (F.col("nx").cast("double") * F.col("ny"))
+    )
+    return marg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(exact.rsum12(term), 8).alias("mutual_info_nats"),
+    )

@@ -200,3 +200,53 @@ def w7_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 8).alias("cume"),
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "w8_cumulative_distinct",
+    oracle=(
+        "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+        "CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen "
+        "FROM events), "
+        "r AS (SELECT user_id, ts, event_id, "
+        "CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS distinct_types_so_far FROM flagged) "
+        "SELECT user_id, event_id, distinct_types_so_far FROM r "
+        "WHERE user_id % 25 = 0 ORDER BY user_id, event_id"
+    ),
+    tags=("W8", "W2", "analytics"),
+)
+def w8_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8: running DISTINCT count over an event stream — distinct
+    event types each user has seen up to each event (the
+    breadth-of-engagement feature; also the standard workaround shape,
+    since neither Spark nor DuckDB supports COUNT(DISTINCT) OVER).
+
+    Method: flag each (user, type)'s FIRST occurrence with one
+    row_number window, then a running sum of the flags — two
+    WindowExecs, both partitioned on user_id (single exchange reused;
+    no single-partition funnel). The same trick handles any
+    accumulate-distinct-over-time ask at 100 TB because both windows
+    key on the entity."""
+    ev = T(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "first_seen",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .withColumn(
+            "distinct_types_so_far",
+            F.sum("first_seen").over(w_run).cast("long"),
+        )
+        .where(F.col("user_id") % 25 == 0)
+        .select("user_id", "event_id", "distinct_types_so_far")
+        .orderBy("user_id", "event_id")
+    )
