@@ -326,3 +326,37 @@ def sliding_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), exact.dsum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
     )
+
+
+def cumulative_distinct_stream(ev: DataFrame) -> DataFrame:
+    """ST6 twin of the batch w8_cumulative_distinct: per-user count of
+    DISTINCT event types seen so far, maintained as arbitrary state
+    (the running-distinct ask neither engine's windows support —
+    batch solves it with the first-occurrence trick, streaming keeps
+    the seen-set in the state store and emits the current cardinality
+    per batch).
+
+    State is the sorted list of seen types — bounded by the type
+    alphabet, NOT the event count, so state size is O(users × types)
+    at any scale; a high-cardinality dimension would swap the exact
+    set for an HLL sketch register with the same update shape."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (seen_csv,) = state.get if state.exists else ("",)
+        seen = set(seen_csv.split("\x1f")) - {""}
+        for pdf in pdfs:
+            seen |= set(pdf["event_type"].dropna())
+        state.update(("\x1f".join(sorted(seen)),))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_distinct_types": [len(seen)]}
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, n_distinct_types LONG",
+        stateStructType="seen STRING",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

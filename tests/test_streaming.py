@@ -255,3 +255,43 @@ def test_streaming_dedup_within_watermark_replay(spark, sf_dir):
         got = [r.event_id for r in spark.table("t_dedup_wm").select("event_id").collect()]
     assert len(got) == len(set(got)), "emitted duplicate event_ids"
     assert set(got) == want
+
+
+def test_cumulative_distinct_stream_matches_batch_w8(spark, sf_dir, tmp_path):
+    """Replay equality: the streaming seen-set state op's FINAL
+    per-user distinct-type count must equal the batch w8 form's last
+    row per user (first-occurrence flag + running sum)."""
+    from ipydataclean_spark.operators.windows import w8_cumulative_distinct
+    from ipydataclean_spark.streaming.stream import (
+        cumulative_distinct_stream,
+        events_stream,
+    )
+
+    q = (
+        cumulative_distinct_stream(events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName("t_cumdist")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update-mode memory sink holds one row per batch per user: the
+    # final state per user is the MAX emission (counts only grow)
+    final_stream = {
+        r.user_id: r.n
+        for r in spark.table("t_cumdist")
+        .groupBy("user_id")
+        .agg(F.max("n_distinct_types").alias("n"))
+        .collect()
+    }
+    batch = w8_cumulative_distinct(spark, sf_dir)
+    final_batch = {
+        r.user_id: r.distinct_types_so_far
+        for r in batch.orderBy("user_id", "event_id").collect()
+    }  # dict keeps the LAST (max) row per user
+    # w8 filters user_id % 25 == 0; compare on that subset
+    assert final_batch, "batch w8 produced nothing"
+    for uid, n in final_batch.items():
+        assert final_stream.get(uid) == n, (uid, n, final_stream.get(uid))
