@@ -343,3 +343,60 @@ def l10b_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l24_url_domains",
+    oracle=(
+        "WITH u AS (SELECT doc_id, "
+        "'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) "
+        "|| '?lang=' || lang AS url, lang FROM documents), "
+        "p AS (SELECT doc_id, "
+        "regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host, "
+        "regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path, "
+        "regexp_extract(url, 'lang=([a-z]+)', 1) AS lang_param, lang FROM u) "
+        "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(DISTINCT lang_param) AS BIGINT) AS n_langs, "
+        "CAST(COUNT_IF(lang_param = lang) AS BIGINT) AS n_param_ok, "
+        "MIN(path) AS first_path "
+        "FROM p GROUP BY host ORDER BY host"
+    ),
+    tags=("L24", "L5", "quality"),
+)
+def l24_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L24: URL parsing + per-domain rollup — the host/path/query
+    decomposition every web-corpus pipeline runs before domain
+    filtering, budget sampling (l20 keys on exactly this host), and
+    robots/blocklist joins. URLs are synthesized deterministically
+    from the fixture (it ships no URL column), so the parse itself is
+    what the oracle checks.
+
+    Plan: pure regexp builtins (whole-stage codegen; Spark's
+    parse_url would also work JVM-side but has no DuckDB twin — the
+    anchored regexes ARE the cross-engine-portable form), one
+    host-keyed partial agg."""
+    u = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+            F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        ).alias("url"),
+    )
+    p = u.select(
+        "doc_id",
+        "lang",
+        F.regexp_extract("url", r"^[a-z]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[a-z]+://[^/?#]+(/[^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"lang=([a-z]+)", 1).alias("lang_param"),
+    )
+    return (
+        p.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang_param").alias("n_langs"),
+            F.sum((F.col("lang_param") == F.col("lang")).cast("long")).alias("n_param_ok"),
+            F.min("path").alias("first_path"),
+        )
+        .orderBy("host")
+    )
