@@ -295,3 +295,57 @@ def test_flatten_json_single_parse(spark, sf_dir):
 def test_unigram_logprob_no_python(spark, sf_dir):
     """l18 is pure builtins — token scoring must not drop into Python."""
     assert not has_python_eval(_q("l18_unigram_logprob", spark, sf_dir))
+
+
+def test_l19_gopher_is_map_only(spark, sf_dir):
+    """l19's signals are pure array expressions: no Python eval, no
+    aggregate, and the only exchange is the output sort's range
+    partitioning."""
+    df = _q("l19_gopher_quality", spark, sf_dir)
+    assert not has_python_eval(df)
+    tree = plan_tree(df)
+    assert not any("HashAggregate" in l or "ObjectHashAggregate" in l for l in tree), "\n".join(tree)
+    exchanges = [l for l in tree if "Exchange" in l]
+    assert len(exchanges) == 1, "\n".join(tree)  # only the sort's range exchange
+
+
+def test_l21_bigram_two_keyed_shuffles(spark, sf_dir):
+    """l21: explode feeds a (doc,bigram)-keyed count then a doc-keyed
+    rollup — hash exchanges only on those keys, no Python eval."""
+    df = _q("l21_top_bigram_frac", spark, sf_dir)
+    assert not has_python_eval(df)
+    tree = plan_tree(df)
+    exchanges = [l for l in tree if "Exchange" in l]
+    # (doc,bigram)-keyed, doc-keyed, + the output sort = 3
+    assert len(exchanges) <= 3, "\n".join(tree)
+    assert not any("Join" in l for l in tree), "\n".join(tree)
+
+
+def test_p25_mutual_info_single_fact_scan(spark, sf_dir):
+    """p25: one lineitem scan; windows run over the contingency-sized
+    cell table, never the fact table."""
+    df = _q("p25_mutual_info", spark, sf_dir)
+    assert not has_python_eval(df)
+    tree = plan_tree(df)
+    scans = [l for l in tree if "Scan parquet" in l or ("Relation" in l and "parquet" in l)]
+    assert len(scans) == 1, "\n".join(tree)
+
+
+def test_l24_url_parse_stays_in_codegen(spark, sf_dir):
+    """l24: regexp decomposition is JVM-side (no BatchEvalPython) and
+    the rollup is one host-keyed aggregate."""
+    df = _q("l24_url_domains", spark, sf_dir)
+    assert not has_python_eval(df)
+
+
+def test_w8_windows_share_user_partitioning(spark, sf_dir):
+    """w8: both window specs key on user_id — at most the two keyed
+    exchanges (first-occurrence flag + running sum) plus the output
+    sort; no unpartitioned window funnel."""
+    df = _q("w8_cumulative_distinct", spark, sf_dir)
+    tree = plan_tree(df)
+    assert not any(
+        "Window" in l and "SinglePartition" in l for l in tree
+    ), "\n".join(tree)
+    windows = [l for l in tree if "Window" in l]
+    assert len(windows) >= 2, "\n".join(tree)
