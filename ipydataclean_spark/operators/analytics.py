@@ -291,3 +291,51 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_for_90pct",
         )
     )
+
+
+@register(
+    "q24_ship_latency",
+    oracle=(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines, "
+        "ROUND(CAST(SUM(CAST(DATEDIFF('day', o_orderdate, l_shipdate) AS "
+        "DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 8) AS avg_days, "
+        "CAST(MIN(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days, "
+        "CAST(MAX(DATEDIFF('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days, "
+        "CAST(COUNT_IF(DATEDIFF('day', o_orderdate, l_shipdate) > 90) AS BIGINT) "
+        "AS n_late "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ),
+    tags=("Q24", "R3", "analytics"),
+)
+def q24_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q24 (beyond TPC-H): order→ship latency per priority — the
+    fulfillment-SLA rollup (mean/min/max days plus a >90-day breach
+    count). The operational dashboard query a cleaned orders pipeline
+    feeds.
+
+    Exactness: day deltas are integers; the mean routes them through
+    DECIMAL so the per-priority average is order-independent. Plan:
+    one fact⋈orders equi-join (the irreducible shuffle — both sides
+    fact-sized; bucketed layout is the recurring-workload remedy),
+    then a tiny priority-keyed partial agg."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.round(
+                F.sum(days.cast("decimal(28,6)")).cast("double") / F.count(F.lit(1)),
+                8,
+            ).alias("avg_days"),
+            F.min(days).cast("long").alias("min_days"),
+            F.max(days).cast("long").alias("max_days"),
+            F.sum((days > 90).cast("long")).alias("n_late"),
+        )
+        .orderBy("o_orderpriority")
+    )
