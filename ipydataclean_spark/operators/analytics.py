@@ -339,3 +339,65 @@ def q24_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q25_repeat_purchase",
+    oracle=(
+        "WITH gaps AS (SELECT o_custkey, "
+        "DATEDIFF('day', LAG(o_orderdate) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), o_orderdate) "
+        "AS gap_days FROM orders), "
+        "per_cust AS (SELECT o_custkey, CAST(COUNT(*) + 1 AS BIGINT) AS n_orders, "
+        "ROUND(CAST(SUM(CAST(gap_days AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 8) "
+        "AS avg_gap_days FROM gaps WHERE gap_days IS NOT NULL GROUP BY o_custkey) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_repeat_customers, "
+        "CAST(MIN(n_orders) AS BIGINT) AS min_orders, "
+        "CAST(MAX(n_orders) AS BIGINT) AS max_orders, "
+        "ROUND(CAST(SUM(CAST(avg_gap_days AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 8) "
+        "AS mean_avg_gap_days "
+        "FROM per_cust"
+    ),
+    tags=("Q25", "W2", "analytics"),
+)
+def q25_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q25 (beyond TPC-H): repeat-purchase cadence — per returning
+    customer, the mean days between consecutive orders (lag window),
+    rolled up to the population (the retention-health metric cohort
+    analysis drills into).
+
+    Exactness: day gaps are ints; both the per-customer mean and the
+    population mean route through DECIMAL. Plan: ONE window shuffle
+    keyed o_custkey (lag), a customer-keyed partial agg, and a 1-row
+    fold — no fact-fact join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = (
+        T(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+            ).alias("gap_days"),
+        )
+        .where(F.col("gap_days").isNotNull())
+    )
+    per_cust = gaps.groupBy("o_custkey").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_orders"),
+        F.round(
+            F.sum(F.col("gap_days").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("avg_gap_days"),
+    )
+    return per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat_customers"),
+        F.min("n_orders").cast("long").alias("min_orders"),
+        F.max("n_orders").cast("long").alias("max_orders"),
+        F.round(
+            F.sum(F.col("avg_gap_days").cast("decimal(28,6)")).cast("double")
+            / F.count(F.lit(1)),
+            8,
+        ).alias("mean_avg_gap_days"),
+    )
