@@ -401,3 +401,50 @@ def q25_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("mean_avg_gap_days"),
     )
+
+
+@register(
+    "q26_stickiness",
+    oracle=(
+        "WITH d AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events), "
+        "dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau "
+        "FROM d GROUP BY day), "
+        "mau AS (SELECT DATE_TRUNC('month', day) AS mon, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau FROM d GROUP BY 1) "
+        "SELECT dau.day, dau.dau, mau.mau, "
+        "ROUND(CAST(dau.dau AS DOUBLE) / mau.mau, 8) AS stickiness "
+        "FROM dau JOIN mau ON DATE_TRUNC('month', dau.day) = mau.mon "
+        "ORDER BY dau.day"
+    ),
+    tags=("Q26", "analytics", "ST1"),
+)
+def q26_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q26: DAU/MAU stickiness — daily active users over the month's
+    active users (the engagement-health ratio every product dashboard
+    leads with).
+
+    Plan: one event scan feeds BOTH distinct aggregations (day-keyed
+    and month-keyed — each a partial-aggregable distinct); the join
+    back is calendar-sized (days ⋈ months), broadcast regardless of
+    fact size. No windows, no fact-fact join."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    dau = ev.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    mau = (
+        ev.groupBy(F.date_trunc("month", F.col("day")).cast("date").alias("mon"))
+        .agg(F.countDistinct("user_id").alias("mau"))
+    )
+    return (
+        dau.join(
+            F.broadcast(mau),
+            F.date_trunc("month", F.col("day")).cast("date") == F.col("mon"),
+        )
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau").cast("double") / F.col("mau"), 8).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
