@@ -112,13 +112,32 @@ class Recipe:
         """The recipe as a chain of CTE bodies over ``source``;
         returns (", s0 AS (...), s1 AS (...)", last_cte_name) for
         composition inside a larger WITH. Raises for steps without a
-        SQL twin."""
+        SQL twin.
+
+        Output-column tracking: a step whose ``out`` column was ADDED
+        by an earlier step must emit ``SELECT * REPLACE`` (Spark's
+        withColumn replaces silently; a bare ``SELECT *, e AS out``
+        would duplicate the name and DuckDB would auto-rename it) —
+        two-arg sql generators receive that existence flag."""
+        import inspect
+
         parts, prev = [], source
+        added_outs: set[str] = set()
         for i, step in enumerate(self.steps):
             if step.sql is None:
                 raise ValueError(f"step {step.name!r} has no SQL twin")
             cur = f"{prefix}{i}"
-            parts.append(f"{cur} AS ({step.sql(prev)})")
+            n_params = len(inspect.signature(step.sql).parameters)
+            if n_params >= 2:
+                tgt = step.params.get("out") or step.params.get("col")
+                exists = tgt == step.params.get("col") or tgt in added_outs
+                sql = step.sql(prev, exists)
+            else:
+                sql = step.sql(prev)
+            out = step.params.get("out")
+            if out and out != step.params.get("col"):
+                added_outs.add(out)
+            parts.append(f"{cur} AS ({sql})")
             prev = cur
         body = (", " + ", ".join(parts)) if parts else ""
         return body, prev
@@ -193,9 +212,9 @@ class Recipe:
             lambda df: df.withColumn(out, F.expr(expr)),
             f"df = df.withColumn({out!r}, F.expr({expr!r}))",
             # the cleanup expression is already dialect-shared
-            sql=lambda p: (
+            sql=lambda p, ex: (
                 f"SELECT * REPLACE ({expr} AS {out}) FROM {p}"
-                if out == col
+                if ex
                 else f"SELECT *, {expr} AS {out} FROM {p}"
             ),
             col=col,
@@ -257,9 +276,9 @@ class Recipe:
             "parse_dates",
             lambda df: parse_dates(df, col, formats, out),
             f"df = parse_dates(df, {col!r}, {formats!r}, {out!r})",
-            sql=lambda p: (
+            sql=lambda p, ex: (
                 f"SELECT * REPLACE (CAST(COALESCE({tries}) AS DATE) AS {tgt}) FROM {p}"
-                if tgt == col
+                if ex
                 else f"SELECT *, CAST(COALESCE({tries}) AS DATE) AS {tgt} FROM {p}"
             ),
             col=col,
@@ -284,9 +303,9 @@ class Recipe:
             "standardize_units",
             lambda df: standardize_units(df, col, conversions, out),
             f"df = standardize_units(df, {col!r}, {conversions!r}, {out!r})",
-            sql=lambda p: (
+            sql=lambda p, ex: (
                 f"SELECT * REPLACE ({num} * {factor} AS {tgt}) FROM {p}"
-                if tgt == col
+                if ex
                 else f"SELECT *, {num} * {factor} AS {tgt} FROM {p}"
             ),
             col=col,
@@ -302,7 +321,7 @@ class Recipe:
         fn = scale_zscore if method == "zscore" else scale_minmax
         tgt = out or col
 
-        def _scale_sql(p: str) -> str:
+        def _scale_sql(p: str, ex: bool) -> str:
             # one CASE covering BOTH driver-time branches of the Spark
             # two-phase form (constant/empty column -> 0.0-or-NULL)
             if method == "zscore":
@@ -321,7 +340,7 @@ class Recipe:
                     f"CASE WHEN {col} IS NOT NULL THEN 0.0 END "
                     f"ELSE ({col} - {lo}) / ({hi} - {lo}) END"
                 )
-            if tgt == col:
+            if ex:
                 return f"SELECT * REPLACE ({e} AS {tgt}) FROM {p}"
             return f"SELECT *, {e} AS {tgt} FROM {p}"
 
@@ -365,9 +384,9 @@ class Recipe:
             "redact",
             lambda df: redact_patterns(df, col, patterns, out),
             f"df = redact_patterns(df, {col!r}, {patterns!r}, {out!r})",
-            sql=lambda p: (
+            sql=lambda p, ex: (
                 f"SELECT * REPLACE ({redact_expr} AS {tgt}) FROM {p}"
-                if tgt == col
+                if ex
                 else f"SELECT *, {redact_expr} AS {tgt} FROM {p}"
             ),
             col=col,

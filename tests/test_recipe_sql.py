@@ -108,3 +108,66 @@ def test_to_sql_raises_on_step_without_twin(spark):
     r = Recipe().add("custom", lambda df: df, "df = df")
     with pytest.raises(ValueError, match="no SQL twin"):
         r.to_sql("src")
+
+
+# ---------------------------------------------------------------------------
+# Property: RANDOM recipe compositions stay value-identical to their
+# generated SQL (per-step parity is pinned above; composition is the
+# space where CTE chaining bugs would hide)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_steps = st.lists(
+    st.sampled_from(
+        ["fill_value", "fill_mean", "fill_median", "clip", "drop_missing",
+         "dedup", "scale_z", "scale_mm", "redact"]
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(names=_steps)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_random_recipe_chain_matches_generated_sql(spark, tmp_path_factory, names):
+    df = spark.createDataFrame(
+        [
+            (1, 10.0, "a1"),
+            (2, None, "b2"),
+            (3, 250.0, "c3"),
+            (4, 10.0, None),
+            (5, -40.0, "a1"),
+        ],
+        "id LONG, v DOUBLE, s STRING",
+    )
+    d = str(tmp_path_factory.mktemp("rchain"))
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/src")
+
+    r = Recipe()
+    for n in names:
+        if n == "fill_value":
+            r = r.fill_value("v", 7.5)
+        elif n == "fill_mean":
+            r = r.fill_aggregate("v", "mean")
+        elif n == "fill_median":
+            r = r.fill_aggregate("v", "median")
+        elif n == "clip":
+            r = r.clip("v", 0.0, 100.0)
+        elif n == "drop_missing":
+            r = r.drop_missing(["s"])
+        elif n == "dedup":
+            r = r.dedup(["s"], "id")
+        elif n == "scale_z":
+            r = r.scale("v", "zscore", out="vz")
+        elif n == "scale_mm":
+            r = r.scale("v", "minmax", out="vm")
+        else:
+            r = r.redact("s", {r"[0-9]": "#"}, out="sr")
+
+    _compare(r.apply(df), _duck(f"{d}/src", r.to_sql("src")))
