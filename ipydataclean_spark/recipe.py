@@ -27,9 +27,12 @@ class RecipeStep:
     params: dict
     fn: Callable[[DataFrame], DataFrame]
     code: str  # the equivalent standalone PySpark expression ("df = ...")
-    #: SQL twin: prev-CTE name -> SELECT reproducing this step (DuckDB
-    #: dialect — the oracle engine; None = step has no SQL form)
-    sql: Callable[[str], str] | None = None
+    #: SQL twin: (prev-CTE name[, target-exists flag]) -> SELECT
+    #: reproducing this step (DuckDB dialect — the oracle engine;
+    #: None = step has no SQL form). Two-arg generators receive
+    #: whether their ``out`` column already exists in the input (see
+    #: Recipe.sql_ctes output-column tracking).
+    sql: Callable | None = None
 
 
 def _sql_lit(v) -> str:
