@@ -1,0 +1,211 @@
+"""Corpus-curation continuation ops: C4-style segment-level dedup with
+text reassembly (C31) and benchmark decontamination (L26) — the two
+classic LLM-training-corpus passes not yet covered by the L1/L2 doc-level
+dedup family (SURVEY.md §2.9 extensions; driver brief "Deduplication" /
+"Text analysis" first-class ops).
+
+Both are pure-builtin DataFrame plans with hand-written DuckDB oracle
+twins over the same `documents_dup` fixture CTE the rest of the L-suite
+uses (qhelp.documents_dup / dirty.DOCUMENTS_DUP_SQL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.functions.text import norm_text_sql
+from ipydataclean_spark.operators.llm import shingles_col, shingles_sql, tokens_col
+from ipydataclean_spark.operators.qhelp import documents_dup, with_documents_dup
+from ipydataclean_spark.registry import register
+
+#: Disjoint word-block size for segment-level dedup. 8 words is small
+#: enough to catch partial duplication inside otherwise-distinct docs and
+#: large enough that natural 8-word repeats are rare.
+SEGMENT_WORDS = 8
+
+
+def segments_col(tokens: F.Column, k: int = SEGMENT_WORDS) -> F.Column:
+    """Disjoint k-word segments of a token-array column, in order.
+
+    ``transform(sequence(0, ceil(n/k)-1), i -> array_join(slice(...)))``
+    — all builtin higher-order functions, evaluated in codegen; the tail
+    segment is simply shorter (slice clamps), matching the DuckDB twin's
+    ``w[a:b]`` clamped slice.
+    """
+    n_seg = F.ceil(F.size(tokens) / F.lit(float(k))).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(F.slice(tokens, i * k + 1, k), " "),
+    )
+
+
+def segments_sql(text_expr: str, k: int = SEGMENT_WORDS) -> str:
+    norm = norm_text_sql(text_expr)
+    w = f"string_split({norm}, ' ')"
+    return (
+        f"list_transform(range(0, CAST(CEIL(len({w})/{k}.0) AS INT)), "
+        f"i -> array_to_string({w}[i*{k}+1:i*{k}+{k}], ' '))"
+    )
+
+
+def segment_dedup(docs: DataFrame, k: int = SEGMENT_WORDS) -> DataFrame:
+    """C31: cross-document SEGMENT-level exact dedup (the C4 move, at
+    k-word-block granularity since the fixture text is single-line):
+    every duplicated segment is kept only at its first occurrence —
+    ordered by (doc_id, position) — and removed everywhere else, then
+    each doc's surviving segments are reassembled in order.
+
+    Scale shape: ONE explode pass builds (doc_id, pos, seg); the keep
+    decision is ``min(struct(doc_id, pos))`` per segment — a map-side
+    combinable aggregate, NOT a window over segment partitions, so a
+    boilerplate segment occurring in 10^7 docs costs one combiner cell
+    per task instead of a single-task sort (hot-segment skew-safe). The
+    join back is segment-keyed on both sides and reuses that
+    clustering; reassembly is one doc_id-keyed shuffle.
+    """
+    segs = (
+        docs.withColumn("__toks", tokens_col("text"))
+        .select(
+            "doc_id",
+            F.posexplode(segments_col(F.col("__toks"), k)).alias("pos0", "seg"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "seg")
+    )
+    owner = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "pos")).alias("owner")
+    )
+    kept = (F.col("doc_id") == F.col("owner.doc_id")) & (
+        F.col("pos") == F.col("owner.pos")
+    )
+    return (
+        segs.join(owner, "seg")
+        .withColumn("__kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.nullif(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(F.col("__kept"), F.struct("pos", "seg"))
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("kept_text"),
+        )
+    )
+
+
+@register(
+    "c31_segment_dedup",
+    oracle=with_documents_dup(
+        ", base AS (SELECT doc_id, "
+        + segments_sql("text")
+        + " AS segs FROM documents_dup), "
+        "seg AS (SELECT doc_id, CAST(generate_subscripts(segs, 1) AS BIGINT) AS pos, "
+        "unnest(segs) AS seg FROM base), "
+        "ranked AS (SELECT doc_id, pos, seg, "
+        "ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, pos) AS rn FROM seg) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments, "
+        "CAST(COUNT_IF(rn = 1) AS BIGINT) AS n_kept, "
+        "NULLIF(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY pos), '') "
+        "AS kept_text "
+        "FROM ranked GROUP BY doc_id ORDER BY doc_id"
+    ),
+    tags=("C31", "L2", "dedup", "text-analysis"),
+)
+def c31_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C31 on the dup-injected corpus: the 100 re-cased/padded copies
+    normalize to identical segments and are fully stripped (kept_text
+    NULL), while partially-overlapping docs lose only the shared blocks.
+
+    Oracle note: the DuckDB twin expresses the same first-occurrence
+    rule as ROW_NUMBER() = 1 over (doc_id, pos) order — equivalent to
+    the Spark side's min(struct) owner aggregate, which is the form that
+    survives hot-segment skew at scale (see segment_dedup).
+    """
+    return segment_dedup(documents_dup(spark, sf_dir)).orderBy("doc_id")
+
+
+def contamination_check(
+    corpus: DataFrame, benchmark: DataFrame, n: int = 8
+) -> DataFrame:
+    """L26: benchmark decontamination — for each corpus doc, the number
+    and fraction of its distinct word n-grams that also occur in a
+    benchmark set (the GPT-3/PaLM-style n-gram-collision test used to
+    drop evaluation contamination from training corpora).
+
+    Scale shape: the benchmark side is DISTINCT n-grams of a small
+    evaluation suite — explicitly broadcast, so the corpus-side explode
+    streams map-side against a hash set with no shuffle of corpus
+    grams; the per-doc rollup is the only shuffle (doc_id-keyed).
+    """
+    bench = (
+        benchmark.withColumn("__toks", tokens_col("text"))
+        .select(F.explode(shingles_col(F.col("__toks"), n)).alias("g"))
+        .distinct()
+    )
+    corp = (
+        corpus.withColumn("__toks", tokens_col("text"))
+        .select("doc_id", F.explode(shingles_col(F.col("__toks"), n)).alias("g"))
+    )
+    return (
+        corp.join(F.broadcast(bench.withColumn("__hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .where(F.col("n_hit") > 0)
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_grams").cast("double"), 8
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@register(
+    "l26_contamination_check",
+    oracle=with_documents_dup(
+        ", bench AS (SELECT DISTINCT unnest("
+        + shingles_sql("text", n=8)
+        + ") AS g FROM documents_dup WHERE doc_id % 5 = 0 AND doc_id < 1000000), "
+        "corp AS (SELECT doc_id, unnest("
+        + shingles_sql("text", n=8)
+        + ") AS g FROM documents_dup "
+        "WHERE NOT (doc_id % 5 = 0 AND doc_id < 1000000)) "
+        "SELECT corp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(COUNT_IF(bench.g IS NOT NULL) AS BIGINT) AS n_hit, "
+        "ROUND(CAST(COUNT_IF(bench.g IS NOT NULL) AS DOUBLE) / "
+        "CAST(COUNT(*) AS DOUBLE), 8) AS contamination_frac "
+        "FROM corp LEFT JOIN bench ON corp.g = bench.g "
+        "GROUP BY corp.doc_id HAVING COUNT_IF(bench.g IS NOT NULL) > 0 "
+        "ORDER BY corp.doc_id"
+    ),
+    tags=("L26", "L2", "text-analysis"),
+)
+def l26_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L26 over the dup-injected corpus: benchmark = every 5th original
+    doc; corpus = the rest (including the injected re-cased copies of
+    the benchmark docs, which surface at contamination_frac ≈ 1.0 —
+    plus the fixture's natural near-dups at ≥ 0.8).
+
+    shingles_col n=8 arrays are list_distinct on both sides, so n_grams
+    counts DISTINCT per-doc grams — identical denominators.
+    """
+    dd = documents_dup(spark, sf_dir)
+    is_bench = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 1000000)
+    return contamination_check(dd.filter(~is_bench), dd.filter(is_bench)).orderBy(
+        "doc_id"
+    )

@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.llm",
     "ipydataclean_spark.operators.llm_extra",
     "ipydataclean_spark.operators.llm_quality",
+    "ipydataclean_spark.operators.curation",
     "ipydataclean_spark.operators.ivf",
     "ipydataclean_spark.operators.incremental",
     "ipydataclean_spark.operators.multimodal",
