@@ -298,3 +298,64 @@ def p25_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.round(exact.rsum12(term), 8).alias("mutual_info_nats"),
     )
+
+
+@register(
+    "p26_group_regression",
+    oracle=(
+        "WITH s AS (SELECT l_returnflag, l_linestatus, "
+        "CAST(COUNT(*) AS DOUBLE) AS n, "
+        f"{exact.dsum_sql('l_quantity')} AS sx, "
+        f"{exact.dsum_sql('l_extendedprice')} AS sy, "
+        f"{exact.dsum_sql('l_quantity * l_extendedprice')} AS sxy, "
+        f"{exact.dsum_sql('l_quantity * l_quantity')} AS sxx, "
+        f"{exact.dsum_sql('l_extendedprice * l_extendedprice')} AS syy "
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus) "
+        "SELECT l_returnflag, l_linestatus, CAST(n AS BIGINT) AS n_pairs, "
+        "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS slope, "
+        "ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 8) "
+        "AS intercept, "
+        "ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy)) "
+        "/ ((n * sxx - sx * sx) * (n * syy - sy * sy)), 8) AS r2 "
+        "FROM s ORDER BY l_returnflag, l_linestatus"
+    ),
+    tags=("P26", "F-stats", "R11"),
+)
+def p26_group_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26: per-group OLS regression (the SQL regr_* family — slope,
+    intercept, R² of price on quantity per (returnflag, linestatus))
+    computed from ONE pass of exact decimal power sums instead of the
+    builtin REGR_* aggregates, whose streaming float updates are
+    order-dependent and engine-specific.
+
+    Exactness: the five sums are decimal-exact; the finishing formulas
+    combine them in IEEE doubles with the identical expression tree on
+    both engines and ROUND(...,8) guards the FMA-contraction ulp on
+    the `a*b - c*d` patterns (same guard as f_moment_stats corr).
+    """
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            exact.dsum(x).alias("sx"),
+            exact.dsum(y).alias("sy"),
+            exact.dsum(x * y).alias("sxy"),
+            exact.dsum(x * x).alias("sxx"),
+            exact.dsum(y * y).alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    num = n * sxy - sx * sy
+    den_x = n * sxx - sx * sx
+    slope = num / den_x
+    return s.select(
+        "l_returnflag",
+        "l_linestatus",
+        n.cast("long").alias("n_pairs"),
+        F.round(slope, 8).alias("slope"),
+        F.round((sy - sx * slope) / n, 8).alias("intercept"),
+        F.round((num * num) / (den_x * (n * syy - sy * sy)), 8).alias("r2"),
+    ).orderBy("l_returnflag", "l_linestatus")

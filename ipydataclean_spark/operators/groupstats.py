@@ -200,3 +200,63 @@ def r11b_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum(
         li, "l_returnflag", F.col("l_extendedprice"), "revenue", salt_n=16
     ).orderBy("l_returnflag")
+
+
+@register(
+    "p27_weighted_median",
+    oracle=(
+        "WITH pw AS (SELECT l_returnflag, l_extendedprice AS price, "
+        "SUM(CAST(l_quantity AS DECIMAL(28,6))) AS w "
+        "FROM lineitem GROUP BY l_returnflag, l_extendedprice), "
+        "c AS (SELECT l_returnflag, price, w, "
+        "SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price) AS cw, "
+        "SUM(w) OVER (PARTITION BY l_returnflag) AS tw FROM pw) "
+        "SELECT l_returnflag, "
+        "MIN(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median_price, "
+        "CAST(MAX(tw) AS DOUBLE) AS total_weight "
+        "FROM c GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("P27", "P5", "W3"),
+)
+def p27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P27: weighted median (price weighted by quantity) per group —
+    the smallest price whose cumulative weight reaches half the total.
+
+    Scale shape: phase 1 collapses the fact table to one row per
+    (group, DISTINCT price) with an exact decimal weight sum — a
+    map-side-combinable aggregate, so the windowed phase 2 runs over
+    the value-cardinality table, not the raw rows (the standard
+    pre-aggregation that keeps the per-group ordered scan bounded by
+    distinct values; beyond ~10M distinct values per group the move is
+    weighted histogram refinement on the p5 machinery, same two-phase
+    idea applied iteratively).
+
+    Exactness: weights stay DECIMAL through both window sums, so the
+    2·cw ≥ tw threshold compares exact decimals on both engines; the
+    selected price is a stored double, bit-identical.
+    """
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem")
+    pw = (
+        li.groupBy("l_returnflag", F.col("l_extendedprice").alias("price"))
+        .agg(F.sum(F.col("l_quantity").cast("decimal(28,6)")).alias("w"))
+    )
+    wc = Window.partitionBy("l_returnflag").orderBy("price")
+    wt = Window.partitionBy("l_returnflag")
+    c = pw.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        c.groupBy("l_returnflag")
+        .agg(
+            F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("price"))).alias(
+                "weighted_median_price"
+            ),
+            F.max("tw").cast("double").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

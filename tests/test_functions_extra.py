@@ -118,3 +118,61 @@ def test_hash_misc_determinism_and_uniqueness(spark, sf_dir):
     # generated ids are unique within a run (uniqueness, not stability)
     assert len({r.mono_id for r in a}) == len(a)
     assert len({r.row_uuid for r in a}) == len(a)
+
+
+def test_group_regression_exact_line(spark):
+    # y = 3x + 2 exactly -> slope 3, intercept 2, r2 = 1
+    import ipydataclean_spark.operators.functions_stats  # noqa: F401
+    from ipydataclean_spark.functions import exact
+
+    df = spark.createDataFrame(
+        [(float(x), 3.0 * x + 2.0) for x in range(1, 8)], "x double, y double"
+    )
+    x, y = F.col("x"), F.col("y")
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        exact.dsum(x).alias("sx"),
+        exact.dsum(y).alias("sy"),
+        exact.dsum(x * y).alias("sxy"),
+        exact.dsum(x * x).alias("sxx"),
+        exact.dsum(y * y).alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    num = n * F.col("sxy") - sx * sy
+    den = n * F.col("sxx") - sx * sx
+    row = s.select(
+        F.round(num / den, 8).alias("slope"),
+        F.round((sy - sx * (num / den)) / n, 8).alias("intercept"),
+        F.round((num * num) / (den * (n * F.col("syy") - sy * sy)), 8).alias("r2"),
+    ).collect()[0]
+    assert row["slope"] == 3.0 and row["intercept"] == 2.0 and row["r2"] == 1.0
+
+
+def test_weighted_median_known_weights(spark, sf_dir):
+    # values 10(w1), 20(w1), 30(w5): half the total weight (3.5) is
+    # reached inside the 30 block -> weighted median 30
+    from ipydataclean_spark.operators.groupstats import p27_weighted_median  # noqa: F401
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [("g", 10.0, 1.0), ("g", 20.0, 1.0), ("g", 30.0, 5.0)],
+        "grp string, price double, qty double",
+    )
+    pw = df.groupBy("grp", "price").agg(
+        F.sum(F.col("qty").cast("decimal(28,6)")).alias("w")
+    )
+    wc = Window.partitionBy("grp").orderBy("price")
+    wt = Window.partitionBy("grp")
+    c = pw.select(
+        "grp", "price",
+        F.sum("w").over(wc).alias("cw"), F.sum("w").over(wt).alias("tw"),
+    )
+    row = (
+        c.groupBy("grp")
+        .agg(F.min(F.when(F.lit(2) * F.col("cw") >= F.col("tw"), F.col("price"))).alias("m"))
+        .collect()[0]
+    )
+    assert row["m"] == 30.0
+    # and the registered fixture query returns one row per returnflag
+    out = p27_weighted_median(spark, sf_dir).collect()
+    assert len(out) == 3 and all(r["weighted_median_price"] is not None for r in out)
