@@ -397,6 +397,55 @@ class TxTable:
         add, stats = self._stage(df)
         return self._publish("compact", add, remove, read_v, max_retries, stats=stats)
 
+    def read_changes(self, key: str, v_from: int, v_to: int) -> DataFrame:
+        """CDC between two snapshots (Delta change-data-feed analogue):
+        one row per changed row with ``change_type`` ∈ {insert, delete,
+        update_preimage, update_postimage} plus the full row image.
+
+        Scale shape: the diff reads ONLY files added/removed between
+        the two versions (folded from log metadata — untouched files
+        never open), then one key-keyed full-outer join; rows a merge
+        merely copied into a rewritten file cancel out via null-safe
+        whole-row struct equality. Cost is proportional to the touched
+        data, not the table. A compact/overwrite commit touches every
+        file, so CDC across one degrades to a full snapshot diff —
+        still correct (compaction yields zero changes), just not cheap;
+        schema-evolution reads across the window are not supported
+        (images use v_to's schema).
+
+        Update detection requires ``key`` to be unique per snapshot
+        (the same contract merge() enforces upserts under).
+        """
+        if not v_to > v_from >= 0:
+            raise ValueError(f"need v_to > v_from >= 0, got {v_from}..{v_to}")
+        old = set(self.live_files(v_from))
+        new = set(self.live_files(v_to))
+        removed, added = sorted(old - new), sorted(new - old)
+        cols = self.read(version=v_to).columns
+        empty = self.read(version=v_to).limit(0).where(F.lit(False))
+        pre_df = self.spark.read.parquet(*removed) if removed else empty
+        post_df = self.spark.read.parquet(*added) if added else empty
+        pre = pre_df.select(F.col(key), F.struct(*cols).alias("__pre"))
+        post = post_df.select(F.col(key), F.struct(*cols).alias("__post"))
+        j = pre.join(post, key, "full_outer")
+        ev = F.when(
+            F.col("__pre").isNull(),
+            F.array(F.struct(F.lit("insert").alias("t"), F.col("__post").alias("img"))),
+        ).when(
+            F.col("__post").isNull(),
+            F.array(F.struct(F.lit("delete").alias("t"), F.col("__pre").alias("img"))),
+        ).when(
+            ~F.col("__pre").eqNullSafe(F.col("__post")),
+            F.array(
+                F.struct(F.lit("update_preimage").alias("t"), F.col("__pre").alias("img")),
+                F.struct(F.lit("update_postimage").alias("t"), F.col("__post").alias("img")),
+            ),
+        ).otherwise(F.array())
+        return (
+            j.select(F.explode(ev).alias("c"))
+            .select(F.col("c.t").alias("change_type"), F.col("c.img.*"))
+        )
+
     def vacuum(self, retain_versions: int = 1,
                min_age_seconds: float = 3600.0) -> list[str]:
         """Delete data files not referenced by the last
@@ -621,4 +670,73 @@ def tx2_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("o_totalprice")
         )
         .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "tx3_cdc_read",
+    oracle=(
+        "WITH chg AS ("
+        "SELECT 'insert' AS ct, c_custkey + 9000000 AS k, 0.0 AS bal, "
+        "'NEW' AS seg FROM customer WHERE c_custkey % 100 = 0 "
+        "UNION ALL "
+        "SELECT 'update_preimage', c_custkey, c_acctbal, c_mktsegment "
+        "FROM customer WHERE c_custkey % 50 = 0 "
+        "UNION ALL "
+        "SELECT 'update_postimage', c_custkey, c_acctbal + 100.0, 'UPDATED' "
+        "FROM customer WHERE c_custkey % 50 = 0) "
+        "SELECT ct AS change_type, k AS c_custkey, ROUND(bal, 2) AS c_acctbal, "
+        "seg AS c_mktsegment FROM chg ORDER BY c_custkey, change_type"
+    ),
+    tags=("S9b", "ACID", "CDC"),
+)
+def tx3_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b CDC end-to-end: seed a TxTable from customer, MERGE the tx1
+    update batch (balance bump for keys ≡ 0 mod 50, inserts at +9M for
+    keys ≡ 0 mod 100), then read_changes(v0 → v1). The change feed must
+    contain EXACTLY the touched rows — every row merge copied into a
+    rewritten file but did not modify must cancel out — which the
+    oracle pins by deriving the same change set directly from the
+    fixture. Deletes and multi-version windows are pinned in
+    tests/test_txlog.py."""
+    import pathlib
+    import shutil
+
+    from ipydataclean_spark.operators.qhelp import T
+
+    root = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"tx3_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        cust.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+    )
+    updates = cust.where(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        (F.col("c_acctbal") + F.lit(100.0)).alias("c_acctbal"),
+        F.lit("UPDATED").alias("c_mktsegment"),
+    ).unionByName(
+        cust.where(F.col("c_custkey") % 100 == 0).select(
+            (F.col("c_custkey") + 9000000).alias("c_custkey"),
+            F.lit(0.0).alias("c_acctbal"),
+            F.lit("NEW").alias("c_mktsegment"),
+        )
+    )
+    v1 = t.merge(updates, key="c_custkey")
+    return (
+        t.read_changes("c_custkey", 0, v1)
+        .select(
+            "change_type",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+            "c_mktsegment",
+        )
+        .orderBy("c_custkey", "change_type")
     )

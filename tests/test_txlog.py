@@ -368,3 +368,64 @@ def test_compact_zorder_two_columns(spark, tmp_path):
     )
     got = t.read_where("a", 0, 7).count()
     assert got == 4096 // 8  # 8 of 64 'a' values, uniform
+
+
+def test_cdc_insert_update_delete(spark, tmp_path):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+    )
+    # v1: merge = update k 0..4, insert k 100..102
+    ups = spark.createDataFrame(
+        [(k, k * 10 + 1) for k in range(5)] + [(k, 0) for k in (100, 101, 102)],
+        "k long, v long",
+    )
+    v1 = t.merge(ups, key="k")
+    ch = {(r["change_type"], r["k"]): r["v"] for r in t.read_changes("k", 0, v1).collect()}
+    assert {(c, k) for c, k in ch if c == "insert"} == {("insert", 100), ("insert", 101), ("insert", 102)}
+    assert sum(1 for c, _ in ch if c == "update_preimage") == 5
+    assert ch[("update_preimage", 3)] == 30 and ch[("update_postimage", 3)] == 31
+    # rows merge copied but did not modify must NOT appear
+    assert not any(k in (10, 20, 39) for _, k in ch)
+
+    # v2: overwrite with a subset -> CDC sees deletes for dropped keys
+    v2 = t.overwrite(t.read().where("k < 3"))
+    ch2 = [(r["change_type"], r["k"]) for r in t.read_changes("k", v1, v2).collect()]
+    assert all(c == "delete" for c, _ in ch2)
+    assert len(ch2) == t.read(version=v1).count() - 3
+
+
+def test_cdc_across_compaction_is_empty(spark, tmp_path):
+    df = spark.range(0, 30).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t = TxTable.create(spark, str(tmp_path / "t"), df.repartition(6))
+    v1 = t.compact(n_files=2, cluster_by="k")
+    assert t.read_changes("k", 0, v1).count() == 0
+
+
+def test_cdc_multi_version_window_composes(spark, tmp_path):
+    df = spark.range(0, 20).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(2, "k").sortWithinPartitions("k"),
+    )
+    t.merge(spark.createDataFrame([(5, 1)], "k long, v long"), key="k")
+    v2 = t.merge(spark.createDataFrame([(5, 2), (30, 0)], "k long, v long"), key="k")
+    # window v0 -> v2: k=5 nets to ONE update pair (0 -> 2), k=30 an insert
+    ch = {(r["change_type"], r["k"]): r["v"] for r in t.read_changes("k", 0, v2).collect()}
+    assert ch == {
+        ("update_preimage", 5): 0,
+        ("update_postimage", 5): 2,
+        ("insert", 30): 0,
+    }
+
+
+def test_cdc_rejects_bad_window(spark, tmp_path):
+    df = spark.range(0, 5).select(F.col("id").alias("k"))
+    t = TxTable.create(spark, str(tmp_path / "t"), df)
+    with pytest.raises(ValueError):
+        t.read_changes("k", 0, 0)
