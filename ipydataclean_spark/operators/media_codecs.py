@@ -236,3 +236,252 @@ def l9d_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
     out = decode_media(attach_codec_payloads(docs))
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L9e — frame-level audio features (the pre-VAD pass of a speech pipeline)
+# ---------------------------------------------------------------------------
+
+FRAME = 160  # 20 ms at 8 kHz — the standard speech frame
+
+
+def attach_square_wave_payloads(docs: DataFrame) -> DataFrame:
+    """Audio fixture with STRUCTURE (unlike l9d's constant tones):
+    doc_id -> PCM16 square wave, amplitude (d % 100)*100 + 100,
+    half-period h = 1 + d % 4 samples, n = 800 + (d % 8)*100 samples.
+    Square waves keep every frame feature closed-form for the oracle:
+    |s| is constant (exact RMS) and zero crossings land exactly on
+    multiples of h."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + (d % 8) * 100
+                amp = (d % 100) * 100 + 100
+                h = 1 + d % 4
+                i = _np.arange(n)
+                s = _np.where((i // h) % 2 == 0, amp, -amp).astype(_np.int16)
+                payloads.append(encode_wav_pcm16(s, 8000))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def audio_frame_features(media: DataFrame, frame: int = FRAME) -> DataFrame:
+    """Frame the decoded PCM signal and emit per-frame RMS energy and
+    zero-crossing count — the silence/voicing signals an audio corpus
+    filters on before transcription. One Arrow-batched narrow map
+    (decode + frame + reduce fused, no shuffle); the tail partial
+    frame is dropped (standard framing)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "rms": [], "zcr": []}
+            for r in pdf.itertuples():
+                try:
+                    s, _rate = decode_wav_pcm16(bytes(r.payload))
+                except Exception:
+                    continue  # poison-pill guard: skip undecodable
+                n_frames = len(s) // frame
+                if n_frames == 0:
+                    continue
+                x = s[: n_frames * frame].astype("f8").reshape(n_frames, frame)
+                rms = _np.sqrt((x * x).mean(axis=1))
+                sgn = _np.sign(x)
+                zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
+                out["doc_id"].extend([r.doc_id] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                out["rms"].extend(_np.round(rms, 8))
+                out["zcr"].extend(zcr.astype("int64"))
+            yield _pd.DataFrame(out)
+
+    return media.mapInPandas(
+        kernel, schema="doc_id BIGINT, frame_id INT, rms DOUBLE, zcr BIGINT"
+    )
+
+
+@register(
+    "l9e_audio_frames",
+    oracle=(
+        "WITH d AS (SELECT doc_id, 800 + (doc_id % 8) * 100 AS n, "
+        "CAST((doc_id % 100) * 100 + 100 AS DOUBLE) AS amp, "
+        "1 + doc_id % 4 AS h FROM documents WHERE doc_id % 7 = 1), "
+        "fr AS (SELECT doc_id, amp, h, unnest(range(0, n // 160)) AS frame_id "
+        "FROM d) "
+        "SELECT doc_id, CAST(frame_id AS INT) AS frame_id, amp AS rms, "
+        "CAST((frame_id * 160 + 159) // h - (frame_id * 160) // h AS BIGINT) AS zcr "
+        "FROM fr ORDER BY doc_id, frame_id"
+    ),
+    tags=("L9", "multimodal", "U5", "audio"),
+)
+def l9e_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9e: REAL audio frame features end-to-end — square-wave PCM16
+    bytes are built, decoded by the struct codec, framed (160 samples
+    = 20 ms @ 8 kHz), and reduced to per-frame RMS + zero crossings.
+    The oracle recomputes both in closed form: |square| is constant so
+    frame RMS = amp EXACTLY (sqrt of an exact square is exact in
+    IEEE), and sign flips land on multiples of the half-period h, so a
+    frame's crossing count is floor((end-1)/h) - floor(start/h).
+    A hash match certifies bytes -> decode -> framing -> feature math.
+    Sine/noise framing behavior is pytest-pinned."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 1)
+    out = audio_frame_features(attach_square_wave_payloads(docs))
+    return out.orderBy("doc_id", "frame_id")
+
+
+# ---------------------------------------------------------------------------
+# L9f — perceptual image hashing (dHash) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def dhash64(px: "np.ndarray") -> int:
+    """64-bit difference hash of an (h, w, 3) uint8 image — the classic
+    image near-dup fingerprint: sample a 8x9 grayscale grid
+    (nearest-neighbor, works for any image size), set bit (r, c) iff
+    grid[r][c] > grid[r][c+1].
+
+    All-integer (luma = 299 r + 587 g + 114 b, no division), so the
+    hash is bit-deterministic across platforms, and invariant to
+    uniform brightness shifts (adjacent-sample DIFFERENCES are
+    compared) — the invariance that catches re-exposed copies exact
+    SHA dedup misses."""
+    h, w, _ = px.shape
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    grid = g[np.ix_(rows, cols)]
+    bits = (grid[:, :-1] > grid[:, 1:]).astype(np.uint64).ravel()
+    out = np.uint64(0)
+    for b in bits:
+        out = (out << np.uint64(1)) | b
+    return int(out)
+
+
+def attach_patterned_payloads(docs: DataFrame) -> DataFrame:
+    """Image fixture with doc-dependent STRUCTURE: a pseudo-pattern
+    whose shape varies with doc_id (so hashes differ across docs);
+    every doc with doc_id % 10 == 0 also emits a +24 uniformly
+    brightened copy under doc_id + 2000000 — a known near-dup whose
+    dHash must be IDENTICAL."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def pattern(d: int) -> _np.ndarray:
+            h, w = 12 + d % 5, 16 + d % 7
+            y, x = _np.mgrid[0:h, 0:w]
+            base = 40 + d % 40
+            g = base + ((x * (1 + d % 5) + y * (1 + d % 3) + d) % 23) * 6
+            return _np.repeat(g[:, :, None], 3, axis=2).astype(_np.uint8)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                px = pattern(d)
+                ids.append(d)
+                payloads.append(encode_bmp(px))
+                if d % 10 == 0:
+                    ids.append(d + 2000000)
+                    payloads.append(encode_bmp(px + _np.uint8(24)))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """payload BINARY -> (doc_id, dhash BIGINT): Arrow-batched narrow
+    map, decode+hash fused, undecodable payloads dropped (poison-pill
+    guard)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples():
+                try:
+                    px = decode_bmp(bytes(r.payload))
+                except Exception:
+                    continue
+                ids.append(r.doc_id)
+                # store as signed 64-bit (Spark LongType)
+                hv = dhash64(px)
+                hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield _pd.DataFrame({"doc_id": ids, "dhash": _pd.Series(hashes, dtype="int64")})
+
+    return media.mapInPandas(kernel, schema="doc_id BIGINT, dhash BIGINT")
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Near-dup image pairs by banded dHash: 8 bands x 8 bits — two
+    hashes within hamming ≤ 7 MUST agree on ≥ 1 band (pigeonhole, the
+    same guarantee the SimHash text path uses), so the band-bucket
+    self-join is sub-quadratic with zero recall loss at the
+    threshold; the exact popcount filter then drops false candidates.
+    """
+    bands = hashes.select(
+        "doc_id",
+        "dhash",
+        F.posexplode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("dhash", b * 8).bitwiseAND(F.lit(255)).alias("key"),
+                )
+                for b in range(8)
+            ])
+        ).alias("_p", "bk"),
+    ).select("doc_id", "dhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+@register(
+    "l9f_image_dhash_pairs",
+    oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics
+    tags=("L9", "L2", "multimodal", "dedup"),
+)
+def l9f_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9f: image near-dup detection end-to-end — REAL BMP bytes →
+    dHash (sampled-grid difference hash, brightness-invariant) →
+    banded hamming self-join. The +24-brightened copies injected at
+    doc_id+2000000 MUST pair with their originals at hamming 0;
+    rows-only by design (SQL cannot see pixel bytes) with golden
+    invariance/recall tests in tests/test_media_codecs.py."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    pairs = dhash_neardup_pairs(image_dhash(attach_patterned_payloads(docs)))
+    return pairs.orderBy("doc_a", "doc_b")

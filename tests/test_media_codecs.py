@@ -90,3 +90,109 @@ def test_decode_stage_gradient_stats(spark):
     assert got[2].rms == pytest.approx(
         float(np.sqrt((s.astype("f8") ** 2).mean())), abs=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# l9e audio frames / l9f image dHash
+# ---------------------------------------------------------------------------
+
+
+def test_audio_frame_features_sine(spark):
+    import numpy as np
+    import pandas as pd
+    from ipydataclean_spark.operators.media_codecs import (
+        FRAME,
+        audio_frame_features,
+        encode_wav_pcm16,
+    )
+
+    n, rate = 800, 8000
+    t = np.arange(n)
+    s = (3000 * np.sin(2 * np.pi * 50 * t / rate)).astype(np.int16)
+    media = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [encode_wav_pcm16(s, rate)]})
+    )
+    rows = audio_frame_features(media).orderBy("frame_id").collect()
+    assert len(rows) == n // FRAME
+    # per-frame values equal the local numpy computation
+    for r in rows:
+        x = s[r.frame_id * FRAME : (r.frame_id + 1) * FRAME].astype("f8")
+        assert abs(r.rms - round(float(np.sqrt((x * x).mean())), 8)) < 1e-9
+        sg = np.sign(x)
+        assert r.zcr == int((sg[1:] != sg[:-1]).sum())
+
+
+def test_audio_frames_drop_undecodable_and_short(spark):
+    import pandas as pd
+    from ipydataclean_spark.operators.media_codecs import (
+        audio_frame_features,
+        encode_wav_pcm16,
+    )
+    import numpy as np
+
+    media = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "payload": [
+                    b"not a wav at all",
+                    encode_wav_pcm16(np.zeros(10, dtype=np.int16), 8000),  # < 1 frame
+                ],
+            }
+        )
+    )
+    assert audio_frame_features(media).count() == 0
+
+
+def test_dhash_brightness_invariance_and_noise_tolerance():
+    import numpy as np
+    from ipydataclean_spark.operators.media_codecs import dhash64
+
+    rng_free = np.mgrid[0:20, 0:30]
+    y, x = rng_free
+    g = (40 + ((x * 3 + y * 2) % 23) * 6).astype(np.uint8)
+    px = np.repeat(g[:, :, None], 3, axis=2)
+    h0 = dhash64(px)
+    # uniform brightness shift: identical hash
+    assert dhash64(px + np.uint8(30)) == h0
+    # small local perturbation: small hamming distance
+    noisy = px.copy()
+    noisy[5, 7] = noisy[5, 7] + np.uint8(100)
+    d = bin(h0 ^ dhash64(noisy)).count("1")
+    assert d <= 7
+    # a very different image: far hash
+    other = np.repeat(((x * 7 + y * 11) % 31 * 5 + 20).astype(np.uint8)[:, :, None], 3, axis=2)
+    assert bin(h0 ^ dhash64(other)).count("1") > 7
+
+
+def test_dhash_pairs_find_brightened_copies(spark, sf_dir):
+    from ipydataclean_spark.operators.media_codecs import l9f_image_dhash_pairs
+
+    pairs = l9f_image_dhash_pairs(spark, sf_dir).collect()
+    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    # every injected brightened copy pairs with its original at hamming 0
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
+            "WHERE doc_id % 10 = 0"
+        ).fetchall()
+    ]
+    for d in ids:
+        assert found.get((d, d + 2000000)) == 0, f"missing pair for {d}"
+
+
+def test_dhash_banding_guarantee():
+    # pigeonhole: hamming <= 7 over 8 bands of 8 bits must share a band
+    import numpy as np
+    from ipydataclean_spark.operators.media_codecs import dhash64  # noqa: F401
+
+    h1 = 0x0123456789ABCDEF
+    h2 = h1
+    for bit in (1, 9, 17, 25, 33, 41, 49):  # 7 flipped bits, all bands distinct... 
+        h2 ^= 1 << bit
+    bands1 = [(h1 >> (8 * b)) & 255 for b in range(8)]
+    bands2 = [(h2 >> (8 * b)) & 255 for b in range(8)]
+    assert any(a == b for a, b in zip(bands1, bands2))
