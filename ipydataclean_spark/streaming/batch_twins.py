@@ -208,3 +208,32 @@ def st8b_purchase_click_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ipydataclean_spark.streaming.stream import purchase_click_join_outer
 
     return purchase_click_join_outer(T(spark, sf_dir, "events")).orderBy("p_id", "c_id")
+
+
+@register(
+    "st10_chained_rollup",
+    oracle=(
+        "WITH hourly AS (SELECT "
+        "CAST(to_timestamp(FLOOR(EPOCH(ts) / 3600) * 3600) AS TIMESTAMP) AS h, "
+        "event_type, COUNT(*) AS n_events, "
+        f"{exact.dsum_sql('value')} AS hour_value "
+        "FROM events GROUP BY 1, 2) "
+        "SELECT CAST(to_timestamp(FLOOR(EPOCH(h) / 86400) * 86400) AS TIMESTAMP) "
+        "AS day_start, event_type, COUNT(*) AS n_active_hours, "
+        "CAST(SUM(n_events) AS BIGINT) AS n_events, "
+        f"{exact.dsum_sql('hour_value')} AS total_value "
+        "FROM hourly GROUP BY 1, 2 ORDER BY day_start, event_type"
+    ),
+    tags=("ST10", "ST1"),
+)
+def st10_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST10 batch twin: hourly→daily two-tier rollup (identical
+    expression to streaming/stream.chained_rollup, which runs the same
+    plan as two chained stateful operators via window_time; replay
+    equality pinned in tests/test_streaming.py). Decimal partials make
+    the tiered daily totals equal a direct daily aggregation exactly."""
+    from ipydataclean_spark.streaming.stream import chained_rollup
+
+    return chained_rollup(T(spark, sf_dir, "events")).orderBy(
+        "day_start", "event_type"
+    )

@@ -360,3 +360,46 @@ def cumulative_distinct_stream(ev: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def chained_rollup(ev: DataFrame) -> DataFrame:
+    """ST10: CHAINED windowed aggregation — hourly tumbling counts
+    rolled up into daily totals inside ONE query, two stateful
+    operators back to back (Spark 3.4+ multiple-stateful-operator
+    support: the second groupBy keys on ``window_time`` of the first
+    window, which carries the event-time column + watermark through).
+    The production shape for tiered rollups: the wide raw stream is
+    reduced hour-by-hour in state, and the daily tier aggregates
+    hour-sized partials — state and shuffle for tier 2 scale with
+    HOURS, not events.
+
+    Exactness: hourly partials go through decimal sums and the daily
+    re-sum is decimal again, so (daily total) == (direct daily sum)
+    bit-for-bit — order-independence is what makes the tiered result
+    equal the batch twin's single-pass answer.
+    """
+    src = ev.withWatermark("ts", "1 hour") if ev.isStreaming else ev
+    hourly = (
+        src.groupBy(F.window("ts", "1 hour").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact.dsum("value").alias("hour_value"),
+        )
+    )
+    return (
+        hourly.groupBy(
+            F.window(F.window_time("h"), "1 day").alias("d"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_active_hours"),
+            F.sum("n_events").alias("n_events"),
+            exact.dsum("hour_value").alias("total_value"),
+        )
+        .select(
+            F.col("d.start").alias("day_start"),
+            "event_type",
+            "n_active_hours",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -295,3 +295,37 @@ def test_cumulative_distinct_stream_matches_batch_w8(spark, sf_dir, tmp_path):
     assert final_batch, "batch w8 produced nothing"
     for uid, n in final_batch.items():
         assert final_stream.get(uid) == n, (uid, n, final_stream.get(uid))
+
+
+def test_chained_rollup_replay_equals_batch(spark, sf_dir):
+    """ST10: two chained stateful window aggs (hourly -> daily) drained
+    with availableNow in APPEND mode (the only mode Spark permits for
+    multiple stateful operators) equal the batch twin on every
+    watermark-CLOSED daily window; open windows are withheld by design."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.streaming.stream import chained_rollup
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    batch = chained_rollup(ev)
+    stream = chained_rollup(events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_chained")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        replay = spark.table("t_chained")
+        cols = ["day_start", "event_type", "n_active_hours", "n_events", "total_value"]
+        closed = batch.where(
+            F.col("day_start") + F.expr("INTERVAL 1 DAY")
+            <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        )
+        got = _sorted_rows(replay, cols)
+        assert got == _sorted_rows(closed, cols)
+        assert len(got) > 0
