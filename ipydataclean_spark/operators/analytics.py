@@ -448,3 +448,116 @@ def q26_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "q27_yoy_growth",
+    oracle=(
+        "WITH yearly AS (SELECT n_name, CAST(YEAR(o_orderdate) AS INT) AS yr, "
+        f"{exact.dsum_sql('o_totalprice')} AS revenue "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "GROUP BY n_name, YEAR(o_orderdate)) "
+        "SELECT n_name, yr, revenue, "
+        "LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr) AS prev_revenue, "
+        "ROUND((revenue - LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr)) "
+        "/ LAG(revenue) OVER (PARTITION BY n_name ORDER BY yr) * 100.0, 8) "
+        "AS growth_pct "
+        "FROM yearly ORDER BY n_name, yr"
+    ),
+    tags=("Q27", "W2", "analytics"),
+)
+def q27_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q27: year-over-year revenue growth per nation — the standard
+    period-over-period readout. Plan: one fact scan rolls orders up to
+    (nation, year) with broadcast dims (the only fact-sized shuffle is
+    the groupBy partial-agg); the LAG window then runs over the tiny
+    nation×year rollup, so the WindowExec input is dozens of rows no
+    matter how large orders is."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    yearly = (
+        orders.join(F.broadcast(cust.join(F.broadcast(nation),
+                                          cust.c_nationkey == nation.n_nationkey)
+                                .select("c_custkey", "n_name")),
+                    orders.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(exact.dsum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "n_name", "yr", "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * F.lit(100.0), 8).alias("growth_pct"),
+    ).orderBy("n_name", "yr")
+
+
+@register(
+    "q28_association_rules",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets "
+        "FROM items), "
+        "cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM items "
+        "GROUP BY l_partkey), "
+        "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ab "
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 3) "
+        "SELECT part_a, part_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b, "
+        "ROUND(CAST(n_ab AS DOUBLE) / CAST(ca.n_item AS DOUBLE), 8) AS confidence, "
+        "ROUND(CAST(n_ab AS DOUBLE) * n_baskets / "
+        "(CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE)), 8) AS lift "
+        "FROM pairs JOIN cnt ca ON part_a = ca.l_partkey "
+        "JOIN cnt cb ON part_b = cb.l_partkey CROSS JOIN n "
+        "ORDER BY lift DESC, part_a, part_b LIMIT 25"
+    ),
+    tags=("Q28", "Q23", "analytics"),
+)
+def q28_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28: association rules over the basket pairs — support,
+    confidence(a→b) and lift for pairs co-bought in ≥ 3 orders (the
+    Apriori readout on top of q23's co-occurrence primitive).
+
+    Plan: one distinct (order, part) pass feeds BOTH the item-count
+    aggregate and the pair self-join (same basket-bounded fanout as
+    q23); per-item counts are a part-cardinality table joined back
+    keyed on the part — partial-agg shuffles only. All metrics are
+    ratios of integer counts computed with identical IEEE expression
+    trees on both engines, ROUND(8)-pinned."""
+    items = (
+        T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    n_baskets = items.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 3)
+    )
+    ca = cnt.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    cb = cnt.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    dn_ab = F.col("n_ab").cast("double")
+    dn_a, dn_b = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return (
+        pairs.join(ca, "part_a")
+        .join(cb, "part_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "part_a", "part_b", "n_ab", "n_a", "n_b",
+            F.round(dn_ab / dn_a, 8).alias("confidence"),
+            F.round(dn_ab * F.col("n_baskets") / (dn_a * dn_b), 8).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "part_a", "part_b")
+        .limit(25)
+    )

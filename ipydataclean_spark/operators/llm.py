@@ -776,3 +776,58 @@ def l4d_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "l3g_knn_filtered",
+    oracle=(
+        "SELECT query_id, neighbor_id, label, cos_sim FROM ("
+        "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.label, "
+        f"{cosine_sim_sql('q.embedding', 'e.embedding')} AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{cosine_sim_sql('q.embedding', 'e.embedding')} DESC, e.vec_id) AS rn "
+        "FROM embeddings q CROSS JOIN embeddings e "
+        "WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id AND e.label = q.label) "
+        "WHERE rn <= 5 ORDER BY query_id, cos_sim DESC, neighbor_id"
+    ),
+    tags=("L3", "similarity-search"),
+)
+def l3g_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3g: FILTERED vector search — top-k restricted to corpus rows
+    satisfying a metadata predicate (here: same label as the query),
+    the retrieval-with-tenant/category-filter every production vector
+    store needs. Exact form: the filter is applied INSIDE the scored
+    join (pre-filtering), so selectivity reduces scored pairs
+    one-for-one — unlike post-filtering a top-k, which silently
+    returns < k. On the IVF path the same predicate pushes into the
+    cell-partitioned parquet scan as a partition/row-group filter
+    (ivf.ivf_knn_stored's read path)."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("label").alias("q_label"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("e_emb"),
+        "label",
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .where(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label"))
+        )
+        .select(
+            "query_id", "neighbor_id", "label",
+            cosine_sim("q_emb", "e_emb").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "label", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )

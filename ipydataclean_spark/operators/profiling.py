@@ -393,3 +393,33 @@ def p20_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(10)
     )
+
+
+@register(
+    "p28_histogram_2d",
+    oracle=(
+        "WITH b AS (SELECT "
+        "CAST(LEAST(CAST(FLOOR(l_quantity / 10.0) AS INT), 4) AS INT) AS qty_bin, "
+        "CAST(LEAST(CAST(FLOOR(l_discount / 0.02) AS INT), 4) AS INT) AS disc_bin "
+        "FROM lineitem WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL) "
+        "SELECT qty_bin, disc_bin, COUNT(*) AS n "
+        "FROM b GROUP BY qty_bin, disc_bin ORDER BY qty_bin, disc_bin"
+    ),
+    tags=("P28", "P7"),
+)
+def p28_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P28: two-dimensional histogram (quantity × discount density) —
+    the binned heatmap a profiler draws instead of a 600M-point
+    scatter. ONE scan, fixed 5×5 equi-width grid with a top clamp, a
+    bounded-cardinality groupBy: the classic scatter-at-scale move
+    (bin server-side, render the ≤25-cell grid client-side)."""
+    li = T(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity").isNotNull() & F.col("l_discount").isNotNull()
+    )
+    qty_bin = F.least(F.floor(F.col("l_quantity") / 10.0).cast("int"), F.lit(4))
+    disc_bin = F.least(F.floor(F.col("l_discount") / 0.02).cast("int"), F.lit(4))
+    return (
+        li.groupBy(qty_bin.alias("qty_bin"), disc_bin.alias("disc_bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("qty_bin", "disc_bin")
+    )

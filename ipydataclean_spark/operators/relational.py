@@ -1074,3 +1074,49 @@ def r26_lateral_topk_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, only=("orders", "lineitem"))
     return spark.sql(_R26_SQL)
+
+
+@register(
+    "r9c_asof_join_tolerance",
+    oracle=(
+        "WITH probes AS (SELECT UNNEST(['2024-01-08 00:00:00', "
+        "'2024-01-15 00:00:00', '2024-01-22 00:00:00']) AS p), "
+        "probe_ts AS (SELECT CAST(p AS TIMESTAMP) AS probe_ts FROM probes), "
+        "u AS (SELECT DISTINCT user_id FROM events) "
+        "SELECT u.user_id, probe_ts, MAX(e.ts) AS last_ts, "
+        "ARG_MAX(e.value, e.ts) AS last_value "
+        "FROM u CROSS JOIN probe_ts "
+        "LEFT JOIN events e ON e.user_id = u.user_id AND e.ts <= probe_ts "
+        "AND e.ts >= probe_ts - INTERVAL 36 HOUR "
+        "GROUP BY u.user_id, probe_ts ORDER BY u.user_id, probe_ts"
+    ),
+    tags=("R9", "R8"),
+)
+def r9c_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9c: as-of join WITH TOLERANCE (pandas merge_asof(tolerance=...)
+    semantics): the latest event at-or-before each probe counts only if
+    it is within 36 hours — staler state is treated as missing (the
+    telemetry-join rule: a reading that old is no reading). Same
+    broadcast-probe + argmax shape as r9; the tolerance is one extra
+    range predicate evaluated inside the join, so the plan — and its
+    scale behavior — is unchanged."""
+    ev = T(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    probes = spark.createDataFrame(
+        [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",), ("2024-01-22 00:00:00",)],
+        ["p"],
+    ).select(F.col("p").cast("timestamp").alias("probe_ts"))
+    grid = users.crossJoin(F.broadcast(probes))
+    e = ev.select(F.col("user_id").alias("e_user"), "ts", "value")
+    return (
+        grid.join(
+            e,
+            (e.e_user == grid.user_id)
+            & (e.ts <= grid.probe_ts)
+            & (e.ts >= grid.probe_ts - F.expr("INTERVAL 36 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "probe_ts")
+        .agg(F.max("ts").alias("last_ts"), F.max_by("value", "ts").alias("last_value"))
+        .orderBy("user_id", "probe_ts")
+    )

@@ -250,3 +250,120 @@ def w8_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_id", "distinct_types_so_far")
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "w9_value_streaks",
+    oracle=(
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS hot FROM events "
+        "WHERE value IS NOT NULL), "
+        "grp AS (SELECT user_id, hot, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "- ROW_NUMBER() OVER (PARTITION BY user_id, hot ORDER BY ts, event_id) "
+        "AS island FROM flagged), "
+        "streaks AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len "
+        "FROM grp WHERE hot = 1 GROUP BY user_id, island) "
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_streaks, "
+        "MAX(len) AS max_streak "
+        "FROM streaks GROUP BY user_id HAVING MAX(len) >= 3 "
+        "ORDER BY max_streak DESC, user_id LIMIT 100"
+    ),
+    tags=("W9", "W2", "gaps-islands"),
+)
+def w9_value_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9: gap-and-islands — per user, maximal runs of CONSECUTIVE
+    events (event-time order) with value ≥ 50, via the classic
+    row_number-difference trick: rn_over_all − rn_over_condition is
+    constant exactly within an unbroken run. Output: users with a
+    streak ≥ 3, their streak count and longest streak.
+
+    Scale shape: both row_numbers share the user_id partitioning (one
+    exchange, two sorts over the same keyed partitions — Spark fuses
+    them into a single WindowExec group where orderings align); the
+    island rollup and per-user rollup are map-side-combinable aggs on
+    the same key. No global window anywhere.
+    """
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(F.col("value") >= 50.0, 1).otherwise(0).alias("hot"),
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_hot = Window.partitionBy("user_id", "hot").orderBy("ts", "event_id")
+    grp = flagged.select(
+        "user_id", "hot",
+        (F.row_number().over(w_all) - F.row_number().over(w_hot)).alias("island"),
+    )
+    streaks = (
+        grp.where(F.col("hot") == 1)
+        .groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("len").alias("max_streak"),
+        )
+        .where(F.col("max_streak") >= 3)
+        .orderBy(F.desc("max_streak"), "user_id")
+        .limit(100)
+    )
+
+
+@register(
+    "w10_last_touch_attribution",
+    oracle=(
+        "WITH seq AS (SELECT user_id, ts, event_id, event_type, "
+        "LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_id, "
+        "LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS click_ts "
+        "FROM events) "
+        "SELECT user_id, event_id AS purchase_id, click_id AS attributed_click, "
+        "CAST(FLOOR((FLOOR(EPOCH(ts)) - FLOOR(EPOCH(click_ts))) / 60) AS BIGINT) AS minutes_since_click "
+        "FROM seq WHERE event_type = 'purchase' AND click_id IS NOT NULL "
+        "ORDER BY user_id, purchase_id LIMIT 500"
+    ),
+    tags=("W10", "W2", "analytics"),
+)
+def w10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10: last-touch attribution — each purchase attributed to the
+    user's most recent PRIOR click via last(..., ignorenulls=True)
+    over a running user-keyed frame (the conditional carry-forward
+    pattern; strictly-before frame excludes self-attribution). One
+    user-keyed exchange + sort, no self-join — the naive form is an
+    interval self-join like r10, quadratic per hot user; this is
+    linear in events per user."""
+    ev = T(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.last(
+        F.when(F.col("event_type") == "click", F.col("event_id")), ignorenulls=True
+    ).over(w)
+    click_ts = F.last(
+        F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    seq = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        click_id.alias("click_id"), click_ts.alias("click_ts"),
+    )
+    return (
+        seq.where((F.col("event_type") == "purchase") & F.col("click_id").isNotNull())
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("click_id").alias("attributed_click"),
+            (
+                (F.col("ts").cast("long") - F.col("click_ts").cast("long")) / 60
+            ).cast("long").alias("minutes_since_click"),
+        )
+        .orderBy("user_id", "purchase_id")
+        .limit(500)
+    )
