@@ -349,3 +349,51 @@ def test_w8_windows_share_user_partitioning(spark, sf_dir):
     ), "\n".join(tree)
     windows = [l for l in tree if "Window" in l]
     assert len(windows) >= 2, "\n".join(tree)
+
+
+def test_yoy_growth_window_over_rollup_dims_broadcast(spark, sf_dir):
+    """q27: dims broadcast (no shuffle join); the LAG window runs over
+    the post-aggregation nation×year rollup, never the fact rows."""
+    df = _q("q27_yoy_growth", spark, sf_dir)
+    assert count_op(df, "SortMergeJoin") + count_op(df, "ShuffledHashJoin") == 0
+    assert count_op(df, "BroadcastHashJoin") >= 1
+
+
+def test_attribution_single_keyed_window_no_self_join(spark, sf_dir):
+    """w10: the running conditional-carry window replaces an interval
+    self-join — exactly one user-keyed exchange, zero joins."""
+    df = _q("w10_last_touch_attribution", spark, sf_dir)
+    for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin"):
+        assert count_op(df, j) == 0
+    assert count_op(df, "Exchange") <= 2  # initial+AQE render of the one shuffle
+
+
+def test_association_rules_no_cartesian(spark, sf_dir):
+    """q28: the basket self-join is equi-keyed on the order key and the
+    scalar basket count rides a broadcast — no nested-loop join of
+    fact-sized inputs."""
+    df = _q("q28_association_rules", spark, sf_dir)
+    assert count_op(df, "CartesianProduct") == 0
+    assert count_op(df, "SortMergeJoin") + count_op(df, "ShuffledHashJoin") <= 1
+
+
+def test_streaks_windows_stay_user_keyed(spark, sf_dir):
+    """w9: both row_number windows partition by user_id (+hot) — no
+    global-order window funnel."""
+    full = formatted_plan(_q("w9_value_streaks", spark, sf_dir))
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", full)
+    assert specs, "no window specs in formatted plan"
+    for spec in specs:
+        assert "user_id" in spec.split("ASC")[0], spec
+
+
+def test_segment_dedup_owner_is_aggregate_not_window(spark, sf_dir):
+    """c31: the first-occurrence rule must be the map-side-combinable
+    min(struct) AGGREGATE, not a segment-partitioned window sort (the
+    hot-segment skew hazard)."""
+    df = _q("c31_segment_dedup", spark, sf_dir)
+    tree = "\n".join(plan_tree(df))
+    assert "Window" not in tree
+    assert tree.count("HashAggregate") >= 2  # partial+final owner min(struct)
