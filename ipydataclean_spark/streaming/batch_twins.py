@@ -237,3 +237,51 @@ def st10_chained_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chained_rollup(T(spark, sf_dir, "events")).orderBy(
         "day_start", "event_type"
     )
+
+
+@register(
+    "st11_abandoned_carts",
+    oracle=(
+        "WITH cp AS (SELECT user_id, ts, event_id, event_type FROM events "
+        "WHERE event_type IN ('click', 'purchase')), "
+        "nxt AS (SELECT user_id, ts, event_id, event_type, "
+        "LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts "
+        "FROM cp) "
+        "SELECT user_id, ts AS abandoned_click_ts, event_id AS click_id "
+        "FROM nxt WHERE event_type = 'click' "
+        "AND (next_ts IS NULL OR next_ts > ts + INTERVAL 30 MINUTE) "
+        "ORDER BY user_id, abandoned_click_ts"
+    ),
+    tags=("ST11", "ST6", "W2"),
+)
+def st11_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST11 batch twin of streaming/stream.abandoned_cart_stream: a
+    click is an abandoned cart iff the user's next click-or-purchase
+    is > 30 minutes later or never comes (a later click supersedes, a
+    purchase completes). Batch form: one LEAD over the user-keyed
+    click/purchase subset. The streaming form decides the same rows
+    with O(users) state + event-time timers; replay equality pinned in
+    tests/test_streaming.py."""
+    ev = T(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    return (
+        nxt.where(
+            (F.col("event_type") == "click")
+            & (
+                F.col("next_ts").isNull()
+                | (F.col("next_ts") > F.col("ts") + F.expr("INTERVAL 30 MINUTE"))
+            )
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("abandoned_click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .orderBy("user_id", "abandoned_click_ts")
+    )

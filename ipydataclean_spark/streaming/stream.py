@@ -403,3 +403,83 @@ def chained_rollup(ev: DataFrame) -> DataFrame:
             "total_value",
         )
     )
+
+
+def abandoned_cart_stream(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """ST6b: EVENT-TIME TIMERS — detect abandoned carts: a 'click' with
+    no follow-up click/purchase by the same user within ``gap_minutes``
+    is emitted once the watermark passes click+gap, via
+    applyInPandasWithState + GroupStateTimeout.EventTimeTimeout. This
+    is the pattern state stores exist for: the OUTPUT row is triggered
+    by the ABSENCE of data, which no windowed aggregate can express.
+
+    Semantics (shared with the batch twin st11_abandoned_carts): among
+    a user's click/purchase events in event-time order, a click is
+    abandoned iff the next click-or-purchase is > gap later or never
+    comes. A follow-up click within the gap supersedes (cart updated,
+    old click not abandoned); a purchase within the gap completes it.
+
+    State: ONE pending click timestamp per user (O(users) state, no
+    buffers); the timer re-arms to pending+gap on every update and the
+    group emits either in-batch (when a later event already decides
+    the outcome) or from the timeout callback (when only the advancing
+    watermark does)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state):
+        out = []
+        if state.hasTimedOut:
+            (pending_us,) = state.get
+            state.remove()
+            if pending_us is not None:
+                out.append(pending_us)
+            yield pd.DataFrame(
+                {"user_id": [key[0]] * len(out),
+                 "abandoned_click_us": pd.Series(out, dtype="int64")}
+            )
+            return
+        pending = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs))
+        batch = batch[batch["event_type"].isin(["click", "purchase"])]
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for r in batch.itertuples():
+                ts_us = int(r.ts.value // 1000)  # pandas ns -> epoch micros
+                if pending is not None and ts_us - pending > gap_us:
+                    out.append(pending)  # decided in-stream: abandoned
+                    pending = None
+                if r.event_type == "click":
+                    pending = ts_us
+                else:  # purchase within gap completes the pending cart
+                    pending = None
+        if pending is not None:
+            deadline_ms = (pending + gap_us) // 1000
+            if deadline_ms <= state.getCurrentWatermarkMs():
+                # the gap window already closed behind the watermark
+                # (late-arriving click): decidable NOW — a timer in the
+                # past is illegal, so emit in-batch instead
+                out.append(pending)
+                if state.exists:
+                    state.remove()
+            else:
+                state.update((pending,))
+                # fire when the watermark passes pending+gap (ms)
+                state.setTimeoutTimestamp(deadline_ms)
+        elif state.exists:
+            state.remove()
+        yield pd.DataFrame(
+            {"user_id": [key[0]] * len(out),
+             "abandoned_click_us": pd.Series(out, dtype="int64")}
+        )
+
+    src = ev.withWatermark("ts", "1 hour") if ev.isStreaming else ev
+    return src.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id LONG, abandoned_click_us LONG",
+        stateStructType="pending LONG",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -329,3 +329,63 @@ def test_chained_rollup_replay_equals_batch(spark, sf_dir):
         got = _sorted_rows(replay, cols)
         assert got == _sorted_rows(closed, cols)
         assert len(got) > 0
+
+
+def test_abandoned_cart_timers_replay(spark, sf_dir, tmp_path):
+    """ST6b: event-time timers — day-split files drained one per
+    micro-batch so the watermark advances between batches and timers
+    actually fire. Every abandonment decidable before the last
+    watermark must be emitted; nothing outside the batch twin's answer
+    may ever be emitted."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.streaming.batch_twins import st11_abandoned_carts
+    from ipydataclean_spark.streaming.stream import abandoned_cart_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    # one file per day, lexicographically time-ordered
+    src_dir = tmp_path / "days"
+    days = [r[0] for r in ev.select(F.to_date("ts").alias("d")).distinct().orderBy("d").collect()]
+    for i, d in enumerate(days):
+        (
+            ev.where(F.to_date("ts") == F.lit(d))
+            .coalesce(1)
+            .write.parquet(str(src_dir / f"day_{i:03d}"))
+        )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir) + "/day_*")
+    )
+    out = abandoned_cart_stream(stream)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            out.writeStream.format("memory")
+            .queryName("t_abandon")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {
+            (r.user_id, r.abandoned_click_us)
+            for r in spark.table("t_abandon").collect()
+        }
+    twin = {
+        (r.user_id, int(r.abandoned_click_ts.timestamp() * 1_000_000))
+        for r in st11_abandoned_carts(spark, sf_dir).collect()
+    }
+    # soundness: the stream may never invent an abandonment
+    assert got <= twin, f"spurious emissions: {sorted(got - twin)[:5]}"
+    # completeness up to the second-to-last day's watermark: any click
+    # whose gap window closed before that horizon must have fired
+    second_last_max = ev.where(
+        F.to_date("ts") <= F.lit(days[-2])
+    ).agg(F.max("ts")).collect()[0][0]
+    horizon_us = int(second_last_max.timestamp() * 1_000_000) - 3600 * 1_000_000
+    must_have = {
+        (u, ts) for (u, ts) in twin if ts + 30 * 60 * 1_000_000 < horizon_us
+    }
+    assert must_have <= got, f"missed firings: {sorted(must_have - got)[:5]}"
+    assert len(got) > 0
