@@ -124,3 +124,75 @@ def stream_merge_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "inc2_incremental_dedup",
+    oracle=(
+        "WITH documents_dup AS (SELECT * FROM documents UNION ALL "
+        "SELECT doc_id + 1000000 AS doc_id, '  ' || UPPER(text) || '  ' AS text, "
+        "lang, source, n_chars FROM documents WHERE doc_id % 5 = 0), "
+        "digests AS (SELECT doc_id, "
+        "SHA256(LOWER(TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')))) AS dg "
+        "FROM documents_dup), "
+        "hist AS (SELECT dg, MIN(doc_id) AS hist_id FROM digests "
+        "WHERE doc_id < 400 GROUP BY dg), "
+        "delta AS (SELECT doc_id, dg FROM digests WHERE doc_id >= 400), "
+        "batch_min AS (SELECT dg, MIN(doc_id) AS first_id FROM delta GROUP BY dg) "
+        "SELECT d.doc_id, "
+        "CASE WHEN h.hist_id IS NOT NULL THEN 'dup_of_history' "
+        "WHEN b.first_id < d.doc_id THEN 'dup_in_batch' "
+        "ELSE 'novel' END AS status, "
+        "CASE WHEN h.hist_id IS NOT NULL THEN h.hist_id "
+        "WHEN b.first_id < d.doc_id THEN b.first_id "
+        "ELSE d.doc_id END AS canonical_id "
+        "FROM delta d LEFT JOIN hist h ON d.dg = h.dg "
+        "JOIN batch_min b ON d.dg = b.dg "
+        "ORDER BY d.doc_id"
+    ),
+    tags=("INC2", "L1", "C16"),
+)
+def inc2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC2: incremental exact dedup — the daily-ingest form of L1: the
+    history is represented ONLY by its digest table (one 32-byte hash +
+    canonical id per historical doc, the mergeable dedup state), and
+    the day's delta is classified against it without ever rescanning
+    historical text: novel / dup_of_history (with the historical
+    canonical) / dup_in_batch (with the batch-first canonical).
+
+    Plan: one delta scan computes digests; history lookup is a
+    digest-keyed join against the state table (bucket the state table
+    by digest at scale and the join co-locates); in-batch firsts are a
+    map-side-combinable min per digest. History text is NEVER read —
+    the scan-cost property that makes daily dedup affordable at 100 TB.
+    The new state table is state ∪ novel digests (same shape),
+    maintained exactly like inc1's partial-aggregate state."""
+    from ipydataclean_spark.functions.text import norm_text_col
+    from ipydataclean_spark.operators.qhelp import documents_dup
+
+    dd = documents_dup(spark, sf_dir).withColumn(
+        "dg", F.sha2(norm_text_col("text"), 256)
+    )
+    hist = (
+        dd.where(F.col("doc_id") < 400)
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("hist_id"))
+    )
+    delta = dd.where(F.col("doc_id") >= 400).select("doc_id", "dg")
+    batch_min = delta.groupBy("dg").agg(F.min("doc_id").alias("first_id"))
+    status = (
+        F.when(F.col("hist_id").isNotNull(), F.lit("dup_of_history"))
+        .when(F.col("first_id") < F.col("doc_id"), F.lit("dup_in_batch"))
+        .otherwise(F.lit("novel"))
+    )
+    canonical = (
+        F.when(F.col("hist_id").isNotNull(), F.col("hist_id"))
+        .when(F.col("first_id") < F.col("doc_id"), F.col("first_id"))
+        .otherwise(F.col("doc_id"))
+    )
+    return (
+        delta.join(hist, "dg", "left")
+        .join(batch_min, "dg")
+        .select("doc_id", status.alias("status"), canonical.alias("canonical_id"))
+        .orderBy("doc_id")
+    )
