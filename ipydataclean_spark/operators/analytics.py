@@ -561,3 +561,71 @@ def q28_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "part_a", "part_b")
         .limit(25)
     )
+
+
+@register(
+    "q29_session_conversion",
+    oracle=(
+        "WITH seq AS (SELECT user_id, ts, event_type, "
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "> INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), "
+        "sess AS (SELECT user_id, event_type, "
+        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+        "ROWS UNBOUNDED PRECEDING) AS sess_id FROM seq), "
+        "per_sess AS (SELECT user_id, sess_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT) "
+        "AS converted FROM sess GROUP BY user_id, sess_id) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        "CAST(SUM(converted) AS BIGINT) AS n_converted, "
+        "ROUND(CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) "
+        "AS conversion_rate, "
+        "ROUND(CAST(SUM(n_events) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 8) "
+        "AS avg_session_events "
+        "FROM per_sess"
+    ),
+    tags=("Q29", "ST3", "analytics"),
+)
+def q29_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q29: per-session conversion — sessionize each user's events with
+    the lag+cumsum 4-hour-gap rule (the st3 machinery), then one
+    converted-flag rollup per session and a global readout. All
+    windows are user-keyed; the session table collapses before the
+    global aggregate, so the funnel-to-session-grain join the naive
+    form needs never exists."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    lag_ts = F.lag("ts").over(w)
+    new_sess = F.when(
+        lag_ts.isNull()
+        | (F.unix_micros("ts") - F.unix_micros(lag_ts) > 4 * 3600 * 1_000_000),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id", "event_type",
+        F.sum(new_sess).over(w_run).alias("sess_id"),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("int").alias("converted"),
+    )
+    n = F.count(F.lit(1)).cast("long")
+    conv = F.sum("converted").cast("long")
+    return per_sess.agg(
+        n.alias("n_sessions"),
+        conv.alias("n_converted"),
+        F.round(conv.cast("double") / n.cast("double"), 8).alias("conversion_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / n.cast("double"), 8
+        ).alias("avg_session_events"),
+    )

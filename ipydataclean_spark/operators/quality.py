@@ -763,3 +763,34 @@ def d12_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(rel) >= 0.25)
         .orderBy("d")
     )
+
+
+@register(
+    "q30_daily_p95",
+    oracle=(
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(COUNT(value) AS BIGINT) AS n_values, "
+        "QUANTILE_CONT(value, 0.95) AS p95_value, "
+        "QUANTILE_CONT(value, 0.5) AS median_value "
+        "FROM events WHERE value IS NOT NULL "
+        "GROUP BY 1 ORDER BY day"
+    ),
+    tags=("Q30", "P5", "analytics"),
+)
+def q30_daily_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q30: daily p95/median SLA rollup — the latency-dashboard query.
+    Per-group exact percentiles via the sort-based percentile
+    aggregate (group state bounded by the day's rows; both engines
+    interpolate lower + (upper−lower)·frac, bit-identical — the p5b
+    contract). Beyond ~10M rows/day the swap is the keyed
+    histogram-refinement path (p5 machinery), same output schema."""
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count("value").alias("n_values"),
+            F.percentile("value", F.lit(0.95)).alias("p95_value"),
+            F.percentile("value", F.lit(0.5)).alias("median_value"),
+        )
+        .orderBy("day")
+    )
