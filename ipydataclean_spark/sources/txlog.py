@@ -107,9 +107,24 @@ def _footer_stats(path: str) -> dict:
 class TxTable:
     """Handle to a commit-log parquet table (see module docstring)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    #: bloom sizing: 8192 bits / 6 hashes ≈ 0.9% false-positive rate at
+    #: 1k distinct values per file; 1 KB per (file, column) in the log.
+    BLOOM_BITS = 8192
+    BLOOM_K = 6
+
+    def __init__(self, spark: SparkSession, root: str,
+                 bloom_cols: tuple[str, ...] = ()):
         self.spark = spark
         self.root = root
+        self.bloom_cols = tuple(bloom_cols)
+        if not self.bloom_cols:
+            # re-opened handle: inherit the index config from commit 0
+            # so every writer keeps maintaining the same blooms
+            try:
+                c0 = self._commits()[0]
+                self.bloom_cols = tuple(c0.get("bloom_cols", ()))
+            except Exception:
+                pass
 
     # -- log plumbing -------------------------------------------------
 
@@ -201,19 +216,116 @@ class TxTable:
                 st = _footer_stats(os.path.join(stage, name))
                 if st:
                     stats[p] = st
+        if self.bloom_cols:
+            blooms = self._build_blooms(stage, token)
+            for p, b in blooms.items():
+                stats.setdefault(p, {})["__bloom__"] = b
         return rel, stats
+
+    def _build_blooms(self, stage: str, token: str) -> dict:
+        """Per-file bloom filters for ``bloom_cols`` — the Delta/Iceberg
+        bloom-index analogue for point lookups on columns the layout is
+        NOT clustered by (min/max ranges are useless there). Built with
+        ONE distributed pass over the just-staged files (projection-
+        pruned to the bloom columns): k = BLOOM_K positions per value
+        from xxhash64(value, probe_index), OR-folded per file into a
+        BLOOM_BITS bitmap, base64'd into the commit record. Build cost
+        is one columnar re-read of the NEW data only; the read path
+        stays zero-I/O (prune_files_eq folds log metadata)."""
+        import base64
+
+        src = self.spark.read.parquet(stage).select(
+            F.input_file_name().alias("__f"), *self.bloom_cols
+        )
+        pos_rows = []
+        for col in self.bloom_cols:
+            positions = F.array_distinct(
+                F.array(*[
+                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(self.BLOOM_BITS))
+                    for i in range(self.BLOOM_K)
+                ])
+            )
+            pos_rows.append(
+                src.where(F.col(col).isNotNull()).select(
+                    "__f", F.lit(col).alias("__c"),
+                    F.explode(positions).alias("__p"),
+                )
+            )
+        union = pos_rows[0]
+        for extra in pos_rows[1:]:
+            union = union.unionByName(extra)
+        folded = union.groupBy("__f", "__c").agg(
+            F.collect_set("__p").alias("__ps")
+        ).collect()
+        out: dict[str, dict] = {}
+        for r in folded:
+            bitmap = bytearray(self.BLOOM_BITS // 8)
+            for p in r["__ps"]:
+                bitmap[p // 8] |= 1 << (p % 8)
+            name = os.path.basename(r["__f"])
+            rel = os.path.join("data", token, name)
+            out.setdefault(rel, {})[r["__c"]] = base64.b64encode(
+                bytes(bitmap)
+            ).decode("ascii")
+        return out
+
+    def _probe_positions(self, col: str, value) -> list[int]:
+        """The k bloom positions for a probe value — computed with the
+        SAME Spark expression the build used (one 1-row job), so the
+        hash bytes match for any column type."""
+        row = (
+            self.spark.range(1)
+            .select(*[
+                F.pmod(F.xxhash64(F.lit(value), F.lit(i)), F.lit(self.BLOOM_BITS))
+                .alias(f"p{i}")
+                for i in range(self.BLOOM_K)
+            ])
+            .collect()[0]
+        )
+        return [row[f"p{i}"] for i in range(self.BLOOM_K)]
+
+    def prune_files_eq(self, col: str, value, version: int | None = None) -> list[str]:
+        """Files that may contain ``col = value``, resolved from LOG
+        bloom metadata alone (files without a recorded bloom for the
+        column are conservatively kept). Absolute paths."""
+        import base64
+
+        probes = self._probe_positions(col, value)
+        stats = self.file_stats(version)
+        keep = []
+        for p in self.live_files(version):
+            rel = os.path.relpath(p, self.root)
+            b64 = (stats.get(rel, {}).get("__bloom__") or {}).get(col)
+            if b64 is None:
+                keep.append(p)
+                continue
+            bitmap = base64.b64decode(b64)
+            if all(bitmap[q // 8] & (1 << (q % 8)) for q in probes):
+                keep.append(p)
+        return keep
+
+    def read_where_eq(self, col: str, value, version: int | None = None) -> DataFrame:
+        """Bloom-pruned point lookup: skip files whose bloom proves the
+        value absent, then apply the exact equality predicate (parquet
+        row-group pushdown still applies inside surviving files)."""
+        files = self.prune_files_eq(col, value, version)
+        if not files:
+            return self.read(version).limit(0).where(F.lit(False))
+        return self.spark.read.parquet(*files).where(F.col(col) == value)
 
     # -- operations ---------------------------------------------------
 
     @staticmethod
-    def create(spark: SparkSession, root: str, df: DataFrame) -> "TxTable":
+    def create(spark: SparkSession, root: str, df: DataFrame,
+               bloom_cols: tuple[str, ...] = ()) -> "TxTable":
         os.makedirs(_log_dir(root), exist_ok=False)
         os.makedirs(_data_dir(root), exist_ok=True)
-        t = TxTable(spark, root)
+        t = TxTable(spark, root, bloom_cols=bloom_cols)
         add, stats = t._stage(df)
         ok = t._try_commit(
             {"version": 0, "op": "create", "add": add, "remove": [],
-             "read_version": None, "ts": time.time(), "stats": stats}
+             "read_version": None, "ts": time.time(), "stats": stats,
+             "bloom_cols": list(bloom_cols)}
         )
         if not ok:  # pragma: no cover - create is exclusive via makedirs
             raise ConflictError(f"concurrent create at {root}")
@@ -739,4 +851,51 @@ def tx3_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
         )
         .orderBy("c_custkey", "change_type")
+    )
+
+
+@register(
+    "tx4_bloom_lookup",
+    oracle=(
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_name = 'Customer#000000042' ORDER BY c_custkey"
+    ),
+    tags=("S9b", "ACID", "bloom"),
+)
+def tx4_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b bloom-index point lookup end-to-end: customer lands in a
+    TxTable range-clustered on c_custkey WITH a bloom index on c_name —
+    the column the layout is NOT clustered by, where min/max ranges
+    prune nothing. The equality read resolves its file list from LOG
+    bloom metadata alone; the in-query assertion fails loudly if bloom
+    skipping ever regresses to read-everything, and the oracle pins
+    result equality against a plain filter over all rows."""
+    import pathlib
+    import shutil
+
+    from ipydataclean_spark.operators.qhelp import T
+
+    root = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"tx4_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    t = TxTable.create(
+        spark,
+        root,
+        cust.repartitionByRange(8, "c_custkey").sortWithinPartitions("c_custkey"),
+        bloom_cols=("c_name",),
+    )
+    probe = "Customer#000000042"
+    pruned = t.prune_files_eq("c_name", probe)
+    if len(pruned) >= len(t.live_files()):
+        raise AssertionError(
+            f"bloom skipping regressed: {len(pruned)}/{len(t.live_files())} files read"
+        )
+    return (
+        t.read_where_eq("c_name", probe)
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
     )

@@ -429,3 +429,43 @@ def test_cdc_rejects_bad_window(spark, tmp_path):
     t = TxTable.create(spark, str(tmp_path / "t"), df)
     with pytest.raises(ValueError):
         t.read_changes("k", 0, 0)
+
+
+def test_bloom_index_prunes_and_inherits(spark, tmp_path):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("name-"), F.col("id")).alias("name"),
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(8, "k").sortWithinPartitions("k"),
+        bloom_cols=("name",),
+    )
+    # point lookup on the non-clustered column prunes to ~1 file
+    pruned = t.prune_files_eq("name", "name-123")
+    assert 1 <= len(pruned) < len(t.live_files())
+    got = t.read_where_eq("name", "name-123").collect()
+    assert [(r.k, r.name) for r in got] == [(123, "name-123")]
+    # absent value: bloom proves absence in (almost) every file
+    assert len(t.prune_files_eq("name", "no-such-name")) <= 2
+    assert t.read_where_eq("name", "no-such-name").count() == 0
+
+    # a REOPENED handle inherits bloom_cols from commit 0 and keeps
+    # indexing files written by later commits
+    t2 = TxTable(spark, str(tmp_path / "t"))
+    assert t2.bloom_cols == ("name",)
+    t2.merge(
+        spark.createDataFrame([(1000, "name-1000")], "k long, name string"),
+        key="k",
+    )
+    pruned2 = t2.prune_files_eq("name", "name-1000")
+    assert len(pruned2) < len(t2.live_files())
+    assert t2.read_where_eq("name", "name-1000").count() == 1
+
+
+def test_bloom_absent_column_conservative(spark, tmp_path):
+    # no bloom recorded -> every file conservatively kept, result right
+    df = spark.range(0, 50).select(F.col("id").alias("k"))
+    t = TxTable.create(spark, str(tmp_path / "t"), df.repartition(4))
+    assert len(t.prune_files_eq("k", 7)) == len(t.live_files())
+    assert t.read_where_eq("k", 7).count() == 1
