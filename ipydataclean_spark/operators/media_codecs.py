@@ -431,15 +431,39 @@ def image_dhash(media: DataFrame) -> DataFrame:
 
 
 def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
-    """Near-dup image pairs by banded dHash: 8 bands x 8 bits — two
-    hashes within hamming ≤ 7 MUST agree on ≥ 1 band (pigeonhole, the
-    same guarantee the SimHash text path uses), so the band-bucket
-    self-join is sub-quadratic with zero recall loss at the
-    threshold; the exact popcount filter then drops false candidates.
+    """Near-dup image detection by banded dHash, at the CLUSTER grain.
+
+    Step 1 collapses identical hashes into exact-dup clusters
+    (representative = min doc_id, one partial-agg shuffle) — the move
+    that keeps this sub-quadratic on real corpora, where popular
+    images repeat thousands of times: only DISTINCT hashes enter the
+    band join, so a hash shared by 10^4 docs contributes ONE banding
+    row instead of 10^8 candidate pairs. Step 2 bands the distinct
+    hashes 8×8 bits — two hashes within hamming ≤ 7 MUST agree on ≥ 1
+    band (pigeonhole, the SimHash guarantee) — and the popcount filter
+    drops false candidates.
+
+    Output is the aggregate pair table: one row per (cluster_a,
+    cluster_b) with the member counts and the implied doc-pair count
+    n_pairs = size_a·size_b (or C(size, 2) for the within-cluster
+    hamming-0 row) — the production shape: materializing each of the
+    size_a·size_b doc pairs is inherently quadratic and is left to the
+    consumer to expand for the (rare) clusters it cares about.
     """
-    bands = hashes.select(
-        "doc_id",
+    clusters = hashes.groupBy("dhash").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("size"),
+    )
+    within = clusters.where(F.col("size") > 1).select(
+        F.col("rep").alias("doc_a"),
+        F.col("rep").alias("doc_b"),
+        F.lit(0).alias("hamming"),
+        (F.col("size") * (F.col("size") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    bands = clusters.select(
+        "rep",
         "dhash",
+        "size",
         F.posexplode(
             F.array(*[
                 F.struct(
@@ -449,25 +473,27 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
                 for b in range(8)
             ])
         ).alias("_p", "bk"),
-    ).select("doc_id", "dhash", "bk.band", "bk.key")
+    ).select("rep", "dhash", "size", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    across = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep") < F.col("b.rep")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rep").alias("doc_a"),
+            F.col("b.rep").alias("doc_b"),
             F.bit_count(
                 F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
             ).alias("hamming"),
+            (F.col("a.size") * F.col("b.size")).cast("long").alias("n_pairs"),
         )
         .distinct()
+        .where(F.col("hamming") <= max_hamming)
     )
-    return cand.where(F.col("hamming") <= max_hamming)
+    return within.unionByName(across)
 
 
 @register(
@@ -478,10 +504,12 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
 def l9f_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L9f: image near-dup detection end-to-end — REAL BMP bytes →
     dHash (sampled-grid difference hash, brightness-invariant) →
-    banded hamming self-join. The +24-brightened copies injected at
-    doc_id+2000000 MUST pair with their originals at hamming 0;
-    rows-only by design (SQL cannot see pixel bytes) with golden
-    invariance/recall tests in tests/test_media_codecs.py."""
+    exact-hash clustering → banded hamming join of DISTINCT hashes.
+    The +24-brightened copies injected at doc_id+2000000 hash
+    identically to their originals, so each lands in its original's
+    cluster (a hamming-0 within-cluster row); rows-only by design
+    (SQL cannot see pixel bytes) with golden invariance/recall tests
+    in tests/test_media_codecs.py."""
     docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     pairs = dhash_neardup_pairs(image_dhash(attach_patterned_payloads(docs)))
     return pairs.orderBy("doc_a", "doc_b")

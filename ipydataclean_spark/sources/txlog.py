@@ -107,9 +107,14 @@ def _footer_stats(path: str) -> dict:
 class TxTable:
     """Handle to a commit-log parquet table (see module docstring)."""
 
-    #: bloom sizing: 8192 bits / 6 hashes ≈ 0.9% false-positive rate at
-    #: 1k distinct values per file; 1 KB per (file, column) in the log.
-    BLOOM_BITS = 8192
+    #: bloom sizing: ~10 bits per distinct value at k=6 ≈ 1% false
+    #: positives (m = -n·ln p / ln²2); per-file bitmaps are sized from
+    #: a distinct-count estimate at build time (fixed-size bitmaps
+    #: saturate silently on big files), floored at 1 KiB and capped at
+    #: 1 MiB (≈ 800k values/file before fpp degrades).
+    BLOOM_BITS_PER_VALUE = 10
+    BLOOM_MIN_BITS = 8192
+    BLOOM_MAX_M = 1 << 23
     BLOOM_K = 6
 
     def __init__(self, spark: SparkSession, root: str,
@@ -225,64 +230,92 @@ class TxTable:
     def _build_blooms(self, stage: str, token: str) -> dict:
         """Per-file bloom filters for ``bloom_cols`` — the Delta/Iceberg
         bloom-index analogue for point lookups on columns the layout is
-        NOT clustered by (min/max ranges are useless there). Built with
-        ONE distributed pass over the just-staged files (projection-
-        pruned to the bloom columns): k = BLOOM_K positions per value
-        from xxhash64(value, probe_index), OR-folded per file into a
-        BLOOM_BITS bitmap, base64'd into the commit record. Build cost
-        is one columnar re-read of the NEW data only; the read path
-        stays zero-I/O (prune_files_eq folds log metadata)."""
+        NOT clustered by (min/max ranges are useless there).
+
+        SIZED PER FILE: a fixed bitmap saturates the moment a file
+        holds more values than it was sized for (all bits set — prunes
+        nothing, silently), so pass 1 estimates each file's distinct
+        count (approx_count_distinct, one cheap distributed agg), the
+        bitmap gets ~BLOOM_BITS_PER_VALUE bits per value rounded up to
+        a power of two (≈1% fpp at k=6, the standard m = -n·ln p /
+        ln²2 sizing), and pass 2 computes k RAW xxhash64(value, i)
+        hashes, takes them mod the file's own m via a broadcast size
+        map, and OR-folds per file. Both passes are projection-pruned
+        distributed jobs over the NEW files only; collects are
+        per-(file, column) aggregates. The read path stays zero-I/O:
+        the probe mods the same raw hashes by each file's recorded m."""
         import base64
 
         src = self.spark.read.parquet(stage).select(
             F.input_file_name().alias("__f"), *self.bloom_cols
         )
+        # pass 1: per-file distinct estimates -> per-file bitmap size
+        est = src.groupBy("__f").agg(*[
+            F.approx_count_distinct(c).alias(c) for c in self.bloom_cols
+        ]).collect()
+        m_map: dict[tuple[str, str], int] = {}
+        for r in est:
+            for c in self.bloom_cols:
+                n = max(1, r[c])
+                m = 1 << max(
+                    self.BLOOM_MIN_BITS.bit_length() - 1,
+                    (n * self.BLOOM_BITS_PER_VALUE - 1).bit_length(),
+                )
+                m_map[(os.path.basename(r["__f"]), c)] = min(m, self.BLOOM_MAX_M)
+        m_df = self.spark.createDataFrame(
+            [(f, c, m) for (f, c), m in m_map.items()],
+            "__base STRING, __c STRING, __m LONG",
+        )
+        # pass 2: raw k-hashes mod the file's own m
         pos_rows = []
         for col in self.bloom_cols:
-            positions = F.array_distinct(
-                F.array(*[
-                    F.pmod(F.xxhash64(F.col(col), F.lit(i)), F.lit(self.BLOOM_BITS))
-                    for i in range(self.BLOOM_K)
-                ])
-            )
+            hashes = F.array(*[
+                F.xxhash64(F.col(col), F.lit(i)) for i in range(self.BLOOM_K)
+            ])
             pos_rows.append(
                 src.where(F.col(col).isNotNull()).select(
-                    "__f", F.lit(col).alias("__c"),
-                    F.explode(positions).alias("__p"),
+                    F.element_at(F.split("__f", "/"), -1).alias("__base"),
+                    F.lit(col).alias("__c"),
+                    F.explode(hashes).alias("__h"),
                 )
             )
         union = pos_rows[0]
         for extra in pos_rows[1:]:
             union = union.unionByName(extra)
-        folded = union.groupBy("__f", "__c").agg(
-            F.collect_set("__p").alias("__ps")
-        ).collect()
+        folded = (
+            union.join(F.broadcast(m_df), ["__base", "__c"])
+            .select("__base", "__c", F.pmod("__h", F.col("__m")).alias("__p"))
+            .groupBy("__base", "__c")
+            .agg(F.collect_set("__p").alias("__ps"))
+            .collect()
+        )
         out: dict[str, dict] = {}
         for r in folded:
-            bitmap = bytearray(self.BLOOM_BITS // 8)
+            m = m_map[(r["__base"], r["__c"])]
+            bitmap = bytearray(m // 8)
             for p in r["__ps"]:
                 bitmap[p // 8] |= 1 << (p % 8)
-            name = os.path.basename(r["__f"])
-            rel = os.path.join("data", token, name)
-            out.setdefault(rel, {})[r["__c"]] = base64.b64encode(
-                bytes(bitmap)
-            ).decode("ascii")
+            rel = os.path.join("data", token, r["__base"])
+            out.setdefault(rel, {})[r["__c"]] = {
+                "m": m,
+                "bits": base64.b64encode(bytes(bitmap)).decode("ascii"),
+            }
         return out
 
-    def _probe_positions(self, col: str, value) -> list[int]:
-        """The k bloom positions for a probe value — computed with the
-        SAME Spark expression the build used (one 1-row job), so the
-        hash bytes match for any column type."""
+    def _probe_hashes(self, value) -> list[int]:
+        """The k RAW hashes for a probe value — computed with the SAME
+        Spark expression the build used (one 1-row job), so the hash
+        bytes match for any column type; each file then mods them by
+        its own recorded bitmap size."""
         row = (
             self.spark.range(1)
             .select(*[
-                F.pmod(F.xxhash64(F.lit(value), F.lit(i)), F.lit(self.BLOOM_BITS))
-                .alias(f"p{i}")
+                F.xxhash64(F.lit(value), F.lit(i)).alias(f"h{i}")
                 for i in range(self.BLOOM_K)
             ])
             .collect()[0]
         )
-        return [row[f"p{i}"] for i in range(self.BLOOM_K)]
+        return [row[f"h{i}"] for i in range(self.BLOOM_K)]
 
     def prune_files_eq(self, col: str, value, version: int | None = None) -> list[str]:
         """Files that may contain ``col = value``, resolved from LOG
@@ -290,17 +323,18 @@ class TxTable:
         column are conservatively kept). Absolute paths."""
         import base64
 
-        probes = self._probe_positions(col, value)
+        hashes = self._probe_hashes(value)
         stats = self.file_stats(version)
         keep = []
         for p in self.live_files(version):
             rel = os.path.relpath(p, self.root)
-            b64 = (stats.get(rel, {}).get("__bloom__") or {}).get(col)
-            if b64 is None:
+            rec = (stats.get(rel, {}).get("__bloom__") or {}).get(col)
+            if rec is None:
                 keep.append(p)
                 continue
-            bitmap = base64.b64decode(b64)
-            if all(bitmap[q // 8] & (1 << (q % 8)) for q in probes):
+            bitmap = base64.b64decode(rec["bits"])
+            m = rec["m"]
+            if all(bitmap[(h % m) // 8] & (1 << ((h % m) % 8)) for h in hashes):
                 keep.append(p)
         return keep
 
@@ -889,10 +923,14 @@ def tx4_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_cols=("c_name",),
     )
     probe = "Customer#000000042"
-    pruned = t.prune_files_eq("c_name", probe)
-    if len(pruned) >= len(t.live_files()):
+    # the skipping gate probes an ABSENT value: a healthy bloom proves
+    # absence in (almost) every file regardless of how many replicas of
+    # a PRESENT value the fixture scatters across the key range
+    missing = t.prune_files_eq("c_name", "Customer#NO-SUCH-ROW")
+    if len(missing) > max(1, len(t.live_files()) // 2):
         raise AssertionError(
-            f"bloom skipping regressed: {len(pruned)}/{len(t.live_files())} files read"
+            f"bloom skipping regressed: absent-value probe kept "
+            f"{len(missing)}/{len(t.live_files())} files"
         )
     return (
         t.read_where_eq("c_name", probe)

@@ -166,22 +166,39 @@ def test_dhash_brightness_invariance_and_noise_tolerance():
 
 
 def test_dhash_pairs_find_brightened_copies(spark, sf_dir):
-    from ipydataclean_spark.operators.media_codecs import l9f_image_dhash_pairs
+    from pyspark.sql import functions as F
 
-    pairs = l9f_image_dhash_pairs(spark, sf_dir).collect()
-    found = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
-    # every injected brightened copy pairs with its original at hamming 0
-    import duckdb
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        image_dhash,
+        l9f_image_dhash_pairs,
+    )
+    from ipydataclean_spark.operators.qhelp import T
 
-    ids = [
-        r[0]
-        for r in duckdb.sql(
-            f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') "
-            "WHERE doc_id % 10 = 0"
-        ).fetchall()
-    ]
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    hmap = {
+        r.doc_id: r.dhash
+        for r in image_dhash(attach_patterned_payloads(docs)).collect()
+    }
+    ids = [d for d in hmap if d < 2000000 and d % 10 == 0]
+    assert ids
+    # end-to-end brightness invariance: every +24 copy hashes identically
     for d in ids:
-        assert found.get((d, d + 2000000)) == 0, f"missing pair for {d}"
+        assert hmap[d] == hmap[d + 2000000], f"hash changed for {d}"
+    # the registered query reports those as within-cluster hamming-0 rows
+    rows = l9f_image_dhash_pairs(spark, sf_dir).collect()
+    within_reps = {r.doc_a for r in rows if r.hamming == 0 and r.doc_a == r.doc_b}
+    for d in ids:
+        members = [k for k, h in hmap.items() if h == hmap[d]]
+        assert min(members) in within_reps, f"cluster for {d} missing"
+    # aggregate pair counts are consistent: C(size,2) for within rows
+    import collections
+
+    sizes = collections.Counter(hmap.values())
+    for r in rows:
+        if r.doc_a == r.doc_b:
+            n = sizes[hmap[r.doc_a]]
+            assert r.n_pairs == n * (n - 1) // 2
 
 
 def test_dhash_banding_guarantee():
