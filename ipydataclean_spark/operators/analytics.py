@@ -629,3 +629,77 @@ def q29_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("double") / n.cast("double"), 8
         ).alias("avg_session_events"),
     )
+
+
+@register(
+    "q31_trending_parts",
+    oracle=(
+        "WITH wk AS (SELECT l_partkey, "
+        "CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS week, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY l_partkey, date_trunc('week', o_orderdate)), "
+        "lagged AS (SELECT l_partkey, week, n, "
+        "LAG(n) OVER (PARTITION BY l_partkey ORDER BY week) AS prev_n, "
+        "LAG(week) OVER (PARTITION BY l_partkey ORDER BY week) AS prev_week "
+        "FROM wk), "
+        "latest AS (SELECT MAX(week) AS max_week FROM wk) "
+        "SELECT l_partkey, n AS n_current, "
+        "CASE WHEN prev_week = max_week - INTERVAL 7 DAY THEN prev_n "
+        "ELSE NULL END AS n_previous, "
+        "ROUND(CAST(n + 1 AS DOUBLE) / CAST((CASE WHEN prev_week = "
+        "max_week - INTERVAL 7 DAY THEN prev_n ELSE NULL END) + 1 AS DOUBLE), 8) "
+        "AS growth "
+        "FROM lagged CROSS JOIN latest WHERE week = max_week AND n >= 3 "
+        "AND prev_week = max_week - INTERVAL 7 DAY "
+        "ORDER BY growth DESC, l_partkey LIMIT 20"
+    ),
+    tags=("Q31", "W2", "analytics"),
+)
+def q31_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q31: trending items — week-over-week demand risers: weekly part
+    counts, LAG against the part's previous ACTIVE week (only counted
+    as "previous" if it is literally last week — a part dormant for a
+    month is not a riser), Laplace-smoothed growth, top 20 in the
+    latest week with current support ≥ 3.
+
+    Plan: the fact join rolls up to (part, week) first — the LAG
+    window runs over that rollup, bounded by parts × weeks, never raw
+    lineitem; the latest-week scalar rides a broadcast. The trending
+    feed a marketplace recomputes hourly at 100 TB with exactly this
+    shape (rollup → keyed lag → top-k)."""
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    wk = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "l_partkey",
+            F.date_trunc("week", "o_orderdate").alias("week"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("week")
+    lagged = wk.select(
+        "l_partkey", "week", "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lag("week").over(w).alias("prev_week"),
+    )
+    latest = wk.agg(F.max("week").alias("max_week"))
+    adjacent = F.col("prev_week") == F.col("max_week") - F.expr("INTERVAL 7 DAY")
+    n_prev = F.when(adjacent, F.col("prev_n"))
+    return (
+        lagged.crossJoin(F.broadcast(latest))
+        .where((F.col("week") == F.col("max_week")) & (F.col("n") >= 3) & adjacent)
+        .select(
+            "l_partkey",
+            F.col("n").alias("n_current"),
+            n_prev.alias("n_previous"),
+            F.round(
+                (F.col("n") + 1).cast("double") / (n_prev + 1).cast("double"), 8
+            ).alias("growth"),
+        )
+        .orderBy(F.desc("growth"), "l_partkey")
+        .limit(20)
+    )

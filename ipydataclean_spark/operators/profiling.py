@@ -423,3 +423,63 @@ def p28_histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+@register(
+    "p30_functional_dependencies",
+    oracle=(
+        "WITH m AS (SELECT "
+        "CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS d_key, "
+        "CAST(COUNT(DISTINCT c_name) AS BIGINT) AS d_name, "
+        "CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS d_seg, "
+        "CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS d_nat, "
+        "CAST(COUNT(DISTINCT (c_custkey, c_name)) AS BIGINT) AS d_key_name, "
+        "CAST(COUNT(DISTINCT (c_custkey, c_mktsegment)) AS BIGINT) AS d_key_seg, "
+        "CAST(COUNT(DISTINCT (c_nationkey, c_mktsegment)) AS BIGINT) AS d_nat_seg "
+        "FROM customer) "
+        "SELECT p.col_a, p.col_b, p.da, p.db, p.dab, "
+        "CAST(p.dab = p.da AS INT) AS fd_a_to_b, "
+        "CAST(p.dab = p.db AS INT) AS fd_b_to_a, "
+        "CAST(p.dab = p.da AND p.dab = p.db AS INT) AS bijection "
+        "FROM m, LATERAL (VALUES "
+        "('c_custkey', 'c_name', m.d_key, m.d_name, m.d_key_name), "
+        "('c_custkey', 'c_mktsegment', m.d_key, m.d_seg, m.d_key_seg), "
+        "('c_nationkey', 'c_mktsegment', m.d_nat, m.d_seg, m.d_nat_seg)"
+        ") AS p(col_a, col_b, da, db, dab) "
+        "ORDER BY p.col_a, p.col_b"
+    ),
+    tags=("P30", "P3", "profiling"),
+)
+def p30_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P30: functional-dependency / duplicate-column discovery — for
+    candidate column pairs, compare |distinct(a)|, |distinct(b)| and
+    |distinct(a,b)|: dab = da means a → b (b is derivable from a);
+    equality all around means the columns are 1:1 copies (the
+    redundant-column signal a profiler surfaces before anyone joins
+    on the wrong one). ONE scan computes every count (multi-distinct
+    aggregate — Catalyst expands once, no per-pair rescans); the pair
+    table is assembled driver-side from the 1-row result."""
+    c = T(spark, sf_dir, "customer")
+    m = c.agg(
+        F.countDistinct("c_custkey").alias("d_key"),
+        F.countDistinct("c_name").alias("d_name"),
+        F.countDistinct("c_mktsegment").alias("d_seg"),
+        F.countDistinct("c_nationkey").alias("d_nat"),
+        F.countDistinct("c_custkey", "c_name").alias("d_key_name"),
+        F.countDistinct("c_custkey", "c_mktsegment").alias("d_key_seg"),
+        F.countDistinct("c_nationkey", "c_mktsegment").alias("d_nat_seg"),
+    ).collect()[0]
+    pairs = [
+        ("c_custkey", "c_name", m["d_key"], m["d_name"], m["d_key_name"]),
+        ("c_custkey", "c_mktsegment", m["d_key"], m["d_seg"], m["d_key_seg"]),
+        ("c_nationkey", "c_mktsegment", m["d_nat"], m["d_seg"], m["d_nat_seg"]),
+    ]
+    rows = [
+        (a, b, da, db, dab, int(dab == da), int(dab == db), int(dab == da == db))
+        for a, b, da, db, dab in pairs
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_a string, col_b string, da long, db long, dab long, "
+        "fd_a_to_b int, fd_b_to_a int, bijection int",
+    ).orderBy("col_a", "col_b")
