@@ -296,3 +296,64 @@ def u10_arrow_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev_upper("c_mktsegment").alias("rev_seg"),
         nlen("c_name").alias("name_len"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "u11_udtf_analyze",
+    oracle=(
+        "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k, "
+        "CAST(LENGTH(props) AS BIGINT) AS props_len "
+        "FROM events WHERE event_id % 100 = 0 ORDER BY event_id"
+    ),
+    tags=("U11", "U5", "F-json"),
+)
+def u11_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U11: POLYMORPHIC UDTF — the output schema is computed at plan
+    time by the UDTF's static ``analyze()`` from a constant argument
+    (the requested JSON keys), the Spark 4 table-function contract
+    that lets one UDTF serve any key list with typed columns (the
+    same mechanism backing SQL table functions with dynamic shapes).
+    Here: extract integer keys from the props JSON payload plus a
+    fixed metadata column; the oracle replays the extraction in SQL,
+    so the analyze-time schema AND the row values are hash-checked."""
+    import json as _json
+
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class ExtractKeys:
+        @staticmethod
+        def analyze(ev_id: AnalyzeArgument, props: AnalyzeArgument,
+                    keys: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType().add("event_id", LongType())
+            for k in keys.value:
+                schema = schema.add(k, LongType())
+            schema = schema.add("props_len", LongType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, ev_id, props, keys):  # noqa: ANN001
+            try:
+                d = _json.loads(props) if props is not None else {}
+            except Exception:
+                d = {}
+            vals = tuple(
+                int(d[k]) if isinstance(d.get(k), (int, float)) else None
+                for k in keys
+            )
+            yield (ev_id, *vals, len(props) if props is not None else None)
+
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") % 100 == 0)
+    return (
+        ev.select("event_id", "props")
+        .lateralJoin(
+            ExtractKeys(
+                F.col("event_id").outer(),
+                F.col("props").outer(),
+                F.lit(["k"]),
+            )
+        )
+        .select(ev.event_id, F.col("k"), F.col("props_len"))
+        .orderBy("event_id")
+    )
