@@ -43,6 +43,11 @@ class Check:
     #: True for checks whose Spark metric depends on the session
     #: timezone (evaluate() enforces UTC for these)
     tz_sensitive: bool = False
+    #: optional ROW-level form (thunk -> Column boolean; None for
+    #: suite-level-only checks like uniqueness/mean/size/freshness) —
+    #: powers Suite.split()'s quarantine routing
+    row_pred: "object" = None
+    row_pred_sql: str | None = None
 
     def passed(self, m: Column) -> Column:
         conds = []
@@ -94,6 +99,8 @@ class Suite:
             lambda: _frac(F.col(col).isNotNull()),
             _frac_sql(f"{col} IS NOT NULL"),
             lo=min_ratio, hi=None,
+            row_pred=lambda: F.col(col).isNotNull(),
+            row_pred_sql=f"{col} IS NOT NULL",
         ))
 
     def uniqueness(self, col: str, min_ratio: float = 1.0) -> "Suite":
@@ -118,6 +125,9 @@ class Suite:
             ),
             _frac_sql(f"({col} IS NULL OR ({col} >= {lo!r} AND {col} <= {hi!r}))"),
             lo=1.0, hi=None,
+            row_pred=lambda: F.col(col).isNull()
+            | ((F.col(col) >= lo) & (F.col(col) <= hi)),
+            row_pred_sql=f"({col} IS NULL OR ({col} >= {lo!r} AND {col} <= {hi!r}))",
         ))
 
     def mean_between(self, col: str, lo: float, hi: float) -> "Suite":
@@ -136,6 +146,8 @@ class Suite:
             lambda: _frac(F.col(col).isin(vals)),
             _frac_sql(f"{col} IN ({in_sql})"),
             lo=min_ratio, hi=None,
+            row_pred=lambda: F.col(col).isin(vals),
+            row_pred_sql=f"{col} IN ({in_sql})",
         ))
 
     def matches(self, col: str, pattern: str, min_ratio: float) -> "Suite":
@@ -145,6 +157,8 @@ class Suite:
             lambda: _frac(F.col(col).rlike(pattern)),
             _frac_sql(f"REGEXP_MATCHES({col}, '{pat_sql}')"),
             lo=min_ratio, hi=None,
+            row_pred=lambda: F.col(col).rlike(pattern),
+            row_pred_sql=f"REGEXP_MATCHES({col}, '{pat_sql}')",
         ))
 
     def unique_rows(self, cols: list[str], min_ratio: float = 1.0) -> "Suite":
@@ -199,6 +213,45 @@ class Suite:
             "CAST(COUNT(*) AS DOUBLE)",
             lo=float(lo), hi=float(hi),
         ))
+
+    # -- quarantine routing -------------------------------------------
+
+    def split(self, df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Route rows by the suite's ROW-level checks (Deequ's
+        row-level-results / expectation-quarantine pattern): returns
+        (passing rows unchanged, failing rows + a ``failed_checks``
+        column naming every violated check in suite order). One
+        projection, no shuffle — the split is two filters over the
+        same tagged plan, so a writer can fan both sides out of a
+        single scan. Suite-level checks (uniqueness, mean, size,
+        freshness) don't name individual rows and are ignored here;
+        evaluate() carries them."""
+        row_checks = [c for c in self.checks if c.row_pred is not None]
+        if not row_checks:
+            raise ValueError("no row-level checks in suite")
+        tags = F.array_compact(F.array(*[
+            F.when(~c.row_pred(), F.lit(c.name)) for c in row_checks
+        ]))
+        tagged = df.withColumn("failed_checks", F.array_join(tags, ","))
+        good = tagged.where(F.col("failed_checks") == "").drop("failed_checks")
+        bad = tagged.where(F.col("failed_checks") != "")
+        return good, bad
+
+    def quarantine_sql(self, source: str, out_cols: list[str]) -> str:
+        """DuckDB twin of split()[1]: the failing rows with the same
+        comma-joined failed_checks string."""
+        row_checks = [c for c in self.checks if c.row_pred_sql is not None]
+        cases = ", ".join(
+            f"CASE WHEN NOT ({c.row_pred_sql}) THEN '{c.name}' END"
+            for c in row_checks
+        )
+        cols = ", ".join(out_cols)
+        return (
+            f"SELECT {cols}, array_to_string(list_filter([{cases}], "
+            f"x -> x IS NOT NULL), ',') AS failed_checks FROM {source} "
+            f"WHERE array_to_string(list_filter([{cases}], "
+            "x -> x IS NOT NULL), ',') <> ''"
+        )
 
     # -- evaluation ----------------------------------------------------
 
@@ -310,3 +363,31 @@ def x2_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     load) — still ONE scan+agg; oracle generated by the suite's own
     to_sql."""
     return _x2_suite().evaluate(T(spark, sf_dir, "orders"))
+
+
+_X3_COLS = ["l_orderkey", "l_linenumber", "quantity_str", "qty_parsed", "l_discount"]
+
+
+@register(
+    "x3_quarantine",
+    oracle=with_lineitem_dirty(
+        _x1_suite().quarantine_sql("lineitem_dirty", _X3_COLS)
+        + " ORDER BY l_orderkey, l_linenumber LIMIT 500"
+    ),
+    tags=("X3", "X1", "D1", "quality"),
+)
+def x3_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: expectation quarantine — the failing side of Suite.split()
+    over the dirty lineitem, each row tagged with EVERY row-level
+    check it violates (comma-joined in suite order). The ingest
+    pattern at 100 TB: one scan fans rows into the clean table and
+    the quarantine table with reasons; the oracle is GENERATED from
+    the same suite object (quarantine_sql), so routing logic and SQL
+    twin cannot drift apart."""
+    li = lineitem_dirty(spark, sf_dir)
+    _good, bad = _x1_suite().split(li)
+    return (
+        bad.select(*_X3_COLS, "failed_checks")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )

@@ -166,3 +166,36 @@ def test_commit_to_gated_by_suite(spark, sf_dir, tmp_path):
     assert v == 1
     assert t.read().where(F.col("qty_parsed").isNull()).count() == 0
     assert t.read().count() == base.count()
+
+
+def test_split_partitions_rows_and_names_all_violations(spark):
+    from ipydataclean_spark.operators.expectations import Suite
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, None, "A"), (3, 500.0, "Z"), (4, None, "Z")],
+        "id long, v double, flag string",
+    )
+    suite = (
+        Suite()
+        .completeness("v", 1.0)
+        .bounds("v", 0.0, 100.0)
+        .contained_in("flag", ["A", "B"], 1.0)
+    )
+    good, bad = suite.split(df)
+    assert [r.id for r in good.orderBy("id").collect()] == [1]
+    rows = {r.id: r.failed_checks for r in bad.collect()}
+    assert rows[2] == "completeness_v"
+    assert rows[3] == "bounds_v,contained_flag"
+    assert rows[4] == "completeness_v,contained_flag"
+    # split is lossless
+    assert good.count() + bad.count() == df.count()
+
+
+def test_split_requires_row_level_checks(spark):
+    import pytest as _pytest
+
+    from ipydataclean_spark.operators.expectations import Suite
+
+    df = spark.range(3)
+    with _pytest.raises(ValueError):
+        Suite().size_between(0, 10).split(df)
