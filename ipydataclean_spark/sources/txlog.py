@@ -464,7 +464,7 @@ class TxTable:
         return self._publish("overwrite", add, remove, read_v, max_retries, stats=stats)
 
     def merge(self, updates: DataFrame, key: str, max_retries: int = 0,
-              meta: dict | None = None) -> int:
+              meta: dict | None = None, evolve_schema: bool = False) -> int:
         """Upsert ``updates`` by ``key`` with FILE-LEVEL pruning: only
         data files whose parquet footer [min,max] range on ``key``
         intersects the update batch's key range are rewritten; all
@@ -476,7 +476,12 @@ class TxTable:
         is metadata-only (pyarrow), driver-side O(files) — the same
         cost class as Delta's data-skipping stats read.
 
-        ``updates`` must carry the full table schema. Retries default
+        ``updates`` must carry the full table schema unless
+        ``evolve_schema=True``, which lets the batch ADD columns
+        (rewritten rows carry NULL there; files the merge does not
+        touch keep the old schema, so read with ``merge_schema=True``
+        afterwards — Delta's mergeSchema semantics) and tolerates the
+        batch MISSING columns (filled NULL). Retries default
         to 0: rebasing a merge past an interleaved APPEND could
         duplicate a key both writers inserted (the same anomaly
         write-serializable Delta permits); opting into retries is the
@@ -492,7 +497,12 @@ class TxTable:
         hit = self.prune_files(key, bounds.lo, bounds.hi, version=read_v)
         # empty-table edge: no live files -> schema comes from updates
         base = self.spark.read.parquet(*hit) if hit else updates.limit(0)
-        merged = base.join(updates, key, "left_anti").unionByName(updates)
+        # allowMissingColumns unions the two schemas in both directions:
+        # updates-only columns appear (base rows NULL there) and
+        # base-only columns survive (update rows NULL there)
+        merged = base.join(updates, key, "left_anti").unionByName(
+            updates, allowMissingColumns=evolve_schema
+        )
         add, stats = self._stage(merged)
         remove = [os.path.relpath(p, self.root) for p in hit]
         return self._publish("merge", add, remove, read_v, max_retries, meta, stats)

@@ -469,3 +469,33 @@ def test_bloom_absent_column_conservative(spark, tmp_path):
     t = TxTable.create(spark, str(tmp_path / "t"), df.repartition(4))
     assert len(t.prune_files_eq("k", 7)) == len(t.live_files())
     assert t.read_where_eq("k", 7).count() == 1
+
+
+def test_merge_schema_evolution(spark, tmp_path):
+    df = spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(4, "k").sortWithinPartitions("k"),
+    )
+    # batch adds a NEW column (and still carries the full old schema)
+    ups = spark.createDataFrame(
+        [(2, 99, "gold"), (100, 0, "new")], "k long, v long, tier string"
+    )
+    t.merge(ups, key="k", evolve_schema=True)
+    got = {r.k: (r.v, r.tier) for r in t.read(merge_schema=True).collect()}
+    assert got[2] == (99, "gold") and got[100] == (0, "new")
+    assert got[39] == (390, None)  # untouched rows surface NULL tier
+    assert len(got) == 41
+
+    # without the flag, a schema mismatch fails loudly instead of
+    # silently dropping the column
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        t.merge(
+            spark.createDataFrame([(3, 1, "x", 9)],
+                                  "k long, v long, tier string, extra long"),
+            key="k",
+        )
