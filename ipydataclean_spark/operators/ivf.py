@@ -251,7 +251,8 @@ def l3e_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ivf_write(vectors: DataFrame, path: str, n_cells: int = 16) -> None:
+def ivf_write(vectors: DataFrame, path: str, n_cells: int = 16,
+              meta_cols: tuple[str, ...] = ()) -> None:
     """Materialize an IVF index on disk: vectors cell-partitioned
     (``{path}/cells/cell=N/``) plus the tiny centroid table. This is
     the 100 TB layout the in-memory l3c form models: once written,
@@ -260,6 +261,10 @@ def ivf_write(vectors: DataFrame, path: str, n_cells: int = 16) -> None:
     in-memory. Rebuild cadence is an offline choice (centroids drift
     slowly; cells re-shard on rewrite)."""
     assigned, cents = build_ivf(vectors, k=n_cells)
+    if meta_cols:
+        # metadata rides in the index files so probe-time predicates
+        # (tenant/label/category filters) push into the SAME scan
+        assigned = assigned.join(vectors.select("vec_id", *meta_cols), "vec_id")
     assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
     cents.write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -273,9 +278,19 @@ def ivf_append(spark: SparkSession, path: str, new_vectors: DataFrame) -> None:
     queries see old+new rows immediately through the same partition
     pruning. Centroids drift as the corpus grows — watch
     :func:`ivf_drift` and rebuild (ivf_write) when the assignment
-    quality decays past the rebuild threshold."""
+    quality decays past the rebuild threshold. ``meta_cols`` recorded
+    at write time ride along automatically (assign_cells output is
+    joined back to the batch on vec_id, same as ivf_write)."""
     cents = spark.read.parquet(f"{path}/centroids")
     assigned = assign_cells(new_vectors, cents)
+    stored_cols = [
+        f.name for f in spark.read.parquet(f"{path}/cells").schema.fields
+    ]
+    extra = [c for c in stored_cols if c not in ("vec_id", "embedding", "cell")]
+    if extra:
+        assigned = assigned.join(
+            new_vectors.select("vec_id", *extra), "vec_id"
+        )
     assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/cells")
 
 
@@ -314,13 +329,22 @@ def ivf_knn_stored(
     queries: DataFrame,
     k_neighbors: int = 5,
     nprobe: int = 4,
+    where: F.Column | None = None,
 ) -> DataFrame:
     """kNN over a persisted IVF index. The probed-cell set is computed
     against the broadcast-small centroid table and collected (bounded:
     ≤ min(queries × nprobe, n_cells) values — index metadata, never
     row-scaled), then applied as a STATIC partition filter so the scan
     lists only probed cells' files (assert PartitionFilters in the
-    plan). Exact cosine re-ranks within candidates."""
+    plan). Exact cosine re-ranks within candidates.
+
+    ``where`` is a metadata predicate over columns stored in the index
+    (ivf_write meta_cols) — FILTERED vector search: the predicate is
+    applied on the cells read, so it reaches the parquet scan as a
+    pushed data filter alongside the partition filter (pre-filtering;
+    post-filtering a top-k silently under-returns). Selective filters
+    thin each probed cell's candidates — raise nprobe to buy recall
+    back, the standard filtered-ANN tradeoff."""
     cents = spark.read.parquet(f"{path}/centroids")
     q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     probe_rank = Window.partitionBy("query_id").orderBy("qd2", "cid")
@@ -337,6 +361,8 @@ def ivf_knn_stored(
     probes = probes.localCheckpoint()
     probed_cells = sorted({r.cell for r in probes.select("cell").distinct().collect()})
     assigned = spark.read.parquet(f"{path}/cells").where(F.col("cell").isin(probed_cells))
+    if where is not None:
+        assigned = assigned.where(where)
     cand = (
         assigned.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))

@@ -318,3 +318,40 @@ def test_ivf_append_and_drift(spark, sf_dir, tmp_path):
         sn, sm = drift[int(cell)]
         assert sn == n, (cell, sn, n)
         assert abs(sm - mean_d2) <= 1e-6, (cell, sm, mean_d2)
+
+
+def test_ivf_filtered_probe(spark, sf_dir, tmp_path):
+    """Filtered vector search over the stored index: the label
+    predicate rides the cells scan (pushed filter + partition filter),
+    results honor the filter, and recall vs the exact filtered search
+    stays high at raised nprobe."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.ivf import ivf_knn_stored, ivf_write
+    from ipydataclean_spark.operators.llm import l3g_knn_filtered
+    from ipydataclean_spark.plans import pushed_filters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ivf")
+    ivf_write(emb, path, n_cells=8, meta_cols=("label",))
+    lbl = emb.where("vec_id = 0").select("label").first()[0]
+    out = ivf_knn_stored(
+        spark, path, emb.where("vec_id = 0"), k_neighbors=5, nprobe=8,
+        where=F.col("label") == lbl,
+    )
+    rows = out.collect()
+    assert rows, "filtered probe returned nothing"
+    stored = {r.vec_id: r.label for r in spark.read.parquet(path + "/cells").select("vec_id", "label").collect()}
+    assert all(stored[r.neighbor_id] == lbl for r in rows)
+    # the label predicate reaches the scan
+    filters = " ".join(pushed_filters(out))
+    assert "label" in filters, filters
+    # recall vs exact filtered top-5 (nprobe=8 of 8 cells = exhaustive)
+    exact_rows = [
+        r.neighbor_id
+        for r in l3g_knn_filtered(spark, sf_dir).collect()
+        if r.query_id == 0
+    ]
+    got_ids = [r.neighbor_id for r in rows]
+    assert set(got_ids) == set(exact_rows)
