@@ -198,6 +198,15 @@ class DataCleaner:
                 raise ValueError(f"expectation gate failed: {failing}")
         return table.merge(self._df, key=key)
 
+    def quarantine(self, suite) -> tuple[DataFrame, DataFrame]:
+        """Route the CURRENT (post-fix) frame through the suite's
+        ROW-level checks (``operators.expectations.Suite.split``):
+        returns (clean rows, quarantined rows + ``failed_checks``
+        reasons). The widget's "problems" view, as a dataflow: keep
+        the clean side, persist the quarantine side with reasons for
+        triage — both sides come off one scan."""
+        return suite.split(self._df)
+
     def validate(self, suite) -> list[dict]:
         """Evaluate an ``operators.expectations.Suite`` against the
         CURRENT (post-fix) frame — the accept/reject gate a pipeline

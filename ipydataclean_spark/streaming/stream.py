@@ -483,3 +483,36 @@ def abandoned_cart_stream(ev: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def purchase_click_join_full_outer(ev: DataFrame) -> DataFrame:
+    """ST8c: stream-stream FULL OUTER join — purchases matched to
+    preceding-10-minute clicks, PLUS null-padded rows for unmatched
+    purchases AND unmatched clicks. Both outer directions are
+    watermark-gated: an unmatched row on either side emits only when
+    the watermark proves its join window closed (the strongest
+    stream-stream join mode Spark supports; state on both sides is
+    evicted at the same horizon). Output key columns are coalesced so
+    every row names its user regardless of which side survived."""
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    if ev.isStreaming:
+        purchases = purchases.withWatermark("p_ts", "30 minutes")
+        clicks = clicks.withWatermark("c_ts", "30 minutes")
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") < F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 10 MINUTES")),
+        "full_outer",
+    ).select(
+        "p_id", "c_id",
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "p_ts", "c_ts",
+    )

@@ -258,3 +258,19 @@ def test_to_sql_export_of_fix_session(spark, sf_dir):
 
     for k, v in duck.items():
         assert math.isclose(got[k], v, rel_tol=0, abs_tol=1e-9)
+
+
+def test_quarantine_routes_rows_with_reasons(spark, sf_dir):
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.expectations import Suite
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    dc = DataCleaner(lineitem_dirty(spark, sf_dir))
+    suite = Suite().completeness("qty_parsed", 1.0).bounds("l_discount", 0.0, 0.1)
+    good, bad = dc.quarantine(suite)
+    assert good.count() + bad.count() == dc.df.count()
+    assert "failed_checks" in bad.columns
+    reasons = {r.failed_checks for r in bad.select("failed_checks").distinct().collect()}
+    assert any("completeness_qty_parsed" in r for r in reasons)
+    # clean side has no nulls in the checked column
+    assert good.where("qty_parsed IS NULL").count() == 0

@@ -389,3 +389,39 @@ def test_abandoned_cart_timers_replay(spark, sf_dir, tmp_path):
     }
     assert must_have <= got, f"missed firings: {sorted(must_have - got)[:5]}"
     assert len(got) > 0
+
+
+def test_full_outer_stream_join_replay(spark, sf_dir):
+    """ST8c: full-outer stream-stream join replay — matched pairs and
+    both outer directions; outer rows whose windows the final
+    watermark never closed are the ONLY permitted difference from the
+    batch twin, in the held-back direction only."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.streaming.stream import (
+        purchase_click_join_full_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = purchase_click_join_full_outer(ev).collect()
+    stream = purchase_click_join_full_outer(events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_fullouter")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        got = {(r.p_id, r.c_id) for r in spark.table("t_fullouter").collect()}
+    want = {(r.p_id, r.c_id) for r in batch}
+    matched_want = {t for t in want if t[0] is not None and t[1] is not None}
+    # all matched pairs must replay exactly
+    assert matched_want <= got, f"missing matched: {sorted(matched_want - got)[:5]}"
+    # nothing outside the batch answer may ever emit
+    assert got <= want, f"spurious: {sorted(got - want)[:5]}"
+    # both outer directions produced at least some closed-window rows
+    assert any(t[1] is None for t in got), "no outer purchases emitted"
+    assert any(t[0] is None for t in got), "no outer clicks emitted"
