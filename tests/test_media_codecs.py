@@ -213,3 +213,67 @@ def test_dhash_banding_guarantee():
     bands1 = [(h1 >> (8 * b)) & 255 for b in range(8)]
     bands2 = [(h2 >> (8 * b)) & 255 for b in range(8)]
     assert any(a == b for a, b in zip(bands1, bands2))
+
+
+# ---------------------------------------------------------------------------
+# l9g PNG codec
+# ---------------------------------------------------------------------------
+
+
+def _gradient_px(h=9, w=13, ch=3):
+    import numpy as np
+
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.zeros((h, w, ch), dtype=np.uint8)
+    px[:, :, 0] = (x * 7 + y * 3) % 256
+    px[:, :, 1] = (x * 11 + y * 5) % 256
+    px[:, :, 2] = (x * 13 + y * 17) % 256
+    if ch == 4:
+        px[:, :, 3] = (x * 29 + y) % 256
+    return px
+
+
+def test_png_roundtrip_all_filters_rgb_and_rgba():
+    import numpy as np
+    from ipydataclean_spark.operators.media_codecs import decode_png, encode_png
+
+    for ch in (3, 4):
+        px = _gradient_px(ch=ch)
+        for ft in range(5):
+            out = decode_png(encode_png(px, filter_type=ft))
+            assert out.shape == px.shape, (ch, ft)
+            assert np.array_equal(out, px), f"filter {ft} ch {ch} mismatch"
+
+
+def test_png_crc_corruption_detected():
+    import pytest as _pytest
+    from ipydataclean_spark.operators.media_codecs import decode_png, encode_png
+
+    data = bytearray(encode_png(_gradient_px()))
+    # flip one byte inside the IDAT body (after sig+IHDR chunk)
+    idat_at = bytes(data).find(b"IDAT")
+    data[idat_at + 10] ^= 0xFF
+    with _pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(data))
+    with _pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+
+
+def test_png_rejects_unsupported_shapes():
+    import struct as _struct
+    import zlib as _zlib
+
+    import pytest as _pytest
+    from ipydataclean_spark.operators.media_codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    # 16-bit depth header: honest refusal, not garbage output
+    ihdr = _struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    data = _PNG_SIG + _png_chunk(b"IHDR", ihdr) + _png_chunk(
+        b"IDAT", _zlib.compress(b"\x00" * 10)
+    ) + _png_chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="unsupported"):
+        decode_png(data)
