@@ -703,3 +703,49 @@ def q31_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("growth"), "l_partkey")
         .limit(20)
     )
+
+
+@register(
+    "q32_event_transitions",
+    oracle=(
+        "WITH seq AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+        "AS next_type FROM events), "
+        "pairs AS (SELECT event_type AS from_type, next_type AS to_type, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM seq WHERE next_type IS NOT NULL "
+        "GROUP BY event_type, next_type) "
+        "SELECT from_type, to_type, n, "
+        "ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) "
+        "AS DOUBLE), 8) AS p "
+        "FROM pairs ORDER BY from_type, to_type"
+    ),
+    tags=("Q32", "W2", "analytics"),
+)
+def q32_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q32: event-transition matrix (the user-flow / Markov-chain
+    readout behind every sankey diagram): consecutive event-type pairs
+    per user via one user-keyed LEAD, pair counts, and row-normalized
+    transition probabilities. The probability window runs over the
+    |event_types|² pair table — bounded regardless of event volume."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    pairs = (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_from = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_from).cast("double"), 8
+        ).alias("p"),
+    ).orderBy("from_type", "to_type")
