@@ -282,23 +282,39 @@ class TxTable:
         union = pos_rows[0]
         for extra in pos_rows[1:]:
             union = union.unionByName(extra)
+
+        def pack(pdf):
+            # executor-side bitmap fold: the driver receives ONE packed
+            # bitmap row per (file, column), never a position list
+            # (k·n_distinct values) — the collect stays O(files · m/8)
+            import numpy as _np
+            import pandas as _pd
+
+            m = int(pdf["__m"].iloc[0])
+            pos = (pdf["__h"].to_numpy(dtype="int64") % m).astype("int64")
+            arr = _np.zeros(m // 8, dtype=_np.uint8)
+            _np.bitwise_or.at(arr, pos // 8, (1 << (pos % 8)).astype(_np.uint8))
+            return _pd.DataFrame({
+                "__base": [pdf["__base"].iloc[0]],
+                "__c": [pdf["__c"].iloc[0]],
+                "__m": [m],
+                "__bits": [base64.b64encode(arr.tobytes()).decode("ascii")],
+            })
+
         folded = (
             union.join(F.broadcast(m_df), ["__base", "__c"])
-            .select("__base", "__c", F.pmod("__h", F.col("__m")).alias("__p"))
             .groupBy("__base", "__c")
-            .agg(F.collect_set("__p").alias("__ps"))
+            .applyInPandas(
+                pack, schema="__base STRING, __c STRING, __m LONG, __bits STRING"
+            )
             .collect()
         )
         out: dict[str, dict] = {}
         for r in folded:
-            m = m_map[(r["__base"], r["__c"])]
-            bitmap = bytearray(m // 8)
-            for p in r["__ps"]:
-                bitmap[p // 8] |= 1 << (p % 8)
             rel = os.path.join("data", token, r["__base"])
             out.setdefault(rel, {})[r["__c"]] = {
-                "m": m,
-                "bits": base64.b64encode(bytes(bitmap)).decode("ascii"),
+                "m": int(r["__m"]),
+                "bits": r["__bits"],
             }
         return out
 
