@@ -794,3 +794,66 @@ def q30_daily_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@register(
+    "d14_seasonal_anomaly",
+    oracle=(
+        "WITH hourly AS (SELECT event_type, "
+        "CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "base AS (SELECT event_type, h, n, "
+        "COUNT(n) OVER w AS prior_weeks, "
+        "CAST(SUM(n) OVER w AS DOUBLE) / COUNT(n) OVER w AS baseline "
+        "FROM hourly WINDOW w AS (PARTITION BY event_type, dayofweek(h), "
+        "hour(h) ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) "
+        "SELECT event_type, h, n, prior_weeks, ROUND(baseline, 8) AS baseline, "
+        "ROUND(ABS(CAST(n AS DOUBLE) - baseline) / baseline, 8) AS deviation "
+        "FROM base WHERE prior_weeks >= 2 "
+        "AND ABS(CAST(n AS DOUBLE) - baseline) / baseline >= 0.5 "
+        "ORDER BY event_type, h"
+    ),
+    tags=("D14", "D9", "D12", "quality"),
+)
+def d14_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14: seasonality-aware volume anomaly — each (event_type, hour)
+    bucket compared against the mean of the SAME hour-of-week in
+    prior weeks (trailing frame, no lookahead): flags hours ≥ 50% off
+    their seasonal baseline once ≥ 2 prior observations exist. The
+    d12 day-over-day monitor misfires every weekend; this is the
+    standard fix (seasonal slot baselining).
+
+    Scale shape: the fact table collapses to the calendar-sized
+    hourly rollup first; the seasonal window partitions by
+    (type, day-of-week, hour-of-day) over that rollup — both engines
+    map a calendar hour to the same slot, so the partition keys agree
+    without the DOW-numbering convention ever reaching the output.
+    Baseline = SUM/COUNT of integer counts: identical IEEE division
+    on both engines, ROUND(8)-pinned."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type", F.dayofweek("h"), F.hour("h"))
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = hourly.select(
+        "event_type", "h", "n",
+        F.count("n").over(w).alias("prior_weeks"),
+        (F.sum("n").over(w).cast("double") / F.count("n").over(w)).alias("baseline"),
+    )
+    dev = F.abs(F.col("n").cast("double") - F.col("baseline")) / F.col("baseline")
+    return (
+        base.where((F.col("prior_weeks") >= 2) & (dev >= 0.5))
+        .select(
+            "event_type", "h", "n", "prior_weeks",
+            F.round("baseline", 8).alias("baseline"),
+            F.round(dev, 8).alias("deviation"),
+        )
+        .orderBy("event_type", "h")
+    )
