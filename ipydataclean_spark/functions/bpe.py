@@ -74,3 +74,16 @@ def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
     return sym
+
+
+# Worker-side closures (the l10b pandas UDF) reference this module's
+# functions; registering the module for cloudpickle BY-VALUE pickling
+# makes those closures self-contained — executors never need
+# ipydataclean_spark importable (the driver runs from an arbitrary
+# cwd with only sys.path pointing here; Python workers inherit
+# neither). Pure-stdlib module, so the by-value payload is tiny.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

@@ -747,3 +747,17 @@ def l9g_real_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return out.orderBy("doc_id")
+
+
+# The decode/hash kernels shipped to executors reference this module's
+# codec functions (decode_bmp / decode_wav_pcm16 / decode_png /
+# dhash64 / the PNG filter helpers). Register the module for
+# cloudpickle BY-VALUE pickling so those closures are self-contained:
+# executors never import ipydataclean_spark (the driver may run from
+# an arbitrary cwd where only driver-side sys.path knows the repo).
+# stdlib+numpy only, so the pickled payload stays small.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
