@@ -761,3 +761,163 @@ import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+# ---------------------------------------------------------------------------
+# L9h — G.711 µ-law companding (telephony audio; ITU-T spec, no codec lib)
+# ---------------------------------------------------------------------------
+
+
+def lin2ulaw(x: np.ndarray) -> np.ndarray:
+    """int16 PCM -> µ-law bytes, the exact Sun/CCITT reference
+    algorithm (14-bit domain, arithmetic shift, CLIP 8159, BIAS 0x84)
+    — bit-identical to CPython's audioop.lin2ulaw over all 65536
+    inputs (pinned in tests where audioop exists)."""
+    x = np.asarray(x, dtype=np.int64)
+    pcm = np.right_shift(x, 2)
+    mask = np.where(pcm < 0, 0x7F, 0xFF)
+    pcm = np.where(pcm < 0, -pcm, pcm)
+    pcm = np.minimum(pcm, 8159) + 33
+    exp = (np.floor(np.log2(pcm)) - 5).astype(np.int64)
+    exp = np.clip(exp, 0, 8)
+    out = np.where(exp >= 8, 0x7F, (exp << 4) | ((pcm >> (exp + 1)) & 0xF))
+    return ((out ^ mask) & 0xFF).astype(np.uint8)
+
+
+def ulaw2lin(u: np.ndarray) -> np.ndarray:
+    """µ-law bytes -> int16 PCM (exact inverse table; bit-identical to
+    audioop.ulaw2lin)."""
+    u = (~np.asarray(u, dtype=np.int64)) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84) << exp
+    x = mag - 0x84
+    return np.where(sign != 0, -x, x).astype(np.int16)
+
+
+def encode_wav_mulaw(samples: np.ndarray, rate: int) -> bytes:
+    """int16 mono samples -> RIFF/WAVE with format 7 (µ-law, 8 bits
+    per sample — the 2:1-compressed telephony WAV layout)."""
+    raw = lin2ulaw(samples).tobytes()
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 7, 1, rate, rate, 1, 8)
+    data = struct.pack("<4sI", b"data", len(raw)) + raw
+    pad = b"\x00" if len(raw) & 1 else b""
+    return (
+        struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data) + len(pad), b"WAVE")
+        + fmt + data + pad
+    )
+
+
+def decode_wav_any(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE -> (int16 samples, rate) for PCM16 (fmt 1) OR µ-law
+    (fmt 7) payloads — the chunk walk of decode_wav_pcm16 extended
+    with companding expansion."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    pos, rate, fmt_code, samples = 12, None, None, None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack_from("<4sI", data, pos)
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt_code, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if channels != 1 or (fmt_code, bits) not in ((1, 16), (7, 8)):
+                raise ValueError("unsupported WAV (need PCM16 or mu-law mono)")
+        elif cid == b"data":
+            raw = body
+        pos += 8 + clen + (clen & 1)
+    if rate is None or fmt_code is None:
+        raise ValueError("missing fmt/data chunk")
+    if fmt_code == 1:
+        samples = np.frombuffer(raw, dtype="<i2")
+    else:
+        samples = ulaw2lin(np.frombuffer(raw, dtype=np.uint8))
+    return samples, rate
+
+
+def _mulaw_quantized_amp(amp: int) -> int:
+    """The decoded magnitude a µ-law round trip maps ``amp`` to —
+    closed-form for the oracle."""
+    return int(ulaw2lin(lin2ulaw(np.array([amp], dtype=np.int64)))[0])
+
+
+_L9H_AMPS = [(d % 100) * 100 + 100 for d in range(100)]
+_L9H_QAMP = [_mulaw_quantized_amp(a) for a in _L9H_AMPS]
+
+
+@register(
+    "l9h_mulaw_audio",
+    oracle=(
+        "WITH q AS (SELECT doc_id, 800 + (doc_id % 8) * 100 AS n, "
+        "CAST(([" + ", ".join(str(v) for v in _L9H_QAMP) + "])"
+        "[(doc_id % 100) + 1] AS DOUBLE) AS qamp, "
+        "1 + doc_id % 4 AS h FROM documents WHERE doc_id % 13 = 5), "
+        "fr AS (SELECT doc_id, qamp, h, unnest(range(0, n // 160)) AS frame_id "
+        "FROM q) "
+        "SELECT doc_id, CAST(frame_id AS INT) AS frame_id, qamp AS rms, "
+        "CAST((frame_id * 160 + 159) // h - (frame_id * 160) // h AS BIGINT) AS zcr "
+        "FROM fr ORDER BY doc_id, frame_id"
+    ),
+    tags=("L9", "multimodal", "audio"),
+)
+def l9h_mulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9h: COMPRESSED telephony audio end-to-end — square waves are
+    µ-law companded (G.711, 2:1) into format-7 WAV bytes, expanded by
+    the from-scratch decoder, framed, and reduced (the l9e features
+    over the compressed format). The oracle embeds the closed-form
+    quantized amplitude each doc's amp companding maps to (|signal|
+    is constant, so frame RMS = quantized amp EXACTLY; crossings are
+    unchanged by companding since the sign survives) — a hash match
+    certifies the full compand→bytes→expand→feature path. The codec
+    itself is pinned bit-exact against CPython's audioop over the
+    whole int16 domain in tests/test_media_codecs.py."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 800 + (d % 8) * 100
+                amp = (d % 100) * 100 + 100
+                h = 1 + d % 4
+                i = _np.arange(n)
+                s = _np.where((i // h) % 2 == 0, amp, -amp).astype(_np.int16)
+                payloads.append(encode_wav_mulaw(s, 8000))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_id": [], "rms": [], "zcr": []}
+            for r in pdf.itertuples():
+                try:
+                    s, _rate = decode_wav_any(bytes(r.payload))
+                except Exception:
+                    continue
+                n_frames = len(s) // FRAME
+                if n_frames == 0:
+                    continue
+                x = s[: n_frames * FRAME].astype("f8").reshape(n_frames, FRAME)
+                rms = _np.sqrt((x * x).mean(axis=1))
+                sgn = _np.sign(x)
+                zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
+                out["doc_id"].extend([r.doc_id] * n_frames)
+                out["frame_id"].extend(range(n_frames))
+                out["rms"].extend(_np.round(rms, 8))
+                out["zcr"].extend(zcr.astype("int64"))
+            yield _pd.DataFrame(out)
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 5)
+    media = docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+    out = media.mapInPandas(
+        kernel, schema="doc_id BIGINT, frame_id INT, rms DOUBLE, zcr BIGINT"
+    )
+    return out.orderBy("doc_id", "frame_id")

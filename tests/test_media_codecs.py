@@ -277,3 +277,50 @@ def test_png_rejects_unsupported_shapes():
     ) + _png_chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="unsupported"):
         decode_png(data)
+
+
+# ---------------------------------------------------------------------------
+# l9h mu-law
+# ---------------------------------------------------------------------------
+
+
+def test_mulaw_bit_exact_vs_stdlib_reference():
+    """Our from-scratch G.711 codec vs CPython's audioop (an
+    INDEPENDENT reference implementation): bit-identical over the
+    entire int16 domain (encode) and all 256 codes (decode)."""
+    import numpy as np
+    import pytest as _pytest
+
+    audioop = _pytest.importorskip("audioop")
+    from ipydataclean_spark.operators.media_codecs import lin2ulaw, ulaw2lin
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    ref = np.frombuffer(
+        audioop.lin2ulaw(xs.astype("<i2").tobytes(), 2), dtype=np.uint8
+    )
+    assert np.array_equal(lin2ulaw(xs), ref)
+    us = np.arange(256).astype(np.uint8)
+    refd = np.frombuffer(audioop.ulaw2lin(bytes(us), 2), dtype="<i2")
+    assert np.array_equal(ulaw2lin(us), refd)
+
+
+def test_mulaw_roundtrip_error_bound_and_wav():
+    import numpy as np
+    from ipydataclean_spark.operators.media_codecs import (
+        decode_wav_any,
+        encode_wav_mulaw,
+        lin2ulaw,
+        ulaw2lin,
+    )
+
+    xs = np.arange(-32000, 32000, 97, dtype=np.int64)
+    rt = ulaw2lin(lin2ulaw(xs)).astype(np.int64)
+    # companding error is relative: bounded by segment step (~3.1%)
+    assert np.all(np.abs(rt - xs) <= np.maximum(np.abs(xs) * 0.04, 40))
+    # sign always survives (zero-crossing features are compand-proof)
+    assert np.all(np.sign(rt) == np.sign(np.clip(xs, -32635, 32635)))
+    # WAV fmt-7 round trip
+    s = (1000 * np.sin(np.arange(400) / 10)).astype(np.int16)
+    dec, rate = decode_wav_any(encode_wav_mulaw(s, 8000))
+    assert rate == 8000 and len(dec) == 400
+    assert np.array_equal(dec, ulaw2lin(lin2ulaw(s.astype(np.int64))))
