@@ -921,3 +921,127 @@ def l9h_mulaw_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel, schema="doc_id BIGINT, frame_id INT, rms DOUBLE, zcr BIGINT"
     )
     return out.orderBy("doc_id", "frame_id")
+
+
+# ---------------------------------------------------------------------------
+# Composite: mixed-modality media curation (the L9-family flagship)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pipeline_media_curation",
+    oracle=(
+        "WITH m AS (SELECT doc_id, "
+        "CASE doc_id % 4 WHEN 0 THEN 'image/bmp' WHEN 1 THEN 'audio/pcm' "
+        "WHEN 2 THEN 'image/png' ELSE 'audio/mulaw' END AS kind, "
+        "CASE WHEN doc_id % 25 = 1 THEN 0 ELSE 1 END AS ok, "
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN CASE WHEN (16 + doc_id % 7) * (12 + doc_id % 5) >= 200 THEN 1 ELSE 0 END "
+        "WHEN 2 THEN CASE WHEN (5 + doc_id % 6) * (4 + doc_id % 4) >= 30 THEN 1 ELSE 0 END "
+        "ELSE CASE WHEN 800 + (doc_id % 8) * 100 >= 1000 THEN 1 ELSE 0 END END AS quality "
+        "FROM documents WHERE doc_id % 3 = 0) "
+        "SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_total, "
+        "CAST(SUM(ok) AS BIGINT) AS n_decoded, "
+        "CAST(SUM(ok * quality) AS BIGINT) AS n_kept "
+        "FROM m GROUP BY kind ORDER BY kind"
+    ),
+    tags=("L9", "L7", "multimodal", "pipeline"),
+)
+def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite media-curation pass over a MIXED-modality corpus —
+    the multimodal twin of pipeline_corpus_curation: four real payload
+    formats (patterned BMP, PCM16 square wave, constant-color PNG,
+    µ-law square wave) plus injected garbage bytes flow through ONE
+    dispatch kernel (sniff → decode with the right from-scratch codec
+    → modality features), then quality gates (min pixel area / min
+    sample count) route keep/drop, and the rollup reports
+    total/decoded/kept per kind. The oracle recomputes every count in
+    closed form from doc_id — a hash match certifies payload build,
+    four decoders, the malformed-payload guard, and the gates, all at
+    once. Plan: two narrow Arrow maps + one tiny groupBy; nothing
+    shuffles at payload width (features leave the kernel, bytes do
+    not)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def payload(d: int) -> tuple[str, bytes]:
+            if d % 25 == 1:
+                return ("garbage", b"\x00corrupt-payload" + bytes([d % 256]) * 7)
+            kind = d % 4
+            if kind == 0:
+                h, w = 12 + d % 5, 16 + d % 7
+                y, x = _np.mgrid[0:h, 0:w]
+                g = (40 + ((x * (1 + d % 5) + y * (1 + d % 3) + d) % 23) * 6)
+                px = _np.repeat(g[:, :, None], 3, axis=2).astype(_np.uint8)
+                return ("image/bmp", encode_bmp(px))
+            n = 800 + (d % 8) * 100
+            amp = (d % 100) * 100 + 100
+            half = 1 + d % 4
+            i = _np.arange(n)
+            s = _np.where((i // half) % 2 == 0, amp, -amp).astype(_np.int16)
+            if kind == 1:
+                return ("audio/pcm", encode_wav_pcm16(s, 8000))
+            if kind == 3:
+                return ("audio/mulaw", encode_wav_mulaw(s, 8000))
+            w, h = 5 + d % 6, 4 + d % 4
+            px = _np.empty((h, w, 3), dtype=_np.uint8)
+            px[:, :, 0] = (11 * d) % 256
+            px[:, :, 1] = (13 * d) % 256
+            px[:, :, 2] = (17 * d) % 256
+            return ("image/png", encode_png(px, filter_type=d % 5))
+
+        for pdf in batches:
+            kinds, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                k, b = payload(int(doc_id))
+                kinds.append(k)
+                payloads.append(b)
+            yield _pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "hint": kinds, "payload": payloads}
+            )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def one(doc_id, payload):
+            d = int(doc_id)
+            # kind from doc_id (the ingest contract); decode SNIFFS the
+            # bytes, so a lying payload lands in ok=0, not a crash
+            kind = ["image/bmp", "audio/pcm", "image/png", "audio/mulaw"][d % 4]
+            ok, quality = 0, 0
+            try:
+                b = bytes(payload)
+                if b[:2] == b"BM":
+                    px = decode_bmp(b)
+                    ok, quality = 1, int(px.shape[0] * px.shape[1] >= 200)
+                elif b[: len(_PNG_SIG)] == _PNG_SIG:
+                    px = decode_png(b)
+                    ok, quality = 1, int(px.shape[0] * px.shape[1] >= 30)
+                elif b[:4] == b"RIFF":
+                    s, _r = decode_wav_any(b)
+                    ok, quality = 1, int(len(s) >= 1000)
+            except Exception:
+                ok = 0
+            return {"kind": kind, "ok": ok, "quality": quality}
+
+        for pdf in batches:
+            yield _pd.DataFrame([one(r.doc_id, r.payload) for r in pdf.itertuples()])
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    media = docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, hint STRING, payload BINARY"
+    )
+    feats = media.mapInPandas(
+        kernel, schema="kind STRING, ok INT, quality INT"
+    )
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("ok").cast("long").alias("n_decoded"),
+            F.sum(F.col("ok") * F.col("quality")).cast("long").alias("n_kept"),
+        )
+        .orderBy("kind")
+    )
