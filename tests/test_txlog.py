@@ -499,3 +499,73 @@ def test_merge_schema_evolution(spark, tmp_path):
                                   "k long, v long, tier string, extra long"),
             key="k",
         )
+
+
+def test_txcdc_stream_replays_and_resumes(spark, tmp_path):
+    """Streaming CDC source: offsets are table versions; availableNow
+    drains the change feed, later commits + further drains from the
+    SAME checkpoint emit only their windows (exactly-once)."""
+    from ipydataclean_spark.sources.txlog import register_txcdc
+
+    df = spark.range(0, 30).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    root = str(tmp_path / "t")
+    t = TxTable.create(
+        spark, root, df.repartitionByRange(3, "k").sortWithinPartitions("k")
+    )
+    register_txcdc(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    out_dir = str(tmp_path / "out")
+
+    def drain(expect_version):
+        # parquet sink: the one that supports checkpoint RESUME (the
+        # memory sink refuses recovery); each drain appends its window
+        stream = (
+            spark.readStream.format("txcdc")
+            .option("path", root)
+            .option("key", "k")
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        all_rows = spark.read.parquet(out_dir).collect()
+        return [r for r in all_rows if r.version == expect_version]
+
+    # window -1 -> 0: the create replayed as inserts
+    rows = drain(0)
+    assert len(rows) == 30
+    assert all(r.change_type == "insert" and r.version == 0 for r in rows)
+    assert {r.k: r.v for r in rows}[7] == 70
+
+    # window 0 -> 1: one merge = update pre/post + one insert,
+    # unchanged rows of the rewritten file do NOT reappear
+    t.merge(
+        spark.createDataFrame([(5, -1), (100, 0)], "k long, v long"), key="k"
+    )
+    rows2 = drain(1)
+    by = {(r.change_type, r.k): (r.version, r.v) for r in rows2}
+    assert by[("insert", 100)] == (1, 0)
+    assert by[("update_preimage", 5)] == (1, 50)
+    assert by[("update_postimage", 5)] == (1, -1)
+    assert len(rows2) == 3
+
+    # window 1 -> 2: overwrite-to-subset = deletes only
+    t2 = TxTable(spark, root)
+    t2.overwrite(t2.read().where("k < 3"))
+    rows3 = drain(2)
+    assert rows3 and all(r.change_type == "delete" for r in rows3)
+    assert all(r.version == 2 for r in rows3)
+    assert len(rows3) == 31 - 3  # 31 live keys, 3 survive
+
+    # nothing new: a fourth drain appends nothing
+    n_before = spark.read.parquet(out_dir).count()
+    assert drain(3) == []
+    assert spark.read.parquet(out_dir).count() == n_before
