@@ -196,3 +196,88 @@ def inc2_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", status.alias("status"), canonical.alias("canonical_id"))
         .orderBy("doc_id")
     )
+
+
+def maintain_sum_view(
+    spark: SparkSession,
+    source_root: str,
+    view,
+    group_col: str,
+    val_col: str,
+    key_col: str,
+    checkpoint_dir: str,
+):
+    """INC3: EXACT incremental view maintenance from the change feed —
+    a per-group running sum kept consistent with its source TxTable by
+    consuming the ``txcdc`` stream instead of rescanning snapshots:
+    inserts/update-postimages ADD, deletes/update-preimages SUBTRACT
+    (both the group COUNT and the value sum — the count distinguishes
+    an emptied group from one summing to zero), and because the
+    per-batch delta is a DECIMAL sum (associative, order-independent),
+    (view rows with n > 0 after N windows) == (direct aggregate of the
+    Nth snapshot) EXACTLY — the classic delta-rule IVM (Blakeley et
+    al.) on the lakehouse change feed. View schema:
+    (group, n BIGINT, total DECIMAL).
+
+    Scale shape: each micro-batch groups ONLY its window's change rows
+    (file-bounded by the commits), joins the view's CURRENT rows for
+    the touched groups, and MERGEs the adjusted groups back — work per
+    window is O(changes + touched groups), never O(source) or O(view).
+    Drain with availableNow on a schedule for a cheap near-real-time
+    rollup table. Returns the StreamingQuery."""
+    from ipydataclean_spark.sources.txlog import register_txcdc
+
+    register_txcdc(spark)
+    stream = (
+        spark.readStream.format("txcdc")
+        .option("path", source_root)
+        .option("key", key_col)
+        .option("startingVersion", 0)
+        .load()
+    )
+
+    def apply(batch: DataFrame, _epoch: int) -> None:
+        sign = (
+            F.when(F.col("change_type").isin("insert", "update_postimage"), F.lit(1))
+            .when(F.col("change_type").isin("delete", "update_preimage"), F.lit(-1))
+        )
+        delta = (
+            batch.select(
+                F.col(group_col),
+                sign.alias("__s"),
+                (sign * F.col(val_col)).cast("decimal(28,6)").alias("__d"),
+            )
+            .groupBy(group_col)
+            .agg(
+                F.sum("__s").cast("long").alias("__dn"),
+                F.sum("__d").alias("__delta"),
+            )
+        )
+        if not delta.head(1):
+            return
+        cur = view.read().join(delta.select(group_col), group_col, "left_semi")
+        zero = F.lit(0).cast("decimal(28,6)")
+        merged = (
+            cur.join(delta, group_col, "full_outer")
+            .select(
+                group_col,
+                (
+                    F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("__dn"), F.lit(0))
+                ).cast("long").alias("n"),
+                (
+                    F.coalesce(F.col("total"), zero)
+                    + F.coalesce(F.col("__delta"), zero)
+                ).cast("decimal(28,6)").alias("total"),
+            )
+        )
+        # groups whose membership reached zero keep an n=0 tombstone
+        # row; the view read contract is .where("n > 0") (MERGE has no
+        # row-delete — the tombstone is compacted away on rebuild)
+        view.merge(merged, key=group_col)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -569,3 +569,63 @@ def test_txcdc_stream_replays_and_resumes(spark, tmp_path):
     n_before = spark.read.parquet(out_dir).count()
     assert drain(3) == []
     assert spark.read.parquet(out_dir).count() == n_before
+
+
+def test_incremental_view_maintenance_from_cdc(spark, tmp_path):
+    """INC3: the CDC-maintained per-group sum equals the direct
+    aggregate of every source snapshot it has consumed — through
+    merge updates, inserts, AND deletes — without ever rescanning
+    the source."""
+    from ipydataclean_spark.operators.incremental import maintain_sum_view
+
+    src_root = str(tmp_path / "src")
+    view_root = str(tmp_path / "view")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("grp"),
+        (F.col("id") * 1.5).cast("double").alias("v"),
+    )
+    src = TxTable.create(
+        spark, src_root, df.repartitionByRange(3, "k").sortWithinPartitions("k")
+    )
+    # view seeded from the v0 snapshot (CDC windows start AFTER v0)
+    seed = src.read().groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("v").cast("decimal(28,6)")).alias("total"),
+    )
+    view = TxTable.create(spark, view_root, seed)
+
+    def check():
+        got = {
+            r.grp: (r.n, r.total)
+            for r in view.read().where("n > 0").collect()
+        }
+        want = {
+            r.grp: (r.n, r.total)
+            for r in src.read()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("v").cast("decimal(28,6)")).alias("total"),
+            )
+            .collect()
+        }
+        assert got == want, (got, want)
+
+    ckpt = str(tmp_path / "ckpt")
+    # window 1: merge = updates + inserts
+    src.merge(
+        spark.createDataFrame(
+            [(5, "1", 100.0), (200, "0", 7.25)], "k long, grp string, v double"
+        ),
+        key="k",
+    )
+    q = maintain_sum_view(spark, src_root, view, "grp", "v", "k", ckpt)
+    q.awaitTermination(120)
+    check()
+
+    # window 2: deletes (overwrite to a subset)
+    src.overwrite(src.read().where("k % 2 = 0"))
+    q = maintain_sum_view(spark, src_root, view, "grp", "v", "k", ckpt)
+    q.awaitTermination(120)
+    check()
