@@ -332,6 +332,23 @@ class DataCleaner:
         lo, hi = detectors.iqr_bounds(df, column, self.outlier_k)
         return df.where(~((F.col(column) < lo) | (F.col(column) > hi)))
 
+    def undo(self) -> "DataCleaner":
+        """Revert the most recent fix (the widget's undo button):
+        drops the last recipe step and replays the remaining steps
+        over the ORIGINAL frame — plan replay, not data rollback, so
+        nothing was materialized that needs deleting. (A checkpoint()
+        taken after the undone step is superseded by the replayed
+        lineage.)"""
+        if not self.history:
+            raise ValueError("nothing to undo")
+        self.history.pop()
+        self.recipe.steps.pop()
+        df = self._source
+        for step in self.recipe.steps:
+            df = step.fn(df)
+        self._df = df
+        return self
+
     # ------------------------------------------------------------------
     def checkpoint(self) -> "DataCleaner":
         """Bound lineage between interactive steps (the Spark analogue of

@@ -274,3 +274,29 @@ def test_quarantine_routes_rows_with_reasons(spark, sf_dir):
     assert any("completeness_qty_parsed" in r for r in reasons)
     # clean side has no nulls in the checked column
     assert good.where("qty_parsed IS NULL").count() == 0
+
+
+def test_undo_reverts_last_fix(spark, sf_dir):
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    base = lineitem_dirty(spark, sf_dir)
+    one = DataCleaner(base).apply_fix("qty_parsed", "missing", "fill_value", value=0.0)
+    want = one.df.agg({"qty_parsed": "sum"}).collect()[0][0]
+
+    dc = (
+        DataCleaner(base)
+        .apply_fix("qty_parsed", "missing", "fill_value", value=0.0)
+        .apply_fix("price_out", "outliers", "clip")
+    )
+    assert len(dc.history) == 2
+    dc.undo()
+    assert len(dc.history) == 1 and len(dc.recipe.steps) == 1
+    assert dc.df.agg({"qty_parsed": "sum"}).collect()[0][0] == want
+    # undo to empty, then error on over-undo
+    dc.undo()
+    assert dc.df.schema == base.schema
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dc.undo()
