@@ -209,3 +209,113 @@ def l26_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_check(dd.filter(~is_bench), dd.filter(is_bench)).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# L27 — content-defined chunking (shift-resistant dedup units)
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 16      #: rolling-hash window (bytes)
+CDC_MASK = 0x3F      #: boundary when (h & mask) == 0 -> ~64-byte avg chunks
+CDC_MIN, CDC_MAX = 32, 256
+
+
+def cdc_chunks(text: str, window: int = CDC_WINDOW, mask: int = CDC_MASK,
+               lo: int = CDC_MIN, hi: int = CDC_MAX) -> list[str]:
+    """Split text at CONTENT-DEFINED boundaries: a polynomial rolling
+    hash over the trailing ``window`` bytes declares a cut wherever
+    (hash & mask) == 0, clamped to [lo, hi] chunk sizes (the
+    Rabin/FastCDC scheme backing dedup storage systems). Because
+    boundaries depend only on local content, inserting or deleting a
+    prefix shifts NO downstream boundary — unlike fixed-size blocks,
+    where one inserted byte re-keys every later block. Pure-python
+    per-doc kernel (runs inside an Arrow-batched map; O(len) per doc,
+    no state across docs)."""
+    data = text.encode("utf-8")
+    n = len(data)
+    if n == 0:
+        return []
+    B, M = 257, (1 << 61) - 1  # polynomial base / Mersenne modulus
+    pw = pow(B, window - 1, M)
+    out, start, h = [], 0, 0
+    for i, byte in enumerate(data):
+        h = (h * B + byte) % M
+        if i - start + 1 > window:
+            h = (h - data[i - window] * pw * B) % M
+        size = i - start + 1
+        if (size >= lo and (h & mask) == 0) or size >= hi:
+            out.append(data[start : i + 1].decode("utf-8", "surrogateescape"))
+            start, h = i + 1, 0
+    if start < n:
+        out.append(data[start:].decode("utf-8", "surrogateescape"))
+    return out
+
+
+def chunked_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_hash, chunk_len): one Arrow-batched
+    narrow map; chunk identity = sha256 of the chunk text."""
+    from collections.abc import Iterator as _It
+
+    def kernel(batches: "_It[pd.DataFrame]") -> "_It[pd.DataFrame]":
+        import hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            rows = {"doc_id": [], "chunk_idx": [], "chunk_hash": [], "chunk_len": []}
+            for r in pdf.itertuples():
+                for i, c in enumerate(cdc_chunks(r.text or "")):
+                    rows["doc_id"].append(r.doc_id)
+                    rows["chunk_idx"].append(i)
+                    rows["chunk_hash"].append(
+                        hashlib.sha256(c.encode("utf-8", "surrogateescape")).hexdigest()[:16]
+                    )
+                    rows["chunk_len"].append(len(c))
+            yield _pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F401  (kernel closure)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        schema="doc_id BIGINT, chunk_idx INT, chunk_hash STRING, chunk_len INT",
+    )
+
+
+@register(
+    "l27_cdc_chunk_dedup",
+    oracle=None,  # the rolling-hash boundary rule is not SQL-expressible
+    tags=("L27", "L2", "dedup", "text-analysis"),
+)
+def l27_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L27: chunk-level dedup over content-defined boundaries — docs
+    normalized (C17) then split into ~64-byte shift-resistant chunks,
+    chunk hashes deduplicated corpus-wide, per-doc dedup ratio reported (the
+    storage-dedup view of the corpus: a near-copy with an inserted
+    prefix still shares almost all its chunks, which FIXED blocks
+    would all miss — invariance pinned in tests/test_curation.py).
+    Plan: narrow chunking map → one chunk_hash-keyed partial-agg
+    shuffle → doc_id rollup. Rows-only by design."""
+    from pyspark.sql import Window  # noqa: F401
+
+    from ipydataclean_spark.functions.text import norm_text_col
+
+    ch = chunked_docs(
+        documents_dup(spark, sf_dir).select(
+            "doc_id", norm_text_col("text").alias("text")
+        )
+    )
+    freq = ch.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        ch.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_copies") > 1).cast("long")).alias("n_shared"),
+            F.round(
+                F.sum((F.col("n_copies") > 1).cast("long")).cast("double")
+                / F.count(F.lit(1)),
+                8,
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -87,3 +87,49 @@ def test_contamination_partial_overlap_fraction(spark):
     row = contamination_check(corpus, bench).collect()[0]
     assert row["n_grams"] == 9 and row["n_hit"] == 1
     assert abs(row["contamination_frac"] - 1 / 9) < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# l27 content-defined chunking
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_partition_and_determinism():
+    from ipydataclean_spark.operators.curation import cdc_chunks
+
+    text = " ".join(f"word{i}" for i in range(200))
+    chunks = cdc_chunks(text)
+    assert "".join(chunks) == text  # lossless partition
+    assert chunks == cdc_chunks(text)  # deterministic
+    from ipydataclean_spark.operators.curation import CDC_MAX, CDC_MIN
+
+    assert all(len(c.encode()) <= CDC_MAX for c in chunks)
+    assert all(len(c.encode()) >= CDC_MIN for c in chunks[:-1])
+
+
+def test_cdc_chunks_shift_resistance_vs_fixed_blocks():
+    """Inserting a prefix must leave most CONTENT-DEFINED chunk
+    identities intact, while fixed-size blocks all re-key — the whole
+    point of CDC chunking for dedup storage."""
+    from ipydataclean_spark.operators.curation import cdc_chunks
+
+    text = " ".join(f"tok{i * 7 % 991}" for i in range(400))
+    shifted = "INSERTED-PREFIX " + text
+    a, b = set(cdc_chunks(text)), set(cdc_chunks(shifted))
+    shared = len(a & b) / len(a)
+    assert shared >= 0.7, f"CDC chunks not shift-resistant: {shared:.2f}"
+    fixed_a = {text[i : i + 64] for i in range(0, len(text), 64)}
+    fixed_b = {shifted[i : i + 64] for i in range(0, len(shifted), 64)}
+    assert len(fixed_a & fixed_b) / len(fixed_a) < 0.1
+
+
+def test_l27_detects_injected_dups(spark, sf_dir):
+    from ipydataclean_spark.operators.curation import l27_cdc_chunk_dedup
+
+    out = {r.doc_id: r for r in l27_cdc_chunk_dedup(spark, sf_dir).collect()}
+    dups = [r for d, r in out.items() if d >= 1000000]
+    assert dups
+    # the re-cased/padded copies normalize to their originals' bytes,
+    # so EVERY chunk of an injected copy is shared corpus-wide
+    assert all(r.shared_ratio == 1.0 for r in dups)
+    assert all(0.0 <= r.shared_ratio <= 1.0 for r in out.values())
