@@ -629,3 +629,62 @@ def test_incremental_view_maintenance_from_cdc(spark, tmp_path):
     q = maintain_sum_view(spark, src_root, view, "grp", "v", "k", ckpt)
     q.awaitTermination(120)
     check()
+
+
+_kv_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("overwrite"), _kv),
+        st.tuples(st.just("merge"), _kv),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(init=_kv, ops=_kv_ops)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_cdc_matches_model_diffs(spark, tmp_path_factory, init, ops):
+    """Property: for EVERY consecutive version pair of a random
+    merge/overwrite sequence (key-unique states, the CDC contract),
+    read_changes reproduces exactly the dict-model diff — inserts,
+    deletes, and update pre/post images."""
+
+    def mk(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())], "k long, v long"
+        )
+
+    root = str(tmp_path_factory.mktemp("cdcprop") / "t")
+    t = TxTable.create(spark, root, mk(init))
+    states = [dict(init)]
+    for name, d in ops:
+        if name == "overwrite":
+            t.overwrite(mk(d))
+            states.append(dict(d))
+        else:
+            t.merge(mk(d), key="k")
+            nxt = dict(states[-1])
+            nxt.update(d)
+            states.append(nxt)
+
+    for v in range(len(states) - 1):
+        old, new = states[v], states[v + 1]
+        want = set()
+        for k in new:
+            if k not in old:
+                want.add(("insert", k, new[k]))
+            elif old[k] != new[k]:
+                want.add(("update_preimage", k, old[k]))
+                want.add(("update_postimage", k, new[k]))
+        for k in old:
+            if k not in new:
+                want.add(("delete", k, old[k]))
+        got = {
+            (r.change_type, r.k, r.v)
+            for r in t.read_changes("k", v, v + 1).collect()
+        }
+        assert got == want, f"window {v}->{v + 1}"
