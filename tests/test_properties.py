@@ -229,3 +229,111 @@ def test_weighted_sample_is_deterministic_and_biased(spark, sf_dir):
         .first()[0]
     )
     assert samp_mean > pop_mean * 1.05, (samp_mean, pop_mean)
+
+
+# ---------------------------------------------------------------------------
+# Round-3 ops: OLS vs numpy, weighted median vs numpy, segment-dedup mass
+# ---------------------------------------------------------------------------
+
+xy_pairs = st.lists(
+    st.tuples(
+        st.floats(-100, 100, allow_nan=False).map(lambda v: round(v, 2)),
+        st.floats(-100, 100, allow_nan=False).map(lambda v: round(v, 2)),
+    ),
+    min_size=3,
+    max_size=40,
+)
+
+
+@given(pairs=xy_pairs)
+@settings(**_SETTINGS)
+def test_ols_power_sums_match_numpy(spark, pairs):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.functions import exact
+
+    xs = np.array([p[0] for p in pairs])
+    ys = np.array([p[1] for p in pairs])
+    assume(len(set(xs)) > 1)  # slope defined
+    df = spark.createDataFrame([(float(x), float(y)) for x, y in pairs], "x double, y double")
+    x, y = F.col("x"), F.col("y")
+    s = df.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        exact.dsum(x).alias("sx"), exact.dsum(y).alias("sy"),
+        exact.dsum(x * y).alias("sxy"), exact.dsum(x * x).alias("sxx"),
+    ).collect()[0]
+    num = s.n * s.sxy - s.sx * s.sy
+    den = s.n * s.sxx - s.sx * s.sx
+    assume(abs(den) > 1e-9)
+    slope = num / den
+    intercept = (s.sy - s.sx * slope) / s.n
+    np_slope, np_intercept = np.polyfit(xs, ys, 1)
+    assert abs(slope - np_slope) < 1e-6 * max(1.0, abs(np_slope))
+    assert abs(intercept - np_intercept) < 1e-6 * max(1.0, abs(np_intercept))
+
+
+wm_rows = st.lists(
+    st.tuples(
+        st.floats(0, 1000, allow_nan=False).map(lambda v: round(v, 2)),
+        st.integers(1, 9),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=wm_rows)
+@settings(**_SETTINGS)
+def test_weighted_median_matches_expansion(spark, rows):
+    """The cumulative-weight rule equals the median over the
+    weight-expanded multiset (integer weights make expansion exact)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in rows], "price double, qty double"
+    )
+    pw = df.groupBy("price").agg(
+        F.sum(F.col("qty").cast("decimal(28,6)")).alias("w")
+    )
+    wc = Window.orderBy("price")
+    c = pw.select(
+        "price",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(Window.partitionBy()).alias("tw"),
+    )
+    got = c.where(F.lit(2) * F.col("cw") >= F.col("tw")).agg(
+        F.min("price")
+    ).collect()[0][0]
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    n = len(expanded)
+    # smallest value whose cumulative weight reaches half the total
+    want = expanded[(n - 1) // 2] if n % 2 == 1 else expanded[n // 2 - 1]
+    assert got == want, (got, want, expanded)
+
+
+@given(texts=st.lists(
+    st.lists(st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=30)
+    .map(" ".join),
+    min_size=1, max_size=8,
+))
+@settings(**_SETTINGS)
+def test_segment_dedup_mass_conservation(spark, texts):
+    """Every distinct segment survives EXACTLY once corpus-wide, and
+    per-doc kept counts sum to the number of distinct segments."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.curation import (
+        segment_dedup, segments_col, tokens_col,
+    )
+
+    docs = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    out = segment_dedup(docs)
+    distinct_segs = (
+        docs.withColumn("__t", tokens_col("text"))
+        .select(F.explode(segments_col(F.col("__t"))).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert out.agg(F.sum("n_kept")).collect()[0][0] == distinct_segs
