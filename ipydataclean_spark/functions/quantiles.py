@@ -342,3 +342,116 @@ def exact_quantiles_multi(
         return out
     finally:
         base.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Weighted quantiles: histogram refinement over DECIMAL weight mass
+# ---------------------------------------------------------------------------
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    qs: list[float],
+    n_buckets: int = 2048,
+    pull_threshold: int = 4096,
+    max_levels: int = 8,
+) -> list[float | None]:
+    """Exact weighted quantiles at 100 TB scale: for each q, the
+    smallest value whose cumulative weight reaches q·W (the p27 rule —
+    q=0.5 reproduces its weighted median exactly) — computed by the
+    same iterative histogram refinement as exact_quantiles, with
+    bucket COUNTS replaced by DECIMAL weight sums: every pass is a
+    map-side-combinable aggregate, the driver holds one histogram per
+    level plus ≤ pull_threshold rows at the end, and because weight
+    mass accumulates in DECIMAL the bucket-descent decisions are
+    order-independent (bit-identical on any partitioning).
+
+    This is the scale path the single-window form (p27's two-phase
+    rollup) documents: the window there is bounded by distinct values
+    per group; this form never materializes a window at all.
+    """
+    from decimal import Decimal
+
+    v, w = F.col(col).cast("double"), F.col(weight_col).cast("decimal(28,6)")
+    base = (
+        df.select(v.alias("v"), w.alias("w"))
+        .where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+        .persist()
+    )
+    try:
+        total, lo, hi = base.agg(F.sum("w"), F.min("v"), F.max("v")).first()
+        if total is None:
+            return [None] * len(qs)
+        lo, hi = float(lo), float(hi)
+        if lo == hi:
+            return [lo] * len(qs)
+        targets = {i: Decimal(str(q)) * total for i, q in enumerate(qs)}
+        state: dict[int, _State] = {
+            i: _State((), lo, hi, 0) for i in targets
+        }  # offset field holds CUMULATIVE WEIGHT (Decimal), start 0
+        offsets: dict[int, "Decimal"] = {i: Decimal(0) for i in targets}
+        resolved: dict[int, float] = {}
+
+        for level in range(max_levels):
+            todo = [i for i in targets if i not in resolved]
+            if not todo:
+                break
+            by_path: dict[tuple, list[int]] = {}
+            for i in todo:
+                by_path.setdefault(state[i].path, []).append(i)
+            for path, idxs in by_path.items():
+                st = state[idxs[0]]
+                subset = base.where(_cond(path, n_buckets))
+                direct = st.rlo == st.rhi or level == max_levels - 1
+                if not direct:
+                    width = (st.rhi - st.rlo) / n_buckets
+                    bexpr = _bucket_expr(st.rlo, width, n_buckets)
+                    hist = sorted(
+                        subset.groupBy(bexpr.alias("b"))
+                        .agg(F.sum("w").alias("bw"), F.count(F.lit(1)).alias("cnt"))
+                        .collect()
+                    )
+                for i in idxs:
+                    target = targets[i]
+                    if direct:
+                        chosen_cond, off = _cond(path, n_buckets), offsets[i]
+                    else:
+                        cum = Decimal(0)
+                        chosen = None
+                        for b, bw, cnt in hist:
+                            if offsets[i] + cum + bw >= target:
+                                chosen = (b, cnt)
+                                break
+                            cum += bw
+                        if chosen is None:  # q == 1 boundary: last bucket
+                            b, bw, cnt = hist[-1]
+                            cum -= bw
+                            chosen = (b, cnt)
+                        b, cnt = chosen
+                        child = path + ((st.rlo, width, b),)
+                        if cnt > pull_threshold:
+                            state[i] = _State(
+                                child,
+                                st.rlo + b * width,
+                                min(st.rlo + (b + 1) * width, st.rhi),
+                                0,
+                            )
+                            offsets[i] = offsets[i] + cum
+                            continue
+                        chosen_cond, off = _cond(child, n_buckets), offsets[i] + cum
+                    rows = base.where(chosen_cond).groupBy("v").agg(
+                        F.sum("w").alias("vw")
+                    ).collect()
+                    cum2 = off
+                    ans = None
+                    for r in sorted(rows):
+                        cum2 += r.vw
+                        if cum2 >= targets[i]:
+                            ans = float(r.v)
+                            break
+                    resolved[i] = ans if ans is not None else float(sorted(rows)[-1].v)
+        return [resolved[i] for i in sorted(targets)]
+    finally:
+        base.unpersist()

@@ -228,8 +228,9 @@ def p27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     the value-cardinality table, not the raw rows (the standard
     pre-aggregation that keeps the per-group ordered scan bounded by
     distinct values; beyond ~10M distinct values per group the move is
-    weighted histogram refinement on the p5 machinery, same two-phase
-    idea applied iteratively).
+    functions/quantiles.weighted_quantiles — the histogram-refinement
+    scale path, IMPLEMENTED and equality-tested against this form in
+    tests/test_properties.py).
 
     Exactness: weights stay DECIMAL through both window sums, so the
     2·cw ≥ tw threshold compares exact decimals on both engines; the

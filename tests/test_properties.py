@@ -337,3 +337,53 @@ def test_segment_dedup_mass_conservation(spark, texts):
         .count()
     )
     assert out.agg(F.sum("n_kept")).collect()[0][0] == distinct_segs
+
+
+@given(rows=wm_rows, q=st.sampled_from([0.1, 0.25, 0.5, 0.75, 0.9]))
+@settings(**_SETTINGS)
+def test_weighted_quantiles_match_expansion(spark, rows, q):
+    """Histogram-refinement weighted quantiles equal the quantile rule
+    over the integer-weight-expanded multiset — including when tiny
+    pull thresholds force multi-level bucket descent."""
+    from decimal import Decimal
+
+    from ipydataclean_spark.functions.quantiles import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(float(v), float(w)) for v, w in rows], "price double, qty double"
+    )
+    got = weighted_quantiles(
+        df, "price", "qty", [q], n_buckets=4, pull_threshold=2, max_levels=12
+    )[0]
+    expanded = sorted(v for v, w in rows for _ in range(w))
+    total = len(expanded)
+    target = Decimal(str(q)) * total
+    cum, want = 0, expanded[-1]
+    for v in expanded:
+        cum += 1
+        if cum >= target:
+            want = v
+            break
+    assert got == want, (got, want, expanded, q)
+
+
+def test_weighted_quantiles_agree_with_p27(spark, sf_dir):
+    """q=0.5 through the scale path equals the window-form weighted
+    median for each returnflag group."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.functions.quantiles import weighted_quantiles
+    from ipydataclean_spark.operators.groupstats import p27_weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    window_form = {
+        r.l_returnflag: r.weighted_median_price
+        for r in p27_weighted_median(spark, sf_dir).collect()
+    }
+    for flag, want in window_form.items():
+        got = weighted_quantiles(
+            li.where(F.col("l_returnflag") == flag),
+            "l_extendedprice", "l_quantity", [0.5],
+        )[0]
+        assert got == want, (flag, got, want)
