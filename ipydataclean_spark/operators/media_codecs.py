@@ -1045,3 +1045,237 @@ def pipeline_media_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("kind")
     )
+
+
+# ---------------------------------------------------------------------------
+# L9i — GIF87a codec (LZW from scratch; the GIF spec is public)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """GIF-variant LZW: variable-width codes starting at mcs+1,
+    LSB-first bit packing, CLEAR emitted up front and again on
+    dictionary overflow at 4096 (the spec's reset rule)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {(i,): i for i in range(1 << mcs)}
+    next_code = eoi + 1
+    out = [(clear, width)]
+    w: tuple = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        out.append((table[w], width))
+        table[wk] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            out.append((clear, width))
+            table = {(i,): i for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+        w = (k,)
+    if w:
+        out.append((table[w], width))
+    out.append((eoi, width))
+    buf, acc, nbits = bytearray(), 0, 0
+    for code, wd in out:
+        acc |= code << nbits
+        nbits += wd
+        while nbits >= 8:
+            buf.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        buf.append(acc & 0xFF)
+    return bytes(buf)
+
+
+def _lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """Mirror of _lzw_encode, including the KwKwK case (a code one
+    ahead of the table) and deferred width growth (the decoder learns
+    each entry one code behind the encoder — the spec's off-by-one)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    width = mcs + 1
+    table = {i: (i,) for i in range(1 << mcs)}
+    next_code = eoi + 1
+    acc = nbits = pos = 0
+    out: list[int] = []
+    prev: tuple | None = None
+    while True:
+        while nbits < width and pos < len(data):
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        if nbits < width:
+            break
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(1 << mcs)}
+            next_code = eoi + 1
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code > (1 << width) - 1 and width < 12:
+                width += 1
+        else:  # KwKwK: the one code the encoder knows before we do
+            entry = prev + (prev[0],)
+            table[next_code] = entry
+            next_code += 1
+            if next_code > (1 << width) - 1 and width < 12:
+                width += 1
+        out.extend(entry)
+        prev = entry
+    return out
+
+
+def encode_gif(pixels: np.ndarray, palette: list[tuple[int, int, int]]) -> bytes:
+    """(h, w) palette-index array + RGB palette -> GIF87a bytes
+    (global color table, single image, LZW-compressed, ≤255-byte
+    sub-blocks)."""
+    h, w = pixels.shape
+    n = max(2, len(palette))
+    bits = max(1, (n - 1).bit_length())
+    mcs = max(2, bits)
+    gct = bytearray()
+    for i in range(1 << bits):
+        r, g, b = palette[i] if i < len(palette) else (0, 0, 0)
+        gct += bytes((r, g, b))
+    head = b"GIF87a" + struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0) + gct
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    lzw = _lzw_encode([int(v) for v in pixels.reshape(-1)], mcs)
+    blocks = bytearray([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return head + desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (h, w, 3) uint8 RGB. Supports a single
+    non-interlaced image with a global color table; skips extension
+    blocks (so plain GIF89a files decode too). Interlaced/LCT images
+    raise — the honest subset boundary."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    if not flags & 0x80:
+        raise ValueError("no global color table")
+    n_colors = 2 << (flags & 0x07)
+    gct = np.frombuffer(data, np.uint8, n_colors * 3, pos).reshape(n_colors, 3)
+    pos += n_colors * 3
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b == 0x2C:
+            left, top, iw, ih, iflags = struct.unpack_from("<HHHHB", data, pos + 1)
+            if iflags & 0xC0:
+                raise ValueError("unsupported GIF (interlace/local table)")
+            pos += 10
+            mcs = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while data[pos] != 0:
+                ln = data[pos]
+                lzw += data[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            idx = _lzw_decode(bytes(lzw), mcs)
+            if len(idx) < iw * ih:
+                raise ValueError("short LZW stream")
+            arr = np.array(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+            if arr.max() >= n_colors:
+                raise ValueError("palette index out of range")
+            return gct[arr]
+        elif b == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("no image block")
+
+
+@register(
+    "l9i_gif_decode",
+    oracle=(
+        "SELECT doc_id, 1 AS ok, "
+        "CAST(6 + doc_id % 5 AS INT) AS width, "
+        "CAST(4 + doc_id % 3 AS INT) AS height, "
+        "CAST((23 * doc_id) % 256 AS DOUBLE) AS mean_r, "
+        "CAST((29 * doc_id) % 256 AS DOUBLE) AS mean_g, "
+        "CAST((31 * doc_id) % 256 AS DOUBLE) AS mean_b "
+        "FROM documents WHERE doc_id % 17 = 2 ORDER BY doc_id"
+    ),
+    tags=("L9", "multimodal", "U5"),
+)
+def l9i_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9i: GIF end-to-end — palette images LZW-compressed from
+    scratch (variable-width codes, LSB-first packing, dictionary
+    resets; the encode of [1,1,1]@mcs=2 is pinned against a
+    HAND-COMPUTED spec bitstream in tests), shipped as real GIF87a
+    bytes, decoded by the from-scratch parser, reduced to pixel
+    means. Constant-color single-entry palettes keep the oracle
+    closed-form; gradient/KwKwK/dictionary-reset round trips are
+    pytest-pinned."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 6 + d % 5, 4 + d % 3
+                color = ((23 * d) % 256, (29 * d) % 256, (31 * d) % 256)
+                px = _np.zeros((h, w), dtype=_np.int64)
+                payloads.append(encode_gif(px, [color]))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def one(doc_id, payload):
+            base = {"doc_id": doc_id, "ok": 1, "width": None, "height": None,
+                    "mean_r": None, "mean_g": None, "mean_b": None}
+            try:
+                px = decode_gif(bytes(payload))
+                m = px.reshape(-1, 3).mean(axis=0)
+                base.update(width=px.shape[1], height=px.shape[0],
+                            mean_r=round(float(m[0]), 8),
+                            mean_g=round(float(m[1]), 8),
+                            mean_b=round(float(m[2]), 8))
+            except Exception:
+                base["ok"] = 0
+            return base
+
+        for pdf in batches:
+            yield _pd.DataFrame([one(r.doc_id, r.payload) for r in pdf.itertuples()])
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 2)
+    media = docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+    out = media.mapInPandas(
+        kernel,
+        schema=("doc_id BIGINT, ok INT, width INT, height INT, "
+                "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"),
+    )
+    return out.orderBy("doc_id")

@@ -324,3 +324,49 @@ def test_mulaw_roundtrip_error_bound_and_wav():
     dec, rate = decode_wav_any(encode_wav_mulaw(s, 8000))
     assert rate == 8000 and len(dec) == 400
     assert np.array_equal(dec, ulaw2lin(lin2ulaw(s.astype(np.int64))))
+
+
+# ---------------------------------------------------------------------------
+# l9i GIF / LZW
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_hand_computed_spec_vector():
+    """[1,1,1] at min-code-size 2: codes CLEAR(4),1,6,EOI(5) at width
+    3, LSB-first-packed -> bytes 8C 0B (worked by hand from the GIF
+    spec's packing rules) — pins bit order, widths, and control
+    codes independent of round-trip circularity."""
+    from ipydataclean_spark.operators.media_codecs import _lzw_decode, _lzw_encode
+
+    assert _lzw_encode([1, 1, 1], 2).hex() == "8c0b"
+    assert _lzw_decode(bytes.fromhex("8c0b"), 2) == [1, 1, 1]
+
+
+def test_lzw_roundtrip_kwkwk_and_resets():
+    import random
+
+    from ipydataclean_spark.operators.media_codecs import _lzw_decode, _lzw_encode
+
+    # KwKwK: long runs force the decoder to see codes one ahead
+    runs = [5] * 40 + [3] * 40
+    assert _lzw_decode(_lzw_encode(runs, 4), 4) == runs
+    rng = random.Random(7)
+    for mcs in (2, 3, 7):
+        idx = [rng.randrange(1 << mcs) for _ in range(6000)]  # > 4096: resets
+        assert _lzw_decode(_lzw_encode(idx, mcs), mcs) == idx
+
+
+def test_gif_roundtrip_and_guards():
+    import numpy as np
+    import pytest as _pytest
+
+    from ipydataclean_spark.operators.media_codecs import decode_gif, encode_gif
+
+    palette = [(250, 10, 10), (10, 250, 10), (10, 10, 250), (99, 99, 99)]
+    y, x = np.mgrid[0:11, 0:17]
+    px = ((x * 3 + y * 5) % 4).astype(np.int64)
+    out = decode_gif(encode_gif(px, palette))
+    want = np.array(palette, dtype=np.uint8)[px]
+    assert np.array_equal(out, want)
+    with _pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" * 4)
