@@ -319,3 +319,14 @@ def l27_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# The l27 chunking kernel references this module's cdc_chunks from a
+# worker-side closure — register the module for cloudpickle BY-VALUE
+# pickling so executors never need ipydataclean_spark importable
+# (same rule as media_codecs / functions.bpe).
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])
