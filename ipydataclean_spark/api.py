@@ -242,6 +242,49 @@ class DataCleaner:
             for c, kind, n in self.problems(cols)
         ]
 
+    def autofix(self, cols: list[str] | None = None,
+                overrides: dict[str, str] | None = None) -> list[dict]:
+        """Headless auto-clean: detect problems once, then apply each
+        problem's MOST-RECOMMENDED fix (the first FIX_MENU entry) in a
+        deterministic (column, problem) order — the batch analogue of
+        clicking every top suggestion in the widget. ``overrides``
+        maps problem kind -> fix name to swap strategies globally
+        (e.g. {"missing": "fill_median", "outliers": "drop_rows"}).
+        Returns the applied-fix report; the recipe/history record
+        every step, so to_code()/to_sql()/undo() cover an autofix
+        session like a manual one."""
+        # converters first, fillers second, outlier handling last —
+        # the flagship's C9-then-C2 pipeline order: converting AFTER
+        # filling would re-introduce NULLs for unparseable values
+        order = {"string_mismatch": 0, "dates": 0, "units": 0,
+                 "pii": 1, "missing": 2, "outliers": 3}
+        applied = []
+        for item in sorted(
+            self.suggest(cols),
+            key=lambda d: (order.get(d["problem"], 9), d["column"]),
+        ):
+            fix = (overrides or {}).get(item["problem"], item["fixes"][0])
+            numeric = {
+                f.name
+                for f in self._df.schema.fields
+                if f.dataType.typeName()
+                in ("double", "float", "integer", "long", "short", "decimal")
+            }
+            if (
+                item["problem"] == "missing"
+                and item["column"] not in numeric
+                and fix in ("fill_mean", "fill_median", "interpolate")
+            ):
+                # aggregate fills need a numeric column (post any
+                # conversion step); the string-column default is mode
+                fix = "fill_mode"
+            self.apply_fix(item["column"], item["problem"], fix)
+            applied.append(
+                {"column": item["column"], "problem": item["problem"],
+                 "fix": fix, "n_rows": item["n_rows"]}
+            )
+        return applied
+
     # ------------------------------------------------------------------
     def apply_fix(self, column: str, problem: str, fix: str, **params) -> "DataCleaner":
         """Apply one fix (the widget's button-press). Appends to the

@@ -300,3 +300,37 @@ def test_undo_reverts_last_fix(spark, sf_dir):
 
     with _pytest.raises(ValueError):
         dc.undo()
+
+
+def test_autofix_clears_detected_problems(spark, sf_dir):
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    dc = DataCleaner(lineitem_dirty(spark, sf_dir))
+    before = dc.problems()
+    assert before, "fixture should present problems"
+    report = dc.autofix()
+    assert {(r["column"], r["problem"]) for r in report} == {
+        (c, k) for c, k, _ in before
+    }
+    # the default fixes resolve missing/outlier/mismatch problems on
+    # the columns they targeted (re-detection on the cleaned frame)
+    after = {(c, k) for c, k, _ in dc.problems()}
+    fixed_kinds = {"missing", "outliers", "string_mismatch"}
+    for c, k, _ in before:
+        if k in fixed_kinds:
+            assert (c, k) not in after, (c, k)
+    # the session is fully recorded and exportable
+    assert len(dc.history) == len(report)
+    assert "def clean" in dc.to_code() or dc.to_code().strip()
+
+
+def test_autofix_overrides_strategy(spark, sf_dir):
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    dc = DataCleaner(lineitem_dirty(spark, sf_dir))
+    n0 = dc.df.count()
+    report = dc.autofix(overrides={"outliers": "drop_rows"})
+    assert any(r["fix"] == "drop_rows" for r in report if r["problem"] == "outliers")
+    assert dc.df.count() <= n0
