@@ -752,3 +752,55 @@ def recipe_sql_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "autofix_pipeline",
+    oracle=(
+        f"WITH lineitem_dirty AS ({_dirty.lineitem_dirty_sql()}), "
+        "s0 AS (SELECT * REPLACE (TRY_CAST(REPLACE(REPLACE(quantity_str, ' kg', ''), "
+        "',', '') AS DOUBLE) AS quantity_str) FROM lineitem_dirty), "
+        "s1 AS (SELECT * REPLACE (COALESCE(qty_parsed, (SELECT "
+        "(CAST(SUM(CAST(qty_parsed AS DECIMAL(28,6))) AS DOUBLE) / COUNT(qty_parsed)) "
+        "FROM s0)) AS qty_parsed) FROM s0), "
+        "s2 AS (SELECT * REPLACE (COALESCE(quantity_str, (SELECT "
+        "(CAST(SUM(CAST(quantity_str AS DECIMAL(28,6))) AS DOUBLE) / COUNT(quantity_str)) "
+        "FROM s1)) AS quantity_str) FROM s1), "
+        "qb AS (SELECT QUANTILE_CONT(price_out, 0.25) AS q1, "
+        "QUANTILE_CONT(price_out, 0.75) AS q3 FROM s2), "
+        "s3 AS (SELECT * REPLACE (GREATEST(LEAST(price_out, "
+        "(SELECT q3 + 1.5 * (q3 - q1) FROM qb)), "
+        "(SELECT q1 - 1.5 * (q3 - q1) FROM qb)) AS price_out) FROM s2) "
+        "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"{exact.dsum_sql('quantity_str')} AS sum_qs, "
+        f"{exact.dsum_sql('qty_parsed')} AS sum_qp, "
+        f"{exact.dsum_sql('price_out')} AS sum_price "
+        "FROM s3 GROUP BY l_returnflag ORDER BY l_returnflag"
+    ),
+    tags=("autofix", "C2", "C9", "C11", "D3", "recipe"),
+)
+def autofix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The headless auto-clean session under the driver's value-hash
+    gate: DataCleaner.autofix detects every problem on the dirty
+    lineitem and applies each top-recommended fix in converter-first
+    order (convert quantity_str → mean-fill qty_parsed and the
+    converted quantity_str → IQR-clip price_out); the oracle replays
+    the same pipeline in SQL with the clip bounds as QUANTILE_CONT
+    scalar subqueries (exact_quantiles ≡ QUANTILE_CONT bit-for-bit —
+    the p5 parity) and the same IEEE bound arithmetic. A hash match
+    certifies detection ordering, fix selection, and every fix's
+    numeric semantics at once."""
+    from ipydataclean_spark.api import DataCleaner
+
+    dc = DataCleaner(lineitem_dirty(spark, sf_dir))
+    dc.autofix()
+    return (
+        dc.df.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact.dsum("quantity_str").alias("sum_qs"),
+            exact.dsum("qty_parsed").alias("sum_qp"),
+            exact.dsum("price_out").alias("sum_price"),
+        )
+        .orderBy("l_returnflag")
+    )
