@@ -274,3 +274,27 @@ def test_salted_join_correct_and_spreads_hot_key(spark):
 
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, small, "k", how="full")
+
+
+def test_ignore_corrupt_files_read(spark, tmp_path):
+    """A 100 TB lake WILL contain a torn file eventually: with
+    spark.sql.files.ignoreCorruptFiles the scan survives and returns
+    every healthy row; without it the same scan fails loudly — both
+    behaviors pinned so the recovery knob is a tested capability, not
+    folklore."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(F.col("id").alias("k")).repartition(2).write.parquet(path)
+    with open(f"{path}/part-corrupt.parquet", "wb") as f:
+        f.write(b"PAR1 this is not really a parquet file")
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    try:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "false")
+        with _pytest.raises(Exception):
+            spark.read.parquet(path).count()
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+        assert spark.read.parquet(path).count() == 100
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
