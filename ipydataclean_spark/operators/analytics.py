@@ -749,3 +749,64 @@ def q32_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w_from).cast("double"), 8
         ).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+@register(
+    "q33_cohort_ltv",
+    oracle=(
+        "WITH first_order AS (SELECT o_custkey, "
+        "CAST(date_trunc('month', MIN(o_orderdate)) AS TIMESTAMP) AS cohort "
+        "FROM orders GROUP BY o_custkey), "
+        "rev AS (SELECT f.cohort, "
+        "CAST((YEAR(o.o_orderdate) - YEAR(f.cohort)) * 12 "
+        "+ (MONTH(o.o_orderdate) - MONTH(f.cohort)) AS INT) AS month_idx, "
+        "o.o_totalprice FROM orders o JOIN first_order f "
+        "ON o.o_custkey = f.o_custkey), "
+        "cells AS (SELECT cohort, month_idx, "
+        f"{exact.dsum_sql('o_totalprice')} AS month_rev "
+        "FROM rev WHERE month_idx <= 11 GROUP BY cohort, month_idx) "
+        "SELECT cohort, month_idx, month_rev, "
+        "CAST(SUM(CAST(month_rev AS DECIMAL(28,6))) OVER "
+        "(PARTITION BY cohort ORDER BY month_idx) AS DOUBLE) AS cum_ltv "
+        "FROM cells WHERE cohort <= TIMESTAMP '1995-12-01' "
+        "ORDER BY cohort, month_idx"
+    ),
+    tags=("Q33", "analytics", "W3"),
+)
+def q33_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q33: cohort lifetime-value matrix — customers grouped by
+    first-order month, revenue accumulated per months-since-first
+    (the LTV curve every subscription/retail team tracks; the cohort
+    twin of q_cohort_retention's counts). Plan: first-order table is
+    one customer-keyed partial agg joined back (no window over the
+    fact); the cumulative LTV window runs over the cohort×month CELL
+    table (≤ cohorts × 12 rows). Decimal sums keep both the cell
+    revenue and the running cumulation exact."""
+    from pyspark.sql import Window
+
+    orders = T(spark, sf_dir, "orders")
+    first = (
+        orders.groupBy("o_custkey")
+        .agg(F.date_trunc("month", F.min("o_orderdate")).alias("cohort"))
+    )
+    month_idx = (
+        (F.year("o_orderdate") - F.year("cohort")) * 12
+        + (F.month("o_orderdate") - F.month("cohort"))
+    ).cast("int")
+    cells = (
+        orders.join(first, "o_custkey")
+        .select("cohort", month_idx.alias("month_idx"), "o_totalprice")
+        .where(F.col("month_idx") <= 11)
+        .groupBy("cohort", "month_idx")
+        .agg(exact.dsum("o_totalprice").alias("month_rev"))
+    )
+    w = Window.partitionBy("cohort").orderBy("month_idx")
+    return (
+        cells.where(F.col("cohort") <= F.lit("1995-12-01").cast("timestamp"))
+        .select(
+            "cohort", "month_idx", "month_rev",
+            F.sum(F.col("month_rev").cast("decimal(28,6)"))
+            .over(w).cast("double").alias("cum_ltv"),
+        )
+        .orderBy("cohort", "month_idx")
+    )
