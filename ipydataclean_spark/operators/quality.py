@@ -857,3 +857,63 @@ def d14_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "h")
     )
+
+
+@register(
+    "d15_null_rate_drift",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        "ROUND(CAST(COUNT_IF(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END "
+        "IS NULL) AS DOUBLE) / COUNT(*), 8) AS null_rate FROM events GROUP BY 1), "
+        "base AS (SELECT day, n_rows, null_rate, "
+        "COUNT(*) OVER w AS n_prior, "
+        "ROUND(CAST(SUM(CAST(null_rate AS DECIMAL(28,8))) OVER w AS DOUBLE) "
+        "/ COUNT(*) OVER w, 8) AS baseline "
+        "FROM daily WINDOW w AS (ORDER BY day "
+        "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) "
+        "SELECT day, n_rows, null_rate, baseline, "
+        "ROUND(null_rate - baseline, 8) AS rate_jump "
+        "FROM base WHERE n_prior >= 3 AND null_rate - baseline >= 0.02 "
+        "ORDER BY day"
+    ),
+    tags=("D15", "D12", "P2", "quality"),
+)
+def d15_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15: completeness drift monitor — each day's NULL RATE (on the
+    value_gap-dirtied column) compared against its trailing-7-day
+    mean; days jumping ≥ 2 points are flagged. Volume monitors (d12)
+    miss this failure class entirely: an upstream schema slip that
+    nulls a column changes no row counts. Plan: one scan collapses to
+    the calendar-sized daily table; the trailing window runs over
+    days. Baseline means go through DECIMAL so the flag threshold is
+    partition-order independent."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    gap = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    daily = (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(gap.isNull().cast("long")).cast("double") / F.count(F.lit(1)), 8
+            ).alias("null_rate"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    base = daily.select(
+        "day", "n_rows", "null_rate",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.round(
+            F.sum(F.col("null_rate").cast("decimal(28,8)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            8,
+        ).alias("baseline"),
+    )
+    jump = F.round(F.col("null_rate") - F.col("baseline"), 8)
+    return (
+        base.where((F.col("n_prior") >= 3) & (F.col("null_rate") - F.col("baseline") >= 0.02))
+        .select("day", "n_rows", "null_rate", "baseline", jump.alias("rate_jump"))
+        .orderBy("day")
+    )
