@@ -334,3 +334,16 @@ def test_autofix_overrides_strategy(spark, sf_dir):
     report = dc.autofix(overrides={"outliers": "drop_rows"})
     assert any(r["fix"] == "drop_rows" for r in report if r["problem"] == "outliers")
     assert dc.df.count() <= n0
+
+
+def test_approx_bounds_knob_same_detection_set(spark, sf_dir):
+    """The scale knob (exact_bounds=False) finds the same problem SET
+    as the exact path on the fixture — counts may differ (approx
+    quartiles), kinds and columns must not."""
+    from ipydataclean_spark.api import DataCleaner
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    base = lineitem_dirty(spark, sf_dir)
+    exact = {(c, k) for c, k, _ in DataCleaner(base).problems()}
+    approx = {(c, k) for c, k, _ in DataCleaner(base, exact_bounds=False).problems()}
+    assert exact == approx
