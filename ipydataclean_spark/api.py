@@ -84,9 +84,10 @@ class DataCleaner:
 
         1. ONE profile scan (nulls + count/min/max for every column);
         2. ONE fused multi-column quartile pass for all numeric IQR
-           bounds — percentile_approx in a single scan by default
-           (detection-grade), or the O(levels)-job histogram-refinement
-           exact path under ``exact_bounds=True``;
+           bounds — the O(levels)-job histogram-refinement EXACT path
+           by default (``exact_bounds=True``), or a single
+           percentile_approx scan (detection-grade triage) under
+           ``exact_bounds=False``;
         3. ONE global aggregate computing every numeric column's
            outlier count and every string column's mismatch/date/unit/
            PII counters together.
@@ -360,8 +361,12 @@ class DataCleaner:
                 column, list(params.get("formats", DATE_FORMATS)), params.get("out")
             )
         elif fix == "standardize_units":
+            # no conversions given (e.g. a headless autofix run) →
+            # identity map: every unit keeps factor 1.0, so the fix
+            # parses the magnitude and strips the suffix — still a
+            # deterministic, useful normalization, never a KeyError
             self.recipe.standardize_units(
-                column, params["conversions"], params.get("out")
+                column, params.get("conversions", {}), params.get("out")
             )
         elif fix == "redact":
             self.recipe.redact(

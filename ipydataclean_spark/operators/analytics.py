@@ -188,12 +188,12 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism: every NTILE orders by (metric, o_custkey) so tile
     assignment is total-order stable across engines/partitionings.
-    Plan: one o_custkey-keyed partial agg, three unpartitioned NTILE
-    windows over the CUSTOMER-level table (not the fact table — rows
-    = |customers|, a single-partition sort each; at 100 TB swap for
-    percentile-bound binning via exact_quantiles, same output), one
-    tiny final agg."""
-    from pyspark.sql import Window
+    Plan: one o_custkey-keyed partial agg, then three DISTRIBUTED
+    NTILE passes (functions/ranking.py: range-repartition + parallel
+    per-partition rank + P-row offset side plan — bit-identical to
+    the global window, no single-partition sort; VERDICT r03 #2),
+    one tiny final agg. Every stage is parallel at any |customers|."""
+    from ipydataclean_spark.functions.ranking import with_global_ntile
 
     rfm = (
         T(spark, sf_dir, "orders")
@@ -204,13 +204,19 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.dsum("o_totalprice").alias("m"),
         )
     )
-    tiles = rfm.select(
-        "o_custkey",
-        "m",
-        F.ntile(4).over(Window.orderBy(F.desc("r"), "o_custkey")).alias("r_tile"),
-        F.ntile(4).over(Window.orderBy(F.desc("f"), "o_custkey")).alias("f_tile"),
-        F.ntile(4).over(Window.orderBy(F.desc("m"), "o_custkey")).alias("m_tile"),
-    )
+    # three INDEPENDENT narrow passes (custkey, metric) joined back on
+    # the key — chaining them would nest each pass's offset side plan
+    # inside the next pass's lineage; independent passes all hang off
+    # the same orders aggregate, which AQE executes once (stage reuse)
+    tiles = rfm.select("o_custkey", "m")
+    for metric, out in (("r", "r_tile"), ("f", "f_tile"), ("m", "m_tile")):
+        t = with_global_ntile(
+            rfm.select("o_custkey", metric),
+            [F.desc(metric), F.asc("o_custkey")],
+            4,
+            out,
+        ).select("o_custkey", out)
+        tiles = tiles.join(t, "o_custkey")
     return (
         tiles.groupBy("r_tile", "f_tile", "m_tile")
         .agg(
@@ -251,24 +257,24 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: per-customer revenue and the running total both sum in
     DECIMAL, so the cum/total division and threshold comparisons see
     bit-identical inputs on both engines. Plan: one partial agg keyed
-    o_custkey; the ranking window runs over the CUSTOMER-level table
-    (single-partition sort of |customers| rows — at 100 TB replace
-    with exact_quantiles over the revenue column, same semantics);
-    final fold is a 1-row agg."""
-    from pyspark.sql import Window
+    o_custkey; rank AND running decimal sum come from the distributed
+    ranking pattern (functions/ranking.py — range-repartition, keyed
+    per-partition window, P-row offset side plan; no single-partition
+    sort at any |customers|, VERDICT r03 #3); final fold is a 1-row
+    agg."""
+    from ipydataclean_spark.functions.ranking import with_global_rank
 
     rev = (
         T(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(exact.dsum("o_totalprice").alias("m"))
     )
-    w = Window.orderBy(F.desc("m"), "o_custkey").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = rev.select(
-        F.row_number().over(Window.orderBy(F.desc("m"), "o_custkey")).alias("rnk"),
-        F.sum(F.col("m").cast("decimal(28,6)")).over(w).cast("double").alias("cum"),
-    )
+    ranked = with_global_rank(
+        rev,
+        [F.desc("m"), F.asc("o_custkey")],
+        out="rnk",
+        running_sums={"__cum_dec": F.col("m").cast("decimal(28,6)")},
+    ).select("rnk", F.col("__cum_dec").cast("double").alias("cum"))
     tot = rev.agg(
         exact.dsum("m").alias("total"), F.count(F.lit(1)).cast("long").alias("n")
     )
@@ -566,12 +572,12 @@ def q28_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q29_session_conversion",
     oracle=(
-        "WITH seq AS (SELECT user_id, ts, event_type, "
+        "WITH seq AS (SELECT user_id, ts, event_id, event_type, "
         "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
         "IS NULL OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
         "> INTERVAL 4 HOUR THEN 1 ELSE 0 END AS new_sess FROM events), "
         "sess AS (SELECT user_id, event_type, "
-        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+        "SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
         "ROWS UNBOUNDED PRECEDING) AS sess_id FROM seq), "
         "per_sess AS (SELECT user_id, sess_id, "
         "CAST(COUNT(*) AS BIGINT) AS n_events, "
@@ -598,9 +604,12 @@ def q29_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ROWS frame ordered by (ts, event_id): with only ts the tie-break
+    # between duplicate timestamps is engine-dependent and the session
+    # assignment (hence the hash) can flake — the frame must be total
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     lag_ts = F.lag("ts").over(w)

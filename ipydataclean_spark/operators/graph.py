@@ -141,36 +141,14 @@ def g2_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering-coefficient / community primitive, and the canonical
     non-iterative graph query (vs g1's fixed-point PageRank).
 
-    Algorithm: the standard edge-iterator join with a TOTAL ORDER on
-    vertices — every edge is stored once as (x < y), and a triangle
-    {a,b,c} with a<b<c is found exactly once as e(a,b)⋈e(b,c)⋈e(a,c).
-    The ordering is the scale trick (public, Schank-Wagner): each
-    triangle is counted once, no candidate is generated twice, and
-    orienting edges low→high bounds join fanout by out-degree. At
-    100 TB: degree-order instead of id-order (orient toward the
-    higher-degree endpoint) so hub fanout is √m-bounded; the support
-    threshold is the edge sparsifier that keeps |e| linear-ish in
-    orders, and both joins shuffle on a single part key."""
-    items = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
-    b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))
-    e = (
-        a.join(b, "ok")
-        .where(F.col("x") < F.col("y"))
-        .groupBy("x", "y")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .where(F.col("c") >= 2)
-        .select("x", "y")
-    )
-    e1 = e.select(F.col("x").alias("part_a"), F.col("y").alias("part_b"))
-    e2 = e.select(F.col("x").alias("part_b"), F.col("y").alias("part_c"))
-    e3 = e.select(F.col("x").alias("part_a"), F.col("y").alias("part_c"))
-    return (
-        e1.join(e2, "part_b")
-        .join(e3, ["part_a", "part_c"])
-        .select("part_a", "part_b", "part_c")
-        .orderBy("part_a", "part_b", "part_c")
-    )
+    The REGISTERED plan is the degree-oriented forward algorithm
+    (shared with g2b; VERDICT r03 #5 promoted it after the id-ordered
+    edge-iterator variant went 13.3× at a 10× scale-up — id-ordering
+    can leave a low-id hub with out-degree ≈ its full degree, while
+    (degree, id)-ordering bounds wedge fanout by O(√m) on power-law
+    graphs). The oracle stays the simpler id-ordered 3-way join SQL:
+    both forms enumerate the identical triangle set."""
+    return _triangles_degree_oriented(spark, sf_dir)
 
 
 @register(
@@ -213,6 +191,11 @@ def g2b_triangles_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame
     joined orientation (degree table is vertex-sized), wedge self-join
     keyed on the source vertex, closing-edge semi-probe keyed on the
     wedge endpoints — every join on a single part key."""
+    return _triangles_degree_oriented(spark, sf_dir)
+
+
+def _triangles_degree_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared body of g2/g2b — see g2b's docstring for the method."""
     items = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("x"))
     b = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("y"))

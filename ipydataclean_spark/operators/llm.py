@@ -125,10 +125,25 @@ _BAND_ROWS = 4  # 4 bands × 4 rows
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
     """(doc_id, mh_0..mh_15): ONE explode + ONE groupBy with 16 min
-    aggs — a single shuffle regardless of K."""
-    sh = exploded_shingles(docs, "shingle")
+    aggs — a single shuffle regardless of K.
+
+    Hash cost (VERDICT r03 #4): each 3-token shingle hashes its token
+    ELEMENTS directly (multi-arg xxhash64 — no concat string is ever
+    built), distinct-by-hash replaces distinct-by-string, and the 16
+    per-seed values re-hash that single 8-byte long (seeded double
+    hashing, the standard trick). The old form built every shingle
+    string and hashed it K times — ~40% of the whole LSH wall at
+    sf0.1."""
+    n = 3
+    toks = docs.withColumn("__toks", tokens_col("text"))
+    t = F.col("__toks")
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    hashed = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(*[F.element_at(t, i + k) for k in range(n)]))
+    )
+    sh = toks.select("doc_id", F.explode(hashed).alias("__h"))
     aggs = [
-        F.min(F.xxhash64(F.lit(seed), F.col("shingle"))).alias(f"mh_{seed}")
+        F.min(F.xxhash64(F.lit(seed), F.col("__h"))).alias(f"mh_{seed}")
         for seed in range(_MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -166,16 +181,23 @@ def lsh_candidate_pairs(sigs: DataFrame, cap: int | None = 1024) -> DataFrame:
 
     ``cap=None`` disables the histogram entirely (round-1 plan)."""
     if cap is not None:
-        sigs = sigs.localCheckpoint(eager=True)
+        # LAZY checkpoint, materialized BY the histogram probe below
+        # (VERDICT r03 #4): the old eager form paid a dedicated
+        # materialization job plus the probe; marking the checkpoint
+        # lazy makes the probe's own pass persist sigs as a side
+        # effect — one job where there were two — and the main query
+        # then re-reads the materialized table
+        sigs = sigs.localCheckpoint(eager=False)
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
+    # band hash over the 4 raw longs — no string concat round-trip
     bands = F.transform(
         F.sequence(F.lit(0), F.lit(_MINHASH_K // _BAND_ROWS - 1)),
         lambda b: F.struct(
             b.alias("band_id"),
-            F.xxhash64(F.concat_ws("_", *[
-                F.element_at(sig_arr, b * _BAND_ROWS + k + 1).cast("string")
+            F.xxhash64(*[
+                F.element_at(sig_arr, b * _BAND_ROWS + k + 1)
                 for k in range(_BAND_ROWS)
-            ])).alias("band_hash"),
+            ]).alias("band_hash"),
         ),
     )
     banded = (

@@ -347,13 +347,14 @@ def l14_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Driver-checkable promotion (was rows-only): the CMS estimate is
     engine-specific, so the output instead carries the exact counts
     plus ``cms_within_bound`` = (exact ≤ cms ≤ exact + 2·N/width) as
-    0/1, verified in-plan (N = total occurrences, from a window sum
-    over the vocabulary-sized freq table — no extra corpus scan). The
-    oracle computes the exact top-15 and expects 1; a sketch
-    regression turns the driver row red. The tighter e·N/width bound
-    stays pinned in tests/test_llm_extra.py."""
-    from pyspark.sql import Window
-
+    0/1, verified in-plan (N = total occurrences, a 1-row agg over
+    the freq table broadcast back — VERDICT r03 #6: the old
+    ``Window.partitionBy()`` form funneled the whole vocabulary
+    through one WindowExec partition; the agg reuses freq's exchange,
+    so still no extra corpus scan). The oracle computes the exact
+    top-15 and expects 1; a sketch regression turns the driver row
+    red. The tighter e·N/width bound stays pinned in
+    tests/test_llm_extra.py."""
     width = 1024
     occ = (
         T(spark, sf_dir, "documents")
@@ -361,9 +362,9 @@ def l14_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.length("tok") > 0)
     )
     freq = occ.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
-    total = F.sum("exact_count").over(Window.partitionBy()).cast("double")
+    tot = freq.agg(F.sum("exact_count").cast("double").alias("total"))
     exact_top = (
-        freq.withColumn("total", total)
+        freq.crossJoin(F.broadcast(tot))
         .orderBy(F.desc("exact_count"), F.asc("tok"))
         .limit(15)
     )
@@ -467,14 +468,14 @@ def l18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
     ).where(F.col("t") != "")
-    from pyspark.sql import Window
-
     freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("cnt"))
-    # corpus total as a window sum over the vocabulary-sized freq table
-    # (an eager .first() pull would cost a full third corpus pass)
-    total = F.sum("cnt").over(Window.partitionBy()).cast("double")
-    lp = freq.select(
-        "t", F.round(F.log(F.col("cnt").cast("double") / total), 4).alias("lp")
+    # corpus total: 1-row agg over the freq table broadcast back
+    # (VERDICT r03 #6 — the Window.partitionBy() form funneled the
+    # vocabulary through one partition; this agg reuses freq's
+    # exchange, and an eager .first() pull would lose the shared plan)
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    lp = freq.crossJoin(F.broadcast(tot)).select(
+        "t", F.round(F.log(F.col("cnt").cast("double") / F.col("total")), 4).alias("lp")
     )
     return (
         toks.join(lp, "t")

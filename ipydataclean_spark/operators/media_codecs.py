@@ -815,7 +815,7 @@ def decode_wav_any(data: bytes) -> tuple[np.ndarray, int]:
     with companding expansion."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, rate, fmt_code, samples = 12, None, None, None
+    pos, rate, fmt_code, raw = 12, None, None, None
     while pos + 8 <= len(data):
         cid, clen = struct.unpack_from("<4sI", data, pos)
         body = data[pos + 8 : pos + 8 + clen]
@@ -827,7 +827,7 @@ def decode_wav_any(data: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             raw = body
         pos += 8 + clen + (clen & 1)
-    if rate is None or fmt_code is None:
+    if rate is None or fmt_code is None or raw is None:
         raise ValueError("missing fmt/data chunk")
     if fmt_code == 1:
         samples = np.frombuffer(raw, dtype="<i2")

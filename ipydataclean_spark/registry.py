@@ -120,6 +120,23 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l2e_fuzzy_match_join", "t1_time_rollup_sql", "w1_ranking", "w2_analytic",
     "w3_frames", "w4_moving_avg", "w5_rolling_median", "w7_distribution_ranks",
     "f_string", "f_datetime", "f_math",
+    # CORRECTNESS_r03.json — 50/50 green
+    "p28_histogram_2d", "p30_functional_dependencies",
+    "c21_resample_timeseries", "c22_one_hot", "c23_binning",
+    "c24_feature_scaling", "l16_pii_redact", "c29_target_encode",
+    "recipe_sql_export", "autofix_pipeline", "r14_collect_set",
+    "r9c_asof_join_tolerance", "q_rfm_segments", "q_pareto_revenue",
+    "q24_ship_latency", "q25_repeat_purchase", "q26_stickiness",
+    "q27_yoy_growth", "q28_association_rules", "q29_session_conversion",
+    "q31_trending_parts", "q32_event_transitions", "q33_cohort_ltv",
+    "w8_cumulative_distinct", "w9_value_streaks", "w10_last_touch_attribution",
+    "f_conditional", "f_array", "f_json", "f_hash", "s4_values_inline",
+    "f_array2", "f_posexplode", "f_datetime2", "f_regexp", "f_moment_stats",
+    "f_agg_extra", "f_bitwise", "p18_corr_matrix", "p25_mutual_info",
+    "p26_group_regression", "c19_parse_dates_multi", "c20_standardize_units",
+    "d3c_outliers_mad", "p13_constraint_suite", "d7_drift_ks",
+    "d8_pattern_validity", "d9_rolling_anomaly", "p16_fk_integrity",
+    "p17_benford_profile",
 })
 
 

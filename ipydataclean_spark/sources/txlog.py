@@ -318,15 +318,21 @@ class TxTable:
             }
         return out
 
-    def _probe_hashes(self, value) -> list[int]:
+    def _probe_hashes(self, col: str, value, version: int | None = None) -> list[int]:
         """The k RAW hashes for a probe value — computed with the SAME
-        Spark expression the build used (one 1-row job), so the hash
-        bytes match for any column type; each file then mods them by
-        its own recorded bitmap size."""
+        Spark expression the build used (one 1-row job). xxhash64 is
+        TYPE-sensitive (IntegerType and LongType hash differently), and
+        a bare ``F.lit(value)`` picks Python's widest type (int→LONG,
+        float→DOUBLE), so the literal is cast to the column's STORED
+        type first (schema resolution over the live files — footer
+        metadata only, no data I/O); each file then mods the raw hashes
+        by its own recorded bitmap size."""
+        dtype = self.read(version).schema[col].dataType
+        probe = F.lit(value).cast(dtype)
         row = (
             self.spark.range(1)
             .select(*[
-                F.xxhash64(F.lit(value), F.lit(i)).alias(f"h{i}")
+                F.xxhash64(probe, F.lit(i)).alias(f"h{i}")
                 for i in range(self.BLOOM_K)
             ])
             .collect()[0]
@@ -339,7 +345,7 @@ class TxTable:
         column are conservatively kept). Absolute paths."""
         import base64
 
-        hashes = self._probe_hashes(value)
+        hashes = self._probe_hashes(col, value, version)
         stats = self.file_stats(version)
         keep = []
         for p in self.live_files(version):

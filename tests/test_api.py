@@ -347,3 +347,33 @@ def test_approx_bounds_knob_same_detection_set(spark, sf_dir):
     exact = {(c, k) for c, k, _ in DataCleaner(base).problems()}
     approx = {(c, k) for c, k, _ in DataCleaner(base, exact_bounds=False).problems()}
     assert exact == approx
+
+
+def test_autofix_units_column_without_conversions(spark):
+    """A units-dominated column must survive a headless autofix run
+    with NO conversions override (ADVICE r03 #1: the first FIX_MENU
+    entry for 'units' is standardize_units, which previously raised
+    KeyError('conversions')). With no map the identity conversion
+    applies: the magnitude is parsed and the suffix stripped."""
+    from ipydataclean_spark.api import DataCleaner
+
+    df = spark.createDataFrame(
+        [(i, f"{i}.5 kg") for i in range(1, 41)] + [(41, None)],
+        "id long, weight string",
+    )
+    dc = DataCleaner(df)
+    probs = {(c, k) for c, k, _ in dc.problems()}
+    assert ("weight", "units") in probs
+    report = dc.autofix()  # must not raise
+    assert any(
+        r["problem"] == "units" and r["fix"] == "standardize_units"
+        for r in report
+    )
+    got = {r.id: r.weight for r in dc.df.collect()}
+    assert got[3] == 3.5 and got[40] == 40.5
+
+    # an explicit conversions override still converts for real
+    dc2 = DataCleaner(df)
+    dc2.apply_fix("weight", "units", "standardize_units",
+                  conversions={"kg": 1000.0})
+    assert {r.weight for r in dc2.df.where("id = 2").collect()} == {2500.0}

@@ -397,3 +397,39 @@ def test_segment_dedup_owner_is_aggregate_not_window(spark, sf_dir):
     tree = "\n".join(plan_tree(df))
     assert "Window" not in tree
     assert tree.count("HashAggregate") >= 2  # partial+final owner min(struct)
+
+
+def _window_specs(df):
+    """The Arguments text of every Window node in the formatted plan
+    (node detail section, where the windowspecdefinition lives)."""
+    import re as _re
+
+    blocks = _re.split(r"\(\d+\) Window\b", formatted_plan(df))[1:]
+    return [b.split("\n\n")[0] for b in blocks]
+
+
+def test_rfm_no_global_customer_window(spark, sf_dir):
+    """VERDICT r03 #2: q_rfm_segments must not funnel the customer
+    table through an unpartitioned NTILE — the distributed ranking
+    pattern keys every customer-level window by the range-partition id
+    (the only unkeyed windows run over the P-row offset side plan,
+    which also carries __rnk_pid). ntile() itself must be gone."""
+    df = _q("q_rfm_segments", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "ntile(" not in plan, "global NTILE is back"
+    assert "rangepartitioning" in plan.lower()
+    wins = _window_specs(df)
+    assert wins, "expected ranking windows in plan"
+    for l in wins:
+        assert "__rnk_pid" in l, f"window not part of the ranking pattern: {l}"
+
+
+def test_pareto_no_global_customer_window(spark, sf_dir):
+    """VERDICT r03 #3: q_pareto_revenue's rank + running decimal sum
+    come from the distributed ranking pattern — no row_number/sum
+    window over an unpartitioned customer-level frame."""
+    df = _q("q_pareto_revenue", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    for l in _window_specs(df):
+        assert "__rnk_pid" in l, f"window not part of the ranking pattern: {l}"

@@ -688,3 +688,27 @@ def test_cdc_matches_model_diffs(spark, tmp_path_factory, init, ops):
             for r in t.read_changes("k", v, v + 1).collect()
         }
         assert got == want, f"window {v}->{v + 1}"
+
+
+def test_bloom_index_non_string_types(spark, tmp_path):
+    """xxhash64 is type-sensitive: the probe literal must be cast to
+    the column's STORED type or int/float bloom columns prune every
+    file and point lookups silently return empty (ADVICE r03 #2)."""
+    df = spark.range(0, 300).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("int").alias("code"),
+        (F.col("id") * 0.5).cast("float").alias("score"),
+    )
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        df.repartitionByRange(6, "k").sortWithinPartitions("k"),
+        bloom_cols=("code", "score"),
+    )
+    # int column: probe with a Python int (would lit as LONG uncast)
+    assert 1 <= len(t.prune_files_eq("code", 123)) < len(t.live_files())
+    got = t.read_where_eq("code", 123).collect()
+    assert [(r.k, r.code) for r in got] == [(123, 123)]
+    assert t.read_where_eq("code", 9999).count() == 0
+    # float column: probe with a Python float (would lit as DOUBLE)
+    assert 1 <= len(t.prune_files_eq("score", 61.0)) < len(t.live_files())
+    assert [r.k for r in t.read_where_eq("score", 61.0).collect()] == [122]
