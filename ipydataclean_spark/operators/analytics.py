@@ -819,3 +819,46 @@ def q33_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort", "month_idx")
     )
+
+
+@register(
+    "q_revenue_deciles",
+    oracle=(
+        "WITH rev AS (SELECT o_custkey, "
+        + exact.dsum_sql("o_totalprice")
+        + " AS m FROM orders GROUP BY o_custkey), "
+        "tiled AS (SELECT m, NTILE(10) OVER (ORDER BY m DESC, o_custkey) AS decile "
+        "FROM rev) "
+        "SELECT CAST(decile AS INT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "ROUND(" + exact.dsum_sql("m") + ", 2) AS revenue, "
+        "ROUND(MIN(m), 2) AS floor_revenue "
+        "FROM tiled GROUP BY decile ORDER BY decile"
+    ),
+    tags=("analytics", "W1"),
+)
+def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue decile report — customers NTILE(10)-ranked by exact
+    decimal spend, with each decile's population, revenue mass, and
+    entry threshold (the concentration table a curation pipeline uses
+    to set per-tier budgets). The NTILE comes from the distributed
+    ranking pattern (functions/ranking.py — range repartition +
+    parallel per-partition rank + P-row offsets), bit-identical to
+    the engine NTILE at any table size, no single-partition sort."""
+    from ipydataclean_spark.functions.ranking import with_global_ntile
+
+    rev = (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(exact.dsum("o_totalprice").alias("m"))
+    )
+    tiled = with_global_ntile(rev, [F.desc("m"), F.asc("o_custkey")], 10, "decile")
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(exact.dsum("m"), 2).alias("revenue"),
+            F.round(F.min("m"), 2).alias("floor_revenue"),
+        )
+        .orderBy("decile")
+    )

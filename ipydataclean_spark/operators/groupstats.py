@@ -261,3 +261,39 @@ def p27_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "c32_stratified_sample",
+    oracle=(
+        "SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders "
+        "WHERE md5(CAST(o_orderkey AS STRING)) < "
+        "(CASE WHEN o_orderpriority = '1-URGENT' THEN '80000000' "
+        "WHEN o_orderpriority = '2-HIGH' THEN '40000000' "
+        "ELSE '1a000000' END) "
+        "ORDER BY o_orderkey"
+    ),
+    tags=("C32", "R22", "sampling"),
+)
+def c32_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C32: DETERMINISTIC stratified sampling — per-stratum rates via
+    an md5-hex threshold on a stable key (the c25 technique, extended
+    to per-group rates): urgent orders keep ~50%, high ~25%, the rest
+    ~10%. Unlike sampleBy/rand(), every engine, run, retry, and
+    cluster size selects the IDENTICAL row set (so the sample is
+    row-level hash-verifiable, and downsampling a 100 TB corpus is
+    reproducible and appendable — new rows never reshuffle old
+    assignments). Map-only: one scan, a codegen predicate, no
+    shuffle; the per-stratum rate map is a literal CASE."""
+    o = T(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    thr = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", "80000000")
+        .when(F.col("o_orderpriority") == "2-HIGH", "40000000")
+        .otherwise("1a000000")
+    )
+    return (
+        o.where(h < thr)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )

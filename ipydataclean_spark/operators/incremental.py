@@ -281,3 +281,73 @@ def maintain_sum_view(
         .trigger(availableNow=True)
         .start()
     )
+
+
+@register(
+    "inc3_incremental_join",
+    oracle=(
+        # the oracle computes the SAME delta a different way: full
+        # join result MINUS the old-state join result — if the
+        # incremental three-way union below is algebraically right,
+        # the row sets (and hashes) agree
+        "WITH o_old AS (SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'), "
+        "o_new AS (SELECT * FROM orders WHERE o_orderdate >= DATE '1997-01-01'), "
+        "c_old AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0), "
+        "full_j AS (SELECT c_nationkey, o_totalprice FROM orders "
+        "JOIN customer ON o_custkey = c_custkey), "
+        "old_j AS (SELECT c_nationkey, o_totalprice FROM o_old "
+        "JOIN c_old ON o_custkey = c_custkey), "
+        "delta AS (SELECT c_nationkey, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        + exact.dsum_sql("o_totalprice")
+        + " AS s FROM full_j GROUP BY c_nationkey), "
+        "prior AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, "
+        + exact.dsum_sql("o_totalprice")
+        + " AS s FROM old_j GROUP BY c_nationkey) "
+        "SELECT delta.c_nationkey AS nationkey, "
+        "CAST(delta.n - COALESCE(prior.n, 0) AS BIGINT) AS n_delta_rows, "
+        "ROUND(delta.s - COALESCE(prior.s, 0.0), 2) AS delta_revenue "
+        "FROM delta LEFT JOIN prior ON delta.c_nationkey = prior.c_nationkey "
+        "WHERE delta.n - COALESCE(prior.n, 0) <> 0 "
+        "ORDER BY nationkey"
+    ),
+    tags=("INC3", "R4", "incremental"),
+)
+def inc3_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC3: incremental JOIN-view maintenance — the delta of a
+    materialized join view J = O ⋈ C under simultaneous appends to
+    both sides, computed WITHOUT re-joining the old state:
+
+        ΔJ = ΔO ⋈ C_old  ∪  O_old ⋈ ΔC  ∪  ΔO ⋈ ΔC
+
+    (the standard delta-rule of incremental view maintenance; each
+    term scans one delta plus one base side, and at 100 TB the two
+    base-side probes are key-pruned reads of the stored view's
+    partitions, never full history scans). Here ΔO = orders from
+    1997 on, ΔC = every custkey ≡ 0 (mod 10) — deterministic stand-ins
+    for a day's appends. The result is ΔJ rolled up per nation.
+
+    The ORACLE computes the identical delta the EXPENSIVE way —
+    (O∪ΔO) ⋈ (C∪ΔC) minus O_old ⋈ C_old — so a hash match proves the
+    three-way union IS the join delta, not just that both sides ran
+    the same plan."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    o_old = o.where(F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    o_new = o.where(F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+    c_old = c.where(F.col("c_custkey") % 10 != 0)
+    c_new = c.where(F.col("c_custkey") % 10 == 0)
+
+    cols = [F.col("c_nationkey"), F.col("o_totalprice")]
+    d1 = o_new.join(c_old, o_new.o_custkey == c_old.c_custkey).select(*cols)
+    d2 = o_old.join(c_new, o_old.o_custkey == c_new.c_custkey).select(*cols)
+    d3 = o_new.join(c_new, o_new.o_custkey == c_new.c_custkey).select(*cols)
+    delta = d1.unionByName(d2).unionByName(d3)
+    return (
+        delta.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_delta_rows"),
+            F.round(exact.dsum("o_totalprice"), 2).alias("delta_revenue"),
+        )
+        .orderBy("nationkey")
+    )

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
-from ipydataclean_spark.functions.text import norm_text_sql
+from ipydataclean_spark.functions.text import norm_text_col, norm_text_sql
 from ipydataclean_spark.operators import llm
 from ipydataclean_spark.operators.llm import exploded_shingles, tokens_col
 from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
@@ -525,4 +525,90 @@ def c30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cluster_size"),
         )
         .orderBy("cluster_id")
+    )
+
+
+_WINNOW_K = 8   # k-gram length (chars)
+_WINNOW_W = 4   # winnowing window (k-grams per window)
+
+
+@register(
+    "l28_winnowing_pairs",
+    oracle=with_documents_dup(
+        ", d AS (SELECT doc_id, " + norm_text_sql("text") + " AS t "
+        "FROM documents_dup WHERE doc_id % 5 = 0 OR doc_id >= 1000000), "
+        "g AS (SELECT doc_id, list_transform(range(1, len(t) - 6), "
+        "i -> md5(substr(t, i, 8))) AS gs FROM d WHERE len(t) >= 11), "
+        "fp AS (SELECT DISTINCT doc_id, unnest(list_distinct("
+        "list_transform(range(1, len(gs) - 2), j -> list_min(gs[j:j+3])))) AS f "
+        "FROM g WHERE len(gs) >= 4), "
+        "freq AS (SELECT f FROM fp GROUP BY f "
+        "HAVING COUNT(*) >= 2 AND COUNT(*) <= 10) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM fp a JOIN freq USING (f) JOIN fp b USING (f) "
+        "WHERE a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 3 "
+        "ORDER BY n_shared DESC, doc_a, doc_b LIMIT 50"
+    ),
+    tags=("L2", "L28", "dedup", "text-analysis"),
+)
+def l28_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L28: near-dup candidates via WINNOWING (Schleimer/Wilkerson/
+    Aiken, SIGMOD'03 — the MOSS local fingerprinting algorithm): every
+    window of w consecutive character-k-gram hashes contributes its
+    minimum, so any shared substring of length ≥ k+w-1 is GUARANTEED
+    to share a fingerprint (a locality guarantee MinHash doesn't
+    give), while only ~2/(w+1) of positions are kept. The third dedup
+    modality next to MinHash-LSH (set overlap) and SimHash (vector
+    distance) — winnowing catches verbatim EXCERPTS (quotes, licence
+    blocks, copypasta) that whole-doc signatures dilute. Upgrades
+    ``l12_fingerprints`` (per-doc summary, rows-only) to a fully
+    DuckDB-hash-verified CROSS-DOC pair detector.
+
+    Hash = md5 of the k-char substring: identical hex on both
+    engines, so the fingerprint table — not just row counts — is
+    value-hash-verified (at 100 TB swap in a rolling Rabin hash; the
+    plan is hash-agnostic). Plan shape: one map pass builds per-doc
+    fingerprints (array ops in codegen, no Python), explode+distinct
+    keys the (doc, fp) table by fingerprint, a frequency filter
+    (2..10) drops both singletons and boilerplate mega-buckets — the
+    same hot-key bound LSH uses — and the pair join is keyed on the
+    fingerprint with per-key fanout capped by that filter."""
+    k, w = _WINNOW_K, _WINNOW_W
+    d = (
+        documents_dup(spark, sf_dir)
+        # the dup-bearing slice (every 5th base doc + its injected
+        # copy): the full corpus adds 5× hash work and no new signal
+        .where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1000000))
+        .select("doc_id", norm_text_col("text").alias("t"))
+        .where(F.length("t") >= k + w - 1)
+    )
+    gs = F.transform(
+        F.sequence(F.lit(1), F.length("t") - (k - 1)),
+        lambda i: F.md5(F.substring(F.col("t"), i, k)),
+    )
+    g = d.select("doc_id", gs.alias("gs")).where(F.size("gs") >= w)
+    fps = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("gs") - (w - 1)),
+            lambda j: F.array_min(F.slice(F.col("gs"), j, w)),
+        )
+    )
+    fp = g.select("doc_id", F.explode(fps).alias("f")).distinct()
+    freq = (
+        fp.groupBy("f").agg(F.count(F.lit(1)).alias("__df"))
+        .where((F.col("__df") >= 2) & (F.col("__df") <= 10))
+        .select("f")
+    )
+    a = fp.join(freq, "f").select("f", F.col("doc_id").alias("doc_a"))
+    b = fp.select("f", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "f")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= 3)
+        .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
+        .limit(50)
     )

@@ -1120,3 +1120,33 @@ def r9c_asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("ts").alias("last_ts"), F.max_by("value", "ts").alias("last_value"))
         .orderBy("user_id", "probe_ts")
     )
+
+
+_R27_SQL = (
+    "WITH RECURSIVE chain AS ("
+    "SELECT s_suppkey AS suppkey, 0 AS depth FROM supplier WHERE s_suppkey = 0 "
+    "UNION ALL "
+    "SELECT s.s_suppkey, c.depth + 1 FROM supplier s JOIN chain c "
+    "ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = c.suppkey "
+    "AND s.s_suppkey > c.suppkey) "
+    "SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+    "CAST(MIN(suppkey) AS BIGINT) AS min_key, "
+    "CAST(MAX(suppkey) AS BIGINT) AS max_key "
+    "FROM chain GROUP BY depth ORDER BY depth"
+)
+
+
+@register("r27_recursive_cte_sql", oracle=_R27_SQL, tags=("R27", "SQL-entry"))
+def r27_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R27: recursive CTE (hierarchy walk) through the SQL entry point
+    — Spark 4.1's WITH RECURSIVE (UnionLoop iterates join+filter
+    steps until fixpoint) over an implicit binary-tree hierarchy on
+    supplier keys (parent(k) = floor(k/2); depth ≈ log2(n) keeps the
+    iteration count scale-independent). IDENTICAL ANSI text runs on
+    DuckDB as the oracle — the dialect-intersection discipline, now
+    covering iteration. The anchor is key 0; the strictly-increasing
+    join guard (child > parent) terminates the recursion."""
+    from ipydataclean_spark.catalog import register_views
+
+    register_views(spark, sf_dir, only=("supplier",))
+    return spark.sql(_R27_SQL)

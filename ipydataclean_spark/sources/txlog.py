@@ -575,6 +575,33 @@ class TxTable:
         add, stats = self._stage(df)
         return self._publish("compact", add, remove, read_v, max_retries, stats=stats)
 
+    def restore(self, version: int, max_retries: int = 0) -> int:
+        """RESTORE TABLE ... TO VERSION AS OF — roll the table back to
+        a prior snapshot as a NEW commit (Delta's RESTORE semantics:
+        history is never rewritten, so the bad interval stays
+        auditable and time travel into it keeps working). Zero data
+        I/O: the commit re-adds the old snapshot's files BY REFERENCE
+        and removes the current extras; per-file stats/blooms are
+        recovered by the ``file_stats`` log fold from the files'
+        original add commits. Fails clearly if vacuum already dropped
+        a needed data file."""
+        read_v = self.version()
+        target = {os.path.relpath(p, self.root) for p in self.live_files(version)}
+        current = {os.path.relpath(p, self.root) for p in self.live_files(read_v)}
+        missing = [p for p in sorted(target) if not os.path.exists(os.path.join(self.root, p))]
+        if missing:
+            raise ValueError(
+                f"restore to v{version} impossible: vacuum removed {missing}"
+            )
+        return self._publish(
+            "restore",
+            sorted(target - current),
+            sorted(current - target),
+            read_v,
+            max_retries,
+            meta={"restored_version": version},
+        )
+
     def read_changes(self, key: str, v_from: int, v_to: int) -> DataFrame:
         """CDC between two snapshots (Delta change-data-feed analogue):
         one row per changed row with ``change_type`` ∈ {insert, delete,
@@ -1099,3 +1126,49 @@ def register_txcdc(spark: SparkSession) -> None:
             return TxCdcStreamReader(self.options, cols)
 
     spark.dataSource.register(TxCdcDataSource)
+
+
+@register(
+    "tx5_restore_read",
+    oracle=(
+        "SELECT s_suppkey, s_nationkey, ROUND(s_acctbal, 2) AS s_acctbal "
+        "FROM supplier ORDER BY s_suppkey"
+    ),
+    tags=("S9b", "ACID", "time-travel"),
+)
+def tx5_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b RESTORE end-to-end: seed a TxTable from supplier, wreck it
+    with an overwrite (3 junk rows), then ``restore`` back to v0 and
+    return the snapshot — which must equal the original fixture
+    row-for-row (the oracle reads the fixture directly, so the hash
+    certifies the rollback rebuilt the exact pre-damage state via
+    by-reference re-adds, no data rewrite). The version history keeps
+    both the damage and the restore (auditable, pinned in
+    tests/test_txlog.py)."""
+    import pathlib
+    import shutil
+
+    from ipydataclean_spark.operators.qhelp import T
+
+    root = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"tx5_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    supp = T(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
+    )
+    t = TxTable.create(
+        spark,
+        root,
+        supp.repartitionByRange(4, "s_suppkey").sortWithinPartitions("s_suppkey"),
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(-1, 0, 0.0), (-2, 0, 0.0), (-3, 0, 0.0)],
+            "s_suppkey long, s_nationkey int, s_acctbal double",
+        )
+    )
+    t.restore(0)
+    return t.read().orderBy("s_suppkey")

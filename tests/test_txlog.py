@@ -712,3 +712,36 @@ def test_bloom_index_non_string_types(spark, tmp_path):
     # float column: probe with a Python float (would lit as DOUBLE)
     assert 1 <= len(t.prune_files_eq("score", 61.0)) < len(t.live_files())
     assert [r.k for r in t.read_where_eq("score", 61.0).collect()] == [122]
+
+
+def test_restore_rolls_back_as_new_commit(spark, tmp_path):
+    """RESTORE semantics: the rollback is a NEW commit (history intact,
+    time travel into the bad interval still works), data files come
+    back by reference, and stats-based pruning still functions on the
+    restored snapshot."""
+    df0 = spark.range(0, 100).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    t = TxTable.create(
+        spark, str(tmp_path / "t"),
+        df0.repartitionByRange(4, "k").sortWithinPartitions("k"),
+    )
+    v0 = t.version()
+    t.append(spark.createDataFrame([(1000, -1)], "k long, v long"))
+    t.overwrite(spark.range(0, 5).select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v")))
+    bad_v = t.version()
+    assert t.read().count() == 5
+
+    v_restored = t.restore(v0)
+    assert v_restored == bad_v + 1                      # new commit, not rewrite
+    got = sorted(r.k for r in t.read().collect())
+    assert got == list(range(100))                      # back to v0 content
+    assert t.read(version=bad_v).count() == 5           # bad interval auditable
+    assert t.history()[-1]["op"] == "restore"
+    assert t.history()[-1]["restored_version"] == v0
+    # stats survived the by-reference re-add: pruning still selective
+    pruned = t.prune_files("k", 10, 12)
+    assert 1 <= len(pruned) < len(t.live_files())
+    # restore to a vacuumed-away version fails clearly
+    t.overwrite(spark.range(0, 3).select(F.col("id").alias("k"), F.lit(9).cast("long").alias("v")))
+    t.vacuum(retain_versions=1, min_age_seconds=0)
+    with pytest.raises(ValueError):
+        t.restore(bad_v)
