@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ipydataclean_spark.functions.vector import cosine_sim
+from ipydataclean_spark.functions import exact
+from ipydataclean_spark.functions.vector import cosine_sim, cosine_sim_sql
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
@@ -377,4 +378,58 @@ def ivf_knn_stored(
         cand.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k_neighbors)
         .select("query_id", "neighbor_id", "cos_sim")
+    )
+
+
+@register(
+    "l3h_kmeans_assign",
+    oracle=(
+        "WITH cent AS (SELECT vec_id AS cell, embedding AS c_emb "
+        "FROM embeddings WHERE vec_id < 8), "
+        "scored AS (SELECT e.vec_id, cent.cell, "
+        f"{cosine_sim_sql('e.embedding', 'cent.c_emb')} AS sim, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"{cosine_sim_sql('e.embedding', 'cent.c_emb')} DESC, cent.cell) AS rn "
+        "FROM embeddings e CROSS JOIN cent) "
+        "SELECT CAST(cell AS BIGINT) AS cell, "
+        "CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+        "ROUND(" + exact.rsum12_sql("sim") + " / COUNT(*), 8) AS avg_sim "
+        "FROM scored WHERE rn = 1 GROUP BY cell ORDER BY cell"
+    ),
+    tags=("L3", "clustering"),
+)
+def l3h_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3h: the k-means ASSIGNMENT step with a value-hash oracle —
+    every embedding routed to its most-cosine-similar centroid (seed
+    centroids = the 8 lowest vec_ids, the same deterministic seeding
+    build_ivf uses), read out as per-cell population and mean
+    similarity. The Lloyd TRAINING loop (build_ivf) is iterative and
+    rows-only by the SURVEY §5.2 contract; this pins the exact
+    arithmetic of the step the loop repeats — broadcast centroids,
+    sequential-fold cosine in codegen (functions/vector.py keeps both
+    engines' summation order identical), max_by argmax with a cell-id
+    tie-break. At scale: the scored join is map-only (K centroids
+    broadcast), the rollup is one K-row aggregate."""
+    emb = T(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cell",
+        cosine_sim("embedding", "c_emb").alias("sim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cell", "sim"), F.struct(F.col("sim"), -F.col("cell"))
+        ).alias("b")
+    )
+    return (
+        best.select(F.col("b.cell").alias("cell"), F.col("b.sim").alias("sim"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(exact.rsum12("sim") / F.count(F.lit(1)), 8).alias("avg_sim"),
+        )
+        .orderBy("cell")
     )

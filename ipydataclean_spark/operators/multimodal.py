@@ -193,3 +193,75 @@ def l9c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id", "frame_idx", "frame_off", F.octet_length("frame").alias("frame_len")
     ).orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "l9j_binaryfile_ingest",
+    oracle=(
+        "SELECT doc_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes, "
+        "substr(hex, 1, 8) AS magic_hex FROM ("
+        "SELECT doc_id, encode(text) AS blob, "
+        "lower(hex(encode(text))) AS hex "
+        "FROM documents WHERE doc_id % 29 = 3) ORDER BY doc_id"
+    ),
+    tags=("L9", "S2", "multimodal"),
+)
+def l9j_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9j: the DIRECTORY-OF-FILES ingestion path for multimodal data
+    — materialize a payload per selected doc as a real file on disk,
+    then read the directory back through Spark's ``binaryFile``
+    source (path/length/modificationTime/content schema; the same
+    reader a 100 TB image/audio corpus enters the engine through,
+    where partition-pruned listing + per-file tasks replace the
+    in-table binary column). The doc id rides IN THE FILENAME
+    (``<doc_id>.bin``) — the standard layout trick so ingestion needs
+    no sidecar manifest; it is parsed back out of ``path`` with one
+    regexp. The oracle recomputes payload length and magic bytes from
+    the source table, so the hash certifies the file round-trip
+    byte-for-byte (length + leading bytes), not just row counts.
+
+    At scale: binaryFile caps file splits at
+    ``spark.sql.files.maxPartitionBytes`` per task and prunes on
+    pushed path filters; the write side here is a one-off fixture
+    materialization (foreachPartition, executor-side writes)."""
+    import pathlib
+    import shutil
+
+    out_dir = pathlib.Path(
+        str(
+            pathlib.Path(__file__).resolve().parents[2]
+            / "spark-warehouse"
+            / f"l9j_{spark.sparkContext.applicationId}"
+        )
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    sel = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 29 == 3)
+        .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    )
+    target = str(out_dir)
+
+    def write_files(rows):
+        import os as _os
+
+        for r in rows:
+            tmp = _os.path.join(target, f".{r['doc_id']}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(r["payload"]))
+            _os.replace(tmp, _os.path.join(target, f"{r['doc_id']}.bin"))
+
+    sel.foreachPartition(write_files)
+
+    files = spark.read.format("binaryFile").load(target)
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            F.lower(F.hex(F.substring(F.col("content"), 1, 4))).alias("magic_hex"),
+        )
+        .orderBy("doc_id")
+    )

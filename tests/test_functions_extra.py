@@ -176,3 +176,63 @@ def test_weighted_median_known_weights(spark, sf_dir):
     # and the registered fixture query returns one row per returnflag
     out = p27_weighted_median(spark, sf_dir).collect()
     assert len(out) == 3 and all(r["weighted_median_price"] is not None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# functions/ranking.py — distributed global rank/ntile equivalence
+# ---------------------------------------------------------------------------
+
+
+def test_global_rank_matches_window_row_number(spark):
+    """The distributed rank (range partition + offsets) must be
+    BIT-identical to row_number() over a global window, including a
+    running decimal sum — on data with duplicates in the sort key and
+    a non-trivial partition count."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.ranking import with_global_rank
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 97).alias("v"),          # heavy ties in sort key
+        (F.col("id") % 7).cast("double").alias("x"),
+    ).repartition(13)
+    order = [F.desc("v"), F.asc("k")]
+    got = with_global_rank(
+        df, order, out="rnk",
+        running_sums={"cum": F.col("x").cast("decimal(28,6)")},
+    ).select("k", "rnk", F.col("cum").cast("double").alias("cum"))
+
+    w = Window.orderBy(*order)
+    want = df.select(
+        "k",
+        F.row_number().over(w).alias("rnk"),
+        F.sum(F.col("x").cast("decimal(28,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("cum"),
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_global_ntile_matches_window_ntile(spark):
+    """NTILE(k) from the exact rank formula == engine NTILE for sizes
+    that exercise both uneven tiles (n % k != 0) and n < k."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.ranking import with_global_ntile
+
+    for n, k in ((1003, 7), (40, 40), (5, 8), (64, 8)):
+        df = spark.range(0, n).select(
+            F.col("id").alias("key"), (F.col("id") * 37 % 101).alias("m")
+        )
+        order = [F.desc("m"), F.asc("key")]
+        got = with_global_ntile(df, order, k, "t").select("key", "t")
+        want = df.select(
+            "key", F.ntile(k).over(Window.orderBy(*order)).cast("int").alias("t")
+        )
+        diff = got.join(want.withColumnRenamed("t", "t2"), "key").where(
+            F.col("t") != F.col("t2")
+        )
+        assert diff.count() == 0, (n, k)

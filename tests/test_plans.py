@@ -433,3 +433,32 @@ def test_pareto_no_global_customer_window(spark, sf_dir):
     assert "rangepartitioning" in plan.lower()
     for l in _window_specs(df):
         assert "__rnk_pid" in l, f"window not part of the ranking pattern: {l}"
+
+
+def test_winnowing_pair_join_keyed_not_cartesian(spark, sf_dir):
+    """l28: the pair join must be keyed on the fingerprint (no
+    cartesian/nested-loop anywhere) and the fingerprint build must
+    stay JVM-side (array codegen, no Python)."""
+    df = _q("l28_winnowing_pairs", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert not has_python_eval(df)
+
+
+def test_inc3_delta_joins_broadcast_dims(spark, sf_dir):
+    """inc3: each delta term joins against a customer-side slice that
+    broadcasts at this scale; no cartesian products; decimal partial
+    aggregation present."""
+    df = _q("inc3_incremental_join", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "HashAggregate") >= 2
+
+
+def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
+    """l3h: the centroid side must broadcast (map-only scoring pass)
+    and the kernel stays in codegen."""
+    df = _q("l3h_kmeans_assign", spark, sf_dir)
+    assert count_op(df, "BroadcastNestedLoopJoin") + count_op(df, "BroadcastHashJoin") >= 1
+    assert not has_python_eval(df)
