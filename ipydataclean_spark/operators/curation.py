@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions.text import norm_text_sql
 from ipydataclean_spark.operators.llm import shingles_col, shingles_sql, tokens_col
-from ipydataclean_spark.operators.qhelp import documents_dup, with_documents_dup
+from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
 from ipydataclean_spark.registry import register
 
 #: Disjoint word-block size for segment-level dedup. 8 words is small
@@ -330,3 +330,76 @@ import sys as _sys
 from pyspark import cloudpickle as _cloudpickle
 
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+
+
+@register(
+    "l31_source_temperature_mix",
+    oracle=(
+        "WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY source), "
+        "wt AS (SELECT source, n, CAST(ROUND(SQRT(CAST(n AS DOUBLE)), 8) "
+        "AS DECIMAL(28,8)) AS w FROM cnt), "
+        "tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM wt), "
+        "thr AS (SELECT source, n, "
+        "CAST(FLOOR(LEAST(1.0, (300.0 * CAST(w AS DOUBLE) / tw) "
+        "/ CAST(n AS DOUBLE)) * 16777216.0) AS BIGINT) AS t "
+        "FROM wt CROSS JOIN tot), "
+        "tagged AS (SELECT d.source, "
+        "CAST(('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 6)) AS BIGINT) "
+        "AS h, thr.t, thr.n FROM documents d JOIN thr ON d.source = thr.source) "
+        "SELECT source, CAST(MAX(n) AS BIGINT) AS n_docs, "
+        "CAST(COUNT_IF(h < t) AS BIGINT) AS n_sampled "
+        "FROM tagged GROUP BY source ORDER BY source"
+    ),
+    tags=("L31", "C32", "sampling", "curation"),
+)
+def l31_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L31: temperature-based SOURCE REBALANCING — the training-mix
+    step that upsamples rare sources and downsamples dominant ones
+    (the τ-weighting used by multilingual/multi-source LM data
+    recipes, e.g. w_s ∝ n_s^τ): with τ = 0.5, each source's share of
+    the 300-doc target budget is √n_s / Σ√n, converted to a per-source
+    keep-rate and applied as a DETERMINISTIC md5 threshold on doc_id
+    (the c32 technique — reproducible at any cluster size, new docs
+    never reshuffle old picks).
+
+    Cross-engine exactness: √ is correctly-rounded per IEEE 754 (libm
+    pow would NOT be — the reason τ is expressed as SQRT, not
+    POWER(n, 0.5)); the weights are rounded to 8 dp and summed in
+    DECIMAL so the normalizing total is order-independent; the
+    keep-rate becomes an INTEGER threshold (⌊rate·16^6⌋) compared
+    against the hex-parsed md5 prefix — both engines do the identical
+    integer comparison, no float boundary can flip a row. Plan: one
+    count agg (tiny, broadcast back), one map-only tag pass, one
+    rollup — no shuffle of the corpus beyond the count."""
+    docs = T(spark, sf_dir, "documents")
+    cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wt = cnt.select(
+        "source", "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 8)
+        .cast("decimal(28,8)").alias("w"),
+    )
+    tot = wt.agg(F.sum("w").cast("double").alias("tw"))
+    thr = wt.crossJoin(F.broadcast(tot)).select(
+        "source", "n",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(300.0) * F.col("w").cast("double") / F.col("tw"))
+                / F.col("n").cast("double"),
+            )
+            * F.lit(16777216.0)
+        ).cast("long").alias("t"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+    tagged = docs.join(F.broadcast(thr), "source").select(
+        "source", h.alias("h"), "t", "n"
+    )
+    return (
+        tagged.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.count_if(F.col("h") < F.col("t")).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

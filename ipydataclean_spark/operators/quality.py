@@ -917,3 +917,69 @@ def d15_null_rate_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", "n_rows", "null_rate", "baseline", jump.alias("rate_jump"))
         .orderBy("day")
     )
+
+
+@register(
+    "d16_cusum_changepoint",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        + exact.davg_sql("value")
+        + " AS m FROM events GROUP BY 1), "
+        "mu AS (SELECT " + exact.davg_sql("m") + " AS mu FROM daily), "
+        "c AS (SELECT day, m, mu, "
+        "CAST(SUM(CAST(ROUND(m - mu - 0.05 * mu, 8) AS DECIMAL(38,12))) "
+        "OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS csum "
+        "FROM daily CROSS JOIN mu), "
+        "s AS (SELECT day, m, mu, "
+        "ROUND(csum - LEAST(MIN(csum) OVER (ORDER BY day ROWS UNBOUNDED "
+        "PRECEDING), 0.0), 8) AS cusum FROM c) "
+        "SELECT day, ROUND(m, 8) AS daily_mean, cusum, "
+        "CAST(cusum > 0.2 * mu AS BOOLEAN) AS changepoint "
+        "FROM s ORDER BY day"
+    ),
+    tags=("D16", "D7", "quality"),
+)
+def d16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16: CUSUM change-point detection (Page 1954) on the daily mean
+    of events.value — the classic sequential drift detector that
+    catches a SUSTAINED small shift long before a per-day threshold
+    (d12) fires: the positive CUSUM accumulates each day's excess
+    over mean+slack and flags once the accumulation crosses h.
+
+    The textbook recursion s_t = max(0, s_{t-1} + d_t) is not a
+    window aggregate — but its CLOSED FORM is: s_t = c_t − min(0,
+    min_{j≤t} c_j) where c is the plain running sum of d. Two window
+    passes (running sum, running min), no recursion, no UDF.
+
+    Exactness: the daily means and the grand mean μ are decimal
+    averages; each d_t is rounded to 8 dp before the DECIMAL running
+    sum, so c_t is bit-identical on both engines and the final
+    threshold comparison (h = 0.2·μ, slack = 0.05·μ) cannot flip.
+    Scale shape: the fact table collapses to the day-grain rollup
+    first; the ordered windows run over calendar-sized rows (one row
+    per day — bounded by time, not data volume)."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(exact.davg("value").alias("m"))
+    mu = daily.agg(exact.davg("m").alias("mu"))
+    w_sum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.crossJoin(F.broadcast(mu)).select(
+        "day", "m", "mu",
+        F.sum(
+            F.round(F.col("m") - F.col("mu") - 0.05 * F.col("mu"), 8)
+            .cast("decimal(38,12)")
+        ).over(w_sum).cast("double").alias("csum"),
+    )
+    s = c.select(
+        "day", "m", "mu",
+        F.round(
+            F.col("csum") - F.least(F.min("csum").over(w_sum), F.lit(0.0)), 8
+        ).alias("cusum"),
+    )
+    return s.select(
+        "day",
+        F.round("m", 8).alias("daily_mean"),
+        "cusum",
+        (F.col("cusum") > 0.2 * F.col("mu")).alias("changepoint"),
+    ).orderBy("day")

@@ -147,3 +147,45 @@ def test_recipe_featprep_steps_roundtrip(spark, sf_dir):
     stats = direct.agg(F.avg("w_z"), F.min("w_mm"), F.max("w_mm")).first()
     assert abs(stats[0]) < 1e-9
     assert stats[1] >= 0.0 and stats[2] <= 1.0
+
+
+def test_cusum_closed_form_flags_injected_shift(spark):
+    """d16's closed form s_t = c_t - min(0, min c_j) must equal the
+    textbook recursion s_t = max(0, s_{t-1} + d_t) exactly, and a
+    sustained +20% level shift must raise the changepoint flag while
+    the pre-shift half stays quiet."""
+    from pyspark.sql import Window
+
+    import ipydataclean_spark.functions.exact as exact
+
+    # 40 "days": mean 100 for day<20, 120 after (sustained shift)
+    rows = [(d, 100.0 + (20.0 if d >= 20 else 0.0) + (d % 3) - 1.0)
+            for d in range(40)]
+    daily = spark.createDataFrame(rows, "day int, m double")
+    mu_val = sum(r[1] for r in rows) / len(rows)
+    slack, h = 0.05 * mu_val, 0.2 * mu_val
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    c = daily.select(
+        "day", "m",
+        F.sum(F.round(F.col("m") - mu_val - slack, 8).cast("decimal(38,12)"))
+        .over(w).cast("double").alias("csum"),
+    )
+    got = {
+        r["day"]: (r["cusum"], r["flag"])
+        for r in c.select(
+            "day",
+            F.round(F.col("csum") - F.least(F.min("csum").over(w), F.lit(0.0)), 8)
+            .alias("cusum"),
+            (F.col("csum") - F.least(F.min("csum").over(w), F.lit(0.0)) > h)
+            .alias("flag"),
+        ).collect()
+    }
+    # textbook recursion on the driver
+    s, want = 0.0, {}
+    for d, m in rows:
+        s = max(0.0, s + round(m - mu_val - slack, 8))
+        want[d] = s
+    for d in range(40):
+        assert abs(got[d][0] - want[d]) < 1e-6, d
+    assert not any(got[d][1] for d in range(20)), "pre-shift must be quiet"
+    assert any(got[d][1] for d in range(20, 40)), "shift must be caught"
