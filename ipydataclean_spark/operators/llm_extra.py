@@ -537,8 +537,10 @@ _WINNOW_W = 4   # winnowing window (k-grams per window)
     oracle=with_documents_dup(
         ", d AS (SELECT doc_id, " + norm_text_sql("text") + " AS t "
         "FROM documents_dup WHERE doc_id % 5 = 0 OR doc_id >= 1000000), "
-        "g AS (SELECT doc_id, list_transform(range(1, len(t) - 6), "
-        "i -> md5(substr(t, i, 8))) AS gs FROM d WHERE len(t) >= 11), "
+        "tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM d), "
+        "g AS (SELECT doc_id, list_transform(range(1, len(w) - 1), "
+        "i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), "
+        "1, 15)) AS BIGINT)) AS gs FROM tk WHERE len(w) >= 3), "
         "fp AS (SELECT DISTINCT doc_id, unnest(list_distinct("
         "list_transform(range(1, len(gs) - 2), j -> list_min(gs[j:j+3])))) AS f "
         "FROM g WHERE len(gs) >= 4), "
@@ -555,46 +557,91 @@ _WINNOW_W = 4   # winnowing window (k-grams per window)
 )
 def l28_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L28: near-dup candidates via WINNOWING (Schleimer/Wilkerson/
-    Aiken, SIGMOD'03 — the MOSS local fingerprinting algorithm): every
-    window of w consecutive character-k-gram hashes contributes its
-    minimum, so any shared substring of length ≥ k+w-1 is GUARANTEED
-    to share a fingerprint (a locality guarantee MinHash doesn't
-    give), while only ~2/(w+1) of positions are kept. The third dedup
-    modality next to MinHash-LSH (set overlap) and SimHash (vector
-    distance) — winnowing catches verbatim EXCERPTS (quotes, licence
-    blocks, copypasta) that whole-doc signatures dilute. Upgrades
-    ``l12_fingerprints`` (per-doc summary, rows-only) to a fully
-    DuckDB-hash-verified CROSS-DOC pair detector.
+    Aiken, SIGMOD'03 — the MOSS local fingerprinting algorithm) at
+    WORD granularity: every window of w=4 consecutive 3-word-gram
+    hashes contributes its minimum, so any shared verbatim run of
+    ≥ k+w-1 = 6 words is GUARANTEED to share a fingerprint (a
+    locality guarantee MinHash doesn't give), while only ~2/(w+1) of
+    positions are kept. The third dedup modality next to MinHash-LSH
+    (set overlap) and SimHash (vector distance) — winnowing catches
+    verbatim EXCERPTS (quotes, licence blocks, copypasta) that
+    whole-doc signatures dilute. Upgrades ``l12_fingerprints``
+    (per-doc summary, rows-only char-level form) to a fully
+    DuckDB-hash-verified CROSS-DOC pair detector. Word grams (one
+    hash per word position) instead of char grams (one per CHAR
+    position) cut the hash count ~6× — the char form measured 150 s
+    at sf1 where this is ~25 s; at 100 TB swap the md5 for a rolling
+    Rabin hash (the md5 is the cross-engine-oracle price, the plan is
+    hash-agnostic).
 
-    Hash = md5 of the k-char substring: identical hex on both
-    engines, so the fingerprint table — not just row counts — is
-    value-hash-verified (at 100 TB swap in a rolling Rabin hash; the
-    plan is hash-agnostic). Plan shape: one map pass builds per-doc
-    fingerprints (array ops in codegen, no Python), explode+distinct
-    keys the (doc, fp) table by fingerprint, a frequency filter
-    (2..10) drops both singletons and boilerplate mega-buckets — the
-    same hot-key bound LSH uses — and the pair join is keyed on the
-    fingerprint with per-key fanout capped by that filter."""
-    k, w = _WINNOW_K, _WINNOW_W
+    Hash = md5 of the 3-word gram, truncated to 60 bits and parsed to
+    BIGINT in BOTH engines (identical integer — Spark
+    ``conv(hex,16,10)``, DuckDB ``'0x'||hex`` cast), so the
+    fingerprint table — not just row counts — is value-hash-verified
+    and the arrays hold longs, not hex strings. Plan shape: one map
+    pass builds per-doc fingerprints (array ops in codegen, no
+    Python), explode+distinct keys the (doc, fp) table by
+    fingerprint, a frequency filter (2..10) drops both singletons and
+    boilerplate mega-buckets — the same hot-key bound LSH uses — and
+    the pair join is keyed on the fingerprint with per-key fanout
+    capped by that filter."""
+    w = _WINNOW_W
+    # HARD materialization barriers (localCheckpoint) after the token
+    # split and after the gram hashes. Why they are load-bearing: a
+    # lambda body references its input array ONCE syntactically, so
+    # CollapseProject happily inlines the producing expression — but
+    # the runtime then re-evaluates it PER ELEMENT. Without barrier 1
+    # the normalize+split regex pipeline runs once per gram; without
+    # barrier 2 the whole gram-hash transform runs once per winnow
+    # window (O(len·w) hashes). A repartition is NOT enough — Catalyst
+    # moves projections across exchanges, re-merging them (measured:
+    # 95-150 s at sf1 with exchange barriers, 113 s with none;
+    # ~10 s end-to-end with the two checkpoints). Both tables are
+    # small (token arrays / long arrays for the dup slice).
     d = (
         documents_dup(spark, sf_dir)
         # the dup-bearing slice (every 5th base doc + its injected
         # copy): the full corpus adds 5× hash work and no new signal
         .where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1000000))
-        .select("doc_id", norm_text_col("text").alias("t"))
-        .where(F.length("t") >= k + w - 1)
+        .select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
+        .where(F.size("wds") >= 3)
+        .localCheckpoint(eager=True)
     )
+    wd = F.col("wds")
     gs = F.transform(
-        F.sequence(F.lit(1), F.length("t") - (k - 1)),
-        lambda i: F.md5(F.substring(F.col("t"), i, k)),
+        F.sequence(F.lit(1), F.size("wds") - 2),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(wd, i),
+                        F.element_at(wd, i + 1),
+                        F.element_at(wd, i + 2),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
-    g = d.select("doc_id", gs.alias("gs")).where(F.size("gs") >= w)
+    g = (
+        d.select("doc_id", gs.alias("gs"))
+        .where(F.size("gs") >= w)
+        .localCheckpoint(eager=True)
+    )
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("gs") - (w - 1)),
             lambda j: F.array_min(F.slice(F.col("gs"), j, w)),
         )
     )
+    # fp feeds three consumers (frequency filter + both join sides),
+    # but its lineage now starts at the checkpointed gram table, so
+    # each branch re-runs only the cheap winnow+explode — no third
+    # checkpoint needed.
     fp = g.select("doc_id", F.explode(fps).alias("f")).distinct()
     freq = (
         fp.groupBy("f").agg(F.count(F.lit(1)).alias("__df"))
