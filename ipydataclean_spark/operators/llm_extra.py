@@ -528,7 +528,7 @@ def c30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_WINNOW_K = 8   # k-gram length (chars)
+_WINNOW_K = 3   # k-gram length (words)
 _WINNOW_W = 4   # winnowing window (k-grams per window)
 
 
