@@ -462,3 +462,42 @@ def test_kmeans_assign_broadcasts_centroids(spark, sf_dir):
     df = _q("l3h_kmeans_assign", spark, sf_dir)
     assert count_op(df, "BroadcastNestedLoopJoin") + count_op(df, "BroadcastHashJoin") >= 1
     assert not has_python_eval(df)
+
+
+def test_r27_recursion_is_union_loop(spark, sf_dir):
+    """r27: WITH RECURSIVE must plan as Spark's UnionLoop fixpoint
+    operator (iterative join+filter per step), not an unrolled or
+    cartesian expansion."""
+    plan = formatted_plan(_q("r27_recursive_cte_sql", spark, sf_dir))
+    assert "UnionLoop" in plan and "UnionLoopRef" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_c32_sample_is_map_only_pruned(spark, sf_dir):
+    """c32: deterministic sampling is one pruned scan + a codegen
+    predicate — no shuffle before the final sort, no Python, only the
+    3 output columns read."""
+    df = _q("c32_stratified_sample", spark, sf_dir)
+    assert not has_python_eval(df)
+    schemas = read_schemas(df)
+    assert schemas and "o_comment" not in schemas[0] and "o_orderdate" not in schemas[0]
+    assert n_parquet_scans(df) == 1
+
+
+def test_d16_cusum_windows_after_day_rollup(spark, sf_dir):
+    """d16: the fact table must collapse to the day rollup BEFORE any
+    window (aggregate below, windows above over calendar-sized rows);
+    exactly one parquet scan feeds the whole plan."""
+    df = _q("d16_cusum_changepoint", spark, sf_dir)
+    assert n_parquet_scans(df) <= 2  # daily + the 1-row mean branch
+    plan = formatted_plan(df)
+    assert "HashAggregate" in plan and "Window" in plan
+    assert not has_python_eval(df)
+
+
+def test_l31_mix_thresholds_broadcast(spark, sf_dir):
+    """l31: the per-source threshold table must broadcast back onto
+    the corpus (map-only tag pass) and everything stays JVM-side."""
+    df = _q("l31_source_temperature_mix", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") + count_op(df, "BroadcastNestedLoopJoin") >= 1
+    assert not has_python_eval(df)
