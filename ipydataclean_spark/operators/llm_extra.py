@@ -659,3 +659,87 @@ def l28_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(50)
     )
+
+
+@register(
+    "l32_bigram_logprob",
+    oracle=(
+        "WITH toks AS (SELECT doc_id, pos, t FROM (SELECT doc_id, "
+        "generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos, "
+        "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t "
+        "FROM documents) u WHERE t <> ''), "
+        "bg AS (SELECT a.doc_id, a.t AS t1, b.t AS t2 FROM toks a "
+        "JOIN toks b ON a.doc_id = b.doc_id AND b.pos = "
+        "(SELECT MIN(c.pos) FROM toks c WHERE c.doc_id = a.doc_id AND c.pos > a.pos)), "
+        "uni AS (SELECT t1, CAST(COUNT(*) AS BIGINT) AS c1 FROM bg GROUP BY t1), "
+        "bfreq AS (SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg GROUP BY t1, t2), "
+        "v AS (SELECT CAST(COUNT(DISTINCT t) AS DOUBLE) AS vsz FROM toks), "
+        "lp AS (SELECT bfreq.t1, bfreq.t2, "
+        "ROUND(LN((CAST(c12 AS DOUBLE) + 0.1) / (CAST(c1 AS DOUBLE) + 0.1 * vsz)), 4) AS lp "
+        "FROM bfreq JOIN uni ON bfreq.t1 = uni.t1 CROSS JOIN v) "
+        "SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+        "ROUND(" + exact.dsum_sql("lp") + " / CAST(COUNT(*) AS DOUBLE), 8) AS avg_logprob "
+        "FROM bg JOIN lp ON bg.t1 = lp.t1 AND bg.t2 = lp.t2 "
+        "GROUP BY bg.doc_id ORDER BY bg.doc_id"
+    ),
+    tags=("L18", "L32", "text-analysis"),
+)
+def l32_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L32: BIGRAM language-model score with add-k smoothing (k=0.1)
+    — one Markov order above l18's unigram signal: p(t₂|t₁) =
+    (c₁₂+k)/(c₁+k·V). Catches locally-scrambled text (real words,
+    impossible transitions) that a unigram LM scores as fluent — the
+    next quality rung the CCNet-style filter ladder climbs before a
+    full KenLM table.
+
+    Exactness: per-bigram logprobs round to 4 dp before the decimal
+    per-doc sum (the l18 rule), so libm/summation-order differences
+    never reach the 8-dp output. Plan: tokens explode once; bigrams
+    come from ONE doc-keyed lead window (the oracle spells the same
+    adjacency as a correlated min — DuckDB's lag over the unnest
+    ordering is not guaranteed stable, the subquery is); the bigram
+    and unigram frequency tables shuffle on their token keys (both
+    vocab-bounded); V is a 1-row agg broadcast; the score join is
+    keyed (t1, t2). All partial-aggregable, no Python."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower("text"), "[^a-z]+")).alias("pos", "t"),
+    ).where(F.col("t") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.select(
+            "doc_id", F.col("t").alias("t1"), F.lead("t").over(w).alias("t2")
+        )
+        .where(F.col("t2").isNotNull())
+    )
+    uni = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    bfreq = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c12"))
+    v = toks.agg(F.countDistinct("t").cast("double").alias("vsz"))
+    lp = (
+        bfreq.join(uni, "t1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "t1", "t2",
+            F.round(
+                F.log(
+                    (F.col("c12").cast("double") + 0.1)
+                    / (F.col("c1").cast("double") + 0.1 * F.col("vsz"))
+                ),
+                4,
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(lp, ["t1", "t2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                exact.dsum("lp") / F.count(F.lit(1)).cast("double"), 8
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
