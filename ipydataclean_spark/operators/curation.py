@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ipydataclean_spark.functions.text import norm_text_sql
+from ipydataclean_spark.functions.text import norm_text_col, norm_text_sql
 from ipydataclean_spark.operators.llm import shingles_col, shingles_sql, tokens_col
 from ipydataclean_spark.operators.qhelp import T, documents_dup, with_documents_dup
 from ipydataclean_spark.registry import register
@@ -400,6 +400,122 @@ def l31_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("n").alias("n_docs"),
             F.count_if(F.col("h") < F.col("t")).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )
+
+
+_PIPE_SH8 = shingles_sql("t", n=8)
+
+
+@register(
+    "pipeline_lm_dataset",
+    oracle=with_documents_dup(
+        ", base AS (SELECT doc_id, source, " + norm_text_sql("text")
+        + " AS t FROM documents_dup), "
+        "q AS (SELECT doc_id, source, t, string_split(t, ' ') AS tk FROM base "
+        "WHERE LENGTH(t) >= 100 AND LEN(string_split(t, ' ')) >= 20), "
+        "dd AS (SELECT doc_id, source, t, tk FROM ("
+        "SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(t) ORDER BY doc_id) "
+        "AS rn FROM q) WHERE rn = 1), "
+        "bench AS (SELECT DISTINCT unnest(" + _PIPE_SH8 + ") AS g "
+        "FROM (SELECT " + norm_text_sql("text") + " AS t FROM documents_dup "
+        "WHERE doc_id % 5 = 0 AND doc_id < 1000000)), "
+        "hits AS (SELECT DISTINCT doc_id FROM "
+        "(SELECT doc_id, unnest(" + _PIPE_SH8 + ") AS g FROM dd) cg "
+        "JOIN bench USING (g)), "
+        "clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM hits)), "
+        "cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM clean GROUP BY source), "
+        "wt AS (SELECT source, n, CAST(ROUND(SQRT(CAST(n AS DOUBLE)), 8) "
+        "AS DECIMAL(28,8)) AS w FROM cnt), "
+        "tot AS (SELECT CAST(SUM(w) AS DOUBLE) AS tw FROM wt), "
+        "thr AS (SELECT source, CAST(FLOOR(LEAST(1.0, (200.0 * CAST(w AS DOUBLE) "
+        "/ tw) / CAST(n AS DOUBLE)) * 16777216.0) AS BIGINT) AS th "
+        "FROM wt CROSS JOIN tot), "
+        "mixed AS (SELECT clean.* FROM clean JOIN thr ON clean.source = thr.source "
+        "WHERE CAST(('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 6)) AS BIGINT) "
+        "< thr.th) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(LEN(tk)) AS BIGINT) AS n_tokens, "
+        "ROUND(CAST(SUM(LEN(tk)) AS DOUBLE) / COUNT(*), 8) AS avg_tokens "
+        "FROM mixed GROUP BY source ORDER BY source"
+    ),
+    tags=("L1", "L7", "L26", "L31", "pipeline", "curation"),
+)
+def pipeline_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline as ONE composed lazy plan —
+    the sequence a real LM data build runs, each stage an operator
+    this repo verifies individually, here hash-verified THROUGH the
+    composition:
+
+        quality gate (≥100 chars, ≥20 tokens)
+      → exact dedup (keep min doc_id per normalized-text md5)
+      → benchmark decontamination (drop docs sharing any 8-gram with
+        the held-out benchmark slice — the l26 anti-join)
+      → temperature source mixing (τ=0.5 budget of 200 docs, the l31
+        deterministic md5-threshold sample)
+      → per-source dataset card (docs, token counts).
+
+    Scale shape by stage: the gates are map-only; dedup shuffles a
+    16-byte digest key; the decontamination bench side is DISTINCT
+    benchmark grams broadcast to the corpus explode (no corpus-gram
+    shuffle), the hit-list anti-join is doc_id-keyed; mixing needs
+    one source-count agg broadcast back as integer thresholds; the
+    card is a final tiny rollup. Catalyst fuses the map stages — the
+    corpus text is scanned once."""
+    from pyspark.sql import Window
+
+    dd_all = documents_dup(spark, sf_dir)
+    base = dd_all.select(
+        "doc_id", "source", norm_text_col("text").alias("t")
+    )
+    q = base.withColumn("tk", F.split("t", " ")).where(
+        (F.length("t") >= 100) & (F.size("tk") >= 20)
+    )
+    w = Window.partitionBy(F.md5("t")).orderBy("doc_id")
+    dd = q.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+
+    bench = dd_all.where(
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 1000000)
+    ).select("doc_id", "text")
+    # contamination_check returns exactly the docs with >=1 shared
+    # gram (HAVING hits > 0) — the drop list
+    hits = contamination_check(
+        dd.select("doc_id", F.col("t").alias("text")), bench
+    ).select("doc_id")
+    clean = dd.join(hits, "doc_id", "left_anti")
+
+    cnt = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    wt = cnt.select(
+        "source", "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 8).cast("decimal(28,8)").alias("w"),
+    )
+    tot = wt.agg(F.sum("w").cast("double").alias("tw"))
+    thr = wt.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(200.0) * F.col("w").cast("double") / F.col("tw"))
+                / F.col("n").cast("double"),
+            )
+            * F.lit(16777216.0)
+        ).cast("long").alias("th"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    mixed = clean.join(F.broadcast(thr), "source").where(h < F.col("th"))
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size("tk").cast("long")).alias("n_tokens"),
+            F.round(
+                F.sum(F.size("tk").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                8,
+            ).alias("avg_tokens"),
         )
         .orderBy("source")
     )

@@ -501,3 +501,13 @@ def test_l31_mix_thresholds_broadcast(spark, sf_dir):
     df = _q("l31_source_temperature_mix", spark, sf_dir)
     assert count_op(df, "BroadcastHashJoin") + count_op(df, "BroadcastNestedLoopJoin") >= 1
     assert not has_python_eval(df)
+
+
+def test_pipeline_lm_dataset_scale_shape(spark, sf_dir):
+    """The end-to-end LM pipeline composite: benchmark grams and mix
+    thresholds broadcast, no cartesian anywhere, whole chain JVM-side."""
+    df = _q("pipeline_lm_dataset", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "BroadcastHashJoin") >= 2
+    assert not has_python_eval(df)
