@@ -1150,3 +1150,49 @@ def r27_recursive_cte_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, only=("supplier",))
     return spark.sql(_R27_SQL)
+
+
+@register(
+    "r28_null_safe_join",
+    oracle=(
+        "WITH a AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL "
+        "ELSE (event_id // 2) % 50 END AS k, CAST(COUNT(*) AS BIGINT) AS n_a "
+        "FROM events WHERE event_id % 2 = 0 GROUP BY 1), "
+        "b AS (SELECT CASE WHEN event_id % 7 = 0 THEN NULL "
+        "ELSE (event_id // 2) % 50 END AS k, CAST(COUNT(*) AS BIGINT) AS n_b "
+        "FROM events WHERE event_id % 2 = 1 GROUP BY 1) "
+        "SELECT a.k, n_a, n_b FROM a JOIN b "
+        "ON a.k IS NOT DISTINCT FROM b.k "
+        "ORDER BY a.k NULLS FIRST"
+    ),
+    tags=("R28", "R4", "SQL-semantics"),
+)
+def r28_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R28: NULL-SAFE equi-join (Spark ``<=>`` ≡ ANSI IS NOT DISTINCT
+    FROM) — the join a sessionization or SCD pipeline needs when the
+    key legitimately carries NULL as a value ("no campaign", "unknown
+    device") and a plain ``=`` would silently drop those rows. Both
+    sides pre-aggregate to key grain before the join (dimension-sized
+    at any scale); the null-safe predicate still hash-partitions on
+    the key — NULLs form one group, they do not fan out."""
+    ev = T(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+        (F.col("event_id") / 2).cast("long") % 50
+    )
+    a = (
+        ev.where(F.col("event_id") % 2 == 0)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        ev.where(F.col("event_id") % 2 == 1)
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return (
+        a.join(b, a["k"].eqNullSafe(b["k"]))
+        .select(a["k"].alias("k"), "n_a", "n_b")
+        .orderBy(F.asc_nulls_first("k"))
+    )
