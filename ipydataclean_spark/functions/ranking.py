@@ -12,9 +12,21 @@ The scalable equivalent is the classic three-step ranking pattern:
 2. rank/prefix-sum WITHIN each partition in parallel (a keyed
    WindowExec partitioned by ``spark_partition_id()``);
 3. add per-partition offsets from a P-row side plan (P = shuffle
-   partition count): one groupBy over the SAME exchange (Catalyst's
-   ReuseExchange fires — the range shuffle happens once), a window
-   over those P rows (trivially small), broadcast-joined back.
+   partition count): one groupBy over the materialized partitioning,
+   a window over those P rows (trivially small), broadcast-joined
+   back.
+
+The range-partitioned table is pinned with an EAGER localCheckpoint
+before it fans out to the offsets branch and the rank branch. This is
+load-bearing for CORRECTNESS, not a cache tweak: repartitionByRange
+samples its boundaries at exchange-execution time, and nothing
+guarantees the two consumers reuse one execution (exchange/stage
+reuse across self-join-dedup'd branches is unreliable — measured
+elsewhere in this repo — and a stage retry re-samples). If the two
+branches ever saw different boundary draws, the offsets would be
+computed for a different partition assignment than the ranks and the
+output would be silently wrong. The checkpoint makes the partition
+ids a materialized fact both branches read.
 
 Result: bit-identical semantics to the global window — exact ranks,
 exact NTILE assignment, exact decimal running sums — with the sort,
@@ -32,10 +44,17 @@ _PID = "__rnk_pid"
 
 
 def _range_partitioned(df: DataFrame, order_cols: list[Column]) -> DataFrame:
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    return df.repartitionByRange(n, *order_cols).withColumn(
+    try:
+        # "auto" on runtimes with AQE auto-optimized shuffle
+        n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    except ValueError:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    part = df.repartitionByRange(n, *order_cols).withColumn(
         _PID, F.spark_partition_id()
     )
+    # eager checkpoint: see module docstring — the partition ids MUST
+    # come from exactly one boundary draw
+    return part.localCheckpoint(eager=True)
 
 
 def with_global_rank(

@@ -332,6 +332,40 @@ from pyspark import cloudpickle as _cloudpickle
 _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
 
 
+def temperature_thresholds(counts: "DataFrame", budget: float) -> "DataFrame":
+    """(source, n) -> (source, n, th): per-source integer keep-thresholds
+    for a τ=0.5 temperature mix — weights √n/Σ√n of ``budget`` docs,
+    converted to ⌊rate·16^6⌋ so the md5-prefix probe is an integer
+    comparison on both engines (shared by l31 and pipeline_lm_dataset;
+    √ because IEEE mandates correct rounding for sqrt, not pow)."""
+    wt = counts.select(
+        "source", "n",
+        F.round(F.sqrt(F.col("n").cast("double")), 8)
+        .cast("decimal(28,8)").alias("w"),
+    )
+    tot = wt.agg(F.sum("w").cast("double").alias("tw"))
+    return wt.crossJoin(F.broadcast(tot)).select(
+        "source", "n",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                (F.lit(float(budget)) * F.col("w").cast("double") / F.col("tw"))
+                / F.col("n").cast("double"),
+            )
+            * F.lit(16777216.0)
+        ).cast("long").alias("th"),
+    )
+
+
+def md5_prefix_int(key: "F.Column") -> "F.Column":
+    """First 24 bits of md5(key) as BIGINT — the deterministic sampling
+    probe (DuckDB twin: CAST('0x' || substr(md5(...), 1, 6) AS BIGINT))."""
+    return F.conv(
+        F.substring(F.md5(key.cast("string")), 1, 6), 16, 10
+    ).cast("long")
+
+
+
 @register(
     "l31_source_temperature_mix",
     oracle=(
@@ -374,32 +408,15 @@ def l31_source_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup — no shuffle of the corpus beyond the count."""
     docs = T(spark, sf_dir, "documents")
     cnt = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    wt = cnt.select(
-        "source", "n",
-        F.round(F.sqrt(F.col("n").cast("double")), 8)
-        .cast("decimal(28,8)").alias("w"),
-    )
-    tot = wt.agg(F.sum("w").cast("double").alias("tw"))
-    thr = wt.crossJoin(F.broadcast(tot)).select(
-        "source", "n",
-        F.floor(
-            F.least(
-                F.lit(1.0),
-                (F.lit(300.0) * F.col("w").cast("double") / F.col("tw"))
-                / F.col("n").cast("double"),
-            )
-            * F.lit(16777216.0)
-        ).cast("long").alias("t"),
-    )
-    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10).cast("long")
+    thr = temperature_thresholds(cnt, budget=300.0)
     tagged = docs.join(F.broadcast(thr), "source").select(
-        "source", h.alias("h"), "t", "n"
+        "source", md5_prefix_int(F.col("doc_id")).alias("h"), "th", "n"
     )
     return (
         tagged.groupBy("source")
         .agg(
             F.max("n").alias("n_docs"),
-            F.count_if(F.col("h") < F.col("t")).alias("n_sampled"),
+            F.count_if(F.col("h") < F.col("th")).alias("n_sampled"),
         )
         .orderBy("source")
     )
@@ -486,26 +503,10 @@ def pipeline_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = dd.join(hits, "doc_id", "left_anti")
 
     cnt = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    wt = cnt.select(
-        "source", "n",
-        F.round(F.sqrt(F.col("n").cast("double")), 8).cast("decimal(28,8)").alias("w"),
+    thr = temperature_thresholds(cnt, budget=200.0).drop("n")
+    mixed = clean.join(F.broadcast(thr), "source").where(
+        md5_prefix_int(F.col("doc_id")) < F.col("th")
     )
-    tot = wt.agg(F.sum("w").cast("double").alias("tw"))
-    thr = wt.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.floor(
-            F.least(
-                F.lit(1.0),
-                (F.lit(200.0) * F.col("w").cast("double") / F.col("tw"))
-                / F.col("n").cast("double"),
-            )
-            * F.lit(16777216.0)
-        ).cast("long").alias("th"),
-    )
-    h = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
-    ).cast("long")
-    mixed = clean.join(F.broadcast(thr), "source").where(h < F.col("th"))
     return (
         mixed.groupBy("source")
         .agg(

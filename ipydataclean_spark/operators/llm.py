@@ -54,14 +54,24 @@ def shingles_col(tokens: F.Column, n: int = 3) -> F.Column:
     IMPORTANT: pass a MATERIALIZED column (withColumn'd attribute), not
     the split(...) expression itself — element_at references inside the
     lambda would otherwise re-evaluate the whole normalize+split per
-    shingle element (measured 4× slowdown at sf0.1)."""
+    shingle element (measured 4× slowdown at sf0.1).
+
+    Short-doc guard: ``sequence(1, size-(n-1))`` DESCENDS through 0
+    when the doc has < n tokens (Spark generates [1, 0, ...] with
+    step -1) and ``element_at(t, 0)`` then raises
+    INVALID_INDEX_OF_ZERO — a doc with one or two words would kill
+    the whole corpus job. Such docs get an EMPTY shingle set
+    instead."""
     idx = F.sequence(F.lit(1), F.size(tokens) - (n - 1))
     parts = lambda i: reduce(  # noqa: E731
         lambda acc, k: acc + [F.lit(" "), F.element_at(tokens, i + k)],
         range(1, n),
         [F.element_at(tokens, i)],
     )
-    return F.array_distinct(F.transform(idx, lambda i: F.concat(*parts(i))))
+    grams = F.array_distinct(F.transform(idx, lambda i: F.concat(*parts(i))))
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exploded_shingles(docs: DataFrame, alias: str = "shingle") -> DataFrame:
@@ -135,7 +145,13 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     string and hashed it K times — ~40% of the whole LSH wall at
     sf0.1."""
     n = 3
-    toks = docs.withColumn("__toks", tokens_col("text"))
+    # short-doc guard (same hazard shingles_col documents): < n tokens
+    # would make sequence() descend through index 0 and element_at(t,0)
+    # raise — such docs are dropped here (no shingles -> no signature,
+    # so they never reach the LSH; exact dedup l1 still covers them)
+    toks = docs.withColumn("__toks", tokens_col("text")).where(
+        F.size("__toks") >= n
+    )
     t = F.col("__toks")
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
     hashed = F.array_distinct(

@@ -202,7 +202,7 @@ def l9c_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "substr(hex, 1, 8) AS magic_hex FROM ("
         "SELECT doc_id, encode(text) AS blob, "
         "lower(hex(encode(text))) AS hex "
-        "FROM documents WHERE doc_id % 29 = 3) ORDER BY doc_id"
+        "FROM documents WHERE doc_id % 29 = 3 AND text IS NOT NULL) ORDER BY doc_id"
     ),
     tags=("L9", "S2", "multimodal"),
 )
@@ -223,7 +223,12 @@ def l9j_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale: binaryFile caps file splits at
     ``spark.sql.files.maxPartitionBytes`` per task and prunes on
     pushed path filters; the write side here is a one-off fixture
-    materialization (foreachPartition, executor-side writes)."""
+    materialization (foreachPartition, executor-side writes), which
+    REQUIRES a filesystem shared between executors and driver — true
+    for local mode and for any cluster writing to distributed/object
+    storage, NOT for executor-local disks (the read would silently
+    list an empty driver-side directory). NULL-text docs are filtered
+    before the write (bytes(None) would kill the task)."""
     import pathlib
     import shutil
 
@@ -238,7 +243,7 @@ def l9j_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir.mkdir(parents=True, exist_ok=True)
     sel = (
         T(spark, sf_dir, "documents")
-        .where(F.col("doc_id") % 29 == 3)
+        .where((F.col("doc_id") % 29 == 3) & F.col("text").isNotNull())
         .select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     )
     target = str(out_dir)

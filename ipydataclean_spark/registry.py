@@ -125,9 +125,14 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "c21_resample_timeseries", "c22_one_hot", "c23_binning",
     "c24_feature_scaling", "l16_pii_redact", "c29_target_encode",
     "recipe_sql_export", "autofix_pipeline", "r14_collect_set",
-    "r9c_asof_join_tolerance", "q_rfm_segments", "q_pareto_revenue",
+    "r9c_asof_join_tolerance",
+    # q_rfm_segments / q_pareto_revenue / q29_session_conversion were
+    # r3-green but REWRITTEN in round 4 (distributed ranking pattern;
+    # total-order window frame) — their green rows certify the OLD
+    # plans, so they stay OUT of this set until a driver window
+    # re-proves the new implementations (code-review r04 finding)
     "q24_ship_latency", "q25_repeat_purchase", "q26_stickiness",
-    "q27_yoy_growth", "q28_association_rules", "q29_session_conversion",
+    "q27_yoy_growth", "q28_association_rules",
     "q31_trending_parts", "q32_event_transitions", "q33_cohort_ltv",
     "w8_cumulative_distinct", "w9_value_streaks", "w10_last_touch_attribution",
     "f_conditional", "f_array", "f_json", "f_hash", "s4_values_inline",

@@ -189,3 +189,33 @@ def test_embed_neardup_lsh_recall(spark, sf_dir):
     assert lsh <= exact, f"false positives: {sorted(lsh - exact)[:5]}"
     assert injected <= lsh, f"missed twins: {sorted(injected - lsh)[:5]}"
     assert len(lsh) == len(exact), (len(lsh), len(exact))
+
+
+def test_minhash_and_shingles_survive_short_docs(spark):
+    """Docs with < 3 tokens must not kill the corpus job (sequence()
+    DESCENDS through index 0 for short inputs and element_at(t, 0)
+    raises INVALID_INDEX_OF_ZERO): shingles_col yields an empty set,
+    minhash drops the doc, LSH still works on the rest."""
+    from ipydataclean_spark.operators.llm import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles_col,
+        tokens_col,
+    )
+
+    rows = [
+        (1, ""), (2, "one"), (3, "two words"),
+        (4, "a proper document with enough words to shingle normally"),
+        (5, "a proper document with enough words to shingle normally"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    sh = docs.withColumn("__t", tokens_col("text")).select(
+        "doc_id", F.size(shingles_col(F.col("__t"))).alias("n")
+    )
+    got = {r.doc_id: r.n for r in sh.collect()}
+    assert got[1] == 0 and got[2] == 0 and got[3] == 0 and got[4] > 0
+
+    sigs = minhash_signatures(docs)
+    assert sigs.count() == 2  # only the shingle-able docs
+    pairs = lsh_candidate_pairs(sigs, cap=None).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(4, 5)]
