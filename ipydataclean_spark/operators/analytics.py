@@ -862,3 +862,80 @@ def q_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@register(
+    "q34_rolling_corr",
+    oracle=(
+        "WITH daily AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) "
+        "AS day, CAST(COUNT(*) AS DECIMAL(18,2)) AS x, "
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DECIMAL(18,2)) AS y "
+        "FROM orders GROUP BY 1), "
+        "s AS (SELECT day, "
+        "COUNT(*) OVER w AS n, "
+        "SUM(x) OVER w AS sx, SUM(y) OVER w AS sy, "
+        "SUM(CAST(x * y AS DECIMAL(38,4))) OVER w AS sxy, "
+        "SUM(CAST(x * x AS DECIMAL(38,4))) OVER w AS sxx, "
+        "SUM(CAST(y * y AS DECIMAL(38,4))) OVER w AS syy "
+        "FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND "
+        "CURRENT ROW)) "
+        "SELECT day, ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+        "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 8) AS corr_7d "
+        "FROM s WHERE n = 7 ORDER BY day"
+    ),
+    tags=("analytics", "W3", "Q34"),
+)
+def q34_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q34: 7-day trailing Pearson correlation between daily order
+    count and daily revenue — the co-movement monitor that separates
+    "volume is driving revenue" days from price-mix shifts (corr
+    dropping while both series rise is the classic mix-change
+    signal).
+
+    Exactness: the five power sums accumulate in DECIMAL from
+    2-dp-quantized daily inputs, so every engine sees IDENTICAL sums;
+    the final correlation is one deterministic double expression
+    (multiply/divide/sqrt of identical inputs — sqrt is correctly
+    rounded per IEEE), rounded to 8 dp. Scale shape: the fact table
+    collapses to the day-grain rollup first; the trailing windows run
+    over one row per calendar day (bounded by time, not data
+    volume)."""
+    from pyspark.sql import Window
+
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("decimal(18,2)").alias("x"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,6)"))
+            .cast("decimal(18,2)")
+            .alias("y"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    s = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,4)")).over(w).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,4)")).over(w).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,4)")).over(w).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return (
+        s.where(F.col("n") == 7)
+        .select("day", F.round(corr, 8).alias("corr_7d"))
+        .orderBy("day")
+    )
