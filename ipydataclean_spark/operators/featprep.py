@@ -362,3 +362,40 @@ def c29_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_orderpriority", F.round(te, 8).alias("te_priority"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "c33_robust_scale",
+    oracle=(
+        "WITH s AS (SELECT QUANTILE_CONT(l_quantity, 0.25) AS q1, "
+        "QUANTILE_CONT(l_quantity, 0.5) AS q2, "
+        "QUANTILE_CONT(l_quantity, 0.75) AS q3 FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        "ROUND((l_quantity - q2) / (q3 - q1), 8) AS robust_scaled "
+        "FROM lineitem, s ORDER BY l_orderkey, l_linenumber"
+    ),
+    tags=("C24", "C33", "featprep"),
+)
+def c33_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33: ROBUST scaling — (x − median) / IQR, the outlier-immune
+    alternative to z-score (one injected 1000× price would drag a
+    mean/stddev scaler's parameters; the median and quartiles don't
+    move). Same two-phase shape as c24: the three quartiles come from
+    the histogram-refinement exact path (functions/quantiles —
+    interpolated, ≡ QUANTILE_CONT, O(1) executor memory), then one
+    literal-substituted codegen pass over the table; no window, no
+    join."""
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    li = T(spark, sf_dir, "lineitem")
+    q1, q2, q3 = exact_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                (F.col("l_quantity") - F.lit(q2)) / F.lit(q3 - q1), 8
+            ).alias("robust_scaled"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
