@@ -525,6 +525,16 @@ class TxTable:
         merged = base.join(updates, key, "left_anti").unionByName(
             updates, allowMissingColumns=evolve_schema
         )
+        # rewrite AS MANY files as were removed (min 1): the anti-join
+        # inherits the session's shuffle partitioning, so without this
+        # a 1-file rewrite staged up to spark.sql.shuffle.partitions
+        # tiny files — every merge would multiply the file count (the
+        # small-files explosion compact() exists to undo). Clustering
+        # within the rewrite keeps footer ranges tight for the next
+        # prune.
+        merged = merged.repartitionByRange(
+            max(1, len(hit)), key
+        ).sortWithinPartitions(key)
         add, stats = self._stage(merged)
         remove = [os.path.relpath(p, self.root) for p in hit]
         return self._publish("merge", add, remove, read_v, max_retries, meta, stats)
@@ -1172,3 +1182,60 @@ def tx5_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t.restore(0)
     return t.read().orderBy("s_suppkey")
+
+
+@register(
+    "tx6_describe_history",
+    oracle=(
+        "SELECT * FROM (VALUES "
+        "(0, 'create', 4, 0), "
+        "(1, 'append', 1, 0), "
+        "(2, 'merge', 1, 1), "
+        "(3, 'compact', 2, 5), "
+        "(4, 'restore', 5, 2)) "
+        "AS t(version, op, n_add, n_remove) ORDER BY version"
+    ),
+    tags=("S9b", "ACID", "audit"),
+)
+def tx6_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9b DESCRIBE HISTORY parity: run a scripted transaction
+    sequence (create 4 clustered files → blind append → key-pruned
+    merge touching one file → compact to 2 → restore to v2) and
+    return the audit table (version, op, files added/removed). Every
+    count is a DETERMINISTIC consequence of the clustering and the
+    merge's file-level pruning, so the literal oracle pins the whole
+    transactional behavior: a regression in pruning (rewriting 4
+    files instead of 1), compaction, or restore's by-reference
+    re-adds flips a row. The timestamps the real DESCRIBE HISTORY
+    also carries are runtime values and are projected away."""
+    import pathlib
+    import shutil
+
+    root = str(
+        pathlib.Path(__file__).resolve().parents[2]
+        / "spark-warehouse"
+        / f"tx6_{spark.sparkContext.applicationId}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    t = TxTable.create(
+        spark, root, df.repartitionByRange(4, "k").sortWithinPartitions("k")
+    )
+    t.append(spark.createDataFrame([(1000, -1)], "k long, v long").coalesce(1))
+    t.merge(
+        spark.range(0, 50)
+        .select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+        .coalesce(1),
+        key="k",
+    )
+    t.compact(n_files=2, cluster_by="k")
+    t.restore(2)
+    rows = [
+        (c["version"], c["op"], len(c["add"]), len(c["remove"]))
+        for c in t.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version int, op string, n_add int, n_remove int"
+    ).orderBy("version")
