@@ -23,6 +23,7 @@ from ipydataclean_spark.functions.text import norm_text_col, norm_text_sql
 from ipydataclean_spark.operators.qhelp import (
     T,
     documents_dup,
+    scratch_dir,
     events_dirty,
     lineitem_dirty,
     with_documents_dup,
@@ -656,17 +657,11 @@ def c18b_merge_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     disk (asserted in tests/test_sources.py). The query returns the
     post-merge table state, which the oracle reproduces as a plain
     full-outer MERGE over all rows."""
-    import pathlib
-
     from ipydataclean_spark.sources import merge_into_parquet
 
-    # session-unique scratch: two concurrent sessions (e.g. verify + a
-    # smoke run) must not race on the same target dataset
-    scratch = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"c18b_merge_{spark.sparkContext.applicationId}"
-    )
+    # session-unique scratch (appId-keyed): two concurrent sessions
+    # (e.g. verify + a smoke run) must not race on the same target
+    scratch = scratch_dir(spark, "c18b_merge")
     orders = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus",
         (F.col("o_orderkey") % 16).alias("pk"),

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
-from ipydataclean_spark.operators.qhelp import T
+from ipydataclean_spark.operators.qhelp import T, scratch_dir
 from ipydataclean_spark.registry import register
 
 _CUTOFF = "1997-01-01"
@@ -70,11 +70,7 @@ def inc1_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = T(spark, sf_dir, "orders").select(
         "o_orderdate", "o_orderstatus", "o_totalprice"
     )
-    scratch = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"inc1_state_{spark.sparkContext.applicationId}"
-    )
+    scratch = scratch_dir(spark, "inc1_state")
     history = orders.where(F.col("o_orderdate") < _CUTOFF)
     delta = orders.where(F.col("o_orderdate") >= _CUTOFF)
     _month_partials(history).write.mode("overwrite").parquet(scratch)
@@ -297,16 +293,21 @@ def maintain_sum_view(
         "JOIN customer ON o_custkey = c_custkey), "
         "old_j AS (SELECT c_nationkey, o_totalprice FROM o_old "
         "JOIN c_old ON o_custkey = c_custkey), "
+        # sums stay in DECIMAL through the subtraction; ONE cast to
+        # DOUBLE on the exact difference, matching the Spark side's
+        # decimal-sum-then-cast-once discipline (ADVICE r04: two
+        # per-side casts can differ in the last ulp from
+        # double(exact difference) and flip ROUND at a half-cent)
         "delta AS (SELECT c_nationkey, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
-        + exact.dsum_sql("o_totalprice")
-        + " AS s FROM full_j GROUP BY c_nationkey), "
+        f"SUM(CAST(o_totalprice AS {exact.DEC_SQL})) AS s "
+        "FROM full_j GROUP BY c_nationkey), "
         "prior AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n, "
-        + exact.dsum_sql("o_totalprice")
-        + " AS s FROM old_j GROUP BY c_nationkey) "
+        f"SUM(CAST(o_totalprice AS {exact.DEC_SQL})) AS s "
+        "FROM old_j GROUP BY c_nationkey) "
         "SELECT delta.c_nationkey AS nationkey, "
         "CAST(delta.n - COALESCE(prior.n, 0) AS BIGINT) AS n_delta_rows, "
-        "ROUND(delta.s - COALESCE(prior.s, 0.0), 2) AS delta_revenue "
+        f"ROUND(CAST(delta.s - COALESCE(prior.s, CAST(0 AS {exact.DEC_SQL})) AS DOUBLE), 2) AS delta_revenue "
         "FROM delta LEFT JOIN prior ON delta.c_nationkey = prior.c_nationkey "
         "WHERE delta.n - COALESCE(prior.n, 0) <> 0 "
         "ORDER BY nationkey"

@@ -230,16 +230,10 @@ def l9j_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     list an empty driver-side directory). NULL-text docs are filtered
     before the write (bytes(None) would kill the task)."""
     import pathlib
-    import shutil
 
-    out_dir = pathlib.Path(
-        str(
-            pathlib.Path(__file__).resolve().parents[2]
-            / "spark-warehouse"
-            / f"l9j_{spark.sparkContext.applicationId}"
-        )
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
+    from ipydataclean_spark.operators.qhelp import scratch_dir
+
+    out_dir = pathlib.Path(scratch_dir(spark, "l9j"))
     out_dir.mkdir(parents=True, exist_ok=True)
     sel = (
         T(spark, sf_dir, "documents")

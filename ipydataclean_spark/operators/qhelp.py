@@ -16,6 +16,44 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+#: Siblings older than this are certainly from a dead session and safe
+#: to sweep; younger ones may belong to a CONCURRENT session (verify +
+#: smoke run), which is the reason scratch dirs are appId-keyed at all.
+_SCRATCH_STALE_SECS = 2 * 3600
+
+
+def scratch_dir(spark: SparkSession, prefix: str) -> str:
+    """Session-unique scratch path ``spark-warehouse/{prefix}_{appId}``.
+
+    The appId changes every session, so the old per-site pattern
+    (rmtree only the same-appId path) leaked one directory per run
+    permanently (ADVICE r04). This helper additionally sweeps STALE
+    same-prefix siblings — any ``{prefix}_*`` not owned by this session
+    and untouched for ``_SCRATCH_STALE_SECS`` — before handing back a
+    freshly-cleared current path. End-of-query deletion is NOT an
+    option: most callers return a lazy DataFrame that still reads these
+    files when the driver later collects it.
+    """
+    import pathlib
+    import shutil
+    import time
+
+    base = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
+    cur = base / f"{prefix}_{spark.sparkContext.applicationId}"
+    if base.is_dir():
+        cutoff = time.time() - _SCRATCH_STALE_SECS
+        for sib in base.glob(f"{prefix}_*"):
+            if sib == cur:
+                continue
+            try:
+                if sib.stat().st_mtime < cutoff:
+                    shutil.rmtree(sib, ignore_errors=True)
+            except OSError:
+                continue
+    shutil.rmtree(cur, ignore_errors=True)
+    return str(cur)
+
+
 def lineitem_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem + quantity_str/qty_parsed/price_out dirt columns."""
     return (

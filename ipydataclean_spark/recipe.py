@@ -301,7 +301,11 @@ class Recipe:
             f"WHEN {_sql_lit(u)} THEN {_sql_lit(float(k))}"
             for u, k in sorted(conversions.items())
         )
-        factor = f"CASE {unit} {whens} ELSE 1.0 END"
+        # empty conversions (headless autofix identity map) must NOT
+        # render 'CASE <unit> ELSE 1.0 END' — a CASE with zero WHEN arms
+        # is invalid SQL in both Spark and DuckDB; mirror the DataFrame
+        # path's F.lit(1.0) fallback (ADVICE r04)
+        factor = f"CASE {unit} {whens} ELSE 1.0 END" if whens else "1.0"
         return self.add(
             "standardize_units",
             lambda df: standardize_units(df, col, conversions, out),

@@ -142,16 +142,79 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "d3c_outliers_mad", "p13_constraint_suite", "d7_drift_ks",
     "d8_pattern_validity", "d9_rolling_anomaly", "p16_fk_integrity",
     "p17_benford_profile",
+    # CORRECTNESS_r04.json — 50/50 green (includes the round-4 rewrites
+    # q_rfm_segments / q_pareto_revenue / q29_session_conversion, whose
+    # NEW implementations these rows certify — VERDICT r04 #4)
+    "c33_robust_scale", "r27_recursive_cte_sql", "r28_null_safe_join",
+    "q_rfm_segments", "q_pareto_revenue", "q29_session_conversion",
+    "q_revenue_deciles", "q34_rolling_corr", "p19_missingness_patterns",
+    "c26_rank_normalize", "d10_snapshot_diff", "d11_drift_psi",
+    "c27_flatten_json", "p22_cramers_v", "d12_volume_anomaly",
+    "q30_daily_p95", "d14_seasonal_anomaly", "d15_null_rate_drift",
+    "d16_cusum_changepoint", "x1_expectations", "x2_expectations_orders",
+    "x3_quarantine", "p5b_group_quantiles", "r14b_listagg",
+    "w6_validity_intervals", "c25_hash_split", "r11b_salted_agg",
+    "p27_weighted_median", "c32_stratified_sample", "g2_triangle_count",
+    "g2b_triangles_degree_oriented", "p15_bitmap_distinct",
+    "p12_hll_profile", "p14_theta_setops", "z1_zorder_values",
+    "l8b_bm25_search", "f_variant", "l17_bigram_topk", "l8c_tfidf_search",
+    "u1_scalar_udf", "u2_pandas_udf_zclamp", "u3_applyinpandas_groupfill",
+    "u4_grouped_agg_mad", "u7_pandas_iter_udf", "u8_map_in_arrow",
+    "u9_cogroup_asof", "u10_arrow_udf", "u11_udtf_analyze",
+    "l1_exact_dedup", "l2b_jaccard_pairs",
 })
+
+#: Round-5 window priority (VERDICT r04 #1/#2). The driver's bounded
+#: correctness window (~50 queries) has never reached the §2.8 streaming
+#: batch twins, §2.9 L-ops, tx*, inc*, or pipeline queries in four rounds
+#: because ``ordered_queries`` preserved module registration order within
+#: the fresh tier (llm/streaming modules import last). These §2-CORE
+#: never-checked names go FIRST, ahead of late-registered extras.
+CORE_FRESH_FIRST: tuple[str, ...] = (
+    # §2.9 L-ops: embedding kNN / similarity / text stats family
+    "l3_knn_exact", "l3g_knn_filtered", "l3h_kmeans_assign",
+    "l4_sim_join_exact", "l4c_embed_dedup", "l4d_label_centroids",
+    "l5_text_stats", "l6_slice_metrics", "l7_quality_filter",
+    "l8_keyword_search", "l10_token_count",
+    # §2.9 multimodal
+    "l9_multimodal_features", "l9j_binaryfile_ingest", "l9d_real_decode",
+    "l9e_audio_frames", "l9g_real_png_decode", "l9h_mulaw_audio",
+    "l9i_gif_decode",
+    # §2.8 streaming batch twins
+    "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
+    "st5_dedup_twin", "st7_stream_static_join", "st8_purchase_click_join",
+    "st8b_purchase_click_outer", "st10_chained_rollup", "st11_abandoned_carts",
+    # transactional table + incremental + custom source + pipelines
+    "tx1_acid_upsert", "tx2_skipping_read", "tx3_cdc_read",
+    "tx4_bloom_lookup", "tx5_restore_read", "tx6_describe_history",
+    "inc1_incremental_stats", "inc2_incremental_dedup", "inc3_incremental_join",
+    "s8_pyds_scan", "s8b_pyds_cleaned",
+    "pipeline_corpus_curation", "pipeline_lm_dataset", "pipeline_media_curation",
+)
+
+#: Rows-only priority: the flagship approximate/scale paths (LSH, IVF,
+#: PQ, SimHash, media) first so §2.9's strongest rows-only evidence lands
+#: in the same window; generic sampling/function demos follow.
+ROWS_ONLY_FIRST: tuple[str, ...] = (
+    "l2_minhash_lsh", "l2c_simhash", "l2d_dedup_clusters",
+    "l3b_knn_lsh", "l3c_knn_ivf", "l3e_knn_pq", "l4b_embed_neardup_lsh",
+    "l9b_media_resize", "l9c_frame_sample", "l9f_image_dhash_pairs",
+    "l11_language_id", "l12_fingerprints", "l10b_bpe_token_count",
+    "c30_dedup_keep_best", "l27_cdc_chunk_dedup", "g1_pagerank",
+)
 
 
 def ordered_queries() -> dict[str, dict[str, Any]]:
     """Registry reordered for the driver's bounded correctness window.
 
-    Order: (1) oracle-backed queries with no prior driver-green row — these
-    get the strongest new signal; (2) rows-only queries not yet checked;
-    (3) queries already proven in a prior round's CORRECTNESS file.
-    Within each tier, registration order is preserved (deterministic).
+    Order: (1) §2-core oracle-backed queries with no prior driver-green
+    row, in ``CORE_FRESH_FIRST`` order — these have starved for four
+    rounds behind module registration order; (2) rows-only queries not
+    yet checked, flagship scale paths first (``ROWS_ONLY_FIRST``);
+    (3) remaining fresh oracle-backed queries (late extras);
+    (4) queries already proven in a prior round's CORRECTNESS file.
+    Within each tier, any unlisted names keep registration order
+    (deterministic).
     """
     load_all()
     fresh_oracle: dict[str, dict[str, Any]] = {}
@@ -164,4 +227,12 @@ def ordered_queries() -> dict[str, dict[str, Any]]:
             fresh_oracle[name] = spec
         else:
             fresh_rows_only[name] = spec
-    return {**fresh_oracle, **fresh_rows_only, **proven}
+
+    def prioritized(tier: dict[str, dict[str, Any]], order: tuple[str, ...]) -> dict[str, dict[str, Any]]:
+        head = {n: tier[n] for n in order if n in tier}
+        tail = {n: s for n, s in tier.items() if n not in head}
+        return {**head, **tail}
+
+    core = {n: fresh_oracle[n] for n in CORE_FRESH_FIRST if n in fresh_oracle}
+    extras = {n: s for n, s in fresh_oracle.items() if n not in core}
+    return {**core, **prioritized(fresh_rows_only, ROWS_ONLY_FIRST), **extras, **proven}

@@ -795,17 +795,9 @@ def tx1_acid_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes; versioning/conflict/vacuum semantics are pinned in
     tests/test_txlog.py. The oracle reproduces the upsert as a plain
     full-outer MERGE over the fixture."""
-    import pathlib
-    import shutil
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
 
-    from ipydataclean_spark.operators.qhelp import T
-
-    root = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"tx1_{spark.sparkContext.applicationId}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir(spark, "tx1")
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
@@ -854,17 +846,9 @@ def tx2_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query FAIL LOUDLY if skipping ever regresses to
     read-everything, and the oracle pins result equality to a plain
     range filter over all rows."""
-    import pathlib
-    import shutil
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
 
-    from ipydataclean_spark.operators.qhelp import T
-
-    root = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"tx2_{spark.sparkContext.applicationId}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir(spark, "tx2")
     orders = T(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
@@ -914,17 +898,9 @@ def tx3_cdc_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle pins by deriving the same change set directly from the
     fixture. Deletes and multi-version windows are pinned in
     tests/test_txlog.py."""
-    import pathlib
-    import shutil
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
 
-    from ipydataclean_spark.operators.qhelp import T
-
-    root = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"tx3_{spark.sparkContext.applicationId}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir(spark, "tx3")
     cust = T(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal", "c_mktsegment"
     )
@@ -973,17 +949,9 @@ def tx4_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom metadata alone; the in-query assertion fails loudly if bloom
     skipping ever regresses to read-everything, and the oracle pins
     result equality against a plain filter over all rows."""
-    import pathlib
-    import shutil
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
 
-    from ipydataclean_spark.operators.qhelp import T
-
-    root = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"tx4_{spark.sparkContext.applicationId}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir(spark, "tx4")
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
     t = TxTable.create(
         spark,
@@ -1155,17 +1123,9 @@ def tx5_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     by-reference re-adds, no data rewrite). The version history keeps
     both the damage and the restore (auditable, pinned in
     tests/test_txlog.py)."""
-    import pathlib
-    import shutil
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
 
-    from ipydataclean_spark.operators.qhelp import T
-
-    root = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"tx5_{spark.sparkContext.applicationId}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir(spark, "tx5")
     supp = T(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_nationkey", F.round("s_acctbal", 2).alias("s_acctbal")
     )
@@ -1208,15 +1168,9 @@ def tx6_describe_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     files instead of 1), compaction, or restore's by-reference
     re-adds flips a row. The timestamps the real DESCRIBE HISTORY
     also carries are runtime values and are projected away."""
-    import pathlib
-    import shutil
+    from ipydataclean_spark.operators.qhelp import scratch_dir
 
-    root = str(
-        pathlib.Path(__file__).resolve().parents[2]
-        / "spark-warehouse"
-        / f"tx6_{spark.sparkContext.applicationId}"
-    )
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir(spark, "tx6")
     df = spark.range(0, 400).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v")
     )

@@ -77,6 +77,17 @@ def test_scale_constant_column_branch(spark, tmp_path):
         _compare(r.apply(df), _duck(path, r.to_sql("src")))
 
 
+def test_standardize_units_empty_conversions_sql(spark, messy):
+    # headless-autofix identity map: zero conversions must still export
+    # VALID SQL (factor literal 1.0, no zero-arm CASE) and match the
+    # DataFrame path — ADVICE r04 medium
+    df, path = messy
+    r = Recipe().standardize_units("w", {}, out="w_n")
+    sql = r.to_sql("src")
+    assert "CASE" not in sql
+    _compare(r.apply(df), _duck(path, sql))
+
+
 def test_parse_dates_units_redact_chain(spark, messy):
     df, path = messy
     r = (
