@@ -132,8 +132,13 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # plans, so they stay OUT of this set until a driver window
     # re-proves the new implementations (code-review r04 finding)
     "q24_ship_latency", "q25_repeat_purchase", "q26_stickiness",
-    "q27_yoy_growth", "q28_association_rules",
-    "q31_trending_parts", "q32_event_transitions", "q33_cohort_ltv",
+    "q27_yoy_growth",
+    # q28_association_rules / q31_trending_parts were r3-green but
+    # REWRITTEN in round 5 (q28: parameterized prefilter knob; q31:
+    # shared-rollup refactor for the q31b bucketed variant) — per the
+    # standing rotation-exclusion rule they stay OUT of this set until
+    # a driver window re-proves the new implementations
+    "q32_event_transitions", "q33_cohort_ltv",
     "w8_cumulative_distinct", "w9_value_streaks", "w10_last_touch_attribution",
     "f_conditional", "f_array", "f_json", "f_hash", "s4_values_inline",
     "f_array2", "f_posexplode", "f_datetime2", "f_regexp", "f_moment_stats",

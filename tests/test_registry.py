@@ -8,25 +8,30 @@ from ipydataclean_spark.registry import (
 )
 
 
-def test_ordered_queries_floats_fresh_oracle_queries_first():
-    """The driver's bounded CORRECTNESS window reads queries() in
-    order, so the rotation must put every not-yet-driver-checked
-    oracle-backed query ahead of rows-only and already-proven ones."""
+def test_ordered_queries_window_priority():
+    """The driver's bounded CORRECTNESS window (~50) reads queries() in
+    order. Round-5 contract: (1) the §2-core never-driver-checked
+    oracle queries (CORE_FRESH_FIRST) lead, in list order; (2) fresh
+    rows-only follow, flagship scale paths first; (3) remaining fresh
+    oracle extras; (4) every prior-green query sits in the tail."""
+    from ipydataclean_spark.registry import CORE_FRESH_FIRST, ROWS_ONLY_FIRST
+
     load_all()
     oq = ordered_queries()
     assert set(oq) == set(QUERIES)
     names = list(oq)
     assert DRIVER_GREEN_PRIOR_ROUNDS <= set(QUERIES), "stale prior-green name"
-    n_fresh_oracle = sum(
-        1
-        for n, s in QUERIES.items()
-        if n not in DRIVER_GREEN_PRIOR_ROUNDS and s["oracle"] is not None
-    )
-    head = names[:n_fresh_oracle]
-    assert all(
-        QUERIES[n]["oracle"] is not None and n not in DRIVER_GREEN_PRIOR_ROUNDS
-        for n in head
-    )
+    core = [n for n in CORE_FRESH_FIRST
+            if n in QUERIES and n not in DRIVER_GREEN_PRIOR_ROUNDS]
+    assert names[: len(core)] == core, "core fresh-oracle tier must lead verbatim"
+    assert all(QUERIES[n]["oracle"] is not None for n in core)
+    rows_head = [n for n in ROWS_ONLY_FIRST
+                 if n in QUERIES and n not in DRIVER_GREEN_PRIOR_ROUNDS]
+    assert names[len(core): len(core) + len(rows_head)] == rows_head
+    assert all(QUERIES[n]["oracle"] is None for n in rows_head)
+    # no prior-green query may appear before ANY fresh query
+    first_proven = min(names.index(n) for n in DRIVER_GREEN_PRIOR_ROUNDS)
+    assert first_proven == len(names) - len(DRIVER_GREEN_PRIOR_ROUNDS)
     tail = names[-len(DRIVER_GREEN_PRIOR_ROUNDS):]
     assert set(tail) == set(DRIVER_GREEN_PRIOR_ROUNDS)
 
