@@ -326,6 +326,73 @@ def test_salted_join_correct_and_spreads_hot_key(spark):
         salted_join(big, small, "k", how="full")
 
 
+def test_salted_join_sf1_hot_custkey_aqe_off(spark):
+    """salted_join at sf1 with AQE fully OFF (VERDICT r04 #8): the
+    regime skew.py exists for — no runtime skew-split rescue, a
+    deliberately hot o_custkey carrying ~90% of 1.5M orders. Pins
+    (a) aggregate equality with the plain join, and (b) the spreading
+    mechanism itself: the hot key's rows must actually land on all
+    salt_n salts with bounded imbalance, not just carry a salt column."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.functions.skew import salted_join
+
+    sf1 = "/root/repo/localdata/sf1"
+    if not os.path.isdir(sf1):
+        pytest.skip("sf1 fixture not generated (tools/gen_sf1.py)")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        salt_n = 16
+        big = load_table(spark, sf1, "orders").select(
+            F.when(F.col("o_orderkey") % 10 < 9, F.lit(7))
+            .otherwise(F.col("o_custkey"))
+            .alias("c_custkey"),
+            F.col("o_totalprice").alias("payload"),
+        )
+        small = load_table(spark, sf1, "customer").select(
+            "c_custkey", "c_nationkey"
+        )
+        got = salted_join(big, small, "c_custkey", salt_n=salt_n)
+        plain = big.join(small, "c_custkey")
+        a = got.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("payload").cast("decimal(28,6)")).alias("s"),
+            F.sum("c_nationkey").alias("nk"),
+        ).first()
+        b = plain.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("payload").cast("decimal(28,6)")).alias("s"),
+            F.sum("c_nationkey").alias("nk"),
+        ).first()
+        assert tuple(a) == tuple(b)
+        # the hot key's ~1.35M rows must spread across ALL salts with
+        # bounded imbalance — the property that kills the straggler
+        from ipydataclean_spark.functions.skew import SALT
+
+        salt_big = F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_n)
+        )
+        dist = (
+            big.where(F.col("c_custkey") == 7)
+            .withColumn(SALT, salt_big.cast("int"))
+            .groupBy(SALT)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        counts = {r[SALT]: r.n for r in dist}
+        assert len(counts) == salt_n, f"hot key used only salts {sorted(counts)}"
+        assert max(counts.values()) < 2 * min(counts.values()), counts
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_ignore_corrupt_files_read(spark, tmp_path):
     """A 100 TB lake WILL contain a torn file eventually: with
     spark.sql.files.ignoreCorruptFiles the scan survives and returns
