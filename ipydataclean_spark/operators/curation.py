@@ -520,3 +520,67 @@ def pipeline_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "l33_shuffle_shards",
+    oracle=(
+        "WITH h AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) "
+        "AS BIGINT) AS hv FROM documents) "
+        "SELECT doc_id, CAST(hv % 8 AS INT) AS shard, "
+        "CAST(ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) "
+        "AS BIGINT) AS pos "
+        "FROM h ORDER BY shard, pos"
+    ),
+    tags=("L33", "curation", "training-prep"),
+)
+def l33_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L33: deterministic global training shuffle — assign every doc a
+    (shard, position) from a seeded pseudo-random permutation, the
+    materialized equivalent of a training dataloader's epoch shuffle.
+    Hash-based (md5 of doc_id + epoch salt, 60-bit BIGINT identical in
+    both engines), so the permutation is REPRODUCIBLE from the key
+    alone: any worker can recompute its shard without coordination,
+    re-runs are byte-stable, and a different epoch salt yields an
+    independent permutation (``shuffle_shards(..., epoch=n)``).
+
+    Plan: one map pass computes the hash; the only shuffle is the
+    shard partition itself; within-shard order is a shard-partitioned
+    window (8-way parallel here). At 100 TB this is exactly the
+    layout-producing write — ``partitionBy(shard)`` +
+    ``sortWithinPartitions(hv)`` — and a shard that outgrows one task
+    swaps the window for the distributed-rank pattern
+    (functions/ranking.py) the rfm/pareto queries already use; the
+    hash assignment itself never needs more than map-side work."""
+    return shuffle_shards(spark, sf_dir, n_shards=8, epoch=0)
+
+
+def shuffle_shards(
+    spark: SparkSession, sf_dir: str, n_shards: int = 8, epoch: int = 0
+) -> DataFrame:
+    from pyspark.sql import Window
+
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{epoch}"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = T(spark, sf_dir, "documents").select("doc_id", hv.alias("hv"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        h.select(
+            "doc_id",
+            F.pmod(F.col("hv"), F.lit(n_shards)).cast("int").alias("shard"),
+            "hv",
+        )
+        .select(
+            "doc_id", "shard",
+            F.row_number().over(w).cast("long").alias("pos"),
+        )
+        .orderBy("shard", "pos")
+    )

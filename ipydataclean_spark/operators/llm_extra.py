@@ -532,6 +532,66 @@ _WINNOW_K = 3   # k-gram length (words)
 _WINNOW_W = 4   # winnowing window (k-grams per window)
 
 
+def gram3_hash_table(
+    spark: SparkSession, sf_dir: str, min_grams: int = 1, full: bool = False
+) -> DataFrame:
+    """(doc_id, gs) — 60-bit BIGINT hashes of every 3-word gram over
+    documents_dup, shared by l28 (winnowing) and l29 (repeated-gram
+    fraction). Default slice = the dup-bearing fifth + injected copies
+    (l28's pair search gains no signal from the rest and skips 5× of
+    the hash work); ``full=True`` grams the whole corpus (l29 needs
+    the non-dup docs or every fraction degenerates to 1.0). Hash = md5
+    of the gram truncated to 15 hex chars, parsed identically in both
+    engines (Spark ``conv(hex,16,10)``, DuckDB ``'0x'||hex`` cast), so
+    downstream tables are value-hash verifiable.
+
+    Carries the two HARD materialization barriers (localCheckpoint)
+    after the token split and after the gram hashes. Why they are
+    load-bearing: a lambda body references its input array ONCE
+    syntactically, so CollapseProject happily inlines the producing
+    expression — but the runtime then re-evaluates it PER ELEMENT.
+    Without barrier 1 the normalize+split regex pipeline runs once per
+    gram; without barrier 2 the whole gram-hash transform runs once per
+    consumer window (O(len·w) hashes for winnowing). A repartition is
+    NOT enough — Catalyst moves projections across exchanges,
+    re-merging them (measured: 95-150 s at sf1 with exchange barriers,
+    113 s with none; ~10 s end-to-end with the two checkpoints). Both
+    tables are small (token arrays / long arrays for the dup slice)."""
+    d = documents_dup(spark, sf_dir)
+    if not full:
+        d = d.where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1000000))
+    d = (
+        d.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
+        .where(F.size("wds") >= 3)
+        .localCheckpoint(eager=True)
+    )
+    wd = F.col("wds")
+    gs = F.transform(
+        F.sequence(F.lit(1), F.size("wds") - 2),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        F.element_at(wd, i),
+                        F.element_at(wd, i + 1),
+                        F.element_at(wd, i + 2),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    return (
+        d.select("doc_id", gs.alias("gs"))
+        .where(F.size("gs") >= min_grams)
+        .localCheckpoint(eager=True)
+    )
+
+
 @register(
     "l28_winnowing_pairs",
     oracle=with_documents_dup(
@@ -586,52 +646,7 @@ def l28_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair join is keyed on the fingerprint with per-key fanout
     capped by that filter."""
     w = _WINNOW_W
-    # HARD materialization barriers (localCheckpoint) after the token
-    # split and after the gram hashes. Why they are load-bearing: a
-    # lambda body references its input array ONCE syntactically, so
-    # CollapseProject happily inlines the producing expression — but
-    # the runtime then re-evaluates it PER ELEMENT. Without barrier 1
-    # the normalize+split regex pipeline runs once per gram; without
-    # barrier 2 the whole gram-hash transform runs once per winnow
-    # window (O(len·w) hashes). A repartition is NOT enough — Catalyst
-    # moves projections across exchanges, re-merging them (measured:
-    # 95-150 s at sf1 with exchange barriers, 113 s with none;
-    # ~10 s end-to-end with the two checkpoints). Both tables are
-    # small (token arrays / long arrays for the dup slice).
-    d = (
-        documents_dup(spark, sf_dir)
-        # the dup-bearing slice (every 5th base doc + its injected
-        # copy): the full corpus adds 5× hash work and no new signal
-        .where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1000000))
-        .select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
-        .where(F.size("wds") >= 3)
-        .localCheckpoint(eager=True)
-    )
-    wd = F.col("wds")
-    gs = F.transform(
-        F.sequence(F.lit(1), F.size("wds") - 2),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        F.element_at(wd, i),
-                        F.element_at(wd, i + 1),
-                        F.element_at(wd, i + 2),
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
-    g = (
-        d.select("doc_id", gs.alias("gs"))
-        .where(F.size("gs") >= w)
-        .localCheckpoint(eager=True)
-    )
+    g = gram3_hash_table(spark, sf_dir, min_grams=w)
     fps = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size("gs") - (w - 1)),
@@ -658,6 +673,83 @@ def l28_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= 3)
         .orderBy(F.desc("n_shared"), "doc_a", "doc_b")
         .limit(50)
+    )
+
+
+_L29_NEAR_DUP_FRAC = 0.95
+
+
+@register(
+    "l29_repeated_gram_fraction",
+    oracle=with_documents_dup(
+        ", d AS (SELECT doc_id, " + norm_text_sql("text") + " AS t "
+        "FROM documents_dup), "
+        "tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM d), "
+        "g AS (SELECT doc_id, list_transform(range(1, len(w) - 1), "
+        "i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), "
+        "1, 15)) AS BIGINT)) AS gs FROM tk WHERE len(w) >= 3), "
+        "fp AS (SELECT DISTINCT doc_id, unnest(gs) AS f FROM g), "
+        "df AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS ndocs FROM fp GROUP BY f), "
+        "per_doc AS (SELECT fp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(COUNT_IF(df.ndocs >= 2) AS BIGINT) AS n_shared "
+        "FROM fp JOIN df USING (f) GROUP BY fp.doc_id) "
+        "SELECT doc_id, n_grams, n_shared, "
+        "ROUND(CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE), 8) AS shared_frac, "
+        "CAST(n_shared AS DOUBLE) / CAST(n_grams AS DOUBLE) >= 0.95 AS is_near_dup "
+        "FROM per_doc ORDER BY doc_id"
+    ),
+    tags=("L2", "L29", "dedup", "text-analysis"),
+)
+def l29_repeated_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L29: doc-level SPAN-duplication readout — for every doc, the
+    fraction of its distinct 3-word grams that also occur in at least
+    one OTHER document, plus a ≥95% near-dup flag (3-word grams repeat
+    across template-generated text, so the copy-discriminating
+    threshold sits high; with the 50-token spans of the original
+    recipe the threshold drops to the usual 0.5-0.8 — gram length and
+    threshold move together). This is the document-granular readout of substring-level
+    training-data dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL'22: cross-doc repeated spans —
+    boilerplate, licences, templated pages — harm LMs even when
+    whole-doc signatures look unique): where l28/winnowing emits the
+    PAIRS sharing runs, l29 scores each DOC by how much of it is
+    repeated anywhere, the quantity a curation pipeline thresholds on.
+
+    Plan: the shared gram3_hash_table map pass (checkpoint-barriered,
+    see that helper) feeds explode→distinct for the (doc, gram) table;
+    gram document-frequency is one partial-agg'd groupBy; the per-doc
+    rollup joins fp⋈df keyed on the gram — every shuffle is keyed on
+    the gram or the doc id, no all-pairs stage exists at ANY scale
+    (unlike pair-emitting dedup, the output is linear in docs). At
+    100 TB the df table is the only wide intermediate; grams above the
+    boilerplate mega-bucket bound can be dropped before the join-back
+    exactly as l28 and LSH bound their hot keys (kept here: df feeds
+    the fraction, so the filter lives in the consumer's threshold).
+
+    Hash = the shared 60-bit md5 gram hash, bit-identical across
+    engines, so fractions — not just counts — are driver-hash pinned.
+    Runs over the FULL corpus (full=True), unlike l28's dup-bearing
+    slice: the score only discriminates when undup'd docs are in the
+    gram universe."""
+    g = gram3_hash_table(spark, sf_dir, full=True)
+    fp = g.select("doc_id", F.explode("gs").alias("f")).distinct()
+    df_tab = fp.groupBy("f").agg(F.count(F.lit(1)).alias("ndocs"))
+    per_doc = (
+        fp.join(df_tab, "f")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("ndocs") >= 2).alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.col("n_grams").cast("double")
+    return (
+        per_doc.select(
+            "doc_id", "n_grams", "n_shared",
+            F.round(frac, 8).alias("shared_frac"),
+            (frac >= _L29_NEAR_DUP_FRAC).alias("is_near_dup"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -133,3 +133,35 @@ def test_l27_detects_injected_dups(spark, sf_dir):
     # so EVERY chunk of an injected copy is shared corpus-wide
     assert all(r.shared_ratio == 1.0 for r in dups)
     assert all(0.0 <= r.shared_ratio <= 1.0 for r in out.values())
+
+
+def test_shuffle_shards_epochs_and_balance(spark, sf_dir):
+    """shuffle_shards: every doc appears exactly once with a dense
+    within-shard position; the permutation is reproducible for a given
+    epoch, a different epoch yields a genuinely different order, and
+    the hash spreads docs across all shards with bounded imbalance."""
+    from ipydataclean_spark.operators.curation import shuffle_shards
+
+    e0 = shuffle_shards(spark, sf_dir, n_shards=8, epoch=0).collect()
+    e0_again = shuffle_shards(spark, sf_dir, n_shards=8, epoch=0).collect()
+    e1 = shuffle_shards(spark, sf_dir, n_shards=8, epoch=1).collect()
+
+    assert [tuple(r) for r in e0] == [tuple(r) for r in e0_again]
+    docs0 = sorted(r.doc_id for r in e0)
+    assert docs0 == sorted(r.doc_id for r in e1)  # same universe
+    assert len(set(docs0)) == len(docs0)  # each doc exactly once
+    # dense positions 1..n per shard
+    by_shard = {}
+    for r in e0:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) == set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) < 2 * min(sizes), sizes
+    # epoch changes the permutation (shard assignment differs for
+    # a substantial fraction of docs)
+    s0 = {r.doc_id: r.shard for r in e0}
+    s1 = {r.doc_id: r.shard for r in e1}
+    moved = sum(1 for d in s0 if s0[d] != s1[d])
+    assert moved > len(s0) // 2, f"only {moved}/{len(s0)} docs moved"

@@ -355,3 +355,29 @@ def test_ivf_filtered_probe(spark, sf_dir, tmp_path):
     ]
     got_ids = [r.neighbor_id for r in rows]
     assert set(got_ids) == set(exact_rows)
+
+
+def test_l29_injected_copies_fully_repeated(spark, sf_dir):
+    """Every injected near-copy (doc_id >= 1000000 normalizes to its
+    original's bytes) must score shared_frac == 1.0 and be flagged —
+    the doc-level readout of cross-doc span duplication — while the
+    corpus as a whole must NOT be degenerate (some docs score low)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["l29_repeated_gram_fraction"]["fn"](spark, sf_dir).collect()
+    }
+    copies = [r for d, r in rows.items() if d >= 1000000]
+    assert copies, "no injected copies in the result"
+    assert all(r.shared_frac == 1.0 and r.is_near_dup for r in copies)
+    # fractions are valid and the flag matches the threshold everywhere
+    for r in rows.values():
+        assert 0.0 <= r.shared_frac <= 1.0
+        assert r.is_near_dup == (r.shared_frac >= 0.95)
+        assert 0 <= r.n_shared <= r.n_grams
+    # discrimination: the flag must split the corpus non-trivially —
+    # every copy+original pair flagged, the template-noise majority not
+    flagged = sum(1 for r in rows.values() if r.is_near_dup)
+    assert 2 * len(copies) <= flagged < len(rows) // 2, flagged
