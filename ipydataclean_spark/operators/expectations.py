@@ -161,6 +161,38 @@ class Suite:
             row_pred_sql=f"REGEXP_MATCHES({col}, '{pat_sql}')",
         ))
 
+    def matches_decimal(self, col: str, min_ratio: float) -> "Suite":
+        """``matches(col, '^[0-9]+(\\.[0-9]+)?$', ...)`` with a
+        REGEX-FREE Spark predicate: strip digits with ``translate``
+        and require the residue to be empty (pure integer) or a
+        single interior dot. Exactly equivalent to the regex for ALL
+        inputs including NULL (residue comparisons propagate NULL
+        like rlike does) and empty string (length guard); the SQL
+        twin keeps the regex form, so the oracle hash certifies the
+        equivalence on real data, and the check NAME matches
+        matches()'s so quarantine reason strings are interchangeable.
+
+        Measured slower than the regex on this fixture (x3b, BENCH.md
+        round 5: translate's per-row allocation loses to a compiled
+        1-6-char anchored pattern) — use when the pattern is long or
+        backtracking-prone, not as a blanket regex replacement."""
+        def pred() -> F.Column:
+            c = F.col(col)
+            rest = F.translate(c, "0123456789", "")
+            return ((rest == "") & (F.length(c) >= 1)) | (
+                (rest == ".") & ~c.startswith(".") & ~c.endswith(".")
+            )
+
+        pat_sql = "^[0-9]+(\\.[0-9]+)?$".replace("'", "''")
+        return self._add(Check(
+            f"matches_{col}",
+            lambda: _frac(pred()),
+            _frac_sql(f"REGEXP_MATCHES({col}, '{pat_sql}')"),
+            lo=min_ratio, hi=None,
+            row_pred=pred,
+            row_pred_sql=f"REGEXP_MATCHES({col}, '{pat_sql}')",
+        ))
+
     def unique_rows(self, cols: list[str], min_ratio: float = 1.0) -> "Suite":
         """Multi-column key check: distinct(cols-tuple) / rows.
         NULL semantics pinned to Spark's countDistinct (tuples with
@@ -432,6 +464,56 @@ def x3_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin cannot drift apart."""
     li = lineitem_dirty(spark, sf_dir)
     _good, bad = _x1_suite().split(li)
+    return (
+        bad.select(*_X3_COLS, "failed_checks")
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    )
+
+
+def _x1_suite_codegen() -> Suite:
+    """_x1_suite with the regex conformity check swapped for the
+    codegen-only matches_decimal — identical check names, thresholds,
+    and semantics; only the Spark-side physical predicate differs."""
+    return (
+        Suite()
+        .completeness("qty_parsed", 0.97)
+        .completeness("l_quantity", 1.0)
+        .uniqueness("l_orderkey", 0.9)
+        .bounds("l_discount", 0.0, 0.1)
+        .mean_between("l_quantity", 20.0, 30.0)
+        .contained_in("l_returnflag", ["A", "N", "R"], 1.0)
+        .contained_in("l_linestatus", ["F", "O"], 1.0)
+        .matches_decimal("quantity_str", 0.9)
+        .size_between(1000, 10_000_000)
+    )
+
+
+@register(
+    "x3b_quarantine_codegen",
+    oracle=with_lineitem_dirty(
+        _x1_suite_codegen().quarantine_sql("lineitem_dirty", _X3_COLS)
+        + " ORDER BY l_orderkey, l_linenumber LIMIT 500"
+    ),
+    tags=("X3", "X1", "quality", "scale-pattern"),
+)
+def x3b_quarantine_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3b: x3's quarantine with the regex conformity check rewritten
+    regex-free (matches_decimal) — the MEASURED A/B of x3's recorded
+    "drop the regex" scale lever, and the measurement REFUTES it:
+    idle order-swapped sf1 medians are x3 8.9-9.7 s vs x3b 16.9-17.9 s
+    (BENCH.md round 5). The translate/startswith predicate allocates
+    an intermediate string per row, while java.util.regex on a 1-6
+    char anchored digit pattern is a tight compiled loop — so the
+    regex form IS the hot-path choice here, and x3's ~linear scaling
+    is row-proportional predicate work, not regex pathology. Kept
+    registered because the equivalence itself is load-bearing: same
+    reasons, same routing, same oracle SQL (the twin keeps
+    REGEXP_MATCHES, so the driver hash certifies the rewrite exact on
+    real data), and tests pin x3b row-equal to x3 — the harness a
+    future predicate-rewrite candidate drops into."""
+    li = lineitem_dirty(spark, sf_dir)
+    _good, bad = _x1_suite_codegen().split(li)
     return (
         bad.select(*_X3_COLS, "failed_checks")
         .orderBy("l_orderkey", "l_linenumber")

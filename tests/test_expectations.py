@@ -199,3 +199,43 @@ def test_split_requires_row_level_checks(spark):
     df = spark.range(3)
     with _pytest.raises(ValueError):
         Suite().size_between(0, 10).split(df)
+
+
+def test_matches_decimal_equals_regex_on_adversarial_inputs(spark):
+    """The regex-free matches_decimal predicate must agree with rlike
+    on ^[0-9]+(\\.[0-9]+)?$ for every shape of input, including the
+    NULL-propagation and empty-string edges."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    cases = [
+        "123", "0", "1.5", "12.34", "0.0",
+        "", ".", "..", ".5", "5.", "1..5", "1.2.3",
+        "N/A", "12 kg", " 12", "12 ", "+1", "-1", "1e5", "0x1f",
+        "١٢٣", "12.", ".12", "1.2a", "a1.2", "%", "_", "1_000",
+        None,
+    ]
+    df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(cases)])
+    rest = F.translate(F.col("s"), "0123456789", "")
+    codegen = ((rest == "") & (F.length("s") >= 1)) | (
+        (rest == ".") & ~F.col("s").startswith(".") & ~F.col("s").endswith(".")
+    )
+    out = df.select(
+        "i", "s",
+        F.col("s").rlike("^[0-9]+(\\.[0-9]+)?$").alias("re"),
+        codegen.alias("cg"),
+    ).collect()
+    for r in out:
+        assert r.re == r.cg, (r.s, r.re, r.cg)
+
+
+def test_x3b_codegen_quarantine_row_equal_to_x3(spark, sf_dir):
+    """x3b (regex-free conformity predicate) must route EXACTLY the
+    rows x3 routes, with identical reason strings."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    a = [tuple(r) for r in QUERIES["x3_quarantine"]["fn"](spark, sf_dir).collect()]
+    b = [tuple(r) for r in QUERIES["x3b_quarantine_codegen"]["fn"](spark, sf_dir).collect()]
+    assert a == b
+    assert a, "quarantine unexpectedly empty"
