@@ -352,3 +352,116 @@ def inc3_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nationkey")
     )
+
+
+@register("inc4_incremental_minhash", oracle=None, tags=("INC4", "L2", "D5", "incremental"))
+def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC4: incremental NEAR-dup dedup — the daily-ingest form of L2,
+    completing the incremental family: inc2 classifies a delta against
+    an exact-digest history; inc4 classifies it against the history's
+    stored MinHash-LSH index, so near-copies of historical docs (not
+    just byte-identical ones) are caught WITHOUT rescanning historical
+    text. Output per delta doc: ``near_dup_of_history`` with the
+    best-matching historical canonical (highest estimated Jaccard,
+    ties to the lowest doc_id) or ``novel``.
+
+    State = the history's (doc_id, band_id, band_hash, sig) table —
+    exactly what a production run persists after each load (new novel
+    docs' bands append to it, same shape). Here it is materialized to
+    parquet and re-read so "history text is never rescanned" is
+    literal, not notional: the classify plan's lineage starts at the
+    stored index. Plan: one delta-text scan builds delta signatures
+    (minhash_signatures: one explode + one groupBy); the probe is a
+    band-keyed equi-join delta-bands ⋈ index — at 100 TB bucket the
+    stored index by (band_id, band_hash) and the probe co-locates;
+    per-bucket fanout is bounded the same way l2 bounds it (exact-dup
+    collapse first via inc2, hot buckets far below cap on this
+    fixture). Agreement estimate = fraction of equal signature slots
+    (zip_with, codegen) — no token data moves through the join, only
+    16-long sigs.
+
+    Rows-only by design (MinHash is not SQL-expressible); golden
+    tests pin: every injected copy of a HISTORY doc classifies as
+    near_dup_of_history with its original as the match at est 1.0
+    (normalization makes copies token-identical), and no delta doc
+    maps to a history doc above threshold that exact Jaccard refutes
+    (tests/test_llm_extra.py)."""
+    from ipydataclean_spark.operators.llm import _MINHASH_K, minhash_signatures
+    from ipydataclean_spark.operators.qhelp import documents_dup, scratch_dir
+
+    tau = 0.5
+    dd = documents_dup(spark, sf_dir)
+    hist_docs = dd.where(F.col("doc_id") < 400)
+    delta_docs = dd.where(F.col("doc_id") >= 400)
+
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
+    band_rows = 4
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_MINHASH_K // band_rows - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(*[
+                F.element_at(sig_arr, b * band_rows + k + 1)
+                for k in range(band_rows)
+            ]).alias("band_hash"),
+        ),
+    )
+
+    def banded(docs: DataFrame) -> DataFrame:
+        return (
+            minhash_signatures(docs)
+            .withColumn("sig", sig_arr)
+            .withColumn("band", F.explode(bands))
+            .select(
+                "doc_id", "sig",
+                F.col("band.band_id").alias("band_id"),
+                F.col("band.band_hash").alias("band_hash"),
+            )
+        )
+
+    # persist + re-read the history index: the classify plan below must
+    # not contain the history text scan in its lineage
+    state_path = scratch_dir(spark, "inc4_lsh_state")
+    banded(hist_docs).write.mode("overwrite").parquet(state_path)
+    index = spark.read.parquet(state_path)
+
+    probe = banded(delta_docs)
+    est = (
+        F.size(
+            F.filter(F.zip_with("sig", "h_sig", lambda x, y: x == y), lambda v: v)
+        ).cast("double")
+        / F.lit(float(_MINHASH_K))
+    )
+    cands = (
+        probe.join(
+            index.select(
+                F.col("doc_id").alias("h_doc"),
+                F.col("sig").alias("h_sig"),
+                "band_id", "band_hash",
+            ),
+            ["band_id", "band_hash"],
+        )
+        .select("doc_id", "h_doc", est.alias("est"))
+        .where(F.col("est") >= tau)
+        .distinct()
+    )
+    best = cands.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("est"), (-F.col("h_doc")).alias("neg"))).alias("b")
+    )
+    matched = best.select(
+        "doc_id",
+        F.lit("near_dup_of_history").alias("status"),
+        (-F.col("b.neg")).alias("matched_id"),
+        F.round(F.col("b.est"), 4).alias("best_est"),
+    )
+    return (
+        delta_docs.select("doc_id")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("status", F.lit("novel")).alias("status"),
+            "matched_id",
+            "best_est",
+        )
+        .orderBy("doc_id")
+    )

@@ -381,3 +381,50 @@ def test_l29_injected_copies_fully_repeated(spark, sf_dir):
     # every copy+original pair flagged, the template-noise majority not
     flagged = sum(1 for r in rows.values() if r.is_near_dup)
     assert 2 * len(copies) <= flagged < len(rows) // 2, flagged
+
+
+def test_inc4_incremental_minhash_goldens(spark, sf_dir):
+    """inc4: every injected copy of a HISTORY doc (orig < 400, so its
+    bands are in the stored index) must classify near_dup_of_history
+    with a history match at estimated Jaccard 1.0 (normalization makes
+    copies token-identical); every est-1.0 match must survive exact
+    verification with HIGH true shingle overlap (est 1.0 is an
+    estimate — 16 agreeing minima allow a near-but-not-exact match,
+    observed on template pairs in this corpus); novel docs carry NULL
+    match columns."""
+    from ipydataclean_spark.functions.text import norm_text_col
+    from ipydataclean_spark.registry import QUERIES, load_all
+    from ipydataclean_spark.operators.qhelp import documents_dup
+
+    load_all()
+    out = {r.doc_id: r for r in QUERIES["inc4_incremental_minhash"]["fn"](spark, sf_dir).collect()}
+    texts = {
+        r.doc_id: r.t
+        for r in documents_dup(spark, sf_dir)
+        .select("doc_id", norm_text_col("text").alias("t"))
+        .collect()
+    }
+
+    def sh(s):
+        w = s.split(" ")
+        return {tuple(w[i : i + 3]) for i in range(len(w) - 2)}
+
+    hist_copies = [d for d in out if d >= 1000000 and (d - 1000000) % 5 == 0 and d - 1000000 < 400]
+    assert hist_copies, "no copies of history docs in the delta"
+    for d in hist_copies:
+        r = out[d]
+        assert r.status == "near_dup_of_history", (d, r)
+        assert r.matched_id is not None and r.matched_id < 400, (d, r)
+        assert r.best_est == 1.0, (d, r)
+    # est-1.0 matches must survive exact verification
+    for d, r in out.items():
+        if r.status == "near_dup_of_history" and r.best_est == 1.0:
+            a, b = sh(texts[d]), sh(texts[r.matched_id])
+            assert a and b, (d, r.matched_id)
+            j = len(a & b) / len(a | b)
+            assert j >= 0.8, (d, r.matched_id, j)
+        if r.status == "novel":
+            assert r.matched_id is None and r.best_est is None, (d, r)
+    # the delta universe is complete and statuses are binary
+    assert set(out) == {d for d in texts if d >= 400}
+    assert {r.status for r in out.values()} <= {"near_dup_of_history", "novel"}
