@@ -704,7 +704,7 @@ def q29_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROUND(CAST(n + 1 AS DOUBLE) / CAST((CASE WHEN prev_week = "
         "max_week - INTERVAL 7 DAY THEN prev_n ELSE NULL END) + 1 AS DOUBLE), 8) "
         "AS growth "
-        "FROM lagged CROSS JOIN latest WHERE week = max_week AND n >= 3 "
+        "FROM lagged CROSS JOIN latest WHERE week = max_week "
         "AND prev_week = max_week - INTERVAL 7 DAY "
         "ORDER BY growth DESC, l_partkey LIMIT 20"
     ),
@@ -715,7 +715,12 @@ def q31_trending_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, LAG against the part's previous ACTIVE week (only counted
     as "previous" if it is literally last week — a part dormant for a
     month is not a riser), Laplace-smoothed growth, top 20 in the
-    latest week with current support ≥ 3.
+    latest week. (Round 5: the original "support ≥ 3" gate was
+    vacuous on this fixture — a part sells ~once per week at every
+    SF, so the query was 0 rows and its driver green row pinned
+    nothing; the adjacency requirement alone is the discriminating
+    condition here, and a min-support knob belongs to denser-basket
+    data.)
 
     Plan: the fact join rolls up to (part, week) first — the LAG
     window runs over that rollup, bounded by parts × weeks, never raw
@@ -756,7 +761,7 @@ def _trending_from_weekly(wk: DataFrame) -> DataFrame:
     n_prev = F.when(adjacent, F.col("prev_n"))
     return (
         lagged.crossJoin(F.broadcast(latest))
-        .where((F.col("week") == F.col("max_week")) & (F.col("n") >= 3) & adjacent)
+        .where((F.col("week") == F.col("max_week")) & adjacent)
         .select(
             "l_partkey",
             F.col("n").alias("n_current"),
@@ -793,10 +798,10 @@ def q31b_trending_parts_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (8 here, thousands there).
 
     The oracle is IDENTICAL to q31's — value-hash equality across the
-    two physical strategies is exactly the point (the fixture's latest
-    week is partial, so the top-20 tail is empty at test scale;
-    tests/test_scale_patterns.py therefore additionally pins the FULL
-    weekly rollup equal between the two join strategies)."""
+    two physical strategies is exactly the point;
+    tests/test_scale_patterns.py additionally pins the FULL weekly
+    rollup equal between the two join strategies (stronger than the
+    top-20 readout)."""
     return _trending_from_weekly(weekly_counts_bucketed(spark, sf_dir))
 
 

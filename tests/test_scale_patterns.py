@@ -59,10 +59,9 @@ def test_bucketed_join_needs_no_exchange(spark, sf_dir):
 def test_q31b_bucketed_rollup_equals_direct(spark, sf_dir):
     """q31b (bucketed-facts trending parts) must produce the SAME
     weekly (part, week, n) rollup as q31's plain shuffled join — the
-    top-20 tail is empty on this fixture (partial latest week), so the
-    rollup is where strategy equality is actually observable. The
-    shuffle-free plan below the SMJ is asserted inside
-    weekly_counts_bucketed itself."""
+    rollup covers every (part, week) cell, far stronger evidence than
+    the top-20 readout. The shuffle-free plan below the SMJ is
+    asserted inside weekly_counts_bucketed itself."""
     from ipydataclean_spark.operators.analytics import (
         weekly_counts_bucketed,
         weekly_counts_direct,
