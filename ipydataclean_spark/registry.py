@@ -189,6 +189,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
     "st5_dedup_twin", "st7_stream_static_join", "st8_purchase_click_join",
     "st8b_purchase_click_outer", "st10_chained_rollup", "st11_abandoned_carts",
+    "st12_dedup_ingest",
     # transactional table + incremental + custom source + pipelines
     "tx1_acid_upsert", "tx2_skipping_read", "tx3_cdc_read",
     "tx4_bloom_lookup", "tx5_restore_read", "tx6_describe_history",

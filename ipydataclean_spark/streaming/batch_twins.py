@@ -285,3 +285,106 @@ def st11_abandoned_carts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "abandoned_click_ts")
     )
+
+
+from ipydataclean_spark.functions.text import norm_text_sql
+from ipydataclean_spark.operators.qhelp import with_documents_dup
+
+_ST12_ORACLE = with_documents_dup(
+    ", dd AS (SELECT doc_id, SHA256(" + norm_text_sql("text")
+    + ") AS dg FROM documents_dup WHERE text IS NOT NULL), "
+        "hist AS (SELECT dg, MIN(doc_id) AS hid FROM dd "
+        "WHERE doc_id < 400 GROUP BY dg), "
+        "delta AS (SELECT doc_id, dg, CAST((doc_id % 7) % 3 AS INT) AS b "
+        "FROM dd WHERE doc_id >= 400), "
+        "w AS (SELECT doc_id, dg, b, "
+        "FIRST_VALUE(doc_id) OVER (PARTITION BY dg ORDER BY b, doc_id) AS first_id, "
+        "FIRST_VALUE(b) OVER (PARTITION BY dg ORDER BY b, doc_id) AS first_b "
+        "FROM delta) "
+        "SELECT w.doc_id, "
+        "CASE WHEN h.hid IS NOT NULL THEN 'dup_of_history' "
+        "WHEN w.first_b < w.b THEN 'dup_of_prior_batch' "
+        "WHEN w.first_id < w.doc_id THEN 'dup_in_batch' "
+        "ELSE 'novel' END AS status, "
+        "CASE WHEN h.hid IS NOT NULL THEN h.hid "
+        "WHEN w.first_b < w.b OR w.first_id < w.doc_id THEN w.first_id "
+        "ELSE w.doc_id END AS canonical_id "
+        "FROM w LEFT JOIN hist h ON w.dg = h.dg ORDER BY w.doc_id"
+)
+
+
+@register(
+    "st12_dedup_ingest",
+    oracle=_ST12_ORACLE,
+    tags=("ST12", "INC2", "L1", "streaming"),
+)
+def st12_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST12: streaming dedup ingest with EVOLVING state, executed for
+    real — documents arrive as three logical batches (b = doc_id mod
+    7 mod 3: a spread that lands some copies in the SAME batch as
+    their original and some in LATER ones, so every dedup regime
+    occurs; one parquet file each, maxFilesPerTrigger=1), each micro-batch
+    is classified against the digest state and novel docs JOIN the
+    state for later batches (streaming/stream.py dedup_ingest_stream).
+    The oracle replays the whole evolving-state run as ONE window over
+    (b, doc_id) — a driver hash match certifies that incremental
+    state evolution computes exactly the batch answer, the §2.8
+    replay-equality contract extended to a STATE-MUTATING pipeline
+    (st1-st11 are all stateless reductions of a static input).
+
+    dup_of_history → canonical is the historical min-id holder;
+    dup_of_prior_batch → the novel doc from the earlier batch;
+    dup_in_batch → the batch's min id; novel otherwise."""
+    import pathlib
+
+    from ipydataclean_spark.functions.text import norm_text_col
+    from ipydataclean_spark.operators.qhelp import documents_dup, scratch_dir
+    from ipydataclean_spark.streaming.stream import dedup_ingest_stream
+
+    root = pathlib.Path(scratch_dir(spark, "st12"))
+    in_dir, state_dir = root / "in", root / "state"
+    out_dir, ckpt = root / "out", root / "ckpt"
+    in_dir.mkdir(parents=True, exist_ok=True)
+
+    dd = (
+        documents_dup(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.sha2(norm_text_col("text"), 256).alias("dg"),
+            ((F.col("doc_id") % 7) % 3).cast("int").alias("b"),
+        )
+    )
+    # seed state = history digests (canonical = min doc_id, src_batch -1)
+    (
+        dd.where(F.col("doc_id") < 400)
+        .groupBy("dg")
+        .agg(F.min("doc_id").alias("canonical_id"))
+        .select("dg", F.lit(-1).cast("int").alias("src_batch"), "canonical_id")
+        .write.mode("overwrite")
+        .parquet(str(state_dir))
+    )
+    # one source file per logical batch, mtimes ascending so the file
+    # source lists them oldest-first (the kernel is order-independent
+    # anyway — the b column drives sub-batch order)
+    import os
+    import shutil as _sh
+
+    delta = dd.where(F.col("doc_id") >= 400)
+    for bv in (0, 1, 2):
+        tmp = root / f"tmp_b{bv}"
+        delta.where(F.col("b") == bv).coalesce(1).write.mode("overwrite").parquet(str(tmp))
+        part = next(p for p in tmp.iterdir() if p.name.endswith(".parquet"))
+        dst = in_dir / f"b{bv}.parquet"
+        _sh.move(str(part), str(dst))
+        _sh.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (1_000_000 + bv, 1_000_000 + bv))
+
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, dg STRING, b INT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    q = dedup_ingest_stream(stream, str(state_dir), str(out_dir), str(ckpt))
+    q.awaitTermination(180)
+    return spark.read.parquet(str(out_dir)).orderBy("doc_id")

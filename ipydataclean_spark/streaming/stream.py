@@ -516,3 +516,82 @@ def purchase_click_join_full_outer(ev: DataFrame) -> DataFrame:
         F.coalesce("p_user", "c_user").alias("user_id"),
         "p_ts", "c_ts",
     )
+
+
+def dedup_ingest_stream(
+    stream_df: DataFrame, state_path: str, out_path: str, checkpoint_dir: str
+):
+    """ST12: continuous dedup-vs-history ingest with EVOLVING state —
+    the streaming form of inc2/inc4: each micro-batch of
+    (doc_id, b, dg) rows is classified against the digest state table
+    (``dup_of_history`` / ``dup_of_prior_batch`` / ``dup_in_batch`` /
+    ``novel`` + the canonical id), classifications append to
+    ``out_path``, and novel firsts append to the state — so a doc
+    ingested in batch k IS history for batch k+1. The state mutation
+    between batches is what none of the stateless st* twins exercise.
+
+    ``b`` is the logical batch key carried IN the data: the kernel
+    processes each distinct b in ascending order as a sub-batch with a
+    state round-trip between them, so the classification is a pure
+    function of (b, doc_id) order and INDEPENDENT of how the source
+    physically groups files into triggers — replayable, and exactly
+    reproducible by a batch engine (the registered oracle replays it
+    as one FIRST_VALUE window over (b, doc_id)).
+
+    Scale shape: state lookups are digest-keyed equi-joins (bucket the
+    state table by digest at 100 TB and probes co-locate, the inc2
+    argument); per batch the state is READ once per sub-batch and only
+    novel digests are written. All kernel logic is JVM DataFrame ops —
+    foreachBatch runs on the driver, no Python worker closures."""
+    def ingest(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        for bv in sorted(r.b for r in batch.select("b").distinct().collect()):
+            sub = batch.where(F.col("b") == bv).select("doc_id", "b", "dg")
+            state = (
+                spark.read.parquet(state_path)
+                .groupBy("dg")
+                .agg(F.min(F.struct("src_batch", "canonical_id")).alias("s"))
+                .select(
+                    "dg",
+                    F.col("s.src_batch").alias("src_batch"),
+                    F.col("s.canonical_id").alias("state_canonical"),
+                )
+            )
+            firsts = sub.groupBy("dg").agg(F.min("doc_id").alias("first_id"))
+            cls = (
+                sub.join(state, "dg", "left")
+                .join(firsts, "dg")
+                .select(
+                    "doc_id", "b", "dg", "first_id",
+                    F.when(F.col("src_batch") == -1, F.lit("dup_of_history"))
+                    .when(F.col("src_batch").isNotNull(), F.lit("dup_of_prior_batch"))
+                    .when(F.col("first_id") < F.col("doc_id"), F.lit("dup_in_batch"))
+                    .otherwise(F.lit("novel"))
+                    .alias("status"),
+                    F.coalesce(
+                        F.col("state_canonical"),
+                        F.when(F.col("first_id") < F.col("doc_id"), F.col("first_id")),
+                        F.col("doc_id"),
+                    ).alias("canonical_id"),
+                )
+            )
+            cls.select("doc_id", "status", "canonical_id").write.mode(
+                "append"
+            ).parquet(out_path)
+            (
+                cls.where(F.col("status") == "novel")
+                .select(
+                    "dg",
+                    F.lit(bv).cast("int").alias("src_batch"),
+                    F.col("doc_id").alias("canonical_id"),
+                )
+                .write.mode("append")
+                .parquet(state_path)
+            )
+
+    return (
+        stream_df.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

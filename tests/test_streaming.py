@@ -425,3 +425,35 @@ def test_full_outer_stream_join_replay(spark, sf_dir):
     # both outer directions produced at least some closed-window rows
     assert any(t[1] is None for t in got), "no outer purchases emitted"
     assert any(t[0] is None for t in got), "no outer clicks emitted"
+
+
+def test_st12_evolving_state_hits_all_regimes(spark, sf_dir):
+    """ST12's value is the state MUTATION between micro-batches; the
+    oracle certifies values, this pins that the interesting regimes
+    all actually occur on the fixture: docs deduped against seeded
+    history, against a PRIOR batch's novel doc (the evolving-state
+    case st1-st11 can't produce), within one batch, and novel — and
+    that every dup's canonical resolves to a doc that was genuinely
+    ingested earlier in (batch, doc_id) order."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["st12_dedup_ingest"]["fn"](spark, sf_dir).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, []).append(r)
+    assert set(by_status) == {
+        "novel", "dup_of_history", "dup_of_prior_batch", "dup_in_batch"
+    }, {k: len(v) for k, v in by_status.items()}
+    order = {r.doc_id: ((r.doc_id % 7) % 3, r.doc_id) for r in rows}
+    for r in rows:
+        mine = (r.doc_id % 7) % 3
+        if r.status == "dup_of_history":
+            assert r.canonical_id < 400
+        elif r.status == "dup_of_prior_batch":
+            assert order[r.canonical_id][0] < mine
+        elif r.status == "dup_in_batch":
+            assert order[r.canonical_id][0] == mine
+            assert r.canonical_id < r.doc_id
+        else:
+            assert r.canonical_id == r.doc_id
