@@ -584,3 +584,84 @@ def shuffle_shards(
         )
         .orderBy("shard", "pos")
     )
+
+
+@register(
+    "l34_sequence_pack",
+    oracle=(
+        "WITH h AS (SELECT doc_id, "
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) "
+        "AS BIGINT) AS hv, "
+        "CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tok "
+        "FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''), "
+        "sh AS (SELECT doc_id, hv, n_tok, CAST(hv % 8 AS INT) AS shard FROM h), "
+        "cum AS (SELECT doc_id, shard, n_tok, "
+        "SUM(n_tok) OVER (PARTITION BY shard ORDER BY hv, doc_id "
+        "ROWS UNBOUNDED PRECEDING) AS cum_tok FROM sh) "
+        "SELECT doc_id, shard, n_tok, "
+        "CAST(FLOOR((cum_tok - n_tok) / 512) AS BIGINT) AS pack_id, "
+        "CAST(cum_tok - n_tok - FLOOR((cum_tok - n_tok) / 512) * 512 AS BIGINT) "
+        "AS pack_offset "
+        "FROM cum ORDER BY shard, pack_id, pack_offset, doc_id"
+    ),
+    tags=("L34", "curation", "training-prep"),
+)
+def l34_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L34: SEQUENCE PACKING manifest — assign every document a
+    (shard, pack, offset) under pure concatenation into fixed
+    512-token training sequences, the layout step between tokenization
+    and batching in an LM data pipeline. Pack assignment = the pack
+    containing the doc's FIRST token: pack_id = floor(tokens_before /
+    512) where tokens_before is the running token sum over the shard's
+    deterministic hash order (docs may straddle a boundary — the
+    reader splits or pads; the manifest pins where each doc starts).
+
+    Plan: one map pass computes token counts and the l33 epoch hash;
+    the shard partition is the only shuffle; the running sum is a
+    shard-partitioned cumulative window (8-way parallel here — at
+    100 TB shards are thousands and each is one task's sort, or the
+    distributed-rank pattern replaces the window per functions/
+    ranking.py). Token count = whitespace tokens (l10's base form) —
+    swap in the BPE count (l10b) without changing the plan.
+
+    Fully SQL-expressible: the oracle replays hash, shard, running
+    sum, and offsets verbatim — the md5 60-bit hash is bit-identical
+    on both engines, so the entire manifest is driver-hash pinned."""
+    from pyspark.sql import Window
+
+    seq_len = 512
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":0"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    h = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .select("doc_id", hv.alias("hv"), n_tok.alias("n_tok"))
+    )
+    sh = h.select(
+        "doc_id", "hv", "n_tok", F.pmod("hv", F.lit(8)).cast("int").alias("shard")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("hv", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = sh.select(
+        "doc_id", "shard", "n_tok", F.sum("n_tok").over(w).alias("cum_tok")
+    )
+    before = F.col("cum_tok") - F.col("n_tok")
+    return (
+        cum.select(
+            "doc_id", "shard", "n_tok",
+            F.floor(before / seq_len).cast("long").alias("pack_id"),
+            (before - F.floor(before / seq_len) * seq_len)
+            .cast("long")
+            .alias("pack_offset"),
+        )
+        .orderBy("shard", "pack_id", "pack_offset", "doc_id")
+    )

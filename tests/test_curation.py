@@ -165,3 +165,25 @@ def test_shuffle_shards_epochs_and_balance(spark, sf_dir):
     s1 = {r.doc_id: r.shard for r in e1}
     moved = sum(1 for d in s0 if s0[d] != s1[d])
     assert moved > len(s0) // 2, f"only {moved}/{len(s0)} docs moved"
+
+
+def test_sequence_pack_invariants(spark, sf_dir):
+    """l34: offsets are in [0, 512); within a shard, consecutive docs'
+    (pack_id*512 + offset) equals the previous doc's start + previous
+    n_tok (pure concatenation, no gaps); pack_ids are non-decreasing."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l34_sequence_pack"]["fn"](spark, sf_dir).collect()
+    assert rows
+    by_shard = {}
+    for r in rows:
+        assert 0 <= r.pack_offset < 512, r
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) == set(range(8))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: (r.pack_id, r.pack_offset, r.doc_id))
+        start = 0
+        for r in shard_rows:
+            assert r.pack_id * 512 + r.pack_offset == start, r
+            start += r.n_tok
