@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
+from ipydataclean_spark.functions.vector import cosine_sim_sql
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
@@ -203,3 +204,117 @@ def l8c_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "l35_hybrid_rrf",
+    oracle=(
+        # lexical leg: the l8b BM25-style ranking, cut to top 50
+        "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+        f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t "
+        "FROM documents) u WHERE t <> ''), "
+        "n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents), "
+        "tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+        f"WHERE t IN ('{QUERY_TERMS[0]}', '{QUERY_TERMS[1]}', '{QUERY_TERMS[2]}') "
+        "GROUP BY doc_id, t), "
+        "df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t), "
+        "bm AS (SELECT tf.doc_id, "
+        + exact.dsum_sql("tf * (n_docs - df + 0.5) / (df + 0.5)")
+        + " AS score FROM tf JOIN df ON tf.t = df.t CROSS JOIN n "
+        "GROUP BY tf.doc_id, n_docs ORDER BY score DESC, tf.doc_id LIMIT 50), "
+        "bmr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY score DESC, doc_id) AS BIGINT) AS rank_t FROM bm), "
+        # semantic leg: exact cosine vs the vec_id-0 query embedding
+        "q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), "
+        "cs AS (SELECT e.vec_id AS doc_id, "
+        + cosine_sim_sql("q.q_emb", "e.embedding")
+        + " AS cos_sim FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0 "
+        "ORDER BY cos_sim DESC, e.vec_id LIMIT 50), "
+        "csr AS (SELECT doc_id, CAST(ROW_NUMBER() OVER "
+        "(ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS rank_v FROM cs) "
+        # reciprocal-rank fusion, k = 60
+        "SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rank_t, c.rank_v, "
+        "ROUND(COALESCE(1.0 / (60 + b.rank_t), 0.0) "
+        "+ COALESCE(1.0 / (60 + c.rank_v), 0.0), 8) AS rrf "
+        "FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id "
+        "ORDER BY rrf DESC, doc_id LIMIT 20"
+    ),
+    tags=("L35", "L8", "L3", "retrieval"),
+)
+def l35_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L35: HYBRID retrieval — reciprocal-rank fusion (Cormack et al.,
+    SIGIR'09: score = Σ 1/(k + rank), k = 60) of the lexical BM25
+    ranking (l8b's plan over QUERY_TERMS) and the semantic exact-cosine
+    ranking against the vec_id-0 query embedding (l3's plan, 1:1
+    doc_id↔vec_id on this fixture). The standard RAG retrieval stack:
+    each leg ranks independently and the fusion needs only the two
+    top-50 RANK tables — at 100 TB the legs are the indexed paths
+    (inverted-index tf shuffle; IVF/LSH candidates re-ranked exact)
+    and the fusion cost is |k1| + |k2| rows regardless of corpus size.
+
+    Exactness: ranks are integers, so the fused score is two IEEE
+    divisions and one addition evaluated identically on both engines;
+    the ROW_NUMBER windows run over ≤50-row leg outputs (global
+    windows over top-k tables — the documented tiny-intermediate
+    exception). Full-outer fusion keeps docs found by only one leg."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.vector import cosine_sim
+
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("t"),
+        )
+        .where(F.col("t").isin(*QUERY_TERMS))
+    )
+    n_docs = float(docs.select(F.countDistinct("doc_id")).first()[0])
+    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("double").alias("df"))
+    term_score = F.col("tf") * (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    bm = (
+        tf.join(F.broadcast(dfreq), "t")
+        .groupBy("doc_id")
+        .agg(exact.dsum(term_score).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
+    bmr = bm.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("rank_t"),
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cs = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim("q_emb", "embedding").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(50)
+    )
+    csr = cs.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), "doc_id"))
+        .cast("long")
+        .alias("rank_v"),
+    )
+    b, c = bmr.alias("b"), csr.alias("c")
+    fused = b.join(c, F.col("b.doc_id") == F.col("c.doc_id"), "full_outer").select(
+        F.coalesce(F.col("b.doc_id"), F.col("c.doc_id")).alias("doc_id"),
+        F.col("b.rank_t").alias("rank_t"),
+        F.col("c.rank_v").alias("rank_v"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(60) + F.col("b.rank_t")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(60) + F.col("c.rank_v")), F.lit(0.0)),
+            8,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
