@@ -534,8 +534,13 @@ def q28_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     q23); per-item counts are a part-cardinality table joined back
     keyed on the part — partial-agg shuffles only. All metrics are
     ratios of integer counts computed with identical IEEE expression
-    trees on both engines, ROUND(8)-pinned."""
-    return association_rules(spark, sf_dir)
+    trees on both engines, ROUND(8)-pinned.
+
+    Registered with prefilter="off": BENCH.md's A/B shows the filter
+    prunes nothing here, and "auto" pays its estimate job eagerly at
+    DataFrame-construction time (round-5 review) — the knob remains
+    for workloads where the guard earns its scan."""
+    return association_rules(spark, sf_dir, prefilter="off")
 
 
 def association_rules(
@@ -560,7 +565,11 @@ def association_rules(
         scalar aggregate estimates the frequent-item fraction and the
         filter is SKIPPED when ≈ all items are frequent
         (fraction ≥ ``frequent_fraction_cutoff``), since then it prunes
-        nothing and only adds a join.
+        nothing and only adds a join. NOTE: the estimate is a Spark
+        job executed EAGERLY when this function is called (the price
+        of a driver-side plan decision) — at scale it is one
+        partial-agg scan, cheap next to a wasted unpruned pair join,
+        but callers constructing plans lazily should pick on/off.
 
     Either path returns identical rows (the Apriori property), pinned
     by tests/test_scale_patterns.py's on-vs-off A/B."""

@@ -592,7 +592,7 @@ def shuffle_shards(
         "WITH h AS (SELECT doc_id, "
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) "
         "AS BIGINT) AS hv, "
-        "CAST(len(string_split_regex(TRIM(text), '\\s+')) AS BIGINT) AS n_tok "
+        "CAST(len(string_split_regex(TRIM(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT) AS n_tok "
         "FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''), "
         "sh AS (SELECT doc_id, hv, n_tok, CAST(hv % 8 AS INT) AS shard FROM h), "
         "cum AS (SELECT doc_id, shard, n_tok, "
@@ -637,7 +637,9 @@ def l34_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    n_tok = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    # explicit class, not \s: Java's \s includes vertical tab \x0B,
+    # RE2/DuckDB's does not — \v means VT in both (round-5 review)
+    n_tok = F.size(F.split(F.trim("text"), "[ \\t\\n\\v\\f\\r]+")).cast("long")
     h = (
         T(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & (F.trim("text") != ""))

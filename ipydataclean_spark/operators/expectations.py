@@ -162,12 +162,17 @@ class Suite:
         ))
 
     def matches_decimal(self, col: str, min_ratio: float) -> "Suite":
-        """``matches(col, '^[0-9]+(\\.[0-9]+)?$', ...)`` with a
+        """``matches(col, '^[0-9]+(\\.[0-9]+)?\\z', ...)`` with a
         REGEX-FREE Spark predicate: strip digits with ``translate``
         and require the residue to be empty (pure integer) or a
         single interior dot. Exactly equivalent to the regex for ALL
         inputs including NULL (residue comparisons propagate NULL
-        like rlike does) and empty string (length guard); the SQL
+        like rlike does), empty string (length guard), and trailing
+        line terminators — the pattern anchors with \\z (end of
+        input) rather than $ precisely because Java's $ matches
+        BEFORE a final newline while RE2/DuckDB's does not
+        (round-5 review finding): with $ the two engines and the
+        translate predicate three-way disagree on '12.5\\n'. The SQL
         twin keeps the regex form, so the oracle hash certifies the
         equivalence on real data, and the check NAME matches
         matches()'s so quarantine reason strings are interchangeable.
@@ -183,7 +188,7 @@ class Suite:
                 (rest == ".") & ~c.startswith(".") & ~c.endswith(".")
             )
 
-        pat_sql = "^[0-9]+(\\.[0-9]+)?$".replace("'", "''")
+        pat_sql = "^[0-9]+(\\.[0-9]+)?\\z".replace("'", "''")
         return self._add(Check(
             f"matches_{col}",
             lambda: _frac(pred()),
@@ -349,7 +354,7 @@ def _x1_suite() -> Suite:
         .mean_between("l_quantity", 20.0, 30.0)
         .contained_in("l_returnflag", ["A", "N", "R"], 1.0)
         .contained_in("l_linestatus", ["F", "O"], 1.0)
-        .matches("quantity_str", "^[0-9]+(\\.[0-9]+)?$", 0.9)
+        .matches("quantity_str", "^[0-9]+(\\.[0-9]+)?\\z", 0.9)
         .size_between(1000, 10_000_000)
     )
 
@@ -381,7 +386,7 @@ _X1_ORACLE_BY_HAND = (
     "/ COUNT(*), 8) FROM lineitem_dirty "
     "UNION ALL SELECT 'matches_quantity_str', "
     "ROUND(CAST(COUNT_IF(REGEXP_MATCHES(quantity_str, "
-    "'^[0-9]+(\\.[0-9]+)?$')) AS DOUBLE) / COUNT(*), 8) FROM lineitem_dirty "
+    "'^[0-9]+(\\.[0-9]+)?\\z')) AS DOUBLE) / COUNT(*), 8) FROM lineitem_dirty "
     "UNION ALL SELECT 'size', CAST(COUNT(*) AS DOUBLE) FROM lineitem_dirty) "
     "SELECT check_name, metric, CAST(CASE check_name "
     "WHEN 'completeness_qty_parsed' THEN metric >= 0.97 "

@@ -386,7 +386,11 @@ def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (normalization makes copies token-identical), and no delta doc
     maps to a history doc above threshold that exact Jaccard refutes
     (tests/test_llm_extra.py)."""
-    from ipydataclean_spark.operators.llm import _MINHASH_K, minhash_signatures
+    from ipydataclean_spark.operators.llm import (
+        _MINHASH_K,
+        banded_signatures,
+        minhash_signatures,
+    )
     from ipydataclean_spark.operators.qhelp import documents_dup, scratch_dir
 
     tau = 0.5
@@ -394,30 +398,11 @@ def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_docs = dd.where(F.col("doc_id") < 400)
     delta_docs = dd.where(F.col("doc_id") >= 400)
 
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
-    band_rows = 4
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(_MINHASH_K // band_rows - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(*[
-                F.element_at(sig_arr, b * band_rows + k + 1)
-                for k in range(band_rows)
-            ]).alias("band_hash"),
-        ),
-    )
-
     def banded(docs: DataFrame) -> DataFrame:
-        return (
-            minhash_signatures(docs)
-            .withColumn("sig", sig_arr)
-            .withColumn("band", F.explode(bands))
-            .select(
-                "doc_id", "sig",
-                F.col("band.band_id").alias("band_id"),
-                F.col("band.band_hash").alias("band_hash"),
-            )
-        )
+        # the SAME band layout l2's LSH uses (shared helper) — an index
+        # this writes is probeable by any l2-family consumer and
+        # vice versa
+        return banded_signatures(minhash_signatures(docs))
 
     # persist + re-read the history index: the classify plan below must
     # not contain the history text scan in its lineage

@@ -165,6 +165,31 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def banded_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig, band_id, band_hash) — the ONE band layout
+    (_MINHASH_K // _BAND_ROWS bands of _BAND_ROWS sig slots, band hash
+    over the raw longs, no string concat) shared by lsh_candidate_pairs
+    and the inc4 stored index, so an index written by one is always
+    probeable by the other (round-5 review: a second hand-rolled copy
+    would silently stop matching if K or the band split changed)."""
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
+    bands = F.transform(
+        F.sequence(F.lit(0), F.lit(_MINHASH_K // _BAND_ROWS - 1)),
+        lambda b: F.struct(
+            b.alias("band_id"),
+            F.xxhash64(*[
+                F.element_at(sig_arr, b * _BAND_ROWS + k + 1)
+                for k in range(_BAND_ROWS)
+            ]).alias("band_hash"),
+        ),
+    )
+    return (
+        sigs.withColumn("sig", sig_arr)
+        .withColumn("band", F.explode(bands))
+        .select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, cap: int | None = 1024) -> DataFrame:
     """Banded LSH candidate generation with hot-bucket splitting
     (VERDICT r01 #7). Returns (doc_a, doc_b, sig_a, sig_b) candidate
@@ -204,23 +229,7 @@ def lsh_candidate_pairs(sigs: DataFrame, cap: int | None = 1024) -> DataFrame:
         # effect — one job where there were two — and the main query
         # then re-reads the materialized table
         sigs = sigs.localCheckpoint(eager=False)
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
-    # band hash over the 4 raw longs — no string concat round-trip
-    bands = F.transform(
-        F.sequence(F.lit(0), F.lit(_MINHASH_K // _BAND_ROWS - 1)),
-        lambda b: F.struct(
-            b.alias("band_id"),
-            F.xxhash64(*[
-                F.element_at(sig_arr, b * _BAND_ROWS + k + 1)
-                for k in range(_BAND_ROWS)
-            ]).alias("band_hash"),
-        ),
-    )
-    banded = (
-        sigs.withColumn("sig", sig_arr)
-        .withColumn("band", F.explode(bands))
-        .select("doc_id", "sig", F.col("band.band_id").alias("band_id"), F.col("band.band_hash").alias("band_hash"))
-    )
+    banded = banded_signatures(sigs)
     hot_sizes = None
     if cap is not None:
         hot_sizes = (

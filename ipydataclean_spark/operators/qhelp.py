@@ -16,10 +16,15 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-#: Siblings older than this are certainly from a dead session and safe
-#: to sweep; younger ones may belong to a CONCURRENT session (verify +
-#: smoke run), which is the reason scratch dirs are appId-keyed at all.
-_SCRATCH_STALE_SECS = 2 * 3600
+#: Siblings untouched this long are treated as belonging to a dead
+#: session and swept; younger ones may belong to a CONCURRENT session
+#: (verify + smoke run), which is the reason scratch dirs are
+#: appId-keyed at all. 24 h (round-5 review): reads don't bump mtime,
+#: so a long-lived session holding a lazy DataFrame over its scratch
+#: must not see a shorter-TTL sibling sweep delete it mid-run; no
+#: session here lives a day, and the sweep only has to beat
+#: unbounded accumulation, not be prompt.
+_SCRATCH_STALE_SECS = 24 * 3600
 
 
 def scratch_dir(spark: SparkSession, prefix: str) -> str:

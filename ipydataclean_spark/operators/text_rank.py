@@ -49,7 +49,15 @@ def l8b_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     below the explode's projection), tf is a partial-agg shuffle keyed
     (doc_id, term), df is a tiny 3-row aggregate BROADCAST back onto
     tf — no fact-side re-shuffle — and the final per-doc sum is
-    decimal-exact (order-independent)."""
+    decimal-exact (order-independent). Scoring lives in bm25_scores,
+    shared with l35's lexical leg (round-5 review: one scoring body,
+    not two)."""
+    return bm25_scores(spark, sf_dir, limit=20)
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str, limit: int) -> DataFrame:
+    """(doc_id, score) — the l8b BM25-style ranking over QUERY_TERMS,
+    cut to ``limit``; the single implementation behind l8b and l35."""
     docs = T(spark, sf_dir, "documents")
     toks = (
         docs.select(
@@ -71,7 +79,7 @@ def l8b_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(exact.dsum(term_score).alias("score"))
         .orderBy(F.desc("score"), "doc_id")
-        .limit(20)
+        .limit(limit)
     )
 
 
@@ -261,25 +269,7 @@ def l35_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ipydataclean_spark.functions.vector import cosine_sim
 
-    docs = T(spark, sf_dir, "documents")
-    toks = (
-        docs.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("t"),
-        )
-        .where(F.col("t").isin(*QUERY_TERMS))
-    )
-    n_docs = float(docs.select(F.countDistinct("doc_id")).first()[0])
-    tf = toks.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("t").agg(F.countDistinct("doc_id").cast("double").alias("df"))
-    term_score = F.col("tf") * (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    bm = (
-        tf.join(F.broadcast(dfreq), "t")
-        .groupBy("doc_id")
-        .agg(exact.dsum(term_score).alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(50)
-    )
+    bm = bm25_scores(spark, sf_dir, limit=50)
     bmr = bm.select(
         "doc_id",
         F.row_number()

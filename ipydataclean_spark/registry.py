@@ -156,13 +156,18 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "c26_rank_normalize", "d10_snapshot_diff", "d11_drift_psi",
     "c27_flatten_json", "p22_cramers_v", "d12_volume_anomaly",
     "q30_daily_p95", "d14_seasonal_anomaly", "d15_null_rate_drift",
-    "d16_cusum_changepoint", "x1_expectations", "x2_expectations_orders",
-    "x3_quarantine", "p5b_group_quantiles", "r14b_listagg",
+    "d16_cusum_changepoint", "x2_expectations_orders",
+    # x1_expectations / x3_quarantine were r4-green but their regex
+    # anchor changed in round 5 ($ -> \z, the Java-vs-RE2 final-newline
+    # divergence) — re-queued per the rotation-exclusion rule
+    "p5b_group_quantiles", "r14b_listagg",
     "w6_validity_intervals", "c25_hash_split", "r11b_salted_agg",
     "p27_weighted_median", "c32_stratified_sample", "g2_triangle_count",
     "g2b_triangles_degree_oriented", "p15_bitmap_distinct",
     "p12_hll_profile", "p14_theta_setops", "z1_zorder_values",
-    "l8b_bm25_search", "f_variant", "l17_bigram_topk", "l8c_tfidf_search",
+    # l8b_bm25_search was r4-green but refactored in round 5 (scoring
+    # body shared with l35) — re-queued per the rotation-exclusion rule
+    "f_variant", "l17_bigram_topk", "l8c_tfidf_search",
     "u1_scalar_udf", "u2_pandas_udf_zclamp", "u3_applyinpandas_groupfill",
     "u4_grouped_agg_mad", "u7_pandas_iter_udf", "u8_map_in_arrow",
     "u9_cogroup_asof", "u10_arrow_udf", "u11_udtf_analyze",

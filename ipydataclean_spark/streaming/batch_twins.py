@@ -386,5 +386,11 @@ def st12_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(str(in_dir))
     )
     q = dedup_ingest_stream(stream, str(state_dir), str(out_dir), str(ckpt))
-    q.awaitTermination(180)
+    finished = q.awaitTermination(180)
+    if not finished:
+        # fail loudly rather than hash-compare a half-written output
+        # (round-5 review finding); stop() so the writer can't keep
+        # appending into scratch during later queries
+        q.stop()
+        raise RuntimeError("st12: stream did not drain within 180 s")
     return spark.read.parquet(str(out_dir)).orderBy("doc_id")

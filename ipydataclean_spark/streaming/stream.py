@@ -532,20 +532,34 @@ def dedup_ingest_stream(
 
     ``b`` is the logical batch key carried IN the data: the kernel
     processes each distinct b in ascending order as a sub-batch with a
-    state round-trip between them, so the classification is a pure
-    function of (b, doc_id) order and INDEPENDENT of how the source
-    physically groups files into triggers — replayable, and exactly
-    reproducible by a batch engine (the registered oracle replays it
-    as one FIRST_VALUE window over (b, doc_id)).
+    state round-trip between them, so the result is robust to the
+    source COALESCING consecutive files into one trigger. It is NOT
+    robust to out-of-ORDER delivery across triggers (classification is
+    inherently arrival-order semantics — if b=1 arrives in a trigger
+    before b=0, b=0's doc would be classified against b=1's state);
+    the kernel therefore tracks a high-water mark and FAILS LOUDLY on
+    a b below it rather than silently inverting canonicals
+    (round-5 review finding). With in-order delivery the run is
+    exactly reproducible by a batch engine — the registered oracle
+    replays it as one FIRST_VALUE window over (b, doc_id).
 
     Scale shape: state lookups are digest-keyed equi-joins (bucket the
     state table by digest at 100 TB and probes co-locate, the inc2
     argument); per batch the state is READ once per sub-batch and only
     novel digests are written. All kernel logic is JVM DataFrame ops —
     foreachBatch runs on the driver, no Python worker closures."""
+    high_water = [-1]
+
     def ingest(batch: DataFrame, _epoch: int) -> None:
         spark = batch.sparkSession
-        for bv in sorted(r.b for r in batch.select("b").distinct().collect()):
+        bs = sorted(r.b for r in batch.select("b").distinct().collect())
+        if bs and bs[0] < high_water[0]:
+            raise RuntimeError(
+                f"dedup_ingest_stream: batch key {bs[0]} arrived after "
+                f"{high_water[0]} was already processed — out-of-order "
+                "delivery would invert prior-batch canonicals"
+            )
+        for bv in bs:
             sub = batch.where(F.col("b") == bv).select("doc_id", "b", "dg")
             state = (
                 spark.read.parquet(state_path)
@@ -588,6 +602,7 @@ def dedup_ingest_stream(
                 .write.mode("append")
                 .parquet(state_path)
             )
+            high_water[0] = bv
 
     return (
         stream_df.writeStream.foreachBatch(ingest)

@@ -203,8 +203,9 @@ def test_split_requires_row_level_checks(spark):
 
 def test_matches_decimal_equals_regex_on_adversarial_inputs(spark):
     """The regex-free matches_decimal predicate must agree with rlike
-    on ^[0-9]+(\\.[0-9]+)?$ for every shape of input, including the
-    NULL-propagation and empty-string edges."""
+    on ^[0-9]+(\\.[0-9]+)?\\z for every shape of input, including
+    NULL propagation, empty strings, and trailing line terminators
+    (the reason the suite anchors with \\z, not $)."""
     from pyspark.sql import Row
     from pyspark.sql import functions as F
 
@@ -213,6 +214,10 @@ def test_matches_decimal_equals_regex_on_adversarial_inputs(spark):
         "", ".", "..", ".5", "5.", "1..5", "1.2.3",
         "N/A", "12 kg", " 12", "12 ", "+1", "-1", "1e5", "0x1f",
         "١٢٣", "12.", ".12", "1.2a", "a1.2", "%", "_", "1_000",
+        # line-terminator edges: Java's $ matches BEFORE a final
+        # newline, \z does not — the suite anchors with \z so both
+        # engines and the translate predicate agree these FAIL
+        "123\n", "1.5\n", "1.5\r", "12\r\n", "\n", "1\n2",
         None,
     ]
     df = spark.createDataFrame([Row(i=i, s=s) for i, s in enumerate(cases)])
@@ -222,7 +227,7 @@ def test_matches_decimal_equals_regex_on_adversarial_inputs(spark):
     )
     out = df.select(
         "i", "s",
-        F.col("s").rlike("^[0-9]+(\\.[0-9]+)?$").alias("re"),
+        F.col("s").rlike("^[0-9]+(\\.[0-9]+)?\\z").alias("re"),
         codegen.alias("cg"),
     ).collect()
     for r in out:

@@ -298,6 +298,7 @@ def test_salted_join_correct_and_spreads_hot_key(spark):
     small = spark.createDataFrame(
         [(k, f"dim{k}") for k in range(0, 40)], "k LONG, name STRING"
     )
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         got = salted_join(big, small, "k", salt_n=8)
@@ -317,7 +318,7 @@ def test_salted_join_correct_and_spreads_hot_key(spark):
             small, "k", "left_anti"
         ).count()
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
 
     import pytest as _pytest
 
@@ -340,10 +341,11 @@ def test_salted_join_sf1_hot_custkey_aqe_off(spark):
     from ipydataclean_spark.catalog import load_table
     from ipydataclean_spark.functions.skew import salted_join
 
-    sf1 = "/root/repo/localdata/sf1"
+    sf1 = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "localdata", "sf1")
     if not os.path.isdir(sf1):
         pytest.skip("sf1 fixture not generated (tools/gen_sf1.py)")
     saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -389,7 +391,7 @@ def test_salted_join_sf1_hot_custkey_aqe_off(spark):
         assert max(counts.values()) < 2 * min(counts.values()), counts
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
 
 
 def test_ignore_corrupt_files_read(spark, tmp_path):
