@@ -115,24 +115,139 @@ def l2e_fuzzy_match_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap equi-join blocking key (string length) ahead of the O(n·m)
     levenshtein predicate — the blocked form of a similarity join (at
     scale the block key becomes length+prefix or a q-gram bucket, same
-    plan shape; an unblocked version is a pure cross join)."""
+    plan shape; an unblocked version is a pure cross join). Pair logic
+    lives in fuzzy_name_pairs, shared with er1's match step."""
+    return fuzzy_name_pairs(spark, sf_dir).orderBy("key_a", "key_b")
+
+
+def fuzzy_name_pairs(
+    spark: SparkSession, sf_dir: str, same_nation: bool = False
+) -> DataFrame:
+    """(key_a < key_b, edit_dist ≤ 2) customer-name match pairs over
+    the %50 subset — the blocked similarity join behind l2e and er1.
+    ``same_nation`` adds the second match predicate er1 needs: name
+    similarity alone glues the synthetic digit-named customers into
+    one giant chain component; similarity AND shared nation is the
+    realistic multi-attribute match rule and fragments the graph."""
     sub = (
         T(spark, sf_dir, "customer")
         .where(F.col("c_custkey") % 50 == 0)
-        .select("c_custkey", "c_name", F.length("c_name").alias("name_len"))
+        .select(
+            "c_custkey", "c_name", "c_nationkey",
+            F.length("c_name").alias("name_len"),
+        )
     )
     a = sub.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), F.col("name_len")
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"), F.col("name_len")
     )
     b = sub.select(
         F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"),
-        F.col("name_len").alias("len_b"),
+        F.col("c_nationkey").alias("nat_b"), F.col("name_len").alias("len_b"),
     )
+    cond = (F.col("name_len") == F.col("len_b")) & (F.col("key_a") < F.col("key_b"))
+    if same_nation:
+        cond = cond & (F.col("nat_a") == F.col("nat_b"))
     return (
-        a.join(b, (F.col("name_len") == F.col("len_b")) & (F.col("key_a") < F.col("key_b")))
+        a.join(b, cond)
         .where(F.levenshtein("name_a", "name_b") <= 2)
         .select("key_a", "key_b", F.levenshtein("name_a", "name_b").alias("edit_dist"))
-        .orderBy("key_a", "key_b")
+    )
+
+
+_ER1_ORACLE = (
+    "WITH RECURSIVE "
+    "sub AS (SELECT c_custkey, c_name, c_acctbal, c_nationkey FROM customer "
+    "WHERE c_custkey % 50 = 0), "
+    "pairs AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb FROM sub a "
+    "JOIN sub b ON LENGTH(a.c_name) = LENGTH(b.c_name) "
+    "AND a.c_nationkey = b.c_nationkey "
+    "AND a.c_custkey < b.c_custkey "
+    "WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 2), "
+    "edges AS (SELECT ka AS a, kb AS b FROM pairs "
+    "UNION SELECT kb, ka FROM pairs), "
+    # transitive closure: cluster = min reachable id (exact fixpoint)
+    "r(a, b) AS (SELECT c_custkey, c_custkey FROM sub "
+    "UNION SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a), "
+    "lbl AS (SELECT a AS id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+    "sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members "
+    "FROM lbl GROUP BY cluster_id), "
+    "ranked AS (SELECT l.cluster_id, s.c_custkey, s.c_name, s.c_acctbal, "
+    "ROW_NUMBER() OVER (PARTITION BY l.cluster_id "
+    "ORDER BY s.c_acctbal DESC, s.c_custkey) AS rn "
+    "FROM sub s JOIN lbl l ON s.c_custkey = l.id) "
+    "SELECT rk.cluster_id, rk.c_custkey AS canonical_key, "
+    "rk.c_name AS canonical_name, rk.c_acctbal AS canonical_acctbal, "
+    "z.n_members "
+    "FROM ranked rk JOIN sized z ON rk.cluster_id = z.cluster_id "
+    "WHERE rk.rn = 1 ORDER BY rk.cluster_id"
+)
+
+
+@register(
+    "er1_entity_resolution",
+    oracle=_ER1_ORACLE,
+    tags=("ER1", "L2", "C16", "fuzzy", "cleaning"),
+)
+def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER1: end-to-end ENTITY RESOLUTION — the flagship multi-record
+    cleaning pipeline: block (name length) → fuzzy match (edit ≤ 2
+    AND same nation — the multi-attribute rule; name similarity alone
+    chains the synthetic digit names into one component) → cluster
+    (connected components over the match graph) → GOLDEN RECORD per
+    cluster (survivor = highest account balance, ties to the lowest
+    key) with the member count.
+
+    The notable part is the correctness proof of the ITERATIVE stage:
+    Spark runs min-label propagation (llm_extra.cluster_pairs — one
+    join+groupBy per round, early-exit on fixpoint), while the oracle
+    computes the same components as a RECURSIVE-CTE transitive
+    closure (cluster = min reachable id) — two entirely different
+    fixpoint mechanisms whose driver hash must agree, upgrading the
+    clustering primitive from rows-only/golden (l2d) to
+    value-hash-certified. Closure cost is Σ|component|² — fine for an
+    oracle at sf0.01; the Spark side stays O(edges · diameter), the
+    100 TB shape (max_iter 30 covers the fixture's digit-chain
+    diameters; cluster_pairs breaks early on convergence)."""
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+    from pyspark.sql import Window
+
+    sub = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    pairs = fuzzy_name_pairs(spark, sf_dir, same_nation=True).select(
+        F.col("key_a").alias("a"), F.col("key_b").alias("b")
+    )
+    labels = cluster_pairs(
+        sub.select(F.col("c_custkey").alias("id")), pairs, max_iter=30
+    )
+    sized = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    ranked = (
+        sub.join(labels, sub.c_custkey == labels.id)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.desc("c_acctbal"), F.asc("c_custkey")
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+    )
+    return (
+        ranked.join(sized, "cluster_id")
+        .select(
+            "cluster_id",
+            F.col("c_custkey").alias("canonical_key"),
+            F.col("c_name").alias("canonical_name"),
+            F.col("c_acctbal").alias("canonical_acctbal"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
     )
 
 

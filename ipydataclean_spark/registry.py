@@ -117,7 +117,9 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q19_disjunctive_revenue", "q20_part_share_suppliers",
     "q21_sole_return_suppliers", "q22_dormant_customers",
     "q23_part_cooccurrence", "q_funnel_conversion", "q_cohort_retention",
-    "l2e_fuzzy_match_join", "t1_time_rollup_sql", "w1_ranking", "w2_analytic",
+    # l2e_fuzzy_match_join was r2-green but refactored in round 5
+    # (pair step shared with er1) — re-queued per the rotation rule
+    "t1_time_rollup_sql", "w1_ranking", "w2_analytic",
     "w3_frames", "w4_moving_avg", "w5_rolling_median", "w7_distribution_ranks",
     "f_string", "f_datetime", "f_math",
     # CORRECTNESS_r03.json — 50/50 green

@@ -53,3 +53,34 @@ def test_degree_oriented_triangles_equal_id_oriented(spark, sf_dir):
     a = {tuple(r) for r in g2_triangle_count(spark, sf_dir).collect()}
     b = {tuple(r) for r in g2b_triangles_degree_oriented(spark, sf_dir).collect()}
     assert a == b and a, f"id-oriented {len(a)} vs degree-oriented {len(b)}"
+
+
+def test_er1_golden_records_semantics(spark):
+    """er1: every input record belongs to exactly one cluster (member
+    counts sum to the subset size), each canonical is a member of its
+    own cluster with the maximal account balance, and multi-member
+    clusters exist (the pipeline actually merges records here —
+    at the driver's oracle scale sf0.01; the sf0.001 %50 subset has
+    only 3 customers and no matches)."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    sf_dir = "/root/testdata/sf0.01"
+    load_all()
+    rows = QUERIES["er1_entity_resolution"]["fn"](spark, sf_dir).collect()
+    assert rows
+    sub = {
+        r.c_custkey: r.c_acctbal
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", "c_acctbal")
+        .collect()
+    }
+    assert sum(r.n_members for r in rows) == len(sub)
+    assert any(r.n_members > 1 for r in rows)
+    for r in rows:
+        assert r.canonical_key in sub
+        assert r.canonical_acctbal == sub[r.canonical_key]
+        assert r.cluster_id <= r.canonical_key  # cluster id = min member
