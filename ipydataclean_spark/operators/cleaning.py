@@ -799,3 +799,102 @@ def autofix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_C34_VARIANTS = (
+    "v AS (SELECT LOWER(TRIM(seg)) AS fp, seg, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM segd GROUP BY 1, 2), "
+    "canon AS (SELECT fp, seg AS canonical, n, "
+    "ROW_NUMBER() OVER (PARTITION BY fp ORDER BY n DESC, seg) AS rn FROM v) "
+)
+
+
+@register(
+    "c34_value_cluster",
+    oracle=(
+        f"WITH segd AS (SELECT {_dirty.SEG_DIRTY} AS seg FROM customer), "
+        + _C34_VARIANTS
+        + "SELECT v.fp, CAST(COUNT(*) AS BIGINT) AS n_variants, "
+        "CAST(SUM(v.n) AS BIGINT) AS n_rows, "
+        "MAX(c.canonical) AS canonical, "
+        "STRING_AGG(v.seg, '|' ORDER BY v.seg) AS variants "
+        "FROM v JOIN canon c ON v.fp = c.fp AND c.rn = 1 "
+        "GROUP BY v.fp ORDER BY v.fp"
+    ),
+    tags=("C34", "C17", "cleaning", "facet"),
+)
+def c34_value_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C34: VALUE CLUSTERING over a dirty categorical column — the
+    OpenRefine-style "cluster & edit" facet: key every raw value by a
+    normalization fingerprint (lower+trim; swap in a token-sort or
+    phonetic key for messier data, same plan), group the raw variants
+    under each key, and propose the most frequent variant as the
+    canonical (ties to the lexicographically first). The report a
+    cleaning UI shows before a bulk standardization.
+
+    Plan: one scan → (fingerprint, variant) counts (two partial-agg
+    shuffles over a CARDINALITY-sized table — variants, not rows);
+    the canonical pick is a window over the tiny variant table. At
+    100 TB the variant table is still catalog-sized: this never
+    touches row-count-proportional state after the first aggregate."""
+    segd = T(spark, sf_dir, "customer").select(F.expr(_dirty.SEG_DIRTY).alias("seg"))
+    v = (
+        segd.groupBy(F.lower(F.trim("seg")).alias("fp"), "seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n"), F.asc("seg"))
+    canon = (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("fp", F.col("seg").alias("canonical"))
+    )
+    return (
+        v.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.array_join(F.sort_array(F.collect_set("seg")), "|").alias("variants"),
+        )
+        .join(canon, "fp")
+        .select("fp", "n_variants", "n_rows", "canonical", "variants")
+        .orderBy("fp")
+    )
+
+
+@register(
+    "c35_standardize_values",
+    oracle=(
+        f"WITH segd AS (SELECT {_dirty.SEG_DIRTY} AS seg FROM customer), "
+        + _C34_VARIANTS
+        + "SELECT c.canonical AS segment, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM segd s JOIN canon c ON LOWER(TRIM(s.seg)) = c.fp AND c.rn = 1 "
+        "GROUP BY 1 ORDER BY 1"
+    ),
+    tags=("C35", "C34", "C10", "cleaning", "facet"),
+)
+def c35_standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C35: APPLY the c34 clustering — bulk-standardize every raw
+    variant to its cluster's canonical and return the repaired value
+    distribution (which must collapse back to the clean segment
+    cardinality — the oracle proves the repair, not just the report).
+    The mapping table is variant-sized, so the apply step is a
+    broadcast join onto the scan at any data size."""
+    segd = T(spark, sf_dir, "customer").select(F.expr(_dirty.SEG_DIRTY).alias("seg"))
+    v = (
+        segd.groupBy(F.lower(F.trim("seg")).alias("fp"), "seg")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n"), F.asc("seg"))
+    canon = (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("fp", F.col("seg").alias("canonical"))
+    )
+    return (
+        segd.join(
+            F.broadcast(canon), F.lower(F.trim("seg")) == F.col("fp")
+        )
+        .groupBy(F.col("canonical").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("segment")
+    )

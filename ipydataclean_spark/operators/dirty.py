@@ -38,6 +38,16 @@ PRICE_OUT = "CASE WHEN l_orderkey % 101 = 0 THEN l_extendedprice * 1000 ELSE l_e
 # row order (row_id = row_number() OVER (ORDER BY ts, event_id)).
 VALUE_GAP = "CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END"
 
+# customer.seg_dirty — casing/padding variants of a categorical column
+# (exercises C34/C35 value clustering, the OpenRefine-style facet
+# cluster-and-standardize). Same dialect-intersection rules.
+SEG_DIRTY = (
+    "CASE WHEN c_custkey % 7 = 0 THEN LOWER(c_mktsegment) "
+    "WHEN c_custkey % 11 = 0 THEN CONCAT('  ', c_mktsegment, ' ') "
+    "WHEN c_custkey % 13 = 0 THEN CONCAT(LOWER(c_mktsegment), '  ') "
+    "ELSE c_mktsegment END"
+)
+
 # documents_dup — documents plus a modulo-selected re-cased/padded copy
 # (exercises D4/C16/C17/L1/L2). SELECT-able CTE body for both engines.
 DOCUMENTS_DUP_SQL = (
