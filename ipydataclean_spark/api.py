@@ -35,6 +35,7 @@ FIXES_FOR_PROBLEM = {
     "dates": ("parse_dates", "drop_rows"),
     "units": ("standardize_units", "drop_rows"),
     "pii": ("redact",),
+    "variants": ("standardize_values",),
 }
 
 # detection defaults for the extended string-column problems
@@ -186,6 +187,12 @@ class DataCleaner:
             ).alias(f"{c}__date"),
             F.sum(col.rlike(UNIT_RE).cast("long")).alias(f"{c}__unit"),
             F.sum(any_pii.cast("long")).alias(f"{c}__pii"),
+            # redundant raw forms: distinct raw values beyond one per
+            # lower+trim fingerprint cluster (OpenRefine facet signal)
+            (
+                F.countDistinct(col)
+                - F.countDistinct(F.lower(F.trim(col)))
+            ).alias(f"{c}__variants"),
         ]
 
     def _classify_string(
@@ -202,6 +209,7 @@ class DataCleaner:
         n_date = counters.get(f"{c}__date") or 0
         n_unit = counters.get(f"{c}__unit") or 0
         n_mismatch = counters.get(f"{c}__mismatch") or 0
+        n_variants = counters.get(f"{c}__variants") or 0
         if n_pii:
             out.append((c, "pii", int(n_pii)))
         if n_date / non_null >= 0.8:
@@ -211,6 +219,11 @@ class DataCleaner:
         elif n_mismatch and (non_null - n_mismatch) / non_null >= 0.5:
             # mostly-numeric with mismatches — the reference's rule [P]
             out.append((c, "string_mismatch", int(n_mismatch)))
+        elif n_variants:
+            # categorical text with casing/padding variants (c34 facet);
+            # n = redundant raw forms, not rows (row counts need the
+            # mapping — that's the fix's job, not detection's)
+            out.append((c, "variants", int(n_variants)))
         return out
 
     def commit_to(self, table, key: str, suite=None) -> int:
@@ -260,6 +273,7 @@ class DataCleaner:
         "dates": ("parse_dates", "drop_rows"),
         "units": ("standardize_units", "drop_rows"),
         "pii": ("redact",),
+        "variants": ("standardize_values",),
     }
 
     def suggest(self, cols: list[str] | None = None) -> list[dict]:
@@ -287,7 +301,7 @@ class DataCleaner:
         # the flagship's C9-then-C2 pipeline order: converting AFTER
         # filling would re-introduce NULLs for unparseable values
         order = {"string_mismatch": 0, "dates": 0, "units": 0,
-                 "pii": 1, "missing": 2, "outliers": 3}
+                 "variants": 0, "pii": 1, "missing": 2, "outliers": 3}
         applied = []
         for item in sorted(
             self.suggest(cols),
@@ -368,6 +382,8 @@ class DataCleaner:
             self.recipe.standardize_units(
                 column, params.get("conversions", {}), params.get("out")
             )
+        elif fix == "standardize_values":
+            self.recipe.standardize_values(column, params.get("out"))
         elif fix == "redact":
             self.recipe.redact(
                 column, dict(params.get("patterns", PII_RES)), params.get("out")

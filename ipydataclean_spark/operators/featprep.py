@@ -399,3 +399,37 @@ def c33_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+def standardize_values_cluster(
+    df: DataFrame, col: str, out: str | None = None
+) -> DataFrame:
+    """Bulk value standardization behind Recipe.standardize_values
+    (c34/c35 machinery): fingerprint-cluster the column's variants
+    (lower+trim key), pick each cluster's canonical (most frequent
+    variant, ties lexicographically first), and replace every raw
+    value with its canonical via a broadcast join. NULLs pass through
+    unchanged. The mapping table is variant-cardinality-sized — the
+    apply never shuffles the fact side."""
+    from pyspark.sql import Window
+
+    tgt = out or col
+    fp = F.lower(F.trim(F.col(col)))
+    v = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(fp.alias("__fp"), F.col(col).alias("__raw"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = Window.partitionBy("__fp").orderBy(F.desc("__n"), F.asc("__raw"))
+    canon = (
+        v.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select("__fp", F.col("__raw").alias("__canonical"))
+    )
+    joined = df.join(F.broadcast(canon), fp == F.col("__fp"), "left")
+    std = F.coalesce(F.col("__canonical"), F.col(col))
+    if tgt == col:
+        result = joined.withColumn(col, std)
+    else:
+        result = joined.withColumn(tgt, std)
+    return result.drop("__fp", "__canonical")

@@ -320,6 +320,46 @@ class Recipe:
             out=out,
         )
 
+    def standardize_values(self, col: str, out: str | None = None) -> "Recipe":
+        """OpenRefine-style bulk value standardization (c34/c35): every
+        raw variant of ``col`` is replaced by its fingerprint cluster's
+        canonical (most frequent variant, ties lexicographic; key =
+        lower+trim). Two-phase like fill_aggregate: the mapping is
+        computed FROM the data at apply time — variant-table sized, so
+        the apply is a broadcast join at any scale. NULLs pass through
+        (left join + coalesce). The SQL twin derives the identical
+        mapping from the same source CTE."""
+        from ipydataclean_spark.operators.featprep import standardize_values_cluster
+
+        tgt = out or col
+
+        def _sql(p: str, ex: bool) -> str:
+            fp = f"LOWER(TRIM(s.{col}))"
+            canon = (
+                f"(SELECT fp, canonical FROM ("
+                f"SELECT LOWER(TRIM({col})) AS fp, {col} AS canonical, "
+                f"ROW_NUMBER() OVER (PARTITION BY LOWER(TRIM({col})) "
+                f"ORDER BY COUNT(*) DESC, {col}) AS rn "
+                f"FROM {p} WHERE {col} IS NOT NULL GROUP BY 1, 2) WHERE rn = 1)"
+            )
+            expr = f"COALESCE(c.canonical, s.{col})"
+            if ex:
+                sel = f"s.* REPLACE ({expr} AS {tgt})"
+            else:
+                sel = f"s.*, {expr} AS {tgt}"
+            return (
+                f"SELECT {sel} FROM {p} s LEFT JOIN {canon} c ON {fp} = c.fp"
+            )
+
+        return self.add(
+            "standardize_values",
+            lambda df: standardize_values_cluster(df, col, out),
+            f"df = standardize_values_cluster(df, {col!r}, {out!r})",
+            sql=_sql,
+            col=col,
+            out=out,
+        )
+
     def scale(self, col: str, method: str = "zscore", out: str | None = None) -> "Recipe":
         from ipydataclean_spark.operators.featprep import scale_minmax, scale_zscore
 

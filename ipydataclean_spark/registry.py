@@ -126,7 +126,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "p28_histogram_2d", "p30_functional_dependencies",
     "c21_resample_timeseries", "c22_one_hot", "c23_binning",
     "c24_feature_scaling", "l16_pii_redact", "c29_target_encode",
-    "recipe_sql_export", "autofix_pipeline", "r14_collect_set",
+    "recipe_sql_export", "r14_collect_set",
+    # autofix_pipeline was r3-green but problems() gained the variants
+    # detector in round 5 (fixture output unchanged, implementation
+    # changed) — re-queued per the rotation rule
     "r9c_asof_join_tolerance",
     # q_rfm_segments / q_pareto_revenue / q29_session_conversion were
     # r3-green but REWRITTEN in round 4 (distributed ranking pattern;

@@ -377,3 +377,44 @@ def test_autofix_units_column_without_conversions(spark):
     dc2.apply_fix("weight", "units", "standardize_units",
                   conversions={"kg": 1000.0})
     assert {r.weight for r in dc2.df.where("id = 2").collect()} == {2500.0}
+
+
+def test_variants_problem_detected_and_standardized(spark):
+    """The OpenRefine-facet loop end-to-end through the widget API:
+    problems() flags a categorical column with casing/padding
+    variants, apply_fix('standardize_values') collapses every variant
+    to its cluster's most frequent raw form, NULLs pass through, and
+    to_sql() exports a twin that reproduces the repair value-for-value
+    in DuckDB."""
+    import duckdb
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.api import DataCleaner
+
+    rows = (
+        [Row(id=i, seg="BUILDING") for i in range(6)]
+        + [Row(id=10 + i, seg="building") for i in range(2)]
+        + [Row(id=20, seg="  BUILDING "), Row(id=21, seg=None),
+           Row(id=22, seg="AUTO"), Row(id=23, seg="auto"), Row(id=24, seg="auto")]
+    )
+    df = spark.createDataFrame(rows)
+    cleaner = DataCleaner(df)
+    probs = {(c, k) for c, k, _ in cleaner.problems()}
+    assert ("seg", "variants") in probs
+    cleaner.apply_fix("seg", "variants", "standardize_values")
+    got = {r.id: r.seg for r in cleaner.df.collect()}
+    assert all(got[i] == "BUILDING" for i in list(range(6)) + [10, 11, 20])
+    assert got[21] is None
+    # 'auto' outnumbers 'AUTO' 2:1 — the frequent raw form wins
+    assert got[22] == got[23] == got[24] == "auto"
+    # SQL export parity
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/src")
+        con = duckdb.connect()
+        con.sql(f"CREATE VIEW src AS SELECT * FROM '{d}/src/*.parquet'")
+        duck = {r[0]: r[1] for r in con.sql(
+            f"SELECT id, seg FROM ({cleaner.to_sql('src')})"
+        ).fetchall()}
+        assert duck == got
