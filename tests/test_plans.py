@@ -513,3 +513,37 @@ def test_pipeline_lm_dataset_scale_shape(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert count_op(df, "BroadcastHashJoin") >= 2
     assert not has_python_eval(df)
+
+
+def test_c35_mapping_join_broadcasts(spark, sf_dir):
+    """c35's apply step must broadcast the variant-sized mapping onto
+    the scan — a shuffled repair join would be wrong at any scale."""
+    df = _q("c35_standardize_values", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_er1_no_cartesian_blocked_match(spark, sf_dir):
+    """er1's fuzzy match must ride the blocking equi-join (length +
+    nation) with levenshtein as a post-filter — never a cartesian."""
+    df = _q("er1_entity_resolution", spark, sf_dir)
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_l35_legs_no_cartesian_fusion_tiny(spark, sf_dir):
+    """l35: the only join shapes are the BM25 df broadcast, the
+    1-row query-embedding broadcast (a broadcast NLJ is fine for a
+    1-row build side), and the top-50 fusion join — no cartesian
+    product anywhere."""
+    df = _q("l35_hybrid_rrf", spark, sf_dir)
+    assert count_op(df, "CartesianProduct") == 0
+
+
+def test_l34_single_shard_shuffle(spark, sf_dir):
+    """l34's only data shuffle is the shard partition feeding the
+    running-sum window (plus the final presentation sort) — the
+    manifest never shuffles twice for one window."""
+    df = _q("l34_sequence_pack", spark, sf_dir)
+    tree = plan_tree(df)
+    assert sum(1 for l in tree if "Window" in l) == 1, "\n".join(tree)
+    assert sum(1 for l in tree if "Exchange" in l) <= 2, "\n".join(tree)
