@@ -739,6 +739,128 @@ def association_rules(
 
 
 @register(
+    "q28b_apriori_prefilter",
+    oracle=(
+        "WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+        "n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n_baskets "
+        "FROM items), "
+        "cnt AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM items "
+        "GROUP BY l_partkey), "
+        # the Apriori anti-monotone pre-filter, written into the twin's
+        # algebra so the oracle certifies the PRUNED pipeline, not just
+        # its (provably equal) unpruned cousin
+        "freq AS (SELECT l_partkey FROM cnt WHERE n_item >= 3), "
+        "fitems AS (SELECT i.l_orderkey, i.l_partkey FROM items i "
+        "WHERE i.l_partkey IN (SELECT l_partkey FROM freq)), "
+        "pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_ab "
+        "FROM fitems a JOIN fitems b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING COUNT(*) >= 3) "
+        "SELECT part_a, part_b, n_ab, ca.n_item AS n_a, cb.n_item AS n_b, "
+        "ROUND(CAST(n_ab AS DOUBLE) / CAST(ca.n_item AS DOUBLE), 8) AS confidence, "
+        "ROUND(CAST(n_ab AS DOUBLE) * n_baskets / "
+        "(CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE)), 8) AS lift "
+        "FROM pairs JOIN cnt ca ON part_a = ca.l_partkey "
+        "JOIN cnt cb ON part_b = cb.l_partkey CROSS JOIN n "
+        "ORDER BY lift DESC, part_a, part_b LIMIT 25"
+    ),
+    tags=("Q28", "analytics", "scale"),
+)
+def q28b_apriori_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q28b: the 100 TB-shape association-rules plan — the Apriori
+    anti-monotone PRE-FILTER applied unconditionally (prefilter="on"),
+    registered as its own oracle-checked query so the pruned pipeline
+    carries a driver value-hash proof, not just the on-vs-off pytest
+    A/B. The oracle twin spells the semi-join out in SQL (freq/fitems
+    CTEs) — both engines run the PRUNED algebra and must agree.
+
+    On this fixture the filter prunes nothing (every part reaches
+    min_support=3 — BENCH.md A/B), so q28 stays registered with
+    prefilter="off" as the local-optimal plan; THIS entry certifies
+    the long-tail-catalog shape where the semi-join caps the
+    ΣC(basket,2) pair shuffle."""
+    return association_rules(spark, sf_dir, prefilter="on")
+
+
+_ER2_ORACLE = (
+    # truth = the er1 match rule WITHOUT the blocking key: same nation,
+    # edit distance <= 2, over all subset pairs (a < b)
+    "WITH sub AS (SELECT c_custkey, c_name, c_nationkey FROM customer "
+    "WHERE c_custkey % 50 = 0), "
+    "allp AS (SELECT a.c_custkey AS ka, b.c_custkey AS kb, "
+    "LENGTH(a.c_name) = LENGTH(b.c_name) AS blocked, "
+    "(a.c_nationkey = b.c_nationkey AND "
+    "LEVENSHTEIN(a.c_name, b.c_name) <= 2) AS is_match "
+    "FROM sub a JOIN sub b ON a.c_custkey < b.c_custkey), "
+    "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all_pairs, "
+    "CAST(COUNT_IF(blocked) AS BIGINT) AS n_candidates, "
+    "CAST(COUNT_IF(is_match) AS BIGINT) AS n_true_matches, "
+    "CAST(COUNT_IF(is_match AND blocked) AS BIGINT) AS n_found FROM allp) "
+    "SELECT n_all_pairs, n_candidates, n_true_matches, n_found, "
+    "ROUND(1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_all_pairs AS DOUBLE), 8) "
+    "AS reduction_ratio, "
+    "ROUND(CAST(n_found AS DOUBLE) / CAST(n_true_matches AS DOUBLE), 8) "
+    "AS pairs_completeness FROM m"
+)
+
+
+@register(
+    "er2_blocking_metrics",
+    oracle=_ER2_ORACLE,
+    tags=("ER1", "L2", "fuzzy", "quality"),
+)
+def er2_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER2: blocking-quality audit for the er1 entity-resolution
+    pipeline — the two standard record-linkage metrics: REDUCTION
+    RATIO (fraction of the all-pairs comparison space the blocking key
+    eliminates) and PAIRS COMPLETENESS (recall: fraction of true
+    matches the blocking retains). Truth = the er1 match rule (same
+    nation AND edit distance ≤ 2) evaluated WITHOUT the block;
+    candidates = the name-length block er1/l2e actually use.
+
+    Plan: ONE subset self-join (a < b) computes blocked/is_match flags
+    per pair, one global conditional-count agg — no second pass. The
+    all-pairs join is quadratic in the SUBSET (the %50 sample), which
+    is the point: at 100 TB you measure blocking quality on a sample
+    where ground truth is computable, then apply the measured block to
+    the full corpus; the sample knob is the subset predicate."""
+    sub = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 50 == 0)
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+    a = sub.select(
+        F.col("c_custkey").alias("ka"), F.col("c_name").alias("name_a"),
+        F.col("c_nationkey").alias("nat_a"),
+    )
+    b = sub.select(
+        F.col("c_custkey").alias("kb"), F.col("c_name").alias("name_b"),
+        F.col("c_nationkey").alias("nat_b"),
+    )
+    flagged = a.join(b, F.col("ka") < F.col("kb")).select(
+        (F.length("name_a") == F.length("name_b")).alias("blocked"),
+        (
+            (F.col("nat_a") == F.col("nat_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        ).alias("is_match"),
+    )
+    m = flagged.agg(
+        F.count(F.lit(1)).alias("n_all_pairs"),
+        F.sum(F.col("blocked").cast("long")).alias("n_candidates"),
+        F.sum(F.col("is_match").cast("long")).alias("n_true_matches"),
+        F.sum((F.col("is_match") & F.col("blocked")).cast("long")).alias("n_found"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        "n_all_pairs", "n_candidates", "n_true_matches", "n_found",
+        F.round(F.lit(1.0) - d("n_candidates") / d("n_all_pairs"), 8).alias(
+            "reduction_ratio"
+        ),
+        F.round(d("n_found") / d("n_true_matches"), 8).alias("pairs_completeness"),
+    )
+
+
+@register(
     "q29_session_conversion",
     oracle=(
         "WITH seq AS (SELECT user_id, ts, event_id, event_type, "

@@ -524,3 +524,51 @@ def x3b_quarantine_codegen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_orderkey", "l_linenumber")
         .limit(500)
     )
+
+
+_X5_ORACLE = (
+    # quasi-identifier = (nation, market segment, account-balance band);
+    # the release-candidate "view" a privacy audit would check
+    "WITH qi AS (SELECT c_nationkey, c_mktsegment, "
+    "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band "
+    "FROM customer), "
+    "grp AS (SELECT c_nationkey, c_mktsegment, bal_band, "
+    "CAST(COUNT(*) AS BIGINT) AS group_size FROM qi GROUP BY 1, 2, 3) "
+    "SELECT c_nationkey, c_mktsegment, bal_band, group_size "
+    "FROM grp WHERE group_size < 5 "
+    "ORDER BY group_size, c_nationkey, c_mktsegment, bal_band"
+)
+
+
+@register(
+    "x5_k_anonymity",
+    oracle=_X5_ORACLE,
+    tags=("X5", "X1", "privacy", "quality"),
+)
+def x5_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: k-anonymity audit — the privacy-side data-quality check a
+    release pipeline runs before publishing a dataset: group the table
+    by its QUASI-IDENTIFIER columns (here nation × market segment ×
+    $1000 account-balance band) and surface every equivalence class
+    smaller than k=5, i.e. the rows a linkage attacker could single
+    out by joining on public attributes. The table's k-anonymity level
+    is MIN(group_size); the fix loop is coarsening a QI column
+    (wider bands, dropped segment) until no class is small.
+
+    Plan: ONE partial-aggregable groupBy on the QI tuple + a size
+    filter — identical shape at 100 TB (the QI-class count, not the
+    row count, bounds the agg output). The balance band is FLOOR over
+    a DOUBLE cast, pinned identically in both engines."""
+    qi = T(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    return (
+        qi.groupBy("c_nationkey", "c_mktsegment", "bal_band")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .where(F.col("group_size") < 5)
+        .orderBy("group_size", "c_nationkey", "c_mktsegment", "bal_band")
+    )

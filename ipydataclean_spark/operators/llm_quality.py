@@ -400,3 +400,84 @@ def l24_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+_L38_ORACLE = (
+    "WITH toks AS (SELECT source, t FROM (SELECT source, "
+    "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents) u "
+    "WHERE t <> ''), "
+    "fst AS (SELECT source, t, CAST(COUNT(*) AS BIGINT) AS n_st "
+    "FROM toks GROUP BY 1, 2), "
+    "ft AS (SELECT t, CAST(SUM(n_st) AS BIGINT) AS n_t FROM fst GROUP BY t), "
+    "stot AS (SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s "
+    "FROM fst GROUP BY source), "
+    "g AS (SELECT CAST(COUNT(*) AS BIGINT) AS v, "
+    "CAST(SUM(n_t) AS BIGINT) AS n FROM ft), "
+    "grid AS (SELECT s.source, s.n_s, f.t, f.n_t, g.v, g.n "
+    "FROM ft f CROSS JOIN stot s CROSS JOIN g), "
+    "terms AS (SELECT grid.source, grid.n_s, "
+    "(CAST(COALESCE(x.n_st, 0) AS DOUBLE) + 0.5) "
+    "/ (CAST(grid.n_s AS DOUBLE) + 0.5 * CAST(grid.v AS DOUBLE)) AS p, "
+    "(CAST(grid.n_t - COALESCE(x.n_st, 0) AS DOUBLE) + 0.5) "
+    "/ (CAST(grid.n - grid.n_s AS DOUBLE) + 0.5 * CAST(grid.v AS DOUBLE)) AS q "
+    "FROM grid LEFT JOIN fst x ON grid.source = x.source AND grid.t = x.t) "
+    "SELECT source, MIN(n_s) AS n_tokens, "
+    "ROUND(" + exact.rsum12_sql("p * LN(p / q)") + ", 8) AS kl_vs_rest "
+    "FROM terms GROUP BY source ORDER BY source"
+)
+
+
+@register(
+    "l38_token_kl_drift",
+    oracle=_L38_ORACLE,
+    tags=("L38", "L5", "D11", "quality", "drift"),
+)
+def l38_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L38: per-source token-distribution drift — KL(source ‖ rest of
+    corpus) over the unigram distribution with add-½ smoothing on the
+    SHARED global vocabulary (so both distributions have full support
+    and the divergence is finite). This is the corpus-mix monitor a
+    training pipeline runs per ingest slice: a source whose token
+    distribution diverges from the pool (template spam, wrong
+    language, boilerplate) shows a high KL and gets inspected before
+    it skews the mix — the distributional upgrade of d11's binned PSI.
+
+    Plan: ONE explode pass → (source, token) partial agg; the token
+    marginal, per-source totals, and the (V, N) scalar all derive from
+    that table (no second corpus scan). The scoring grid is
+    vocab × n_sources — VOCAB-bounded, not corpus-bounded: at 100 TB
+    the corpus scan dominates and the grid join (keyed on the token)
+    stays partial-aggregable; sources is a broadcast dim.
+
+    Exactness: p and q are ratios of integer counts built with
+    identical IEEE expression trees; the libm LN terms round to 12 dp
+    before the exact DECIMAL sum (exact.rsum12 — the PSI/entropy
+    idiom), then one ROUND(8)."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t")
+    ).where(F.col("t") != "")
+    fst = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("n_st"))
+    ft = fst.groupBy("t").agg(F.sum("n_st").cast("long").alias("n_t"))
+    stot = fst.groupBy("source").agg(F.sum("n_st").cast("long").alias("n_s"))
+    g = ft.agg(
+        F.count(F.lit(1)).cast("long").alias("v"),
+        F.sum("n_t").cast("long").alias("n"),
+    )
+    grid = ft.crossJoin(F.broadcast(stot)).crossJoin(F.broadcast(g))
+    joined = grid.join(fst, ["source", "t"], "left")
+    n_st = F.coalesce(F.col("n_st"), F.lit(0)).cast("double")
+    dv = F.col("v").cast("double")
+    p = (n_st + F.lit(0.5)) / (F.col("n_s").cast("double") + F.lit(0.5) * dv)
+    q = ((F.col("n_t").cast("double") - n_st) + F.lit(0.5)) / (
+        (F.col("n").cast("double") - F.col("n_s").cast("double")) + F.lit(0.5) * dv
+    )
+    return (
+        joined.select("source", "n_s", (p * F.log(p / q)).alias("term"))
+        .groupBy("source")
+        .agg(
+            F.min("n_s").alias("n_tokens"),
+            F.round(exact.rsum12("term"), 8).alias("kl_vs_rest"),
+        )
+        .orderBy("source")
+    )
