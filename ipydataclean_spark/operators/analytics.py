@@ -797,10 +797,12 @@ _ER2_ORACLE = (
     "CAST(COUNT_IF(is_match) AS BIGINT) AS n_true_matches, "
     "CAST(COUNT_IF(is_match AND blocked) AS BIGINT) AS n_found FROM allp) "
     "SELECT n_all_pairs, n_candidates, n_true_matches, n_found, "
+    "CASE WHEN n_all_pairs > 0 THEN "
     "ROUND(1.0 - CAST(n_candidates AS DOUBLE) / CAST(n_all_pairs AS DOUBLE), 8) "
-    "AS reduction_ratio, "
+    "END AS reduction_ratio, "
+    "CASE WHEN n_true_matches > 0 THEN "
     "ROUND(CAST(n_found AS DOUBLE) / CAST(n_true_matches AS DOUBLE), 8) "
-    "AS pairs_completeness FROM m"
+    "END AS pairs_completeness FROM m"
 )
 
 
@@ -851,12 +853,18 @@ def er2_blocking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("is_match") & F.col("blocked")).cast("long")).alias("n_found"),
     )
     d = lambda c: F.col(c).cast("double")  # noqa: E731
+    # NULL (not an error, not a fake 0) when a denominator is empty —
+    # a tiny audit sample with no true matches has UNDEFINED recall
     return m.select(
         "n_all_pairs", "n_candidates", "n_true_matches", "n_found",
-        F.round(F.lit(1.0) - d("n_candidates") / d("n_all_pairs"), 8).alias(
-            "reduction_ratio"
-        ),
-        F.round(d("n_found") / d("n_true_matches"), 8).alias("pairs_completeness"),
+        F.when(
+            F.col("n_all_pairs") > 0,
+            F.round(F.lit(1.0) - d("n_candidates") / d("n_all_pairs"), 8),
+        ).alias("reduction_ratio"),
+        F.when(
+            F.col("n_true_matches") > 0,
+            F.round(d("n_found") / d("n_true_matches"), 8),
+        ).alias("pairs_completeness"),
     )
 
 

@@ -433,3 +433,107 @@ def l3h_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# L36 — SemDeDup: cluster-then-dedup semantic deduplication
+# ---------------------------------------------------------------------------
+
+_L36_DUP_CTE = (
+    # embeddings_dup's twin rule (llm.py) reconstructed in SQL: +0.1 on
+    # coordinate vec_id % 64 (1-indexed lambda, hence i - 1), ids +1e6
+    "dup AS (SELECT vec_id, embedding FROM embeddings UNION ALL "
+    "SELECT vec_id + 1000000 AS vec_id, "
+    "list_transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) + "
+    "CASE WHEN i - 1 = vec_id % 64 THEN 0.1 ELSE 0.0 END AS FLOAT)) "
+    "AS embedding FROM embeddings WHERE vec_id % 5 = 0)"
+)
+
+_L36_ORACLE = (
+    "WITH " + _L36_DUP_CTE + ", "
+    "cent AS (SELECT vec_id AS cell, embedding AS c_emb "
+    "FROM embeddings WHERE vec_id < 8), "
+    "asg AS (SELECT vec_id, embedding, cell FROM ("
+    "SELECT d.vec_id, d.embedding, cent.cell, "
+    "ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
+    f"{cosine_sim_sql('d.embedding', 'cent.c_emb')} DESC, cent.cell) AS rn "
+    "FROM dup d CROSS JOIN cent) s WHERE rn = 1), "
+    "pairs AS (SELECT * FROM (SELECT a.cell, a.vec_id AS ka, b.vec_id AS kb, "
+    f"{cosine_sim_sql('a.embedding', 'b.embedding')} AS cs "
+    "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) p "
+    "WHERE cs >= 0.98) "
+    "SELECT kb AS vec_id, cell, ka AS keeper_id, ROUND(cs, 8) AS cos_sim "
+    "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY kb ORDER BY cs DESC, ka) "
+    "AS rn FROM pairs) t WHERE rn = 1 ORDER BY vec_id"
+)
+
+
+@register(
+    "l36_semdedup",
+    oracle=_L36_ORACLE,
+    tags=("L36", "L4", "L2", "dedup", "clustering"),
+)
+def l36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L36: SemDeDup — semantic deduplication by CLUSTER-then-dedup
+    (Abbas et al. 2023, public method): assign every embedding to its
+    nearest centroid, compute pairwise cosine ONLY WITHIN each cell,
+    and drop any vector with a higher-id twin above tau = 0.98
+    (llm.NEARDUP_TAU), reported with its keeper and similarity. The
+    within-cell restriction is the whole trick: the pair join is
+    sum-over-cells of |cell|^2 instead of corpus^2 — with K sized so
+    cells fit a shuffle partition, this is the embedding-dedup shape
+    that survives 100 TB (cell id = partition key; each cell's pair
+    block is independent).
+
+    Inputs are llm.embeddings_dup (base fixture max off-diagonal
+    cosine is 0.51 — no true near-dups to find) and the deterministic
+    seed centroids l3h/build_ivf use (lowest base vec_ids), so the
+    assignment, the pair set, and the keeper choice are all exactly
+    reproducible in SQL: the oracle reconstructs the twin injection
+    with an indexed list lambda and must match keeper ids AND
+    ROUND(cos, 8) values. A twin whose cell differs from its base's
+    would be missed IDENTICALLY by both engines (the documented
+    SemDeDup recall tradeoff; the recall test pins it non-vacuous)."""
+    from ipydataclean_spark.operators.llm import NEARDUP_TAU, embeddings_dup
+
+    vecs = embeddings_dup(spark, sf_dir).select("vec_id", "embedding")
+    cent = (
+        T(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+    )
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cell",
+        cosine_sim("embedding", "c_emb").alias("sim"),
+    )
+    asg = scored.groupBy("vec_id").agg(
+        F.first("embedding").alias("embedding"),
+        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    )
+    a = asg.select(
+        "cell", F.col("vec_id").alias("ka"), F.col("embedding").alias("ea")
+    )
+    b = asg.select(
+        "cell", F.col("vec_id").alias("kb"), F.col("embedding").alias("eb")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("ka") < F.col("kb"))
+        .select("cell", "ka", "kb", cosine_sim("ea", "eb").alias("cs"))
+        .where(F.col("cs") >= F.lit(NEARDUP_TAU))
+    )
+    keep = F.max_by(
+        F.struct(F.col("ka").alias("keeper_id"), F.col("cs").alias("cs")),
+        F.struct(F.col("cs"), (-F.col("ka")).alias("nk")),
+    )
+    return (
+        pairs.groupBy("kb", "cell")
+        .agg(keep.alias("k"))
+        .select(
+            F.col("kb").alias("vec_id"),
+            "cell",
+            F.col("k.keeper_id").alias("keeper_id"),
+            F.round(F.col("k.cs"), 8).alias("cos_sim"),
+        )
+        .orderBy("vec_id")
+    )

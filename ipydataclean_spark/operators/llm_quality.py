@@ -481,3 +481,96 @@ def l38_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_L37_BUCKET_SQL = "CAST(('0x' || substr(md5({t}), 1, 6)) AS BIGINT) % 256"
+
+_L37_ORACLE = (
+    "WITH toks AS (SELECT doc_id, lang, "
+    + _L37_BUCKET_SQL.format(t="t")
+    + " AS b FROM (SELECT doc_id, lang, "
+    "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t "
+    "FROM documents) u WHERE t <> ''), "
+    "fr AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r FROM toks GROUP BY b), "
+    "ftg AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS n_t FROM toks "
+    "WHERE lang = 'en' GROUP BY b), "
+    "tot AS (SELECT CAST(SUM(n_r) AS DOUBLE) AS nr, "
+    "(SELECT CAST(SUM(n_t) AS DOUBLE) FROM ftg) AS nt FROM fr), "
+    "lr AS (SELECT fr.b, ROUND(LN("
+    "((CAST(COALESCE(ftg.n_t, 0) AS DOUBLE) + 0.5) / (tot.nt + 128.0)) / "
+    "((CAST(fr.n_r AS DOUBLE) + 0.5) / (tot.nr + 128.0))), 4) AS lr "
+    "FROM fr LEFT JOIN ftg ON fr.b = ftg.b CROSS JOIN tot) "
+    "SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    + exact.dsum_sql("lr.lr")
+    + " AS dsir_score FROM toks JOIN lr ON toks.b = lr.b "
+    "GROUP BY toks.doc_id ORDER BY toks.doc_id"
+)
+
+
+@register(
+    "l37_dsir_weights",
+    oracle=_L37_ORACLE,
+    tags=("L37", "L7", "L18", "quality", "sampling"),
+)
+def l37_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L37: DSIR importance weights — Data Selection via Importance
+    Resampling (Xie et al. 2023, public method): score every raw
+    document by the log-likelihood ratio of its HASHED n-gram features
+    under a target-domain model vs the raw-corpus model; resampling
+    raw data proportional to exp(score) yields a corpus distributed
+    like the target. Target here = the lang='en' slice; features =
+    unigrams hashed into 256 buckets (md5 24-bit prefix mod 256 — the
+    cross-engine-deterministic curation.md5_prefix_int rule), add-½
+    smoothing on both models.
+
+    Plan: one explode pass feeds the raw and target bucket tables
+    (the target agg is a filtered re-aggregation, amortized at scale
+    by persisting the bucket counts — the l18 note); the scoring join
+    is keyed on a 256-row broadcast table, so scoring is MAP-ONLY over
+    the corpus — the shape that lets DSIR sweep 100 TB in one pass.
+
+    Exactness: bucket log-ratios are libm LN rounded to 4 dp FIRST
+    (bounded O(1) magnitudes — the l18 idiom), per-doc sums are exact
+    decimal; every ratio is built from integer counts with identical
+    IEEE trees."""
+    from ipydataclean_spark.operators.curation import md5_prefix_int
+
+    docs = T(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id", "lang",
+            F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("t"),
+        )
+        .where(F.col("t") != "")
+        .select(
+            "doc_id", "lang",
+            F.pmod(md5_prefix_int(F.col("t")), F.lit(256)).alias("b"),
+        )
+    )
+    fr = toks.groupBy("b").agg(F.count(F.lit(1)).alias("n_r"))
+    ftg = (
+        toks.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_t"))
+    )
+    tot = fr.agg(F.sum("n_r").cast("double").alias("nr")).crossJoin(
+        ftg.agg(F.sum("n_t").cast("double").alias("nt"))
+    )
+    pt = (F.coalesce(F.col("n_t"), F.lit(0)).cast("double") + F.lit(0.5)) / (
+        F.col("nt") + F.lit(128.0)
+    )
+    pr = (F.col("n_r").cast("double") + F.lit(0.5)) / (F.col("nr") + F.lit(128.0))
+    lr = (
+        fr.join(ftg, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.round(F.log(pt / pr), 4).alias("lr"))
+    )
+    return (
+        toks.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            exact.dsum("lr").alias("dsir_score"),
+        )
+        .orderBy("doc_id")
+    )

@@ -171,3 +171,49 @@ def s8b_pyds_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), exact.dsum("value").alias("total"))
         .orderBy("grp")
     )
+
+
+_S9_ROLLUP_SQL = (
+    "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+    "MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc "
+    "FROM documents WHERE lang = 'en' GROUP BY source ORDER BY source"
+)
+
+
+@register(
+    "s9_orc_roundtrip",
+    oracle=_S9_ROLLUP_SQL,
+    tags=("S9", "S5", "sources"),
+)
+def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: ORC sink + source — documents written to ORC PARTITIONED BY
+    lang, read back with a lang filter and rolled up. The oracle runs
+    the same rollup on the original parquet, so the driver hash proves
+    the ORC round-trip byte-lossless for every column it aggregates
+    (ids, strings, counts) AND the partition column itself.
+
+    Spark's ORC support is built-in (native vectorized reader); the
+    lang predicate prunes to the one lang=en partition directory at
+    the FILE LISTING level — same layout discipline as the parquet
+    sink (S5). The write is an eager setup action at query-construction
+    time (the tx*/l9j pattern); the returned rollup reads ONLY the orc
+    files. DuckDB cannot read ORC, which is exactly why the twin runs
+    on the parquet original: equality IS the round-trip proof."""
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
+
+    path = scratch_dir(spark, "s9_orc")
+    T(spark, sf_dir, "documents").write.mode("overwrite").partitionBy(
+        "lang"
+    ).orc(path)
+    back = spark.read.orc(path).where(F.col("lang") == "en")
+    return (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )

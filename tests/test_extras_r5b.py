@@ -1,0 +1,141 @@
+"""Behavioral pins for the late-round-5 additions (q28b, er2, x5, l38,
+s9, l36, l37). Oracle parity is covered by tools/verify_local.py + the
+driver window; these assert the SEMANTICS hold on the fixture."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.analytics import (
+    er2_blocking_metrics,
+    q28_association_rules,
+    q28b_apriori_prefilter,
+)
+from ipydataclean_spark.operators.expectations import x5_k_anonymity
+from ipydataclean_spark.operators.ivf import l36_semdedup
+from ipydataclean_spark.operators.llm_quality import (
+    l37_dsir_weights,
+    l38_token_kl_drift,
+)
+from ipydataclean_spark.sources.pydatasource import s9_orc_roundtrip
+
+
+def test_q28b_equals_q28(spark, sf_dir):
+    """The Apriori pre-filter is semantics-preserving: q28b's rows must
+    equal q28's exactly (anti-monotonicity)."""
+    off = [tuple(r) for r in q28_association_rules(spark, sf_dir).collect()]
+    on = [tuple(r) for r in q28b_apriori_prefilter(spark, sf_dir).collect()]
+    assert on == off
+
+
+def test_er2_metric_identities(spark):
+    # sf0.01: the %50 subset at sf0.001 is 3 customers with no true
+    # matches (completeness NULL by design — pinned below)
+    r = er2_blocking_metrics(spark, "/root/testdata/sf0.01").collect()
+    assert len(r) == 1
+    m = r[0]
+    n = m.n_all_pairs
+    # the subset has s members -> C(s,2) pairs
+    s = round((1 + math.isqrt(1 + 8 * n)) / 2)
+    assert s * (s - 1) // 2 == n
+    assert 0 <= m.n_found <= m.n_true_matches
+    assert m.n_found <= m.n_candidates <= n
+    assert 0.0 <= m.reduction_ratio <= 1.0
+    assert m.reduction_ratio == round(1.0 - m.n_candidates / n, 8)
+    assert m.pairs_completeness == round(m.n_found / m.n_true_matches, 8)
+    # length-equality blocking keeps every edit<=1 same-length pair and
+    # this fixture's true matches are same-length digit-name twins
+    assert m.pairs_completeness > 0.5
+
+
+def test_er2_empty_sample_yields_null_recall(spark, sf_dir):
+    """sf0.001's subset has no true matches: recall must be NULL, not
+    a division error and not a fabricated number."""
+    m = er2_blocking_metrics(spark, sf_dir).collect()[0]
+    if m.n_true_matches == 0:
+        assert m.pairs_completeness is None
+    else:  # fixture regeneration may add matches; identity still holds
+        assert m.pairs_completeness == round(m.n_found / m.n_true_matches, 8)
+
+
+def test_x5_groups_are_small_and_real(spark, sf_dir):
+    rows = x5_k_anonymity(spark, sf_dir).collect()
+    assert rows, "no at-risk QI classes on the fixture"
+    assert all(1 <= r.group_size < 5 for r in rows)
+    # recompute one class's size straight off the raw table
+    r0 = rows[0]
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.where(
+        (F.col("c_nationkey") == r0.c_nationkey)
+        & (F.col("c_mktsegment") == r0.c_mktsegment)
+        & (
+            F.floor(F.col("c_acctbal").cast("double") / 1000.0).cast("long")
+            == r0.bal_band
+        )
+    ).count()
+    assert n == r0.group_size
+
+
+def test_l38_kl_properties(spark, sf_dir):
+    rows = l38_token_kl_drift(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert len(rows) == docs.select("source").distinct().count()
+    # KL >= 0 up to the 12-dp per-term rounding slack
+    assert all(r.kl_vs_rest >= -1e-6 for r in rows)
+    assert all(r.n_tokens > 0 for r in rows)
+
+
+def test_s9_orc_roundtrip_lossless(spark, sf_dir):
+    """Beyond the agg oracle: the full ORC table must row-equal the
+    parquet original, partition column included."""
+    s9_orc_roundtrip(spark, sf_dir).collect()  # materializes the write
+    # re-derive the session-unique path the query's scratch_dir used
+    import pathlib
+
+    base = pathlib.Path("/root/repo/spark-warehouse")
+    cur = base / f"s9_orc_{spark.sparkContext.applicationId}"
+    back = spark.read.orc(str(cur))
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    orig = sorted(
+        tuple(r) for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(*cols).collect()
+    )
+    got = sorted(tuple(r) for r in back.select(*cols).collect())
+    assert got == orig
+
+
+def test_l36_semdedup_finds_true_twins_only(spark, sf_dir):
+    rows = l36_semdedup(spark, sf_dir).collect()
+    assert rows, "no twins recovered"
+    n_twins = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .where("vec_id % 5 = 0")
+        .count()
+    )
+    # no false positives: every dropped vector is an injected twin and
+    # its keeper is exactly its base vector
+    for r in rows:
+        assert r.vec_id >= 1000000
+        assert r.keeper_id == r.vec_id - 1000000
+        assert r.cos_sim >= 0.98
+    # recall: a twin is only missed when its cell differs from its
+    # base's (the documented SemDeDup tradeoff) — rare at tau 0.98
+    assert len(rows) >= 0.8 * n_twins
+
+
+def test_l37_dsir_separates_target_language(spark, sf_dir):
+    """DSIR's whole point: target-like (en) docs must score higher on
+    average than off-target (zh) docs."""
+    scores = l37_dsir_weights(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    per_lang = (
+        scores.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(F.avg(F.col("dsir_score") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    by = {r.lang: r.m for r in per_lang}
+    assert by["en"] > by["zh"]
+    assert by["en"] > by["de"]

@@ -547,3 +547,48 @@ def test_l34_single_shard_shuffle(spark, sf_dir):
     tree = plan_tree(df)
     assert sum(1 for l in tree if "Window" in l) == 1, "\n".join(tree)
     assert sum(1 for l in tree if "Exchange" in l) <= 2, "\n".join(tree)
+
+
+def test_q28b_prefilter_semi_join_in_plan(spark, sf_dir):
+    """q28b must actually run the Apriori semi-join (LeftSemi) before
+    the pair join — the property that caps the pair shuffle."""
+    plan = formatted_plan(_q("q28b_apriori_prefilter", spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_l36_semdedup_no_cartesian_pairs(spark, sf_dir):
+    """SemDeDup's pair join must be keyed on the cell id (hash/SMJ),
+    never a cartesian over the corpus; centroids broadcast."""
+    df = _q("l36_semdedup", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "BroadcastNestedLoopJoin") >= 1  # 8-row centroids
+    assert not has_python_eval(df)
+
+
+def test_l37_dsir_scoring_join_broadcasts(spark, sf_dir):
+    """The 256-bucket log-ratio table must broadcast back onto the
+    token stream (map-only scoring pass)."""
+    df = _q("l37_dsir_weights", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert not has_python_eval(df)
+
+
+def test_l38_kl_grid_stays_keyed(spark, sf_dir):
+    """KL grid: sources and the (V,N) scalar broadcast onto the token
+    marginal; the only corpus-keyed exchange is the (source, token)
+    partial agg."""
+    df = _q("l38_token_kl_drift", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert count_op(df, "BroadcastNestedLoopJoin") >= 1
+    assert not has_python_eval(df)
+
+
+def test_x5_k_anonymity_single_scan(spark, sf_dir):
+    """The privacy audit is ONE partial-aggregable pass."""
+    df = _q("x5_k_anonymity", spark, sf_dir)
+    assert n_parquet_scans(df) == 1
+    assert not has_python_eval(df)
