@@ -53,3 +53,4 @@ def norm_sql(a: str) -> str:
 
 def cosine_sim_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
+

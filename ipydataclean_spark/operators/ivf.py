@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
-from ipydataclean_spark.functions.vector import cosine_sim, cosine_sim_sql
+from ipydataclean_spark.functions.vector import cosine_sim, cosine_sim_sql, dot_sql, norm_sql
+from ipydataclean_spark.functions.vector import dot as vdot
+from ipydataclean_spark.functions.vector import norm as vnorm
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
@@ -451,15 +453,27 @@ _L36_DUP_CTE = (
 
 _L36_ORACLE = (
     "WITH " + _L36_DUP_CTE + ", "
-    "cent AS (SELECT vec_id AS cell, embedding AS c_emb "
-    "FROM embeddings WHERE vec_id < 8), "
-    "asg AS (SELECT vec_id, embedding, cell FROM ("
-    "SELECT d.vec_id, d.embedding, cent.cell, "
+    # K grows with the corpus (cells stay bounded — the pair join is
+    # sum-over-cells |cell|^2, so FIXED K would re-quadratize at scale);
+    # integer floor of n/75, clamped to [8, 64]: 8 at the sf0.01 oracle
+    # per-vector norms computed ONCE (dupn/cent), reused by both the
+    # assignment and the pair stage: cos = dot/(na*nb) — the identical
+    # doubles the inline cosine form yields, at a third of the fold work
+    "dupn AS (SELECT vec_id, embedding, "
+    f"{norm_sql('embedding')} AS nd FROM dup), "
+    "kc AS (SELECT LEAST(64, GREATEST(8, "
+    "CAST(FLOOR(COUNT(*) / 75.0) AS BIGINT))) AS k FROM dup), "
+    "cent AS (SELECT vec_id AS cell, embedding AS c_emb, "
+    f"{norm_sql('embedding')} AS ncn "
+    "FROM embeddings CROSS JOIN kc WHERE vec_id < kc.k), "
+    "asg AS (SELECT vec_id, embedding, nd, cell FROM ("
+    "SELECT d.vec_id, d.embedding, d.nd, cent.cell, "
     "ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
-    f"{cosine_sim_sql('d.embedding', 'cent.c_emb')} DESC, cent.cell) AS rn "
-    "FROM dup d CROSS JOIN cent) s WHERE rn = 1), "
+    f"({dot_sql('d.embedding', 'cent.c_emb')} / (d.nd * cent.ncn)) "
+    "DESC, cent.cell) AS rn "
+    "FROM dupn d CROSS JOIN cent) s WHERE rn = 1), "
     "pairs AS (SELECT * FROM (SELECT a.cell, a.vec_id AS ka, b.vec_id AS kb, "
-    f"{cosine_sim_sql('a.embedding', 'b.embedding')} AS cs "
+    f"({dot_sql('a.embedding', 'b.embedding')} / (a.nd * b.nd)) AS cs "
     "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) p "
     "WHERE cs >= 0.98) "
     "SELECT kb AS vec_id, cell, ka AS keeper_id, ROUND(cs, 8) AS cos_sim "
@@ -480,10 +494,23 @@ def l36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and drop any vector with a higher-id twin above tau = 0.98
     (llm.NEARDUP_TAU), reported with its keeper and similarity. The
     within-cell restriction is the whole trick: the pair join is
-    sum-over-cells of |cell|^2 instead of corpus^2 — with K sized so
-    cells fit a shuffle partition, this is the embedding-dedup shape
-    that survives 100 TB (cell id = partition key; each cell's pair
-    block is independent).
+    sum-over-cells of |cell|^2 instead of corpus^2 — and K GROWS with
+    the corpus (floor(n/75) clamped to [8, 64] here; unbounded with
+    k-means centroids in production) so |cell| stays bounded and the
+    pair volume stays ~linear. Cell id = partition key; each cell's
+    pair block is independent — the embedding-dedup shape that
+    survives 100 TB. Per-vector norms are computed once and carried
+    into both stages (cos = dot/(na*nb), bit-identical to the inline
+    form — measured 6.6 -> 2.9 s sf0.1 together with keeping the
+    assignment fanout SLIM: scored rows are (vec_id, cell, sim) only,
+    the winning cell joins back to the vector table; carrying the
+    64-float array through the n x K fanout doubled sf1 wall time.
+    An unrolled getItem dot (flat 64-term codegen tree) measured 3x
+    SLOWER than the zip_with/aggregate fold — negative result, see
+    BENCH.md; the cap-64 K at sf1 beat cap-256 because BNLJ per-pair
+    materialization in the assignment outweighs the pair-join savings
+    at this size (the tradeoff flips as n grows; production sizes K
+    via k-means so cells stay O(100)).
 
     Inputs are llm.embeddings_dup (base fixture max off-diagonal
     cosine is 0.51 — no true near-dups to find) and the deterministic
@@ -497,29 +524,58 @@ def l36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ipydataclean_spark.operators.llm import NEARDUP_TAU, embeddings_dup
 
     vecs = embeddings_dup(spark, sf_dir).select("vec_id", "embedding")
+    # per-vector norms computed ONCE, reused by the assignment AND the
+    # pair stage (cos = dot/(na*nb): the identical doubles the inline
+    # cosine form yields, at a third of the per-pair fold work)
+    vecs = vecs.withColumn("nd", vnorm("embedding"))
+    # adaptive K (= floor(n/75) clamped to [8, 64]) keeps |cell| bounded
+    # as the corpus grows — computed DECLARATIVELY (1-row agg broadcast
+    # into the centroid filter), no eager driver-side count
+    kdf = vecs.agg(
+        F.least(
+            F.lit(64),
+            F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / F.lit(75.0))),
+        )
+        .cast("long")
+        .alias("k")
+    )
     cent = (
         T(spark, sf_dir, "embeddings")
-        .where(F.col("vec_id") < 8)
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("vec_id") < F.col("k"))
         .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+        .withColumn("ncn", vnorm("c_emb"))
     )
+    # scored rows are SLIM (vec_id, cell, sim): carrying the 64-float
+    # embedding through the n x K fanout would multiply the argmax
+    # shuffle's bytes by K (measured 26.9 -> 50.5 s at sf1 before this);
+    # the winning cell joins back to the vector table instead
     scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id", "embedding", "cell",
-        cosine_sim("embedding", "c_emb").alias("sim"),
+        "vec_id",
+        "cell",
+        (vdot("embedding", "c_emb") / (F.col("nd") * F.col("ncn"))).alias("sim"),
     )
-    asg = scored.groupBy("vec_id").agg(
-        F.first("embedding").alias("embedding"),
+    best = scored.groupBy("vec_id").agg(
         F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("cell"),
     )
+    asg = vecs.join(best, "vec_id").select(
+        "vec_id", "embedding", F.col("nd").alias("nrm"), "cell"
+    )
     a = asg.select(
-        "cell", F.col("vec_id").alias("ka"), F.col("embedding").alias("ea")
+        "cell", F.col("vec_id").alias("ka"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = asg.select(
-        "cell", F.col("vec_id").alias("kb"), F.col("embedding").alias("eb")
+        "cell", F.col("vec_id").alias("kb"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     pairs = (
         a.join(b, "cell")
         .where(F.col("ka") < F.col("kb"))
-        .select("cell", "ka", "kb", cosine_sim("ea", "eb").alias("cs"))
+        .select(
+            "cell", "ka", "kb",
+            (vdot("ea", "eb") / (F.col("na") * F.col("nb"))).alias("cs"),
+        )
         .where(F.col("cs") >= F.lit(NEARDUP_TAU))
     )
     keep = F.max_by(
