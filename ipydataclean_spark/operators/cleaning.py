@@ -898,3 +898,88 @@ def c35_standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("segment")
     )
+
+
+# messy-URL synthesis (deterministic from the fixture — it ships no URL
+# column, so the dirt rule is shared as SQL text with the oracle twin)
+_C36_URL_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END || '://' || "
+    "CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END || "
+    "'.Example.COM/docs/' || CAST(doc_id % 50 AS STRING) || "
+    "CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&id=' || lang "
+    "ELSE '?id=' || lang END || "
+    "CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)"
+)
+
+_C36_ORACLE = (
+    "WITH u AS (SELECT doc_id, " + _C36_URL_SQL + " AS url FROM documents), "
+    "parts AS (SELECT doc_id, url, "
+    "lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, "
+    "lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)) AS host, "
+    "regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path, "
+    "regexp_extract(url, '[?]([^#]*)', 1) AS qs FROM u), "
+    "canon AS (SELECT doc_id, url, scheme || '://' || host || path || "
+    "CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canonical_url "
+    "FROM (SELECT *, array_to_string(list_filter(string_split(qs, '&'), "
+    "x -> NOT starts_with(x, 'utm_')), '&') AS kept FROM parts) f) "
+    "SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants, "
+    "MIN(doc_id) AS first_doc "
+    "FROM canon GROUP BY canonical_url ORDER BY canonical_url"
+)
+
+
+@register(
+    "c36_canonicalize_urls",
+    oracle=_C36_ORACLE,
+    tags=("C36", "C17", "L24", "cleaning", "dedup"),
+)
+def c36_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C36: URL canonicalization + dedup — the cleaning step every
+    web-crawl pipeline runs before URL-level dedup (l24 parses; this
+    REPAIRS): lowercase the scheme and host (case-insensitive per RFC
+    3986), drop the fragment (never sent to the server), strip
+    tracking parameters (utm_*) while PRESERVING meaningful ones, then
+    roll up by canonical form — n_raw_variants counts how many messy
+    spellings collapsed into each. Messy URLs are synthesized
+    deterministically from the fixture (upper/lower case, utm noise,
+    fragments, colliding paths), so the collapse itself is what the
+    oracle value-hash checks.
+
+    Plan: pure regexp extraction + array filter builtins, one
+    canonical-keyed partial agg — map-only until the rollup, identical
+    shape at crawl scale. Anchored ^-regexes only (the cross-engine
+    regex discipline: no $, no \\s)."""
+    u = T(spark, sf_dir, "documents").select("doc_id", F.expr(_C36_URL_SQL).alias("url"))
+    parts = u.select(
+        "doc_id",
+        "url",
+        F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1)).alias("scheme"),
+        F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/?#]+)", 1)).alias("host"),
+        F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"[?]([^#]*)", 1).alias("qs"),
+    )
+    kept = F.array_join(
+        F.filter(
+            F.split("qs", "&"),
+            lambda x: ~x.startswith("utm_"),
+        ),
+        "&",
+    )
+    canon = parts.withColumn("kept", kept).select(
+        "doc_id",
+        "url",
+        F.concat(
+            F.col("scheme"), F.lit("://"), F.col("host"), F.col("path"),
+            F.when(F.col("kept") != "", F.concat(F.lit("?"), F.col("kept"))).otherwise(F.lit("")),
+        ).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
+    )

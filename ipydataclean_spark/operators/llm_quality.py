@@ -485,7 +485,7 @@ def l38_token_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L37_BUCKET_SQL = "CAST(('0x' || substr(md5({t}), 1, 6)) AS BIGINT) % 256"
 
-_L37_ORACLE = (
+_L37_SCORES_CTE = (
     "WITH toks AS (SELECT doc_id, lang, "
     + _L37_BUCKET_SQL.format(t="t")
     + " AS b FROM (SELECT doc_id, lang, "
@@ -499,11 +499,16 @@ _L37_ORACLE = (
     "lr AS (SELECT fr.b, ROUND(LN("
     "((CAST(COALESCE(ftg.n_t, 0) AS DOUBLE) + 0.5) / (tot.nt + 128.0)) / "
     "((CAST(fr.n_r AS DOUBLE) + 0.5) / (tot.nr + 128.0))), 4) AS lr "
-    "FROM fr LEFT JOIN ftg ON fr.b = ftg.b CROSS JOIN tot) "
-    "SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "FROM fr LEFT JOIN ftg ON fr.b = ftg.b CROSS JOIN tot), "
+    "scores AS (SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
     + exact.dsum_sql("lr.lr")
     + " AS dsir_score FROM toks JOIN lr ON toks.b = lr.b "
-    "GROUP BY toks.doc_id ORDER BY toks.doc_id"
+    "GROUP BY toks.doc_id)"
+)
+
+_L37_ORACLE = (
+    _L37_SCORES_CTE + " SELECT doc_id, n_tokens, dsir_score "
+    "FROM scores ORDER BY doc_id"
 )
 
 
@@ -533,6 +538,12 @@ def l37_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded O(1) magnitudes — the l18 idiom), per-doc sums are exact
     decimal; every ratio is built from integer counts with identical
     IEEE trees."""
+    return dsir_scores(spark, sf_dir).orderBy("doc_id")
+
+
+def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, dsir_score) — l37's scoring pipeline,
+    unordered; shared by l37 (readout) and l39 (resampling)."""
     from ipydataclean_spark.operators.curation import md5_prefix_int
 
     docs = T(spark, sf_dir, "documents")
@@ -573,4 +584,57 @@ def l37_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.dsum("lr").alias("dsir_score"),
         )
         .orderBy("doc_id")
+    )
+
+
+_L39_U_SQL = (
+    "((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT) "
+    "+ 0.5) / 16777216.0)"
+)
+
+_L39_ORACLE = (
+    _L37_SCORES_CTE + ", keyed AS (SELECT doc_id, n_tokens, dsir_score, "
+    "dsir_score + ROUND(-LN(-LN(" + _L39_U_SQL + ")), 4) AS gk "
+    "FROM scores) "
+    "SELECT doc_id, n_tokens, dsir_score, ROUND(gk, 8) AS gumbel_key "
+    "FROM keyed ORDER BY gk DESC, doc_id LIMIT 100"
+)
+
+
+@register(
+    "l39_gumbel_resample",
+    oracle=_L39_ORACLE,
+    tags=("L39", "L37", "R22", "sampling"),
+)
+def l39_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L39: DSIR's RESAMPLING step — weighted sampling WITHOUT
+    replacement proportional to exp(dsir_score) via the Gumbel-top-k
+    trick (public method: Efraimidis & Spirakis 2006 / Gumbel-max):
+    key_i = score_i + Gumbel(u_i), take the top-k keys. The uniform
+    u_i is NOT rand() but the md5 24-bit prefix of doc_id mapped to
+    (0,1) — deterministic on every engine, run, and cluster size, so
+    a resampled training corpus is exactly reproducible AND the draw
+    itself is value-hash-checkable (the same discipline as l31/c25's
+    md5-threshold sampling, upgraded from Bernoulli to weighted
+    without-replacement).
+
+    Plan: l37's map-only scoring pass + one TakeOrderedAndProject
+    (top-k needs no global sort). Exactness: the Gumbel noise
+    -LN(-LN(u)) is libm, rounded to 4 dp before the single IEEE add
+    to the (exact) score; ordering uses the raw key, output rounds
+    to 8."""
+    from ipydataclean_spark.operators.curation import md5_prefix_int
+
+    scores = dsir_scores(spark, sf_dir)
+    u = (md5_prefix_int(F.col("doc_id")) + F.lit(0.5)) / F.lit(16777216.0)
+    keyed = scores.withColumn(
+        "gk", F.col("dsir_score") + F.round(-F.log(-F.log(u)), 4)
+    )
+    return (
+        keyed.orderBy(F.desc("gk"), "doc_id")
+        .limit(100)
+        .select(
+            "doc_id", "n_tokens", "dsir_score",
+            F.round("gk", 8).alias("gumbel_key"),
+        )
     )

@@ -139,3 +139,46 @@ def test_l37_dsir_separates_target_language(spark, sf_dir):
     by = {r.lang: r.m for r in per_lang}
     assert by["en"] > by["zh"]
     assert by["en"] > by["de"]
+
+
+def test_l39_gumbel_resample_properties(spark):
+    from ipydataclean_spark.operators.llm_quality import l39_gumbel_resample
+
+    sf01 = "/root/testdata/sf0.01"
+    rows = l39_gumbel_resample(spark, sf01).collect()
+    assert len(rows) == 100
+    # deterministic: the "random" draw is md5-derived, so re-running
+    # must select the identical sample
+    again = l39_gumbel_resample(spark, sf01).collect()
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+    # keys descend (ties broken by doc_id upstream)
+    keys = [r.gumbel_key for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    # weighted-without-replacement bias: the selected docs' mean score
+    # must exceed the corpus mean (weights = exp(dsir_score))
+    from ipydataclean_spark.operators.llm_quality import dsir_scores
+
+    corpus_mean = (
+        dsir_scores(spark, sf01).agg(F.avg("dsir_score")).collect()[0][0]
+    )
+    sel_mean = sum(r.dsir_score for r in rows) / len(rows)
+    assert sel_mean > corpus_mean
+
+
+def test_c36_canonical_urls_clean(spark, sf_dir):
+    from ipydataclean_spark.operators.cleaning import c36_canonicalize_urls
+
+    rows = c36_canonicalize_urls(spark, sf_dir).collect()
+    assert rows
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        u = r.canonical_url
+        assert u.startswith("https://")
+        assert "utm_" not in u and "#" not in u
+        host = u.split("://")[1].split("/")[0]
+        assert host == host.lower()
+        assert r.n_raw_variants >= 1
+    # the whole point: messy spellings COLLAPSED (fewer canonicals
+    # than raw variants somewhere)
+    assert any(r.n_raw_variants > 1 for r in rows) or len(rows) < n_docs_total
