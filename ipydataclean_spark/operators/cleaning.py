@@ -837,23 +837,16 @@ def c34_value_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical pick is a window over the tiny variant table. At
     100 TB the variant table is still catalog-sized: this never
     touches row-count-proportional state after the first aggregate."""
+    from ipydataclean_spark.operators.featprep import value_cluster_mapping
+
     segd = T(spark, sf_dir, "customer").select(F.expr(_dirty.SEG_DIRTY).alias("seg"))
-    v = (
-        segd.groupBy(F.lower(F.trim("seg")).alias("fp"), "seg")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("fp").orderBy(F.desc("n"), F.asc("seg"))
-    canon = (
-        v.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("fp", F.col("seg").alias("canonical"))
-    )
+    v, canon = value_cluster_mapping(segd, "seg")
     return (
         v.groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_variants"),
             F.sum("n").cast("long").alias("n_rows"),
-            F.array_join(F.sort_array(F.collect_set("seg")), "|").alias("variants"),
+            F.array_join(F.sort_array(F.collect_set("raw")), "|").alias("variants"),
         )
         .join(canon, "fp")
         .select("fp", "n_variants", "n_rows", "canonical", "variants")
@@ -879,17 +872,10 @@ def c35_standardize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality — the oracle proves the repair, not just the report).
     The mapping table is variant-sized, so the apply step is a
     broadcast join onto the scan at any data size."""
+    from ipydataclean_spark.operators.featprep import value_cluster_mapping
+
     segd = T(spark, sf_dir, "customer").select(F.expr(_dirty.SEG_DIRTY).alias("seg"))
-    v = (
-        segd.groupBy(F.lower(F.trim("seg")).alias("fp"), "seg")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    w = Window.partitionBy("fp").orderBy(F.desc("n"), F.asc("seg"))
-    canon = (
-        v.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("fp", F.col("seg").alias("canonical"))
-    )
+    _, canon = value_cluster_mapping(segd, "seg")
     return (
         segd.join(
             F.broadcast(canon), F.lower(F.trim("seg")) == F.col("fp")

@@ -592,7 +592,7 @@ def shuffle_shards(
         "WITH h AS (SELECT doc_id, "
         "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'), 1, 15)) "
         "AS BIGINT) AS hv, "
-        "CAST(len(string_split_regex(TRIM(text), '[ \\t\\n\\v\\f\\r]+')) AS BIGINT) AS n_tok "
+        "CAST(len(string_split_regex(TRIM(text), '[ \\t\\n\\x0B\\f\\r]+')) AS BIGINT) AS n_tok "
         "FROM documents WHERE text IS NOT NULL AND TRIM(text) <> ''), "
         "sh AS (SELECT doc_id, hv, n_tok, CAST(hv % 8 AS INT) AS shard FROM h), "
         "cum AS (SELECT doc_id, shard, n_tok, "
@@ -637,9 +637,12 @@ def l34_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("long")
-    # explicit class, not \s: Java's \s includes vertical tab \x0B,
-    # RE2/DuckDB's does not — \v means VT in both (round-5 review)
-    n_tok = F.size(F.split(F.trim("text"), "[ \\t\\n\\v\\f\\r]+")).cast("long")
+    # explicit class, not \s (Java's \s includes VT, RE2's doesn't) —
+    # and \x0B, not \v: in a Java class \v is the VERTICAL-WHITESPACE
+    # CLASS (adds U+0085/U+2028/U+2029) while RE2's \v is the single VT
+    # char; \x0B is the one spelling both engines read identically
+    # (round-5 second-session review)
+    n_tok = F.size(F.split(F.trim("text"), "[ \\t\\n\\x0B\\f\\r]+")).cast("long")
     h = (
         T(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull() & (F.trim("text") != ""))

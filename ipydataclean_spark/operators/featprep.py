@@ -401,30 +401,46 @@ def c33_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def value_cluster_mapping(df: DataFrame, col: str) -> tuple[DataFrame, DataFrame]:
+    """The fingerprint-clustering core shared by c34 (report), c35
+    (bulk repair), and Recipe.standardize_values — ONE definition of
+    the clustering rule so the report, the repair, and the recipe can
+    never desynchronize (round-5 second-session review).
+
+    Returns (variants (fp, raw, n), canonical (fp, canonical)):
+    fingerprint = lower+trim (swap in a token-sort or phonetic key for
+    messier data — every caller inherits it), canonical = each
+    cluster's most frequent raw variant, ties to the
+    lexicographically first. Both tables are variant-cardinality-sized
+    (two partial-agg shuffles + a window over the tiny variant
+    table), never row-proportional."""
+    fp = F.lower(F.trim(F.col(col)))
+    v = df.groupBy(fp.alias("fp"), F.col(col).alias("raw")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("n"), F.asc("raw"))
+    canon = (
+        v.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("fp", F.col("raw").alias("canonical"))
+    )
+    return v, canon
+
+
 def standardize_values_cluster(
     df: DataFrame, col: str, out: str | None = None
 ) -> DataFrame:
     """Bulk value standardization behind Recipe.standardize_values
     (c34/c35 machinery): fingerprint-cluster the column's variants
-    (lower+trim key), pick each cluster's canonical (most frequent
-    variant, ties lexicographically first), and replace every raw
-    value with its canonical via a broadcast join. NULLs pass through
+    (value_cluster_mapping), then replace every raw value with its
+    cluster canonical via a broadcast join. NULLs pass through
     unchanged. The mapping table is variant-cardinality-sized — the
     apply never shuffles the fact side."""
-    from pyspark.sql import Window
-
     tgt = out or col
     fp = F.lower(F.trim(F.col(col)))
-    v = (
-        df.where(F.col(col).isNotNull())
-        .groupBy(fp.alias("__fp"), F.col(col).alias("__raw"))
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
-    w = Window.partitionBy("__fp").orderBy(F.desc("__n"), F.asc("__raw"))
-    canon = (
-        v.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select("__fp", F.col("__raw").alias("__canonical"))
+    _, canon = value_cluster_mapping(df.where(F.col(col).isNotNull()), col)
+    canon = canon.select(
+        F.col("fp").alias("__fp"), F.col("canonical").alias("__canonical")
     )
     joined = df.join(F.broadcast(canon), fp == F.col("__fp"), "left")
     std = F.coalesce(F.col("__canonical"), F.col(col))

@@ -583,7 +583,6 @@ def dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_tokens"),
             exact.dsum("lr").alias("dsir_score"),
         )
-        .orderBy("doc_id")
     )
 
 

@@ -98,7 +98,7 @@ class Recipe:
             "from ipydataclean_spark.operators.cleaning import dedup_exact, fill_aggregate",
             "from ipydataclean_spark.operators.featprep import (",
             "    one_hot, parse_dates, redact_patterns, scale_minmax, scale_zscore,",
-            "    standardize_units,",
+            "    standardize_units, standardize_values_cluster,",
             ")",
             f"df = {source_expr}",
         ]

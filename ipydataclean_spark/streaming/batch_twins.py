@@ -360,8 +360,9 @@ def st12_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         dd.where(F.col("doc_id") < 400)
         .groupBy("dg")
         .agg(F.min("doc_id").alias("canonical_id"))
-        .select("dg", F.lit(-1).cast("int").alias("src_batch"), "canonical_id")
+        .select("dg", "canonical_id", F.lit(-1).cast("int").alias("src_batch"))
         .write.mode("overwrite")
+        .partitionBy("src_batch")
         .parquet(str(state_dir))
     )
     # one source file per logical batch, mtimes ascending so the file
@@ -393,4 +394,8 @@ def st12_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         # appending into scratch during later queries
         q.stop()
         raise RuntimeError("st12: stream did not drain within 180 s")
-    return spark.read.parquet(str(out_dir)).orderBy("doc_id")
+    return (
+        spark.read.parquet(str(out_dir))
+        .select("doc_id", "status", "canonical_id")
+        .orderBy("doc_id")
+    )

@@ -182,3 +182,27 @@ def test_c36_canonical_urls_clean(spark, sf_dir):
     # the whole point: messy spellings COLLAPSED (fewer canonicals
     # than raw variants somewhere)
     assert any(r.n_raw_variants > 1 for r in rows) or len(rows) < n_docs_total
+
+
+def test_recipe_standardize_values_to_code_execs(spark, sf_dir):
+    """Review finding (round-5 second session): to_code()'s import
+    preamble must cover standardize_values_cluster or the exported
+    script NameErrors. Exec the generated code end-to-end."""
+    from ipydataclean_spark.operators import dirty as _dirty
+    from ipydataclean_spark.recipe import Recipe
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", F.expr(_dirty.SEG_DIRTY).alias("seg"))
+    )
+    recipe = Recipe().standardize_values("seg")
+    direct = sorted(
+        tuple(r) for r in recipe.apply(df).select("seg").distinct().collect()
+    )
+    code = recipe.to_code("source_df")
+    ns = {"source_df": df}
+    exec(code, ns)  # noqa: S102 — round-trip contract test
+    via_code = sorted(
+        tuple(r) for r in ns["df"].select("seg").distinct().collect()
+    )
+    assert direct == via_code

@@ -457,3 +457,68 @@ def test_st12_evolving_state_hits_all_regimes(spark, sf_dir):
             assert r.canonical_id < r.doc_id
         else:
             assert r.canonical_id == r.doc_id
+
+
+def test_st12_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-ingesting the SAME micro-batch
+    (the restart-from-checkpoint replay of a partially-committed
+    trigger) must converge to identical state and output — no
+    duplicate rows, no dup_of_prior_batch reclassification from the
+    batch's own earlier state writes (round-5 second-session review)."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.streaming.stream import ingest_dedup_batch
+
+    state = tmp_path / "state"
+    out = tmp_path / "out"
+    seed = spark.createDataFrame(
+        [("h1", 10, -1)], "dg STRING, canonical_id BIGINT, src_batch INT"
+    )
+    seed.write.mode("overwrite").partitionBy("src_batch").parquet(str(state))
+
+    batch = spark.createDataFrame(
+        # h1 = history dup; n1 twice = in-batch dup; n2 novel
+        [(100, 0, "h1"), (101, 0, "n1"), (102, 0, "n1"), (103, 0, "n2")],
+        "doc_id BIGINT, b INT, dg STRING",
+    )
+    hw = ingest_dedup_batch(batch, str(state), str(out), -1)
+    first_out = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .select("doc_id", "status", "canonical_id")
+        .collect()
+    )
+    first_state = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(state))
+        .select("dg", "canonical_id", "src_batch")
+        .collect()
+    )
+    assert hw == 0
+    assert ("h1", 10, -1) in first_state and ("n1", 101, 0) in first_state
+
+    # the replay: same batch again, fresh high-water (a restarted query
+    # begins with no in-process mark)
+    ingest_dedup_batch(batch, str(state), str(out), -1)
+    replay_out = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(out))
+        .select("doc_id", "status", "canonical_id")
+        .collect()
+    )
+    replay_state = sorted(
+        tuple(r)
+        for r in spark.read.parquet(str(state))
+        .select("dg", "canonical_id", "src_batch")
+        .collect()
+    )
+    assert replay_out == first_out
+    assert replay_state == first_state
+    # and the classifications themselves are right
+    by_id = {r[0]: r[1] for r in replay_out}
+    assert by_id == {
+        100: "dup_of_history",
+        101: "novel",
+        102: "dup_in_batch",
+        103: "novel",
+    }
