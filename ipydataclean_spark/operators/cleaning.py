@@ -969,3 +969,82 @@ def c36_canonicalize_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_url")
     )
+
+
+_C37_ORACLE = with_lineitem_dirty(
+    "SELECT * FROM ("
+    "WITH s AS (SELECT l_returnflag, "
+    "CAST(COUNT(qty_parsed) AS DOUBLE) AS n, "
+    + exact.dsum_sql("CASE WHEN qty_parsed IS NOT NULL THEN l_extendedprice END")
+    + " AS sx, "
+    + exact.dsum_sql("qty_parsed")
+    + " AS sy, "
+    + exact.dsum_sql("qty_parsed * l_extendedprice")
+    + " AS sxy, "
+    + exact.dsum_sql(
+        "CASE WHEN qty_parsed IS NOT NULL THEN l_extendedprice * l_extendedprice END"
+    )
+    + " AS sxx FROM lineitem_dirty GROUP BY l_returnflag), "
+    "coef AS (SELECT l_returnflag, "
+    "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 8) AS b, "
+    "ROUND((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 8) AS a "
+    "FROM s) "
+    "SELECT li.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_imputed, "
+    + exact.dsum_sql("c.a + c.b * li.l_extendedprice")
+    + " AS sum_imputed, MIN(c.b) AS slope, MIN(c.a) AS intercept "
+    "FROM lineitem_dirty li JOIN coef c ON li.l_returnflag = c.l_returnflag "
+    "WHERE li.qty_parsed IS NULL GROUP BY li.l_returnflag"
+    ") ORDER BY l_returnflag"
+)
+
+
+@register(
+    "c37_regression_impute",
+    oracle=_C37_ORACLE,
+    tags=("C37", "C2", "P26", "cleaning"),
+)
+def c37_regression_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C37: REGRESSION imputation — fill a column's missing values
+    from a correlated predictor instead of a constant (the MICE-lite
+    step between c2's mean fill and a learned imputer): per group, fit
+    qty ~ extendedprice by OLS on the observed rows (p26's exact
+    decimal power sums), then impute each missing qty as a + b·price.
+    Coefficients are ROUNDED to 8 dp BEFORE imputing — the published
+    coefficients ARE the model, so fills are reproducible from the
+    report alone and the cross-engine FMA-contraction hazard on the
+    a*b - c*d patterns never touches row values.
+
+    Plan: one grouped power-sum pass over observed rows (partial-agg),
+    a group-keyed broadcast of the coefficient table back onto the
+    scan, map-side fill — the same two-phase scalar shape as c2/c3,
+    generalized from a constant to a per-group linear model."""
+    li = lineitem_dirty(spark, sf_dir)
+    x, y = F.col("l_extendedprice"), F.col("qty_parsed")
+    x_obs = F.when(y.isNotNull(), x)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(y).cast("double").alias("n"),
+        exact.dsum(x_obs).alias("sx"),
+        exact.dsum(y).alias("sy"),
+        exact.dsum(y * x).alias("sxy"),
+        exact.dsum(x_obs * x_obs).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope_raw = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    coef = s.select(
+        "l_returnflag",
+        F.round(slope_raw, 8).alias("b"),
+        F.round((sy - sx * slope_raw) / n, 8).alias("a"),
+    )
+    return (
+        li.where(y.isNull())
+        .join(F.broadcast(coef), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_imputed"),
+            exact.dsum(F.col("a") + F.col("b") * x).alias("sum_imputed"),
+            F.min("b").alias("slope"),
+            F.min("a").alias("intercept"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -206,3 +206,30 @@ def test_recipe_standardize_values_to_code_execs(spark, sf_dir):
         tuple(r) for r in ns["df"].select("seg").distinct().collect()
     )
     assert direct == via_code
+
+
+def test_c37_regression_impute_matches_recompute(spark, sf_dir):
+    """Python recompute of the OLS-with-rounded-coefficients contract:
+    fills must equal a8 + b8*x for the group's published coefficients."""
+    from ipydataclean_spark.operators.cleaning import c37_regression_impute
+    from ipydataclean_spark.operators.qhelp import lineitem_dirty
+
+    got = {r.l_returnflag: r for r in c37_regression_impute(spark, sf_dir).collect()}
+    assert got, "no groups imputed"
+    pdf = lineitem_dirty(spark, sf_dir).select(
+        "l_returnflag", "l_extendedprice", "qty_parsed"
+    ).toPandas()
+    for flag, r in got.items():
+        g = pdf[pdf.l_returnflag == flag]
+        obs = g[g.qty_parsed.notna()]
+        n = len(obs)
+        sx = obs.l_extendedprice.sum()
+        sy = obs.qty_parsed.sum()
+        sxy = (obs.qty_parsed * obs.l_extendedprice).sum()
+        sxx = (obs.l_extendedprice ** 2).sum()
+        b = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 8)
+        a = round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n, 8)
+        miss = g[g.qty_parsed.isna()]
+        assert r.n_imputed == len(miss)
+        assert abs(r.slope - b) < 1e-6 and abs(r.intercept - a) < 1e-6
+        assert abs(r.sum_imputed - (a + b * miss.l_extendedprice).sum()) < 1e-3
