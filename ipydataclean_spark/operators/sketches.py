@@ -271,3 +271,114 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# P31: mergeable histogram-quantile sketch (slice-build -> merge -> estimate)
+# ---------------------------------------------------------------------------
+
+_P31_BINS = 1024
+_P31_QS = (0.25, 0.5, 0.75, 0.95)
+
+_P31_ORACLE = (
+    "WITH mm AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo, "
+    "CAST(MAX(l_extendedprice) AS DOUBLE) AS hi, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem), "
+    "binned AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS slice, "
+    f"LEAST({_P31_BINS - 1}, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - mm.lo) "
+    f"/ ((mm.hi - mm.lo) / {_P31_BINS}.0) ) AS BIGINT)) AS bin "
+    "FROM lineitem CROSS JOIN mm), "
+    "sk AS (SELECT slice, bin, CAST(COUNT(*) AS BIGINT) AS cnt "
+    "FROM binned GROUP BY slice, bin), "
+    "merged AS (SELECT bin, CAST(SUM(cnt) AS BIGINT) AS cnt FROM sk GROUP BY bin), "
+    "cum AS (SELECT bin, cnt, "
+    "SUM(cnt) OVER (ORDER BY bin) AS cum, "
+    "COALESCE(SUM(cnt) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING "
+    "AND 1 PRECEDING), 0) AS cum_before FROM merged), "
+    "qs AS (SELECT q, CAST(CEIL(q * mm.n) AS BIGINT) AS r, mm.lo, mm.hi "
+    "FROM (VALUES (0.25), (0.5), (0.75), (0.95)) v(q) CROSS JOIN mm), "
+    "hit AS (SELECT qs.q, qs.r, qs.lo, qs.hi, c.bin, c.cnt, c.cum_before, "
+    "ROW_NUMBER() OVER (PARTITION BY qs.q ORDER BY c.bin) AS rn "
+    "FROM qs JOIN cum c ON c.cum >= qs.r) "
+    "SELECT CAST(q AS DOUBLE) AS q, "
+    f"ROUND(lo + (CAST(bin AS DOUBLE) + (CAST(r - cum_before AS DOUBLE) "
+    f"/ CAST(cnt AS DOUBLE))) * ((hi - lo) / {_P31_BINS}.0), 6) AS estimate, "
+    f"ROUND((hi - lo) / {_P31_BINS}.0, 6) AS err_bound "
+    "FROM hit WHERE rn = 1 ORDER BY q"
+)
+
+
+@register(
+    "p31_quantile_sketch_merge",
+    oracle=_P31_ORACLE,
+    tags=("P31", "P5", "P12", "sketch"),
+)
+def p31_quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P31: MERGEABLE quantile sketch — the missing member of the
+    sketch family (HLL=distinct, theta=set ops, bitmap=exact distinct,
+    count-min=heavy hitters; this one = quantiles): build a 1024-bin
+    equi-width histogram PER SLICE (month), MERGE slices by summing
+    bin counts (the associative, order-independent sketch property —
+    a t-digest/KLL drop-in at the same plan shape), and estimate
+    quantiles from the merged histogram by interpolating inside the
+    containing bin. Deterministic by construction, so unlike the HLL
+    family it carries a full value-hash oracle; the error bound is one
+    bin width, asserted against the EXACT engine quantiles in
+    tests/test_sketches.py.
+
+    Scale shape: the per-slice sketches are (slice x 1024)-bounded —
+    persisted once, every coarser rollup (quarter, year, global) is a
+    bin-count SUM with no fact rescan; the estimate runs on a
+    1024-row table. Two fact passes total (min/max, then binning) at
+    build time only."""
+    li = T(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice").cast("double")
+    mm = li.agg(
+        F.min(x).alias("lo"), F.max(x).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(_P31_BINS))
+    binned = li.crossJoin(F.broadcast(mm)).select(
+        F.date_trunc("month", "l_shipdate").cast("date").alias("slice"),
+        F.least(
+            F.lit(_P31_BINS - 1),
+            F.floor((x - F.col("lo")) / w).cast("long"),
+        ).alias("bin"),
+    )
+    sk = binned.groupBy("slice", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    merged = sk.groupBy("bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+    from pyspark.sql import Window
+
+    wo = Window.orderBy("bin")
+    cum = merged.select(
+        "bin", "cnt",
+        F.sum("cnt").over(wo).alias("cum"),
+        F.coalesce(
+            F.sum("cnt").over(wo.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    qs = (
+        spark.range(1)
+        .select(F.explode(F.array(*[F.lit(q) for q in _P31_QS])).alias("q"))
+        .crossJoin(F.broadcast(mm))
+        .select("q", F.ceil(F.col("q") * F.col("n")).cast("long").alias("r"), "lo", "hi")
+    )
+    hit = (
+        qs.join(cum, cum.cum >= qs.r)
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("q").orderBy("bin")),
+        )
+        .where(F.col("rn") == 1)
+    )
+    wd = (F.col("hi") - F.col("lo")) / F.lit(float(_P31_BINS))
+    est = F.col("lo") + (
+        F.col("bin").cast("double")
+        + (F.col("r") - F.col("cum_before")).cast("double") / F.col("cnt").cast("double")
+    ) * wd
+    return hit.select(
+        F.col("q").cast("double").alias("q"),
+        F.round(est, 6).alias("estimate"),
+        F.round(wd, 6).alias("err_bound"),
+    ).orderBy("q")

@@ -109,3 +109,41 @@ def test_zorder_write_skips_files(spark, sf_dir):
         assert frac_p <= 0.5, f"partkey range hits {frac_p:.0%} of z-ordered files"
         # correctness: layout is a permutation, not a transformation
         assert spark.read.parquet(f"{d}/z").count() == li.count()
+
+
+def test_p31_quantile_sketch_within_bound_and_merge_equal(spark, sf_dir):
+    """The sketch estimate must sit within one bin width of the EXACT
+    quantile, and merging per-slice sketches must equal the
+    built-globally histogram (the mergeable property)."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+    from ipydataclean_spark.operators.sketches import (
+        p31_quantile_sketch_merge,
+    )
+
+    rows = p31_quantile_sketch_merge(spark, sf_dir).collect()
+    assert [r.q for r in rows] == [0.25, 0.5, 0.75, 0.95]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = exact_quantiles(li, "l_extendedprice", [r.q for r in rows])
+    for r, ex in zip(rows, exact):
+        assert abs(r.estimate - ex) <= r.err_bound + 1e-6, (r.q, r.estimate, ex)
+
+    # mergeable property: per-slice bins summed == global bins
+    mm = li.agg(
+        F.min(F.col("l_extendedprice").cast("double")).alias("lo"),
+        F.max(F.col("l_extendedprice").cast("double")).alias("hi"),
+    ).first()
+    w = (mm.hi - mm.lo) / 1024.0
+    bin_col = F.least(
+        F.lit(1023),
+        F.floor((F.col("l_extendedprice").cast("double") - F.lit(mm.lo)) / F.lit(w)).cast("long"),
+    )
+    per_slice = (
+        li.select(F.date_trunc("month", "l_shipdate").alias("s"), bin_col.alias("b"))
+        .groupBy("s", "b").count()
+        .groupBy("b").agg(F.sum("count").alias("n"))
+    )
+    direct = li.select(bin_col.alias("b")).groupBy("b").count()
+    joined = per_slice.join(direct, "b", "full")
+    assert joined.where(F.col("n") != F.col("count")).count() == 0
