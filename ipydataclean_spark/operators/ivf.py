@@ -593,3 +593,74 @@ def l36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+_L41_ORACLE = (
+    "WITH " + _L36_DUP_CTE + ", "
+    "bench AS (SELECT vec_id AS bench_id, embedding AS b_emb "
+    "FROM embeddings WHERE vec_id < 25), "
+    "scored AS (SELECT d.vec_id, bench.bench_id, "
+    f"{cosine_sim_sql('d.embedding', 'bench.b_emb')} AS cs "
+    "FROM dup d CROSS JOIN bench WHERE d.vec_id >= 25), "
+    "best AS (SELECT vec_id, bench_id, cs, "
+    "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, bench_id) AS rn "
+    "FROM scored) "
+    "SELECT vec_id, bench_id AS matched_benchmark, ROUND(cs, 8) AS cos_sim "
+    "FROM best WHERE rn = 1 AND cs >= 0.98 ORDER BY vec_id"
+)
+
+
+@register(
+    "l41_embed_decontaminate",
+    oracle=_L41_ORACLE,
+    tags=("L41", "L26", "L4", "dedup", "curation"),
+)
+def l41_embed_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L41: EMBEDDING-level benchmark decontamination — the semantic
+    sibling of l26's n-gram check: flag every corpus vector whose
+    cosine to ANY benchmark vector reaches tau = 0.98, with the
+    matched benchmark id and similarity (paraphrased or re-formatted
+    contamination that shares no 8-gram still lands next to its
+    source in embedding space — the reason modern decontamination
+    runs both checks). Benchmark = the 25 lowest base vec_ids;
+    corpus = llm.embeddings_dup minus the benchmark itself, so the
+    injected twins of benchmark members are the known contamination
+    the fixture plants.
+
+    Plan: the benchmark table BROADCASTS (benchmarks are tiny relative
+    to any training corpus) and scoring is MAP-ONLY over the corpus —
+    one pass, no shuffle except the per-vector argmax partial agg; at
+    100 TB this pipelines with the quality-filter scan. For benchmark
+    sets too big to broadcast, l4b's banded hyperplane LSH is the
+    same check sub-quadratically."""
+    from ipydataclean_spark.operators.llm import NEARDUP_TAU, embeddings_dup
+
+    corpus = (
+        embeddings_dup(spark, sf_dir)
+        .where(F.col("vec_id") >= 25)
+        .select("vec_id", "embedding")
+    )
+    bench = (
+        T(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 25)
+        .select(F.col("vec_id").alias("bench_id"), F.col("embedding").alias("b_emb"))
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id", "bench_id", cosine_sim("embedding", "b_emb").alias("cs")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct(F.col("bench_id"), F.col("cs")),
+            F.struct(F.col("cs"), (-F.col("bench_id")).alias("nb")),
+        ).alias("m")
+    )
+    return (
+        best.select(
+            "vec_id",
+            F.col("m.bench_id").alias("matched_benchmark"),
+            F.col("m.cs").alias("cs"),
+        )
+        .where(F.col("cs") >= F.lit(NEARDUP_TAU))
+        .select("vec_id", "matched_benchmark", F.round("cs", 8).alias("cos_sim"))
+        .orderBy("vec_id")
+    )

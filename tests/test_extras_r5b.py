@@ -233,3 +233,14 @@ def test_c37_regression_impute_matches_recompute(spark, sf_dir):
         assert r.n_imputed == len(miss)
         assert abs(r.slope - b) < 1e-6 and abs(r.intercept - a) < 1e-6
         assert abs(r.sum_imputed - (a + b * miss.l_extendedprice).sum()) < 1e-3
+
+
+def test_l41_flags_exactly_benchmark_twins(spark):
+    """The fixture's known contamination: twins of benchmark members
+    (vec_id % 5 == 0 AND < 25) — and nothing else."""
+    from ipydataclean_spark.operators.ivf import l41_embed_decontaminate
+
+    rows = l41_embed_decontaminate(spark, "/root/testdata/sf0.01").collect()
+    expect = {1000000 + v: v for v in (0, 5, 10, 15, 20)}
+    assert {r.vec_id: r.matched_benchmark for r in rows} == expect
+    assert all(r.cos_sim >= 0.98 for r in rows)
