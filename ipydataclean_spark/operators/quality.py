@@ -983,3 +983,55 @@ def d16_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.col("cusum") > 0.2 * F.col("mu")).alias("changepoint"),
     ).orderBy("day")
+
+
+_D17_ORACLE = (
+    "WITH d AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day "
+    "FROM events), "
+    "span AS (SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day "
+    "FROM d GROUP BY user_id), "
+    "grid AS (SELECT user_id, CAST(unnest(generate_series(first_day, last_day, "
+    "INTERVAL 1 DAY)) AS DATE) AS day FROM span), "
+    "obs AS (SELECT DISTINCT user_id, day FROM d) "
+    "SELECT g.user_id, g.day AS missing_day "
+    "FROM grid g LEFT JOIN obs o ON g.user_id = o.user_id AND g.day = o.day "
+    "WHERE o.user_id IS NULL ORDER BY g.user_id, missing_day"
+)
+
+
+@register(
+    "d17_completeness_calendar",
+    oracle=_D17_ORACLE,
+    tags=("D17", "D12", "P2", "quality"),
+)
+def d17_completeness_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D17: per-entity CALENDAR COMPLETENESS — for every user, the
+    days inside their own active span [first event, last event] with
+    NO data at all: the "silent gap" a null-rate profile (p2) never
+    sees because the missing rows don't exist to be null. The standard
+    feed-audit question ("which accounts have holes in their
+    history?"), answered with the exact missing dates so the backfill
+    job has its work list.
+
+    Plan: one fact scan to (user, day) distincts + a per-user min/max
+    span (both partial-agg shuffles on the user key); the expected
+    grid is sequence()+explode over the SPAN TABLE (users x span-days
+    — calendar-bounded, never event-count-bounded) and the gap is a
+    user+day-keyed anti-join. Same shape at any scale: the explode
+    runs on the per-user summary, not the fact table."""
+    d = T(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    )
+    span = d.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("first_day", "last_day")).alias("day"),
+    )
+    obs = d.distinct()
+    return (
+        grid.join(obs, ["user_id", "day"], "left_anti")
+        .select("user_id", F.col("day").alias("missing_day"))
+        .orderBy("user_id", "missing_day")
+    )

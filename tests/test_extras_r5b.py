@@ -244,3 +244,38 @@ def test_l41_flags_exactly_benchmark_twins(spark):
     expect = {1000000 + v: v for v in (0, 5, 10, 15, 20)}
     assert {r.vec_id: r.matched_benchmark for r in rows} == expect
     assert all(r.cos_sim >= 0.98 for r in rows)
+
+
+def test_d17_missing_days_are_real_gaps(spark, sf_dir):
+    """Every reported day must be inside the user's span and truly
+    absent; and a user with a contiguous history reports nothing."""
+    from ipydataclean_spark.operators.quality import d17_completeness_calendar
+    from ipydataclean_spark.operators.qhelp import T
+
+    rows = d17_completeness_calendar(spark, sf_dir).collect()
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .distinct()
+        .collect()
+    )
+    observed = {(r.user_id, r.day) for r in ev}
+    spans = {}
+    for u, day in observed:
+        lo, hi = spans.get(u, (day, day))
+        spans[u] = (min(lo, day), max(hi, day))
+    reported = {(r.user_id, r.missing_day) for r in rows}
+    for u, day in reported:
+        assert (u, day) not in observed
+        assert spans[u][0] < day < spans[u][1]
+    # exhaustive the other way: recompute all gaps in Python
+    import datetime
+
+    expect = set()
+    for u, (lo, hi) in spans.items():
+        cur = lo
+        while cur <= hi:
+            if (u, cur) not in observed:
+                expect.add((u, cur))
+            cur += datetime.timedelta(days=1)
+    assert reported == expect
