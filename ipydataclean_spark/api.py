@@ -144,6 +144,18 @@ class DataCleaner:
                 )
         for c in str_cols:
             aggs.extend(self._string_problem_exprs(c))
+        # table-level duplicate counter in the SAME fused aggregate —
+        # ONLY when inspecting the full table: a column-subset call
+        # would count projection collisions that are not row
+        # duplicates (n_rows minus distinct row-hashes;
+        # detection-grade 64-bit hash, the dedup fix itself is exact)
+        if set(cols) == set(self._df.columns):
+            aggs.append(
+                (
+                    F.count(F.lit(1))
+                    - F.countDistinct(F.xxhash64(*[F.col(c) for c in cols]))
+                ).alias("__dup_rows")
+            )
         counters = self._df.agg(*aggs).first().asDict() if aggs else {}
 
         out: list[tuple[str, str, int]] = []
@@ -159,6 +171,10 @@ class DataCleaner:
                 n_out = counters.get(f"{c}__outliers") or 0
                 if n_out:
                     out.append((c, "outliers", int(n_out)))
+        n_dup = counters.get("__dup_rows") or 0
+        if n_dup:
+            # table-level problem: the widget's "duplicate rows" banner
+            out.append(("*", "duplicates", int(n_dup)))
         return out
 
     def _string_problem_exprs(self, c: str) -> list[F.Column]:
@@ -274,6 +290,7 @@ class DataCleaner:
         "units": ("standardize_units", "drop_rows"),
         "pii": ("redact",),
         "variants": ("standardize_values",),
+        "duplicates": ("dedup",),
     }
 
     def suggest(self, cols: list[str] | None = None) -> list[dict]:
@@ -301,7 +318,9 @@ class DataCleaner:
         # the flagship's C9-then-C2 pipeline order: converting AFTER
         # filling would re-introduce NULLs for unparseable values
         order = {"string_mismatch": 0, "dates": 0, "units": 0,
-                 "variants": 0, "pii": 1, "missing": 2, "outliers": 3}
+                 "variants": 0, "pii": 1, "missing": 2, "outliers": 3,
+                 # dedup LAST: normalization upstream merges more dups
+                 "duplicates": 4}
         applied = []
         for item in sorted(
             self.suggest(cols),
@@ -384,6 +403,11 @@ class DataCleaner:
             )
         elif fix == "standardize_values":
             self.recipe.standardize_values(column, params.get("out"))
+        elif fix == "dedup":
+            # table-level fix (column is "*"): exact full-row dedup by
+            # default; pass keys/order_col for keyed keep-first
+            keys = list(params.get("keys") or before.columns)
+            self.recipe.dedup(keys, params.get("order_col") or keys[0])
         elif fix == "redact":
             self.recipe.redact(
                 column, dict(params.get("patterns", PII_RES)), params.get("out")

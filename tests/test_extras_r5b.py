@@ -279,3 +279,30 @@ def test_d17_missing_days_are_real_gaps(spark, sf_dir):
                 expect.add((u, cur))
             cur += datetime.timedelta(days=1)
     assert reported == expect
+
+
+def test_duplicates_in_widget_loop(spark):
+    """problems() surfaces duplicate rows as a table-level problem,
+    autofix dedups them, and to_sql() exports the repair."""
+    import duckdb
+
+    from ipydataclean_spark.api import DataCleaner
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (2, "b"), (3, None), (3, None), (3, None)],
+        "id INT, v STRING",
+    )
+    dc = DataCleaner(df)
+    probs = {(c, k): n for c, k, n in dc.problems()}
+    assert probs.get(("*", "duplicates")) == 3  # 6 rows, 3 distinct
+    report = dc.autofix()
+    assert any(r["problem"] == "duplicates" for r in report)
+    got = sorted(tuple(r) for r in dc.df.select("id", "v").collect())
+    # v's missing fix (mode fill on a string col) runs before dedup
+    assert len(got) == len(set(got)) == 3
+    # SQL export replays the dedup identically in DuckDB
+    sql = dc.to_sql("t")
+    con = duckdb.connect()
+    con.register("t", df.toPandas())
+    via_sql = sorted(tuple(r) for r in con.execute(sql).fetchall())
+    assert via_sql == got
