@@ -1035,3 +1035,106 @@ def d17_completeness_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("day").alias("missing_day"))
         .orderBy("user_id", "missing_day")
     )
+
+
+_D18_ORACLE = (
+    "WITH tv AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d, "
+    "event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+    "tl AS (SELECT d, event_type, n, "
+    "COALESCE(LAG(n) OVER (PARTITION BY event_type ORDER BY d), 0) AS prev_n "
+    "FROM tv), "
+    "daily AS (SELECT d, CAST(SUM(n) AS BIGINT) AS n, "
+    "CAST(SUM(prev_n) AS BIGINT) AS prev_n FROM tl GROUP BY d), "
+    "flagged AS (SELECT d, n, prev_n FROM daily WHERE prev_n > 0 "
+    "AND ABS(CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE)) >= 0.06), "
+    "attr AS (SELECT tl.d, tl.event_type, tl.n - tl.prev_n AS type_delta, "
+    "ROW_NUMBER() OVER (PARTITION BY tl.d "
+    "ORDER BY ABS(tl.n - tl.prev_n) DESC, tl.event_type) AS rn "
+    "FROM tl JOIN flagged f ON tl.d = f.d) "
+    "SELECT f.d, f.n, f.prev_n, "
+    "ROUND(CAST(f.n - f.prev_n AS DOUBLE) / CAST(f.prev_n AS DOUBLE), 8) "
+    "AS rel_change, a.event_type AS top_contributor, "
+    "CAST(a.type_delta AS BIGINT) AS contributor_delta "
+    "FROM flagged f JOIN attr a ON f.d = a.d AND a.rn = 1 ORDER BY f.d"
+)
+
+
+@register(
+    "d18_anomaly_attribution",
+    oracle=_D18_ORACLE,
+    tags=("D18", "D12", "quality"),
+)
+def d18_anomaly_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D18: volume-anomaly ROOT-CAUSE attribution — for every flagged
+    day (total count moved ≥ 6% day-over-day here; the fixture's
+    synthetic volume is near-uniform, max move 11%, so d12's 25%
+    production threshold would make this query vacuous — threshold is
+    the alarm-sensitivity knob), name the
+    event_type whose own delta contributed most (ties to the first
+    type name). The answer to the on-call question d12 raises: "volume
+    jumped — WHAT jumped?". A real deployment swaps event_type for any
+    slicing dimension (source, region, customer tier) with the same
+    plan.
+
+    Plan: ONE fact scan to (day, type) counts; the per-type lag, the
+    daily re-total, the flag filter, and the argmax all run over the
+    days x types rollup (calendar-bounded — the d12 rationale). The
+    day-over-day total here is the sum of per-type lags, identical to
+    d12's total lag when every type is present on consecutive days
+    (true of this fixture; the test recomputes attribution
+    independently). The per-type LAG compares to that type's last
+    PRESENT day — coalesce(...,0) zeroes only a type's first-ever day;
+    a workload with vanishing slices should densify on the day x type
+    grid first (d17's sequence pattern) so a disappearance reads as
+    -n against the very next day."""
+    tv = (
+        T(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", F.col("ts")).alias("d"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("d")
+    tl = tv.withColumn(
+        "prev_n", F.coalesce(F.lag("n").over(wt), F.lit(0))
+    )
+    daily = tl.groupBy("d").agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("prev_n").cast("long").alias("prev_n"),
+    )
+    rel = (F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n").cast(
+        "double"
+    )
+    flagged = daily.where(
+        (F.col("prev_n") > 0) & (F.abs(rel) >= 0.06)
+    ).select("d", "n", "prev_n", F.round(rel, 8).alias("rel_change"))
+    delta = (F.col("n") - F.col("prev_n")).cast("long")
+    attr = (
+        tl.join(flagged.select("d"), "d")
+        .select("d", "event_type", delta.alias("type_delta"))
+        .groupBy("d")
+        .agg(
+            # ORDER BY abs(delta) DESC, type ASC == min over the
+            # struct (-abs(delta), type) — full lexical tie-break,
+            # exactly the oracle's ROW_NUMBER ordering
+            F.min_by(
+                F.struct(
+                    F.col("event_type").alias("t"), F.col("type_delta").alias("td")
+                ),
+                F.struct(
+                    (-F.abs("type_delta")).alias("na"),
+                    F.col("event_type").alias("ty"),
+                ),
+            ).alias("m")
+        )
+    )
+    return (
+        flagged.join(attr, "d")
+        .select(
+            "d", "n", "prev_n", "rel_change",
+            F.col("m.t").alias("top_contributor"),
+            F.col("m.td").alias("contributor_delta"),
+        )
+        .orderBy("d")
+    )

@@ -306,3 +306,70 @@ def test_duplicates_in_widget_loop(spark):
     con.register("t", df.toPandas())
     via_sql = sorted(tuple(r) for r in con.execute(sql).fetchall())
     assert via_sql == got
+
+
+def test_standardize_values_idempotent(spark, sf_dir):
+    """Repairing an already-repaired column is a no-op (fingerprint of
+    a canonical maps to itself)."""
+    from ipydataclean_spark.operators import dirty as _dirty
+    from ipydataclean_spark.operators.featprep import standardize_values_cluster
+
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", F.expr(_dirty.SEG_DIRTY).alias("seg")
+    )
+    once = standardize_values_cluster(df, "seg")
+    twice = standardize_values_cluster(once, "seg")
+    a = sorted(tuple(r) for r in once.collect())
+    b = sorted(tuple(r) for r in twice.collect())
+    assert a == b
+
+
+def test_c36_canonicalize_idempotent(spark, sf_dir):
+    """A canonical URL canonicalizes to itself: re-running the parse +
+    strip over canonical_url must reproduce it."""
+    from ipydataclean_spark.operators.cleaning import c36_canonicalize_urls
+
+    rows = c36_canonicalize_urls(spark, sf_dir).collect()
+    import re
+
+    for r in rows[:50]:
+        u = r.canonical_url
+        scheme = re.match(r"^([A-Za-z]+)://", u).group(1).lower()
+        host = re.match(r"^[A-Za-z]+://([^/?#]+)", u).group(1).lower()
+        path = re.match(r"^[A-Za-z]+://[^/?#]+([^?#]*)", u).group(1)
+        qm = re.search(r"[?]([^#]*)", u)
+        qs = qm.group(1) if qm else ""
+        kept = "&".join(p for p in qs.split("&") if p and not p.startswith("utm_"))
+        rebuilt = f"{scheme}://{host}{path}" + (f"?{kept}" if kept else "")
+        assert rebuilt == u
+
+
+def test_d18_attribution_names_real_top_mover(spark):
+    """The named contributor must actually have the max |per-type
+    delta| on its day (recomputed independently)."""
+    from ipydataclean_spark.operators.quality import d18_anomaly_attribution
+    from ipydataclean_spark.operators.qhelp import T
+
+    sf = "/root/testdata/sf0.01"
+    rows = d18_anomaly_attribution(spark, sf).collect()
+    assert rows, "threshold produced no flagged days"
+    tv = (
+        T(spark, sf, "events")
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_day = {}
+    for r in tv:
+        by_day.setdefault(r.d, {})[r.event_type] = r.n
+    days = sorted(by_day)
+    prev = {d: by_day[days[i - 1]] if i else {} for i, d in enumerate(days)}
+    for r in rows:
+        cur, pre = by_day[r.d], prev[r.d]
+        deltas = {
+            t: cur.get(t, 0) - pre.get(t, 0) for t in set(cur) | set(pre)
+        }
+        best = min(deltas, key=lambda t: (-abs(deltas[t]), t))
+        assert r.top_contributor == best
+        assert r.contributor_delta == deltas[best]
+        assert r.n == sum(cur.values()) and r.prev_n == sum(pre.values())
