@@ -1196,3 +1196,97 @@ def r28_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(a["k"].alias("k"), "n_a", "n_b")
         .orderBy(F.asc_nulls_first("k"))
     )
+
+
+_R8B_ORACLE = (
+    "WITH j AS (SELECT o.o_orderkey, YEAR(o.o_orderdate) AS y, "
+    "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n "
+    "FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate FROM orders "
+    "WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01') o "
+    "LEFT JOIN (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS l_shipdate FROM lineitem) l "
+    "ON l.l_shipdate >= o.o_orderdate AND l.l_shipdate < o.o_orderdate + 7 "
+    "GROUP BY 1, 2) "
+    "SELECT CAST(y AS INTEGER) AS y, CAST(COUNT(*) AS BIGINT) AS n_orders, "
+    "CAST(SUM(n) AS BIGINT) AS total_pairs, "
+    "ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 8) AS avg_per_order "
+    "FROM j GROUP BY y ORDER BY y"
+)
+
+
+@register(
+    "r8b_range_join_bucketed",
+    oracle=_R8B_ORACLE,
+    tags=("R8", "scale-pattern"),
+)
+def r8b_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8b: FACT x FACT range join via BUCKET EQUI-JOIN — the scale
+    form r8's docstring promises: when BOTH sides are fact-sized
+    (orders joined to every lineitem shipped in the order's first
+    week), a broadcast NLJ is impossible and a naive non-equi join is
+    a cartesian. The rewrite: bucket time into 7-day epochs, EXPLODE
+    each order's window into the (at most 2) buckets it straddles,
+    hash-join on the bucket key, and post-filter the exact range.
+    Candidate volume = rows sharing a week bucket — linear in data at
+    fixed time density, shuffle-partitioned by bucket at any scale.
+    NOTE on the fixture's scaling: sf replication multiplies rows on
+    the SAME 7-year span, so per-day density (and hence pairs-per-
+    order) grows with sf and any per-order x density join is
+    quadratic in sf here — real growth adds history, holding density
+    ~constant, which is the regime the bucket join is linear in. The
+    registered demo takes one order quarter to keep the pair volume
+    proportionate; the pattern is slice-independent.
+
+    The ORACLE is the NAIVE non-equi join, so the driver hash
+    certifies the rewrite EQUAL to the plain semantics (each matching
+    pair shares exactly one shipdate bucket — no dedup needed; an
+    order with no matches still counts 0 through the left join).
+    Plan gate: the join is a shuffle/hash join on the bucket key, no
+    BroadcastNestedLoop, no CartesianProduct."""
+    epoch = F.lit("1992-01-01").cast("date")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.floor(F.datediff(F.col("l_shipdate").cast("date"), epoch) / 7).alias("wk"),
+    )
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
+    ).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.year(F.col("o_orderdate").cast("date")).alias("y"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.datediff(F.col("o_orderdate").cast("date"), epoch) / 7),
+                    F.floor(
+                        F.datediff(
+                            F.date_add(F.col("o_orderdate").cast("date"), 6), epoch
+                        )
+                        / 7
+                    ),
+                )
+            )
+        ).alias("wk"),
+    )
+    pairs = o.join(li, "wk", "left").where(
+        F.col("l_shipdate").isNull()
+        | (
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.date_add("o_orderdate", 7))
+        )
+    )
+    per_order = pairs.groupBy("o_orderkey", "y").agg(
+        F.count("l_shipdate").alias("n")
+    )
+    return (
+        per_order.groupBy(F.col("y").cast("int").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n").cast("long").alias("total_pairs"),
+            F.round(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 8
+            ).alias("avg_per_order"),
+        )
+        .orderBy("y")
+    )

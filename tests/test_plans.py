@@ -592,3 +592,18 @@ def test_x5_k_anonymity_single_scan(spark, sf_dir):
     df = _q("x5_k_anonymity", spark, sf_dir)
     assert n_parquet_scans(df) == 1
     assert not has_python_eval(df)
+
+
+def test_r8b_range_join_is_bucket_equi_join(spark, sf_dir):
+    """The fact x fact range join must hash/sort-merge join on the
+    week bucket — never BroadcastNestedLoop or a cartesian."""
+    df = _q("r8b_range_join_bucketed", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert (
+        count_op(df, "SortMergeJoin")
+        + count_op(df, "ShuffledHashJoin")
+        + count_op(df, "BroadcastHashJoin")
+    ) >= 1
+    assert not has_python_eval(df)
