@@ -367,3 +367,59 @@ def w10_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "purchase_id")
         .limit(500)
     )
+
+
+_W11_ORACLE = (
+    "WITH d AS (SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) "
+    "AS day FROM events), "
+    "k AS (SELECT user_id, day, day - CAST(ROW_NUMBER() OVER "
+    "(PARTITION BY user_id ORDER BY day) AS INTEGER) AS island "
+    "FROM d) "
+    "SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end, "
+    "CAST(COUNT(*) AS BIGINT) AS n_days "
+    "FROM k GROUP BY user_id, island "
+    "HAVING COUNT(*) >= 3 ORDER BY user_id, streak_start"
+)
+
+
+@register(
+    "w11_gap_islands",
+    oracle=_W11_ORACLE,
+    tags=("W11", "W9", "D17", "windows"),
+)
+def w11_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: GAPS-AND-ISLANDS — each user's contiguous activity streaks
+    (runs of consecutive calendar days with events), the inverse view
+    of d17's missing-day audit and the engagement-streak metric every
+    product dashboard wants. The classic constant-space trick: within
+    a user, day minus its row_number is CONSTANT exactly across a
+    consecutive run, so the difference IS the island key and one
+    groupBy finishes the job — no self-join, no iterative chaining.
+
+    Plan: distinct (user, day) partial agg → ONE user-keyed window →
+    island-keyed partial agg. Everything is keyed by user; no global
+    order anywhere. Streaks ≥ 3 days reported (the knob)."""
+    from ipydataclean_spark.operators.qhelp import T
+
+    d = (
+        T(spark, sf_dir, "events")
+        .select(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    k = d.withColumn(
+        "island", F.date_sub("day", F.row_number().over(w))
+    )
+    return (
+        k.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .where(F.col("n_days") >= 3)
+        .select("user_id", "streak_start", "streak_end", "n_days")
+        .orderBy("user_id", "streak_start")
+    )

@@ -373,3 +373,38 @@ def test_d18_attribution_names_real_top_mover(spark):
         assert r.top_contributor == best
         assert r.contributor_delta == deltas[best]
         assert r.n == sum(cur.values()) and r.prev_n == sum(pre.values())
+
+
+def test_w11_streaks_consistent_with_d17(spark, sf_dir):
+    """Streaks and gaps are complementary: inside a reported streak no
+    d17 missing day may fall, and every streak is truly maximal."""
+    import datetime
+
+    from ipydataclean_spark.operators.quality import d17_completeness_calendar
+    from ipydataclean_spark.operators.windows import w11_gap_islands
+    from ipydataclean_spark.operators.qhelp import T
+
+    streaks = w11_gap_islands(spark, sf_dir).collect()
+    assert streaks
+    missing = {
+        (r.user_id, r.missing_day)
+        for r in d17_completeness_calendar(spark, sf_dir).collect()
+    }
+    observed = {
+        (r.user_id, r.day)
+        for r in T(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("day"))
+        .distinct()
+        .collect()
+    }
+    one = datetime.timedelta(days=1)
+    for s in streaks:
+        assert s.n_days == (s.streak_end - s.streak_start).days + 1 >= 3
+        cur = s.streak_start
+        while cur <= s.streak_end:
+            assert (s.user_id, cur) in observed
+            assert (s.user_id, cur) not in missing
+            cur += one
+        # maximality: the days flanking the streak are NOT observed
+        assert (s.user_id, s.streak_start - one) not in observed
+        assert (s.user_id, s.streak_end + one) not in observed
