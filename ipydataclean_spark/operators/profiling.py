@@ -483,3 +483,69 @@ def p30_functional_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col_a string, col_b string, da long, db long, dab long, "
         "fd_a_to_b int, fd_b_to_a int, bijection int",
     ).orderBy("col_a", "col_b")
+
+
+_P33_PAIRS = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("customer", "c_nationkey", "supplier", "s_nationkey"),
+    ("orders", "o_orderkey", "customer", "c_custkey"),  # a NON-key pair
+)
+
+_P33_ORACLE = " UNION ALL ".join(
+    "SELECT '" + f"{ta}.{ca}->{tb}.{cb}" + "' AS pair, "
+    f"CAST((SELECT COUNT(DISTINCT {ca}) FROM {ta}) AS BIGINT) AS n_left, "
+    f"CAST((SELECT COUNT(DISTINCT {cb}) FROM {tb}) AS BIGINT) AS n_right, "
+    f"CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {ca} FROM {ta}) a "
+    f"JOIN (SELECT DISTINCT {cb} FROM {tb}) b ON a.{ca} = b.{cb}) AS BIGINT) "
+    "AS n_common, "
+    f"ROUND(CAST((SELECT COUNT(*) FROM (SELECT DISTINCT {ca} FROM {ta}) a "
+    f"JOIN (SELECT DISTINCT {cb} FROM {tb}) b ON a.{ca} = b.{cb}) AS DOUBLE) "
+    f"/ (SELECT COUNT(DISTINCT {ca}) FROM {ta}), 8) AS containment_lr"
+    for ta, ca, tb, cb in _P33_PAIRS
+) + " ORDER BY pair"
+
+
+@register(
+    "p33_joinability",
+    oracle="SELECT * FROM (" + _P33_ORACLE + ") ORDER BY pair",
+    tags=("P33", "P16", "P3", "profiling"),
+)
+def p33_joinability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P33: JOINABILITY DISCOVERY — for candidate column pairs, the
+    distinct-value CONTAINMENT |A∩B| / |A| (the data-catalog signal
+    that proposes foreign keys before anyone declares them: a true FK
+    scores ~1.0, an unrelated pair near 0). p16 VALIDATES a declared
+    FK; this one FINDS candidates — together they are the
+    relationship-profiling loop. The fixture list plants one known
+    non-key pair (orders.o_orderkey -> customer.c_custkey) so the
+    score separation itself is value-checked.
+
+    Plan: per pair, two distinct partial aggs + one distinct-keyed
+    equi-join on the value — each input is the column's DISTINCT set
+    (cardinality-bounded, never row-bounded after the first partial
+    agg). At catalog scale the candidate list comes from minhash
+    sketches over distinct sets (l2's machinery); these exact joins
+    then confirm the shortlist."""
+    out = None
+    for ta, ca, tb, cb in _P33_PAIRS:
+        a = T(spark, sf_dir, ta).select(F.col(ca).alias("v")).distinct()
+        b = T(spark, sf_dir, tb).select(F.col(cb).alias("v")).distinct()
+        # fully declarative: three 1-row aggregates combined by
+        # crossJoin (no driver-side .count() round-trips), unioned
+        # into ONE plan across all candidate pairs
+        row = (
+            a.agg(F.count(F.lit(1)).alias("n_left"))
+            .crossJoin(b.agg(F.count(F.lit(1)).alias("n_right")))
+            .crossJoin(a.join(b, "v").agg(F.count(F.lit(1)).alias("n_common")))
+            .select(
+                F.lit(f"{ta}.{ca}->{tb}.{cb}").alias("pair"),
+                "n_left", "n_right", "n_common",
+                F.round(
+                    F.col("n_common").cast("double") / F.col("n_left"), 8
+                ).alias("containment_lr"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("pair")

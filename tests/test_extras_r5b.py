@@ -408,3 +408,16 @@ def test_w11_streaks_consistent_with_d17(spark, sf_dir):
         # maximality: the days flanking the streak are NOT observed
         assert (s.user_id, s.streak_start - one) not in observed
         assert (s.user_id, s.streak_end + one) not in observed
+
+
+def test_p33_separates_keys_from_nonkeys(spark, sf_dir):
+    """True FK pairs must score containment ~1.0; the planted non-key
+    pair (o_orderkey -> c_custkey) must score near 0."""
+    from ipydataclean_spark.operators.profiling import p33_joinability
+
+    by = {r.pair: r for r in p33_joinability(spark, sf_dir).collect()}
+    assert by["orders.o_custkey->customer.c_custkey"].containment_lr == 1.0
+    assert by["lineitem.l_orderkey->orders.o_orderkey"].containment_lr == 1.0
+    assert by["lineitem.l_partkey->part.p_partkey"].containment_lr == 1.0
+    non_key = by["orders.o_orderkey->customer.c_custkey"]
+    assert non_key.containment_lr < 0.5
