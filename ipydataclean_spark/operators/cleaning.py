@@ -1048,3 +1048,80 @@ def c37_regression_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# localized-money dirt rule, shared as SQL text with the oracle twin:
+# '$1,234,567' / '$12,345' / '$901', every 7th row bare digits
+_C38_DIRTY = (
+    "CASE WHEN l_orderkey % 7 = 0 THEN "
+    "CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS STRING) "
+    "WHEN FLOOR(l_extendedprice) >= 1000000 THEN "
+    "'$' || CAST(CAST(FLOOR(l_extendedprice / 1000000.0) AS BIGINT) AS STRING) "
+    "|| ',' || LPAD(CAST(CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) "
+    "% 1000 AS STRING), 3, '0') "
+    "|| ',' || LPAD(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) "
+    "% 1000 AS STRING), 3, '0') "
+    "WHEN FLOOR(l_extendedprice) >= 1000 THEN "
+    "'$' || CAST(CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS STRING) "
+    "|| ',' || LPAD(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) "
+    "% 1000 AS STRING), 3, '0') "
+    "ELSE '$' || CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) AS STRING) END"
+)
+
+_C38_ORACLE = (
+    "WITH loc AS (SELECT l_returnflag, l_extendedprice, "
+    + _C38_DIRTY
+    + " AS money_str FROM lineitem), "
+    "parsed AS (SELECT l_returnflag, l_extendedprice, "
+    "TRY_CAST(regexp_replace(money_str, '[$,]', '', 'g') AS BIGINT) AS v "
+    "FROM loc) "
+    "SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+    "CAST(COUNT(v) AS BIGINT) AS n_parsed, "
+    "CAST(SUM(v) AS BIGINT) AS total_parsed, "
+    "CAST(COUNT_IF(v = CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT) "
+    "AS n_roundtrip_ok "
+    "FROM parsed GROUP BY l_returnflag ORDER BY l_returnflag"
+)
+
+
+@register(
+    "c38_parse_localized_numbers",
+    oracle=_C38_ORACLE,
+    tags=("C38", "C9", "cleaning"),
+)
+def c38_parse_localized_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C38: parse LOCALIZED numerics — currency symbols and thousands
+    separators ('$1,234,567') that defeat c9's plain TRY_CAST: strip
+    the grouping characters with one regexp, then cast. The roundtrip
+    counter proves every synthesized value parses back to exactly
+    floor(price) — the oracle value-checks the repair, not just the
+    counts. A locale with '.' grouping and ',' decimal swaps the
+    character class and adds a final-comma→dot replace: same plan.
+
+    Plan: map-only (regexp_replace + cast in codegen) + one grouped
+    partial agg. The dirt rule is shared SQL text, so both engines
+    synthesize byte-identical inputs."""
+    loc = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.expr(_C38_DIRTY).alias("money_str"),
+    )
+    v = F.expr("TRY_CAST(regexp_replace(money_str, '[$,]', '') AS BIGINT)")
+    parsed = loc.select(
+        "l_returnflag",
+        "l_extendedprice",
+        v.alias("v"),
+    )
+    ok = (
+        F.col("v") == F.floor("l_extendedprice").cast("long")
+    ).cast("long")
+    return (
+        parsed.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("v").alias("n_parsed"),
+            F.sum("v").cast("long").alias("total_parsed"),
+            F.sum(ok).alias("n_roundtrip_ok"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -421,3 +421,14 @@ def test_p33_separates_keys_from_nonkeys(spark, sf_dir):
     assert by["lineitem.l_partkey->part.p_partkey"].containment_lr == 1.0
     non_key = by["orders.o_orderkey->customer.c_custkey"]
     assert non_key.containment_lr < 0.5
+
+
+def test_c38_roundtrip_is_total(spark, sf_dir):
+    """Every synthesized localized value must parse back exactly."""
+    from ipydataclean_spark.operators.cleaning import (
+        c38_parse_localized_numbers,
+    )
+
+    for r in c38_parse_localized_numbers(spark, sf_dir).collect():
+        assert r.n_parsed == r.n_rows
+        assert r.n_roundtrip_ok == r.n_rows
