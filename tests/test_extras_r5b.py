@@ -432,3 +432,19 @@ def test_c38_roundtrip_is_total(spark, sf_dir):
     for r in c38_parse_localized_numbers(spark, sf_dir).collect():
         assert r.n_parsed == r.n_rows
         assert r.n_roundtrip_ok == r.n_rows
+
+
+def test_migration_example_runs(spark, sf_dir, tmp_path):
+    """The examples/ walkthrough must execute end-to-end and return
+    its artifact summary."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "migration_example", "/root/repo/examples/migrate_from_ipydataclean.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = mod.main(spark, sf_dir, str(tmp_path))
+    assert out["history"] == ["convert_numeric", "fill_median", "clip"]
+    assert out["published_version"] >= 1
+    assert out["n_problems_found"] > 0 and out["dedup_survivors"] > 0
