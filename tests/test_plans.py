@@ -607,3 +607,44 @@ def test_r8b_range_join_is_bucket_equi_join(spark, sf_dir):
         + count_op(df, "BroadcastHashJoin")
     ) >= 1
     assert not has_python_eval(df)
+
+
+def test_d17_grid_explodes_summary_not_facts(spark, sf_dir):
+    """The day grid must explode over the per-user span table (after
+    the aggregate), never over raw events; whole chain JVM-side."""
+    df = _q("d17_completeness_calendar", spark, sf_dir)
+    plan = "\n".join(plan_tree(df))
+    # Generate (explode) must sit ABOVE an aggregate (its input is the
+    # per-user span summary, not the event scan)
+    assert "Generate" in plan and "HashAggregate" in plan
+    assert plan.index("Generate") < plan.rindex("HashAggregate")
+    assert not has_python_eval(df)
+
+
+def test_w11_islands_no_self_join(spark, sf_dir):
+    """Gaps-and-islands is window+agg — zero joins of any kind."""
+    df = _q("w11_gap_islands", spark, sf_dir)
+    plan = formatted_plan(df)
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert op not in plan, op
+    assert count_op(df, "Window") >= 1
+
+
+def test_c37_coefficients_broadcast_back(spark, sf_dir):
+    """The per-group coefficient table must broadcast onto the fill
+    scan (two-phase shape, generalized from constant to linear)."""
+    df = _q("c37_regression_impute", spark, sf_dir)
+    assert count_op(df, "BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in formatted_plan(df)
+    assert not has_python_eval(df)
+
+
+def test_c38_parse_is_map_only_plus_one_agg(spark, sf_dir):
+    """Localized-number repair: one scan, one partial-aggable groupBy,
+    no joins, no Python."""
+    df = _q("c38_parse_localized_numbers", spark, sf_dir)
+    assert n_parquet_scans(df) == 1
+    plan = formatted_plan(df)
+    assert "Join" not in plan
+    assert not has_python_eval(df)
