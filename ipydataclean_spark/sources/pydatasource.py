@@ -217,3 +217,86 @@ def s9_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_S10_ORACLE = (
+    # the oracle replays the CONSTRUCTION rule: every 13th doc's JSON
+    # line was truncated (guaranteed malformed), the rest parse
+    "WITH good AS (SELECT lang, n_chars FROM documents "
+    "WHERE doc_id % 13 <> 0) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM good GROUP BY lang "
+    "UNION ALL "
+    "SELECT '__corrupt__' AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(0 AS BIGINT) AS total_chars FROM documents WHERE doc_id % 13 = 0 "
+    "ORDER BY lang"
+)
+
+
+@register(
+    "s10_json_corrupt_records",
+    oracle=_S10_ORACLE,
+    tags=("S10", "S3", "sources", "quality"),
+)
+def s10_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: JSONL ingestion with CORRUPT-RECORD handling — the
+    robustness contract every real feed needs: malformed lines must
+    neither kill the job (FAILFAST) nor vanish silently
+    (DROPMALFORMED) but land in the _corrupt_record column for
+    triage (PERMISSIVE). The fixture writes documents as JSON lines
+    and TRUNCATES every 13th (always severing the closing brace),
+    so the oracle knows exactly which rows must parse and which must
+    surface as corrupt: the driver hash certifies the quarantine
+    split, not just the happy path.
+
+    Plan: the JSON scan itself carries the corrupt column (one pass,
+    schema enforced — no inference job); good rows roll up per lang,
+    corrupt rows count into one audit row. At scale PERMISSIVE is the
+    only mode that keeps a 100 TB feed ingest running while preserving
+    the evidence."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
+
+    path = scratch_dir(spark, "s10_jsonl")
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    (
+        T(spark, sf_dir, "documents")
+        .select(
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.substring(line, 1, F.length(line) - F.lit(5)),
+            )
+            .otherwise(line)
+            .alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    raw = (
+        spark.read.schema(
+            "doc_id BIGINT, lang STRING, n_chars BIGINT, _bad STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(path)
+    )
+    # Spark refuses queries whose ONLY referenced column is the
+    # corrupt-record column (QUERY_ONLY_CORRUPT_RECORD_COLUMN);
+    # cache() is the documented workaround — at scale the audit
+    # naturally selects data columns alongside _bad in one pass anyway
+    raw = raw.cache()
+    good = (
+        raw.where(F.col("_bad").isNull())
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+    corrupt = raw.where(F.col("_bad").isNotNull()).agg(
+        F.lit("__corrupt__").alias("lang"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.lit(0).cast("long").alias("total_chars"),
+    )
+    return good.unionByName(corrupt).orderBy("lang")

@@ -448,3 +448,16 @@ def test_migration_example_runs(spark, sf_dir, tmp_path):
     assert out["history"] == ["convert_numeric", "fill_median", "clip"]
     assert out["published_version"] >= 1
     assert out["n_problems_found"] > 0 and out["dedup_survivors"] > 0
+
+
+def test_s10_quarantines_exactly_the_truncated_lines(spark, sf_dir):
+    from ipydataclean_spark.sources.pydatasource import (
+        s10_json_corrupt_records,
+    )
+
+    rows = {r.lang: r for r in s10_json_corrupt_records(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_bad = docs.where("doc_id % 13 = 0").count()
+    assert rows["__corrupt__"].n_docs == n_bad
+    good = docs.where("doc_id % 13 <> 0")
+    assert sum(r.n_docs for k, r in rows.items() if k != "__corrupt__") == good.count()
