@@ -423,3 +423,71 @@ def w11_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "streak_start", "streak_end", "n_days")
         .orderBy("user_id", "streak_start")
     )
+
+
+_W12_ORACLE = (
+    "WITH iv AS (SELECT user_id, ts AS s, ts + INTERVAL 2 HOUR AS e "
+    "FROM events), "
+    "m AS (SELECT user_id, s, e, "
+    "MAX(e) OVER (PARTITION BY user_id ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e "
+    "FROM iv), "
+    "k AS (SELECT user_id, s, e, "
+    "SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END) "
+    "OVER (PARTITION BY user_id ORDER BY s, e "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m) "
+    "SELECT user_id, MIN(s) AS merged_start, MAX(e) AS merged_end, "
+    "CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM k GROUP BY user_id, island "
+    "ORDER BY user_id, merged_start"
+)
+
+
+@register(
+    "w12_merge_intervals",
+    oracle=_W12_ORACLE,
+    tags=("W12", "W6", "R10", "windows"),
+)
+def w12_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: MERGE OVERLAPPING INTERVALS — union each user's [ts,
+    ts+2h) activity windows into maximal disjoint spans (the coverage
+    question behind billing sessions, machine-uptime stitching, and
+    on-call coverage; r10 JOINS intervals, w6 builds validity
+    intervals — this REDUCES them). The classic two-window trick: a
+    running MAX of previous interval ends detects a new span exactly
+    when the next start clears everything seen (touching spans merge:
+    the predicate is strictly >), and the running SUM of those breaks
+    is the span id — one user-keyed sort, zero self-joins, linear at
+    any scale.
+
+    Both windows share one (user_id, s, e) sort order, so Spark plans
+    a single Window operator pass."""
+    from ipydataclean_spark.operators.qhelp import T
+
+    iv = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    m = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    brk = (
+        F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e"))
+    ).cast("int")
+    k = m.withColumn(
+        "island",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        k.groupBy("user_id", "island")
+        .agg(
+            F.min("s").alias("merged_start"),
+            F.max("e").alias("merged_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "merged_start", "merged_end", "n_events")
+        .orderBy("user_id", "merged_start")
+    )

@@ -300,3 +300,66 @@ def s10_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("total_chars"),
     )
     return good.unionByName(corrupt).orderBy("lang")
+
+
+_S11_ORACLE = (
+    # batch 1 = docs without the later-added quality column; batch 2
+    # carries it — the merged read must null-fill batch 1
+    "WITH b1 AS (SELECT doc_id, lang, n_chars, NULL AS quality "
+    "FROM documents WHERE doc_id % 2 = 0), "
+    "b2 AS (SELECT doc_id, lang, n_chars, "
+    "CAST(n_chars % 5 AS BIGINT) AS quality "
+    "FROM documents WHERE doc_id % 2 = 1), "
+    "u AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(quality) AS BIGINT) AS n_with_quality, "
+    "CAST(SUM(quality) AS BIGINT) AS total_quality "
+    "FROM u GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "s11_schema_evolution",
+    oracle=_S11_ORACLE,
+    tags=("S11", "S1", "S5", "sources"),
+)
+def s11_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: parquet SCHEMA EVOLUTION on read — a column added mid-feed
+    (batch 2 gains ``quality``; batch 1 predates it) must surface as
+    NULL for old files under ``mergeSchema``, never as a read error or
+    a silently dropped column. This is the plain-parquet half of the
+    evolution story (TxTable carries the transactional half): the
+    oracle constructs the same two-batch union logically, so the
+    driver hash certifies both the fill and the preserved values.
+
+    Plan: two-file scan with footer-merge at planning time; the query
+    itself is one grouped partial agg. At scale mergeSchema's footer
+    sampling cost is why real feeds record the schema in a log
+    (sources/txlog.py) — noted in the README limitations."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.qhelp import T, scratch_dir
+
+    path = scratch_dir(spark, "s11_evo")
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.where(F.col("doc_id") % 2 == 0).write.mode("overwrite").parquet(
+        f"{path}/b1"
+    )
+    (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .withColumn("quality", (F.col("n_chars") % 5).cast("long"))
+        .write.mode("overwrite")
+        .parquet(f"{path}/b2")
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b1", f"{path}/b2"
+    )
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("quality").alias("n_with_quality"),
+            F.sum("quality").cast("long").alias("total_quality"),
+        )
+        .orderBy("lang")
+    )

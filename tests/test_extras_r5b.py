@@ -461,3 +461,33 @@ def test_s10_quarantines_exactly_the_truncated_lines(spark, sf_dir):
     assert rows["__corrupt__"].n_docs == n_bad
     good = docs.where("doc_id % 13 <> 0")
     assert sum(r.n_docs for k, r in rows.items() if k != "__corrupt__") == good.count()
+
+
+def test_w12_merged_intervals_disjoint_and_covering(spark, sf_dir):
+    """Merged spans per user must be strictly disjoint (no overlap or
+    touch between consecutive spans) and cover every source event."""
+    from ipydataclean_spark.operators.windows import w12_merge_intervals
+    from ipydataclean_spark.operators.qhelp import T
+
+    rows = w12_merge_intervals(spark, sf_dir).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    n_events_total = 0
+    for u, spans in per_user.items():
+        spans.sort(key=lambda r: r.merged_start)
+        for a, b in zip(spans, spans[1:]):
+            assert a.merged_end < b.merged_start  # disjoint, non-touching
+        for r in spans:
+            assert r.merged_end > r.merged_start
+            n_events_total += r.n_events
+    assert n_events_total == T(spark, sf_dir, "events").count()
+
+
+def test_s11_old_files_null_fill(spark, sf_dir):
+    from ipydataclean_spark.sources.pydatasource import s11_schema_evolution
+
+    rows = s11_schema_evolution(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert sum(r.n_with_quality for r in rows) == docs.where("doc_id % 2 = 1").count()
