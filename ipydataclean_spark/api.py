@@ -28,16 +28,6 @@ from pyspark.sql.types import NumericType, StringType
 from ipydataclean_spark.operators import cleaning, detectors
 from ipydataclean_spark.recipe import Recipe
 
-FIXES_FOR_PROBLEM = {
-    "missing": ("fill_value", "fill_mean", "fill_median", "fill_mode", "interpolate", "drop_rows"),
-    "string_mismatch": ("convert_numeric", "replace_value", "drop_rows"),
-    "outliers": ("clip", "to_null", "drop_rows"),
-    "dates": ("parse_dates", "drop_rows"),
-    "units": ("standardize_units", "drop_rows"),
-    "pii": ("redact",),
-    "variants": ("standardize_values",),
-}
-
 # detection defaults for the extended string-column problems
 DATE_FORMATS = ("yyyy-MM-dd", "dd/MM/yyyy", "yyyyMMdd", "MM/dd/yyyy")
 UNIT_RE = r"^[0-9.]+ ?[a-z]+$"
@@ -490,3 +480,9 @@ class DataCleaner:
         self.recipe = Recipe()
         self.history = []
         return self
+
+
+#: Module-level alias of the per-problem fix menu (ADVICE r05: a
+#: separate literal here desynchronized from DataCleaner.FIX_MENU when
+#: round 5 added the table-level ``duplicates`` problem).
+FIXES_FOR_PROBLEM = DataCleaner.FIX_MENU

@@ -1093,13 +1093,20 @@ def weekly_counts_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey",
         F.date_trunc("week", "o_orderdate").alias("week"),
     ).agg(F.count(F.lit(1)).alias("n"))
+    # explicit raises (not bare assert — stripped under python -O) so
+    # the shuffle-free guarantee fails loudly on regression, matching
+    # the tx2/tx4 in-query gate idiom (ADVICE r05)
     tree = plan_tree(wk)
     join_idx = [i for i, line in enumerate(tree) if "SortMergeJoin" in line]
-    assert join_idx, "q31b: expected a SortMergeJoin over bucketed facts:\n" + "\n".join(tree)
+    if not join_idx:
+        raise AssertionError(
+            "q31b: expected a SortMergeJoin over bucketed facts:\n" + "\n".join(tree)
+        )
     below = tree[join_idx[0] + 1 :]
-    assert not any("Exchange" in line for line in below), (
-        "q31b: bucketed join must have no Exchange below it:\n" + "\n".join(tree)
-    )
+    if any("Exchange" in line for line in below):
+        raise AssertionError(
+            "q31b: bucketed join must have no Exchange below it:\n" + "\n".join(tree)
+        )
     return wk
 
 

@@ -453,25 +453,45 @@ _L36_DUP_CTE = (
 
 _L36_ORACLE = (
     "WITH " + _L36_DUP_CTE + ", "
-    # K grows with the corpus (cells stay bounded — the pair join is
-    # sum-over-cells |cell|^2, so FIXED K would re-quadratize at scale);
-    # integer floor of n/75, clamped to [8, 64]: 8 at the sf0.01 oracle
-    # per-vector norms computed ONCE (dupn/cent), reused by both the
-    # assignment and the pair stage: cos = dot/(na*nb) — the identical
-    # doubles the inline cosine form yields, at a third of the fold work
+    # K grows with the corpus UNCAPPED (cells stay ~75 bounded — the
+    # pair join is sum-over-cells |cell|^2, so any FIXED K would
+    # re-quadratize at scale); assignment is TWO-LEVEL (coarse k1 =
+    # ceil(sqrt(k)) seeds, then fine within the coarse group) so the
+    # per-vector assignment work is ~2*sqrt(K), not K.
+    # per-vector norms computed ONCE (dupn/cent/coarse), reused by both
+    # the assignment and the pair stage: cos = dot/(na*nb) — the
+    # identical doubles the inline cosine form yields
     "dupn AS (SELECT vec_id, embedding, "
     f"{norm_sql('embedding')} AS nd FROM dup), "
-    "kc AS (SELECT LEAST(64, GREATEST(8, "
-    "CAST(FLOOR(COUNT(*) / 75.0) AS BIGINT))) AS k FROM dup), "
+    "kc AS (SELECT GREATEST(8, CAST(FLOOR(COUNT(*) / 75.0) AS BIGINT)) AS k, "
+    "CAST(CEIL(SQRT(GREATEST(8, FLOOR(COUNT(*) / 75.0)))) AS BIGINT) AS k1 "
+    "FROM dup), "
     "cent AS (SELECT vec_id AS cell, embedding AS c_emb, "
     f"{norm_sql('embedding')} AS ncn "
     "FROM embeddings CROSS JOIN kc WHERE vec_id < kc.k), "
-    "asg AS (SELECT vec_id, embedding, nd, cell FROM ("
-    "SELECT d.vec_id, d.embedding, d.nd, cent.cell, "
+    "coarse AS (SELECT vec_id AS gcell, embedding AS g_emb, "
+    f"{norm_sql('embedding')} AS gn "
+    "FROM embeddings CROSS JOIN kc WHERE vec_id < kc.k1), "
+    # each fine centroid belongs to its nearest coarse seed
+    "centg AS (SELECT cell, c_emb, ncn, gcell FROM ("
+    "SELECT c.cell, c.c_emb, c.ncn, g.gcell, "
+    "ROW_NUMBER() OVER (PARTITION BY c.cell ORDER BY "
+    f"({dot_sql('c.c_emb', 'g.g_emb')} / (c.ncn * g.gn)) "
+    "DESC, g.gcell) AS rn FROM cent c CROSS JOIN coarse g) s WHERE rn = 1), "
+    # vector -> nearest coarse seed (n x k1)
+    "vg AS (SELECT vec_id, gcell FROM ("
+    "SELECT d.vec_id, g.gcell, "
     "ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
-    f"({dot_sql('d.embedding', 'cent.c_emb')} / (d.nd * cent.ncn)) "
-    "DESC, cent.cell) AS rn "
-    "FROM dupn d CROSS JOIN cent) s WHERE rn = 1), "
+    f"({dot_sql('d.embedding', 'g.g_emb')} / (d.nd * g.gn)) "
+    "DESC, g.gcell) AS rn FROM dupn d CROSS JOIN coarse g) s WHERE rn = 1), "
+    # vector -> nearest fine centroid WITHIN its coarse group
+    "asg AS (SELECT vec_id, embedding, nd, cell FROM ("
+    "SELECT d.vec_id, d.embedding, d.nd, c.cell, "
+    "ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY "
+    f"({dot_sql('d.embedding', 'c.c_emb')} / (d.nd * c.ncn)) "
+    "DESC, c.cell) AS rn "
+    "FROM dupn d JOIN vg ON d.vec_id = vg.vec_id "
+    "JOIN centg c ON c.gcell = vg.gcell) s WHERE rn = 1), "
     "pairs AS (SELECT * FROM (SELECT a.cell, a.vec_id AS ka, b.vec_id AS kb, "
     f"({dot_sql('a.embedding', 'b.embedding')} / (a.nd * b.nd)) AS cs "
     "FROM asg a JOIN asg b ON a.cell = b.cell AND a.vec_id < b.vec_id) p "
@@ -480,6 +500,87 @@ _L36_ORACLE = (
     "FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY kb ORDER BY cs DESC, ka) "
     "AS rn FROM pairs) t WHERE rn = 1 ORDER BY vec_id"
 )
+
+
+def semdedup_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The l36 cluster-assignment stage, exposed for the scale gate:
+    (vec_id, embedding, nrm, cell) with K = floor(n/75) uncapped and
+    two-level coarse->fine seeding (see l36_semdedup docstring).
+    tests/test_extras_r6.py pins |cell| bounded at sf1."""
+    from ipydataclean_spark.operators.llm import embeddings_dup
+
+    vecs = embeddings_dup(spark, sf_dir).select("vec_id", "embedding")
+    # per-vector norms computed ONCE, reused by the assignment AND the
+    # pair stage (cos = dot/(na*nb): the identical doubles the inline
+    # cosine form yields, at a third of the per-pair fold work)
+    vecs = vecs.withColumn("nd", vnorm("embedding"))
+    # adaptive K (= floor(n/75), floored at 8, UNCAPPED) keeps |cell|
+    # ~75 bounded as the corpus grows; k1 = ceil(sqrt(K)) coarse seeds
+    # keep the assignment sub-quadratic — computed DECLARATIVELY
+    # (1-row agg broadcast into the seed filters), no eager count
+    kdf = vecs.agg(
+        F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / F.lit(75.0)))
+        .cast("long")
+        .alias("k")
+    ).withColumn("k1", F.ceil(F.sqrt(F.col("k"))).cast("long"))
+    emb = T(spark, sf_dir, "embeddings")
+    cent = (
+        emb.crossJoin(F.broadcast(kdf))
+        .where(F.col("vec_id") < F.col("k"))
+        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
+        .withColumn("ncn", vnorm("c_emb"))
+    )
+    coarse = (
+        emb.crossJoin(F.broadcast(kdf))
+        .where(F.col("vec_id") < F.col("k1"))
+        .select(F.col("vec_id").alias("gcell"), F.col("embedding").alias("g_emb"))
+        .withColumn("gn", vnorm("g_emb"))
+    )
+    # each fine centroid belongs to its nearest coarse seed (K x k1,
+    # tiny — both sides broadcastable)
+    centg = (
+        cent.crossJoin(F.broadcast(coarse))
+        .select(
+            "cell", "c_emb", "ncn", "gcell",
+            (vdot("c_emb", "g_emb") / (F.col("ncn") * F.col("gn"))).alias("gs"),
+        )
+        .groupBy("cell")
+        .agg(
+            F.first("c_emb").alias("c_emb"),
+            F.first("ncn").alias("ncn"),
+            F.max_by("gcell", F.struct(F.col("gs"), (-F.col("gcell")).alias("ng"))).alias("gcell"),
+        )
+    )
+    # scored rows are SLIM (vec_id, gcell/cell, sim): carrying the
+    # 64-float embedding through the fanout would multiply the argmax
+    # shuffle's bytes by the fanout (measured 26.9 -> 50.5 s at sf1);
+    # the winning key joins back to the vector table instead
+    g_scored = vecs.crossJoin(F.broadcast(coarse)).select(
+        "vec_id",
+        "gcell",
+        (vdot("embedding", "g_emb") / (F.col("nd") * F.col("gn"))).alias("sim"),
+    )
+    gbest = g_scored.groupBy("vec_id").agg(
+        F.max_by("gcell", F.struct(F.col("sim"), (-F.col("gcell")).alias("ng"))).alias("gcell"),
+    )
+    # fine scoring touches ONLY the coarse group's centroids (~sqrt(K)
+    # of them) — broadcast hash join on the group id, fanout |group|
+    fine_scored = (
+        vecs.join(gbest, "vec_id")
+        .join(F.broadcast(centg), "gcell")
+        .select(
+            "vec_id",
+            "cell",
+            (vdot("embedding", "c_emb") / (F.col("nd") * F.col("ncn"))).alias("sim"),
+        )
+    )
+    best = fine_scored.groupBy("vec_id").agg(
+        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("cell"),
+    )
+    asg = vecs.join(best, "vec_id").select(
+        "vec_id", "embedding", F.col("nd").alias("nrm"), "cell"
+    )
+    return asg
 
 
 @register(
@@ -495,22 +596,27 @@ def l36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm.NEARDUP_TAU), reported with its keeper and similarity. The
     within-cell restriction is the whole trick: the pair join is
     sum-over-cells of |cell|^2 instead of corpus^2 — and K GROWS with
-    the corpus (floor(n/75) clamped to [8, 64] here; unbounded with
-    k-means centroids in production) so |cell| stays bounded and the
-    pair volume stays ~linear. Cell id = partition key; each cell's
-    pair block is independent — the embedding-dedup shape that
+    the corpus UNCAPPED (floor(n/75), floored at 8) so |cell| stays
+    ~75 bounded and the pair volume stays ~linear at ANY corpus size
+    (VERDICT r05 #3: the old [8, 64] clamp re-quadratized the pair
+    join past ~5k vectors). The assignment is kept sub-quadratic by a
+    TWO-LEVEL coarse quantizer (the standard IVF/IMI trick): k1 =
+    ceil(sqrt(K)) coarse seeds partition the K fine centroids into
+    groups; each vector scores the k1 coarse seeds, then only the
+    fine centroids of its coarse group — ~2*sqrt(K) cosines per
+    vector instead of K, so total assignment work is O(n*sqrt(n)),
+    and at sf1 (K=320, k1=18, ~36 cosines/row) it is CHEAPER than
+    the old capped K=64 brute force. Cell id = partition key; each
+    cell's pair block is independent — the embedding-dedup shape that
     survives 100 TB. Per-vector norms are computed once and carried
     into both stages (cos = dot/(na*nb), bit-identical to the inline
     form — measured 6.6 -> 2.9 s sf0.1 together with keeping the
-    assignment fanout SLIM: scored rows are (vec_id, cell, sim) only,
-    the winning cell joins back to the vector table; carrying the
-    64-float array through the n x K fanout doubled sf1 wall time.
-    An unrolled getItem dot (flat 64-term codegen tree) measured 3x
-    SLOWER than the zip_with/aggregate fold — negative result, see
-    BENCH.md; the cap-64 K at sf1 beat cap-256 because BNLJ per-pair
-    materialization in the assignment outweighs the pair-join savings
-    at this size (the tradeoff flips as n grows; production sizes K
-    via k-means so cells stay O(100)).
+    assignment fanout SLIM: scored rows are (vec_id, cell/gcell, sim)
+    only, the winning cell joins back to the vector table; carrying
+    the 64-float array through the n x K fanout doubled sf1 wall
+    time. An unrolled getItem dot (flat 64-term codegen tree)
+    measured 3x SLOWER than the zip_with/aggregate fold — negative
+    result, see BENCH.md).
 
     Inputs are llm.embeddings_dup (base fixture max off-diagonal
     cosine is 0.51 — no true near-dups to find) and the deterministic
@@ -521,46 +627,9 @@ def l36_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUND(cos, 8) values. A twin whose cell differs from its base's
     would be missed IDENTICALLY by both engines (the documented
     SemDeDup recall tradeoff; the recall test pins it non-vacuous)."""
-    from ipydataclean_spark.operators.llm import NEARDUP_TAU, embeddings_dup
+    from ipydataclean_spark.operators.llm import NEARDUP_TAU
 
-    vecs = embeddings_dup(spark, sf_dir).select("vec_id", "embedding")
-    # per-vector norms computed ONCE, reused by the assignment AND the
-    # pair stage (cos = dot/(na*nb): the identical doubles the inline
-    # cosine form yields, at a third of the per-pair fold work)
-    vecs = vecs.withColumn("nd", vnorm("embedding"))
-    # adaptive K (= floor(n/75) clamped to [8, 64]) keeps |cell| bounded
-    # as the corpus grows — computed DECLARATIVELY (1-row agg broadcast
-    # into the centroid filter), no eager driver-side count
-    kdf = vecs.agg(
-        F.least(
-            F.lit(64),
-            F.greatest(F.lit(8), F.floor(F.count(F.lit(1)) / F.lit(75.0))),
-        )
-        .cast("long")
-        .alias("k")
-    )
-    cent = (
-        T(spark, sf_dir, "embeddings")
-        .crossJoin(F.broadcast(kdf))
-        .where(F.col("vec_id") < F.col("k"))
-        .select(F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb"))
-        .withColumn("ncn", vnorm("c_emb"))
-    )
-    # scored rows are SLIM (vec_id, cell, sim): carrying the 64-float
-    # embedding through the n x K fanout would multiply the argmax
-    # shuffle's bytes by K (measured 26.9 -> 50.5 s at sf1 before this);
-    # the winning cell joins back to the vector table instead
-    scored = vecs.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "cell",
-        (vdot("embedding", "c_emb") / (F.col("nd") * F.col("ncn"))).alias("sim"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max_by("cell", F.struct(F.col("sim"), (-F.col("cell")).alias("nc"))).alias("cell"),
-    )
-    asg = vecs.join(best, "vec_id").select(
-        "vec_id", "embedding", F.col("nd").alias("nrm"), "cell"
-    )
+    asg = semdedup_assign(spark, sf_dir)
     a = asg.select(
         "cell", F.col("vec_id").alias("ka"), F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),

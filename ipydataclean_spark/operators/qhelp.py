@@ -27,6 +27,14 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _SCRATCH_STALE_SECS = 24 * 3600
 
 
+def _warehouse_base():
+    """Scratch root (repo-local spark-warehouse/) — a seam so the TTL
+    sweep is testable against a throwaway directory."""
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
+
+
 def scratch_dir(spark: SparkSession, prefix: str) -> str:
     """Session-unique scratch path ``spark-warehouse/{prefix}_{appId}``.
 
@@ -39,11 +47,10 @@ def scratch_dir(spark: SparkSession, prefix: str) -> str:
     option: most callers return a lazy DataFrame that still reads these
     files when the driver later collects it.
     """
-    import pathlib
     import shutil
     import time
 
-    base = pathlib.Path(__file__).resolve().parents[2] / "spark-warehouse"
+    base = _warehouse_base()
     cur = base / f"{prefix}_{spark.sparkContext.applicationId}"
     if base.is_dir():
         cutoff = time.time() - _SCRATCH_STALE_SECS

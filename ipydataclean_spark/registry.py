@@ -177,46 +177,75 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "u4_grouped_agg_mad", "u7_pandas_iter_udf", "u8_map_in_arrow",
     "u9_cogroup_asof", "u10_arrow_udf", "u11_udtf_analyze",
     "l1_exact_dedup", "l2b_jaccard_pairs",
-})
-
-#: Round-5 window priority (VERDICT r04 #1/#2). The driver's bounded
-#: correctness window (~50 queries) has never reached the §2.8 streaming
-#: batch twins, §2.9 L-ops, tx*, inc*, or pipeline queries in four rounds
-#: because ``ordered_queries`` preserved module registration order within
-#: the fresh tier (llm/streaming modules import last). These §2-CORE
-#: never-checked names go FIRST, ahead of late-registered extras.
-CORE_FRESH_FIRST: tuple[str, ...] = (
-    # §2.9 L-ops: embedding kNN / similarity / text stats family
+    # CORRECTNESS_r05.json — 50/50 clean (42 oracle green, 8 rows-only
+    # by-design). The round-4-ordered §2.8/§2.9 core window.
     "l3_knn_exact", "l3g_knn_filtered", "l3h_kmeans_assign",
     "l4_sim_join_exact", "l4c_embed_dedup", "l4d_label_centroids",
     "l5_text_stats", "l6_slice_metrics", "l7_quality_filter",
     "l8_keyword_search", "l10_token_count",
-    # §2.9 multimodal
     "l9_multimodal_features", "l9j_binaryfile_ingest", "l9d_real_decode",
     "l9e_audio_frames", "l9g_real_png_decode", "l9h_mulaw_audio",
     "l9i_gif_decode",
-    # §2.8 streaming batch twins
     "st1_tumbling_window", "st2_sliding_window", "st3_session_window",
     "st5_dedup_twin", "st7_stream_static_join", "st8_purchase_click_join",
     "st8b_purchase_click_outer", "st10_chained_rollup", "st11_abandoned_carts",
     "st12_dedup_ingest",
-    # transactional table + incremental + custom source + pipelines
     "tx1_acid_upsert", "tx2_skipping_read", "tx3_cdc_read",
     "tx4_bloom_lookup", "tx5_restore_read", "tx6_describe_history",
     "inc1_incremental_stats", "inc2_incremental_dedup", "inc3_incremental_join",
     "s8_pyds_scan", "s8b_pyds_cleaned",
     "pipeline_corpus_curation", "pipeline_lm_dataset", "pipeline_media_curation",
-)
-
-#: Rows-only priority: the flagship approximate/scale paths (LSH, IVF,
-#: PQ, SimHash, media) first so §2.9's strongest rows-only evidence lands
-#: in the same window; generic sampling/function demos follow.
-ROWS_ONLY_FIRST: tuple[str, ...] = (
     "l2_minhash_lsh", "l2c_simhash", "l2d_dedup_clusters",
     "l3b_knn_lsh", "l3c_knn_ivf", "l3e_knn_pq", "l4b_embed_neardup_lsh",
-    "l9b_media_resize", "l9c_frame_sample", "l9f_image_dhash_pairs",
-    "l11_language_id", "l12_fingerprints", "l10b_bpe_token_count",
-    "c30_dedup_keep_best", "l27_cdc_chunk_dedup", "g1_pagerank",
+    "l9b_media_resize",
+})
+
+#: Round-6 window priority (VERDICT r05 #1). 67 registered queries have
+#: no driver row yet; the ~50-query window covers the first 50 of
+#: ``ordered_queries``. Ordering: (a) the 7 re-queued rewrites whose old
+#: driver greens certify dead implementations; (b) the §2-tagged round-5
+#: extras; (c) the LLM-curation tier; trailing names (x3b — the A/B
+#: equivalence harness for the already-queued x3 — and the rows-only
+#: tier) slip to round 7 by design.
+CORE_FRESH_FIRST: tuple[str, ...] = (
+    # (a) re-queued rewrites — old green rows certify OLD implementations
+    "q28_association_rules", "q31_trending_parts", "x1_expectations",
+    "x3_quarantine", "l8b_bm25_search", "l2e_fuzzy_match_join",
+    "autofix_pipeline",
+    # (b) §2-tagged round-5 extras
+    "w11_gap_islands", "w12_merge_intervals",
+    "s9_orc_roundtrip", "s10_json_corrupt_records", "s11_schema_evolution",
+    "r8b_range_join_bucketed",
+    "c34_value_cluster", "c35_standardize_values", "c36_canonicalize_urls",
+    "c37_regression_impute", "c38_parse_localized_numbers",
+    "d17_completeness_calendar", "d18_anomaly_attribution",
+    "x5_k_anonymity", "p31_quantile_sketch_merge", "p33_joinability",
+    # (c) LLM-curation tier
+    "l36_semdedup", "l37_dsir_weights", "l38_token_kl_drift",
+    "l39_gumbel_resample", "l41_embed_decontaminate",
+    "er1_entity_resolution", "er2_blocking_metrics",
+    "q28b_apriori_prefilter", "q31b_trending_parts_bucketed",
+    "l13_chunk_udtf", "l14_countmin_heavy_hitters", "l15_boilerplate_ratio",
+    "l18_unigram_logprob", "l19_gopher_quality", "l20_domain_budget",
+    "l21_top_bigram_frac", "l23_char_entropy", "l24_url_domains",
+    "l26_contamination_check", "l28_winnowing_pairs",
+    "l29_repeated_gram_fraction", "l31_source_temperature_mix",
+    "l32_bigram_logprob", "l33_shuffle_shards", "l34_sequence_pack",
+    "l35_hybrid_rrf", "c31_segment_dedup",
+    # slips to round 7 (position 51)
+    "x3b_quarantine_codegen",
+)
+
+#: Rows-only priority (round-7 material at current window size):
+#: flagship scale paths and incremental/media evidence first, generic
+#: sampling/function demos last.
+ROWS_ONLY_FIRST: tuple[str, ...] = (
+    "g1_pagerank", "inc4_incremental_minhash",
+    "l9c_frame_sample", "l9f_image_dhash_pairs", "l10b_bpe_token_count",
+    "l11_language_id", "l12_fingerprints",
+    "c30_dedup_keep_best", "l27_cdc_chunk_dedup",
+    "r22b_stratified_sample", "r22c_weighted_sample", "r22_sample",
+    "p3b_approx_profile", "f_map_functions", "f_misc_string", "f_hash_misc",
 )
 
 

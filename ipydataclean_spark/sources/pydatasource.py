@@ -299,7 +299,13 @@ def s10_json_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.lit(0).cast("long").alias("total_chars"),
     )
-    return good.unionByName(corrupt).orderBy("lang")
+    # Materialize the (tiny) rollup, then drop the cached scan so the
+    # cached blocks don't accumulate for the session lifetime across a
+    # full registry sweep (ADVICE r05) — same materialize-then-unpersist
+    # pattern as llm_extra.cluster_pairs.
+    out = good.unionByName(corrupt).orderBy("lang").localCheckpoint(eager=True)
+    raw.unpersist()
+    return out
 
 
 _S11_ORACLE = (

@@ -1,0 +1,164 @@
+"""Round-6 regression tests: the r8b sparse-week edge (VERDICT r05 #2)
+and the l36 uncapped-K scale gate (VERDICT r05 #3). Oracle parity is
+covered by tools/verify_local.py + the driver; these pin the semantics
+the sf0.01 fixture cannot reach."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+SF1_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "localdata", "sf1"
+)
+
+
+def test_r8b_keeps_zero_match_orders_in_nonempty_buckets(spark, tmp_path):
+    """An order whose week bucket(s) DO contain lineitems but none
+    inside [o_orderdate, o_orderdate+7) must still aggregate to n=0 —
+    the old post-join filter dropped it entirely, diverging from the
+    naive-join oracle on sparse data (latent on the dense fixture,
+    where every 1995 week has shipments)."""
+    from ipydataclean_spark.operators.relational import r8b_range_join_bucketed
+
+    d = datetime.date
+    orders = spark.createDataFrame(
+        [
+            # both of its buckets hold lineitems, but every candidate
+            # fails the exact range -> must count 0, not vanish
+            Row(o_orderkey=1, o_orderdate=d(1995, 1, 2)),
+            # one real match
+            Row(o_orderkey=2, o_orderdate=d(1995, 2, 1)),
+            # buckets entirely empty -> counts 0 through the left join
+            Row(o_orderkey=3, o_orderdate=d(1995, 3, 1)),
+        ]
+    )
+    lineitem = spark.createDataFrame(
+        [
+            Row(l_orderkey=10, l_shipdate=d(1994, 12, 30)),  # wk of order 1, before it
+            Row(l_orderkey=11, l_shipdate=d(1995, 1, 10)),   # wk of order 1 + 6d, after range
+            Row(l_orderkey=12, l_shipdate=d(1995, 2, 3)),    # in order 2's range
+        ]
+    )
+    orders.write.parquet(str(tmp_path / "orders.parquet"))
+    lineitem.write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    rows = r8b_range_join_bucketed(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.y == 1995
+    assert r.n_orders == 3, (
+        "zero-match order in a non-empty bucket was dropped (n_orders="
+        f"{r.n_orders})"
+    )
+    assert r.total_pairs == 1
+    assert float(r.avg_per_order) == pytest.approx(round(1 / 3, 8))
+
+
+def test_l36_sf1_cells_uncapped_and_bounded(spark):
+    """The SemDeDup cell layout at 10x data (VERDICT r05 #3): K must
+    track the corpus (NOT clamp at 64) while |cell| stays bounded —
+    the pair join is sum-over-cells |cell|^2, so these two facts
+    together are what keep it ~linear at scale."""
+    if not os.path.isdir(SF1_DIR):
+        pytest.skip("sf1 fixture not generated (tools/gen_sf1.py)")
+    from ipydataclean_spark.operators.ivf import semdedup_assign
+
+    sizes = (
+        semdedup_assign(spark, SF1_DIR)
+        .groupBy("cell")
+        .count()
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("count").alias("max_cell"),
+            F.sum("count").alias("n_vectors"),
+        )
+        .first()
+    )
+    # 24000 dup-corpus vectors / 75 = 320 target cells; the old clamp
+    # would leave 64 cells of ~375 mean
+    assert sizes.n_cells > 64, f"K clamped: only {sizes.n_cells} cells"
+    assert sizes.n_vectors / sizes.n_cells <= 80  # mean |cell| ~75 by construction
+    # seed cells are uneven but must stay O(100), not grow with n
+    # (measured max 480 at sf1)
+    assert sizes.max_cell <= 600, f"cell overflow: {sizes.max_cell}"
+
+
+def test_salted_sum_sf1_hot_key_aqe_off(spark):
+    """Aggregation-side skew at sf1 with AQE fully OFF (VERDICT r05
+    #6, carried from r4 #8): salted_sum on a deliberately hot key
+    (~90% of 6M lineitems collapsed onto one group) must equal the
+    direct groupBy exactly — AQE skew handling covers joins only, so
+    this two-stage spread is the mechanism that survives an
+    aggregation hot key at 100 TB. The join side is pinned by
+    test_scale_patterns.test_salted_join_sf1_hot_custkey_aqe_off."""
+    if not os.path.isdir(SF1_DIR):
+        pytest.skip("sf1 fixture not generated (tools/gen_sf1.py)")
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.operators.groupstats import salted_sum
+
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, SF1_DIR, "lineitem").select(
+            F.when(F.col("l_orderkey") % 10 < 9, F.lit(7))
+            .otherwise(F.col("l_suppkey"))
+            .alias("k"),
+            "l_extendedprice",
+        )
+        got = {
+            r.k: r.total
+            for r in salted_sum(
+                li, "k", F.col("l_extendedprice"), "total", salt_n=16
+            ).collect()
+        }
+        want = {
+            r.k: r.total
+            for r in li.groupBy("k")
+            .agg(
+                F.sum(F.col("l_extendedprice").cast("decimal(28,6)"))
+                .cast("double")
+                .alias("total")
+            )
+            .collect()
+        }
+        assert got == want  # decimal partials -> bit-identical doubles
+        assert len(got) > 1000  # hot key PLUS a real long tail
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+
+
+def test_scratch_sweep_prunes_stale_sibling(spark, tmp_path, monkeypatch):
+    """qhelp.scratch_dir's 24 h TTL sweep (VERDICT r05 #7): a
+    back-dated same-prefix sibling from a dead session is pruned, a
+    fresh sibling (possible concurrent session) survives, an
+    unrelated-prefix stale dir is untouched, and the current appId
+    path comes back cleared."""
+    import time
+
+    from ipydataclean_spark.operators import qhelp
+
+    base = tmp_path / "spark-warehouse"
+    base.mkdir()
+    monkeypatch.setattr(qhelp, "_warehouse_base", lambda: base)
+
+    stale = base / "demo_dead-session"
+    fresh = base / "demo_concurrent-session"
+    other = base / "other_dead-session"
+    cur = base / f"demo_{spark.sparkContext.applicationId}"
+    for d in (stale, fresh, other, cur):
+        d.mkdir()
+        (d / "part-0").write_text("x")
+    old = time.time() - qhelp._SCRATCH_STALE_SECS - 60
+    for d in (stale, other):
+        os.utime(d, (old, old))
+
+    got = qhelp.scratch_dir(spark, "demo")
+
+    assert got == str(cur)
+    assert not stale.exists(), "back-dated same-prefix sibling not swept"
+    assert fresh.exists(), "young sibling must survive (concurrent session)"
+    assert other.exists(), "sweep must stay within its own prefix"
+    assert not cur.exists(), "current path must come back cleared"
