@@ -54,3 +54,15 @@ def norm_sql(a: str) -> str:
 def cosine_sim_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"
 
+
+def sq_dist_sql(a: str, b: str) -> str:
+    """DuckDB twin of operators/ivf._sq_dist: same sequential fold of
+    (a_i - b_i)^2 (list_sum matches Spark's aggregate() left fold —
+    the dot_sql parity evidence), so squared L2 distances are
+    bit-identical doubles cross-engine."""
+    return (
+        f"COALESCE(list_sum(list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), 0.0)"
+    )
+

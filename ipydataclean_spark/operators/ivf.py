@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
-from ipydataclean_spark.functions.vector import cosine_sim, cosine_sim_sql, dot_sql, norm_sql
+from ipydataclean_spark.functions.vector import (
+    cosine_sim,
+    cosine_sim_sql,
+    dot_sql,
+    norm_sql,
+    sq_dist_sql,
+)
 from ipydataclean_spark.functions.vector import dot as vdot
 from ipydataclean_spark.functions.vector import norm as vnorm
 from ipydataclean_spark.operators.qhelp import T
@@ -106,6 +112,102 @@ def l3c_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return ivf_knn(emb, emb.where(F.col("vec_id") < 5)).orderBy(
         "query_id", F.desc("cos_sim"), "neighbor_id"
+    )
+
+
+_L3I_ORACLE = (
+    "WITH cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings "
+    "WHERE vec_id < 16), "
+    "asg AS (SELECT vec_id, embedding, cell FROM ("
+    "SELECT e.vec_id, e.embedding, c.cid AS cell, "
+    "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+    f"{cosine_sim_sql('e.embedding', 'c.c')} DESC, c.cid) AS rn "
+    "FROM embeddings e CROSS JOIN cents c) s WHERE rn = 1), "
+    "probes AS (SELECT query_id, q_emb, cell FROM ("
+    "SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cid AS cell, "
+    "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+    f"{cosine_sim_sql('q.embedding', 'c.c')} DESC, c.cid) AS pr "
+    "FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5) s "
+    "WHERE pr <= 4), "
+    "cand AS (SELECT p.query_id, a.vec_id AS neighbor_id, "
+    f"{cosine_sim_sql('p.q_emb', 'a.embedding')} AS cos_sim "
+    "FROM probes p JOIN asg a ON a.cell = p.cell "
+    "WHERE a.vec_id <> p.query_id) "
+    "SELECT query_id, neighbor_id, cos_sim FROM ("
+    "SELECT query_id, neighbor_id, cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cos_sim DESC, neighbor_id) AS rn FROM cand) s "
+    "WHERE rn <= 5 ORDER BY query_id, cos_sim DESC, neighbor_id"
+)
+
+
+@register("l3i_knn_ivf_seeded", oracle=_L3I_ORACLE, tags=("L3", "IVF"))
+def l3i_knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 ORACLE-CERTIFIED IVF: seeded cells (no Lloyd training) +
+    nprobe=4 probing + exact re-rank, every stage replayed by DuckDB —
+    upgrading the IVF probe PIPELINE from rows-only to hash-certified.
+    l3c (the registered production form) keeps its 2-iteration
+    k-means-lite cells, whose centroid updates are order-dependent
+    float averages with no cross-engine twin — that TRAINING step is
+    why l3c is rows-only by design; the probe semantics (assign →
+    probe nprobe nearest cells → exact-cosine re-rank top-k with the
+    same tie-breaks) are identical here and certified. Assignment and
+    probe ranking use max-cosine to the seed (the proven l36
+    cross-engine form: sequential-fold dot/norm, bit-identical
+    doubles) rather than l3c's squared L2 — equivalent ranking for
+    the near-unit-norm fixture embeddings and the form with a proven
+    twin. At scale the shape is l3c's: cells = partition key of the
+    stored table, probes = broadcast join, only probed cells
+    scanned."""
+    emb = T(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    asg = (
+        emb.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            (vdot("embedding", "c_emb") / (vnorm("embedding") * vnorm("c_emb"))).alias("sim"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max_by("cid", F.struct(F.col("sim"), (-F.col("cid")).alias("nc"))).alias("cell"),
+        )
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    probe_rank = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "q_emb",
+            "cid",
+            (vdot("q_emb", "c_emb") / (vnorm("q_emb") * vnorm("c_emb"))).alias("qsim"),
+        )
+        .withColumn("pr", F.row_number().over(probe_rank))
+        .where(F.col("pr") <= 4)
+        .select("query_id", "q_emb", F.col("cid").alias("cell"))
+    )
+    cand = (
+        asg.join(F.broadcast(probes), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim("q_emb", "embedding").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
     )
 
 
@@ -246,6 +348,128 @@ def l3e_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = T(spark, sf_dir, "embeddings")
     return pq_knn(emb, emb.where(F.col("vec_id") < 5)).orderBy(
         "query_id", F.desc("cos_sim"), "neighbor_id"
+    )
+
+
+def _l3j_sub_sql(tbl: str) -> str:
+    return (
+        f"(SELECT vec_id, sub_id, list_slice(embedding, sub_id * 16 + 1, "
+        f"sub_id * 16 + 16) AS subvec FROM {tbl} "
+        "CROSS JOIN (SELECT UNNEST(range(4)) AS sub_id))"
+    )
+
+
+_L3J_ORACLE = (
+    f"WITH sv AS {_l3j_sub_sql('embeddings')}, "
+    "cents AS (SELECT sub_id, vec_id AS cid, subvec AS centroid FROM sv "
+    "WHERE vec_id < 16), "
+    "codes AS (SELECT vec_id, sub_id, cid AS code FROM ("
+    "SELECT s.vec_id, s.sub_id, c.cid, "
+    "ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub_id ORDER BY "
+    f"{sq_dist_sql('s.subvec', 'c.centroid')}, c.cid) AS rn "
+    "FROM sv s JOIN cents c ON c.sub_id = s.sub_id) x WHERE rn = 1), "
+    "dtab AS (SELECT q.vec_id AS query_id, q.sub_id, c.cid AS code, "
+    f"{sq_dist_sql('q.subvec', 'c.centroid')} AS d2q "
+    "FROM sv q JOIN cents c ON c.sub_id = q.sub_id WHERE q.vec_id < 5), "
+    "approx AS (SELECT d.query_id, k.vec_id, "
+    "SUM(CASE WHEN k.sub_id = 0 THEN d.d2q END) AS d0, "
+    "SUM(CASE WHEN k.sub_id = 1 THEN d.d2q END) AS d1, "
+    "SUM(CASE WHEN k.sub_id = 2 THEN d.d2q END) AS d2, "
+    "SUM(CASE WHEN k.sub_id = 3 THEN d.d2q END) AS d3 "
+    "FROM codes k JOIN dtab d ON d.sub_id = k.sub_id AND d.code = k.code "
+    "WHERE k.vec_id <> d.query_id GROUP BY 1, 2), "
+    "cand AS (SELECT query_id, vec_id FROM ("
+    "SELECT query_id, vec_id, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY (((d0 + d1) + d2) + d3), vec_id) AS rn FROM approx) x "
+    "WHERE rn <= 100), "
+    "scored AS (SELECT c.query_id, e.vec_id AS neighbor_id, "
+    f"{cosine_sim_sql('q.embedding', 'e.embedding')} AS cos_sim "
+    "FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id "
+    "JOIN embeddings q ON q.vec_id = c.query_id) "
+    "SELECT query_id, neighbor_id, cos_sim FROM ("
+    "SELECT query_id, neighbor_id, cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored) x "
+    "WHERE rn <= 5 ORDER BY query_id, cos_sim DESC, neighbor_id"
+)
+
+
+@register("l3j_knn_pq_seeded", oracle=_L3J_ORACLE, tags=("L3", "PQ"))
+def l3j_knn_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 ORACLE-CERTIFIED PQ: seeded codebooks (first 16 vectors'
+    subvectors, no training) + ADC scoring + exact re-rank, every
+    stage replayed by DuckDB — certifying the PQ probe PIPELINE
+    (slicing, code assignment, the per-query distance table, the
+    sum-of-lookups approximate ranking, rerank semantics and
+    tie-breaks) that l3e runs with TRAINED codebooks. As with
+    l3c/l3i, the k-means training is the only non-twinnable stage
+    (order-dependent float averages), so l3e stays rows-only and this
+    twin carries the hash certificate. ADC sums are kept
+    order-deterministic cross-engine by pivoting the m=4 per-subspace
+    lookups into fixed columns and adding LEFT-TO-RIGHT — a bare
+    SUM() over doubles would reintroduce partial-agg order drift.
+    Squared distances use functions/vector.sq_dist_sql (the same
+    sequential fold as the Spark kernel — bit-identical doubles)."""
+    m, dim, n_seed, rerank, k_neighbors = 4, 64, 16, 100, 5
+    emb = T(spark, sf_dir, "embeddings")
+    sv = _subvectors(emb, m, dim)
+    cents = sv.where(F.col("vec_id") < n_seed).select(
+        "sub_id", F.col("vec_id").alias("cid"), F.col("subvec").alias("centroid")
+    )
+    scored = sv.join(F.broadcast(cents), "sub_id").select(
+        "vec_id",
+        "sub_id",
+        "cid",
+        _sq_dist(F.col("subvec"), F.col("centroid")).alias("d2"),
+    )
+    codes = scored.groupBy("vec_id", "sub_id").agg(
+        F.min_by("cid", F.struct("d2", "cid")).alias("code")
+    )
+    qsv = sv.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "sub_id", F.col("subvec").alias("q_subvec")
+    )
+    dtab = qsv.join(F.broadcast(cents), "sub_id").select(
+        "query_id",
+        "sub_id",
+        F.col("cid").alias("code"),
+        _sq_dist(F.col("q_subvec"), F.col("centroid")).alias("d2q"),
+    )
+    per = (
+        codes.join(F.broadcast(dtab), ["sub_id", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("sub_id") == j, F.col("d2q"))).alias(f"d{j}")
+                for j in range(m)
+            ]
+        )
+    )
+    ad2 = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    w = Window.partitionBy("query_id").orderBy(ad2.asc(), F.asc("vec_id"))
+    cand = (
+        per.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    rer = (
+        cand.join(emb, "vec_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_sim("q_emb", "embedding").alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rer.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k_neighbors)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
     )
 
 

@@ -348,6 +348,103 @@ def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L2F_K = 16  # signature length; 4 bands x 4 rows, matching l2's layout
+_L2F_ORACLE = with_documents_dup(
+    f", sh AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s FROM documents_dup), "
+    "mins AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh "
+    "FROM sh CROSS JOIN (SELECT UNNEST(range(16)) AS seed) GROUP BY doc_id, seed), "
+    "sig AS (SELECT doc_id, LIST(mh ORDER BY seed) AS sg FROM mins GROUP BY doc_id), "
+    "banded AS (SELECT doc_id, b, md5(sg[4*b + 1] || '|' || sg[4*b + 2] || '|' || "
+    "sg[4*b + 3] || '|' || sg[4*b + 4]) AS bh "
+    "FROM sig CROSS JOIN (SELECT UNNEST(range(4)) AS b)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh "
+    "AND a.doc_id < b.doc_id), "
+    "est AS (SELECT c.doc_a, c.doc_b, "
+    "CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree "
+    "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
+    "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed "
+    "GROUP BY c.doc_a, c.doc_b) "
+    "SELECT doc_a, doc_b, ROUND(n_agree / 16.0, 8) AS est_jaccard "
+    "FROM est WHERE n_agree >= 8 ORDER BY doc_a, doc_b"
+)
+
+
+@register("l2f_minhash_lsh_md5", oracle=_L2F_ORACLE, tags=("L2", "D5"))
+def l2f_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 ORACLE-CERTIFIED MinHash-LSH: the same algorithm as l2
+    (16-slot signature, 4x4 banding, bucket join, agreement >= 8/16)
+    with md5 as the hash family so DuckDB can replay every stage —
+    upgrading the flagship near-dup path from rows-only to
+    hash-certified against an independent engine. l2 itself stays on
+    multi-arg xxhash64 (JVM-side, no per-shingle string ever built —
+    the production hash; xxhash64 has no DuckDB equivalent, which is
+    WHY l2 is rows-only by design). This twin certifies the PIPELINE
+    — shingling, per-seed min, banding, candidate semantics, the
+    estimated-Jaccard filter — not the hash function choice: per-seed
+    minima are lexicographic minima over md5 hex strings (both
+    engines lowercase hex under binary collation), the band key is
+    md5 over '|'-joined row minima, and the >= 0.5 threshold is the
+    integer comparison n_agree >= 8 so no float enters the
+    predicate. Cost note: this form builds shingle STRINGS and runs
+    16 md5s per shingle — certification economics, not production
+    economics (l2's seeded double-hashing of one 8-byte long is ~40%
+    cheaper; BENCH.md r3)."""
+    docs = documents_dup(spark, sf_dir)
+    sh = exploded_shingles(docs, "s")
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("s")))
+            ).alias(f"mh_{seed}")
+            for seed in range(_L2F_K)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_L2F_K)])
+    sig = mins.select("doc_id", sig_arr.alias("sg"))
+    banded = sig.select(
+        "doc_id",
+        "sg",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"sg")[4 * b + i] for i in range(4)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "sg", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sa"), "b", "bh")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sb"), "b", "bh")
+    cand = (
+        a.join(b, ["b", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+    n_agree = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
+    )
+    return (
+        cand.withColumn("n_agree", n_agree)
+        .where(F.col("n_agree") >= 8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_agree") / F.lit(16.0), 8).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register("l2c_simhash", oracle=None, tags=("L2",))
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash variant: 64-bit simhash per doc; near-dup pairs =
@@ -474,6 +571,120 @@ def l3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_lsh(
         emb, emb.where(F.col("vec_id") < 5), n_bands=12, band_bits=4
     ).orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+
+
+_L3K_BANDS, _L3K_BITS, _L3K_DIM = 12, 4, 64
+
+
+def _l3k_plane(p: int) -> list[float]:
+    """Plane p's 64 md5-derived components, computed driver-side with
+    hashlib (hashlib.md5 == Spark F.md5 == DuckDB md5 on the same
+    string, so these literals match the oracle's in-SQL derivation
+    bit-for-bit): u = (first-24-bits(md5(f'{p}:{i}')) + 0.5)/2^24 - 0.5."""
+    import hashlib
+
+    return [
+        (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:6], 16) + 0.5)
+        / 16777216.0
+        - 0.5
+        for i in range(_L3K_DIM)
+    ]
+
+
+_L3K_PLANES_SQL = (
+    "(SELECT p, LIST(u ORDER BY i) AS plane FROM ("
+    "SELECT p, i, (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || "
+    "CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 - 0.5 AS u "
+    f"FROM (SELECT UNNEST(range({_L3K_BANDS * _L3K_BITS})) AS p) "
+    f"CROSS JOIN (SELECT UNNEST(range({_L3K_DIM})) AS i)) x GROUP BY p)"
+)
+
+_L3K_ORACLE = (
+    f"WITH planes AS {_L3K_PLANES_SQL}, "
+    # sign bit per (vector, plane): the same sequential-fold dot as the
+    # Spark literal-plane kernel
+    "sb AS (SELECT e.vec_id, pl.p, CASE WHEN "
+    f"{dot_sql('e.embedding', 'pl.plane')} >= 0 THEN 1 ELSE 0 END AS s "
+    "FROM embeddings e CROSS JOIN planes pl), "
+    # 4-bit band keys: integer sums, no float order hazard
+    f"bands AS (SELECT vec_id, CAST(p // {_L3K_BITS} AS BIGINT) AS b, "
+    f"CAST(SUM(s * (1 << (3 - (p % {_L3K_BITS})))) AS BIGINT) AS key "
+    "FROM sb GROUP BY 1, 2), "
+    "cand AS (SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS neighbor_id "
+    "FROM bands q JOIN bands v ON v.b = q.b AND v.key = q.key "
+    "AND v.vec_id <> q.vec_id WHERE q.vec_id < 5), "
+    "scored AS (SELECT c.query_id, c.neighbor_id, "
+    f"{cosine_sim_sql('qe.embedding', 've.embedding')} AS cos_sim "
+    "FROM cand c JOIN embeddings qe ON qe.vec_id = c.query_id "
+    "JOIN embeddings ve ON ve.vec_id = c.neighbor_id) "
+    "SELECT query_id, neighbor_id, cos_sim FROM ("
+    "SELECT query_id, neighbor_id, cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY cos_sim DESC, neighbor_id) AS rn FROM scored) x "
+    "WHERE rn <= 5 ORDER BY query_id, cos_sim DESC, neighbor_id"
+)
+
+
+@register("l3k_knn_lsh_md5", oracle=_L3K_ORACLE, tags=("L3",))
+def l3k_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 ORACLE-CERTIFIED hyperplane LSH: the l3b pipeline (sign
+    sketches, 12 bands x 4 bits, any-band collision, exact re-rank)
+    with md5-derived projection constants so DuckDB can replay every
+    stage — the hash certificate for the remaining rows-only ANN
+    family (l2f/l3i/l3j cover MinHash-LSH/IVF/PQ). l3b itself stays
+    on xxhash64 planes (JVM-side, no DuckDB twin — why it is
+    rows-only by design). The planes are CONSTANTS: computed once
+    driver-side with hashlib (identical md5, see _l3k_plane) and
+    inlined as literal arrays, so the Spark plan is a map-only
+    sign-sketch over the scan — the shape that holds at 100 TB; the
+    oracle derives the same doubles in SQL. Sign bits compare a
+    sequential-fold dot against 0 (bit-identical doubles
+    cross-engine); band keys are INTEGER bit-sums, immune to float
+    order."""
+    emb = T(spark, sf_dir, "embeddings")
+    sign_exprs = []
+    for p in range(_L3K_BANDS * _L3K_BITS):
+        plane = F.array(*[F.lit(v) for v in _l3k_plane(p)])
+        prods = F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y)
+        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        sign_exprs.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
+    band_structs = [
+        F.struct(
+            F.lit(b).cast("long").alias("b"),
+            sum(
+                (sign_exprs[b * _L3K_BITS + j] * F.lit(1 << (3 - j)))
+                for j in range(_L3K_BITS)
+            ).cast("long").alias("key"),
+        )
+        for b in range(_L3K_BANDS)
+    ]
+    bands = emb.select(
+        "vec_id", F.explode(F.array(*band_structs)).alias("bd")
+    ).select("vec_id", F.col("bd.b").alias("b"), F.col("bd.key").alias("key"))
+    qb = bands.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "b", "key"
+    )
+    cand = (
+        bands.join(F.broadcast(qb), ["b", "key"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        cand.join(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"), "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", cosine_sim("q_emb", "embedding").alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
+    )
 
 
 @register(

@@ -65,19 +65,35 @@ def test_query_names_are_wellformed_and_unique():
 
 
 def test_prior_green_rounds_match_correctness_files():
-    """Every name in DRIVER_GREEN_PRIOR_ROUNDS must correspond to a
-    green row in a committed CORRECTNESS_r*.json — the rotation list
-    can't drift from the driver's actual evidence."""
+    """Every name in DRIVER_GREEN_PRIOR_ROUNDS must correspond to its
+    MAXIMAL driver evidence in a committed CORRECTNESS_r*.json — a
+    full rows+schema+hash green row for oracle-backed queries, or a
+    non-error rows-only row (``err: "no_oracle"``, spark_rows
+    recorded) for oracle-less-by-design queries, whose re-run would
+    add nothing. The rotation list can't drift from the driver's
+    actual evidence, and an oracle-BACKED query can never ride on a
+    rows-only row."""
     import glob
     import json
 
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
     green: set[str] = set()
+    rows_only_seen: set[str] = set()
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         with open(path) as f:
             for name, row in json.load(f).items():
                 if row.get("rows_match") and row.get("schema_match") and row.get("hash_match"):
                     green.add(name)
-    assert DRIVER_GREEN_PRIOR_ROUNDS <= green, (
-        "names listed as prior-green without a green CORRECTNESS row: "
-        f"{sorted(DRIVER_GREEN_PRIOR_ROUNDS - green)}"
-    )
+                elif row.get("err") == "no_oracle" and row.get("spark_rows") is not None:
+                    rows_only_seen.add(name)
+    for name in sorted(DRIVER_GREEN_PRIOR_ROUNDS):
+        if name in green:
+            continue
+        assert name in QUERIES, f"prior-green name no longer registered: {name}"
+        assert QUERIES[name]["oracle"] is None and name in rows_only_seen, (
+            f"{name} listed as prior-green without a green CORRECTNESS row "
+            "(oracle-backed queries need rows+schema+hash; oracle-less need "
+            "a recorded rows-only row)"
+        )
