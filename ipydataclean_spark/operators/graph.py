@@ -120,6 +120,135 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank"), "node").limit(25)
 
 
+_G1B_SCALE = 1_000_000_000  # rank unit = 1e-9 (fits BIGINT at any tested SF)
+_G1B_ITERS = 10
+
+_G1B_EDGES_SQL = (
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "UNION ALL "
+    "SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+)
+
+
+def _g1b_oracle() -> str:
+    s = _G1B_SCALE
+    parts = [
+        f"WITH e AS MATERIALIZED ({_G1B_EDGES_SQL}), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e "
+        "UNION SELECT DISTINCT dst FROM e), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes), "
+        "deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM e GROUP BY 1), "
+        f"r0 AS MATERIALIZED (SELECT node, CAST({s} AS BIGINT) AS r FROM nodes)"
+    ]
+    for k in range(1, _G1B_ITERS + 1):
+        p = k - 1
+        parts.append(
+            f", c{k} AS MATERIALIZED (SELECT e.dst AS node, "
+            f"CAST(SUM(r.r // d.d) AS BIGINT) AS in_sum "
+            f"FROM e JOIN r{p} r ON r.node = e.src "
+            "JOIN deg d ON d.node = e.src GROUP BY 1)"
+            f", dg{k} AS (SELECT CAST(COALESCE((SELECT SUM(r.r) "
+            f"FROM r{p} r LEFT JOIN deg d ON d.node = r.node "
+            "WHERE d.node IS NULL), 0) // (SELECT n FROM nn) AS BIGINT) AS dang)"
+            f", r{k} AS MATERIALIZED (SELECT n.node, CAST({15 * s // 100} + "
+            "(85 * (COALESCE(c.in_sum, 0) + dg.dang)) // 100 AS BIGINT) AS r "
+            f"FROM nodes n LEFT JOIN c{k} c ON c.node = n.node "
+            f"CROSS JOIN dg{k} dg)"
+        )
+    parts.append(
+        f" SELECT node, r AS rank_e9 FROM r{_G1B_ITERS} "
+        "ORDER BY r DESC, node LIMIT 25"
+    )
+    return "".join(parts)
+
+
+@register("g1b_pagerank_fixedpoint", oracle=_g1b_oracle(), tags=("G1",))
+def g1b_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 ORACLE-CERTIFIED PageRank: the same graph and damping as g1
+    but in FIXED-POINT INTEGER arithmetic (rank unit 1e-9, integral
+    `div`, the 0.85 damping as `(85 * x) div 100` — safe in BIGINT at
+    the 1e-9 unit, see the headroom note below) so every iteration is
+    EXACT and order-independent in both engines — no float summation
+    order to drift. The DuckDB twin UNROLLS the 10 iterations as a generated
+    CTE chain (r0..r10): iterative fixpoints are certifiable once the
+    per-step arithmetic is integer, which is the certification trick
+    this query exists to pin (g1 stays the production form: decimal-
+    summed float ranks, rows-only + known-graph identity test).
+    Overflow headroom: total mass = n_nodes x 1e9 ~ 1.6e14 at sf1,
+    x85 well under 2^63; a 100 TB graph would re-derive the unit or
+    use g1's decimal path. Dangling-mass term kept (exercised by the
+    synthetic test in tests/test_extras_r6.py, not by this doubled
+    bipartite graph where every node has out-edges)."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    fwd = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"),
+            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    ranks = pagerank_fixedpoint(edges, iterations=_G1B_ITERS)
+    return (
+        ranks.select("node", F.col("r").alias("rank_e9"))
+        .orderBy(F.desc("rank_e9"), "node")
+        .limit(25)
+    )
+
+
+def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10) -> DataFrame:
+    """(node, r): exact integer PageRank (see g1b docstring). Shapes
+    match pagerank(): per-iteration work is rank-table-sized joins;
+    lineage cut per round via lazy localCheckpoint."""
+    edges = edges.localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ranks = nodes.select("node", F.lit(_G1B_SCALE).cast("long").alias("r"))
+    base = F.lit(15 * _G1B_SCALE // 100).cast("long")
+    for _ in range(iterations):
+        contribs = (
+            edges.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("node"), F.expr("r div d").alias("contrib"))
+            .groupBy("node")
+            .agg(F.sum("contrib").cast("long").alias("in_sum"))
+        )
+        dang = (
+            ranks.join(
+                deg.select(F.col("src").alias("node")), "node", "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
+            .crossJoin(F.broadcast(nn))
+            .select(F.expr("dm div n").cast("long").alias("dang"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    base
+                    + F.expr("(85 * (COALESCE(in_sum, 0) + dang)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks
+
+
 @register(
     "g2_triangle_count",
     oracle=(

@@ -349,7 +349,10 @@ def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _L2F_K = 16  # signature length; 4 bands x 4 rows, matching l2's layout
-_L2F_ORACLE = with_documents_dup(
+
+#: The md5 MinHash-LSH CTE chain (through ``est(doc_a, doc_b,
+#: n_agree)``), shared by l2f and the keep-best dedup twin c30b.
+L2F_CTES = (
     f", sh AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s FROM documents_dup), "
     "mins AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh "
     "FROM sh CROSS JOIN (SELECT UNNEST(range(16)) AS seed) GROUP BY doc_id, seed), "
@@ -364,8 +367,12 @@ _L2F_ORACLE = with_documents_dup(
     "CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_agree "
     "FROM cand c JOIN mins ma ON ma.doc_id = c.doc_a "
     "JOIN mins mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed "
-    "GROUP BY c.doc_a, c.doc_b) "
-    "SELECT doc_a, doc_b, ROUND(n_agree / 16.0, 8) AS est_jaccard "
+    "GROUP BY c.doc_a, c.doc_b)"
+)
+
+_L2F_ORACLE = with_documents_dup(
+    L2F_CTES
+    + " SELECT doc_a, doc_b, ROUND(n_agree / 16.0, 8) AS est_jaccard "
     "FROM est WHERE n_agree >= 8 ORDER BY doc_a, doc_b"
 )
 

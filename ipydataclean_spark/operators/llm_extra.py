@@ -528,6 +528,74 @@ def c30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_C30B_ORACLE = None  # built lazily below (needs llm.L2F_CTES + dirty SQL)
+
+
+def _c30b_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+
+    return (
+        "WITH RECURSIVE documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + ")"
+        + llm.L2F_CTES
+        + ", cp AS (SELECT doc_a, doc_b FROM est WHERE n_agree >= 8), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cp "
+        "UNION SELECT doc_b, doc_a FROM cp), "
+        # transitive closure: cluster = min reachable id (exact fixpoint,
+        # the er1 oracle mechanism)
+        "r(a, b) AS (SELECT doc_id, doc_id FROM documents_dup "
+        "UNION SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+        "q AS (SELECT doc_id AS id, LENGTH(text) AS raw_len FROM documents_dup), "
+        "ranked AS (SELECT l.cluster_id, q.id, "
+        "ROW_NUMBER() OVER (PARTITION BY l.cluster_id "
+        "ORDER BY q.raw_len, q.id) AS rn, "
+        "COUNT(*) OVER (PARTITION BY l.cluster_id) AS csize "
+        "FROM lbl l JOIN q ON q.id = l.id) "
+        "SELECT cluster_id, id AS survivor_id, CAST(csize AS BIGINT) AS cluster_size "
+        "FROM ranked WHERE rn = 1 ORDER BY cluster_id"
+    )
+
+
+@register(
+    "c30b_dedup_keep_best_md5",
+    oracle=_c30b_oracle(),
+    tags=("L2", "C16", "dedup"),
+)
+def c30b_dedup_keep_best_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C30 ORACLE-CERTIFIED: the keep-best near-dup dedup END MOVE
+    with every stage replayed by DuckDB — md5 MinHash-LSH candidates
+    (llm.l2f pipeline), connected components (Spark: min-label
+    propagation; oracle: recursive-CTE transitive closure — the er1
+    two-mechanism fixpoint proof), survivor = least raw length then
+    lowest doc_id. c30 (the registered production form) keeps
+    xxhash64 candidates and stays rows-only+golden; this twin hash-
+    certifies the CLUSTER-THEN-CHOOSE semantics end to end, including
+    singleton clusters (every doc gets a component and the survivor
+    rule degenerates to identity)."""
+    from ipydataclean_spark.operators.llm import l2f_minhash_lsh_md5
+
+    docs = documents_dup(spark, sf_dir)
+    pairs = l2f_minhash_lsh_md5(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    quality = docs.select(
+        F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
+    )
+    pref = F.struct(
+        (-F.col("raw_len")).alias("neg_len"), (-F.col("id")).alias("neg_id")
+    )
+    return (
+        labels.join(quality, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("id", pref).alias("survivor_id"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
 _WINNOW_K = 3   # k-gram length (words)
 _WINNOW_W = 4   # winnowing window (k-grams per window)
 

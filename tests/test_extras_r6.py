@@ -226,3 +226,50 @@ def test_l2f_md5_minhash_agrees_with_exact_jaccard(spark, sf_dir):
     )
     hits = [got[p] for p in exact & set(got)]
     assert sum(hits) / len(hits) >= 0.7, "estimates on true pairs too low"
+
+
+def test_g1b_fixedpoint_dangling_mass(spark):
+    """pagerank_fixedpoint's dangling-mass term on a synthetic graph
+    (node 3 has NO out-edges — the case the registered bipartite
+    fixture never exercises), checked against a pure-Python replay of
+    the identical integer recurrence."""
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.operators.graph import (
+        _G1B_SCALE,
+        pagerank_fixedpoint,
+    )
+
+    edges = [(1, 2), (2, 3), (1, 3)]
+    df = spark.createDataFrame([Row(src=a, dst=b) for a, b in edges])
+    got = {r.node: r.r for r in pagerank_fixedpoint(df, iterations=10).collect()}
+
+    nodes = [1, 2, 3]
+    deg = {1: 2, 2: 1}
+    r = {n: _G1B_SCALE for n in nodes}
+    base = 15 * _G1B_SCALE // 100
+    for _ in range(10):
+        in_sum = {n: 0 for n in nodes}
+        for a, b in edges:
+            in_sum[b] += r[a] // deg[a]
+        dang = sum(r[n] for n in nodes if n not in deg) // len(nodes)
+        r = {n: base + (85 * (in_sum[n] + dang)) // 100 for n in nodes}
+    assert got == r, (got, r)
+    # node 3 (sink + dangling) must have accumulated the most rank
+    assert max(r, key=r.get) == 3
+
+
+def test_c30b_certified_keep_best_prefers_base_doc(spark, sf_dir):
+    """The hash-certified keep-best twin must satisfy the same golden
+    property as c30: dup-cluster survivors are always base docs (the
+    un-padded copies), singletons keep themselves."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["c30b_dedup_keep_best_md5"]["fn"](spark, sf_dir).collect()
+    dup_clusters = [r for r in rows if r.cluster_size >= 2]
+    assert dup_clusters, "fixture should produce dup clusters"
+    for r in dup_clusters:
+        assert r.survivor_id < 1000000, (r.cluster_id, r.survivor_id)
+    for r in [r for r in rows if r.cluster_size == 1][:50]:
+        assert r.survivor_id == r.cluster_id
