@@ -452,6 +452,96 @@ def l2f_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_L2G_BITS, _L2G_BANDS = 48, 6  # 6 bands x 8 bits; pigeonhole: hamming<=5
+
+_L2G_ORACLE = with_documents_dup(
+    f", sh AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s FROM documents_dup), "
+    "hv AS (SELECT doc_id, CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS h "
+    "FROM sh), "
+    "bits AS (SELECT doc_id, b, CASE WHEN (h // CAST(POWER(2, b) AS BIGINT)) "
+    "% 2 = 1 THEN 1 ELSE -1 END AS contrib "
+    f"FROM hv CROSS JOIN (SELECT UNNEST(range({_L2G_BITS})) AS b)), "
+    "sk AS (SELECT doc_id, b, CASE WHEN SUM(contrib) >= 0 THEN 1 ELSE 0 END AS sbit "
+    "FROM bits GROUP BY 1, 2), "
+    "bands AS (SELECT doc_id, CAST(b // 8 AS BIGINT) AS band, "
+    "CAST(SUM(sbit * CAST(POWER(2, 7 - (b % 8)) AS BIGINT)) AS BIGINT) AS key "
+    "FROM sk GROUP BY 1, 2), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, v.doc_id AS doc_b "
+    "FROM bands a JOIN bands v ON v.band = a.band AND v.key = a.key "
+    "AND a.doc_id < v.doc_id), "
+    "ham AS (SELECT c.doc_a, c.doc_b, "
+    "CAST(SUM(CASE WHEN sa.sbit <> sb.sbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming "
+    "FROM cand c JOIN sk sa ON sa.doc_id = c.doc_a "
+    "JOIN sk sb ON sb.doc_id = c.doc_b AND sb.b = sa.b "
+    "GROUP BY 1, 2) "
+    "SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 5 "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+@register("l2g_simhash_md5", oracle=_L2G_ORACLE, tags=("L2",))
+def l2g_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 ORACLE-CERTIFIED SimHash: 48-bit sketches from the md5
+    48-bit prefix of each shingle, 6 bands x 8 bits, pigeonhole-exact
+    candidates for hamming <= 5, every stage replayed by DuckDB —
+    the certificate for the SimHash FAMILY that l2c runs on xxhash64
+    (rows-only by design). The whole pipeline is INTEGER arithmetic
+    (bit extraction via h div 2^b mod 2 — POWER(2, b) exact in a
+    double through b = 47 — majority vote and band keys as integer
+    sums), so there is no float order to drift. Shape matches l2c at
+    scale: per-(doc, bit) contributions are a slim keyed fanout, the
+    sketch is one grouped sum, candidates come from the banded
+    self-join, and the hamming verify touches candidates only."""
+    docs = documents_dup(spark, sf_dir)
+    sh = exploded_shingles(docs, "s")
+    hv = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("s")), 1, 12), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    bidx = spark.range(_L2G_BITS).select(F.col("id").alias("b"))
+    bits = hv.crossJoin(F.broadcast(bidx)).select(
+        "doc_id",
+        "b",
+        F.when(F.expr("(h div CAST(power(2, b) AS BIGINT)) % 2 = 1"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("contrib"),
+    )
+    sk = bits.groupBy("doc_id", "b").agg(
+        F.when(F.sum("contrib") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("sbit")
+    )
+    bands = sk.groupBy(
+        "doc_id", F.expr("CAST(b div 8 AS BIGINT)").alias("band")
+    ).agg(
+        F.sum(F.col("sbit") * F.expr("CAST(power(2, 7 - (b % 8)) AS BIGINT)"))
+        .cast("long")
+        .alias("key")
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    v = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    cand = (
+        a.join(v, ["band", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sk.select(F.col("doc_id").alias("doc_a"), "b", F.col("sbit").alias("ba"))
+    sb = sk.select(F.col("doc_id").alias("doc_b"), "b", F.col("sbit").alias("bb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "b"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.when(F.col("ba") != F.col("bb"), 1).otherwise(0))
+            .cast("long")
+            .alias("hamming")
+        )
+        .where(F.col("hamming") <= 5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 @register("l2c_simhash", oracle=None, tags=("L2",))
 def l2c_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 SimHash variant: 64-bit simhash per doc; near-dup pairs =
@@ -827,6 +917,125 @@ def l4b_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_neardup_pairs_lsh(
         embeddings_dup(spark, sf_dir), tau=NEARDUP_TAU
     ).orderBy("vec_a", "vec_b")
+
+
+_L4E_NB, _L4E_BITS, _L4E_DIM = 16, 12, 64  # l4b's operating point
+
+_L4E_PLANES_SQL = (
+    "(SELECT p, LIST(u ORDER BY i) AS plane FROM ("
+    "SELECT p, i, (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || "
+    "CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 - 0.5 AS u "
+    f"FROM (SELECT UNNEST(range({_L4E_NB * _L4E_BITS})) AS p) "
+    f"CROSS JOIN (SELECT UNNEST(range({_L4E_DIM})) AS i)) x GROUP BY p)"
+)
+
+
+def _l4e_oracle() -> str:
+    from ipydataclean_spark.operators.ivf import _L36_DUP_CTE
+
+    return (
+        "WITH " + _L36_DUP_CTE + ", "
+        f"planes AS MATERIALIZED {_L4E_PLANES_SQL}, "
+        "sb AS (SELECT d.vec_id, pl.p, CASE WHEN "
+        f"{dot_sql('d.embedding', 'pl.plane')} >= 0 THEN 1 ELSE 0 END AS s "
+        "FROM dup d CROSS JOIN planes pl), "
+        f"bands AS (SELECT vec_id, CAST(p // {_L4E_BITS} AS BIGINT) AS b, "
+        "CAST(SUM(s * CAST(POWER(2, "
+        f"{_L4E_BITS - 1} - (p % {_L4E_BITS})) AS BIGINT)) AS BIGINT) AS key "
+        "FROM sb GROUP BY 1, 2), "
+        "cand AS (SELECT DISTINCT a.vec_id AS vec_a, v.vec_id AS vec_b "
+        "FROM bands a JOIN bands v ON v.b = a.b AND v.key = a.key "
+        "AND a.vec_id < v.vec_id), "
+        "scored AS (SELECT c.vec_a, c.vec_b, "
+        f"{cosine_sim_sql('ea.embedding', 'eb.embedding')} AS cos_sim "
+        "FROM cand c JOIN dup ea ON ea.vec_id = c.vec_a "
+        "JOIN dup eb ON eb.vec_id = c.vec_b) "
+        "SELECT vec_a, vec_b, cos_sim FROM scored "
+        f"WHERE cos_sim >= {NEARDUP_TAU} ORDER BY vec_a, vec_b"
+    )
+
+
+@register("l4e_embed_neardup_lsh_md5", oracle=_l4e_oracle(), tags=("L4", "L2", "dedup"))
+def l4e_embed_neardup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 ORACLE-CERTIFIED hyperplane-LSH near-dup join: l4b's exact
+    operating point (16 bands x 12 bits, tau = 0.98 over
+    embeddings_dup) with md5-derived planes so DuckDB replays every
+    stage — band self-join candidates, exact-cosine verify, the lot.
+    l4b stays on xxhash64 planes (rows-only by design). Unlike l3k's
+    48 inline-literal planes, the 192 planes here are a DERIVED
+    16-row-per-vector-free table: built once from md5 expressions
+    (192 x 64 rows -> grouped arrays), broadcast into a slim
+    (vec_id, p, sign) fanout, then integer band keys via one grouped
+    sum — the same two-shuffle shape at any corpus size, and the same
+    CTE structure the oracle runs. Sign bits compare a
+    sequential-fold dot to 0 (bit-identical doubles); band keys are
+    integer bit-sums (POWER(2, k) exact for k <= 11)."""
+    emb = embeddings_dup(spark, sf_dir)
+    n_planes = _L4E_NB * _L4E_BITS
+    from ipydataclean_spark.operators.curation import md5_prefix_int
+
+    idx = spark.range(n_planes * _L4E_DIM).select(
+        F.expr(f"id div {_L4E_DIM}").alias("p"),
+        F.expr(f"id % {_L4E_DIM}").alias("i"),
+    )
+    planes = (
+        idx.select(
+            "p",
+            "i",
+            (
+                (
+                    md5_prefix_int(
+                        F.concat_ws(
+                            ":", F.col("p").cast("string"), F.col("i").cast("string")
+                        )
+                    )
+                    + F.lit(0.5)
+                )
+                / F.lit(16777216.0)
+                - F.lit(0.5)
+            ).alias("u"),
+        )
+        .groupBy("p")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "u"))), lambda s: s.u
+            ).alias("plane")
+        )
+    )
+    prods = F.zip_with("embedding", "plane", lambda x, y: x.cast("double") * y)
+    d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    sb = emb.crossJoin(F.broadcast(planes)).select(
+        "vec_id", "p", F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).alias("s")
+    )
+    bands = sb.groupBy(
+        "vec_id", F.expr(f"CAST(p div {_L4E_BITS} AS BIGINT)").alias("b")
+    ).agg(
+        F.sum(
+            F.col("s")
+            * F.expr(
+                f"CAST(power(2, {_L4E_BITS - 1} - (p % {_L4E_BITS})) AS BIGINT)"
+            )
+        )
+        .cast("long")
+        .alias("key")
+    )
+    a = bands.select(F.col("vec_id").alias("vec_a"), "b", "key")
+    v = bands.select(F.col("vec_id").alias("vec_b"), "b", "key")
+    cand = (
+        a.join(v, ["b", "key"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine_sim("emb_a", "emb_b").alias("cos_sim"))
+        .where(F.col("cos_sim") >= NEARDUP_TAU)
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 # ---------------------------------------------------------------------------

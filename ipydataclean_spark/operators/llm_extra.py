@@ -191,6 +191,55 @@ def l12_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_L12B_ORACLE = with_documents_dup(
+    f", s AS (SELECT doc_id, {norm_text_sql('text')} AS t FROM documents_dup), "
+    "h AS (SELECT doc_id, list_transform("
+    "range(1, GREATEST(LENGTH(t) - 7, 1) + 1), "
+    "i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 6)) AS BIGINT)) AS hs "
+    "FROM s), "
+    "m AS (SELECT doc_id, list_distinct(list_transform("
+    "range(1, GREATEST(len(hs) - 3, 1) + 1), "
+    "i -> list_min(list_slice(hs, i, i + 3)))) AS fp FROM h) "
+    "SELECT doc_id, CAST(len(fp) AS INTEGER) AS n_fingerprints, "
+    "list_min(fp) AS min_fp FROM m ORDER BY doc_id"
+)
+
+
+@register("l12b_fingerprints_md5", oracle=_L12B_ORACLE, tags=("L12", "text-analysis"))
+def l12b_fingerprints_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12 ORACLE-CERTIFIED winnowing: the l12 pipeline (char 8-gram
+    rolling hashes, window-4 minima, distinct fingerprint set) with
+    the md5 24-bit prefix as the gram hash so DuckDB replays every
+    stage — hash-certifying the WINNOWING semantics (gram windows,
+    min selection, set summary) that l12 runs on xxhash64 (JVM-only,
+    why it is rows-only by design). Same map-only all-array shape:
+    one codegen projection per doc, no explode, no shuffle before the
+    final sort."""
+    k, window = 8, 4
+    docs = documents_dup(spark, sf_dir)
+    d = docs.withColumn("__s", norm_text_col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length("__s") - (k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.col("__s").substr(i, F.lit(k))), 1, 6), 16, 10
+        ).cast("long"),
+    )
+    d = d.withColumn("__h", grams)
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__h") - (window - 1), F.lit(1))),
+        lambda i: F.array_min(F.slice("__h", i, window)),
+    )
+    return (
+        d.select("doc_id", F.array_distinct(mins).alias("fp"))
+        .select(
+            "doc_id",
+            F.size("fp").cast("int").alias("n_fingerprints"),
+            F.array_min("fp").alias("min_fp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Token chunking (UDTF — U5)
 # ---------------------------------------------------------------------------

@@ -666,6 +666,51 @@ def r22_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
 
 
+_R22D_ORACLE = (
+    "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty "
+    "FROM lineitem WHERE "
+    "(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
+    "CAST(l_linenumber AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 "
+    "< 0.1 ORDER BY l_orderkey, l_linenumber"
+)
+
+
+@register("r22d_hash_sample", oracle=_R22D_ORACLE, tags=("R22",))
+def r22d_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R22 ORACLE-CERTIFIED sampling: a 10% Bernoulli sample whose
+    coin is the md5 24-bit prefix of the row key (u = (h + 0.5)/2^24
+    < 0.1 — the curation.md5_prefix_int rule, the same deterministic
+    slice r8c and l39 build on) instead of r22's engine-RNG
+    ``df.sample`` — hash-certified row-for-row against DuckDB.
+    Besides certifiability, key-hash sampling is what a 100 TB
+    pipeline wants anyway: the sample is REPRODUCIBLE across engines,
+    retries, repartitioning, and incremental reruns (a row's fate
+    never depends on task boundaries, unlike RNG-per-partition), and
+    it pushes down as an ordinary predicate."""
+    from ipydataclean_spark.operators.curation import md5_prefix_int
+
+    li = T(spark, sf_dir, "lineitem")
+    u = (
+        md5_prefix_int(
+            F.concat_ws(
+                "-",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            )
+        )
+        + F.lit(0.5)
+    ) / F.lit(16777216.0)
+    return (
+        li.where(u < 0.1)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").cast("double").alias("qty"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
 @register(
     "r23_pivot",
     oracle=(
