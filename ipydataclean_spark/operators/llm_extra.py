@@ -139,6 +139,95 @@ def language_id(train: DataFrame, test: DataFrame, n: int = 2, top_profile: int 
     )
 
 
+_L11B_GRAM_SQL = (
+    "CASE WHEN LENGTH({t}) >= 2 THEN list_transform("
+    "range(1, LENGTH({t})), i -> substr({t}, i, 2)) "
+    "ELSE [] END"
+)
+
+_L11B_ORACLE = (
+    "WITH tr AS (SELECT LOWER(TRIM(text)) AS t, lang FROM documents "
+    "WHERE doc_id % 2 = 0), "
+    "te AS (SELECT doc_id, LOWER(TRIM(text)) AS t FROM documents "
+    "WHERE doc_id % 2 = 1), "
+    f"trg AS (SELECT lang, UNNEST({_L11B_GRAM_SQL.format(t='t')}) AS gram FROM tr), "
+    "cnts AS (SELECT lang, gram, COUNT(*) AS cnt FROM trg GROUP BY 1, 2), "
+    "prof AS (SELECT lang, gram, CAST(201 - rnk AS BIGINT) AS weight FROM ("
+    "SELECT lang, gram, ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY cnt DESC, gram) AS rnk FROM cnts) x WHERE rnk <= 200), "
+    f"teg AS (SELECT doc_id, UNNEST({_L11B_GRAM_SQL.format(t='t')}) AS gram FROM te), "
+    "sc AS (SELECT g.doc_id, p.lang, CAST(SUM(p.weight) AS BIGINT) AS score "
+    "FROM teg g JOIN prof p ON p.gram = g.gram GROUP BY 1, 2) "
+    "SELECT doc_id, lang AS predicted_lang FROM ("
+    "SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id "
+    "ORDER BY score DESC, lang DESC) AS rn FROM sc) x "
+    "WHERE rn = 1 ORDER BY doc_id"
+)
+
+
+@register("l11b_language_id_certified", oracle=_L11B_ORACLE, tags=("L11", "text-analysis"))
+def l11b_language_id_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11 ORACLE-CERTIFIED language ID: the Cavnar-Trenkle pipeline
+    (char-bigram profiles from even doc_ids, top-200 by count with
+    gram tie-break, rank weights, argmax score on odd doc_ids) with
+    every stage replayed by DuckDB. Certifiable because the scoring
+    is INTEGER throughout — rank weights are 1..200 and the per-doc
+    score is an exact integer sum, so no float order exists to drift
+    (l11 was rows-only for a semantic reason — the fixture shares one
+    vocabulary across langs, so accuracy is asserted on a controlled
+    corpus in tests — not an arithmetic one; this twin adds the
+    missing cross-engine proof of the MECHANICS). Gram extraction is
+    guarded for len < 2 in BOTH engines (Spark's sequence() would
+    descend through 0 on short docs — the shingles_col hazard).
+    Same scale shape as l11: profile build = explode + groupBy into a
+    tiny broadcast table; scoring = explode + broadcast join +
+    grouped sum."""
+    docs = T(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+
+    def grams(df: DataFrame, keep: list) -> DataFrame:
+        withn = df.withColumn("__s", norm)
+        seq = F.transform(
+            F.sequence(F.lit(1), F.length("__s") - 1),
+            lambda i: F.col("__s").substr(i, F.lit(2)),
+        )
+        g = F.when(F.length("__s") >= 2, seq).otherwise(
+            F.array().cast("array<string>")
+        )
+        return withn.select(*keep, F.explode(g).alias("gram"))
+
+    from pyspark.sql import Window
+
+    train = docs.where(F.col("doc_id") % 2 == 0).select("text", "lang")
+    test = docs.where(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    cnts = grams(train, ["lang"]).groupBy("lang", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("gram"))
+    )
+    prof = (
+        cnts.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 200)
+        .select(
+            "lang", "gram", (F.lit(201) - F.col("rnk")).cast("long").alias("weight")
+        )
+    )
+    sc = (
+        grams(test, ["doc_id"])
+        .join(F.broadcast(prof), "gram")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("weight").cast("long").alias("score"))
+    )
+    return (
+        sc.groupBy("doc_id")
+        .agg(
+            F.max_by("lang", F.struct("score", "lang")).alias("predicted_lang")
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register("l11_language_id", oracle=None, tags=("L11", "text-analysis"))
 def l11_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L11: n-gram language-ID over documents (train on even doc_ids,
