@@ -21,6 +21,9 @@ def test_ordered_queries_window_priority():
     assert set(oq) == set(QUERIES)
     names = list(oq)
     assert DRIVER_GREEN_PRIOR_ROUNDS <= set(QUERIES), "stale prior-green name"
+    # a typo'd priority name would silently drop out of the window
+    missing = [n for n in CORE_FRESH_FIRST + ROWS_ONLY_FIRST if n not in QUERIES]
+    assert not missing, f"priority lists name unregistered queries: {missing}"
     core = [n for n in CORE_FRESH_FIRST
             if n in QUERIES and n not in DRIVER_GREEN_PRIOR_ROUNDS]
     assert names[: len(core)] == core, "core fresh-oracle tier must lead verbatim"
