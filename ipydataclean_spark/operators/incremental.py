@@ -450,3 +450,124 @@ def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _inc4b_side_sql(name: str, pred: str) -> str:
+    from ipydataclean_spark.operators.llm import shingles_sql
+
+    return (
+        f"{name} AS (SELECT doc_id, text FROM documents_dup WHERE {pred}), "
+        f"sh_{name} AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s "
+        f"FROM {name}), "
+        f"mins_{name} AS (SELECT doc_id, seed, "
+        "MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh "
+        f"FROM sh_{name} CROSS JOIN (SELECT UNNEST(range(16)) AS seed) "
+        "GROUP BY 1, 2), "
+        f"sig_{name} AS (SELECT doc_id, LIST(mh ORDER BY seed) AS sg "
+        f"FROM mins_{name} GROUP BY doc_id), "
+        f"banded_{name} AS (SELECT doc_id, b, md5(sg[4*b + 1] || '|' || "
+        "sg[4*b + 2] || '|' || sg[4*b + 3] || '|' || sg[4*b + 4]) AS bh "
+        f"FROM sig_{name} CROSS JOIN (SELECT UNNEST(range(4)) AS b))"
+    )
+
+
+def _inc4b_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+
+    return (
+        "WITH documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + "), "
+        + _inc4b_side_sql("hist", "doc_id < 400")
+        + ", "
+        + _inc4b_side_sql("delta", "doc_id >= 400")
+        + ", cand AS (SELECT DISTINCT d.doc_id, h.doc_id AS h_doc "
+        "FROM banded_delta d JOIN banded_hist h "
+        "ON h.b = d.b AND h.bh = d.bh), "
+        "agree AS (SELECT c.doc_id, c.h_doc, "
+        "CAST(SUM(CASE WHEN md.mh = mh2.mh THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_agree "
+        "FROM cand c JOIN mins_delta md ON md.doc_id = c.doc_id "
+        "JOIN mins_hist mh2 ON mh2.doc_id = c.h_doc AND mh2.seed = md.seed "
+        "GROUP BY 1, 2), "
+        "best AS (SELECT doc_id, h_doc, n_agree FROM ("
+        "SELECT doc_id, h_doc, n_agree, ROW_NUMBER() OVER ("
+        "PARTITION BY doc_id ORDER BY n_agree DESC, h_doc) AS rn "
+        "FROM agree WHERE n_agree >= 8) x WHERE rn = 1) "
+        "SELECT dd.doc_id, "
+        "CASE WHEN b.doc_id IS NULL THEN 'novel' "
+        "ELSE 'near_dup_of_history' END AS status, "
+        "b.h_doc AS matched_id, ROUND(b.n_agree / 16.0, 4) AS best_est "
+        "FROM delta dd LEFT JOIN best b ON b.doc_id = dd.doc_id "
+        "ORDER BY dd.doc_id"
+    )
+
+
+@register(
+    "inc4b_incremental_minhash_md5",
+    oracle=_inc4b_oracle(),
+    tags=("INC4", "L2", "D5", "incremental"),
+)
+def inc4b_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC4 ORACLE-CERTIFIED: inc4's incremental near-dup classify
+    (delta docs probed against the HISTORY's stored MinHash-LSH index,
+    history text never rescanned) with the md5 signature scheme
+    (llm.md5_minhash_banded — l2f's certified chain) so DuckDB
+    replays the whole thing: signatures, band index, probe join,
+    agreement >= 8/16, best-match tie-breaks (highest agreement, then
+    lowest historical doc_id), and the novel/near-dup LEFT JOIN. The
+    stored-state discipline is kept literal — the history index is
+    written to parquet and re-read, so the classify plan's lineage
+    starts at the stored index, not the history text (the oracle
+    computes the same values directly; equality IS the proof that the
+    persisted index carries full fidelity). inc4 stays on xxhash64
+    (rows-only by design)."""
+    from ipydataclean_spark.operators.llm import md5_minhash_banded
+    from ipydataclean_spark.operators.qhelp import documents_dup
+
+    dd = documents_dup(spark, sf_dir)
+    hist = dd.where(F.col("doc_id") < 400)
+    delta = dd.where(F.col("doc_id") >= 400)
+
+    state_path = scratch_dir(spark, "inc4b_lsh_state")
+    md5_minhash_banded(hist).write.mode("overwrite").parquet(state_path)
+    index = spark.read.parquet(state_path)
+
+    probe = md5_minhash_banded(delta)
+    cand = (
+        probe.join(
+            index.select(
+                F.col("doc_id").alias("h_doc"),
+                F.col("sg").alias("h_sg"),
+                "b",
+                "bh",
+            ),
+            ["b", "bh"],
+        )
+        .select("doc_id", "h_doc", "sg", "h_sg")
+        .distinct()
+    )
+    n_agree = F.size(
+        F.filter(F.zip_with("sg", "h_sg", lambda x, y: x == y), lambda v: v)
+    ).cast("long")
+    scored = cand.withColumn("n_agree", n_agree).where(F.col("n_agree") >= 8)
+    best = scored.groupBy("doc_id").agg(
+        F.max(
+            F.struct(F.col("n_agree"), (-F.col("h_doc")).alias("neg"))
+        ).alias("b")
+    )
+    matched = best.select(
+        "doc_id",
+        F.lit("near_dup_of_history").alias("status"),
+        (-F.col("b.neg")).alias("matched_id"),
+        F.round(F.col("b.n_agree") / F.lit(16.0), 4).alias("best_est"),
+    )
+    return (
+        delta.select("doc_id")
+        .join(matched, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("status", F.lit("novel")).alias("status"),
+            "matched_id",
+            "best_est",
+        )
+        .orderBy("doc_id")
+    )

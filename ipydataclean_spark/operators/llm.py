@@ -350,6 +350,44 @@ def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L2F_K = 16  # signature length; 4 bands x 4 rows, matching l2's layout
 
+
+def md5_minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sg array<string>[16], b, bh): md5 MinHash signatures +
+    4x4 band hashes — the cross-engine-certifiable twin of
+    minhash_signatures/banded_signatures (shared by l2f and inc4b;
+    DuckDB twin = llm.L2F_CTES' mins/sig/banded chain)."""
+    sh = exploded_shingles(docs, "s")
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("s")))
+            ).alias(f"mh_{seed}")
+            for seed in range(_L2F_K)
+        ]
+    )
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_L2F_K)])
+    sig = mins.select("doc_id", sig_arr.alias("sg"))
+    return sig.select(
+        "doc_id",
+        "sg",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col("sg")[4 * b + i] for i in range(4)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bd"),
+    ).select("doc_id", "sg", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+
 #: The md5 MinHash-LSH CTE chain (through ``est(doc_a, doc_b,
 #: n_agree)``), shared by l2f and the keep-best dedup twin c30b.
 L2F_CTES = (
@@ -397,38 +435,7 @@ def l2f_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 md5s per shingle — certification economics, not production
     economics (l2's seeded double-hashing of one 8-byte long is ~40%
     cheaper; BENCH.md r3)."""
-    docs = documents_dup(spark, sf_dir)
-    sh = exploded_shingles(docs, "s")
-    mins = sh.groupBy("doc_id").agg(
-        *[
-            F.min(
-                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("s")))
-            ).alias(f"mh_{seed}")
-            for seed in range(_L2F_K)
-        ]
-    )
-    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_L2F_K)])
-    sig = mins.select("doc_id", sig_arr.alias("sg"))
-    banded = sig.select(
-        "doc_id",
-        "sg",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"sg")[4 * b + i] for i in range(4)],
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bd"),
-    ).select("doc_id", "sg", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+    banded = md5_minhash_banded(documents_dup(spark, sf_dir))
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sa"), "b", "bh")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sb"), "b", "bh")
     cand = (
