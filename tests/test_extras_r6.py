@@ -273,3 +273,102 @@ def test_c30b_certified_keep_best_prefers_base_doc(spark, sf_dir):
         assert r.survivor_id < 1000000, (r.cluster_id, r.survivor_id)
     for r in [r for r in rows if r.cluster_size == 1][:50]:
         assert r.survivor_id == r.cluster_id
+
+
+def test_l4e_md5_lsh_no_false_positives_full_twin_recall(spark, sf_dir):
+    """l4e (the certified md5-plane sibling of l4b): no false
+    positives (exact-cosine verified), and every injected twin pair
+    recovered at tau=0.98 (12-bit bands x 16 miss P ~ 3e-8)."""
+    from ipydataclean_spark.functions.vector import cosine_sim
+    from ipydataclean_spark.operators.llm import NEARDUP_TAU, embeddings_dup
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    dup = embeddings_dup(spark, sf_dir)
+    a = dup.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = dup.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_sim("ea", "eb").alias("cos"))
+        .where(F.col("cos") >= NEARDUP_TAU)
+        .collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["l4e_embed_neardup_lsh_md5"]["fn"](spark, sf_dir).collect()
+    }
+    injected = {(v, w) for (v, w) in exact if w == v + 1000000}
+    assert injected, "twin injection should create near-dup pairs"
+    assert got <= exact, f"false positives: {sorted(got - exact)[:5]}"
+    assert injected <= got, f"missed twins: {sorted(injected - got)[:5]}"
+
+
+def test_l2g_md5_simhash_finds_injected_dups(spark, sf_dir):
+    """l2g non-vacuity: every injected dup pair (base doc d % 5 == 0
+    twinned as d + 1000000 with identical NORMALIZED text, hence an
+    identical shingle set and sketch) must surface at hamming 0."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l2g_simhash_md5"]["fn"](spark, sf_dir).collect()
+    got = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    injected = [(a, b) for (a, b) in got if b == a + 1000000]
+    assert injected, "no injected pairs surfaced"
+    assert all(got[p] == 0 for p in injected), "twin sketches must be identical"
+
+
+def test_r22d_hash_sample_fraction_and_determinism(spark, sf_dir):
+    """r22d: the md5-coin sample hits ~10% (binomial tolerance) and is
+    EXACTLY reproducible — two plans, identical row sets (the property
+    RNG sampling cannot give across retries/repartitioning)."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    total = load_table(spark, sf_dir, "lineitem").count()
+    s1 = QUERIES["r22d_hash_sample"]["fn"](spark, sf_dir)
+    n = s1.count()
+    assert abs(n / total - 0.1) < 0.01, (n, total)
+    s2 = QUERIES["r22d_hash_sample"]["fn"](spark, sf_dir)
+    assert s1.exceptAll(s2).count() == 0 and s2.exceptAll(s1).count() == 0
+
+
+def test_inc4b_certified_classifies_history_copies(spark, sf_dir):
+    """inc4b golden (mirrors inc4's): every delta doc that is an
+    injected copy of a HISTORY doc classifies near_dup_of_history
+    against SOME history doc at est 1.0 — the match may be an earlier
+    template-identical doc rather than the literal base (ties break
+    to the LOWEST history doc_id by spec), so matched_id == base is
+    deliberately NOT asserted; Jaccard verification of est-1.0
+    matches lives in inc4's golden and applies identically here."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.doc_id: r for r in QUERIES["inc4b_incremental_minhash_md5"]["fn"](spark, sf_dir).collect()}
+    copies = [d for d in rows if d >= 1000000 and (d - 1000000) < 400 and (d - 1000000) % 5 == 0]
+    assert copies, "fixture should inject copies of history docs"
+    for d in copies:
+        r = rows[d]
+        assert r.status == "near_dup_of_history", (d, r)
+        assert r.matched_id is not None and r.matched_id < 400, (d, r)
+        assert float(r.best_est) == 1.0, (d, r)
+    assert {r.status for r in rows.values()} <= {"near_dup_of_history", "novel"}
+
+
+def test_l12b_identical_normalized_texts_share_fingerprints(spark, sf_dir):
+    """l12b golden (mirrors l12's): an injected twin differs from its
+    base only by padding/case, so the NORMALIZED text — and therefore
+    the fingerprint summary — is identical."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.doc_id: r for r in QUERIES["l12b_fingerprints_md5"]["fn"](spark, sf_dir).collect()}
+    twins = [d for d in rows if d >= 1000000 and (d - 1000000) in rows]
+    assert twins, "fixture should contain injected twins"
+    for d in twins:
+        base = rows[d - 1000000]
+        assert (rows[d].n_fingerprints, rows[d].min_fp) == (
+            base.n_fingerprints,
+            base.min_fp,
+        ), d
