@@ -101,3 +101,20 @@ def dstddev_sql(expr: str) -> str:
         f"{dsum_sql(expr)} * {dsum_sql(expr)} / CAST(COUNT({expr}) AS DOUBLE)) "
         f"/ (CAST(COUNT({expr}) AS DOUBLE) - 1.0))"
     )
+
+
+def md5_prefix_int(key: Column | str) -> Column:
+    """First 24 bits of md5(key) as BIGINT — the deterministic
+    cross-engine sampling/bucketing probe (coin: (h + 0.5)/2^24)."""
+    from pyspark.sql import functions as F
+
+    return F.conv(
+        F.substring(F.md5(_c(key).cast("string")), 1, 6), 16, 10
+    ).cast("long")
+
+
+def md5_prefix_int_sql(expr: str) -> str:
+    """DuckDB twin of md5_prefix_int — ONE definition so a typo in a
+    hand-copied coin expression can't silently de-certify a twin
+    (round-6 review: the expression had been restated 7 times)."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 6)) AS BIGINT)"

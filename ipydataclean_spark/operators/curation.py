@@ -357,12 +357,13 @@ def temperature_thresholds(counts: "DataFrame", budget: float) -> "DataFrame":
     )
 
 
-def md5_prefix_int(key: "F.Column") -> "F.Column":
-    """First 24 bits of md5(key) as BIGINT — the deterministic sampling
-    probe (DuckDB twin: CAST('0x' || substr(md5(...), 1, 6) AS BIGINT))."""
-    return F.conv(
-        F.substring(F.md5(key.cast("string")), 1, 6), 16, 10
-    ).cast("long")
+# canonical home: functions/exact.py (the Spark-form + _sql-twin module);
+# re-exported here because every curation-era call site imports from
+# this module
+from ipydataclean_spark.functions.exact import (  # noqa: E402,F401
+    md5_prefix_int,
+    md5_prefix_int_sql,
+)
 
 
 

@@ -453,21 +453,13 @@ def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _inc4b_side_sql(name: str, pred: str) -> str:
-    from ipydataclean_spark.operators.llm import shingles_sql
+    from ipydataclean_spark.operators.llm import md5_minhash_chain_sql
 
+    # ONE copy of the mins/sig/banded chain (round-6 review #5) — the
+    # same builder l2f/c30b certify, suffixed per side
     return (
         f"{name} AS (SELECT doc_id, text FROM documents_dup WHERE {pred}), "
-        f"sh_{name} AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s "
-        f"FROM {name}), "
-        f"mins_{name} AS (SELECT doc_id, seed, "
-        "MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh "
-        f"FROM sh_{name} CROSS JOIN (SELECT UNNEST(range(16)) AS seed) "
-        "GROUP BY 1, 2), "
-        f"sig_{name} AS (SELECT doc_id, LIST(mh ORDER BY seed) AS sg "
-        f"FROM mins_{name} GROUP BY doc_id), "
-        f"banded_{name} AS (SELECT doc_id, b, md5(sg[4*b + 1] || '|' || "
-        "sg[4*b + 2] || '|' || sg[4*b + 3] || '|' || sg[4*b + 4]) AS bh "
-        f"FROM sig_{name} CROSS JOIN (SELECT UNNEST(range(4)) AS b))"
+        + md5_minhash_chain_sql(name, f"_{name}")
     )
 
 
@@ -521,7 +513,7 @@ def inc4b_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     persisted index carries full fidelity). inc4 stays on xxhash64
     (rows-only by design)."""
     from ipydataclean_spark.operators.llm import md5_minhash_banded
-    from ipydataclean_spark.operators.qhelp import documents_dup
+    from ipydataclean_spark.operators.qhelp import documents_dup  # noqa: I001
 
     dd = documents_dup(spark, sf_dir)
     hist = dd.where(F.col("doc_id") < 400)
@@ -531,19 +523,24 @@ def inc4b_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     md5_minhash_banded(hist).write.mode("overwrite").parquet(state_path)
     index = spark.read.parquet(state_path)
 
-    probe = md5_minhash_banded(delta)
+    from ipydataclean_spark.operators.llm import md5_band_keys, md5_minhash_sigs
+
+    # SLIM probe (round-6 review #7): band keys only through the join
+    # and pair dedup; signatures rejoin after. The stored index is read
+    # twice with column pruning — (doc_id, b, bh) for the probe,
+    # (doc_id, sg) deduped for the agreement pass.
+    probe_sigs = md5_minhash_sigs(delta)
+    probe_bands = md5_band_keys(probe_sigs)
+    index_bands = index.select(F.col("doc_id").alias("h_doc"), "b", "bh")
+    index_sigs = index.select(
+        F.col("doc_id").alias("h_doc"), F.col("sg").alias("h_sg")
+    ).dropDuplicates(["h_doc"])
     cand = (
-        probe.join(
-            index.select(
-                F.col("doc_id").alias("h_doc"),
-                F.col("sg").alias("h_sg"),
-                "b",
-                "bh",
-            ),
-            ["b", "bh"],
-        )
-        .select("doc_id", "h_doc", "sg", "h_sg")
+        probe_bands.join(index_bands, ["b", "bh"])
+        .select("doc_id", "h_doc")
         .distinct()
+        .join(probe_sigs, "doc_id")
+        .join(index_sigs, "h_doc")
     )
     n_agree = F.size(
         F.filter(F.zip_with("sg", "h_sg", lambda x, y: x == y), lambda v: v)

@@ -351,11 +351,10 @@ def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L2F_K = 16  # signature length; 4 bands x 4 rows, matching l2's layout
 
 
-def md5_minhash_banded(docs: DataFrame) -> DataFrame:
-    """(doc_id, sg array<string>[16], b, bh): md5 MinHash signatures +
-    4x4 band hashes — the cross-engine-certifiable twin of
-    minhash_signatures/banded_signatures (shared by l2f and inc4b;
-    DuckDB twin = llm.L2F_CTES' mins/sig/banded chain)."""
+def md5_minhash_sigs(docs: DataFrame) -> DataFrame:
+    """(doc_id, sg array<string>[16]): md5 MinHash signatures — the
+    cross-engine-certifiable twin of minhash_signatures (DuckDB twin =
+    md5_minhash_chain_sql's sh/mins/sig CTEs)."""
     sh = exploded_shingles(docs, "s")
     mins = sh.groupBy("doc_id").agg(
         *[
@@ -366,10 +365,16 @@ def md5_minhash_banded(docs: DataFrame) -> DataFrame:
         ]
     )
     sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_L2F_K)])
-    sig = mins.select("doc_id", sig_arr.alias("sg"))
-    return sig.select(
+    return mins.select("doc_id", sig_arr.alias("sg"))
+
+
+def md5_band_keys(sigs: DataFrame) -> DataFrame:
+    """(doc_id, b, bh): SLIM 4x4 band keys from md5 signatures — the
+    join fanout carries no signature arrays (the l36 slim-fanout
+    lesson; round-6 review #7): candidate joins run on these 3
+    columns, and signatures rejoin AFTER pair dedup."""
+    return sigs.select(
         "doc_id",
-        "sg",
         F.explode(
             F.array(
                 *[
@@ -386,18 +391,44 @@ def md5_minhash_banded(docs: DataFrame) -> DataFrame:
                 ]
             )
         ).alias("bd"),
-    ).select("doc_id", "sg", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+    ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+
+
+def md5_minhash_banded(docs: DataFrame) -> DataFrame:
+    """(doc_id, sg, b, bh): signatures + band keys in one table — the
+    STORAGE layout an LSH index persists (inc4b); joins should use
+    the slim md5_band_keys projection instead."""
+    sigs = md5_minhash_sigs(docs)
+    return (
+        md5_band_keys(sigs)
+        .join(sigs, "doc_id")
+        .select("doc_id", "sg", "b", "bh")
+    )
+
+
+def md5_minhash_chain_sql(src: str, sfx: str = "") -> str:
+    """DuckDB twin of md5_minhash_sigs + md5_band_keys over table
+    ``src``: the sh{sfx}/mins{sfx}/sig{sfx}/banded{sfx} CTE chain —
+    ONE definition shared by l2f, c30b (via L2F_CTES) and inc4b
+    (round-6 review #5: two hand-maintained copies)."""
+    return (
+        f"sh{sfx} AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s "
+        f"FROM {src}), "
+        f"mins{sfx} AS (SELECT doc_id, seed, "
+        "MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh "
+        f"FROM sh{sfx} CROSS JOIN (SELECT UNNEST(range(16)) AS seed) "
+        "GROUP BY doc_id, seed), "
+        f"sig{sfx} AS (SELECT doc_id, LIST(mh ORDER BY seed) AS sg "
+        f"FROM mins{sfx} GROUP BY doc_id), "
+        f"banded{sfx} AS (SELECT doc_id, b, md5(sg[4*b + 1] || '|' || "
+        "sg[4*b + 2] || '|' || sg[4*b + 3] || '|' || sg[4*b + 4]) AS bh "
+        f"FROM sig{sfx} CROSS JOIN (SELECT UNNEST(range(4)) AS b))"
+    )
 
 #: The md5 MinHash-LSH CTE chain (through ``est(doc_a, doc_b,
 #: n_agree)``), shared by l2f and the keep-best dedup twin c30b.
 L2F_CTES = (
-    f", sh AS (SELECT doc_id, UNNEST({shingles_sql('text')}) AS s FROM documents_dup), "
-    "mins AS (SELECT doc_id, seed, MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh "
-    "FROM sh CROSS JOIN (SELECT UNNEST(range(16)) AS seed) GROUP BY doc_id, seed), "
-    "sig AS (SELECT doc_id, LIST(mh ORDER BY seed) AS sg FROM mins GROUP BY doc_id), "
-    "banded AS (SELECT doc_id, b, md5(sg[4*b + 1] || '|' || sg[4*b + 2] || '|' || "
-    "sg[4*b + 3] || '|' || sg[4*b + 4]) AS bh "
-    "FROM sig CROSS JOIN (SELECT UNNEST(range(4)) AS b)), "
+    ", " + md5_minhash_chain_sql("documents_dup") + ", "
     "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM banded a JOIN banded b ON a.b = b.b AND a.bh = b.bh "
     "AND a.doc_id < b.doc_id), "
@@ -434,15 +465,20 @@ def l2f_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     predicate. Cost note: this form builds shingle STRINGS and runs
     16 md5s per shingle — certification economics, not production
     economics (l2's seeded double-hashing of one 8-byte long is ~40%
-    cheaper; BENCH.md r3)."""
-    banded = md5_minhash_banded(documents_dup(spark, sf_dir))
-    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sa"), "b", "bh")
-    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sb"), "b", "bh")
+    cheaper; BENCH.md r3). Candidate generation is SLIM: band keys
+    only through the self-join and pair dedup, signatures rejoined
+    after — the l36 fanout lesson applied (round-6 review #7)."""
+    sigs = md5_minhash_sigs(documents_dup(spark, sf_dir))
+    bands = md5_band_keys(sigs)  # slim: no sig arrays through the join
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
     cand = (
         a.join(b, ["b", "bh"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sa", "sb")
+        .select("doc_a", "doc_b")
         .distinct()
+        .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sa")), "doc_a")
+        .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sb")), "doc_b")
     )
     n_agree = F.size(
         F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
@@ -695,13 +731,26 @@ def _l3k_plane(p: int) -> list[float]:
     ]
 
 
-_L3K_PLANES_SQL = (
-    "(SELECT p, LIST(u ORDER BY i) AS plane FROM ("
-    "SELECT p, i, (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || "
-    "CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 - 0.5 AS u "
-    f"FROM (SELECT UNNEST(range({_L3K_BANDS * _L3K_BITS})) AS p) "
-    f"CROSS JOIN (SELECT UNNEST(range({_L3K_DIM})) AS i)) x GROUP BY p)"
-)
+def md5_planes_sql(n_planes: int, dim: int) -> str:
+    """DuckDB twin of _l3k_plane for all n_planes at once: the derived
+    (p, plane) table with u = (md5-24-bit-prefix + 0.5)/2^24 - 0.5 —
+    ONE definition shared by l3k and l4e (round-6 review #4: the
+    u-derivation had three hand-kept copies; the Python copy in
+    _l3k_plane remains, pinned to this by the l3k/l4e certificates)."""
+    u = (
+        "("
+        + exact.md5_prefix_int_sql("CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)")
+        + " + 0.5) / 16777216.0 - 0.5"
+    )
+    return (
+        "(SELECT p, LIST(u ORDER BY i) AS plane FROM ("
+        f"SELECT p, i, {u} AS u "
+        f"FROM (SELECT UNNEST(range({n_planes})) AS p) "
+        f"CROSS JOIN (SELECT UNNEST(range({dim})) AS i)) x GROUP BY p)"
+    )
+
+
+_L3K_PLANES_SQL = md5_planes_sql(_L3K_BANDS * _L3K_BITS, _L3K_DIM)
 
 _L3K_ORACLE = (
     f"WITH planes AS {_L3K_PLANES_SQL}, "
@@ -928,13 +977,7 @@ def l4b_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _L4E_NB, _L4E_BITS, _L4E_DIM = 16, 12, 64  # l4b's operating point
 
-_L4E_PLANES_SQL = (
-    "(SELECT p, LIST(u ORDER BY i) AS plane FROM ("
-    "SELECT p, i, (CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' || "
-    "CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 - 0.5 AS u "
-    f"FROM (SELECT UNNEST(range({_L4E_NB * _L4E_BITS})) AS p) "
-    f"CROSS JOIN (SELECT UNNEST(range({_L4E_DIM})) AS i)) x GROUP BY p)"
-)
+_L4E_PLANES_SQL = md5_planes_sql(_L4E_NB * _L4E_BITS, _L4E_DIM)
 
 
 def _l4e_oracle() -> str:

@@ -31,17 +31,27 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame, max_iter: int = 10) -> DataF
     Each iteration is one join+groupBy (label = min over neighborhood);
     converges in O(component diameter) rounds — near-dup components are
     shallow (dup clusters), so a handful of rounds suffices at scale.
-    The loop breaks early when no label changes; labels are cached per
-    round and unpersisted after.
+    The loop breaks early when no label changes, checkpoints per round
+    (see below), and RAISES if still unconverged at max_iter.
     """
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     edges = (
         pairs.select(F.col("a"), F.col("b"))
         .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .unionByName(ids.select(F.col("id").alias("a"), F.col("id").alias("b")))
         .distinct()
     )
-    labels = ids.select("id", F.col("id").alias("cluster_id")).persist()
-    labels.count()
+    # Per-round EAGER localCheckpoint, not persist (round-6 review):
+    # ``labels`` is referenced TWICE per iteration (propagation source
+    # + merge base), so without lineage cuts the logical plan doubles
+    # every round — 2^k nodes, measured JVM heap OOM at ~11 rounds on
+    # a 13-node test chain. Checkpointing replaces the plan with the
+    # materialized table each round, so depth stays O(1) at any
+    # max_iter; the label table is component-count-sized, tiny.
+    labels = ids.select("id", F.col("id").alias("cluster_id")).localCheckpoint(
+        eager=True
+    )
     for _ in range(max_iter):
         # candidate label for a = min over neighbors b of label(b)
         prop = (
@@ -53,7 +63,7 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame, max_iter: int = 10) -> DataF
         new_labels = (
             labels.join(prop, "id", "left")
             .select("id", F.least("cluster_id", F.coalesce("new_label", "cluster_id")).alias("cluster_id"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.withColumnRenamed("cluster_id", "nc")
@@ -61,18 +71,22 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame, max_iter: int = 10) -> DataF
             .where(F.col("nc") != F.col("cluster_id"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    # Materialize before dropping the cache: unpersisting the frame we
-    # return would make the caller's first action replay the whole
-    # max_iter-deep join chain (VERDICT r01 "What's wrong" #2).
-    # localCheckpoint severs the lineage eagerly, so the returned frame
-    # is a stored table, not a recipe.
-    out = labels.localCheckpoint(eager=True)
-    labels.unpersist()
-    return out
+    else:
+        # FAIL LOUDLY on non-convergence (round-6 review): a silently
+        # partial labeling splits one component into several clusters —
+        # wrong dedup survivors, and a guaranteed hash mismatch against
+        # the exact recursive-CTE closure oracles (er1/c30b). Never
+        # reachable on star/clique-shaped dup clusters (diameter <= 2);
+        # a 12+-doc sliding chain would reach it at max_iter=10.
+        raise RuntimeError(
+            f"cluster_pairs did not converge in {max_iter} iterations "
+            f"({changed} labels still changing); raise max_iter — the "
+            "component min-id eccentricity exceeds the round budget"
+        )
+    return labels
 
 
 @register("l2d_dedup_clusters", oracle=None, tags=("L2", "dedup"))
@@ -87,7 +101,7 @@ def l2d_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = l2_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs, max_iter=30)
     return (
         labels.groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -284,7 +298,7 @@ _L12B_ORACLE = with_documents_dup(
     f", s AS (SELECT doc_id, {norm_text_sql('text')} AS t FROM documents_dup), "
     "h AS (SELECT doc_id, list_transform("
     "range(1, GREATEST(LENGTH(t) - 7, 1) + 1), "
-    "i -> CAST(('0x' || substr(md5(substr(t, i, 8)), 1, 6)) AS BIGINT)) AS hs "
+    "i -> " + exact.md5_prefix_int_sql("substr(t, i, 8)") + ") AS hs "
     "FROM s), "
     "m AS (SELECT doc_id, list_distinct(list_transform("
     "range(1, GREATEST(len(hs) - 3, 1) + 1), "
@@ -646,7 +660,7 @@ def c30_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = l2_minhash_lsh(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs, max_iter=30)
     quality = docs.select(
         F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
     )
@@ -716,7 +730,7 @@ def c30b_dedup_keep_best_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = l2f_minhash_lsh_md5(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs)
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs, max_iter=30)
     quality = docs.select(
         F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
     )

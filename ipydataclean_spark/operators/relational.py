@@ -666,11 +666,18 @@ def r22_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "lineitem").sample(fraction=0.1, seed=42)
 
 
+from ipydataclean_spark.functions.exact import md5_prefix_int_sql as _md5_sql
+
+#: shared md5 row-key coin over lineitem (r22d + r8c's slice)
+_U_LINEITEM = (
+    "(" + _md5_sql(
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)"
+    ) + " + 0.5) / 16777216.0"
+)
+
 _R22D_ORACLE = (
     "SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS qty "
-    "FROM lineitem WHERE "
-    "(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
-    "CAST(l_linenumber AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0 "
+    "FROM lineitem WHERE " + _U_LINEITEM + " "
     "< 0.1 ORDER BY l_orderkey, l_linenumber"
 )
 
@@ -1243,6 +1250,61 @@ def r28_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _weekly_bucket_range_join(o_src: DataFrame, li_src: DataFrame) -> DataFrame:
+    """Shared body of r8b/r8c (round-6 review #6 — the zero-match fix
+    had to be written twice): bucket time into 7-day epochs, EXPLODE
+    each order's [o_orderdate, o_orderdate+7) window into its <= 2
+    buckets, hash-join lineitems on the bucket key, and
+    CONDITIONALLY count the exact range per order (zero-match orders
+    aggregate to n=0 exactly like a naive left join), then roll up by
+    year. Inputs: o_src with (o_orderkey, o_orderdate date),
+    li_src with (l_orderkey, l_shipdate castable to date)."""
+    epoch = F.lit("1992-01-01").cast("date")
+    li = li_src.select(
+        "l_orderkey",
+        F.col("l_shipdate").cast("date").alias("l_shipdate"),
+        F.floor(F.datediff(F.col("l_shipdate").cast("date"), epoch) / 7).alias("wk"),
+    )
+    o = o_src.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("o_orderdate"),
+        F.year(F.col("o_orderdate").cast("date")).alias("y"),
+        F.explode(
+            F.array_distinct(
+                F.array(
+                    F.floor(F.datediff(F.col("o_orderdate").cast("date"), epoch) / 7),
+                    F.floor(
+                        F.datediff(
+                            F.date_add(F.col("o_orderdate").cast("date"), 6), epoch
+                        )
+                        / 7
+                    ),
+                )
+            )
+        ).alias("wk"),
+    )
+    in_range = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
+        F.col("l_shipdate") < F.date_add("o_orderdate", 7)
+    )
+    per_order = (
+        o.join(li, "wk", "left")
+        .groupBy("o_orderkey", "y")
+        .agg(F.sum(F.when(in_range, F.lit(1)).otherwise(F.lit(0))).alias("n"))
+    )
+    return (
+        per_order.groupBy(F.col("y").cast("int").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("n").cast("long").alias("total_pairs"),
+            F.round(
+                F.sum("n").cast("double") / F.count(F.lit(1)), 8
+            ).alias("avg_per_order"),
+        )
+        .orderBy("y")
+    )
+
+
 _R8B_ORACLE = (
     "WITH j AS (SELECT o.o_orderkey, YEAR(o.o_orderdate) AS y, "
     "CAST(COUNT(l.l_orderkey) AS BIGINT) AS n "
@@ -1295,61 +1357,16 @@ def r8b_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume versus the filtered form.
     Plan gate: the join is a shuffle/hash join on the bucket key, no
     BroadcastNestedLoop, no CartesianProduct."""
-    epoch = F.lit("1992-01-01").cast("date")
-    li = T(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        F.col("l_shipdate").cast("date").alias("l_shipdate"),
-        F.floor(F.datediff(F.col("l_shipdate").cast("date"), epoch) / 7).alias("wk"),
-    )
     o = T(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1995-01-01").cast("date"))
         & (F.col("o_orderdate") < F.lit("1995-04-01").cast("date"))
-    ).select(
-        "o_orderkey",
-        F.col("o_orderdate").cast("date").alias("o_orderdate"),
-        F.year(F.col("o_orderdate").cast("date")).alias("y"),
-        F.explode(
-            F.array_distinct(
-                F.array(
-                    F.floor(F.datediff(F.col("o_orderdate").cast("date"), epoch) / 7),
-                    F.floor(
-                        F.datediff(
-                            F.date_add(F.col("o_orderdate").cast("date"), 6), epoch
-                        )
-                        / 7
-                    ),
-                )
-            )
-        ).alias("wk"),
-    )
-    in_range = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
-        F.col("l_shipdate") < F.date_add("o_orderdate", 7)
-    )
-    pairs = o.join(li, "wk", "left")
-    per_order = pairs.groupBy("o_orderkey", "y").agg(
-        F.sum(F.when(in_range, F.lit(1)).otherwise(F.lit(0))).alias("n")
-    )
-    return (
-        per_order.groupBy(F.col("y").cast("int").alias("y"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("n").cast("long").alias("total_pairs"),
-            F.round(
-                F.sum("n").cast("double") / F.count(F.lit(1)), 8
-            ).alias("avg_per_order"),
-        )
-        .orderBy("y")
-    )
+    ).select("o_orderkey", "o_orderdate")
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return _weekly_bucket_range_join(o, li)
 
 
-_R8C_U_L = (
-    "(CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || "
-    "CAST(l_linenumber AS VARCHAR)), 1, 6)) AS BIGINT) + 0.5) / 16777216.0"
-)
-_R8C_U_O = (
-    "(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 6)) "
-    "AS BIGINT) + 0.5) / 16777216.0"
-)
+_R8C_U_L = _U_LINEITEM
+_R8C_U_O = "(" + _md5_sql("CAST(o_orderkey AS VARCHAR)") + " + 0.5) / 16777216.0"
 
 _R8C_ORACLE = (
     "WITH lc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM lineitem), "
@@ -1398,8 +1415,7 @@ def r8c_range_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to r8b: explode each order's 7-day window into its <=2
     week buckets, hash-join on the bucket key, conditional-count the
     exact range so zero-match orders aggregate to n=0."""
-    epoch = F.lit("1992-01-01").cast("date")
-    from ipydataclean_spark.operators.curation import md5_prefix_int
+    from ipydataclean_spark.functions.exact import md5_prefix_int
 
     li_all = T(spark, sf_dir, "lineitem")
     lc = li_all.agg((F.lit(144000.0) / F.count(F.lit(1))).alias("frac_l"))
@@ -1413,13 +1429,7 @@ def r8c_range_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = (
         li_all.crossJoin(F.broadcast(lc))
         .where(u_l < F.least(F.lit(1.0), F.col("frac_l")))
-        .select(
-            "l_orderkey",
-            F.col("l_shipdate").cast("date").alias("l_shipdate"),
-            F.floor(
-                F.datediff(F.col("l_shipdate").cast("date"), epoch) / 7
-            ).alias("wk"),
-        )
+        .select("l_orderkey", "l_shipdate")
     )
     o_all = T(spark, sf_dir, "orders")
     oc = o_all.agg((F.lit(36000.0) / F.count(F.lit(1))).alias("frac_o"))
@@ -1429,44 +1439,6 @@ def r8c_range_join_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         o_all.crossJoin(F.broadcast(oc))
         .where(u_o < F.least(F.lit(1.0), F.col("frac_o")))
-        .select(
-            "o_orderkey",
-            F.col("o_orderdate").cast("date").alias("o_orderdate"),
-            F.year(F.col("o_orderdate").cast("date")).alias("y"),
-            F.explode(
-                F.array_distinct(
-                    F.array(
-                        F.floor(
-                            F.datediff(F.col("o_orderdate").cast("date"), epoch) / 7
-                        ),
-                        F.floor(
-                            F.datediff(
-                                F.date_add(F.col("o_orderdate").cast("date"), 6),
-                                epoch,
-                            )
-                            / 7
-                        ),
-                    )
-                )
-            ).alias("wk"),
-        )
+        .select("o_orderkey", "o_orderdate")
     )
-    in_range = (F.col("l_shipdate") >= F.col("o_orderdate")) & (
-        F.col("l_shipdate") < F.date_add("o_orderdate", 7)
-    )
-    per_order = (
-        o.join(li, "wk", "left")
-        .groupBy("o_orderkey", "y")
-        .agg(F.sum(F.when(in_range, F.lit(1)).otherwise(F.lit(0))).alias("n"))
-    )
-    return (
-        per_order.groupBy(F.col("y").cast("int").alias("y"))
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum("n").cast("long").alias("total_pairs"),
-            F.round(
-                F.sum("n").cast("double") / F.count(F.lit(1)), 8
-            ).alias("avg_per_order"),
-        )
-        .orderBy("y")
-    )
+    return _weekly_bucket_range_join(o, li)

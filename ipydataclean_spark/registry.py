@@ -200,13 +200,17 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l9b_media_resize",
 })
 
-#: Round-6 window priority (VERDICT r05 #1). 67 registered queries have
-#: no driver row yet; the ~50-query window covers the first 50 of
-#: ``ordered_queries``. Ordering: (a) the 7 re-queued rewrites whose old
-#: driver greens certify dead implementations; (b) the §2-tagged round-5
-#: extras; (c) the LLM-curation tier; trailing names (x3b — the A/B
-#: equivalence harness for the already-queued x3 — and the rows-only
-#: tier) slip to round 7 by design.
+#: Round-6 window priority (VERDICT r05 #1). 80 registered queries have
+#: no driver row yet (67 at round start + the 13 round-6 certification
+#: twins, which register into the extras tier at positions ~68-80,
+#: AFTER the rows-only demos); the ~50-query window covers the first 50
+#: of ``ordered_queries``. Ordering: (a) the 7 re-queued rewrites whose
+#: old driver greens certify dead implementations; (b) the §2-tagged
+#: round-5 extras; (c) the LLM-curation tier; trailing names slip to
+#: round 7 by design: x3b (position 51), the rows-only tier, then the
+#: round-6 twins (r8c, l2f/l2g/l3i/l3j/l3k/l4e, l11b/l12b, c30b, g1b,
+#: r22d, inc4b) — round-7 rotation should pull the twins ahead of the
+#: generic rows-only demos.
 CORE_FRESH_FIRST: tuple[str, ...] = (
     # (a) re-queued rewrites — old green rows certify OLD implementations
     "q28_association_rules", "q31_trending_parts", "x1_expectations",

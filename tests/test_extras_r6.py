@@ -372,3 +372,23 @@ def test_l12b_identical_normalized_texts_share_fingerprints(spark, sf_dir):
             base.n_fingerprints,
             base.min_fp,
         ), d
+
+
+def test_cluster_pairs_raises_on_nonconvergence(spark):
+    """cluster_pairs must FAIL LOUDLY when a component's min-id
+    eccentricity exceeds max_iter (round-6 review finding): a silent
+    partial labeling would split one component into several clusters
+    and diverge from the exact closure oracles. A 12-node path graph
+    needs 11 propagation rounds; max_iter=3 must raise, a sufficient
+    budget must converge to ONE cluster labeled 0."""
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+
+    n = 12
+    ids = spark.createDataFrame([Row(id=i) for i in range(n)])
+    chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n - 1)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        cluster_pairs(ids, chain, max_iter=3)
+    labels = cluster_pairs(ids, chain, max_iter=n + 1).collect()
+    assert {r.cluster_id for r in labels} == {0}
