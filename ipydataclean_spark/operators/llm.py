@@ -543,42 +543,57 @@ def l2g_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    bidx = spark.range(_L2G_BITS).select(F.col("id").alias("b"))
-    bits = hv.crossJoin(F.broadcast(bidx)).select(
-        "doc_id",
-        "b",
-        F.when(F.expr("(h div CAST(power(2, b) AS BIGINT)) % 2 = 1"), F.lit(1))
-        .otherwise(F.lit(-1))
-        .alias("contrib"),
+    # 48 conditional sums in ONE grouped agg (the minhash_signatures
+    # shape) — the earlier 48x per-(doc, shingle) bit EXPLODE was
+    # certification-twin-simple but timed out at sf1 (>100M fanout
+    # rows); this form is one shuffle regardless of bit count. The
+    # DuckDB oracle keeps the exploded bits CTE (sf0.01-sized) — the
+    # hash equality across the two mechanisms is part of the proof.
+    aggs = [
+        F.sum(
+            F.when(F.expr(f"(h div {2 ** b}) % 2 = 1"), F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"c_{b}")
+        for b in range(_L2G_BITS)
+    ]
+    votes = hv.groupBy("doc_id").agg(*aggs)
+    sbit = [
+        F.when(F.col(f"c_{b}") >= 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(_L2G_BITS)
+    ]
+    # packed 48-bit sketch (BIGINT) + 6x8-bit band keys, all integer
+    sketch = sum(
+        (sbit[b] * F.lit(1 << b).cast("long") for b in range(_L2G_BITS)),
+        F.lit(0).cast("long"),
     )
-    sk = bits.groupBy("doc_id", "b").agg(
-        F.when(F.sum("contrib") >= 0, F.lit(1)).otherwise(F.lit(0)).alias("sbit")
-    )
-    bands = sk.groupBy(
-        "doc_id", F.expr("CAST(b div 8 AS BIGINT)").alias("band")
-    ).agg(
-        F.sum(F.col("sbit") * F.expr("CAST(power(2, 7 - (b % 8)) AS BIGINT)"))
-        .cast("long")
-        .alias("key")
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    v = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
-    cand = (
+    band_structs = [
+        F.struct(
+            F.lit(band).cast("long").alias("band"),
+            sum(
+                (sbit[band * 8 + j] * F.lit(1 << (7 - j)) for j in range(8)),
+                F.lit(0),
+            ).cast("long").alias("key"),
+        )
+        for band in range(_L2G_BANDS)
+    ]
+    sk = votes.select(
+        "doc_id", sketch.alias("sketch"), F.explode(F.array(*band_structs)).alias("bd")
+    ).select("doc_id", "sketch", F.col("bd.band").alias("band"), F.col("bd.key").alias("key"))
+    a = sk.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    v = sk.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    sketches = sk.select("doc_id", "sketch").dropDuplicates(["doc_id"])
+    return (
         a.join(v, ["band", "key"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-    )
-    sa = sk.select(F.col("doc_id").alias("doc_a"), "b", F.col("sbit").alias("ba"))
-    sb = sk.select(F.col("doc_id").alias("doc_b"), "b", F.col("sbit").alias("bb"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "b"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.sum(F.when(F.col("ba") != F.col("bb"), 1).otherwise(0))
-            .cast("long")
-            .alias("hamming")
+        .join(sketches.select(F.col("doc_id").alias("doc_a"), F.col("sketch").alias("ska")), "doc_a")
+        .join(sketches.select(F.col("doc_id").alias("doc_b"), F.col("sketch").alias("skb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ska").bitwiseXOR(F.col("skb"))).cast("long").alias("hamming"),
         )
         .where(F.col("hamming") <= 5)
         .orderBy("doc_a", "doc_b")
