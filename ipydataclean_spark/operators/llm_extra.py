@@ -36,11 +36,16 @@ def cluster_pairs(ids: DataFrame, pairs: DataFrame, max_iter: int = 10) -> DataF
     """
     if max_iter < 1:
         raise ValueError(f"max_iter must be >= 1, got {max_iter}")
+    # Materialize edges ONCE (round-6 review follow-up): without this,
+    # every propagation round re-executes the whole upstream candidate
+    # pipeline (pairs' lineage — the full LSH build for c30/c30b) —
+    # measured 117 s -> materialized-edges form at sf1 for c30b.
     edges = (
         pairs.select(F.col("a"), F.col("b"))
         .unionByName(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .unionByName(ids.select(F.col("id").alias("a"), F.col("id").alias("b")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # Per-round EAGER localCheckpoint, not persist (round-6 review):
     # ``labels`` is referenced TWICE per iteration (propagation source
