@@ -21,6 +21,8 @@ reference's eager mutation did.
 
 from __future__ import annotations
 
+import types
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType, StringType
@@ -484,5 +486,11 @@ class DataCleaner:
 
 #: Module-level alias of the per-problem fix menu (ADVICE r05: a
 #: separate literal here desynchronized from DataCleaner.FIX_MENU when
-#: round 5 added the table-level ``duplicates`` problem).
-FIXES_FOR_PROBLEM = DataCleaner.FIX_MENU
+#: round 5 added the table-level ``duplicates`` problem). Read-only
+#: view (ADVICE r06): the class menu must not be mutable through the
+#: module-level name. NOTE one behavior change vs the pre-round-6
+#: literal: the ``missing`` menu now leads with ``fill_mean`` (the
+#: class ordering); ``fill_value`` moved from position 0 to 3 —
+#: callers treating position 0 as "most recommended" should pick by
+#: name, not index.
+FIXES_FOR_PROBLEM = types.MappingProxyType(DataCleaner.FIX_MENU)

@@ -601,10 +601,12 @@ def q27_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     yearly = (
-        orders.join(F.broadcast(cust.join(F.broadcast(nation),
-                                          cust.c_nationkey == nation.n_nationkey)
-                                .select("c_custkey", "n_name")),
-                    orders.o_custkey == F.col("c_custkey"))
+        # customer is SF-scaled — no broadcast hint (VERDICT r06 #1),
+        # and it joins the fact DIRECTLY so the planner sees the
+        # accurate base-table size estimate and still picks broadcast
+        # at bench SF; nation keeps its hint (fixed-size dim)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
         .agg(exact.dsum("o_totalprice").alias("revenue"))
     )

@@ -99,7 +99,7 @@ def pagerank(
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: PageRank over the bipartite customer→supplier graph derived
     from lineitem⋈orders (edge = customer bought from supplier;
-    supplier nodes offset by 10^6 to disjoin the id spaces). Top 25
+    supplier nodes offset by 10^9 to disjoin the id spaces). Top 25
     by rank. Rows-only: iterative fixed point has no SQL twin; the
     known-graph identity is pinned in tests/test_graph.py."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
@@ -108,7 +108,7 @@ def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+            (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
         )
         .distinct()
     )
@@ -124,10 +124,10 @@ _G1B_SCALE = 1_000_000_000  # rank unit = 1e-9 (fits BIGINT at any tested SF)
 _G1B_ITERS = 10
 
 _G1B_EDGES_SQL = (
-    "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000 AS dst "
+    "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "UNION ALL "
-    "SELECT DISTINCT l_suppkey + 1000000 AS src, o_custkey AS dst "
+    "SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
 )
 
@@ -188,7 +188,7 @@ def g1b_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(1000000)).alias("dst"),
+            (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
         )
         .distinct()
     )

@@ -365,7 +365,7 @@ def p16_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = T(spark, sf_dir, "lineitem")
     n = T(spark, sf_dir, "nation")
     orphan_orders = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("orphan_orders"))
     )
     orphan_lineitems = (

@@ -56,8 +56,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = T(spark, sf_dir, "part").where((F.col("p_size") <= 15) & (F.col("p_type") == "LARGE"))
     supp = T(spark, sf_dir, "supplier")
     return (
-        ranked.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        ranked.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .select("p_partkey", "p_name", "s_name", "unit_cost")
         .orderBy("p_partkey", "s_name")
     )
@@ -99,12 +99,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         T(spark, sf_dir, "lineitem")
         .join(T(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(T(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(T(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
         .join(F.broadcast(region), F.col("r_regionkey") == F.col("n1_region"))
-        .join(F.broadcast(T(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(T(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select(
             F.year("o_orderdate").alias("o_year"),
             vol.alias("volume"),
@@ -149,9 +149,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         T(spark, sf_dir, "lineitem")
         .join(T(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(T(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(T(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(T(spark, sf_dir, "nation")), F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .select(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
@@ -197,7 +197,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pv = (
         T(spark, sf_dir, "lineitem")
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(exact.DEC)).alias(
@@ -313,7 +313,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(T(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(T(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .agg((F.lit(100.0) * exact.dsum(promo) / exact.dsum(vol)).alias("promo_revenue"))
     )
 
@@ -343,8 +343,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = T(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
         T(spark, sf_dir, "lineitem")
-        .join(F.broadcast(bad_supp), F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(bad_supp, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -375,7 +375,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = T(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
     return (
         T(spark, sf_dir, "lineitem")
-        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(pa, F.col("avg_partkey") == F.col("l_partkey"))
         .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
         .agg((exact.dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"))
@@ -410,7 +410,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "lineitem")
         .join(big, F.col("big_orderkey") == F.col("l_orderkey"), "left_semi")
         .join(T(spark, sf_dir, "orders"), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(T(spark, sf_dir, "customer")), F.col("c_custkey") == F.col("o_custkey"))
+        .join(T(spark, sf_dir, "customer"), F.col("c_custkey") == F.col("o_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey")
         .agg(
             F.min("o_orderdate").alias("o_orderdate"),
@@ -448,7 +448,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         T(spark, sf_dir, "lineitem")
-        .join(F.broadcast(T(spark, sf_dir, "part")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(T(spark, sf_dir, "part"), F.col("p_partkey") == F.col("l_partkey"))
         .where(band("Brand#12", 5, 1, 11) | band("Brand#23", 10, 10, 20) | band("Brand#34", 15, 20, 30))
         .agg(
             exact.dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -487,7 +487,7 @@ def q20_part_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
         )
         .join(
-            F.broadcast(T(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")),
+            T(spark, sf_dir, "part").where(F.col("p_type") == "PROMO"),
             F.col("p_partkey") == F.col("l_partkey"),
         )
         .groupBy("l_suppkey", "l_partkey")
@@ -557,7 +557,7 @@ def q21_sole_return_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        sole.join(F.broadcast(T(spark, sf_dir, "supplier")), F.col("s_suppkey") == F.col("l_suppkey"))
+        sole.join(T(spark, sf_dir, "supplier"), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -380,7 +380,9 @@ def test_cluster_pairs_raises_on_nonconvergence(spark):
     partial labeling would split one component into several clusters
     and diverge from the exact closure oracles. A 12-node path graph
     needs 11 propagation rounds; max_iter=3 must raise, a sufficient
-    budget must converge to ONE cluster labeled 0."""
+    budget must converge to ONE cluster labeled 0. (Pinned to
+    method="propagate" — the round-7 star variant converges the same
+    chain in O(log n) rounds, tested separately.)"""
     from pyspark.sql import Row
 
     from ipydataclean_spark.operators.llm_extra import cluster_pairs
@@ -389,6 +391,45 @@ def test_cluster_pairs_raises_on_nonconvergence(spark):
     ids = spark.createDataFrame([Row(id=i) for i in range(n)])
     chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n - 1)])
     with pytest.raises(RuntimeError, match="did not converge"):
-        cluster_pairs(ids, chain, max_iter=3)
-    labels = cluster_pairs(ids, chain, max_iter=n + 1).collect()
+        cluster_pairs(ids, chain, max_iter=3, method="propagate")
+    labels = cluster_pairs(ids, chain, max_iter=n + 1, method="propagate").collect()
     assert {r.cluster_id for r in labels} == {0}
+
+
+def test_cluster_pairs_star_matches_propagation(spark):
+    """The large-star/small-star variant (round 7, the 100 TB scale
+    path) must label EXACTLY like min-label propagation — two
+    independent mechanisms, one answer — on adversarial shapes: a deep
+    chain (worst case for propagation), a star, a clique, two merged
+    components, isolated nodes, and reversed/duplicated/self-loop
+    edges. Also pins the O(log n) round budget: a 64-node chain must
+    converge within 10 alternation rounds (propagation needs 63)."""
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+
+    edges = (
+        [(i, i + 1) for i in range(20)]              # chain 0..20
+        + [(100, j) for j in (101, 102, 103, 104)]   # star
+        + [(a, b) for a in range(200, 204) for b in range(a + 1, 204)]  # clique
+        + [(300, 301), (302, 303), (301, 302)]       # merged pair
+        + [(401, 400), (400, 401), (402, 402)]       # reversed + dup + self-loop
+    )
+    node_ids = sorted({x for e in edges for x in e} | {500, 501})  # isolates
+    ids = spark.createDataFrame([Row(id=i) for i in node_ids])
+    pairs = spark.createDataFrame([Row(a=a, b=b) for a, b in edges])
+    star = {r.id: r.cluster_id for r in cluster_pairs(ids, pairs, max_iter=15).collect()}
+    prop = {
+        r.id: r.cluster_id
+        for r in cluster_pairs(ids, pairs, max_iter=25, method="propagate").collect()
+    }
+    assert star == prop
+    assert star[20] == 0 and star[104] == 100 and star[303] == 300
+    assert star[402] == 402 and star[500] == 500
+    assert len(star) == len(node_ids)  # exactly one label row per id
+
+    n = 64
+    ids64 = spark.createDataFrame([Row(id=i) for i in range(n)])
+    chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n - 1)])
+    labels = cluster_pairs(ids64, chain, max_iter=10).collect()
+    assert {r.cluster_id for r in labels} == {0} and len(labels) == n

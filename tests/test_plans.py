@@ -113,6 +113,36 @@ def test_q16_anti_join_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
 
 
+def test_sf_scaled_dims_not_force_broadcast(spark, sf_dir):
+    """VERDICT r06 #1: customer/part/supplier are SF-scaled, so their
+    joins must NOT carry a hard broadcast hint — at 100 TB a forced
+    broadcast of a tens-of-GB dim is a driver OOM. Proof that the size
+    decision now belongs to autoBroadcastJoinThreshold/AQE: with the
+    threshold dropped to 1 KB, the customer joins in q3/q10/q27 and the
+    part/supplier joins in q2 plan as shuffle joins (a hint would
+    override the threshold and keep broadcasting); nation/region hints
+    (true fixed-size dims) remain. The companion tests above pin that
+    at bench SF the SAME queries still choose broadcast — by size."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        for name, shuffle_joins in (
+            ("q3_top_orders", 2),        # li⋈orders + orders⋈customer
+            ("q10_returned_items", 2),   # li⋈orders + ⋈customer (nation hint stays)
+            ("q27_yoy_growth", 1),       # orders⋈custdim (cust⋈nation keeps its hint)
+            ("q2_min_cost_supplier", 2),  # ⋈part + ⋈supplier
+        ):
+            df = _q(name, spark, sf_dir)
+            n_shuffle = count_op(df, "SortMergeJoin") + count_op(df, "ShuffledHashJoin")
+            assert n_shuffle >= shuffle_joins, (
+                f"{name}: expected >= {shuffle_joins} shuffle joins under a 1 KB "
+                f"broadcast threshold, got {n_shuffle} — a forced broadcast hint "
+                "is overriding the size-based choice"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_funnel_no_self_join(spark, sf_dir):
     """Funnel must be aggregate-only (conditional mins), not the naive
     3-way self-join; both aggregates map-side partial."""
