@@ -96,7 +96,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "c11_clip_outliers", "c12_outlier_to_null", "c13_cast_column",
     "c14_15_rename_drop", "c16_dedup_exact", "recipe_pipeline",
     "c17_normalize_text", "c18_merge_upsert", "q1_pricing_summary_cleaned",
-    "q6_revenue_band", "q3_top_orders", "q5_nation_revenue",
+    "q6_revenue_band",
+    # q3_top_orders / q5_nation_revenue were r1-green but their joins
+    # were restructured in round 7 (forced customer broadcast dropped,
+    # VERDICT r06 #1) — re-queued per the rotation-exclusion rule
     "r2_filter_predicates", "r4_left_join_counts", "r5_semi_anti",
     "r7_cross_join", "r8_range_join", "r9_asof_join",
     "r10_interval_self_join", "r11_groupby_agg", "r12_rollup",
@@ -107,15 +110,16 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "r13_conditional_agg", "r15_sort_nulls", "r16_limit_offset",
     "r18_topk_per_group", "r19_union", "r20_intersect_except",
     "r21_distinct", "r23_pivot", "r24_unpivot", "r25_scalar_subquery",
-    "q4_priority_count", "q7_volume_shipping", "q10_returned_items",
+    "q4_priority_count", "q7_volume_shipping",
     "q15_top_supplier", "q1b_pricing_summary_single_scan",
     "r9b_asof_join_forward", "r12c_grouping_sets_sql", "r26_lateral_topk_sql",
-    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
-    "q11_important_parts", "q12_priority_by_status",
-    "q13_order_count_distribution", "q14_promo_revenue", "q16_supplier_count",
-    "q17_small_quantity_revenue", "q18_large_volume_customers",
-    "q19_disjunctive_revenue", "q20_part_share_suppliers",
-    "q21_sole_return_suppliers", "q22_dormant_customers",
+    # q2/q8/q9/q10/q11/q14/q16/q17/q18/q19/q20/q21 were r2-green but
+    # their customer/part/supplier joins lost the forced broadcast
+    # hint in round 7 (VERDICT r06 #1) — re-queued per the
+    # rotation-exclusion rule until a driver window re-proves them
+    "q12_priority_by_status",
+    "q13_order_count_distribution",
+    "q22_dormant_customers",
     "q23_part_cooccurrence", "q_funnel_conversion", "q_cohort_retention",
     # l2e_fuzzy_match_join was r2-green but refactored in round 5
     # (pair step shared with er1) — re-queued per the rotation rule
@@ -137,7 +141,8 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # plans, so they stay OUT of this set until a driver window
     # re-proves the new implementations (code-review r04 finding)
     "q24_ship_latency", "q25_repeat_purchase", "q26_stickiness",
-    "q27_yoy_growth",
+    # q27_yoy_growth was r3-green but its customer join lost the
+    # forced broadcast in round 7 (VERDICT r06 #1) — re-queued
     # q28_association_rules / q31_trending_parts were r3-green but
     # REWRITTEN in round 5 (q28: parameterized prefilter knob; q31:
     # shared-rollup refactor for the q31b bucketed variant) — per the
@@ -150,7 +155,9 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "f_agg_extra", "f_bitwise", "p18_corr_matrix", "p25_mutual_info",
     "p26_group_regression", "c19_parse_dates_multi", "c20_standardize_units",
     "d3c_outliers_mad", "p13_constraint_suite", "d7_drift_ks",
-    "d8_pattern_validity", "d9_rolling_anomaly", "p16_fk_integrity",
+    "d8_pattern_validity", "d9_rolling_anomaly",
+    # p16_fk_integrity was r3-green but its customer anti-join lost
+    # the forced broadcast in round 7 (VERDICT r06 #1) — re-queued
     "p17_benford_profile",
     # CORRECTNESS_r04.json — 50/50 green (includes the round-4 rewrites
     # q_rfm_segments / q_pareto_revenue / q29_session_conversion, whose
@@ -195,56 +202,73 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "inc1_incremental_stats", "inc2_incremental_dedup", "inc3_incremental_join",
     "s8_pyds_scan", "s8b_pyds_cleaned",
     "pipeline_corpus_curation", "pipeline_lm_dataset", "pipeline_media_curation",
-    "l2_minhash_lsh", "l2c_simhash", "l2d_dedup_clusters",
+    "l2_minhash_lsh", "l2c_simhash",
+    # l2d_dedup_clusters was r5-checked (rows-only) but cluster_pairs
+    # switched to the large-star/small-star default in round 7 —
+    # re-queued per the rotation-exclusion rule
     "l3b_knn_lsh", "l3c_knn_ivf", "l3e_knn_pq", "l4b_embed_neardup_lsh",
     "l9b_media_resize",
-})
-
-#: Round-6 window priority (VERDICT r05 #1). 80 registered queries have
-#: no driver row yet (67 at round start + the 13 round-6 certification
-#: twins, which register into the extras tier at positions ~68-80,
-#: AFTER the rows-only demos); the ~50-query window covers the first 50
-#: of ``ordered_queries``. Ordering: (a) the 7 re-queued rewrites whose
-#: old driver greens certify dead implementations; (b) the §2-tagged
-#: round-5 extras; (c) the LLM-curation tier; trailing names slip to
-#: round 7 by design: x3b (position 51), the rows-only tier, then the
-#: round-6 twins (r8c, l2f/l2g/l3i/l3j/l3k/l4e, l11b/l12b, c30b, g1b,
-#: r22d, inc4b) — round-7 rotation should pull the twins ahead of the
-#: generic rows-only demos.
-CORE_FRESH_FIRST: tuple[str, ...] = (
-    # (a) re-queued rewrites — old green rows certify OLD implementations
+    # CORRECTNESS_r06.json — 50/50 green. er1_entity_resolution was
+    # r6-green but consumes cluster_pairs, whose default switched to
+    # the star method in round 7 AFTER its green row — re-queued.
     "q28_association_rules", "q31_trending_parts", "x1_expectations",
     "x3_quarantine", "l8b_bm25_search", "l2e_fuzzy_match_join",
-    "autofix_pipeline",
-    # (b) §2-tagged round-5 extras
-    "w11_gap_islands", "w12_merge_intervals",
+    "autofix_pipeline", "w11_gap_islands", "w12_merge_intervals",
     "s9_orc_roundtrip", "s10_json_corrupt_records", "s11_schema_evolution",
-    "r8b_range_join_bucketed",
-    "c34_value_cluster", "c35_standardize_values", "c36_canonicalize_urls",
-    "c37_regression_impute", "c38_parse_localized_numbers",
-    "d17_completeness_calendar", "d18_anomaly_attribution",
-    "x5_k_anonymity", "p31_quantile_sketch_merge", "p33_joinability",
-    # (c) LLM-curation tier
+    "r8b_range_join_bucketed", "c34_value_cluster", "c35_standardize_values",
+    "c36_canonicalize_urls", "c37_regression_impute",
+    "c38_parse_localized_numbers", "d17_completeness_calendar",
+    "d18_anomaly_attribution", "x5_k_anonymity",
+    "p31_quantile_sketch_merge", "p33_joinability",
     "l36_semdedup", "l37_dsir_weights", "l38_token_kl_drift",
     "l39_gumbel_resample", "l41_embed_decontaminate",
-    "er1_entity_resolution", "er2_blocking_metrics",
-    "q28b_apriori_prefilter", "q31b_trending_parts_bucketed",
-    "l13_chunk_udtf", "l14_countmin_heavy_hitters", "l15_boilerplate_ratio",
+    "er2_blocking_metrics", "q28b_apriori_prefilter",
+    "q31b_trending_parts_bucketed", "l13_chunk_udtf",
+    "l14_countmin_heavy_hitters", "l15_boilerplate_ratio",
     "l18_unigram_logprob", "l19_gopher_quality", "l20_domain_budget",
     "l21_top_bigram_frac", "l23_char_entropy", "l24_url_domains",
     "l26_contamination_check", "l28_winnowing_pairs",
     "l29_repeated_gram_fraction", "l31_source_temperature_mix",
     "l32_bigram_logprob", "l33_shuffle_shards", "l34_sequence_pack",
     "l35_hybrid_rrf", "c31_segment_dedup",
-    # slips to round 7 (position 51)
-    "x3b_quarantine_codegen",
+})
+
+#: Round-7 window priority (VERDICT r06 #1/#4). 48 queries need a
+#: driver row: the 30 never-checked (x3b slipped from round 6, r8c,
+#: the 12 certification twins, the rows-only tier) plus the round-7
+#: re-queues (er1/l2d from the cluster_pairs star default; the 16
+#: star-query/FK-check re-queues from the forced-broadcast drop).
+#: 48 <= window, so CORRECTNESS_r07 closes the full registry: every
+#: query will then have a driver row for its CURRENT implementation.
+#: Ordering: certification twins first (they hash-prove formerly
+#: rows-only families — the round-6 work whose whole point is a
+#: driver row), then the oracle-backed re-queues.
+CORE_FRESH_FIRST: tuple[str, ...] = (
+    # (a) never-checked oracle-backed: round-6 leftovers + the twins
+    "x3b_quarantine_codegen", "r8c_range_join_sparse",
+    "l2f_minhash_lsh_md5", "l2g_simhash_md5",
+    "l3i_knn_ivf_seeded", "l3j_knn_pq_seeded", "l3k_knn_lsh_md5",
+    "l4e_embed_neardup_lsh_md5", "l11b_language_id_certified",
+    "l12b_fingerprints_md5", "c30b_dedup_keep_best_md5",
+    "g1b_pagerank_fixedpoint", "r22d_hash_sample",
+    "inc4b_incremental_minhash_md5",
+    # (b) round-7 re-queues: er1 consumes the new star-method
+    # cluster_pairs; the q-series lost forced customer/part/supplier
+    # broadcasts (old green rows certify the old plans)
+    "er1_entity_resolution",
+    "q3_top_orders", "q5_nation_revenue", "q10_returned_items",
+    "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
+    "q11_important_parts", "q14_promo_revenue", "q16_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_revenue", "q20_part_share_suppliers",
+    "q21_sole_return_suppliers", "p16_fk_integrity", "q27_yoy_growth",
 )
 
-#: Rows-only priority (round-7 material at current window size):
-#: flagship scale paths and incremental/media evidence first, generic
-#: sampling/function demos last.
+#: Rows-only priority: flagship scale paths and incremental/media
+#: evidence first, generic sampling/function demos last. l2d re-queued
+#: (cluster_pairs star default, round 7).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    "g1_pagerank", "inc4_incremental_minhash",
+    "g1_pagerank", "inc4_incremental_minhash", "l2d_dedup_clusters",
     "l9c_frame_sample", "l9f_image_dhash_pairs", "l10b_bpe_token_count",
     "l11_language_id", "l12_fingerprints",
     "c30_dedup_keep_best", "l27_cdc_chunk_dedup",
