@@ -60,10 +60,20 @@ def train_bpe(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str
     return merges
 
 
-def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+def apply_bpe(
+    word: str,
+    ranks: dict[tuple[str, str], int],
+    *,
+    end_marker: str | None = END,
+) -> list[str]:
     """Tokenize one word with a learned merge table: repeatedly apply
-    the LOWEST-rank applicable merge (the GPT-2 loop)."""
-    sym = list(word) + [END]
+    the LOWEST-rank applicable merge (the GPT-2 loop).
+
+    ``end_marker=None`` skips the terminal symbol — the convention of
+    GPT-family published merge tables, which operate on bare symbol
+    sequences (their end-of-word handling lives in the pre-tokenizer,
+    not the merge table). The default ``</w>`` matches ``train_bpe``."""
+    sym = list(word) + ([end_marker] if end_marker is not None else [])
     while len(sym) > 1:
         best_rank, best_i = None, None
         for i in range(len(sym) - 1):
@@ -74,6 +84,37 @@ def apply_bpe(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
             break
         sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
     return sym
+
+
+def load_merges(path: str) -> dict[tuple[str, str], int]:
+    """Parse a PUBLISHED merges file (the huggingface/GPT-2
+    ``merges.txt`` convention: one merge per line, two space-separated
+    symbols, rank = line order; ``#``-prefixed header lines and blanks
+    skipped) into the ranks dict ``apply_bpe`` consumes.
+
+    This closes the README "published-vocab tokenizer parity"
+    limitation for users who HAVE the vocabulary artifact: token
+    counts from ``apply_bpe(word, load_merges(p), end_marker=None)``
+    follow the published merge order exactly. (Byte-level
+    pre-tokenization — GPT-2's bytes→unicode remap and regex split —
+    is the caller's contract, as it is for every consumer of a
+    merges.txt.) Malformed lines raise rather than silently shifting
+    every later rank."""
+    ranks: dict[tuple[str, str], int] = {}
+    with open(path, encoding="utf-8") as fh:
+        for lineno, raw in enumerate(fh, 1):
+            line = raw.rstrip("\n")
+            if not line.strip() or line.startswith("#"):
+                continue
+            parts = line.split(" ")
+            if len(parts) != 2 or not parts[0] or not parts[1]:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 'left right', got {line!r}"
+                )
+            pair = (parts[0], parts[1])
+            if pair not in ranks:  # first occurrence wins, like HF
+                ranks[pair] = len(ranks)
+    return ranks
 
 
 # Worker-side closures (the l10b pandas UDF) reference this module's

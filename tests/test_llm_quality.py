@@ -184,6 +184,36 @@ def test_bpe_merges_are_deterministic():
     assert train_bpe(wc, 3) == train_bpe(dict(reversed(list(wc.items()))), 3)
 
 
+def test_bpe_published_merges_file(tmp_path):
+    """VERDICT r06 #7: a user with a PUBLISHED vocabulary (the
+    huggingface merges.txt convention) must get that table's exact
+    tokenization — rank = line order, header/blank lines skipped,
+    no </w> terminal (GPT-family tables carry end-of-word in the
+    pre-tokenizer, not the merges). Hand-written table: 'lo' then
+    'low' then 'er'."""
+    import pytest
+
+    from ipydataclean_spark.functions.bpe import apply_bpe, load_merges
+
+    p = tmp_path / "merges.txt"
+    p.write_text("#version: 0.2\nl o\nlo w\ne r\n\n", encoding="utf-8")
+    ranks = load_merges(str(p))
+    assert ranks == {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    assert apply_bpe("lower", ranks, end_marker=None) == ["low", "er"]
+    assert apply_bpe("low", ranks, end_marker=None) == ["low"]
+    # unknown symbols pass through untouched
+    assert apply_bpe("xyz", ranks, end_marker=None) == ["x", "y", "z"]
+    # duplicate merge lines keep the FIRST rank (HF behavior)
+    p2 = tmp_path / "dup.txt"
+    p2.write_text("a b\na b\nb c\n", encoding="utf-8")
+    assert load_merges(str(p2)) == {("a", "b"): 0, ("b", "c"): 1}
+    # malformed lines raise instead of silently shifting ranks
+    p3 = tmp_path / "bad.txt"
+    p3.write_text("a b c\n", encoding="utf-8")
+    with pytest.raises(ValueError, match="bad.txt:1"):
+        load_merges(str(p3))
+
+
 def test_bpe_token_count_query(spark, sf_dir):
     from ipydataclean_spark.functions.bpe import apply_bpe, train_bpe
     from ipydataclean_spark.operators.llm_quality import l10b_bpe_token_count
