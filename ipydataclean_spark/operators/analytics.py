@@ -199,16 +199,17 @@ def er1_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     key) with the member count.
 
     The notable part is the correctness proof of the ITERATIVE stage:
-    Spark runs min-label propagation (llm_extra.cluster_pairs — one
-    join+groupBy per round, early-exit on fixpoint), while the oracle
-    computes the same components as a RECURSIVE-CTE transitive
-    closure (cluster = min reachable id) — two entirely different
-    fixpoint mechanisms whose driver hash must agree, upgrading the
-    clustering primitive from rows-only/golden (l2d) to
-    value-hash-certified. Closure cost is Σ|component|² — fine for an
-    oracle at sf0.01; the Spark side stays O(edges · diameter), the
-    100 TB shape (max_iter 30 covers the fixture's digit-chain
-    diameters; cluster_pairs breaks early on convergence)."""
+    Spark runs alternating large-star/small-star connected components
+    (llm_extra.cluster_pairs — O(log n) rounds over a contracting
+    edge table, early-exit on fixpoint), while the oracle computes
+    the same components as a RECURSIVE-CTE transitive closure
+    (cluster = min reachable id) — two entirely different fixpoint
+    mechanisms whose driver hash must agree, upgrading the clustering
+    primitive from rows-only/golden (l2d) to value-hash-certified.
+    Closure cost is Σ|component|² — fine for an oracle at sf0.01; the
+    Spark side never joins a corpus-wide label table, the 100 TB
+    shape (max_iter 30 is ample for O(log n) convergence;
+    cluster_pairs breaks early)."""
     from ipydataclean_spark.operators.llm_extra import cluster_pairs
     from pyspark.sql import Window
 

@@ -3,8 +3,8 @@ customer↔supplier trade graph.
 
 Why it's here: SURVEY.md §5.2 carves out "iterative algorithms" as
 the non-SQL-expressible class (the driver's weaker rows-only check);
-llm_extra.cluster_pairs already does iterative min-label propagation
-for dedup clustering. PageRank is the canonical second shape: a
+llm_extra.cluster_pairs already iterates connected components
+(large-star/small-star) for dedup clustering. PageRank is the canonical second shape: a
 fixed-point loop where each step is a join + aggregate, i.e. exactly
 what Spark's DAG scheduler pipelines. Everything stays declarative —
 the loop composes lazy plans and localCheckpoints per iteration to

@@ -188,12 +188,16 @@ def _cluster_pairs_star(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Data
             .agg(F.min("v").alias("mn"))
             .select("u", F.least("mn", F.col("u")).alias("m"))
         )
+        # materialized per round: ``large`` feeds BOTH small-star
+        # subtrees (the min agg and the probe side of its join) — an
+        # unmaterialized plan would execute the large-star stage twice
         large = (
             nbr.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         # small-star: ``large`` is already directed u > v (m <= u < v
         # for every emitted edge), so N(u) here is exactly the smaller
@@ -210,6 +214,7 @@ def _cluster_pairs_star(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Data
         new_count = small.count()
         converged = new_count == cur_count and small.subtract(cur).isEmpty()
         # previous round's blocks are dead once the equality check ran
+        _free_local_checkpoint(large)
         _free_local_checkpoint(cur)
         cur, cur_count = small, new_count
     if not converged:
