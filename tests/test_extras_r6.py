@@ -433,3 +433,33 @@ def test_cluster_pairs_star_matches_propagation(spark):
     chain = spark.createDataFrame([Row(a=i, b=i + 1) for i in range(n - 1)])
     labels = cluster_pairs(ids64, chain, max_iter=10).collect()
     assert {r.cluster_id for r in labels} == {0} and len(labels) == n
+
+
+def test_cluster_pairs_star_hub_graph(spark):
+    """Skew shape: one hub node with 5k leaves plus a chain hanging off
+    a leaf — the high-degree neighborhood a power-law dup graph
+    produces. The star method must label the whole thing as one
+    component in very few alternation rounds (the hub IS nearly a star
+    already), with exactly one label row per node. Also pins that the
+    hub being the component min routes every leaf to it directly."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+
+    n_leaves = 5000
+    hub_edges = spark.range(1, n_leaves + 1).select(
+        F.lit(0).alias("a"), F.col("id").alias("b")
+    )
+    # chain 5000 -> 5010 hanging off the last leaf
+    chain = spark.range(n_leaves, n_leaves + 10).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b")
+    )
+    pairs = hub_edges.unionByName(chain)
+    ids = spark.range(n_leaves + 11).select(F.col("id"))
+    labels = cluster_pairs(ids, pairs, max_iter=8)
+    agg = labels.agg(
+        F.countDistinct("cluster_id").alias("k"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("cluster_id").alias("mx"),
+    ).collect()[0]
+    assert (agg.k, agg.n, agg.mx) == (1, n_leaves + 11, 0)
