@@ -495,6 +495,146 @@ def l2f_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The band layouts the l2h audit compares: (n_bands, rows_per_band)
+#: partitions of the 16-slot signature. (4, 4) is the production
+#: layout (catches J >= ~0.5); (2, 8) is the strict one (a band of 8
+#: rows agrees with prob J^8, so even J ~ 0.9 pairs get missed —
+#: the knob a deployment turns when candidate volume must shrink).
+_L2H_LAYOUTS = ((4, 4), (2, 8))
+
+
+def _l2h_layout_sql(nb: int, r: int) -> str:
+    """banded{nb}x{r} CTE over the shared ``sig`` list: band key =
+    md5 of the '|'-joined run of r consecutive minima."""
+    key = " || '|' || ".join(f"sg[{r}*b + {i + 1}]" for i in range(r))
+    return (
+        f"banded{nb}x{r} AS (SELECT doc_id, b, md5({key}) AS bh "
+        f"FROM sig CROSS JOIN (SELECT UNNEST(range({nb})) AS b))"
+    )
+
+
+def _l2h_metrics_sql(nb: int, r: int) -> str:
+    return (
+        f"SELECT {nb} AS n_bands, {r} AS rows_per_band, "
+        "(SELECT COUNT(*) FROM truth) AS n_truth, "
+        f"(SELECT COUNT(*) FROM cand{nb}x{r}) AS n_candidates, "
+        f"(SELECT COUNT(*) FROM truth t JOIN cand{nb}x{r} c "
+        "ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_hits"
+    )
+
+
+_L2H_ORACLE = with_documents_dup(
+    ", "
+    + md5_minhash_chain_sql("documents_dup")
+    # truth: exact word-3-gram Jaccard >= 0.6 (the l2b chain), reusing
+    # the SAME sh CTE the md5-MinHash chain already built
+    + ", sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id), "
+    "truth AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "JOIN sizes sa ON sa.doc_id = a.doc_id "
+    "JOIN sizes sb ON sb.doc_id = b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id, sa.n_sh, sb.n_sh "
+    "HAVING CAST(COUNT(*) AS DOUBLE) / (sa.n_sh + sb.n_sh - COUNT(*)) >= 0.6), "
+    + ", ".join(_l2h_layout_sql(nb, r) for nb, r in _L2H_LAYOUTS)
+    + ", "
+    + ", ".join(
+        f"cand{nb}x{r} AS (SELECT DISTINCT a.doc_id AS doc_a, "
+        f"v.doc_id AS doc_b FROM banded{nb}x{r} a JOIN banded{nb}x{r} v "
+        "ON v.b = a.b AND v.bh = a.bh AND a.doc_id < v.doc_id)"
+        for nb, r in _L2H_LAYOUTS
+    )
+    + ", m AS ("
+    + " UNION ALL ".join(_l2h_metrics_sql(nb, r) for nb, r in _L2H_LAYOUTS)
+    + ") SELECT n_bands, rows_per_band, n_truth, n_candidates, n_hits, "
+    "ROUND(CASE WHEN n_truth > 0 THEN CAST(n_hits AS DOUBLE) / n_truth END, 8) "
+    "AS recall, "
+    "ROUND(CASE WHEN n_candidates > 0 THEN CAST(n_hits AS DOUBLE) / n_candidates "
+    "END, 8) AS precision FROM m ORDER BY n_bands DESC"
+)
+
+
+@register("l2h_lsh_recall_audit", oracle=_L2H_ORACLE, tags=("L2", "D5"))
+def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 quality audit — the LSH S-curve tuning table: recall AND
+    precision of the raw band-join candidate stage against exact
+    word-3-gram Jaccard >= 0.6 ground truth (the l2b chain), for two
+    band layouts cut from the SAME 16 md5 minima: the production 4x4
+    (catches J >= ~0.5; measured recall 1.0 on the fixture) and the
+    strict 2x8 (a band of 8 agrees with prob J^8, so J ~ 0.9 pairs
+    get missed — measured recall < 1, the non-vacuous row). This is
+    the table a dedup deployment reads before picking a layout: the
+    recall column is what banding loses, n_candidates is what
+    verification costs.
+
+    Scale shape: the AUDIT, not the pipeline, is the expensive side —
+    exact truth is a shingle self-join, so at 100 TB this runs on a
+    sampled slice while LSH is the production path; here the full sf
+    fixture is the sample. Divisions are single BIGINT/BIGINT ->
+    double (IEEE-identical cross-engine), zero-guarded."""
+    sigs = md5_minhash_sigs(documents_dup(spark, sf_dir))
+    truth = l2b_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    rows = []
+    for nb, r in _L2H_LAYOUTS:
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("b"),
+                            F.md5(
+                                F.concat_ws(
+                                    "|", *[F.col("sg")[r * b + i] for i in range(r)]
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(nb)
+                    ]
+                )
+            ).alias("bd"),
+        ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+        a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
+        v = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
+        cand = (
+            a.join(v, ["b", "bh"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        hits = truth.join(cand, ["doc_a", "doc_b"])
+        rows.append(
+            truth.agg(F.count(F.lit(1)).alias("n_truth"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(nb).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                "n_truth",
+                "n_candidates",
+                "n_hits",
+            )
+        )
+    m = rows[0]
+    for extra in rows[1:]:
+        m = m.unionByName(extra)
+    rec = F.when(
+        F.col("n_truth") > 0, F.col("n_hits").cast("double") / F.col("n_truth")
+    )
+    prec = F.when(
+        F.col("n_candidates") > 0,
+        F.col("n_hits").cast("double") / F.col("n_candidates"),
+    )
+    return m.select(
+        "n_bands",
+        "rows_per_band",
+        "n_truth",
+        "n_candidates",
+        "n_hits",
+        F.round(rec, 8).alias("recall"),
+        F.round(prec, 8).alias("precision"),
+    ).orderBy(F.desc("n_bands"))
+
+
 _L2G_BITS, _L2G_BANDS = 48, 6  # 6 bands x 8 bits; pigeonhole: hamming<=5
 
 _L2G_ORACLE = with_documents_dup(

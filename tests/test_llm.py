@@ -219,3 +219,24 @@ def test_minhash_and_shingles_survive_short_docs(spark):
     assert sigs.count() == 2  # only the shingle-able docs
     pairs = lsh_candidate_pairs(sigs, cap=None).collect()
     assert [(p.doc_a, p.doc_b) for p in pairs] == [(4, 5)]
+
+
+def test_l2h_audit_discriminates_layouts(spark, sf_dir):
+    """The LSH S-curve audit must be NON-VACUOUS: its oracle proves
+    Spark==DuckDB, this proves the two band layouts actually differ on
+    the fixture — the production 4x4 catches every exact-Jaccard>=0.6
+    pair (recall 1.0), while the strict 2x8 (band agreement prob J^8)
+    drops at least one J~0.9 pair, so its recall is a REAL number the
+    deployment tradeoff reads, not a constant."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {
+        (r.n_bands, r.rows_per_band): r
+        for r in QUERIES["l2h_lsh_recall_audit"]["fn"](spark, sf_dir).collect()
+    }
+    prod, strict = rows[(4, 4)], rows[(2, 8)]
+    assert prod.n_truth == strict.n_truth > 0
+    assert prod.recall == 1.0
+    assert strict.n_hits < strict.n_truth, "2x8 missed nothing: audit vacuous"
+    assert strict.n_candidates <= prod.n_candidates
