@@ -160,6 +160,17 @@ def l3i_knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored table, probes = broadcast join, only probed cells
     scanned."""
     emb = T(spark, sf_dir, "embeddings")
+    return seeded_ivf_topk(emb, nprobe=4).orderBy(
+        "query_id", F.desc("cos_sim"), "neighbor_id"
+    )
+
+
+def seeded_ivf_topk(emb: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
+    """The certified seeded-IVF probe pipeline (the l3i body),
+    parameterized by nprobe: seed cells = vec_id < 16, queries =
+    vec_id < 5, assignment/probe ranking by max-cosine to the seed,
+    exact-cosine re-rank of the probed cells' members to top-k.
+    Shared by l3i (nprobe=4) and the l3m nprobe-sweep audit."""
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
@@ -190,7 +201,7 @@ def l3i_knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
             (vdot("q_emb", "c_emb") / (vnorm("q_emb") * vnorm("c_emb"))).alias("qsim"),
         )
         .withColumn("pr", F.row_number().over(probe_rank))
-        .where(F.col("pr") <= 4)
+        .where(F.col("pr") <= nprobe)
         .select("query_id", "q_emb", F.col("cid").alias("cell"))
     )
     cand = (
@@ -205,10 +216,109 @@ def l3i_knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 5)
+        .where(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim")
-        .orderBy("query_id", F.desc("cos_sim"), "neighbor_id")
     )
+
+
+_L3M_NPROBES = (1, 2, 4, 8, 16)
+
+
+def _l3m_oracle() -> str:
+    shared = (
+        "WITH cents AS (SELECT vec_id AS cid, embedding AS c FROM embeddings "
+        "WHERE vec_id < 16), "
+        "asg AS (SELECT vec_id, embedding, cell FROM ("
+        "SELECT e.vec_id, e.embedding, c.cid AS cell, "
+        "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+        f"{cosine_sim_sql('e.embedding', 'c.c')} DESC, c.cid) AS rn "
+        "FROM embeddings e CROSS JOIN cents c) s WHERE rn = 1), "
+        "pranked AS (SELECT q.vec_id AS query_id, q.embedding AS q_emb, "
+        "c.cid AS cell, ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{cosine_sim_sql('q.embedding', 'c.c')} DESC, c.cid) AS pr "
+        "FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 5), "
+        "exact AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        f"{cosine_sim_sql('q.embedding', 'e.embedding')} DESC, e.vec_id) AS rn "
+        "FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id "
+        "WHERE q.vec_id < 5) s WHERE rn <= 5)"
+    )
+    tops = ", ".join(
+        f"top{p} AS (SELECT query_id, neighbor_id FROM ("
+        "SELECT p2.query_id, a.vec_id AS neighbor_id, "
+        "ROW_NUMBER() OVER (PARTITION BY p2.query_id ORDER BY "
+        f"{cosine_sim_sql('p2.q_emb', 'a.embedding')} DESC, a.vec_id) AS rn "
+        f"FROM pranked p2 JOIN asg a ON a.cell = p2.cell AND p2.pr <= {p} "
+        "WHERE a.vec_id <> p2.query_id) s WHERE rn <= 5)"
+        for p in _L3M_NPROBES
+    )
+    metrics = " UNION ALL ".join(
+        f"SELECT {p} AS nprobe, "
+        "(SELECT COUNT(*) FROM exact) AS n_exact, "
+        f"(SELECT COUNT(*) FROM top{p}) AS n_returned, "
+        f"(SELECT COUNT(*) FROM exact t JOIN top{p} c "
+        "ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id) AS n_hits"
+        for p in _L3M_NPROBES
+    )
+    return (
+        f"{shared}, {tops}, m AS ({metrics}) "
+        "SELECT nprobe, n_exact, n_returned, n_hits, "
+        "ROUND(CASE WHEN n_exact > 0 THEN CAST(n_hits AS DOUBLE) / n_exact "
+        "END, 8) AS recall FROM m ORDER BY nprobe"
+    )
+
+
+@register("l3m_ivf_recall_audit", oracle=_l3m_oracle(), tags=("L3", "IVF"))
+def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 quality audit — the ANN recall-vs-nprobe tuning table: the
+    certified seeded-IVF pipeline (l3i's exact body via
+    seeded_ivf_topk) swept at nprobe 1/2/4 against the brute-force
+    exact top-5 (the l3_knn_exact semantics), recall@5 per setting.
+    This is the table an ANN deployment reads to pick nprobe: recall
+    is what cell pruning loses, and the probed-cell fraction
+    (nprobe/16) is proportional to what scanning costs. Non-vacuous
+    on the fixture (recall climbs with nprobe; pinned in
+    tests/test_llm.py). Divisions are single BIGINT/BIGINT -> double
+    (IEEE-identical cross-engine), zero-guarded."""
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine_sim("q_emb", "e_emb").alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    rows = []
+    for p in _L3M_NPROBES:
+        top = seeded_ivf_topk(emb, nprobe=p).select("query_id", "neighbor_id")
+        hits = exact.join(top, ["query_id", "neighbor_id"])
+        rows.append(
+            exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(top.agg(F.count(F.lit(1)).alias("n_returned")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(p).cast("int").alias("nprobe"),
+                "n_exact",
+                "n_returned",
+                "n_hits",
+            )
+        )
+    m = rows[0]
+    for extra in rows[1:]:
+        m = m.unionByName(extra)
+    rec = F.when(
+        F.col("n_exact") > 0, F.col("n_hits").cast("double") / F.col("n_exact")
+    )
+    return m.select(
+        "nprobe", "n_exact", "n_returned", "n_hits", F.round(rec, 8).alias("recall")
+    ).orderBy("nprobe")
 
 
 # ---------------------------------------------------------------------------

@@ -240,3 +240,23 @@ def test_l2h_audit_discriminates_layouts(spark, sf_dir):
     assert prod.recall == 1.0
     assert strict.n_hits < strict.n_truth, "2x8 missed nothing: audit vacuous"
     assert strict.n_candidates <= prod.n_candidates
+
+
+def test_l3m_audit_recall_climbs_with_nprobe(spark, sf_dir):
+    """The ANN tuning table must be NON-VACUOUS: recall is
+    monotonically non-decreasing in nprobe, strictly climbs somewhere
+    on the fixture (0.92 at nprobe<=4 -> 0.96 at 8 -> 1.0 at 16), and
+    nprobe=16 (every cell probed = brute force) must equal exact
+    recall 1.0 BY CONSTRUCTION — a failure there means the probe
+    pipeline itself drops neighbors."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = sorted(
+        QUERIES["l3m_ivf_recall_audit"]["fn"](spark, sf_dir).collect(),
+        key=lambda r: r.nprobe,
+    )
+    recs = [r.recall for r in rows]
+    assert recs == sorted(recs), f"recall not monotone in nprobe: {recs}"
+    assert recs[-1] == 1.0, "nprobe=16 probes every cell; recall must be exact"
+    assert recs[0] < 1.0, f"audit vacuous: nprobe=1 already exact ({recs})"
