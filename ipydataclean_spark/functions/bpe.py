@@ -99,12 +99,22 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     pre-tokenization — GPT-2's bytes→unicode remap and regex split —
     is the caller's contract, as it is for every consumer of a
     merges.txt.) Malformed lines raise rather than silently shifting
-    every later rank."""
+    every later rank.
+
+    Header handling matches the published convention exactly: ONLY a
+    first line starting with ``#version`` is a header. Later lines
+    beginning with ``#`` are real merges — GPT-2-family tables merge
+    ``#``-prefixed symbols (that is how ``##`` becomes a token), so
+    a skip-all-comments rule would silently drop them. Trailing CR
+    (a CRLF-saved file) is stripped, not folded into the right
+    symbol."""
     ranks: dict[tuple[str, str], int] = {}
     with open(path, encoding="utf-8") as fh:
         for lineno, raw in enumerate(fh, 1):
-            line = raw.rstrip("\n")
-            if not line.strip() or line.startswith("#"):
+            line = raw.rstrip("\r\n")
+            if not line.strip():
+                continue
+            if lineno == 1 and line.startswith("#version"):
                 continue
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:

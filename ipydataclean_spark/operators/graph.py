@@ -99,16 +99,19 @@ def pagerank(
 def g1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: PageRank over the bipartite customer→supplier graph derived
     from lineitem⋈orders (edge = customer bought from supplier;
-    supplier nodes offset by 10^9 to disjoin the id spaces). Top 25
-    by rank. Rows-only: iterative fixed point has no SQL twin; the
-    known-graph identity is pinned in tests/test_graph.py."""
+    supplier nodes NEGATED to disjoin the id spaces at ANY scale
+    factor — keys are >= 1, so -l_suppkey can never collide with
+    o_custkey, unlike a fixed offset, which some SF always outgrows:
+    review r07 on the 1e6->1e9 bump). Top 25 by rank. Rows-only:
+    iterative fixed point has no SQL twin; the known-graph identity
+    is pinned in tests/test_graph.py."""
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     edges = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+            (-F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )
@@ -124,10 +127,10 @@ _G1B_SCALE = 1_000_000_000  # rank unit = 1e-9 (fits BIGINT at any tested SF)
 _G1B_ITERS = 10
 
 _G1B_EDGES_SQL = (
-    "SELECT DISTINCT o_custkey AS src, l_suppkey + 1000000000 AS dst "
+    "SELECT DISTINCT o_custkey AS src, -l_suppkey AS dst "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "UNION ALL "
-    "SELECT DISTINCT l_suppkey + 1000000000 AS src, o_custkey AS dst "
+    "SELECT DISTINCT -l_suppkey AS src, o_custkey AS dst "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
 )
 
@@ -188,7 +191,7 @@ def g1b_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.col("l_suppkey") + F.lit(1000000000)).alias("dst"),
+            (-F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )

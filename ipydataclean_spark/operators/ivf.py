@@ -273,8 +273,9 @@ def _l3m_oracle() -> str:
 def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3 quality audit — the ANN recall-vs-nprobe tuning table: the
     certified seeded-IVF pipeline (l3i's exact body via
-    seeded_ivf_topk) swept at nprobe 1/2/4 against the brute-force
-    exact top-5 (the l3_knn_exact semantics), recall@5 per setting.
+    seeded_ivf_topk) swept at nprobe 1/2/4/8/16 against the
+    brute-force exact top-5 (the l3_knn_exact semantics), recall@5
+    per setting — 16 probes every cell, so that row must equal exact.
     This is the table an ANN deployment reads to pick nprobe: recall
     is what cell pruning loses, and the probed-cell fraction
     (nprobe/16) is proportional to what scanning costs. Non-vacuous
@@ -287,6 +288,11 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    # materialized once: ``exact`` (the brute-force cross-join) feeds
+    # two subtrees per sweep point (its count agg and the hits join),
+    # and each ``top`` feeds two — without checkpoints the expensive
+    # plans re-execute per reference (the cluster_pairs edges lesson;
+    # review r07 #6). Tiny tables (25 rows), so the blocks are free.
     exact = (
         e.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -294,10 +300,15 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
     )
     rows = []
     for p in _L3M_NPROBES:
-        top = seeded_ivf_topk(emb, nprobe=p).select("query_id", "neighbor_id")
+        top = (
+            seeded_ivf_topk(emb, nprobe=p)
+            .select("query_id", "neighbor_id")
+            .localCheckpoint(eager=True)
+        )
         hits = exact.join(top, ["query_id", "neighbor_id"])
         rows.append(
             exact.agg(F.count(F.lit(1)).alias("n_exact"))

@@ -571,8 +571,17 @@ def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled slice while LSH is the production path; here the full sf
     fixture is the sample. Divisions are single BIGINT/BIGINT ->
     double (IEEE-identical cross-engine), zero-guarded."""
-    sigs = md5_minhash_sigs(documents_dup(spark, sf_dir))
-    truth = l2b_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialized once: ``truth`` (the shingle self-join — the
+    # expensive side by this docstring's own accounting) feeds an agg
+    # plus a hits join PER layout, and ``sigs`` feeds every layout's
+    # banding — checkpoints stop those plans re-executing per
+    # reference (review r07 #6)
+    sigs = md5_minhash_sigs(documents_dup(spark, sf_dir)).localCheckpoint(eager=True)
+    truth = (
+        l2b_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     rows = []
     for nb, r in _L2H_LAYOUTS:
         bands = sigs.select(
@@ -600,6 +609,7 @@ def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b")
             .distinct()
+            .localCheckpoint(eager=True)
         )
         hits = truth.join(cand, ["doc_a", "doc_b"])
         rows.append(

@@ -52,6 +52,9 @@ def cluster_pairs(
 
     ids: (id BIGINT); pairs: (a, b) undirected edges.
     Returns (id, cluster_id) where cluster_id = min id in the component.
+    Contract: only ids are labeled, and edges mentioning a node NOT in
+    ``ids`` are DROPPED (a foreign node never bridges two members) —
+    both methods enforce this identically (review r07 #3).
 
     ``method="star"`` (default, the scale path): the alternating
     large-star/small-star algorithm (Kiveris et al., "Connected
@@ -162,11 +165,19 @@ def _cluster_pairs_star(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Data
     table is ever joined, so skewed/deep components no longer dominate
     — the label-propagation variant's 100 TB weakness.
     """
-    # normalize: drop self-loops, orient u > v, dedup; checkpoint so
-    # the upstream candidate pipeline (the full LSH build for c30/l2d)
-    # executes ONCE, not once per round
+    # normalize: drop self-loops, restrict both endpoints to ``ids``
+    # (the propagate method only ever labels ids, so edges through
+    # foreign nodes silently drop there — star must match that
+    # contract or the two mechanisms diverge on ids-filtered callers;
+    # review r07 #3), orient u > v, dedup; checkpoint so the upstream
+    # candidate pipeline (the full LSH build for c30/l2d) executes
+    # ONCE, not once per round
+    ids_a = ids.select(F.col("id").alias("__ia"))
+    ids_b = ids.select(F.col("id").alias("__ib"))
     cur = (
         pairs.where(F.col("a") != F.col("b"))
+        .join(ids_a, F.col("a") == F.col("__ia"), "left_semi")
+        .join(ids_b, F.col("b") == F.col("__ib"), "left_semi")
         .select(
             F.greatest(F.col("a"), F.col("b")).alias("u"),
             F.least(F.col("a"), F.col("b")).alias("v"),

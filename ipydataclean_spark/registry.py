@@ -233,16 +233,19 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l35_hybrid_rrf", "c31_segment_dedup",
 })
 
-#: Round-7 window priority (VERDICT r06 #1/#4). 48 queries need a
+#: Round-7 window priority (VERDICT r06 #1/#4). 50 queries need a
 #: driver row: the 30 never-checked (x3b slipped from round 6, r8c,
-#: the 12 certification twins, the rows-only tier) plus the round-7
+#: the 12 certification twins, the rows-only tier), the round-7
 #: re-queues (er1/l2d from the cluster_pairs star default; the 16
-#: star-query/FK-check re-queues from the forced-broadcast drop).
-#: 48 <= window, so CORRECTNESS_r07 closes the full registry: every
-#: query will then have a driver row for its CURRENT implementation.
+#: star-query/FK-check re-queues from the forced-broadcast drop),
+#: and the 2 NEW round-7 audits (l2h, l3m). 50 = window exactly, so
+#: CORRECTNESS_r07 closes the full registry: every query will then
+#: have a driver row for its CURRENT implementation — and any further
+#: round-7 registration MUST displace a name from these lists
+#: explicitly, not silently fall off the window tail (review r07 #5).
 #: Ordering: certification twins first (they hash-prove formerly
 #: rows-only families — the round-6 work whose whole point is a
-#: driver row), then the oracle-backed re-queues.
+#: driver row), the new audits, then the oracle-backed re-queues.
 CORE_FRESH_FIRST: tuple[str, ...] = (
     # (a) never-checked oracle-backed: round-6 leftovers + the twins
     "x3b_quarantine_codegen", "r8c_range_join_sparse",
@@ -252,6 +255,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l12b_fingerprints_md5", "c30b_dedup_keep_best_md5",
     "g1b_pagerank_fixedpoint", "r22d_hash_sample",
     "inc4b_incremental_minhash_md5",
+    # (a') the round-7 audit operators (new code, never checked)
+    "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
     # (b) round-7 re-queues: er1 consumes the new star-method
     # cluster_pairs; the q-series lost forced customer/part/supplier
     # broadcasts (old green rows certify the old plans)

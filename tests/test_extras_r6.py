@@ -463,3 +463,24 @@ def test_cluster_pairs_star_hub_graph(spark):
         F.max("cluster_id").alias("mx"),
     ).collect()[0]
     assert (agg.k, agg.n, agg.mx) == (1, n_leaves + 11, 0)
+
+
+def test_cluster_pairs_drops_foreign_node_edges_both_methods(spark):
+    """Contract pin (review r07 #3): edges mentioning ids OUTSIDE the
+    ``ids`` frame are dropped by BOTH methods — a foreign node must
+    not bridge two member components (propagate never could, since it
+    only labels ids; star now semi-joins edges to ids first). ids
+    {5,7}, pairs {(5,3),(3,7)} with 3 foreign: both methods return
+    two singleton clusters."""
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+
+    ids = spark.createDataFrame([Row(id=5), Row(id=7)])
+    pairs = spark.createDataFrame([Row(a=5, b=3), Row(a=3, b=7)])
+    for method in ("star", "propagate"):
+        got = {
+            r.id: r.cluster_id
+            for r in cluster_pairs(ids, pairs, max_iter=5, method=method).collect()
+        }
+        assert got == {5: 5, 7: 7}, (method, got)

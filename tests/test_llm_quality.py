@@ -212,6 +212,17 @@ def test_bpe_published_merges_file(tmp_path):
     p3.write_text("a b c\n", encoding="utf-8")
     with pytest.raises(ValueError, match="bad.txt:1"):
         load_merges(str(p3))
+    # '#'-prefixed MERGES are real (GPT-2 tables build '##' this way) —
+    # only a first-line #version header is skipped (review r07 #1)
+    p4 = tmp_path / "hash.txt"
+    p4.write_text("#version: 0.2\n# #\n## #\nl o\n", encoding="utf-8")
+    r4 = load_merges(str(p4))
+    assert r4 == {("#", "#"): 0, ("##", "#"): 1, ("l", "o"): 2}
+    assert apply_bpe("###", r4, end_marker=None) == ["###"]
+    # CRLF-saved files must not fold '\r' into the right symbol
+    p5 = tmp_path / "crlf.txt"
+    p5.write_bytes(b"#version: 0.2\r\nl o\r\n")
+    assert load_merges(str(p5)) == {("l", "o"): 0}
 
 
 def test_bpe_token_count_query(spark, sf_dir):
