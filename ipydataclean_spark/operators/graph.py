@@ -92,6 +92,13 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+    # Checkpoint retention is bounded BY DESIGN at ``iterations``
+    # rank-table-sized block sets: this loop composes lazily (no
+    # action per round — the fixpoint runs as one pipelined job
+    # chain), so prior rounds' blocks cannot be freed mid-loop the
+    # way the action-per-round cluster_pairs loop frees them; rank
+    # tables are node-sized, not edge-sized, so the bounded copies
+    # are the cheap side of that trade.
     return ranks
 
 
