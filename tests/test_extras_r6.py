@@ -484,3 +484,72 @@ def test_cluster_pairs_drops_foreign_node_edges_both_methods(spark):
             for r in cluster_pairs(ids, pairs, max_iter=5, method=method).collect()
         }
         assert got == {5: 5, 7: 7}, (method, got)
+
+
+def test_cluster_pairs_random_graphs_vs_union_find(spark):
+    """Property check with a THIRD independent mechanism: 24 seeded
+    random graphs (Erdos-Renyi-ish, 6-20 nodes, varying density,
+    self-loops/dups/reversals injected) packed into one disjoint
+    union via node-id offsets — ONE star call and ONE propagate call
+    each labeled against a driver-side union-find ground truth. Any
+    divergence in component structure OR min-id labeling fails with
+    the offending graph's seed."""
+    import random
+
+    from pyspark.sql import Row
+
+    from ipydataclean_spark.operators.llm_extra import cluster_pairs
+
+    rng = random.Random(0)
+    all_ids, all_edges, parent = [], [], {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+
+    for g in range(24):
+        base = g * 1000
+        n = rng.randint(6, 20)
+        nodes = [base + i for i in range(n)]
+        all_ids.extend(nodes)
+        for v in nodes:
+            parent[v] = v
+        density = rng.choice((0.05, 0.15, 0.4))
+        for i in range(n):
+            for j in range(i + 1, n):
+                if rng.random() < density:
+                    a, b = nodes[i], nodes[j]
+                    if rng.random() < 0.3:
+                        a, b = b, a  # reversed orientation
+                    all_edges.append((a, b))
+                    if rng.random() < 0.1:
+                        all_edges.append((a, b))  # duplicate
+                    union(nodes[i], nodes[j])
+        if rng.random() < 0.5:
+            all_edges.append((nodes[0], nodes[0]))  # self-loop
+
+    # path-compress everything so truth[v] = min id of its component
+    truth = {}
+    for v in all_ids:
+        r = find(v)
+        comp_min = min(x for x in all_ids if find(x) == r)
+        truth[v] = comp_min
+
+    ids = spark.createDataFrame([Row(id=i) for i in all_ids])
+    pairs = spark.createDataFrame([Row(a=a, b=b) for a, b in all_edges])
+    for method in ("star", "propagate"):
+        got = {
+            r.id: r.cluster_id
+            for r in cluster_pairs(ids, pairs, max_iter=30, method=method).collect()
+        }
+        assert got == truth, (
+            method,
+            {k: (got[k], truth[k]) for k in got if got[k] != truth[k]},
+        )
