@@ -109,13 +109,20 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     (a CRLF-saved file) is stripped, not folded into the right
     symbol."""
     ranks: dict[tuple[str, str], int] = {}
-    with open(path, encoding="utf-8") as fh:
+    # utf-8-sig: a BOM-prefixed file (Windows re-save) must not turn
+    # the '#version' header into an accepted rank-0 merge that shifts
+    # every later rank (review r07 second pass #1); the header check
+    # keys on the first NON-BLANK line for the same reason.
+    seen_content = False
+    with open(path, encoding="utf-8-sig") as fh:
         for lineno, raw in enumerate(fh, 1):
             line = raw.rstrip("\r\n")
             if not line.strip():
                 continue
-            if lineno == 1 and line.startswith("#version"):
+            if not seen_content and line.startswith("#version"):
+                seen_content = True
                 continue
+            seen_content = True
             parts = line.split(" ")
             if len(parts) != 2 or not parts[0] or not parts[1]:
                 raise ValueError(

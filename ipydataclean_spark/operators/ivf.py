@@ -165,12 +165,14 @@ def l3i_knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def seeded_ivf_topk(emb: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
-    """The certified seeded-IVF probe pipeline (the l3i body),
-    parameterized by nprobe: seed cells = vec_id < 16, queries =
-    vec_id < 5, assignment/probe ranking by max-cosine to the seed,
-    exact-cosine re-rank of the probed cells' members to top-k.
-    Shared by l3i (nprobe=4) and the l3m nprobe-sweep audit."""
+def seeded_ivf_stages(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(asg, pranked): the nprobe-INDEPENDENT stages of the certified
+    seeded-IVF pipeline — the corpus-wide cell assignment and the
+    per-query ranked probe list — computed once. l3m sweeps five
+    nprobe settings; without this split each sweep point rebuilt the
+    full-corpus assignment crossJoin from scratch (review r07 second
+    pass #2). Callers that loop should localCheckpoint the returned
+    frames; a single-shot caller (l3i) uses them as lazy plans."""
     cents = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
@@ -192,7 +194,7 @@ def seeded_ivf_topk(emb: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
     probe_rank = Window.partitionBy("query_id").orderBy(F.desc("qsim"), F.asc("cid"))
-    probes = (
+    pranked = (
         q.crossJoin(F.broadcast(cents))
         .select(
             "query_id",
@@ -201,9 +203,26 @@ def seeded_ivf_topk(emb: DataFrame, nprobe: int, k: int = 5) -> DataFrame:
             (vdot("q_emb", "c_emb") / (vnorm("q_emb") * vnorm("c_emb"))).alias("qsim"),
         )
         .withColumn("pr", F.row_number().over(probe_rank))
-        .where(F.col("pr") <= nprobe)
-        .select("query_id", "q_emb", F.col("cid").alias("cell"))
+        .select("query_id", "q_emb", F.col("cid").alias("cell"), "pr")
     )
+    return asg, pranked
+
+
+def seeded_ivf_topk(
+    emb: DataFrame,
+    nprobe: int,
+    k: int = 5,
+    stages: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """The certified seeded-IVF probe pipeline (the l3i body),
+    parameterized by nprobe: seed cells = vec_id < 16, queries =
+    vec_id < 5, assignment/probe ranking by max-cosine to the seed,
+    exact-cosine re-rank of the probed cells' members to top-k.
+    Shared by l3i (nprobe=4) and the l3m nprobe-sweep audit, which
+    passes precomputed ``stages`` so the sweep filters one assignment
+    instead of rebuilding it per setting."""
+    asg, pranked = stages if stages is not None else seeded_ivf_stages(emb)
+    probes = pranked.where(F.col("pr") <= nprobe).select("query_id", "q_emb", "cell")
     cand = (
         asg.join(F.broadcast(probes), "cell")
         .where(F.col("vec_id") != F.col("query_id"))
@@ -302,10 +321,15 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .localCheckpoint(eager=True)
     )
+    asg, pranked = seeded_ivf_stages(emb)
+    stages = (
+        asg.localCheckpoint(eager=True),
+        pranked.localCheckpoint(eager=True),
+    )
     rows = []
     for p in _L3M_NPROBES:
         top = (
-            seeded_ivf_topk(emb, nprobe=p)
+            seeded_ivf_topk(emb, nprobe=p, stages=stages)
             .select("query_id", "neighbor_id")
             .localCheckpoint(eager=True)
         )

@@ -368,11 +368,18 @@ def md5_minhash_sigs(docs: DataFrame) -> DataFrame:
     return mins.select("doc_id", sig_arr.alias("sg"))
 
 
-def md5_band_keys(sigs: DataFrame) -> DataFrame:
-    """(doc_id, b, bh): SLIM 4x4 band keys from md5 signatures — the
+def md5_band_keys(
+    sigs: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, b, bh): SLIM band keys from md5 signatures — the
     join fanout carries no signature arrays (the l36 slim-fanout
     lesson; round-6 review #7): candidate joins run on these 3
-    columns, and signatures rejoin AFTER pair dedup."""
+    columns, and signatures rejoin AFTER pair dedup. The default 4x4
+    is the production layout; the l2h audit sweeps other layouts
+    through the SAME generator so the band-key format is
+    single-sourced (review r07 second pass #3; its SQL twin is
+    band_key_sql)."""
+    r = rows_per_band
     return sigs.select(
         "doc_id",
         F.explode(
@@ -383,15 +390,26 @@ def md5_band_keys(sigs: DataFrame) -> DataFrame:
                         F.md5(
                             F.concat_ws(
                                 "|",
-                                *[F.col("sg")[4 * b + i] for i in range(4)],
+                                *[F.col("sg")[r * b + i] for i in range(r)],
                             )
                         ).alias("bh"),
                     )
-                    for b in range(4)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bd"),
     ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+
+
+def band_key_sql(rows_per_band: int) -> str:
+    """DuckDB band-key expression over a ``sg`` signature list (the
+    twin of md5_band_keys' per-band concat): '|'-joined run of
+    ``rows_per_band`` consecutive minima starting at band index b.
+    ONE definition serves the production 4x4 chain
+    (md5_minhash_chain_sql) and the l2h layout sweep."""
+    return " || '|' || ".join(
+        f"sg[{rows_per_band}*b + {i + 1}]" for i in range(rows_per_band)
+    )
 
 
 def md5_minhash_banded(docs: DataFrame) -> DataFrame:
@@ -420,8 +438,7 @@ def md5_minhash_chain_sql(src: str, sfx: str = "") -> str:
         "GROUP BY doc_id, seed), "
         f"sig{sfx} AS (SELECT doc_id, LIST(mh ORDER BY seed) AS sg "
         f"FROM mins{sfx} GROUP BY doc_id), "
-        f"banded{sfx} AS (SELECT doc_id, b, md5(sg[4*b + 1] || '|' || "
-        "sg[4*b + 2] || '|' || sg[4*b + 3] || '|' || sg[4*b + 4]) AS bh "
+        f"banded{sfx} AS (SELECT doc_id, b, md5({band_key_sql(4)}) AS bh "
         f"FROM sig{sfx} CROSS JOIN (SELECT UNNEST(range(4)) AS b))"
     )
 
@@ -504,11 +521,10 @@ _L2H_LAYOUTS = ((4, 4), (2, 8))
 
 
 def _l2h_layout_sql(nb: int, r: int) -> str:
-    """banded{nb}x{r} CTE over the shared ``sig`` list: band key =
-    md5 of the '|'-joined run of r consecutive minima."""
-    key = " || '|' || ".join(f"sg[{r}*b + {i + 1}]" for i in range(r))
+    """banded{nb}x{r} CTE over the shared ``sig`` list, keyed by the
+    single-sourced band_key_sql generator."""
     return (
-        f"banded{nb}x{r} AS (SELECT doc_id, b, md5({key}) AS bh "
+        f"banded{nb}x{r} AS (SELECT doc_id, b, md5({band_key_sql(r)}) AS bh "
         f"FROM sig CROSS JOIN (SELECT UNNEST(range({nb})) AS b))"
     )
 
@@ -584,24 +600,9 @@ def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = []
     for nb, r in _L2H_LAYOUTS:
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("b"),
-                            F.md5(
-                                F.concat_ws(
-                                    "|", *[F.col("sg")[r * b + i] for i in range(r)]
-                                )
-                            ).alias("bh"),
-                        )
-                        for b in range(nb)
-                    ]
-                )
-            ).alias("bd"),
-        ).select("doc_id", F.col("bd.b").alias("b"), F.col("bd.bh").alias("bh"))
+        # the SAME generator that builds the production 4x4 keys —
+        # the audit measures the real banding, not a reimplementation
+        bands = md5_band_keys(sigs, n_bands=nb, rows_per_band=r)
         a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
         v = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
         cand = (

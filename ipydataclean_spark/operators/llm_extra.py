@@ -7,6 +7,8 @@ pickled by value.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -36,13 +38,29 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     them through the LogicalRDD handle. The freed DataFrame is
     UNUSABLE afterwards (checkpointing truncated its lineage), so this
     must only be called on tables nothing references anymore.
-    Best-effort: any reflection failure just leaves the blocks to the
-    normal GC path.
+    Best-effort — but NOT silent: the path goes through private
+    internals, so a Spark upgrade (or Spark Connect) could turn every
+    call into a no-op and quietly reinstate the unbounded-retention
+    leak this exists to fix; the first failure warns once so the
+    regression is visible (review r07 second pass #4). Actual block
+    release is asserted in tests/test_extras_r6.py.
     """
+    global _FREE_CHECKPOINT_WARNED
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - environment-specific
+        if not _FREE_CHECKPOINT_WARNED:
+            _FREE_CHECKPOINT_WARNED = True
+            warnings.warn(
+                "checkpoint-block release unavailable in this Spark "
+                f"environment ({exc!r}); iterative operators will retain "
+                "up to max_iter materialized tables per call",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+
+_FREE_CHECKPOINT_WARNED = False
 
 
 def cluster_pairs(

@@ -553,3 +553,31 @@ def test_cluster_pairs_random_graphs_vs_union_find(spark):
             method,
             {k: (got[k], truth[k]) for k in got if got[k] != truth[k]},
         )
+
+
+def test_free_local_checkpoint_releases_blocks(spark):
+    """The bounded-retention fix must actually release storage: a
+    localCheckpoint'ed table appears in the JVM's RDD storage info;
+    after _free_local_checkpoint it must be gone (its block count
+    drops to zero). Guards the private-API path — if a Spark upgrade
+    breaks it, this fails instead of the leak silently returning."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.llm_extra import _free_local_checkpoint
+
+    def persisted_rdd_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos if i.numCachedPartitions() > 0}
+
+    before = persisted_rdd_ids()
+    df = spark.range(10_000).select(F.col("id")).localCheckpoint(eager=True)
+    assert df.count() == 10_000
+    after_ckpt = persisted_rdd_ids()
+    new_ids = after_ckpt - before
+    assert new_ids, "localCheckpoint left no storage trace to test against"
+    _free_local_checkpoint(df)
+    after_free = persisted_rdd_ids()
+    assert not (new_ids & after_free), (
+        "checkpoint blocks survived _free_local_checkpoint "
+        f"(leaked ids: {new_ids & after_free})"
+    )

@@ -252,3 +252,24 @@ def test_bpe_token_count_query(spark, sf_dir):
     # subword counts are bounded: >= one token per word, <= chars+1 per word
     for r in out.values():
         assert r.n_bpe_tokens >= r.n_words
+
+
+def test_bpe_merges_bom_and_offset_header(tmp_path):
+    """Review r07 second pass: a UTF-8 BOM (Windows re-save) must not
+    turn the '#version' header into an accepted rank-0 merge that
+    silently shifts every later rank; a blank line before the header
+    must not demote it to a merge either."""
+    from ipydataclean_spark.functions.bpe import load_merges
+
+    p = tmp_path / "bom.txt"
+    p.write_bytes("﻿#version: 0.2\nl o\n".encode("utf-8"))
+    assert load_merges(str(p)) == {("l", "o"): 0}
+    p2 = tmp_path / "blank_first.txt"
+    p2.write_text("\n#version: 0.2\nl o\n", encoding="utf-8")
+    assert load_merges(str(p2)) == {("l", "o"): 0}
+    # a '#version'-looking line AFTER content is structurally a valid
+    # two-symbol merge — parsed as one, matching the published-parser
+    # behavior (only the leading header line is special)
+    p3 = tmp_path / "late_header.txt"
+    p3.write_text("l o\n#version: 0.2\n", encoding="utf-8")
+    assert load_merges(str(p3)) == {("l", "o"): 0, ("#version:", "0.2"): 1}
