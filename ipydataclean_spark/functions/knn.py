@@ -74,12 +74,15 @@ def _plane_constants(spark, dim: int, n_planes: int) -> list[float]:
     across sessions, clusters, and retries."""
     key = (dim, n_planes)
     if key not in _PLANE_CACHE:
+        # ONE transform expression, not dim*n_planes separate exprs:
+        # the 768-column array literal form spent ~8.6 s in codegen
+        # compilation for this single-row job (measured round 7;
+        # transform form 0.44 s, bit-identical values — sequence
+        # elements hash exactly like the int literals did)
         row = spark.range(1).select(
-            F.array(
-                *[
-                    (F.xxhash64(F.lit(i)).cast("double") / F.lit(float(2**63)))
-                    for i in range(dim * n_planes)
-                ]
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim * n_planes - 1)),
+                lambda i: F.xxhash64(i).cast("double") / F.lit(float(2**63)),
             ).alias("p")
         ).first()
         _PLANE_CACHE[key] = list(row.p)
