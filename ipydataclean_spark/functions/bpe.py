@@ -101,8 +101,9 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     merges.txt.) Malformed lines raise rather than silently shifting
     every later rank.
 
-    Header handling matches the published convention exactly: ONLY a
-    first line starting with ``#version`` is a header. Later lines
+    Header handling matches the published convention: only the FIRST
+    NON-BLANK line is header-eligible, and only when it starts with
+    ``#version`` (BOM-stripped — see utf-8-sig below). Later lines
     beginning with ``#`` are real merges — GPT-2-family tables merge
     ``#``-prefixed symbols (that is how ``##`` becomes a token), so
     a skip-all-comments rule would silently drop them. Trailing CR

@@ -73,6 +73,10 @@ def _plane_constants(spark, dim: int, n_planes: int) -> list[float]:
     to the original in-plan expression, so signatures are reproducible
     across sessions, clusters, and retries."""
     key = (dim, n_planes)
+    if dim * n_planes == 0:
+        # sequence(0, -1) would yield [0, -1], not an empty list —
+        # keep the degenerate layout's contract of zero planes
+        return []
     if key not in _PLANE_CACHE:
         # ONE transform expression, not dim*n_planes separate exprs:
         # the 768-column array literal form spent ~8.6 s in codegen

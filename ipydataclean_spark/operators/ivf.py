@@ -209,8 +209,8 @@ def seeded_ivf_stages(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def seeded_ivf_topk(
-    emb: DataFrame,
-    nprobe: int,
+    emb: DataFrame | None = None,
+    nprobe: int = 4,
     k: int = 5,
     stages: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
@@ -220,7 +220,12 @@ def seeded_ivf_topk(
     exact-cosine re-rank of the probed cells' members to top-k.
     Shared by l3i (nprobe=4) and the l3m nprobe-sweep audit, which
     passes precomputed ``stages`` so the sweep filters one assignment
-    instead of rebuilding it per setting."""
+    instead of rebuilding it per setting. EXACTLY one of ``emb`` /
+    ``stages`` must be given — passing both would silently answer
+    from ``stages``' corpus while the call site reads as operating on
+    ``emb`` (review r07 third pass #5)."""
+    if (emb is None) == (stages is None):
+        raise ValueError("pass exactly one of emb or stages")
     asg, pranked = stages if stages is not None else seeded_ivf_stages(emb)
     probes = pranked.where(F.col("pr") <= nprobe).select("query_id", "q_emb", "cell")
     cand = (
@@ -329,7 +334,7 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for p in _L3M_NPROBES:
         top = (
-            seeded_ivf_topk(emb, nprobe=p, stages=stages)
+            seeded_ivf_topk(nprobe=p, stages=stages)
             .select("query_id", "neighbor_id")
             .localCheckpoint(eager=True)
         )
@@ -345,6 +350,13 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_hits",
             )
         )
+    # the stage checkpoints are dead once every per-nprobe top
+    # checkpoint materialized (top's lineage is truncated); exact/top
+    # stay live — the returned lazy plans read their blocks
+    from ipydataclean_spark.operators.llm_extra import _free_local_checkpoint
+
+    _free_local_checkpoint(stages[0])
+    _free_local_checkpoint(stages[1])
     m = rows[0]
     for extra in rows[1:]:
         m = m.unionByName(extra)

@@ -379,6 +379,15 @@ def md5_band_keys(
     through the SAME generator so the band-key format is
     single-sourced (review r07 second pass #3; its SQL twin is
     band_key_sql)."""
+    if n_bands < 1 or rows_per_band < 1 or n_bands * rows_per_band > _L2F_K:
+        # out-of-range slots would NULL out in Spark (concat_ws skips
+        # NULLs -> every doc gets bh = md5('') and the band join goes
+        # quadratic) while the SQL twin NULL-propagates to no matches
+        # — fail loudly instead of diverging per engine (review #1)
+        raise ValueError(
+            f"band layout {n_bands}x{rows_per_band} does not fit the "
+            f"{_L2F_K}-slot signature"
+        )
     r = rows_per_band
     return sigs.select(
         "doc_id",
@@ -625,6 +634,12 @@ def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_hits",
             )
         )
+    # sigs is dead once every layout's cand checkpoint materialized
+    # (cand's lineage is truncated); truth/cand stay live — the
+    # returned lazy plans read their blocks
+    from ipydataclean_spark.operators.llm_extra import _free_local_checkpoint
+
+    _free_local_checkpoint(sigs)
     m = rows[0]
     for extra in rows[1:]:
         m = m.unionByName(extra)
