@@ -26,13 +26,19 @@ def f_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
     entries = F.array_sort(F.map_entries(m2))
+    # Driver contract: rows-only outputs must be SCALAR-typed — the
+    # canonicalizer sorts/hashes with pandas, and array cells raise
+    # "unhashable type: 'list'" (CORRECTNESS_r07). The sorted arrays
+    # are therefore array_join'd to comma-strings (VERDICT r07 #1).
     return df.select(
         "event_id",
-        F.array_sort(F.map_keys(m2)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(m2)), ",").alias("keys_sorted"),
         F.element_at(m, F.lit("type")).alias("type_val"),
-        F.transform(entries, lambda e: e.key).alias("entry_keys"),
-        F.transform(entries, lambda e: e.value).alias("entry_values"),
-        F.map_keys(F.map_from_entries(entries)).alias("roundtrip_keys"),
+        F.array_join(F.transform(entries, lambda e: e.key), ",").alias("entry_keys"),
+        F.array_join(F.transform(entries, lambda e: e.value), ",").alias("entry_values"),
+        F.array_join(
+            F.array_sort(F.map_keys(F.map_from_entries(entries))), ","
+        ).alias("roundtrip_keys"),
         F.size(m2).alias("map_size"),
     ).orderBy("event_id")
 
@@ -59,11 +65,22 @@ def p3b_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted in tests; rows-only in the registry (approx values are
     engine-specific by definition, SURVEY §2.2 P3/P5)."""
     df = T(spark, sf_dir, "lineitem")
-    return df.agg(
+    # One percentile sketch serves median + quartiles; the array output
+    # is split into scalar columns because the driver's rows-only
+    # canonicalizer cannot hash array cells (VERDICT r07 #1).
+    agg = df.agg(
         F.approx_count_distinct("l_partkey", 0.02).alias("approx_d_partkey"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_d_orderkey"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_med_price"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.75], 10000).alias("approx_quartiles"),
+        F.percentile_approx(
+            "l_extendedprice", [0.25, 0.5, 0.75], 10000
+        ).alias("_q"),
+    )
+    return agg.select(
+        "approx_d_partkey",
+        "approx_d_orderkey",
+        F.element_at("_q", 2).alias("approx_med_price"),
+        F.element_at("_q", 1).alias("approx_q25"),
+        F.element_at("_q", 3).alias("approx_q75"),
     )
 
 

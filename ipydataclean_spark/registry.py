@@ -231,27 +231,12 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l29_repeated_gram_fraction", "l31_source_temperature_mix",
     "l32_bigram_logprob", "l33_shuffle_shards", "l34_sequence_pack",
     "l35_hybrid_rrf", "c31_segment_dedup",
-})
-
-#: Round-7 window priority (VERDICT r06 #1/#4). 50 queries need a
-#: driver row: the 30 never-checked (x3b slipped from round 6, r8c,
-#: the 12 certification twins, the rows-only tier), the round-7
-#: re-queues (er1/l2d from the cluster_pairs star default; the 16
-#: star-query/FK-check re-queues from the forced-broadcast drop),
-#: and the 2 NEW round-7 audits (l2h, l3m). 50 = window exactly, so
-#: CORRECTNESS_r07 closes the full registry: every query will then
-#: have a driver row for its CURRENT implementation — and any further
-#: round-7 registration MUST either displace a name from these lists
-#: explicitly or be documented as NEXT-round window material (review
-#: r07 #5). The latter applies to l2i_dedup_savings: registered after
-#: the window filled, it sits at position 51 (extras tier) by design
-#: — round-8 material, exactly like the round-6 twins were for
-#: round 7 (it is local-oracle-green; see its docstring).
-#: Ordering: certification twins first (they hash-prove formerly
-#: rows-only families — the round-6 work whose whole point is a
-#: driver row), the new audits, then the oracle-backed re-queues.
-CORE_FRESH_FIRST: tuple[str, ...] = (
-    # (a) never-checked oracle-backed: round-6 leftovers + the twins
+    # CORRECTNESS_r07.json — 48/50 green (33 oracle rows+schema+hash,
+    # 15 rows-only with rows recorded). The two absentees —
+    # p3b_approx_profile / f_map_functions — CRASHED the driver's
+    # rows-only canonicalizer (array-typed columns, pandas
+    # "unhashable type: 'list'") and therefore have NO green row:
+    # they stay fresh, flattened to scalar columns for round 8.
     "x3b_quarantine_codegen", "r8c_range_join_sparse",
     "l2f_minhash_lsh_md5", "l2g_simhash_md5",
     "l3i_knn_ivf_seeded", "l3j_knn_pq_seeded", "l3k_knn_lsh_md5",
@@ -259,11 +244,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l12b_fingerprints_md5", "c30b_dedup_keep_best_md5",
     "g1b_pagerank_fixedpoint", "r22d_hash_sample",
     "inc4b_incremental_minhash_md5",
-    # (a') the round-7 audit operators (new code, never checked)
-    "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
-    # (b) round-7 re-queues: er1 consumes the new star-method
-    # cluster_pairs; the q-series lost forced customer/part/supplier
-    # broadcasts (old green rows certify the old plans)
+    # l2h/l3m were r7-green but gained the deterministic sampling
+    # fraction parameter in round 8 (VERDICT r07 #5) — re-queued per
+    # the rotation-exclusion rule until a window re-proves them
     "er1_entity_resolution",
     "q3_top_orders", "q5_nation_revenue", "q10_returned_items",
     "q2_min_cost_supplier", "q8_market_share", "q9_product_profit",
@@ -271,18 +254,38 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_part_share_suppliers",
     "q21_sole_return_suppliers", "p16_fk_integrity", "q27_yoy_growth",
-)
-
-#: Rows-only priority: flagship scale paths and incremental/media
-#: evidence first, generic sampling/function demos last. l2d re-queued
-#: (cluster_pairs star default, round 7).
-ROWS_ONLY_FIRST: tuple[str, ...] = (
+    # r07 rows-only tier (rows recorded, err=no_oracle by design)
     "g1_pagerank", "inc4_incremental_minhash", "l2d_dedup_clusters",
     "l9c_frame_sample", "l9f_image_dhash_pairs", "l10b_bpe_token_count",
-    "l11_language_id", "l12_fingerprints",
-    "c30_dedup_keep_best", "l27_cdc_chunk_dedup",
-    "r22b_stratified_sample", "r22c_weighted_sample", "r22_sample",
-    "p3b_approx_profile", "f_map_functions", "f_misc_string", "f_hash_misc",
+    "l11_language_id", "l12_fingerprints", "c30_dedup_keep_best",
+    "l27_cdc_chunk_dedup", "r22b_stratified_sample",
+    "r22c_weighted_sample", "r22_sample", "f_misc_string", "f_hash_misc",
+})
+
+#: Round-8 window priority (VERDICT r07 #1/#2/#5/#6). CORRECTNESS_r07
+#: recorded 48/50 green — the whole round-7 window except
+#: p3b_approx_profile / f_map_functions, whose ARRAY-typed columns
+#: crashed the driver's rows-only canonicalizer ("unhashable type:
+#: 'list'"); both are now flattened to scalar columns and re-queued.
+#: Round-8 fresh set: (1) l2i_dedup_savings FIRST (registered at
+#: window position 51 last round by design — the last registry entry
+#: with no driver row); (2) the l2h/l3m audits, re-queued because
+#: they gained the deterministic sampling `fraction` parameter this
+#: round (implementation changed after their r7 green rows); (3) the
+#: round-8 additions; (4) the two canonicalizer-crash re-queues at
+#: the head of the rows-only tier. The window is NOT full this round
+#: — remaining slots fall through to prior-green re-proofs, which is
+#: the first time the registry has had slack (VERDICT r07 #6).
+CORE_FRESH_FIRST: tuple[str, ...] = (
+    "l2i_dedup_savings",
+    # re-queued: sampling fraction parameter added in round 8
+    "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
+)
+
+#: Rows-only priority: the two canonicalizer-crash re-queues first
+#: (their round-8 fix IS the flattening — a rows row is the proof).
+ROWS_ONLY_FIRST: tuple[str, ...] = (
+    "p3b_approx_profile", "f_map_functions",
 )
 
 

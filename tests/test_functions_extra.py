@@ -14,10 +14,10 @@ def test_map_functions_semantics(spark, sf_dir):
     rows = QUERIES["f_map_functions"]["fn"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert r.keys_sorted == ["src", "type", "user"]
-        assert r.entry_keys == ["src", "type", "user"]
+        assert r.keys_sorted == "src,type,user"
+        assert r.entry_keys == "src,type,user"
         assert r.map_size == 3
-        assert sorted(r.roundtrip_keys) == ["src", "type", "user"]
+        assert r.roundtrip_keys == "src,type,user"
         assert r.type_val in ("click", "view", "purchase", "signup", "error")
 
 
@@ -45,8 +45,7 @@ def test_approx_profile_error_bounds(spark, sf_dir):
     assert abs(approx.approx_d_partkey - exact[0]) / exact[0] <= 0.06
     assert abs(approx.approx_d_orderkey - exact[1]) / exact[1] <= 0.06
     assert abs(approx.approx_med_price - exact[2]) / exact[2] <= 0.01
-    q25, q75 = approx.approx_quartiles
-    assert q25 < approx.approx_med_price < q75
+    assert approx.approx_q25 < approx.approx_med_price < approx.approx_q75
 
 
 def test_salted_skew_join_equals_plain(spark, sf_dir):

@@ -67,6 +67,31 @@ def test_query_names_are_wellformed_and_unique():
         register(taken)(lambda spark, sf_dir: None)
 
 
+def test_rows_only_outputs_are_scalar_typed(spark, sf_dir):
+    """Rows-only driver rule (VERDICT r07 #1): the driver's rows-only
+    canonicalizer sorts/hashes results with pandas, and an array/map
+    cell raises ``TypeError: unhashable type: 'list'`` — recorded as a
+    CRASH, not a rows row (p3b/f_map in CORRECTNESS_r07). Every
+    oracle-less query's schema must therefore be scalar-typed:
+    flatten arrays with array_join / element_at before registering."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    load_all()
+    offenders = []
+    for name, spec in QUERIES.items():
+        if spec["oracle"] is not None:
+            continue
+        df = spec["fn"](spark, sf_dir)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"rows-only queries with complex-typed columns: {offenders}"
+
+
 def test_prior_green_rounds_match_correctness_files():
     """Every name in DRIVER_GREEN_PRIOR_ROUNDS must correspond to its
     MAXIMAL driver evidence in a committed CORRECTNESS_r*.json — a

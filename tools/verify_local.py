@@ -134,6 +134,21 @@ def main() -> int:
             n_fail += 1
             continue
         if spec["oracle"] is None:
+            # Replicate the driver's rows-only canonicalizer: it loads
+            # the result into pandas and sort_values over every column
+            # — array/map cells raise "unhashable type: 'list'" there
+            # and the driver records a CRASH, not a rows row
+            # (p3b/f_map, CORRECTNESS_r07). Catch that class locally.
+            try:
+                import pandas as pd
+
+                pdf = pd.DataFrame(srows, columns=scols)
+                if len(pdf):
+                    pdf.sort_values(list(pdf.columns))
+            except TypeError as e:
+                print(f"FAIL {name}: rows-only output not canonicalizable: {e}")
+                n_fail += 1
+                continue
             print(f"rows-only {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
             continue
