@@ -118,3 +118,26 @@ def md5_prefix_int_sql(expr: str) -> str:
     hand-copied coin expression can't silently de-certify a twin
     (round-6 review: the expression had been restated 7 times)."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 6)) AS BIGINT)"
+
+
+def md5_coin(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform coin in (0, 1): (md5_prefix_int + 0.5)/2^24.
+
+    ``salt`` namespaces the coin so independent samplers over the same
+    key column draw independent coins (an audit's sampled slice must
+    not correlate with r22d's sample of the same table). The coin is
+    reproducible across engines, retries, repartitioning, and
+    incremental reruns — a row's fate never depends on task boundaries
+    — and pushes down as an ordinary predicate."""
+    from pyspark.sql import functions as F
+
+    k = _c(key).cast("string")
+    if salt:
+        k = F.concat_ws(":", F.lit(salt), k)
+    return (md5_prefix_int(k) + F.lit(0.5)) / F.lit(float(1 << 24))
+
+
+def md5_coin_sql(expr: str, salt: str = "") -> str:
+    """DuckDB twin of md5_coin (same single-definition rule)."""
+    key = f"'{salt}:' || CAST({expr} AS VARCHAR)" if salt else f"CAST({expr} AS VARCHAR)"
+    return f"(({md5_prefix_int_sql(key)}) + 0.5) / {float(1 << 24)}"

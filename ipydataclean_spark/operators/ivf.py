@@ -294,7 +294,9 @@ def _l3m_oracle() -> str:
 
 
 @register("l3m_ivf_recall_audit", oracle=_l3m_oracle(), tags=("L3", "IVF"))
-def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l3m_ivf_recall_audit(
+    spark: SparkSession, sf_dir: str, query_fraction: float = 1.0
+) -> DataFrame:
     """L3 quality audit — the ANN recall-vs-nprobe tuning table: the
     certified seeded-IVF pipeline (l3i's exact body via
     seeded_ivf_topk) swept at nprobe 1/2/4/8/16 against the
@@ -305,11 +307,26 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (nprobe/16) is proportional to what scanning costs. Non-vacuous
     on the fixture (recall climbs with nprobe; pinned in
     tests/test_llm.py). Divisions are single BIGINT/BIGINT -> double
-    (IEEE-identical cross-engine), zero-guarded."""
+    (IEEE-identical cross-engine), zero-guarded.
+
+    Scale shape: the expensive side is the brute-force exact top-k —
+    |queries| x |corpus| — so at 100 TB the audit runs on a sampled
+    QUERY slice. ``query_fraction`` IS that slice (VERDICT r07 #5): a
+    deterministic md5-coin sample ('l3m'-salted, the r22d rule)
+    applied to the query set before both the exact cross-join and the
+    probe sweep, bounding the audit cost linearly in the fraction.
+    query_fraction=1.0 (the registered/oracle default) is
+    bit-identical to the unsampled audit."""
     emb = T(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
+    qkeep = None
+    if query_fraction < 1.0:
+        from ipydataclean_spark.functions.exact import md5_coin
+
+        qkeep = md5_coin("query_id", salt="l3m") < F.lit(query_fraction)
+        q = q.where(qkeep)
     e = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("e_emb"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     # materialized once: ``exact`` (the brute-force cross-join) feeds
@@ -327,6 +344,10 @@ def l3m_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     asg, pranked = seeded_ivf_stages(emb)
+    if qkeep is not None:
+        # the probe sweep must answer the SAME sampled query set the
+        # exact side was computed for (same coin, same salt)
+        pranked = pranked.where(qkeep)
     stages = (
         asg.localCheckpoint(eager=True),
         pranked.localCheckpoint(eager=True),

@@ -324,7 +324,15 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 exact twin: word-3-gram Jaccard ≥ 0.6 via shingle self-join
     (the verification pass LSH candidates feed into at scale)."""
-    docs = documents_dup(spark, sf_dir)
+    return exact_jaccard_pairs(documents_dup(spark, sf_dir))
+
+
+def exact_jaccard_pairs(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
+    """(doc_a, doc_b, jaccard): exact word-3-gram Jaccard ≥ threshold
+    over an arbitrary docs frame — the l2b body, extracted so the l2h
+    recall audit can compute ground truth on a SAMPLED doc slice (the
+    exact side is a shingle self-join, quadratic-ish in |docs|; the
+    sampling must happen BEFORE it, not on its output)."""
     sh = exploded_shingles(docs, "s")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "s")
@@ -342,7 +350,7 @@ def l2b_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         common.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= 0.6)
+        .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")
     )
@@ -579,7 +587,9 @@ _L2H_ORACLE = with_documents_dup(
 
 
 @register("l2h_lsh_recall_audit", oracle=_L2H_ORACLE, tags=("L2", "D5"))
-def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l2h_lsh_recall_audit(
+    spark: SparkSession, sf_dir: str, fraction: float = 1.0
+) -> DataFrame:
     """L2 quality audit — the LSH S-curve tuning table: recall AND
     precision of the raw band-join candidate stage against exact
     word-3-gram Jaccard >= 0.6 ground truth (the l2b chain), for two
@@ -592,18 +602,31 @@ def l2h_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification costs.
 
     Scale shape: the AUDIT, not the pipeline, is the expensive side —
-    exact truth is a shingle self-join, so at 100 TB this runs on a
-    sampled slice while LSH is the production path; here the full sf
-    fixture is the sample. Divisions are single BIGINT/BIGINT ->
-    double (IEEE-identical cross-engine), zero-guarded."""
+    exact truth is a shingle self-join, quadratic-ish in |docs|, so at
+    100 TB this runs on a sampled slice while LSH is the production
+    path. ``fraction`` IS that slice (VERDICT r07 #5): a deterministic
+    md5-coin doc sample ('l2h'-salted, the r22d rule — reproducible
+    across engines/retries/repartitioning) applied BEFORE the shingle
+    self-join, bounding the exact side by fraction² and the banding by
+    fraction. Recall/precision are then measured on the sampled
+    subpopulation (both pair endpoints in-sample) — the standard audit
+    estimator. fraction=1.0 (the registered/oracle default) is
+    bit-identical to the unsampled audit. Divisions are single
+    BIGINT/BIGINT -> double (IEEE-identical cross-engine),
+    zero-guarded."""
+    docs = documents_dup(spark, sf_dir)
+    if fraction < 1.0:
+        from ipydataclean_spark.functions.exact import md5_coin
+
+        docs = docs.where(md5_coin("doc_id", salt="l2h") < F.lit(fraction))
     # materialized once: ``truth`` (the shingle self-join — the
     # expensive side by this docstring's own accounting) feeds an agg
     # plus a hits join PER layout, and ``sigs`` feeds every layout's
     # banding — checkpoints stop those plans re-executing per
     # reference (review r07 #6)
-    sigs = md5_minhash_sigs(documents_dup(spark, sf_dir)).localCheckpoint(eager=True)
+    sigs = md5_minhash_sigs(docs).localCheckpoint(eager=True)
     truth = (
-        l2b_jaccard_pairs(spark, sf_dir)
+        exact_jaccard_pairs(docs)
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )

@@ -183,7 +183,12 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "u1_scalar_udf", "u2_pandas_udf_zclamp", "u3_applyinpandas_groupfill",
     "u4_grouped_agg_mad", "u7_pandas_iter_udf", "u8_map_in_arrow",
     "u9_cogroup_asof", "u10_arrow_udf", "u11_udtf_analyze",
-    "l1_exact_dedup", "l2b_jaccard_pairs",
+    "l1_exact_dedup",
+    # l2b_jaccard_pairs was r4-green but its body was extracted into
+    # the shared exact_jaccard_pairs helper in round 8 (the l2h
+    # sampling knob needs truth over a sampled doc slice) — re-queued
+    # per the rotation-exclusion rule (plan-identical, but the rule is
+    # the rule)
     # CORRECTNESS_r05.json — 50/50 clean (42 oracle green, 8 rows-only
     # by-design). The round-4-ordered §2.8/§2.9 core window.
     "l3_knn_exact", "l3g_knn_filtered", "l3h_kmeans_assign",
@@ -280,6 +285,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l2i_dedup_savings",
     # re-queued: sampling fraction parameter added in round 8
     "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
+    # re-queued: body extracted into exact_jaccard_pairs (round 8)
+    "l2b_jaccard_pairs",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

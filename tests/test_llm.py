@@ -260,3 +260,52 @@ def test_l3m_audit_recall_climbs_with_nprobe(spark, sf_dir):
     assert recs == sorted(recs), f"recall not monotone in nprobe: {recs}"
     assert recs[-1] == 1.0, "nprobe=16 probes every cell; recall must be exact"
     assert recs[0] < 1.0, f"audit vacuous: nprobe=1 already exact ({recs})"
+
+
+def test_l2h_audit_sampling_knob(spark, sf_dir):
+    """The deterministic sampling knob (VERDICT r07 #5): fraction=1.0
+    must be bit-identical to the default (the registered/oracle path is
+    unchanged), and fraction<1 must (a) be deterministic across runs,
+    (b) shrink the truth set — the knob's whole point is bounding the
+    exact self-join — while keeping it non-empty on the fixture, and
+    (c) keep the by-construction 4x4 recall on the sampled
+    subpopulation a well-formed probability."""
+    from ipydataclean_spark.operators.llm import l2h_lsh_recall_audit
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    full_default = QUERIES["l2h_lsh_recall_audit"]["fn"](spark, sf_dir).collect()
+    full_explicit = l2h_lsh_recall_audit(spark, sf_dir, fraction=1.0).collect()
+    assert full_default == full_explicit
+
+    a = l2h_lsh_recall_audit(spark, sf_dir, fraction=0.5).collect()
+    b = l2h_lsh_recall_audit(spark, sf_dir, fraction=0.5).collect()
+    assert a == b, "md5-coin sample must be deterministic"
+    full_truth = {(r.n_bands, r.rows_per_band): r.n_truth for r in full_default}
+    for r in a:
+        assert 0 < r.n_truth < full_truth[(r.n_bands, r.rows_per_band)]
+        assert r.recall is None or 0.0 <= r.recall <= 1.0
+
+
+def test_l3m_audit_query_sampling_knob(spark, sf_dir):
+    """query_fraction=1.0 is bit-identical to the default; a sampled
+    run is deterministic, answers for a strict subset of the query set
+    (n_exact = 5*|queries| shrinks), and keeps the nprobe=16 row exact
+    BY CONSTRUCTION — every cell probed is brute force regardless of
+    which queries were sampled."""
+    from ipydataclean_spark.operators.ivf import l3m_ivf_recall_audit
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    full_default = QUERIES["l3m_ivf_recall_audit"]["fn"](spark, sf_dir).collect()
+    full_explicit = l3m_ivf_recall_audit(spark, sf_dir, query_fraction=1.0).collect()
+    assert full_default == full_explicit
+
+    a = sorted(l3m_ivf_recall_audit(spark, sf_dir, query_fraction=0.5).collect(),
+               key=lambda r: r.nprobe)
+    b = sorted(l3m_ivf_recall_audit(spark, sf_dir, query_fraction=0.5).collect(),
+               key=lambda r: r.nprobe)
+    assert a == b, "md5-coin query sample must be deterministic"
+    full_exact = max(r.n_exact for r in full_default)
+    assert 0 < a[0].n_exact < full_exact
+    assert a[-1].nprobe == 16 and a[-1].recall == 1.0
