@@ -98,8 +98,10 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     follow the published merge order exactly. (Byte-level
     pre-tokenization — GPT-2's bytes→unicode remap and regex split —
     is the caller's contract, as it is for every consumer of a
-    merges.txt.) Malformed lines raise rather than silently shifting
-    every later rank.
+    merges.txt.) Malformed lines — including duplicated merge pairs,
+    where first-wins-and-compact vs HF's last-line-index readings
+    diverge on every later rank — raise rather than silently shifting
+    or reinterpreting ranks.
 
     Header handling matches the published convention: only the FIRST
     NON-BLANK line is header-eligible, and only when it starts with
@@ -130,8 +132,19 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
                     f"{path}:{lineno}: expected 'left right', got {line!r}"
                 )
             pair = (parts[0], parts[1])
-            if pair not in ranks:  # first occurrence wins, like HF
-                ranks[pair] = len(ranks)
+            # A duplicated merge pair is a malformed table: HF's
+            # dict(zip(merges, range(len(merges)))) would silently keep
+            # the LAST line's index (no rank compaction), while a
+            # first-wins-and-compact rule shifts every later rank —
+            # two plausible readings that diverge on every subsequent
+            # merge. Consistent with the malformed-line rule above,
+            # fail loud instead of picking one (ADVICE r07).
+            if pair in ranks:
+                raise ValueError(
+                    f"{path}:{lineno}: duplicate merge pair {pair!r} "
+                    f"(first at rank {ranks[pair]})"
+                )
+            ranks[pair] = len(ranks)
     return ranks
 
 

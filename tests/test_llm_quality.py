@@ -203,10 +203,13 @@ def test_bpe_published_merges_file(tmp_path):
     assert apply_bpe("low", ranks, end_marker=None) == ["low"]
     # unknown symbols pass through untouched
     assert apply_bpe("xyz", ranks, end_marker=None) == ["x", "y", "z"]
-    # duplicate merge lines keep the FIRST rank (HF behavior)
+    # duplicate merge lines are malformed: first-wins-and-compact vs
+    # HF's last-index-no-compaction diverge on every later rank, so
+    # fail loud instead of silently picking one (ADVICE r07)
     p2 = tmp_path / "dup.txt"
     p2.write_text("a b\na b\nb c\n", encoding="utf-8")
-    assert load_merges(str(p2)) == {("a", "b"): 0, ("b", "c"): 1}
+    with pytest.raises(ValueError, match="duplicate merge pair"):
+        load_merges(str(p2))
     # malformed lines raise instead of silently shifting ranks
     p3 = tmp_path / "bad.txt"
     p3.write_text("a b c\n", encoding="utf-8")
