@@ -988,6 +988,174 @@ def l2i_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Sweep points sit in the fixture's ACTUAL pair-similarity regime
+#: (verified candidates all land in [0.85, 1.0] — the injected dups
+#: are near-exact after normalization; a 0.5–0.8 sweep returned four
+#: identical rows, the vacuity the l2h lesson warns about). 0.8 keeps
+#: everything (the "all candidates" floor), 0.99 keeps only the
+#: near-verbatim copies.
+_L2J_TAUS = (0.8, 0.9, 0.97, 0.99)
+
+
+def _l2j_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+
+    # one verified-candidate table, then a recursive transitive closure
+    # PER threshold (DuckDB runs multiple recursive CTEs in one WITH
+    # RECURSIVE); shared CTEs are MATERIALIZED per the iterative-chain
+    # rule or the per-tau closures re-expand them
+    per_tau = []
+    for tau in _L2J_TAUS:
+        t = str(tau).replace(".", "")
+        per_tau.append(
+            f"e{t} AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver "
+            f"WHERE jac >= {tau} UNION SELECT doc_b, doc_a FROM ver WHERE jac >= {tau}), "
+            f"r{t}(a, b) AS (SELECT doc_id, doc_id FROM documents_dup "
+            f"UNION SELECT r{t}.a, e.b FROM r{t} JOIN e{t} e ON r{t}.b = e.a), "
+            f"l{t} AS (SELECT a AS id, MIN(b) AS cluster_id FROM r{t} GROUP BY a), "
+            f"pc{t} AS (SELECT l.cluster_id, COUNT(*) AS csize, "
+            "SUM(q.raw_len) AS chars_total, MIN(q.raw_len) AS survivor_chars "
+            f"FROM l{t} l JOIN q ON q.id = l.id GROUP BY l.cluster_id "
+            "HAVING COUNT(*) >= 2), "
+            f"rep{t} AS (SELECT CAST({tau} AS DOUBLE) AS threshold, "
+            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM ver WHERE jac >= {tau}) AS n_pairs, "
+            "CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_dup_clusters, "
+            "CAST(COALESCE(SUM(csize), 0) AS BIGINT) AS n_dup_docs, "
+            "CAST(COALESCE(SUM(csize), 0) - COALESCE(COUNT(*), 0) AS BIGINT) AS n_docs_dropped, "
+            "CAST(COALESCE(SUM(chars_total - survivor_chars), 0) AS BIGINT) AS chars_dropped "
+            f"FROM pc{t})"
+        )
+    reports = " UNION ALL ".join(f"SELECT * FROM rep{str(t).replace('.', '')}" for t in _L2J_TAUS)
+    return (
+        "WITH RECURSIVE documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + ")"
+        + llm.L2F_CTES
+        + ", sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh "
+        "FROM sh GROUP BY doc_id), "
+        "common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_common "
+        "FROM cand c JOIN sh a ON a.doc_id = c.doc_a "
+        "JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s "
+        "GROUP BY c.doc_a, c.doc_b), "
+        "ver AS MATERIALIZED (SELECT doc_a, doc_b, "
+        "CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jac "
+        "FROM common JOIN sizes sa ON sa.doc_id = doc_a "
+        "JOIN sizes sb ON sb.doc_id = doc_b), "
+        "q AS MATERIALIZED (SELECT doc_id AS id, LENGTH(text) AS raw_len "
+        "FROM documents_dup), "
+        + ", ".join(per_tau)
+        + f" SELECT * FROM ({reports}) ORDER BY threshold"
+    )
+
+
+@register("l2j_dedup_threshold_sweep", oracle=_l2j_oracle(), tags=("L2", "dedup"))
+def l2j_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SWEEP — the cost/savings projection a deployment
+    reads before picking its near-dup Jaccard cutoff τ (VERDICT r07 #6,
+    extending l2i's fixed-pipeline savings report to a tuning table):
+    for each τ in {0.5, 0.6, 0.7, 0.8}, verified-pair count, dup
+    cluster/doc counts, docs a keep-one rule would drop, and characters
+    the keep-shortest rule would drop.
+
+    Pipeline shape is the PRODUCTION one, not the audit one: md5
+    MinHash 4x4 band candidates (the l2f generator), then exact-Jaccard
+    verification computed ONLY for candidate pairs — the shingle join
+    is keyed by (candidate pair, shingle), so verification cost is
+    |candidates| x shingles-per-doc, never the all-pairs self-join the
+    l2h audit pays for ground truth. One verified table feeds all four
+    sweep points (checkpointed — four cluster_pairs runs re-read it);
+    per τ the connected components run on the filtered edge subset
+    (large-star/small-star, O(log n) rounds). All report columns are
+    integers except τ itself; jaccard is one BIGINT/BIGINT double
+    division compared to a literal — IEEE-identical cross-engine, so
+    the whole sweep is hash-certified against DuckDB's recursive-CTE
+    closures (the er1/c30b two-mechanism fixpoint proof, once per τ).
+
+    At 100 TB: candidates are banded (linear), verification is
+    per-candidate (bounded by the LSH hot-bucket cap), and the sweep
+    amortizes signature + verification across every τ — re-running the
+    pipeline per candidate threshold would pay the dominant cost four
+    times to vary only the cheap final filter."""
+    docs = documents_dup(spark, sf_dir)
+    sigs = llm.md5_minhash_sigs(docs)
+    bands = llm.md5_band_keys(sigs)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
+    cand = (
+        a.join(b, ["b", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = exploded_shingles(docs, "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    # one verified table feeds four sweep points and each point's
+    # cluster_pairs iterates over it — materialize once
+    ver = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .localCheckpoint(eager=True)
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    q = docs.select(
+        F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
+    ).localCheckpoint(eager=True)
+    rows = []
+    for tau in _L2J_TAUS:
+        edges = ver.where(F.col("jac") >= tau).select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        )
+        labels = cluster_pairs(ids, edges, max_iter=30)
+        dup_clusters = (
+            labels.join(q, "id")
+            .groupBy("cluster_id")
+            .agg(
+                F.count(F.lit(1)).alias("csize"),
+                F.sum("raw_len").alias("chars_total"),
+                F.min("raw_len").alias("survivor_chars"),
+            )
+            .where(F.col("csize") >= 2)
+        )
+        rep = dup_clusters.agg(
+            F.coalesce(F.count(F.lit(1)), F.lit(0)).cast("long").alias("n_dup_clusters"),
+            F.coalesce(F.sum("csize"), F.lit(0)).cast("long").alias("n_dup_docs"),
+            (F.coalesce(F.sum("csize"), F.lit(0)) - F.coalesce(F.count(F.lit(1)), F.lit(0)))
+            .cast("long")
+            .alias("n_docs_dropped"),
+            F.coalesce(F.sum(F.col("chars_total") - F.col("survivor_chars")), F.lit(0))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        n_pairs = edges.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        rows.append(
+            n_pairs.crossJoin(rep).select(
+                F.lit(float(tau)).alias("threshold"),
+                "n_pairs",
+                "n_dup_clusters",
+                "n_dup_docs",
+                "n_docs_dropped",
+                "chars_dropped",
+            )
+        )
+    out = rows[0]
+    for extra in rows[1:]:
+        out = out.unionByName(extra)
+    return out.orderBy("threshold")
+
+
 _WINNOW_K = 3   # k-gram length (words)
 _WINNOW_W = 4   # winnowing window (k-grams per window)
 

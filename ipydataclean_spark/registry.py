@@ -287,6 +287,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
     # re-queued: body extracted into exact_jaccard_pairs (round 8)
     "l2b_jaccard_pairs",
+    # round-8 additions (VERDICT r07 #6: fresh evidence in the slack)
+    "l2j_dedup_threshold_sweep",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

@@ -8,6 +8,32 @@ from ipydataclean_spark.operators.llm_extra import cluster_pairs, fingerprints, 
 from ipydataclean_spark.operators.qhelp import documents_dup
 
 
+def test_l2j_threshold_sweep_monotone_and_nonvacuous(spark, sf_dir):
+    """The dedup tuning table must be NON-VACUOUS: every savings metric
+    is monotonically non-increasing in the threshold (a stricter cutoff
+    never drops more), strictly decreases somewhere on the fixture (a
+    constant table teaches a deployment nothing — the 0.5-0.8 sweep
+    failed exactly this way), and at each tau the keep-one accounting
+    is internally consistent (n_docs_dropped = n_dup_docs -
+    n_dup_clusters; every dup cluster has >= 2 docs)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = sorted(
+        QUERIES["l2j_dedup_threshold_sweep"]["fn"](spark, sf_dir).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert len(rows) == 4
+    for col in ("n_pairs", "n_dup_clusters", "n_dup_docs", "n_docs_dropped", "chars_dropped"):
+        vals = [r[col] for r in rows]
+        assert vals == sorted(vals, reverse=True), f"{col} not non-increasing: {vals}"
+    assert rows[0].n_pairs > rows[-1].n_pairs > 0, "sweep vacuous: no threshold discriminates"
+    for r in rows:
+        assert r.n_docs_dropped == r.n_dup_docs - r.n_dup_clusters
+        assert r.n_dup_docs >= 2 * r.n_dup_clusters
+        assert r.chars_dropped > 0
+
+
 def test_cluster_pairs_components(spark):
     """Known graph: {1,2,3} chained, {10,11}, {20} isolated."""
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], ["id"])
