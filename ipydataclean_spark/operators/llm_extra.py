@@ -1382,6 +1382,103 @@ def l29_repeated_gram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "l43_substring_dup_spans",
+    oracle=with_documents_dup(
+        ", d AS (SELECT doc_id, " + norm_text_sql("text") + " AS t "
+        "FROM documents_dup), "
+        "tk AS (SELECT doc_id, string_split(t, ' ') AS w FROM d), "
+        "g AS (SELECT doc_id, list_transform(range(1, len(w) - 1), "
+        "i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), "
+        "1, 15)) AS BIGINT)) AS gs FROM tk WHERE len(w) >= 3), "
+        "p AS (SELECT doc_id, unnest(gs) AS f, generate_subscripts(gs, 1) AS pos "
+        "FROM g), "
+        "shared AS (SELECT f FROM (SELECT DISTINCT doc_id, f FROM p) "
+        "GROUP BY f HAVING COUNT(*) >= 2), "
+        "dup AS (SELECT p.doc_id, p.pos FROM p JOIN shared USING (f)), "
+        "brk AS (SELECT doc_id, pos, CASE WHEN pos - "
+        "LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3 "
+        "THEN 0 ELSE 1 END AS b FROM dup), "
+        "isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM brk), "
+        "spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 2 AS e "
+        "FROM isl GROUP BY doc_id, island), "
+        "per_doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(e - s + 1) AS BIGINT) AS dup_words, "
+        "CAST(MAX(e - s + 1) AS BIGINT) AS longest_span FROM spans GROUP BY doc_id), "
+        "tot AS (SELECT doc_id, CAST(len(gs) + 2 AS BIGINT) AS n_words FROM g) "
+        "SELECT per_doc.doc_id, n_spans, dup_words, longest_span, n_words, "
+        "ROUND(CAST(dup_words AS DOUBLE) / CAST(n_words AS DOUBLE), 8) AS dup_frac "
+        "FROM per_doc JOIN tot USING (doc_id) ORDER BY per_doc.doc_id"
+    ),
+    tags=("L2", "L43", "dedup", "text-analysis"),
+)
+def l43_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43: substring-level dedup SPAN EXTRACTION — the removal
+    operator the l29 readout motivates (Lee et al., 'Deduplicating
+    Training Data Makes Language Models Better', ACL'22: cross-doc
+    repeated substrings should be CUT, not used to drop whole docs).
+    For every doc, the maximal word spans covered by 3-word grams that
+    also occur in at least one OTHER document: span count, duplicated
+    word total, longest span, and the duplicated fraction — exactly
+    the table a span-cutting pass consumes (a doc with dup_frac 1.0 is
+    a verbatim copy; a doc with one 6-word span has a quoted license
+    line).
+
+    Span merge is the gap-islands pattern (w11) at word granularity:
+    a duplicated gram at position p covers words [p, p+2], so two
+    duplicated positions belong to one span iff they are <= 3 apart
+    (touching or overlapping coverage); islands come from the
+    LAG-break + running-sum window, spans from MIN/MAX per island.
+    Plan shape at 100 TB: the shared gram-hash map pass feeds a
+    doc-frequency agg keyed on the gram (boilerplate mega-buckets can
+    be capped exactly as l28 bounds hot keys), the join-back is keyed
+    on the gram, and every window is PARTITIONED BY doc — no global
+    window, no pair table, output linear in docs. All span arithmetic
+    is integer; dup_frac is one BIGINT/BIGINT division
+    (IEEE-identical cross-engine), so the whole span table is
+    hash-certified against DuckDB."""
+    from pyspark.sql import Window
+
+    g = gram3_hash_table(spark, sf_dir, full=True)
+    p = g.select(
+        "doc_id", F.posexplode("gs").alias("pos0", "f")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "f")
+    shared = (
+        p.select("doc_id", "f")
+        .distinct()
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("f")
+    )
+    dup = p.join(shared, "f").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(F.col("pos") - F.lag("pos").over(w) <= 3, F.lit(0)).otherwise(F.lit(1))
+    isl = dup.withColumn("b", brk).withColumn(
+        "island", F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + 2).alias("e")
+    )
+    span_len = F.col("e") - F.col("s") + 1
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(span_len).cast("long").alias("dup_words"),
+        F.max(span_len).cast("long").alias("longest_span"),
+    )
+    tot = g.select("doc_id", (F.size("gs") + 2).cast("long").alias("n_words"))
+    frac = F.col("dup_words").cast("double") / F.col("n_words").cast("double")
+    return (
+        per_doc.join(tot, "doc_id")
+        .select(
+            "doc_id", "n_spans", "dup_words", "longest_span", "n_words",
+            F.round(frac, 8).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "l32_bigram_logprob",
     oracle=(
         "WITH toks AS (SELECT doc_id, pos, t FROM (SELECT doc_id, "

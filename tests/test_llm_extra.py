@@ -34,6 +34,58 @@ def test_l2j_threshold_sweep_monotone_and_nonvacuous(spark, sf_dir):
         assert r.chars_dropped > 0
 
 
+def test_l43_substring_spans_known_corpus(spark, tmp_path):
+    """Hand-built corpus pins the span semantics exactly: shared-gram
+    positions merge into maximal spans iff <= 3 apart (touching
+    coverage), split across a gap, docs with no shared grams are
+    absent, and a fully-shared doc scores dup_frac 1.0."""
+    from ipydataclean_spark.operators.llm_extra import l43_substring_dup_spans
+
+    rows = [
+        (1, "a b c d e f g h"),                      # shares a-b-c-d-e with 2
+        (2, "x y a b c d e q"),                      # same run, offset
+        (3, "m n o p q r s t"),                      # nothing shared
+        (4, "a b c z1 z2 z3 z4 z5 a b c"),           # two disjoint spans
+        (6, "a b c"),                                # exactly one shared gram
+    ]
+    # ids avoid doc_id % 5 == 0 so documents_dup injects no copies
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "mini")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in l43_substring_dup_spans(spark, d).collect()}
+    assert set(got) == {1, 2, 4, 6}, "doc 3 shares no gram and must be absent"
+    a = got[1]
+    assert (a.n_spans, a.dup_words, a.longest_span, a.n_words) == (1, 5, 5, 8)
+    b = got[2]
+    assert (b.n_spans, b.dup_words, b.longest_span, b.n_words) == (1, 5, 5, 8)
+    dd = got[4]
+    assert (dd.n_spans, dd.dup_words, dd.longest_span, dd.n_words) == (2, 6, 3, 11)
+    e = got[6]
+    assert (e.n_spans, e.dup_words, e.n_words) == (1, 3, 3)
+    assert e.dup_frac == 1.0
+
+
+def test_l43_substring_spans_fixture_sanity(spark, sf_dir):
+    """On the fixture the injected verbatim copies (doc_id % 5 == 0 and
+    their +1000000 twins) must be FULLY covered (dup_frac 1.0), and the
+    table must discriminate — some doc has 0 < dup_frac < 1."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    got = {r.doc_id: r for r in
+           QUERIES["l43_substring_dup_spans"]["fn"](spark, sf_dir).collect()}
+    twins = [d for d in got if d >= 1000000]
+    assert twins
+    for t in twins:
+        assert got[t].dup_frac == 1.0, f"verbatim twin {t} not fully covered"
+        orig = t - 1000000
+        assert orig in got and got[orig].dup_frac == 1.0
+    assert any(0.0 < r.dup_frac < 1.0 for r in got.values()), "table vacuous"
+
+
 def test_cluster_pairs_components(spark):
     """Known graph: {1,2,3} chained, {10,11}, {20} isolated."""
     ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 20)], ["id"])
