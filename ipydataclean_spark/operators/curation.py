@@ -212,6 +212,145 @@ def l26_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L44 — broadcast-bloom decontamination (the no-shuffle scale path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 16   #: bloom bits (1024 BIGINT words)
+_BLOOM_K = 3         #: hash functions (salted md5 prefixes)
+
+
+def _bloom_pos(g, j: int):
+    """Bloom position j for gram column ``g``: 24-bit md5 prefix of the
+    'b{j}:'-salted gram, mod _BLOOM_M — the md5_coin family's integer
+    form, identical in DuckDB (_bloom_pos_sql)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(f"b{j}"), g)), 1, 6), 16, 10
+        ).cast("long")
+        % _BLOOM_M
+    )
+
+
+def _bloom_pos_sql(expr: str, j: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('b{j}:' || ({expr})), 1, 6)) AS BIGINT) "
+        f"% {_BLOOM_M})"
+    )
+
+
+_L44_BENCH_PRED = "doc_id % 5 = 0 AND doc_id < 1000000"
+
+
+def _l44_oracle() -> str:
+    pos_cols = ", ".join(f"{_bloom_pos_sql('g', j)} AS p{j}" for j in range(_BLOOM_K))
+    set_union = " UNION ".join(
+        f"SELECT DISTINCT {_bloom_pos_sql('g', j)} AS p FROM bench"
+        for j in range(_BLOOM_K)
+    )
+    joins = " ".join(
+        f"LEFT JOIN setpos s{j} ON s{j}.p = pos.p{j}" for j in range(_BLOOM_K)
+    )
+    hit = " AND ".join(f"s{j}.p IS NOT NULL" for j in range(_BLOOM_K))
+    return with_documents_dup(
+        ", bench AS MATERIALIZED (SELECT DISTINCT unnest("
+        + shingles_sql("text", n=8)
+        + f") AS g FROM documents_dup WHERE {_L44_BENCH_PRED}), "
+        f"setpos AS MATERIALIZED ({set_union}), "
+        "exact AS MATERIALIZED (SELECT g FROM bench), "
+        "corp AS (SELECT doc_id, unnest("
+        + shingles_sql("text", n=8)
+        + ") AS g FROM documents_dup "
+        f"WHERE NOT ({_L44_BENCH_PRED})), "
+        f"pos AS (SELECT doc_id, g, {pos_cols} FROM corp), "
+        f"hits AS (SELECT pos.doc_id, ({hit}) AS bloom_hit, "
+        "exact.g IS NOT NULL AS exact_hit "
+        f"FROM pos {joins} LEFT JOIN exact ON exact.g = pos.g) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams, "
+        "CAST(COUNT_IF(exact_hit) AS BIGINT) AS n_exact_hits, "
+        "CAST(COUNT_IF(bloom_hit) AS BIGINT) AS n_bloom_hits, "
+        "COUNT_IF(bloom_hit) > 0 AS flagged "
+        "FROM hits GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+@register("l44_bloom_decontaminate", oracle=_l44_oracle(), tags=("L26", "L44", "scale"))
+def l44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L44: benchmark decontamination via a BROADCAST BLOOM BITSET —
+    the no-shuffle scale path next to l26's exact gram join. l26
+    broadcasts the distinct benchmark 8-gram STRINGS (fine while they
+    fit); at 100 TB of corpus against a large eval suite the
+    Spark-first shape is: fold the benchmark grams into a fixed
+    2^16-bit bloom filter (k=3 salted md5 positions — one bounded agg
+    over the SMALL side), ship 8 KB to every task, and probe each
+    corpus gram MAP-SIDE with three bit tests — the corpus never
+    shuffles and the broadcast payload is constant in benchmark size.
+
+    Output keeps the exact join alongside (n_exact_hits vs
+    n_bloom_hits), so the operator doubles as its own false-positive
+    audit: bloom hits superset exact hits by construction, and the gap
+    IS the FP rate a deployment sizes m/k against. Flagged docs are
+    bloom-flagged (the production decision: a bloom-flagged doc is
+    dropped or exact-checked downstream).
+
+    Exactness: the oracle replays the BITSET semantics (a gram is a
+    bloom hit iff all k salted positions are set by ANY benchmark
+    gram) as three position joins — false positives and all — so the
+    driver hash certifies the filter's actual behavior, not an
+    idealized one. Bit arithmetic is integer-only.
+
+    Build phase is a bounded two-phase pattern: distinct set positions
+    (≤ 2^16 ints) collect to the driver, pack into 1024 BIGINT words,
+    and re-enter the plan as a one-row broadcast COLUMN — never as
+    1024 literal expressions (the l3b janino codegen cliff)."""
+    dd = documents_dup(spark, sf_dir)
+    is_bench = F.expr(_L44_BENCH_PRED)
+    bench_grams = (
+        dd.where(is_bench)
+        .select(F.explode(shingles_col(tokens_col("text"), 8)).alias("g"))
+        .distinct()
+    )
+    pos_union = None
+    for j in range(_BLOOM_K):
+        p = bench_grams.select(_bloom_pos(F.col("g"), j).alias("p"))
+        pos_union = p if pos_union is None else pos_union.unionByName(p)
+    # bounded: at most _BLOOM_M distinct positions (8 KB of bits)
+    positions = [r.p for r in pos_union.distinct().collect()]
+    words = [0] * (_BLOOM_M // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    # two's-complement: Python ints > 2^63-1 must wrap to fit BIGINT
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    bits_df = spark.createDataFrame([(words,)], "bits array<bigint>")
+
+    corp = (
+        dd.where(~is_bench)
+        .select("doc_id", F.explode(shingles_col(tokens_col("text"), 8)).alias("g"))
+    )
+    probe = corp.crossJoin(F.broadcast(bits_df))
+    bit_tests = []
+    for j in range(_BLOOM_K):
+        p = _bloom_pos(F.col("g"), j)
+        word = F.element_at("bits", (p / 64).cast("int") + 1)
+        bit_tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
+    bloom_hit = bit_tests[0]
+    for t in bit_tests[1:]:
+        bloom_hit = bloom_hit & t
+    exact = bench_grams.withColumnRenamed("g", "g").withColumn("__exact", F.lit(1))
+    return (
+        probe.withColumn("bloom_hit", bloom_hit)
+        .join(F.broadcast(exact), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_if(F.col("__exact").isNotNull()).alias("n_exact_hits"),
+            F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
+            (F.count_if(F.col("bloom_hit")) > 0).alias("flagged"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L27 — content-defined chunking (shift-resistant dedup units)
 # ---------------------------------------------------------------------------
 

@@ -187,3 +187,31 @@ def test_sequence_pack_invariants(spark, sf_dir):
         for r in shard_rows:
             assert r.pack_id * 512 + r.pack_offset == start, r
             start += r.n_tok
+
+
+def test_l44_bloom_superset_of_exact_and_nonvacuous(spark, sf_dir):
+    """Bloom semantics: per doc, bloom hits are a SUPERSET of exact
+    hits (a set member's k positions are all set by construction),
+    flagged <=> any bloom hit, every exactly-contaminated doc is
+    flagged, and the fixture actually exercises false positives
+    (n_bloom_hits > n_exact_hits somewhere) — the gap the operator
+    exists to expose. Cross-op consistency: n_exact_hits matches
+    l26's exact-join n_hit for every contaminated doc."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l44_bloom_decontaminate"]["fn"](spark, sf_dir).collect()
+    assert rows
+    fp_docs = 0
+    for r in rows:
+        assert r.n_bloom_hits >= r.n_exact_hits, r
+        assert r.flagged == (r.n_bloom_hits > 0), r
+        assert r.n_grams >= r.n_bloom_hits
+        if r.n_bloom_hits > r.n_exact_hits:
+            fp_docs += 1
+    assert fp_docs > 0, "no bloom false positive on fixture: FP audit vacuous"
+    l26 = {r.doc_id: r.n_hit for r in
+           QUERIES["l26_contamination_check"]["fn"](spark, sf_dir).collect()}
+    got = {r.doc_id: r.n_exact_hits for r in rows}
+    for doc_id, n_hit in l26.items():
+        assert got[doc_id] == n_hit, f"exact-hit mismatch vs l26 for {doc_id}"
