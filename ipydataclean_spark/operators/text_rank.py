@@ -214,9 +214,11 @@ def l8c_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "l35_hybrid_rrf",
-    oracle=(
+#: The l35 oracle, module-level so the l42 rerank twin can embed the
+#: SAME fused-candidate SQL as a subquery (one definition, like the
+#: md5 chain constants — a hand-copied drift would silently de-certify
+#: the rerank).
+_L35_ORACLE = (
         # lexical leg: the l8b BM25-style ranking, cut to top 50
         "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
         f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t "
@@ -246,7 +248,12 @@ def l8c_tfidf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "+ COALESCE(1.0 / (60 + c.rank_v), 0.0), 8) AS rrf "
         "FROM bmr b FULL OUTER JOIN csr c ON b.doc_id = c.doc_id "
         "ORDER BY rrf DESC, doc_id LIMIT 20"
-    ),
+)
+
+
+@register(
+    "l35_hybrid_rrf",
+    oracle=_L35_ORACLE,
     tags=("L35", "L8", "L3", "retrieval"),
 )
 def l35_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,3 +315,105 @@ def l35_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+_L42_WINDOW = 8   #: term-interaction proximity window (token positions)
+
+#: The rerank stage's EXPANDED query. The sparse first-stage terms
+#: (QUERY_TERMS) barely exist in the fixture vocabulary — only 'data'
+#: matches, so scoring interactions over them is vacuous (every
+#: candidate: coverage 1, inter_pairs 0, rerank = identity). A rerank
+#: tier routinely sees a richer query than the sparse leg (the
+#: cross-encoder reads the full query text; expansion happens between
+#: tiers), so l42 scores over in-vocabulary expansion terms — on the
+#: fixture candidates these spread coverage 1..3 and inter_pairs 2..33.
+_L42_TERMS = ("data", "join", "hash")
+
+_L42_TERMS_IN = "('" + "', '".join(_L42_TERMS) + "')"
+
+_L42_ORACLE = (
+    "WITH cand AS (SELECT doc_id, rrf FROM (" + _L35_ORACLE + ")), "
+    "qtoks AS (SELECT doc_id, pos, t FROM (SELECT doc_id, "
+    f"generate_subscripts(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), 1) AS pos, "
+    f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t "
+    "FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)) u "
+    f"WHERE t IN {_L42_TERMS_IN}), "
+    "inter AS (SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM qtoks a "
+    "JOIN qtoks b ON a.doc_id = b.doc_id AND a.t < b.t "
+    f"AND ABS(a.pos - b.pos) <= {_L42_WINDOW} GROUP BY a.doc_id), "
+    "cov AS (SELECT doc_id, CAST(COUNT(DISTINCT t) AS BIGINT) AS c "
+    "FROM qtoks GROUP BY doc_id) "
+    "SELECT cand.doc_id, "
+    "CAST(COALESCE(cov.c, 0) AS BIGINT) AS coverage, "
+    "CAST(COALESCE(inter.n, 0) AS BIGINT) AS inter_pairs, "
+    "CAST(COALESCE(cov.c, 0) * 10000 + COALESCE(inter.n, 0) AS BIGINT) AS ce_score, "
+    "rrf FROM cand LEFT JOIN cov ON cov.doc_id = cand.doc_id "
+    "LEFT JOIN inter ON inter.doc_id = cand.doc_id "
+    "ORDER BY ce_score DESC, rrf DESC, cand.doc_id LIMIT 10"
+)
+
+
+@register("l42_rerank_interaction", oracle=_L42_ORACLE, tags=("L42", "L35", "retrieval"))
+def l42_rerank_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L42: the RERANK stage of the retrieval stack (VERDICT r07 #6) —
+    the l35 RRF top-20 candidates rescored by a JOINT (query, doc)
+    interaction model and cut to a final top-10. In production this
+    slot holds a cross-encoder; its defining property — the score is a
+    function of the PAIR that does not decompose into per-doc values —
+    is modeled here by a deterministic proximity-interaction scorer:
+    ce_score = 10000 * coverage + inter_pairs, where coverage counts
+    distinct EXPANDED-query terms (_L42_TERMS — the rerank tier sees a
+    richer query than the sparse leg, see that constant) present in
+    the doc and inter_pairs counts co-occurrences of two DIFFERENT
+    terms within 8 token positions (positions in the raw split space,
+    empty slots included — both engines index the same split array).
+    A model swap replaces ONE map stage; the plumbing — candidate cut,
+    per-pair scoring, stable final cut — is what this operator pins.
+
+    Plan shape at 100 TB (the whole point of a rerank tier): the
+    expensive per-pair scoring touches ONLY the top-20 candidate docs
+    — the positional token table is built after a broadcast semi-join
+    on the candidate ids, so rerank cost is |candidates| x doc_len
+    regardless of corpus size, while the legs stay on their indexed
+    paths. The interaction self-join is per-doc (keyed on doc_id over
+    ≤ 20 docs x |query| positions). Scores are integers; the only
+    float is the carried-through l35 rrf (already round-8 certified)."""
+    cand = l35_hybrid_rrf(spark, sf_dir).select("doc_id", "rrf")
+    docs = T(spark, sf_dir, "documents").join(
+        F.broadcast(cand.select("doc_id")), "doc_id", "left_semi"
+    )
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("pos0", "t"),
+        )
+        .where(F.col("t").isin(*_L42_TERMS))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "t")
+    )
+    a = toks.select("doc_id", F.col("pos").alias("pa"), F.col("t").alias("ta"))
+    b = toks.select("doc_id", F.col("pos").alias("pb"), F.col("t").alias("tb"))
+    inter = (
+        a.join(b, "doc_id")
+        .where(
+            (F.col("ta") < F.col("tb"))
+            & (F.abs(F.col("pa") - F.col("pb")) <= _L42_WINDOW)
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cov = toks.groupBy("doc_id").agg(F.countDistinct("t").alias("c"))
+    coverage = F.coalesce(F.col("c"), F.lit(0)).cast("long")
+    inter_pairs = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    return (
+        cand.join(cov, "doc_id", "left")
+        .join(inter, "doc_id", "left")
+        .select(
+            "doc_id",
+            coverage.alias("coverage"),
+            inter_pairs.alias("inter_pairs"),
+            (coverage * 10000 + inter_pairs).cast("long").alias("ce_score"),
+            "rrf",
+        )
+        .orderBy(F.desc("ce_score"), F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

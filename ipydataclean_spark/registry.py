@@ -289,7 +289,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l2b_jaccard_pairs",
     # round-8 additions (VERDICT r07 #6: fresh evidence in the slack)
     "l2j_dedup_threshold_sweep", "l43_substring_dup_spans",
-    "l44_bloom_decontaminate",
+    "l44_bloom_decontaminate", "l42_rerank_interaction",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

@@ -309,3 +309,27 @@ def test_l3m_audit_query_sampling_knob(spark, sf_dir):
     full_exact = max(r.n_exact for r in full_default)
     assert 0 < a[0].n_exact < full_exact
     assert a[-1].nprobe == 16 and a[-1].recall == 1.0
+
+
+def test_l42_rerank_reorders_and_is_consistent(spark, sf_dir):
+    """The rerank stage must be NON-VACUOUS and well-formed: (a) its
+    output doc_ids are a subset of the l35 RRF top-20 candidates (a
+    rerank never invents candidates), (b) the final order DIFFERS from
+    plain rrf order somewhere (an identity rerank teaches nothing —
+    the sparse-terms scorer failed exactly this way), (c) ce_score =
+    10000*coverage + inter_pairs with coverage in [0, 3], and (d) the
+    output is sorted by (ce_score desc, rrf desc, doc_id)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    cand = [r.doc_id for r in
+            QUERIES["l35_hybrid_rrf"]["fn"](spark, sf_dir).collect()]
+    rows = QUERIES["l42_rerank_interaction"]["fn"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert set(r.doc_id for r in rows) <= set(cand)
+    assert [r.doc_id for r in rows] != cand[:10], "rerank is the identity: vacuous"
+    for r in rows:
+        assert 0 <= r.coverage <= 3
+        assert r.ce_score == 10000 * r.coverage + r.inter_pairs
+    keys = [(-r.ce_score, -r.rrf, r.doc_id) for r in rows]
+    assert keys == sorted(keys)
