@@ -274,7 +274,9 @@ def _l44_oracle() -> str:
 
 
 @register("l44_bloom_decontaminate", oracle=_l44_oracle(), tags=("L26", "L44", "scale"))
-def l44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def l44_bloom_decontaminate(
+    spark: SparkSession, sf_dir: str, include_exact: bool = True
+) -> DataFrame:
     """L44: benchmark decontamination via a BROADCAST BLOOM BITSET —
     the no-shuffle scale path next to l26's exact gram join. l26
     broadcasts the distinct benchmark 8-gram STRINGS (fine while they
@@ -301,12 +303,26 @@ def l44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Build phase is a bounded two-phase pattern: distinct set positions
     (≤ 2^16 ints) collect to the driver, pack into 1024 BIGINT words,
     and re-enter the plan as a one-row broadcast COLUMN — never as
-    1024 literal expressions (the l3b janino codegen cliff)."""
+    1024 literal expressions (the l3b janino codegen cliff).
+
+    ``include_exact=False`` drops the exact-join audit columns
+    (n_exact_hits) and with them the benchmark-gram-string broadcast —
+    the knob for the production path, where that broadcast grows with
+    the benchmark suite while the bloom payload stays 8 KB. At fixture
+    scales the audit is nearly free (sf1: 5.4 s either way once the
+    token column is materialized — see the __toks note below); the
+    knob matters when the BENCHMARK side is large. The registered/
+    oracle form keeps the audit (the FP readout is the point)."""
     dd = documents_dup(spark, sf_dir)
     is_bench = F.expr(_L44_BENCH_PRED)
+    # __toks MUST be a materialized column before shingles_col sees it:
+    # inlining tokens_col into the shingle transform re-evaluates the
+    # token split PER SHINGLE via CollapseProject (the gram3_hash_table
+    # trap — measured 320 s vs 9 s for the sf1 corpus gram explode)
     bench_grams = (
         dd.where(is_bench)
-        .select(F.explode(shingles_col(tokens_col("text"), 8)).alias("g"))
+        .withColumn("__toks", tokens_col("text"))
+        .select(F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
         .distinct()
     )
     pos_union = None
@@ -324,7 +340,8 @@ def l44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     corp = (
         dd.where(~is_bench)
-        .select("doc_id", F.explode(shingles_col(tokens_col("text"), 8)).alias("g"))
+        .withColumn("__toks", tokens_col("text"))
+        .select("doc_id", F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
     )
     probe = corp.crossJoin(F.broadcast(bits_df))
     bit_tests = []
@@ -335,10 +352,20 @@ def l44_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom_hit = bit_tests[0]
     for t in bit_tests[1:]:
         bloom_hit = bloom_hit & t
-    exact = bench_grams.withColumnRenamed("g", "g").withColumn("__exact", F.lit(1))
+    flagged_probe = probe.withColumn("bloom_hit", bloom_hit)
+    if not include_exact:
+        return (
+            flagged_probe.groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.count_if(F.col("bloom_hit")).alias("n_bloom_hits"),
+                (F.count_if(F.col("bloom_hit")) > 0).alias("flagged"),
+            )
+            .orderBy("doc_id")
+        )
+    exact = bench_grams.withColumn("__exact", F.lit(1))
     return (
-        probe.withColumn("bloom_hit", bloom_hit)
-        .join(F.broadcast(exact), "g", "left")
+        flagged_probe.join(F.broadcast(exact), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -215,3 +215,18 @@ def test_l44_bloom_superset_of_exact_and_nonvacuous(spark, sf_dir):
     got = {r.doc_id: r.n_exact_hits for r in rows}
     for doc_id, n_hit in l26.items():
         assert got[doc_id] == n_hit, f"exact-hit mismatch vs l26 for {doc_id}"
+
+
+def test_l44_bloom_only_matches_audit_bloom_columns(spark, sf_dir):
+    """include_exact=False (the production path: no benchmark-gram
+    broadcast) must agree with the audit form on every bloom-derived
+    column — the knob drops columns, never changes the filter."""
+    from ipydataclean_spark.operators.curation import l44_bloom_decontaminate
+
+    audit = l44_bloom_decontaminate(spark, sf_dir).select(
+        "doc_id", "n_grams", "n_bloom_hits", "flagged"
+    )
+    fast = l44_bloom_decontaminate(spark, sf_dir, include_exact=False)
+    assert fast.columns == ["doc_id", "n_grams", "n_bloom_hits", "flagged"]
+    assert audit.exceptAll(fast).count() == 0
+    assert fast.exceptAll(audit).count() == 0
