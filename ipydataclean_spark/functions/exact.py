@@ -128,12 +128,18 @@ def md5_coin(key: Column | str, salt: str = "") -> Column:
     not correlate with r22d's sample of the same table). The coin is
     reproducible across engines, retries, repartitioning, and
     incremental reruns — a row's fate never depends on task boundaries
-    — and pushes down as an ordinary predicate."""
+    — and pushes down as an ordinary predicate.
+
+    NULL contract: a NULL key draws a NULL coin, so `coin < fraction`
+    is NULL and the row is FILTERED OUT — in BOTH engines. The salt is
+    composed with NULL-propagating concat (NOT concat_ws, which skips
+    NULLs and would give every NULL-key row the identical md5(salt)
+    coin while the SQL twin drops them — review r08)."""
     from pyspark.sql import functions as F
 
     k = _c(key).cast("string")
     if salt:
-        k = F.concat_ws(":", F.lit(salt), k)
+        k = F.concat(F.lit(salt + ":"), k)
     return (md5_prefix_int(k) + F.lit(0.5)) / F.lit(float(1 << 24))
 
 

@@ -221,21 +221,19 @@ _BLOOM_K = 3         #: hash functions (salted md5 prefixes)
 
 def _bloom_pos(g, j: int):
     """Bloom position j for gram column ``g``: 24-bit md5 prefix of the
-    'b{j}:'-salted gram, mod _BLOOM_M — the md5_coin family's integer
-    form, identical in DuckDB (_bloom_pos_sql)."""
-    return (
-        F.conv(
-            F.substring(F.md5(F.concat_ws(":", F.lit(f"b{j}"), g)), 1, 6), 16, 10
-        ).cast("long")
-        % _BLOOM_M
-    )
+    'b{j}:'-salted gram, mod _BLOOM_M — built on the single-sourced
+    md5_prefix_int pair (the one-definition coin rule; grams are never
+    NULL here, so NULL-propagating concat is moot but consistent)."""
+    from ipydataclean_spark.functions.exact import md5_prefix_int
+
+    return md5_prefix_int(F.concat(F.lit(f"b{j}:"), g)) % _BLOOM_M
 
 
 def _bloom_pos_sql(expr: str, j: int) -> str:
-    return (
-        f"(CAST(('0x' || substr(md5('b{j}:' || ({expr})), 1, 6)) AS BIGINT) "
-        f"% {_BLOOM_M})"
-    )
+    from ipydataclean_spark.functions.exact import md5_prefix_int_sql
+
+    salted = f"'b{j}:' || ({expr})"
+    return f"({md5_prefix_int_sql(salted)} % {_BLOOM_M})"
 
 
 _L44_BENCH_PRED = "doc_id % 5 = 0 AND doc_id < 1000000"
@@ -319,11 +317,16 @@ def l44_bloom_decontaminate(
     # inlining tokens_col into the shingle transform re-evaluates the
     # token split PER SHINGLE via CollapseProject (the gram3_hash_table
     # trap — measured 320 s vs 9 s for the sf1 corpus gram explode)
+    # materialized once: bench_grams feeds the positions collect AND
+    # (include_exact) the exact-join broadcast — without the
+    # checkpoint the benchmark tokenize/shingle/distinct subtree
+    # executes twice (review r08)
     bench_grams = (
         dd.where(is_bench)
         .withColumn("__toks", tokens_col("text"))
         .select(F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     pos_union = None
     for j in range(_BLOOM_K):

@@ -1052,9 +1052,10 @@ def l2j_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup THRESHOLD SWEEP — the cost/savings projection a deployment
     reads before picking its near-dup Jaccard cutoff τ (VERDICT r07 #6,
     extending l2i's fixed-pipeline savings report to a tuning table):
-    for each τ in {0.5, 0.6, 0.7, 0.8}, verified-pair count, dup
-    cluster/doc counts, docs a keep-one rule would drop, and characters
-    the keep-shortest rule would drop.
+    for each τ in _L2J_TAUS ({0.8, 0.9, 0.97, 0.99} — chosen inside
+    the fixture's actual pair-similarity regime, see that constant),
+    verified-pair count, dup cluster/doc counts, docs a keep-one rule
+    would drop, and characters the keep-shortest rule would drop.
 
     Pipeline shape is the PRODUCTION one, not the audit one: md5
     MinHash 4x4 band candidates (the l2f generator), then exact-Jaccard

@@ -145,6 +145,10 @@ def main() -> int:
                 pdf = pd.DataFrame(srows, columns=scols)
                 if len(pdf):
                     pdf.sort_values(list(pdf.columns))
+                    # the driver also HASHES rows; single-column frames
+                    # sort comparison-based (list cells survive the
+                    # sort) but still crash the hash — replicate both
+                    pd.util.hash_pandas_object(pdf, index=False)
             except TypeError as e:
                 print(f"FAIL {name}: rows-only output not canonicalizable: {e}")
                 n_fail += 1
