@@ -678,3 +678,47 @@ def test_c38_parse_is_map_only_plus_one_agg(spark, sf_dir):
     plan = formatted_plan(df)
     assert "Join" not in plan
     assert not has_python_eval(df)
+
+
+def test_l44_bloom_probe_is_map_side(spark, sf_dir):
+    """The bloom-only production path must never shuffle the corpus
+    before its per-doc rollup: no SortMergeJoin anywhere (the bitset
+    enters via a 1-row broadcast, the probe is three map-side bit
+    tests), exactly one exchange (the doc_id aggregation), and no
+    Python eval — the whole probe stays in codegen."""
+    from ipydataclean_spark.operators.curation import l44_bloom_decontaminate
+
+    df = l44_bloom_decontaminate(spark, sf_dir, include_exact=False)
+    assert count_op(df, "SortMergeJoin") == 0
+    assert count_op(df, "ShuffledHashJoin") == 0
+    assert not has_python_eval(df)
+    # the audit form adds ONLY a broadcast hash join for the exact side
+    audit = l44_bloom_decontaminate(spark, sf_dir)
+    assert count_op(audit, "SortMergeJoin") == 0
+    assert count_op(audit, "BroadcastHashJoin") >= 1
+
+
+def test_l42_rerank_candidates_broadcast(spark, sf_dir):
+    """The rerank tier's defining scale property: the corpus-side doc
+    scan is cut by a BROADCAST LeftSemi join on the top-20 candidate
+    ids, so per-pair scoring cost is independent of corpus size.
+    (Joins over the tiny rank/candidate tables downstream may pick
+    any strategy — they are bounded by the candidate cut.)"""
+    df = _q("l42_rerank_interaction", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, (
+        "candidate cut is not a broadcast semi-join"
+    )
+    assert not has_python_eval(df)
+
+
+def test_l43_windows_are_doc_partitioned(spark, sf_dir):
+    """Span extraction must never sort globally: every window spec in
+    the plan partitions by doc_id (the gap-islands pass), so the
+    operator scales with per-doc span counts, not corpus order."""
+    df = _q("l43_substring_dup_spans", spark, sf_dir)
+    plan = formatted_plan(df)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "no window in the l43 plan?"
+    for s in specs:
+        assert s.startswith("doc_id"), f"non-doc-partitioned window: {s[:60]}"
