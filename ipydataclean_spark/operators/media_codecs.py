@@ -519,6 +519,117 @@ def l9f_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L9k — perceptual AUDIO fingerprinting + near-dup pairs (the audio
+# member of the modality dedup set: text L2, image l9f, audio l9k)
+# ---------------------------------------------------------------------------
+
+_FP_WINDOWS = 32  #: fingerprint windows per clip -> 31 delta bits
+
+
+def attach_noise_wave_payloads(docs: DataFrame) -> DataFrame:
+    """Audio fixture with per-doc pseudo-random STRUCTURE (square waves
+    collapse to ~32 distinct zcr profiles — useless for fingerprint
+    discrimination): doc_id-seeded LCG PCM16, n = 2048 + (d % 4) * 512
+    samples, |s| in [2, 7001] (never 0/±1, so integer gain-halving can
+    NEVER flip or zero a sign). Every doc with doc_id % 10 == 0 also
+    emits a half-gain copy at doc_id + 3000000 — a known perceptual
+    dup whose sign sequence (hence fingerprint) is identical."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def pcm(d: int) -> "_np.ndarray":
+            n = 2048 + (d % 4) * 512
+            # 64-bit LCG (Knuth), seeded by doc_id; magnitude 2..7001
+            x = _np.empty(n, dtype=_np.uint64)
+            s = _np.uint64(d * 2 + 1)
+            a, c = _np.uint64(6364136223846793005), _np.uint64(1442695040888963407)
+            for i in range(n):
+                s = s * a + c
+                x[i] = s
+            mag = (x >> _np.uint64(33)) % _np.uint64(7000) + _np.uint64(2)
+            sign = _np.where((x >> _np.uint64(13)) % _np.uint64(2) == 0, 1, -1)
+            return (sign * mag.astype(_np.int64)).astype(_np.int16)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s = pcm(d)
+                ids.append(d)
+                payloads.append(encode_wav_pcm16(s, 8000))
+                if d % 10 == 0:
+                    ids.append(d + 3000000)
+                    payloads.append(encode_wav_pcm16(s // 2, 8000))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def audio_fingerprint(media: DataFrame, windows: int = _FP_WINDOWS) -> DataFrame:
+    """payload BINARY -> (doc_id, fp BIGINT): a gain-invariant
+    perceptual audio fingerprint, decode+hash fused in one Arrow map.
+    The clip splits into ``windows`` equal windows; each window's
+    feature is its zero-crossing count (amplitude-free — the audio
+    analogue of dHash's brightness invariance); bit w is
+    zcr[w] > zcr[w+1] (delta coding, so global rate/energy shifts
+    cancel). 31 bits for 32 windows — the same banded-hamming pair
+    machinery as image dHash consumes the output."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, fps = [], []
+            for r in pdf.itertuples():
+                try:
+                    s, _rate = decode_wav_pcm16(bytes(r.payload))
+                except Exception:
+                    continue  # poison-pill guard
+                w = len(s) // windows
+                if w == 0:
+                    continue
+                x = s[: w * windows].astype("i8").reshape(windows, w)
+                sgn = _np.sign(x)
+                zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
+                bits = (zcr[:-1] > zcr[1:]).astype("i8")
+                fp = 0
+                for b in bits:
+                    fp = (fp << 1) | int(b)
+                ids.append(r.doc_id)
+                fps.append(fp)
+            yield _pd.DataFrame({"doc_id": ids, "fp": _pd.Series(fps, dtype="int64")})
+
+    return media.mapInPandas(kernel, schema="doc_id BIGINT, fp BIGINT")
+
+
+@register(
+    "l9k_audio_fp_pairs",
+    oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics
+    tags=("L9", "L2", "multimodal", "dedup", "audio"),
+)
+def l9k_audio_fp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9k: audio near-dup detection end-to-end — REAL WAV bytes →
+    gain-invariant zcr-delta fingerprint → exact-hash clustering →
+    banded hamming join of DISTINCT fingerprints (the SAME
+    dhash_neardup_pairs machinery as l9f: collapse-then-band keeps the
+    pair stage sub-quadratic when popular clips repeat). The half-gain
+    copies injected at doc_id+3000000 fingerprint identically to their
+    originals (signs survive integer halving by fixture construction),
+    so each lands in its original's cluster as a hamming-0 within-
+    cluster row. Rows-only by design (SQL cannot see PCM bytes);
+    invariance/recall goldens in tests/test_media_codecs.py."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    hashes = audio_fingerprint(attach_noise_wave_payloads(docs))
+    pairs = dhash_neardup_pairs(hashes.withColumnRenamed("fp", "dhash"), max_hamming=2)
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
 # L9g — REAL PNG codec (compressed format; zlib is Python stdlib)
 # ---------------------------------------------------------------------------
 

@@ -293,9 +293,11 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first
-#: (their round-8 fix IS the flattening — a rows row is the proof).
+#: (their round-8 fix IS the flattening — a rows row is the proof),
+#: then the round-8 audio-fingerprint dedup (payload bytes are
+#: invisible to SQL — rows-only by design, goldens pin semantics).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    "p3b_approx_profile", "f_map_functions",
+    "p3b_approx_profile", "f_map_functions", "l9k_audio_fp_pairs",
 )
 
 

@@ -370,3 +370,61 @@ def test_gif_roundtrip_and_guards():
     assert np.array_equal(out, want)
     with _pytest.raises(ValueError):
         decode_gif(b"NOTAGIF" * 4)
+
+
+def test_audio_fingerprint_gain_invariance_and_discrimination(spark):
+    """Driver-side goldens for the zcr-delta fingerprint: (a) integer
+    gain-halving never changes the fingerprint (signs survive by
+    fixture construction), (b) different seeds fingerprint differently
+    (discrimination — the square-wave fixture would fail this), and
+    (c) a hand-built signal's bits match the zcr-delta definition."""
+    import numpy as np
+
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_noise_wave_payloads,
+        audio_fingerprint,
+        encode_wav_pcm16,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(2, 40, 2)], "doc_id long")
+    fps = {r.doc_id: r.fp for r in
+           audio_fingerprint(attach_noise_wave_payloads(docs)).collect()}
+    # no injected copies in 2..38 (none % 10 == 0 besides 10,20,30)
+    originals = [d for d in fps if d < 3000000]
+    assert len(set(fps[d] for d in originals)) > len(originals) * 0.8, (
+        "fingerprints fail to discriminate distinct clips"
+    )
+    for d in (10, 20, 30):
+        assert fps[d + 3000000] == fps[d], f"half-gain copy of {d} drifted"
+
+    # hand-built: 8 windows of 16 samples with strictly decreasing
+    # crossing counts -> all 7 delta bits set
+    sig = []
+    for w in range(8):
+        period = 2 ** (w // 2 + 1)
+        sig.extend(100 if (i // (period // 2)) % 2 == 0 else -100 for i in range(16))
+    pdf_docs = spark.createDataFrame([(1,)], "doc_id long")
+    payload = encode_wav_pcm16(np.array(sig, dtype=np.int16), 8000)
+    media = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    fp = audio_fingerprint(media, windows=8).first().fp
+    zcr = []
+    arr = np.array(sig, dtype=np.int64).reshape(8, 16)
+    sgn = np.sign(arr)
+    zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
+    expect = 0
+    for b in (zcr[:-1] > zcr[1:]).astype(int):
+        expect = (expect << 1) | int(b)
+    assert fp == expect
+
+
+def test_l9k_injected_copies_cluster(spark, sf_dir):
+    """Every half-gain injected copy must land in its original's
+    cluster (a hamming-0 within-cluster row whose rep is the original
+    doc_id) — the audio analogue of l9f's brightened-copy recall."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l9k_audio_fp_pairs"]["fn"](spark, sf_dir).collect()
+    within = {r.doc_a for r in rows if r.hamming == 0 and r.doc_a == r.doc_b}
+    expected = {d for d in range(0, 500, 2) if d % 10 == 0}
+    assert expected <= within, f"missing clusters for {sorted(expected - within)[:5]}"
