@@ -1189,8 +1189,16 @@ def gram3_hash_table(
     d = documents_dup(spark, sf_dir)
     if not full:
         d = d.where((F.col("doc_id") % 5 == 0) | (F.col("doc_id") >= 1000000))
+    return gram3_over(d, min_grams=min_grams)
+
+
+def gram3_over(docs: DataFrame, min_grams: int = 1) -> DataFrame:
+    """gram3_hash_table's body over an arbitrary (doc_id, text) frame —
+    extracted so the span-cut pipeline can gram dedup SURVIVORS. Same
+    hash, same checkpoint barriers (see gram3_hash_table's docstring
+    for why both are load-bearing)."""
     d = (
-        d.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
+        docs.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
         .where(F.size("wds") >= 3)
         .localCheckpoint(eager=True)
     )
@@ -1438,9 +1446,29 @@ def l43_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     is integer; dup_frac is one BIGINT/BIGINT division
     (IEEE-identical cross-engine), so the whole span table is
     hash-certified against DuckDB."""
+    g = gram3_hash_table(spark, sf_dir, full=True)
+    per_doc = dup_spans_over(g)
+    tot = g.select("doc_id", (F.size("gs") + 2).cast("long").alias("n_words"))
+    frac = F.col("dup_words").cast("double") / F.col("n_words").cast("double")
+    return (
+        per_doc.join(tot, "doc_id")
+        .select(
+            "doc_id", "n_spans", "dup_words", "longest_span", "n_words",
+            F.round(frac, 8).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dup_spans_over(g: DataFrame) -> DataFrame:
+    """(doc_id, n_spans, dup_words, longest_span) over a (doc_id, gs)
+    gram-hash table — the l43 body, extracted so the span-cut curation
+    pipeline can run the SAME span extraction over dedup SURVIVORS
+    instead of the raw fixture (cutting spans before whole-doc dedup
+    would empty BOTH copies of a verbatim pair; the pipeline orders
+    dedup first)."""
     from pyspark.sql import Window
 
-    g = gram3_hash_table(spark, sf_dir, full=True)
     p = g.select(
         "doc_id", F.posexplode("gs").alias("pos0", "f")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "f")
@@ -1462,20 +1490,134 @@ def l43_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pos").alias("s"), (F.max("pos") + 2).alias("e")
     )
     span_len = F.col("e") - F.col("s") + 1
-    per_doc = spans.groupBy("doc_id").agg(
+    return spans.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(span_len).cast("long").alias("dup_words"),
         F.max(span_len).cast("long").alias("longest_span"),
     )
-    tot = g.select("doc_id", (F.size("gs") + 2).cast("long").alias("n_words"))
-    frac = F.col("dup_words").cast("double") / F.col("n_words").cast("double")
-    return (
-        per_doc.join(tot, "doc_id")
-        .select(
-            "doc_id", "n_spans", "dup_words", "longest_span", "n_words",
-            F.round(frac, 8).alias("dup_frac"),
-        )
-        .orderBy("doc_id")
+
+
+_SPAN_DROP_FRAC = 0.95  #: survivors still ≥95% duplicated get dropped whole
+
+
+def _pipeline_span_oracle() -> str:
+    return with_documents_dup(
+        ", keyed AS (SELECT doc_id, text, ROW_NUMBER() OVER "
+        f"(PARTITION BY SHA256({norm_text_sql('text')}) ORDER BY doc_id) AS rn "
+        "FROM documents_dup), "
+        "surv AS MATERIALIZED (SELECT doc_id, text FROM keyed WHERE rn = 1), "
+        "d AS (SELECT doc_id, " + norm_text_sql("text") + " AS t FROM surv), "
+        "tk AS MATERIALIZED (SELECT doc_id, string_split(t, ' ') AS w FROM d), "
+        "g AS MATERIALIZED (SELECT doc_id, list_transform(range(1, len(w) - 1), "
+        "i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), "
+        "1, 15)) AS BIGINT)) AS gs FROM tk WHERE len(w) >= 3), "
+        "p AS (SELECT doc_id, unnest(gs) AS f, generate_subscripts(gs, 1) AS pos "
+        "FROM g), "
+        "shared AS (SELECT f FROM (SELECT DISTINCT doc_id, f FROM p) "
+        "GROUP BY f HAVING COUNT(*) >= 2), "
+        "dup AS (SELECT p.doc_id, p.pos FROM p JOIN shared USING (f)), "
+        "brk AS (SELECT doc_id, pos, CASE WHEN pos - "
+        "LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 3 "
+        "THEN 0 ELSE 1 END AS b FROM dup), "
+        "isl AS (SELECT doc_id, pos, SUM(b) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM brk), "
+        "spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 2 AS e "
+        "FROM isl GROUP BY doc_id, island), "
+        "per_doc AS (SELECT doc_id, CAST(SUM(e - s + 1) AS BIGINT) AS dup_words "
+        "FROM spans GROUP BY doc_id), "
+        "per AS (SELECT tk.doc_id, CAST(len(tk.w) AS BIGINT) AS n_words, "
+        "COALESCE(per_doc.dup_words, 0) AS dup_words "
+        "FROM tk LEFT JOIN per_doc USING (doc_id)), "
+        "cls AS (SELECT *, CASE WHEN n_words > 0 THEN "
+        f"CAST(dup_words AS DOUBLE) / n_words >= {_SPAN_DROP_FRAC} "
+        "ELSE FALSE END AS dropped FROM per) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents_dup) AS n_docs_in, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM documents_dup) "
+        "- (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_exact_dropped, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_survivors, "
+        "CAST(COUNT_IF(dropped) AS BIGINT) AS n_span_dropped, "
+        "CAST(COUNT_IF(NOT dropped) AS BIGINT) AS n_kept, "
+        "CAST(SUM(CASE WHEN NOT dropped THEN n_words ELSE 0 END) AS BIGINT) "
+        "AS kept_words_total, "
+        "CAST(SUM(CASE WHEN NOT dropped THEN dup_words ELSE 0 END) AS BIGINT) "
+        "AS words_cut, "
+        "CAST(SUM(CASE WHEN NOT dropped THEN n_words - dup_words ELSE 0 END) "
+        "AS BIGINT) AS words_retained FROM cls"
+    )
+
+
+@register(
+    "pipeline_span_curation",
+    oracle=_pipeline_span_oracle(),
+    tags=("pipeline", "L1", "L43", "dedup"),
+)
+def pipeline_span_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END substring-curation pipeline (composes the round-8
+    span extractor with L1): (1) exact whole-doc dedup — sha256 over
+    normalized text, keep min doc_id (the l1 rule) — then (2) the l43
+    span extraction over the SURVIVORS only, then (3) the cut policy:
+    survivors still ≥95% span-duplicated are dropped whole, the rest
+    keep n_words - dup_words. One integer report row a curation run
+    logs: docs in/dropped/kept and words total/cut/retained.
+
+    Stage ORDER is the correctness point (and why dup_spans_over was
+    extracted): span-cutting FIRST would see each verbatim pair as
+    mutual 100% spans and empty BOTH copies; dedup-first keeps one,
+    and the span pass then only sees genuine cross-doc boilerplate.
+    The whole report is integer arithmetic after one guarded division,
+    hash-certified against the DuckDB twin that replays every stage
+    (SHA256 digest partitioning included).
+
+    At 100 TB: stage 1 shuffles on the 32-byte digest, stage 2 is the
+    l43 gram-keyed shape over the (smaller) survivor set, stage 3 is a
+    map — no stage is all-pairs."""
+    from pyspark.sql import Window
+
+    docs = documents_dup(spark, sf_dir)
+    key = F.sha2(norm_text_col("text"), 256)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    surv = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    # survivors feed the word totals AND the gram pass (which
+    # checkpoints internally); materialize the dedup once
+    surv = surv.localCheckpoint(eager=True)
+    tk = surv.select(
+        "doc_id", F.size(F.split(norm_text_col("text"), " ")).cast("long").alias("n_words")
+    )
+    per_doc = dup_spans_over(gram3_over(surv)).select("doc_id", "dup_words")
+    per = tk.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        F.coalesce(F.col("dup_words"), F.lit(0)).cast("long").alias("dup_words"),
+    )
+    dropped = F.when(
+        F.col("n_words") > 0,
+        F.col("dup_words").cast("double") / F.col("n_words") >= _SPAN_DROP_FRAC,
+    ).otherwise(F.lit(False))
+    cls = per.withColumn("dropped", dropped)
+    n_in = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_in"))
+    n_surv = surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    keep_words = F.when(~F.col("dropped"), F.col("n_words")).otherwise(F.lit(0))
+    keep_cut = F.when(~F.col("dropped"), F.col("dup_words")).otherwise(F.lit(0))
+    rep = cls.agg(
+        F.count_if(F.col("dropped")).alias("n_span_dropped"),
+        F.count_if(~F.col("dropped")).alias("n_kept"),
+        F.sum(keep_words).cast("long").alias("kept_words_total"),
+        F.sum(keep_cut).cast("long").alias("words_cut"),
+        F.sum(keep_words - keep_cut).cast("long").alias("words_retained"),
+    )
+    return n_in.crossJoin(n_surv).crossJoin(rep).select(
+        "n_docs_in",
+        (F.col("n_docs_in") - F.col("n_survivors")).alias("n_exact_dropped"),
+        "n_survivors",
+        "n_span_dropped",
+        "n_kept",
+        "kept_words_total",
+        "words_cut",
+        "words_retained",
     )
 
 

@@ -232,8 +232,12 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l14_countmin_heavy_hitters", "l15_boilerplate_ratio",
     "l18_unigram_logprob", "l19_gopher_quality", "l20_domain_budget",
     "l21_top_bigram_frac", "l23_char_entropy", "l24_url_domains",
-    "l26_contamination_check", "l28_winnowing_pairs",
-    "l29_repeated_gram_fraction", "l31_source_temperature_mix",
+    "l26_contamination_check",
+    # l28/l29 were r6-green but their shared gram pass was extracted
+    # into gram3_over in round 8 (the span-cut pipeline needs grams
+    # over dedup survivors) — re-queued per the rotation rule
+    # (plan-identical delegation, but the rule is the rule)
+    "l31_source_temperature_mix",
     "l32_bigram_logprob", "l33_shuffle_shards", "l34_sequence_pack",
     "l35_hybrid_rrf", "c31_segment_dedup",
     # CORRECTNESS_r07.json — 48/50 green (33 oracle rows+schema+hash,
@@ -290,6 +294,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # round-8 additions (VERDICT r07 #6: fresh evidence in the slack)
     "l2j_dedup_threshold_sweep", "l43_substring_dup_spans",
     "l44_bloom_decontaminate", "l42_rerank_interaction",
+    "pipeline_span_curation",
+    # re-queued: gram pass extracted into gram3_over (round 8)
+    "l28_winnowing_pairs", "l29_repeated_gram_fraction",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

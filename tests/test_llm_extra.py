@@ -506,3 +506,22 @@ def test_inc4_incremental_minhash_goldens(spark, sf_dir):
     # the delta universe is complete and statuses are binary
     assert set(out) == {d for d in texts if d >= 400}
     assert {r.status for r in out.values()} <= {"near_dup_of_history", "novel"}
+
+
+def test_pipeline_span_curation_accounting(spark, sf_dir):
+    """Stage accounting must be internally consistent and non-vacuous:
+    exactly the 100 injected verbatim copies fall to exact dedup
+    (stage order! span-cutting first would also empty the originals),
+    survivors split exactly into span-dropped + kept, and the word
+    ledger balances (retained = total - cut, all non-negative, some
+    words actually cut on the boilerplate-heavy fixture)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["pipeline_span_curation"]["fn"](spark, sf_dir).first()
+    assert r.n_docs_in == 600 and r.n_exact_dropped == 100
+    assert r.n_survivors == r.n_docs_in - r.n_exact_dropped
+    assert r.n_span_dropped + r.n_kept == r.n_survivors
+    assert r.words_retained == r.kept_words_total - r.words_cut
+    assert 0 < r.words_cut < r.kept_words_total
+    assert r.n_kept > 0 and r.n_span_dropped > 0
