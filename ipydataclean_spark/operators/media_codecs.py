@@ -541,13 +541,19 @@ def attach_noise_wave_payloads(docs: DataFrame) -> DataFrame:
 
         def pcm(d: int) -> "_np.ndarray":
             n = 2048 + (d % 4) * 512
-            # 64-bit LCG (Knuth), seeded by doc_id; magnitude 2..7001
-            x = _np.empty(n, dtype=_np.uint64)
-            s = _np.uint64(d * 2 + 1)
+            # 64-bit LCG (Knuth), seeded by doc_id; magnitude 2..7001.
+            # Vectorized closed form (bit-identical to the sequential
+            # recurrence): s_k = a^k s0 + c·Σ_{j<k} a^j, all mod 2^64
+            # via numpy's natural uint64 wraparound — the per-sample
+            # Python loop was ~85% of the sf1 wall (30k docs × 2.5k
+            # iterations).
+            s0 = _np.uint64(d * 2 + 1)
             a, c = _np.uint64(6364136223846793005), _np.uint64(1442695040888963407)
-            for i in range(n):
-                s = s * a + c
-                x[i] = s
+            with _np.errstate(over="ignore"):
+                powers = _np.cumprod(_np.full(n, a, dtype=_np.uint64))  # a^1..a^n
+                q = _np.concatenate(([_np.uint64(1)], powers[:-1]))     # a^0..a^(n-1)
+                geom = _np.cumsum(q)                                    # Σ_{j<k} a^j
+                x = powers * s0 + c * geom
             mag = (x >> _np.uint64(33)) % _np.uint64(7000) + _np.uint64(2)
             sign = _np.where((x >> _np.uint64(13)) % _np.uint64(2) == 0, 1, -1)
             return (sign * mag.astype(_np.int64)).astype(_np.int16)
