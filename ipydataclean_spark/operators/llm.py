@@ -96,6 +96,19 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
 # ---------------------------------------------------------------------------
 
 
+def with_dedup_rank(docs: DataFrame) -> DataFrame:
+    """docs + ``rn``: rank within each sha256(normalized-text) digest
+    group, min doc_id first — THE exact-dedup survivor rule (rn == 1
+    keeps one doc per digest). ONE definition shared by l1, the corpus
+    pipeline, and the span-cut pipeline (review r08: the block had
+    been restated four times; a future change to the keep-which-doc
+    policy must happen in exactly one place). The shuffle key is the
+    32-byte digest."""
+    key = F.sha2(norm_text_col("text"), 256)
+    w = Window.partitionBy(key).orderBy("doc_id")
+    return docs.withColumn("rn", F.row_number().over(w))
+
+
 @register(
     "l1_exact_dedup",
     oracle=with_documents_dup(
@@ -110,12 +123,10 @@ def shingles_sql(text_expr: str, n: int = 3) -> str:
 )
 def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1: normalize → sha256 → keep min doc_id per digest; per-lang
-    survivor counts. The shuffle key is the 32-byte digest."""
+    survivor counts."""
     docs = documents_dup(spark, sf_dir)
-    key = F.sha2(norm_text_col("text"), 256)
-    w = Window.partitionBy(key).orderBy("doc_id")
     return (
-        docs.withColumn("rn", F.row_number().over(w))
+        with_dedup_rank(docs)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

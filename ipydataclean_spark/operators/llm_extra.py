@@ -586,9 +586,8 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the pipeline a reference user runs daily at corpus scale —
     each stage is the same function they can use à la carte."""
-    from pyspark.sql import Window
-
     from ipydataclean_spark.functions.text import norm_text_col
+    from ipydataclean_spark.operators.llm import with_dedup_rank
 
     docs = documents_dup(spark, sf_dir)
     t = F.split(norm_text_col("text"), " ")
@@ -597,9 +596,7 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("t") >= 20)
         & (F.size(F.array_distinct("t")).cast("double") / F.size("t") >= 0.25)
     )
-    key = F.sha2(norm_text_col("text"), 256)
-    w = Window.partitionBy(key).orderBy("doc_id")
-    deduped = staged.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    deduped = with_dedup_rank(staged).where(F.col("rn") == 1)
     return (
         deduped.groupBy("lang")
         .agg(
@@ -1193,13 +1190,18 @@ def gram3_hash_table(
 
 
 def gram3_over(docs: DataFrame, min_grams: int = 1) -> DataFrame:
-    """gram3_hash_table's body over an arbitrary (doc_id, text) frame —
-    extracted so the span-cut pipeline can gram dedup SURVIVORS. Same
-    hash, same checkpoint barriers (see gram3_hash_table's docstring
-    for why both are load-bearing)."""
+    """gram3_hash_table's body over an arbitrary frame — extracted so
+    the span-cut pipeline can gram dedup SURVIVORS. Accepts either a
+    (doc_id, text) frame or one that already carries the normalized
+    token array as ``wds`` (the pipeline splits once and shares the
+    frame — review r08). Same hash, same checkpoint barriers (see
+    gram3_hash_table's docstring for why both are load-bearing)."""
+    if "wds" in docs.columns:
+        d = docs.select("doc_id", "wds")
+    else:
+        d = docs.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
     d = (
-        docs.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
-        .where(F.size("wds") >= 3)
+        d.where(F.size("wds") >= 3)
         .localCheckpoint(eager=True)
     )
     wd = F.col("wds")
@@ -1571,23 +1573,18 @@ def pipeline_span_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: stage 1 shuffles on the 32-byte digest, stage 2 is the
     l43 gram-keyed shape over the (smaller) survivor set, stage 3 is a
     map — no stage is all-pairs."""
-    from pyspark.sql import Window
+    from ipydataclean_spark.operators.llm import with_dedup_rank
 
     docs = documents_dup(spark, sf_dir)
-    key = F.sha2(norm_text_col("text"), 256)
-    w = Window.partitionBy(key).orderBy("doc_id")
-    surv = (
-        docs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("doc_id", "text")
-    )
-    # survivors feed the word totals AND the gram pass (which
-    # checkpoints internally); materialize the dedup once
-    surv = surv.localCheckpoint(eager=True)
-    tk = surv.select(
-        "doc_id", F.size(F.split(norm_text_col("text"), " ")).cast("long").alias("n_words")
-    )
-    per_doc = dup_spans_over(gram3_over(surv)).select("doc_id", "dup_words")
+    surv = with_dedup_rank(docs).where(F.col("rn") == 1).select("doc_id", "text")
+    # normalize+split ONCE (review r08: tk and the gram pass each
+    # re-ran the regex normalization); the checkpointed wds frame
+    # feeds both the word totals and gram3_over
+    swds = surv.select(
+        "doc_id", F.split(norm_text_col("text"), " ").alias("wds")
+    ).localCheckpoint(eager=True)
+    tk = swds.select("doc_id", F.size("wds").cast("long").alias("n_words"))
+    per_doc = dup_spans_over(gram3_over(swds)).select("doc_id", "dup_words")
     per = tk.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_words",
@@ -1599,7 +1596,9 @@ def pipeline_span_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(False))
     cls = per.withColumn("dropped", dropped)
     n_in = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_in"))
-    n_surv = surv.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
+    # count from the checkpointed frame: surv itself is lazy and a
+    # count over it would re-run the digest-window dedup
+    n_surv = swds.agg(F.count(F.lit(1)).cast("long").alias("n_survivors"))
     keep_words = F.when(~F.col("dropped"), F.col("n_words")).otherwise(F.lit(0))
     keep_cut = F.when(~F.col("dropped"), F.col("dup_words")).otherwise(F.lit(0))
     rep = cls.agg(

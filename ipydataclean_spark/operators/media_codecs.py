@@ -523,7 +523,14 @@ def l9f_image_dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # member of the modality dedup set: text L2, image l9f, audio l9k)
 # ---------------------------------------------------------------------------
 
-_FP_WINDOWS = 32  #: fingerprint windows per clip -> 31 delta bits
+#: Fingerprint windows per clip -> windows-1 delta bits. 65 windows
+#: fill all 64 bits of the hash the 8x8 bander assumes: a narrower
+#: fingerprint (the first cut used 32 -> 31 bits) leaves the high
+#: bands identically ZERO for every clip, the degenerate bands match
+#: everything, and the "sub-quadratic" pair stage silently becomes
+#: 4*C(D,2) candidates (review r08) — the banded join is only as
+#: selective as the bits actually populated.
+_FP_WINDOWS = 65
 
 
 def attach_noise_wave_payloads(docs: DataFrame) -> DataFrame:
@@ -539,23 +546,33 @@ def attach_noise_wave_payloads(docs: DataFrame) -> DataFrame:
         import numpy as _np
         import pandas as _pd
 
+        # 64-bit LCG (Knuth), seeded by doc_id; magnitude 2..7001.
+        # Vectorized closed form (bit-identical to the sequential
+        # recurrence): s_k = a^k s0 + c·Σ_{j<k} a^j, all mod 2^64 via
+        # numpy's natural uint64 wraparound — the per-sample Python
+        # loop was ~85% of the sf1 wall (30k docs × 2.5k iterations).
+        # powers/geom depend only on the position, so ONE max-length
+        # pair is hoisted out of pcm and sliced per doc (review r08:
+        # recomputing them per doc was 3 full-array passes × 30k docs).
+        a, c = _np.uint64(6364136223846793005), _np.uint64(1442695040888963407)
+        max_n = 2048 + 3 * 512
+        with _np.errstate(over="ignore"):
+            _powers = _np.cumprod(_np.full(max_n, a, dtype=_np.uint64))  # a^1..a^max
+            _q = _np.concatenate(([_np.uint64(1)], _powers[:-1]))        # a^0..
+            _geom = _np.cumsum(_q)                                       # Σ_{j<k} a^j
+
         def pcm(d: int) -> "_np.ndarray":
             n = 2048 + (d % 4) * 512
-            # 64-bit LCG (Knuth), seeded by doc_id; magnitude 2..7001.
-            # Vectorized closed form (bit-identical to the sequential
-            # recurrence): s_k = a^k s0 + c·Σ_{j<k} a^j, all mod 2^64
-            # via numpy's natural uint64 wraparound — the per-sample
-            # Python loop was ~85% of the sf1 wall (30k docs × 2.5k
-            # iterations).
             s0 = _np.uint64(d * 2 + 1)
-            a, c = _np.uint64(6364136223846793005), _np.uint64(1442695040888963407)
             with _np.errstate(over="ignore"):
-                powers = _np.cumprod(_np.full(n, a, dtype=_np.uint64))  # a^1..a^n
-                q = _np.concatenate(([_np.uint64(1)], powers[:-1]))     # a^0..a^(n-1)
-                geom = _np.cumsum(q)                                    # Σ_{j<k} a^j
-                x = powers * s0 + c * geom
+                x = _powers[:n] * s0 + c * _geom[:n]
             mag = (x >> _np.uint64(33)) % _np.uint64(7000) + _np.uint64(2)
-            sign = _np.where((x >> _np.uint64(13)) % _np.uint64(2) == 0, 1, -1)
+            # sign from the TOP bit: low-order bits of a mod-2^64 LCG
+            # depend only on the low seed bits (bit 13 made the whole
+            # sign sequence a function of d mod 2^12 — exactly 2048
+            # fingerprint classes for 30k sf1 clips, invisible at the
+            # 500-doc fixture; the sf1-exposes-the-regime lesson again)
+            sign = _np.where((x >> _np.uint64(63)) == 0, 1, -1)
             return (sign * mag.astype(_np.int64)).astype(_np.int16)
 
         for pdf in batches:
@@ -582,8 +599,8 @@ def audio_fingerprint(media: DataFrame, windows: int = _FP_WINDOWS) -> DataFrame
     feature is its zero-crossing count (amplitude-free — the audio
     analogue of dHash's brightness invariance); bit w is
     zcr[w] > zcr[w+1] (delta coding, so global rate/energy shifts
-    cancel). 31 bits for 32 windows — the same banded-hamming pair
-    machinery as image dHash consumes the output."""
+    cancel). 64 bits for 65 windows — sized to FILL the 8x8 bander
+    the image-dHash pair machinery uses (see _FP_WINDOWS)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -607,7 +624,8 @@ def audio_fingerprint(media: DataFrame, windows: int = _FP_WINDOWS) -> DataFrame
                 for b in bits:
                     fp = (fp << 1) | int(b)
                 ids.append(r.doc_id)
-                fps.append(fp)
+                # 64 bits -> signed two's-complement (Spark LongType)
+                fps.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
             yield _pd.DataFrame({"doc_id": ids, "fp": _pd.Series(fps, dtype="int64")})
 
     return media.mapInPandas(kernel, schema="doc_id BIGINT, fp BIGINT")

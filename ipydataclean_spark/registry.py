@@ -183,7 +183,9 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "u1_scalar_udf", "u2_pandas_udf_zclamp", "u3_applyinpandas_groupfill",
     "u4_grouped_agg_mad", "u7_pandas_iter_udf", "u8_map_in_arrow",
     "u9_cogroup_asof", "u10_arrow_udf", "u11_udtf_analyze",
-    "l1_exact_dedup",
+    # l1_exact_dedup was r4-green but its digest-rank block was
+    # extracted into with_dedup_rank in round 8 — re-queued per the
+    # rotation rule (same for pipeline_corpus_curation below)
     # l2b_jaccard_pairs was r4-green but its body was extracted into
     # the shared exact_jaccard_pairs helper in round 8 (the l2h
     # sampling knob needs truth over a sampled doc slice) — re-queued
@@ -206,7 +208,7 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "tx4_bloom_lookup", "tx5_restore_read", "tx6_describe_history",
     "inc1_incremental_stats", "inc2_incremental_dedup", "inc3_incremental_join",
     "s8_pyds_scan", "s8b_pyds_cleaned",
-    "pipeline_corpus_curation", "pipeline_lm_dataset", "pipeline_media_curation",
+    "pipeline_lm_dataset", "pipeline_media_curation",
     "l2_minhash_lsh", "l2c_simhash",
     # l2d_dedup_clusters was r5-checked (rows-only) but cluster_pairs
     # switched to the large-star/small-star default in round 7 —
@@ -297,6 +299,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "pipeline_span_curation",
     # re-queued: gram pass extracted into gram3_over (round 8)
     "l28_winnowing_pairs", "l29_repeated_gram_fraction",
+    # re-queued: digest-rank block extracted into with_dedup_rank
+    "l1_exact_dedup", "pipeline_corpus_curation",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

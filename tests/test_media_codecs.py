@@ -397,24 +397,22 @@ def test_audio_fingerprint_gain_invariance_and_discrimination(spark):
     for d in (10, 20, 30):
         assert fps[d + 3000000] == fps[d], f"half-gain copy of {d} drifted"
 
-    # hand-built: 8 windows of 16 samples with strictly decreasing
-    # crossing counts -> all 7 delta bits set
+    # hand-built golden with a HAND-COMPUTED expectation (review r08:
+    # the first version recomputed `expect` with the production numpy
+    # expression — a bug in the bit definition would change both sides
+    # identically). 8 windows of 16 samples, half-period per window
+    # h = [1, 2, 4, 8, 1, 8, 2, 16]: a window's sign flips at
+    # multiples of h, so zcr = floor(15/h) = [15, 7, 3, 1, 15, 1, 7, 0].
+    # Delta bits (zcr[w] > zcr[w+1]):
+    #   15>7=1, 7>3=1, 3>1=1, 1>15=0, 15>1=1, 1>7=0, 7>0=1
+    # -> 0b1110101 = 117.
     sig = []
-    for w in range(8):
-        period = 2 ** (w // 2 + 1)
-        sig.extend(100 if (i // (period // 2)) % 2 == 0 else -100 for i in range(16))
-    pdf_docs = spark.createDataFrame([(1,)], "doc_id long")
+    for h in (1, 2, 4, 8, 1, 8, 2, 16):
+        sig.extend(100 if (i // h) % 2 == 0 else -100 for i in range(16))
     payload = encode_wav_pcm16(np.array(sig, dtype=np.int16), 8000)
     media = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
     fp = audio_fingerprint(media, windows=8).first().fp
-    zcr = []
-    arr = np.array(sig, dtype=np.int64).reshape(8, 16)
-    sgn = np.sign(arr)
-    zcr = (sgn[:, 1:] != sgn[:, :-1]).sum(axis=1)
-    expect = 0
-    for b in (zcr[:-1] > zcr[1:]).astype(int):
-        expect = (expect << 1) | int(b)
-    assert fp == expect
+    assert fp == 117
 
 
 def test_l9k_injected_copies_cluster(spark, sf_dir):
