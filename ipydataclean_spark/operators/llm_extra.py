@@ -1154,6 +1154,80 @@ def l2j_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("threshold")
 
 
+def _l45_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+
+    return (
+        "WITH RECURSIVE documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + ")"
+        + llm.L2F_CTES
+        + ", cp AS (SELECT doc_a, doc_b FROM est WHERE n_agree >= 8), "
+        "edges AS (SELECT doc_a AS a, doc_b AS b FROM cp "
+        "UNION SELECT doc_b, doc_a FROM cp), "
+        "r(a, b) AS (SELECT doc_id, doc_id FROM documents_dup "
+        "UNION SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a), "
+        "lbl AS (SELECT a AS id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+        "q AS (SELECT doc_id AS id, source, LENGTH(text) AS raw_len "
+        "FROM documents_dup), "
+        "ranked AS (SELECT l.cluster_id, q.id, q.source, q.raw_len, "
+        "ROW_NUMBER() OVER (PARTITION BY l.cluster_id "
+        "ORDER BY q.raw_len, q.id) AS rn "
+        "FROM lbl l JOIN q ON q.id = l.id) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT_IF(rn > 1) AS BIGINT) AS n_docs_dropped, "
+        "CAST(SUM(raw_len) AS BIGINT) AS chars_total, "
+        "CAST(SUM(CASE WHEN rn > 1 THEN raw_len ELSE 0 END) AS BIGINT) "
+        "AS chars_dropped "
+        "FROM ranked GROUP BY source ORDER BY source"
+    )
+
+
+@register("l45_domain_dedup_report", oracle=_l45_oracle(), tags=("L2", "dedup", "L20"))
+def l45_domain_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup savings SLICED BY SOURCE — the "which feeds are redundant"
+    readout a corpus owner reads before renegotiating an ingest (l2i
+    aggregates by cluster size; this attributes the SAME certified
+    pipeline's drops to their origin): per source, docs, docs the
+    keep-best rule would drop, chars total/dropped. Attribution rule:
+    every non-survivor doc charges ITS OWN source (clusters can span
+    sources; the survivor — least raw length, then lowest id, the c30
+    rule — keeps its chars wherever it lives).
+
+    Same certified stages as l2i/c30b: md5 MinHash-LSH candidates,
+    star-method connected components (oracle: recursive-CTE closure),
+    per-cluster ranking. Integer-only output, hash-certified.
+
+    At 100 TB this is a free side-product of the dedup run: the
+    cluster labels and survivor ranks already exist; the report adds
+    ONE groupBy(source) — never run dedup twice to get per-domain
+    numbers."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.operators.llm import l2f_minhash_lsh_md5
+
+    docs = documents_dup(spark, sf_dir)
+    pairs = l2f_minhash_lsh_md5(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    labels = cluster_pairs(docs.select(F.col("doc_id").alias("id")), pairs, max_iter=30)
+    q = docs.select(
+        F.col("doc_id").alias("id"), "source", F.length("text").alias("raw_len")
+    )
+    w = Window.partitionBy("cluster_id").orderBy("raw_len", "id")
+    ranked = labels.join(q, "id").withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("rn") > 1).alias("n_docs_dropped"),
+            F.sum("raw_len").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("rn") > 1, F.col("raw_len")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
 _WINNOW_K = 3   # k-gram length (words)
 _WINNOW_W = 4   # winnowing window (k-grams per window)
 

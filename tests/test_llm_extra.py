@@ -525,3 +525,23 @@ def test_pipeline_span_curation_accounting(spark, sf_dir):
     assert r.words_retained == r.kept_words_total - r.words_cut
     assert 0 < r.words_cut < r.kept_words_total
     assert r.n_kept > 0 and r.n_span_dropped > 0
+
+
+def test_l45_domain_report_reconciles_with_l2i(spark, sf_dir):
+    """The per-source attribution must reconcile EXACTLY with l2i's
+    cluster-size report (same certified pipeline, different slice):
+    total docs, docs dropped, and chars dropped agree, and every
+    source's drops are bounded by its doc count."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    by_src = QUERIES["l45_domain_dedup_report"]["fn"](spark, sf_dir).collect()
+    by_size = QUERIES["l2i_dedup_savings"]["fn"](spark, sf_dir).collect()
+    assert sum(r.n_docs for r in by_src) == sum(r.n_docs for r in by_size) == 600
+    dropped_src = sum(r.n_docs_dropped for r in by_src)
+    dropped_size = sum(r.n_docs - r.n_clusters for r in by_size)
+    assert dropped_src == dropped_size > 0
+    assert sum(r.chars_dropped for r in by_src) == sum(r.chars_dropped for r in by_size)
+    for r in by_src:
+        assert 0 <= r.n_docs_dropped < r.n_docs
+        assert 0 <= r.chars_dropped <= r.chars_total
