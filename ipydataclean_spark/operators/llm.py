@@ -1109,6 +1109,85 @@ def l4c_embed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_D19_ORACLE = (
+    "WITH s AS (SELECT (vec_id % 2 = 0) AS is_a, "
+    "unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos "
+    "FROM embeddings), "
+    "agg AS (SELECT is_a, pos, " + exact.dsum_sql("ROUND(v, 6)") + " AS msum, "
+    "CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY is_a, pos), "
+    "va AS (SELECT LIST(msum / n ORDER BY pos) AS a, MAX(n) AS n_a "
+    "FROM agg WHERE is_a), "
+    "vb AS (SELECT LIST(msum / n ORDER BY pos) AS b, MAX(n) AS n_b "
+    "FROM agg WHERE NOT is_a), "
+    "m AS (SELECT n_a, n_b, a, b, "
+    "list_transform(range(1, len(a) + 1), i -> ABS(a[i] - b[i])) AS shift "
+    "FROM va CROSS JOIN vb) "
+    "SELECT n_a, n_b, "
+    "ROUND(" + cosine_sim_sql("a", "b") + ", 8) AS cos_mean_sim, "
+    "ROUND(list_max(shift), 8) AS max_dim_shift, "
+    "CAST(list_position(shift, list_max(shift)) AS INTEGER) AS max_shift_dim "
+    "FROM m"
+)
+
+
+@register("d19_embedding_drift", oracle=_D19_ORACLE, tags=("D7", "L4", "drift"))
+def d19_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D19: EMBEDDING-SPACE drift — the detector a curation pipeline
+    points at two corpus slices (yesterday vs today, source A vs B;
+    the fixture slices on vec_id parity) to catch a shifted embedding
+    distribution before it poisons dedup thresholds or ANN recall:
+    cosine between the slice MEAN vectors, plus the largest per-
+    dimension mean shift and which dimension moved (the triage
+    pointer). Extends the drift family (D7 KS / d11 PSI / d15 null-
+    rate / l38 token-KL) to the embedding modality.
+
+    Exactness discipline: per-dimension means are DECIMAL sums
+    (order-of-summation independent, functions/exact.py) divided once
+    by the slice count; the mean vectors re-enter array form via a
+    sorted 64-element collect (aggregate-sized, the documented tiny-
+    intermediate exception) and the cosine is the sequential fold
+    from functions/vector.py — every float op identical cross-engine,
+    so the drift numbers themselves are driver-hash certified.
+
+    At 100 TB: one posexplode + one (slice, dim)-keyed partial agg —
+    64·|slices| rows out of the shuffle regardless of corpus size; no
+    per-pair work anywhere."""
+    emb = T(spark, sf_dir, "embeddings")
+    s = emb.select(
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select("is_a", (F.col("pos0") + 1).alias("pos"), "v")
+    # round-then-dsum (the established float rule): raw embedding
+    # doubles don't cast to DECIMAL(28,6) identically across engines
+    # (half-up vs half-even at the 1e-6 quantization boundary — the
+    # first cut hash-mismatched by 3e-8); rounding FIRST makes the
+    # decimal cast exact, and 1e-6 input quantization is far below any
+    # drift signal this detector reads.
+    agg = s.groupBy("is_a", "pos").agg(
+        exact.dsum(F.round("v", 6)).alias("msum"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    vec = F.transform(
+        F.array_sort(F.collect_list(F.struct("pos", F.col("msum"), F.col("n")))),
+        lambda x: x.msum / x.n.cast("double"),
+    )
+    va = agg.where(F.col("is_a")).agg(
+        vec.alias("a"), F.max("n").alias("n_a")
+    )
+    vb = agg.where(~F.col("is_a")).agg(
+        vec.alias("b"), F.max("n").alias("n_b")
+    )
+    shift = F.zip_with("a", "b", lambda x, y: F.abs(x - y))
+    m = va.crossJoin(vb).withColumn("shift", shift)
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(cosine_sim("a", "b"), 8).alias("cos_mean_sim"),
+        F.round(F.array_max("shift"), 8).alias("max_dim_shift"),
+        F.array_position("shift", F.array_max("shift")).cast("int").alias("max_shift_dim"),
+    )
+
+
 NEARDUP_TAU = 0.98  # production near-dup threshold (true twins ≥ 0.99)
 
 

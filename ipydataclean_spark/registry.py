@@ -301,8 +301,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l28_winnowing_pairs", "l29_repeated_gram_fraction",
     # re-queued: digest-rank block extracted into with_dedup_rank
     "l1_exact_dedup", "pipeline_corpus_curation",
-    # late round-8 addition
-    "l45_domain_dedup_report",
+    # late round-8 additions
+    "l45_domain_dedup_report", "d19_embedding_drift",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

@@ -333,3 +333,25 @@ def test_l42_rerank_reorders_and_is_consistent(spark, sf_dir):
         assert r.ce_score == 10000 * r.coverage + r.inter_pairs
     keys = [(-r.ce_score, -r.rrf, r.doc_id) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_d19_embedding_drift_matches_numpy(spark, sf_dir):
+    """Independent recompute: the drift row must match a driver-side
+    numpy computation of the same slice means (to float tolerance —
+    the operator quantizes inputs at 1e-6 for cross-engine exactness),
+    and be well-formed (parity slices, dim index in range)."""
+    import numpy as np
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    a = np.array([r.embedding for r in rows if r.vec_id % 2 == 0])
+    b = np.array([r.embedding for r in rows if r.vec_id % 2 == 1])
+    ma, mb = a.mean(axis=0), b.mean(axis=0)
+    cos = float(ma @ mb / (np.linalg.norm(ma) * np.linalg.norm(mb)))
+    shift = np.abs(ma - mb)
+
+    got = QUERIES["d19_embedding_drift"]["fn"](spark, sf_dir).first()
+    assert (got.n_a, got.n_b) == (len(a), len(b))
+    assert abs(got.cos_mean_sim - cos) < 1e-5
+    assert abs(got.max_dim_shift - float(shift.max())) < 1e-5
+    assert got.max_shift_dim == int(shift.argmax()) + 1
+    assert -1.0 <= got.cos_mean_sim <= 1.0 and got.max_dim_shift > 0
