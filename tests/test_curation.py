@@ -230,3 +230,52 @@ def test_l44_bloom_only_matches_audit_bloom_columns(spark, sf_dir):
     assert fast.columns == ["doc_id", "n_grams", "n_bloom_hits", "flagged"]
     assert audit.exceptAll(fast).count() == 0
     assert fast.exceptAll(audit).count() == 0
+
+
+def test_inc5_incremental_state_matches_rebuild(spark, sf_dir):
+    """The incremental bloom state (history parquet + delta append)
+    must equal a from-scratch position build over hist ∪ delta — the
+    mergeable-digest property the operator exists to demonstrate —
+    and the delta must actually contribute novel positions (else the
+    incremental path is vacuous). The report itself must flag docs."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.operators.curation import _bloom_pos
+    from ipydataclean_spark.operators.incremental import (
+        _INC5_DELTA_PRED,
+        _INC5_HIST_PRED,
+        inc5_incremental_bloom,
+    )
+    from ipydataclean_spark.operators.llm import shingles_col, tokens_col
+    from ipydataclean_spark.operators.qhelp import documents_dup
+
+    rows = inc5_incremental_bloom(spark, sf_dir).collect()
+    assert rows and any(r.flagged for r in rows)
+    for r in rows:
+        assert 0 <= r.n_bloom_hits <= r.n_grams
+        assert r.flagged == (r.n_bloom_hits > 0)
+
+    # rebuild the position set in ONE shot and compare to the state.
+    # NOTE: scratch_dir() CLEARS the path it hands back — reconstruct
+    # the session path instead of calling it again.
+    dd = documents_dup(spark, sf_dir)
+    state_path = f"spark-warehouse/inc5_bloom_state_{spark.sparkContext.applicationId}"
+    state = spark.read.parquet(state_path)
+
+    def pos_set(pred):
+        g = (
+            dd.where(F.expr(pred))
+            .withColumn("__toks", tokens_col("text"))
+            .select(F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
+            .distinct()
+        )
+        out = set()
+        for j in range(3):
+            out |= {r.p for r in g.select(_bloom_pos(F.col("g"), j).alias("p")).collect()}
+        return out
+
+    hist = pos_set(_INC5_HIST_PRED)
+    full = hist | pos_set(_INC5_DELTA_PRED)
+    stored = {r.p for r in state.collect()}
+    assert stored == full, "incremental state drifted from the rebuild"
+    assert full - hist, "delta contributed no novel positions: update vacuous"
