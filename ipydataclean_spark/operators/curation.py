@@ -236,6 +236,34 @@ def _bloom_pos_sql(expr: str, j: int) -> str:
     return f"({md5_prefix_int_sql(salted)} % {_BLOOM_M})"
 
 
+def bloom_bits_df(spark: SparkSession, positions: list[int]) -> DataFrame:
+    """Pack set positions into the 1024-word bitset and return it as a
+    ONE-ROW frame (broadcast as a column, never as 1024 literal
+    expressions — the l3b janino cliff). ONE definition of the word
+    packing + two's-complement wrap, shared by l44 and inc5 (review
+    r08 third pass: the block had been restated)."""
+    words = [0] * (_BLOOM_M // 64)
+    for p in positions:
+        words[p // 64] |= 1 << (p % 64)
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return spark.createDataFrame([(words,)], "bits array<bigint>")
+
+
+def bloom_hit_col(g) -> F.Column:
+    """All-k-positions-set test for gram column ``g`` against the
+    broadcast ``bits`` column — the single definition of the probe's
+    bit arithmetic (element_at word, bit_get)."""
+    tests = []
+    for j in range(_BLOOM_K):
+        p = _bloom_pos(g, j)
+        word = F.element_at("bits", (p / 64).cast("int") + 1)
+        tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
+    out = tests[0]
+    for t in tests[1:]:
+        out = out & t
+    return out
+
+
 _L44_BENCH_PRED = "doc_id % 5 = 0 AND doc_id < 1000000"
 
 
@@ -334,12 +362,7 @@ def l44_bloom_decontaminate(
         pos_union = p if pos_union is None else pos_union.unionByName(p)
     # bounded: at most _BLOOM_M distinct positions (8 KB of bits)
     positions = [r.p for r in pos_union.distinct().collect()]
-    words = [0] * (_BLOOM_M // 64)
-    for p in positions:
-        words[p // 64] |= 1 << (p % 64)
-    # two's-complement: Python ints > 2^63-1 must wrap to fit BIGINT
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits_df = spark.createDataFrame([(words,)], "bits array<bigint>")
+    bits_df = bloom_bits_df(spark, positions)
 
     corp = (
         dd.where(~is_bench)
@@ -347,15 +370,7 @@ def l44_bloom_decontaminate(
         .select("doc_id", F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
     )
     probe = corp.crossJoin(F.broadcast(bits_df))
-    bit_tests = []
-    for j in range(_BLOOM_K):
-        p = _bloom_pos(F.col("g"), j)
-        word = F.element_at("bits", (p / 64).cast("int") + 1)
-        bit_tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
-    bloom_hit = bit_tests[0]
-    for t in bit_tests[1:]:
-        bloom_hit = bloom_hit & t
-    flagged_probe = probe.withColumn("bloom_hit", bloom_hit)
+    flagged_probe = probe.withColumn("bloom_hit", bloom_hit_col(F.col("g")))
     if not include_exact:
         return (
             flagged_probe.groupBy("doc_id")

@@ -634,18 +634,27 @@ def inc5_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     that the persisted+appended state carries full fidelity (including
     bloom false positives, which the position-join oracle replays
     exactly)."""
-    from ipydataclean_spark.operators.curation import _BLOOM_M, _bloom_pos
+    from ipydataclean_spark.operators.curation import (
+        _bloom_pos,
+        bloom_bits_df,
+        bloom_hit_col,
+    )
     from ipydataclean_spark.operators.llm import shingles_col, tokens_col
     from ipydataclean_spark.operators.qhelp import documents_dup
 
     dd = documents_dup(spark, sf_dir)
 
     def grams(pred: str) -> DataFrame:
+        # checkpointed: the frame feeds three per-salt position
+        # projections — without it the tokenize/shingle/distinct
+        # subtree runs once per union branch (the l44 bench_grams
+        # lesson, review r08)
         return (
             dd.where(F.expr(pred))
             .withColumn("__toks", tokens_col("text"))
             .select(F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
 
     def positions(g: DataFrame) -> DataFrame:
@@ -664,13 +673,10 @@ def inc5_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_pos = positions(grams(_INC5_DELTA_PRED)).join(stored, "p", "left_anti")
     new_pos.write.mode("append").parquet(state_path)
 
-    # probe against the MERGED state (bounded two-phase: ≤ 2^16 ints)
+    # probe against the MERGED state (bounded two-phase: ≤ 2^16 ints);
+    # bitset packing + bit tests single-sourced in curation.py
     merged = [r.p for r in spark.read.parquet(state_path).distinct().collect()]
-    words = [0] * (_BLOOM_M // 64)
-    for p in merged:
-        words[p // 64] |= 1 << (p % 64)
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    bits_df = spark.createDataFrame([(words,)], "bits array<bigint>")
+    bits_df = bloom_bits_df(spark, merged)
 
     corp = (
         dd.where(F.expr(_INC5_CORPUS_PRED))
@@ -678,14 +684,8 @@ def inc5_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
     )
     probe = corp.crossJoin(F.broadcast(bits_df))
-    tests = []
-    for j in range(3):
-        p = _bloom_pos(F.col("g"), j)
-        word = F.element_at("bits", (p / 64).cast("int") + 1)
-        tests.append(F.bit_get(word, (p % 64).cast("int")) == 1)
-    bloom_hit = tests[0] & tests[1] & tests[2]
     return (
-        probe.withColumn("bloom_hit", bloom_hit)
+        probe.withColumn("bloom_hit", bloom_hit_col(F.col("g")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

@@ -1263,21 +1263,31 @@ def gram3_hash_table(
     return gram3_over(d, min_grams=min_grams)
 
 
-def gram3_over(docs: DataFrame, min_grams: int = 1) -> DataFrame:
+def gram3_over(
+    docs: DataFrame, min_grams: int = 1, pre_tokenized: bool = False
+) -> DataFrame:
     """gram3_hash_table's body over an arbitrary frame — extracted so
-    the span-cut pipeline can gram dedup SURVIVORS. Accepts either a
-    (doc_id, text) frame or one that already carries the normalized
-    token array as ``wds`` (the pipeline splits once and shares the
-    frame — review r08). Same hash, same checkpoint barriers (see
-    gram3_hash_table's docstring for why both are load-bearing)."""
-    if "wds" in docs.columns:
-        d = docs.select("doc_id", "wds")
+    the span-cut pipeline can gram dedup SURVIVORS. By default expects
+    (doc_id, text) and normalizes+splits it; ``pre_tokenized=True``
+    declares the caller already carries the NORMALIZED token array as
+    ``wds`` (split once, share the frame — review r08; explicit flag,
+    not column sniffing: a stale/foreign wds column must not silently
+    skip normalization). In the pre-tokenized branch the caller is
+    expected to have materialized the frame, so barrier 1 (which
+    guards the per-gram re-evaluation of an UNmaterialized split
+    expression) is skipped — no second copy of the token arrays. Same
+    hash, same barrier-2 checkpoint (see gram3_hash_table's docstring
+    for why it is load-bearing)."""
+    if pre_tokenized:
+        if "wds" not in docs.columns:
+            raise ValueError("pre_tokenized=True requires a 'wds' column")
+        d = docs.select("doc_id", "wds").where(F.size("wds") >= 3)
     else:
-        d = docs.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
-    d = (
-        d.where(F.size("wds") >= 3)
-        .localCheckpoint(eager=True)
-    )
+        d = (
+            docs.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
+            .where(F.size("wds") >= 3)
+            .localCheckpoint(eager=True)
+        )
     wd = F.col("wds")
     gs = F.transform(
         F.sequence(F.lit(1), F.size("wds") - 2),
@@ -1658,7 +1668,9 @@ def pipeline_span_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split(norm_text_col("text"), " ").alias("wds")
     ).localCheckpoint(eager=True)
     tk = swds.select("doc_id", F.size("wds").cast("long").alias("n_words"))
-    per_doc = dup_spans_over(gram3_over(swds)).select("doc_id", "dup_words")
+    per_doc = dup_spans_over(gram3_over(swds, pre_tokenized=True)).select(
+        "doc_id", "dup_words"
+    )
     per = tk.join(per_doc, "doc_id", "left").select(
         "doc_id",
         "n_words",

@@ -256,10 +256,14 @@ def test_inc5_incremental_state_matches_rebuild(spark, sf_dir):
         assert r.flagged == (r.n_bloom_hits > 0)
 
     # rebuild the position set in ONE shot and compare to the state.
-    # NOTE: scratch_dir() CLEARS the path it hands back — reconstruct
-    # the session path instead of calling it again.
+    # NOTE: scratch_dir() CLEARS the path it hands back — derive the
+    # session path from the same base helper instead of calling it.
+    from ipydataclean_spark.operators.qhelp import _warehouse_base
+
     dd = documents_dup(spark, sf_dir)
-    state_path = f"spark-warehouse/inc5_bloom_state_{spark.sparkContext.applicationId}"
+    state_path = str(
+        _warehouse_base() / f"inc5_bloom_state_{spark.sparkContext.applicationId}"
+    )
     state = spark.read.parquet(state_path)
 
     def pos_set(pred):
