@@ -317,6 +317,94 @@ def l35_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
 
 
+_L46_ORACLE = (
+    # lexical top-20 (the l8b CTEs, cut to 20) and semantic top-20
+    "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+    f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t FROM documents) u WHERE t <> ''), "
+    "n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents), "
+    "tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM toks "
+    f"WHERE t IN ('{QUERY_TERMS[0]}', '{QUERY_TERMS[1]}', '{QUERY_TERMS[2]}') GROUP BY doc_id, t), "
+    "df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY t), "
+    "bm AS (SELECT tf.doc_id, "
+    + exact.dsum_sql("tf * (n_docs - df + 0.5) / (df + 0.5)")
+    + " AS score FROM tf JOIN df ON tf.t = df.t CROSS JOIN n "
+    "GROUP BY tf.doc_id, n_docs ORDER BY score DESC, tf.doc_id LIMIT 20), "
+    "bmr AS (SELECT doc_id, score, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY score DESC, doc_id) AS BIGINT) AS rank_t FROM bm), "
+    "q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), "
+    "sem AS (SELECT vec_id AS doc_id FROM (SELECT e.vec_id, "
+    "ROW_NUMBER() OVER (ORDER BY "
+    + cosine_sim_sql("q.q_emb", "e.embedding")
+    + " DESC, e.vec_id) AS rn FROM embeddings e CROSS JOIN q "
+    "WHERE e.vec_id <> 0) s WHERE rn <= 20) "
+    "SELECT b.doc_id, b.rank_t, ROUND(b.score, 8) AS bm25_score, "
+    "ROUND(" + cosine_sim_sql("q.q_emb", "e.embedding") + ", 8) AS cos_sim "
+    "FROM bmr b JOIN embeddings e ON e.vec_id = b.doc_id CROSS JOIN q "
+    "WHERE b.doc_id NOT IN (SELECT doc_id FROM sem) "
+    "ORDER BY b.rank_t"
+)
+
+
+@register("l46_hard_negatives", oracle=_L46_ORACLE, tags=("L46", "L8", "L3", "retrieval"))
+def l46_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L46: HARD-NEGATIVE MINING for contrastive retrieval training —
+    the public DPR recipe (Karpukhin et al., EMNLP'20): the best
+    negatives for a query are documents the LEXICAL ranker loves but
+    the SEMANTIC space keeps distant. Emits the BM25 top-20 docs that
+    are NOT in the exact-cosine top-20 of the same query, with both
+    scores (lexical rank + cosine), ready to join into a training-pair
+    table. Composes the two certified legs the l35 fusion already
+    uses — this is the third consumer of the retrieval stack (search,
+    fuse+rerank, and now training-data mining).
+
+    At 100 TB: both legs are the indexed paths (inverted-index tf
+    shuffle; ANN candidates re-ranked exact), the anti-membership
+    check is over two top-k tables (constant size), and the cosine
+    re-score joins embeddings for ≤ 20 docs. Scores: BM25 uses the
+    rational idf + decimal sum (hash-exact); cosine is the sequential
+    fold — both round-8."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.vector import cosine_sim
+
+    bm = bm25_scores(spark, sf_dir, limit=20)
+    bmr = bm.select(
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("long")
+        .alias("rank_t"),
+    )
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim("q_emb", "embedding").alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "doc_id")
+        .limit(20)
+        .select("doc_id")
+    )
+    negatives = bmr.join(sem, "doc_id", "left_anti")
+    return (
+        negatives.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            "rank_t",
+            F.round("score", 8).alias("bm25_score"),
+            F.round(cosine_sim("q_emb", "embedding"), 8).alias("cos_sim"),
+        )
+        .orderBy("rank_t")
+    )
+
+
 _L42_WINDOW = 8   #: term-interaction proximity window (token positions)
 
 #: The rerank stage's EXPANDED query. The sparse first-stage terms

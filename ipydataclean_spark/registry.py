@@ -303,7 +303,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l1_exact_dedup", "pipeline_corpus_curation",
     # late round-8 additions
     "l45_domain_dedup_report", "d19_embedding_drift",
-    "inc5_incremental_bloom",
+    "inc5_incremental_bloom", "l46_hard_negatives",
 )
 
 #: Rows-only priority: the two canonicalizer-crash re-queues first

@@ -355,3 +355,42 @@ def test_d19_embedding_drift_matches_numpy(spark, sf_dir):
     assert abs(got.max_dim_shift - float(shift.max())) < 1e-5
     assert got.max_shift_dim == int(shift.argmax()) + 1
     assert -1.0 <= got.cos_mean_sim <= 1.0 and got.max_dim_shift > 0
+
+
+def test_l46_hard_negatives_set_logic(spark, sf_dir):
+    """Hard negatives must be exactly (BM25 top-20) minus (semantic
+    top-20): subset of the lexical cut, disjoint from the semantic
+    cut, and NON-VACUOUS in both directions — some lexical docs are
+    semantic matches (else the subtraction mines nothing) and some
+    are not (else there are no negatives to mine)."""
+    from pyspark.sql import functions as F
+
+    from ipydataclean_spark.functions.vector import cosine_sim
+    from ipydataclean_spark.operators.text_rank import bm25_scores
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l46_hard_negatives"]["fn"](spark, sf_dir).collect()
+    lex = {r.doc_id for r in bm25_scores(spark, sf_dir, limit=20).collect()}
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    sem = {
+        r.doc_id
+        for r in emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cosine_sim("q_emb", "embedding").alias("c"))
+        .orderBy(F.desc("c"), "doc_id")
+        .limit(20)
+        .collect()
+    }
+    got = {r.doc_id for r in rows}
+    assert got == lex - sem
+    assert got, "no negatives mined"
+    ranks = [r.rank_t for r in rows]
+    assert ranks == sorted(ranks)
+    # non-vacuity of the SUBTRACTION needs a corpus where the legs
+    # actually overlap — sf0.001 has disjoint top-20s, sf0.01 overlaps
+    rows01 = QUERIES["l46_hard_negatives"]["fn"](spark, "/root/testdata/sf0.01").collect()
+    assert 0 < len(rows01) < 20, (
+        "mining vacuous at sf0.01: no lexical/semantic overlap or no negatives"
+    )
