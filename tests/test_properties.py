@@ -387,3 +387,91 @@ def test_weighted_quantiles_agree_with_p27(spark, sf_dir):
             "l_extendedprice", "l_quantity", [0.5],
         )[0]
         assert got == want, (flag, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 primitives vs driver-side Python references
+# ---------------------------------------------------------------------------
+
+_word = st.sampled_from([f"w{i}" for i in range(12)])
+_doc_text = st.lists(_word, min_size=3, max_size=24).map(" ".join)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_text, min_size=2, max_size=8))
+def test_exact_jaccard_pairs_matches_python(spark, texts):
+    """exact_jaccard_pairs == brute-force word-3-gram Jaccard computed
+    in Python, on random small-vocabulary corpora (ties/duplicates/
+    identical docs included)."""
+    from ipydataclean_spark.operators.llm import exact_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+
+    def shingles(t):
+        w = t.split(" ")
+        return {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+
+    sh = {i: shingles(t) for i, t in enumerate(texts)}
+    want = {}
+    for a in sh:
+        for b in sh:
+            if a < b and sh[a] and sh[b]:
+                inter = len(sh[a] & sh[b])
+                if inter:
+                    j = inter / len(sh[a] | sh[b])
+                    if j >= 0.3:
+                        want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12, k
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(texts=st.lists(_doc_text, min_size=2, max_size=6))
+def test_dup_spans_matches_python_islands(spark, texts):
+    """dup_spans_over == a Python reference of the gap-islands merge
+    (shared-gram positions, merge iff <= 3 apart, span = [min,
+    max+2]), on random corpora."""
+    from ipydataclean_spark.operators.llm_extra import dup_spans_over, gram3_over
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_spans, r.dup_words, r.longest_span)
+        for r in dup_spans_over(gram3_over(docs)).collect()
+    }
+
+    grams = {}
+    for i, t in enumerate(texts):
+        w = t.split(" ")
+        grams[i] = [" ".join(w[j:j + 3]) for j in range(len(w) - 2)]
+    docfreq = {}
+    for i, gs in grams.items():
+        for g in set(gs):
+            docfreq[g] = docfreq.get(g, 0) + 1
+    want = {}
+    for i, gs in grams.items():
+        dup_pos = [p + 1 for p, g in enumerate(gs) if docfreq[g] >= 2]
+        if not dup_pos:
+            continue
+        spans = []
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p - prev <= 3:
+                prev = p
+            else:
+                spans.append((start, prev + 2))
+                start = prev = p
+        spans.append((start, prev + 2))
+        lens = [e - s + 1 for s, e in spans]
+        want[i] = (len(spans), sum(lens), max(lens))
+    assert got == want
