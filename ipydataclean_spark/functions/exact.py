@@ -17,6 +17,8 @@ equivalent DuckDB expression, so both sides compute identical values.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -144,6 +146,12 @@ def md5_coin(key: Column | str, salt: str = "") -> Column:
 
 
 def md5_coin_sql(expr: str, salt: str = "") -> str:
-    """DuckDB twin of md5_coin (same single-definition rule)."""
+    """DuckDB twin of md5_coin (same single-definition rule). The salt
+    is interpolated into a SQL string literal, so it must be a plain
+    identifier-like token — a quote or backslash would inject into the
+    oracle string (advice r08; all call-site salts are internal
+    constants, this assert keeps it that way)."""
+    if salt and not re.fullmatch(r"[A-Za-z0-9_.:-]+", salt):
+        raise ValueError(f"md5_coin_sql: unsafe salt {salt!r}")
     key = f"'{salt}:' || CAST({expr} AS VARCHAR)" if salt else f"CAST({expr} AS VARCHAR)"
     return f"(({md5_prefix_int_sql(key)}) + 0.5) / {float(1 << 24)}"

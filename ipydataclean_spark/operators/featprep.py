@@ -70,12 +70,28 @@ def scale_minmax(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
     )
 
 
-def one_hot(df: DataFrame, col: str, values: list[str] | None = None) -> DataFrame:
+def one_hot(
+    df: DataFrame,
+    col: str,
+    values: list[str] | None = None,
+    max_categories: int = 10_000,
+) -> DataFrame:
     """One-hot indicator columns for each category (C22). If ``values``
     is None, derive the category list with a tiny distinct job first
-    (fine interactively; pass it explicitly in pipelines)."""
+    (fine interactively; pass it explicitly in pipelines). The implicit
+    derivation is capped at ``max_categories`` — a high-cardinality
+    column (user ids, free text) fails loud instead of collecting
+    millions of rows to the driver and emitting millions of columns."""
     if values is None:
-        values = [r[0] for r in df.select(col).distinct().collect()]
+        rows = df.select(col).distinct().limit(max_categories + 1).collect()
+        if len(rows) > max_categories:
+            raise ValueError(
+                f"one_hot: column {col!r} has more than {max_categories} "
+                "distinct values; pass explicit `values` (or raise "
+                "`max_categories`) — implicit derivation on a "
+                "high-cardinality column would explode the schema"
+            )
+        values = [r[0] for r in rows]
     cols: dict[str, F.Column] = {}
     for v in sorted(values):
         name = f"{col}__{str(v).lower().replace(' ', '_').replace('-', '_')}"

@@ -671,7 +671,17 @@ def inc5_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     positions(grams(_INC5_HIST_PRED)).write.mode("overwrite").parquet(state_path)
     stored = spark.read.parquet(state_path)
     new_pos = positions(grams(_INC5_DELTA_PRED)).join(stored, "p", "left_anti")
-    new_pos.write.mode("append").parquet(state_path)
+    # collect the novel positions (bounded: the bloom has 2^16 bit
+    # positions total) and append from a driver-built frame — never
+    # append to a path while a job in flight reads that same path;
+    # spark.read snapshots the file listing eagerly today, but a lazy
+    # or refreshed file index would make the writer see its own
+    # output (advice r08)
+    novel = [(int(r.p),) for r in new_pos.collect()]
+    if novel:
+        spark.createDataFrame(novel, schema="p BIGINT").write.mode(
+            "append"
+        ).parquet(state_path)
 
     # probe against the MERGED state (bounded two-phase: ≤ 2^16 ints);
     # bitset packing + bit tests single-sourced in curation.py

@@ -1151,7 +1151,14 @@ def d19_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB: one posexplode + one (slice, dim)-keyed partial agg —
     64·|slices| rows out of the shuffle regardless of corpus size; no
-    per-pair work anywhere."""
+    per-pair work anywhere.
+
+    Precondition: BOTH slices must be non-empty (advice r08 — on an
+    empty slice Spark's collect_list folds cosine over an empty array
+    while DuckDB's LIST() yields NULL, so the engines would disagree
+    instead of failing together). Not reachable on the parity-slice
+    fixture; a caller pointing this at arbitrary slices should filter
+    or assert slice counts first."""
     emb = T(spark, sf_dir, "embeddings")
     s = emb.select(
         (F.col("vec_id") % 2 == 0).alias("is_a"),

@@ -241,7 +241,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # (plan-identical delegation, but the rule is the rule)
     "l31_source_temperature_mix",
     "l32_bigram_logprob", "l33_shuffle_shards", "l34_sequence_pack",
-    "l35_hybrid_rrf", "c31_segment_dedup",
+    # l35_hybrid_rrf was r6-green but its oracle string was moved to a
+    # module constant in round 8 (byte-identical — verified by the r08
+    # judge — but changed-after-green ⇒ re-queue per the standing rule,
+    # VERDICT r08 "what's wrong" #3)
+    "c31_segment_dedup",
     # CORRECTNESS_r07.json — 48/50 green (33 oracle rows+schema+hash,
     # 15 rows-only with rows recorded). The two absentees —
     # p3b_approx_profile / f_map_functions — CRASHED the driver's
@@ -271,47 +275,60 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l11_language_id", "l12_fingerprints", "c30_dedup_keep_best",
     "l27_cdc_chunk_dedup", "r22b_stratified_sample",
     "r22c_weighted_sample", "r22_sample", "f_misc_string", "f_hash_misc",
+    # CORRECTNESS_r08.json — 50/50 clean (47 oracle rows+schema+hash,
+    # 3 rows-only by design with rows recorded). The 20 fresh names;
+    # the other 30 window slots were prior-green re-proofs (p1..c8),
+    # already members above.
+    "l2i_dedup_savings",
+    # l2h_lsh_recall_audit / l3m_ivf_recall_audit were r8-green but
+    # their md5_coin_sql helper gained a salt-safety assert in round 9
+    # (advice r08 #4; generated oracle strings byte-identical for the
+    # internal salts, but changed helper ⇒ consumers re-queued per the
+    # standing rule)
+    "l2b_jaccard_pairs", "l2j_dedup_threshold_sweep",
+    "l43_substring_dup_spans", "l44_bloom_decontaminate",
+    "l42_rerank_interaction", "pipeline_span_curation",
+    "l28_winnowing_pairs", "l29_repeated_gram_fraction",
+    "l1_exact_dedup", "pipeline_corpus_curation",
+    "l45_domain_dedup_report", "d19_embedding_drift",
+    # inc5_incremental_bloom was r8-green but its state append was
+    # reworked in round 9 (driver-side novel-position append, advice
+    # r08 #1) — re-queued per the rotation rule
+    "l46_hard_negatives",
+    # r08 rows-only tier (rows recorded, err=no_oracle by design)
+    "p3b_approx_profile", "f_map_functions", "l9k_audio_fp_pairs",
 })
 
-#: Round-8 window priority (VERDICT r07 #1/#2/#5/#6). CORRECTNESS_r07
-#: recorded 48/50 green — the whole round-7 window except
-#: p3b_approx_profile / f_map_functions, whose ARRAY-typed columns
-#: crashed the driver's rows-only canonicalizer ("unhashable type:
-#: 'list'"); both are now flattened to scalar columns and re-queued.
-#: Round-8 fresh set: (1) l2i_dedup_savings FIRST (registered at
-#: window position 51 last round by design — the last registry entry
-#: with no driver row); (2) the l2h/l3m audits, re-queued because
-#: they gained the deterministic sampling `fraction` parameter this
-#: round (implementation changed after their r7 green rows); (3) the
-#: round-8 additions; (4) the two canonicalizer-crash re-queues at
-#: the head of the rows-only tier. The window is NOT full this round
-#: — remaining slots fall through to prior-green re-proofs, which is
-#: the first time the registry has had slack (VERDICT r07 #6).
+#: Round-9 window priority (VERDICT r08 #1/#2/#3). CORRECTNESS_r08
+#: recorded 50/50 clean — all 17 fresh oracle names hash-green, the
+#: 3 rows-only by design. Round-9 fresh set: (1) l35_hybrid_rrf
+#: FIRST — its oracle string was refactored to a module constant in
+#: round 8 after its r6 green row (byte-identical, but the standing
+#: changed-after-green rule applies); (2) the round-9 additions
+#: (trained quality classifier, retrieval eval, etc.); (3) anything
+#: round 9 touches gets appended here as it changes. Remaining slots
+#: fall through to prior-green re-proofs.
 CORE_FRESH_FIRST: tuple[str, ...] = (
-    "l2i_dedup_savings",
-    # re-queued: sampling fraction parameter added in round 8
+    # re-queued: oracle moved to module constant in round 8
+    "l35_hybrid_rrf",
+    # re-queued: md5_coin_sql helper hardened in round 9 (advice r08)
     "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
-    # re-queued: body extracted into exact_jaccard_pairs (round 8)
-    "l2b_jaccard_pairs",
-    # round-8 additions (VERDICT r07 #6: fresh evidence in the slack)
-    "l2j_dedup_threshold_sweep", "l43_substring_dup_spans",
-    "l44_bloom_decontaminate", "l42_rerank_interaction",
-    "pipeline_span_curation",
-    # re-queued: gram pass extracted into gram3_over (round 8)
-    "l28_winnowing_pairs", "l29_repeated_gram_fraction",
-    # re-queued: digest-rank block extracted into with_dedup_rank
-    "l1_exact_dedup", "pipeline_corpus_curation",
-    # late round-8 additions
-    "l45_domain_dedup_report", "d19_embedding_drift",
-    "inc5_incremental_bloom", "l46_hard_negatives",
+    # round-9 additions
+    "l47_quality_classifier", "l48_retrieval_eval",
+    "l49_quality_score_distribution",
+    "l50_tokens_per_domain_budget",
+    "inc5_incremental_bloom",
+    "l51_cross_snapshot_decontaminate",
+    "l52_perplexity_bucket_filter",
+    "l53_minhash_containment",
+    "l54_dedup_cluster_quality",
 )
 
-#: Rows-only priority: the two canonicalizer-crash re-queues first
-#: (their round-8 fix IS the flattening — a rows row is the proof),
-#: then the round-8 audio-fingerprint dedup (payload bytes are
-#: invisible to SQL — rows-only by design, goldens pin semantics).
+#: Rows-only priority: the round-9 video-modality frame extraction
+#: (payload bytes invisible to SQL — rows-only by design, closed-form
+#: codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    "p3b_approx_profile", "f_map_functions", "l9k_audio_fp_pairs",
+    "l9l_video_frame_dhash", "l43b_exact_dup_spans",
 )
 
 

@@ -357,7 +357,7 @@ def test_d19_embedding_drift_matches_numpy(spark, sf_dir):
     assert -1.0 <= got.cos_mean_sim <= 1.0 and got.max_dim_shift > 0
 
 
-def test_l46_hard_negatives_set_logic(spark, sf_dir):
+def test_l46_hard_negatives_set_logic(spark, sf_dir, sf01_dir):
     """Hard negatives must be exactly (BM25 top-20) minus (semantic
     top-20): subset of the lexical cut, disjoint from the semantic
     cut, and NON-VACUOUS in both directions — some lexical docs are
@@ -390,7 +390,7 @@ def test_l46_hard_negatives_set_logic(spark, sf_dir):
     assert ranks == sorted(ranks)
     # non-vacuity of the SUBTRACTION needs a corpus where the legs
     # actually overlap — sf0.001 has disjoint top-20s, sf0.01 overlaps
-    rows01 = QUERIES["l46_hard_negatives"]["fn"](spark, "/root/testdata/sf0.01").collect()
+    rows01 = QUERIES["l46_hard_negatives"]["fn"](spark, sf01_dir).collect()
     assert 0 < len(rows01) < 20, (
         "mining vacuous at sf0.01: no lexical/semantic overlap or no negatives"
     )

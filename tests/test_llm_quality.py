@@ -276,3 +276,73 @@ def test_bpe_merges_bom_and_offset_header(tmp_path):
     p3 = tmp_path / "late_header.txt"
     p3.write_text("l o\n#version: 0.2\n", encoding="utf-8")
     assert load_merges(str(p3)) == {("l", "o"): 0, ("#version:", "0.2"): 1}
+
+
+def test_l47_classifier_separates_held_out(spark, sf_dir):
+    """The trained quality classifier must actually classify: held-out
+    accuracy >= 0.95 on the fixture, clean scores positive on average,
+    degraded-twin scores negative (vacuity check per the l42 lesson —
+    scores that don't separate mean the features carry no signal)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l47_quality_classifier"]["fn"](spark, sf_dir).collect()
+    assert rows and all(r.doc_id % 2 == 1 for r in rows), "held-out split leak"
+    acc = sum(1 for r in rows if r.label == r.predicted) / len(rows)
+    assert acc >= 0.95, f"classifier failed to separate: acc={acc}"
+    clean = [r.score for r in rows if r.label == 1]
+    noisy = [r.score for r in rows if r.label == 0]
+    assert sum(clean) / len(clean) > 0 > sum(noisy) / len(noisy)
+
+
+def test_l47_weight_table_is_bounded_and_total(spark, sf_dir):
+    """The model is exactly L47_V rows (the broadcast-scoring
+    contract: the feature space, not the corpus, bounds the model) and
+    covers every bucket — a held-out feature can never miss the join."""
+    from ipydataclean_spark.operators.llm_quality import L47_V, l47_weights
+
+    _, w = l47_weights(spark, sf_dir)
+    rows = w.collect()
+    assert len(rows) == L47_V
+    assert {r.f for r in rows} == set(range(L47_V))
+    assert all(r.w is not None for r in rows)
+
+
+def test_l47_degraded_twin_noise_rate(spark, sf_dir):
+    """Non-vacuity of the negatives: the degraded twin must actually
+    contain gibberish unigrams at roughly the documented L47_NOISE
+    rate (a bug in the coin would silently make the classes
+    identical and the classifier a coin-flip)."""
+    from ipydataclean_spark.operators.llm_quality import (
+        L47_NOISE,
+        _l47_features,
+    )
+
+    feats = _l47_features(spark, sf_dir)
+    agg = (
+        feats.where(F.col("variant") == "noisy")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+        )
+        .first()
+    )
+    # gib rate measured on the raw token stream via the unigram
+    # features of the noisy variant (bucket ids are hashed, so count
+    # through the feature STRING instead: rebuild from the stream)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from ipydataclean_spark.functions import exact
+    from ipydataclean_spark.operators.llm import tokens_col
+
+    ex = (
+        docs.withColumn("__toks", tokens_col("text"))
+        .select("doc_id", F.posexplode("__toks").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"))
+    )
+    key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string")
+    )
+    hit = ex.agg(
+        F.avg((exact.md5_coin(key, salt="l47n") < F.lit(L47_NOISE)).cast("double"))
+    ).first()[0]
+    assert abs(hit - L47_NOISE) < 0.02, f"noise rate off: {hit}"
+    assert agg.n > 0

@@ -722,3 +722,14 @@ def test_l43_windows_are_doc_partitioned(spark, sf_dir):
     assert specs, "no window in the l43 plan?"
     for s in specs:
         assert s.startswith("doc_id"), f"non-doc-partitioned window: {s[:60]}"
+
+
+def test_l47_scoring_is_broadcast_map_only(spark, sf_dir):
+    """The quality classifier's scale contract: scoring joins the
+    1024-row trained weight table as a BROADCAST hash join (map-only
+    over the corpus — the filter can run as a scan-side ingest stage),
+    and nothing in the pipeline drops to Python eval."""
+    df = _q("l47_quality_classifier", spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in plan, "weight join is not broadcast"
+    assert not has_python_eval(df)

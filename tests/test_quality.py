@@ -149,6 +149,36 @@ def test_recipe_featprep_steps_roundtrip(spark, sf_dir):
     assert stats[1] >= 0.0 and stats[2] <= 1.0
 
 
+def test_one_hot_high_cardinality_fails_loud(spark, sf_dir):
+    """Implicit value derivation on a high-cardinality column must
+    raise (bounded collect), not OOM the driver / explode the schema
+    (verdict r08 #5)."""
+    import pytest as _pytest
+
+    from ipydataclean_spark.operators.featprep import one_hot
+
+    orders = load_table(spark, sf_dir, "orders")
+    with _pytest.raises(ValueError, match="distinct values"):
+        one_hot(orders, "o_orderkey", max_categories=50)
+    # explicit values bypass the cap (the pipeline contract)
+    out = one_hot(orders, "o_orderstatus", ["F", "O", "P"])
+    assert {"o_orderstatus__f", "o_orderstatus__o", "o_orderstatus__p"} <= set(
+        out.columns
+    )
+
+
+def test_md5_coin_sql_rejects_unsafe_salt():
+    """A salt with a quote would inject into the oracle SQL string —
+    must raise, not silently produce broken SQL (advice r08 #4)."""
+    import pytest as _pytest
+
+    from ipydataclean_spark.functions.exact import md5_coin_sql
+
+    assert "'l2h:'" in md5_coin_sql("doc_id", salt="l2h")
+    with _pytest.raises(ValueError, match="unsafe salt"):
+        md5_coin_sql("doc_id", salt="x' || '")
+
+
 def test_cusum_closed_form_flags_injected_shift(spark):
     """d16's closed form s_t = c_t - min(0, min c_j) must equal the
     textbook recursion s_t = max(0, s_{t-1} + d_t) exactly, and a
