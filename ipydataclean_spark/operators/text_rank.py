@@ -505,3 +505,239 @@ def l42_rerank_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ce_score"), F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# L48 — retrieval-quality evaluation: recall@k / MRR / nDCG over the stack
+# ---------------------------------------------------------------------------
+
+_L48_K = 10       #: metric cutoff (recall@10, nDCG@10)
+_L48_GOLD = 20    #: gold-set size (dual-criteria exact top-20)
+
+#: Gold standard: EXACT dual-criteria relevance. A doc is relevant if
+#: it ranks well under BOTH brute-force signals the production legs
+#: each approximate from one side — the full-corpus BM25 rank plus the
+#: full-corpus exact-cosine rank (rank-sum aggregation, the classic
+#: rank-fusion ground-truth construction). doc_id 0 is the query
+#: itself (vec_id 0 is the query embedding) and is excluded from the
+#: gold domain.
+_L48_GOLD_SQL = (
+    "gtoks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+    f"unnest(string_split_regex(lower(text), '{_TOKEN_SPLIT}')) AS t "
+    "FROM documents) u WHERE t <> ''), "
+    "gn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents), "
+    "gtf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM gtoks "
+    f"WHERE t IN ('{QUERY_TERMS[0]}', '{QUERY_TERMS[1]}', '{QUERY_TERMS[2]}') "
+    "GROUP BY doc_id, t), "
+    "gdf AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df FROM gtf GROUP BY t), "
+    "gbm AS (SELECT gtf.doc_id, "
+    + exact.dsum_sql("tf * (n_docs - df + 0.5) / (df + 0.5)")
+    + " AS bms FROM gtf JOIN gdf ON gtf.t = gdf.t CROSS JOIN gn "
+    "GROUP BY gtf.doc_id), "
+    "galld AS (SELECT d.doc_id, COALESCE(gbm.bms, 0.0) AS bms FROM documents d "
+    "LEFT JOIN gbm ON gbm.doc_id = d.doc_id WHERE d.doc_id <> 0), "
+    "gq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0), "
+    "gcs AS (SELECT e.vec_id AS doc_id, "
+    + cosine_sim_sql("gq.q_emb", "e.embedding")
+    + " AS cos FROM embeddings e CROSS JOIN gq WHERE e.vec_id <> 0), "
+    "gr AS (SELECT galld.doc_id, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY bms DESC, galld.doc_id) AS BIGINT) AS rl, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, galld.doc_id) AS BIGINT) AS rs "
+    "FROM galld JOIN gcs ON gcs.doc_id = galld.doc_id), "
+    "gold AS MATERIALIZED (SELECT doc_id FROM gr "
+    f"ORDER BY rl + rs, doc_id LIMIT {_L48_GOLD})"
+)
+
+_L48_ORACLE = (
+    "WITH " + _L48_GOLD_SQL + ", "
+    # the three production runs, each a (system, doc_id, rank) table
+    "lex AS (SELECT doc_id, score FROM (SELECT gtf.doc_id, "
+    + exact.dsum_sql("tf * (n_docs - df + 0.5) / (df + 0.5)")
+    + " AS score FROM gtf JOIN gdf ON gtf.t = gdf.t CROSS JOIN gn "
+    f"GROUP BY gtf.doc_id ORDER BY score DESC, gtf.doc_id LIMIT {_L48_GOLD})), "
+    "sem AS (SELECT doc_id, cos FROM gcs "
+    f"ORDER BY cos DESC, doc_id LIMIT {_L48_GOLD}), "
+    "fus AS (SELECT doc_id, rrf FROM (" + _L35_ORACLE + ")), "
+    "runs AS (SELECT 'lexical' AS system, doc_id, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM lex "
+    "UNION ALL SELECT 'semantic', doc_id, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY cos DESC, doc_id) AS BIGINT) FROM sem "
+    "UNION ALL SELECT 'rrf', doc_id, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY rrf DESC, doc_id) AS BIGINT) FROM fus), "
+    "ngold AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold), "
+    "idcg AS (SELECT "
+    + exact.rsum12_sql("1.0 / LOG2(i + 1)")
+    + f" AS idcg FROM range(1, {_L48_K} + 1) t(i)), "
+    "joined AS (SELECT system, rank, (gold.doc_id IS NOT NULL) AS hit "
+    "FROM runs LEFT JOIN gold ON runs.doc_id = gold.doc_id) "
+    "SELECT system, n_gold, "
+    "CAST(COUNT_IF(hit) AS BIGINT) AS hits_at_20, "
+    f"ROUND(CAST(COUNT_IF(hit AND rank <= {_L48_K}) AS BIGINT) / n_gold, 8) "
+    "AS recall_at_10, "
+    "ROUND(COALESCE(1.0 / MIN(CASE WHEN hit THEN rank END), 0.0), 8) AS mrr, "
+    "ROUND(COALESCE("
+    + exact.rsum12_sql(f"CASE WHEN hit AND rank <= {_L48_K} THEN 1.0 / LOG2(rank + 1) END")
+    + ", 0.0) / idcg, 8) AS ndcg_at_10 "
+    "FROM joined CROSS JOIN ngold CROSS JOIN idcg "
+    "GROUP BY system, n_gold, idcg ORDER BY system"
+)
+
+
+@register(
+    "l48_retrieval_eval",
+    oracle=_L48_ORACLE,
+    tags=("L48", "L35", "L8", "L3", "retrieval", "eval"),
+)
+def l48_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L48: retrieval-QUALITY metrics (verdict r08 #3) — recall@10,
+    MRR, and nDCG@10 for each tier of the certified retrieval stack
+    (l8b lexical, the l35 semantic leg, l35 RRF fusion), measured
+    against an EXACT dual-criteria gold set: the full-corpus top-20 by
+    rank-sum of brute-force BM25 rank + brute-force cosine rank (each
+    production leg approximates exactly one of the two signals, so the
+    gold rewards what fusion is for; at driver scale (sf <= 0.01) RRF
+    >= each single leg on every metric — pinned in pytest). The
+    l2h/l3m discipline applied to retrieval: the stack stops being
+    "has operators" and becomes "has measured quality".
+
+    Scale regime (measured, BENCH.md): at sf1 (50k docs) every tier's
+    metrics collapse toward zero — the fixed top-50 leg cuts are depth-
+    starved relative to the corpus, so dual-criteria gold docs sit
+    below both cuts. That is the measurement working, not failing: the
+    operator quantifies exactly the candidate-depth/corpus-size ratio
+    a production retrieval stack must budget, and the rrf-dominance
+    pin is asserted only in the regime where the cuts cover the
+    corpus (the driver's correctness SF).
+
+    Exactness: ranks are integers; recall and MRR are single IEEE
+    divisions of integers; DCG terms 1/log2(rank+1) are libm → rounded
+    to 12 dp and decimal-summed (rsum12), and the IDCG denominator is
+    computed from a range(1, k+1) table under the SAME discipline in
+    both engines — never a pasted float literal.
+
+    At 100 TB: the three runs are top-k tables (corpus-size
+    independent); the gold legs are the AUDIT tier — two full-corpus
+    exact rankings (global sort each), run at eval time on a sampled
+    or held-out query set, never in the serving path — the same
+    truth-vs-production split as l2h (LSH recall) and l3m (IVF
+    recall)."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.vector import cosine_sim
+
+    docs = T(spark, sf_dir, "documents")
+    emb = T(spark, sf_dir, "embeddings")
+
+    # ---- exact full-corpus legs (shared by gold; lex run reuses) ----
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("t"),
+    ).where(F.col("t") != "")
+    n_docs = docs.select(F.countDistinct("doc_id")).first()[0]
+    tf = (
+        toks.where(F.col("t").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    term = (F.col("tf").cast("double")) * (
+        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "t")
+        .groupBy("doc_id")
+        .agg(exact.dsum(term).alias("bms"))
+    ).localCheckpoint(eager=True)
+
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q_emb"))
+    cs = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_sim("q_emb", "embedding").alias("cos"),
+        )
+    ).localCheckpoint(eager=True)
+
+    # ---- gold: rank-sum of the two exact rankings over doc_id <> 0 --
+    alld = (
+        docs.where(F.col("doc_id") != 0)
+        .select("doc_id")
+        .join(bm, "doc_id", "left")
+        .na.fill({"bms": 0.0})
+    )
+    r = alld.join(cs, "doc_id").select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bms"), "doc_id"))
+        .cast("long")
+        .alias("rl"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos"), "doc_id"))
+        .cast("long")
+        .alias("rs"),
+    )
+    gold = (
+        r.orderBy(F.col("rl") + F.col("rs"), "doc_id")
+        .limit(_L48_GOLD)
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- production runs: (system, doc_id, rank) ----
+    def ranked(df: DataFrame, order, system: str) -> DataFrame:
+        return df.select(
+            F.lit(system).alias("system"),
+            "doc_id",
+            F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
+        )
+
+    lex = bm.orderBy(F.desc("bms"), "doc_id").limit(_L48_GOLD)
+    sem = cs.orderBy(F.desc("cos"), "doc_id").limit(_L48_GOLD)
+    fus = l35_hybrid_rrf(spark, sf_dir).select("doc_id", "rrf")
+    runs = (
+        ranked(lex, (F.desc("bms"), "doc_id"), "lexical")
+        .unionByName(ranked(sem, (F.desc("cos"), "doc_id"), "semantic"))
+        .unionByName(ranked(fus, (F.desc("rrf"), "doc_id"), "rrf"))
+    )
+
+    ngold = gold.agg(F.count(F.lit(1)).cast("long").alias("n_gold"))
+    idcg = spark.range(1, _L48_K + 1).agg(
+        exact.rsum12(1.0 / F.log2(F.col("id") + 1)).alias("idcg")
+    )
+    joined = runs.join(
+        F.broadcast(gold.withColumn("hit", F.lit(True))), "doc_id", "left"
+    ).na.fill({"hit": False})
+    dcg_term = F.when(
+        F.col("hit") & (F.col("rank") <= _L48_K),
+        1.0 / F.log2(F.col("rank") + 1),
+    )
+    return (
+        joined.crossJoin(F.broadcast(ngold))
+        .crossJoin(F.broadcast(idcg))
+        .groupBy("system", "n_gold", "idcg")
+        .agg(
+            F.count_if(F.col("hit")).alias("hits_at_20"),
+            F.round(
+                F.count_if(F.col("hit") & (F.col("rank") <= _L48_K))
+                / F.col("n_gold"),
+                8,
+            ).alias("recall_at_10"),
+            F.round(
+                F.coalesce(
+                    1.0 / F.min(F.when(F.col("hit"), F.col("rank"))), F.lit(0.0)
+                ),
+                8,
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(exact.rsum12(dcg_term), F.lit(0.0)) / F.col("idcg"), 8
+            ).alias("ndcg_at_10"),
+        )
+        .select(
+            "system", "n_gold", "hits_at_20", "recall_at_10", "mrr", "ndcg_at_10"
+        )
+        .orderBy("system")
+    )

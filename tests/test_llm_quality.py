@@ -346,3 +346,29 @@ def test_l47_degraded_twin_noise_rate(spark, sf_dir):
     ).first()[0]
     assert abs(hit - L47_NOISE) < 0.02, f"noise rate off: {hit}"
     assert agg.n > 0
+
+
+def test_l48_rrf_dominates_single_legs(spark, sf_dir):
+    """The fusion payoff, measured: against the exact dual-criteria
+    gold, RRF must be >= each single leg on every metric (and the
+    metrics must be non-degenerate: somebody finds something)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {
+        r.system: r
+        for r in QUERIES["l48_retrieval_eval"]["fn"](spark, sf_dir).collect()
+    }
+    assert set(rows) == {"lexical", "semantic", "rrf"}
+    rrf = rows["rrf"]
+    assert rrf.hits_at_20 > 0, "fusion found nothing — gold degenerate"
+    for leg in ("lexical", "semantic"):
+        for m in ("recall_at_10", "mrr", "ndcg_at_10"):
+            assert getattr(rrf, m) >= getattr(rows[leg], m), (
+                f"rrf {m} < {leg}: {getattr(rrf, m)} vs {getattr(rows[leg], m)}"
+            )
+    for r in rows.values():
+        assert r.n_gold == 20
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert 0.0 <= r.mrr <= 1.0
+        assert 0.0 <= r.ndcg_at_10 <= 1.0
