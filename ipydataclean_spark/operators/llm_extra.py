@@ -1788,3 +1788,102 @@ def l32_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "l43b_exact_dup_spans",
+    oracle=None,
+    tags=("L43", "audit", "exact"),
+)
+def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L43b: l43's EXACT sibling (verdict r08 #4) — the same
+    substring-dup span table computed by the Lee-et-al mechanism
+    itself (sorted-suffix prefix grouping, 'Deduplicating Training
+    Data...', ACL'22) instead of gram-island windows: every word
+    suffix is grouped by its leading token, each group's suffixes are
+    sorted and bucketed by their 3-token prefix, a suffix qualifies
+    iff its prefix bucket spans >= 2 documents, and qualifying
+    coverage intervals [pos, pos+2] are unioned per doc by a pure-
+    Python interval merge. Both passes are applyInPandas kernels with
+    LOCAL closures (the worker-pickling rule).
+
+    This is the AUDIT tier: per-group pandas kernels are bounded by
+    leading-token bucket sizes (stop-word buckets grow with the
+    corpus), so it runs at audit SFs to pin the production gram-island
+    path — tests assert FULL-FRAME equality with l43 on the golden
+    hand corpus and on the sf0.001 fixture. The scale path remains
+    l43 (shared gram-hash agg + doc-partitioned windows, output
+    linear in docs). Rows-only by design: an oracle would replay
+    l43's SQL, defeating the independence that makes the audit
+    meaningful."""
+    import pandas as pd
+
+    d = documents_dup(spark, sf_dir)
+    toks = (
+        d.select("doc_id", F.split(norm_text_col("text"), " ").alias("wds"))
+        .where(F.size("wds") >= 3)
+        .localCheckpoint(eager=True)
+    )
+    # suffix table, truncated to 8 tokens (lcp detection needs only 3;
+    # the truncation bounds shuffle width, not semantics)
+    sfx = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("wds") - 2),
+                lambda i: F.array_join(F.slice("wds", i, 8), " "),
+            )
+        ).alias("pos0", "sfx"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).alias("pos"),
+        "sfx",
+        F.substring_index("sfx", " ", 1).alias("lead_tok"),
+    )
+
+    def mark_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # one leading-token suffix group: sort, bucket by the 3-token
+        # prefix, keep suffixes whose bucket spans >= 2 docs
+        pdf = pdf.sort_values(["sfx", "doc_id", "pos"], kind="mergesort")
+        pre = pdf["sfx"].str.split(" ").str[:3].str.join(" ")
+        ndocs = pdf.groupby(pre)["doc_id"].transform("nunique")
+        return pdf.loc[ndocs >= 2, ["doc_id", "pos"]]
+
+    covered = sfx.groupBy("lead_tok").applyInPandas(
+        mark_group, schema="doc_id long, pos long"
+    )
+
+    def merge_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        # independent interval-union recompute (no SQL windows)
+        doc = int(pdf["doc_id"].iloc[0])
+        spans: list[tuple[int, int]] = []
+        for p in sorted(pdf["pos"].tolist()):
+            s, e = p, p + 2
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        lens = [e - s + 1 for s, e in spans]
+        return pd.DataFrame(
+            {
+                "doc_id": [doc],
+                "n_spans": [len(spans)],
+                "dup_words": [sum(lens)],
+                "longest_span": [max(lens)],
+            }
+        )
+
+    per_doc = covered.groupBy("doc_id").applyInPandas(
+        merge_doc,
+        schema="doc_id long, n_spans long, dup_words long, longest_span long",
+    )
+    tot = toks.select("doc_id", F.size("wds").cast("long").alias("n_words"))
+    frac = F.col("dup_words").cast("double") / F.col("n_words").cast("double")
+    return (
+        per_doc.join(tot, "doc_id")
+        .select(
+            "doc_id", "n_spans", "dup_words", "longest_span", "n_words",
+            F.round(frac, 8).alias("dup_frac"),
+        )
+        .orderBy("doc_id")
+    )
