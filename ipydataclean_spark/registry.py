@@ -313,22 +313,18 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l35_hybrid_rrf",
     # re-queued: md5_coin_sql helper hardened in round 9 (advice r08)
     "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
-    # round-9 additions
+    # round-9 additions (appended as each operator registers — the
+    # registry contract test rejects names with no registration)
     "l47_quality_classifier", "l48_retrieval_eval",
-    "l49_quality_score_distribution",
-    "l50_tokens_per_domain_budget",
+    # re-queued: state append reworked in round 9 (advice r08 #1)
     "inc5_incremental_bloom",
-    "l51_cross_snapshot_decontaminate",
-    "l52_perplexity_bucket_filter",
-    "l53_minhash_containment",
-    "l54_dedup_cluster_quality",
 )
 
 #: Rows-only priority: the round-9 video-modality frame extraction
 #: (payload bytes invisible to SQL — rows-only by design, closed-form
 #: codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    "l9l_video_frame_dhash", "l43b_exact_dup_spans",
+    "l43b_exact_dup_spans",
 )
 
 
