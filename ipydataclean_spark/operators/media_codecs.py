@@ -1414,3 +1414,300 @@ def l9i_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE"),
     )
     return out.orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# L9l — VIDEO: Y4M (YUV4MPEG2) container codec + per-frame dHash near-dup
+# (closes the modality dedup set: text L2, image l9f, audio l9k, video l9l)
+# ---------------------------------------------------------------------------
+
+#: sampled-frame stride (the frame-sample op fused into decode: a
+#: near-dup check doesn't need every frame, and at 100 TB the stride
+#: is the knob that bounds per-clip hash work)
+_Y4M_STRIDE = 2
+
+
+def encode_y4m(frames: np.ndarray) -> bytes:
+    """YUV4MPEG2 encoder (public container spec: plain-text stream
+    header, per-frame FRAME marker, raw planes — no entropy coding).
+    ``frames`` is (n, h, w, 3) uint8 RGB; written as C444 with the
+    integer-exact GRAYSCALE subset (Y = R = G = B required, U = V =
+    128), so encode→decode round-trips bit-exactly — the property the
+    closed-form codec tests pin (float RGB↔YUV would be lossy and
+    platform-hostile)."""
+    n, h, w, _ = frames.shape
+    out = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode("ascii")]
+    for i in range(n):
+        px = frames[i]
+        if not (px[:, :, 0] == px[:, :, 1]).all() or not (
+            px[:, :, 1] == px[:, :, 2]
+        ).all():
+            raise ValueError("encode_y4m: grayscale subset requires R == G == B")
+        y = px[:, :, 0].tobytes()
+        uv = bytes([128]) * (w * h)
+        out.append(b"FRAME\n" + y + uv + uv)
+    return b"".join(out)
+
+
+def decode_y4m(data: bytes) -> np.ndarray:
+    """Parse a C444 Y4M stream back to (n, h, w, 3) uint8 RGB (Y
+    replicated; U/V planes are consumed and, in the grayscale subset,
+    ignored). Raises on a malformed magic/header — the poison-pill
+    contract every decode kernel guards with try/except."""
+    nl = data.index(b"\n")
+    header = data[:nl].decode("ascii", errors="strict").split(" ")
+    if header[0] != "YUV4MPEG2":
+        raise ValueError("not a YUV4MPEG2 stream")
+    w = h = None
+    colorspace = "C420"
+    for tok in header[1:]:
+        if tok.startswith("W"):
+            w = int(tok[1:])
+        elif tok.startswith("H"):
+            h = int(tok[1:])
+        elif tok.startswith("C"):
+            colorspace = tok
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if colorspace != "C444":
+        raise ValueError(f"unsupported Y4M colorspace {colorspace}")
+    plane = w * h
+    frames = []
+    pos = nl + 1
+    while pos < len(data):
+        fe = data.index(b"\n", pos)
+        if data[pos:fe].split(b" ")[0] != b"FRAME":
+            raise ValueError("missing FRAME marker")
+        pos = fe + 1
+        if pos + 3 * plane > len(data):
+            raise ValueError("truncated Y4M frame")
+        y = np.frombuffer(data[pos : pos + plane], dtype=np.uint8).reshape(h, w)
+        frames.append(np.repeat(y[:, :, None], 3, axis=2))
+        pos += 3 * plane
+    return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
+
+
+def attach_video_payloads(docs: DataFrame) -> DataFrame:
+    """Video fixture: a 6-frame 16x12 clip per doc whose per-frame
+    pattern varies with (doc_id, frame) — in-clip motion via a
+    frame-phase shift; every doc_id % 10 == 0 also emits a +24
+    uniformly BRIGHTENED copy of the whole clip under doc_id + 3000000
+    — a known video near-dup whose per-frame dHashes must be
+    IDENTICAL (the l9f invariance, lifted to the frame sequence)."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def clip(d: int) -> _np.ndarray:
+            h, w, n = 12 + d % 5, 16 + d % 7, 6
+            y, x = _np.mgrid[0:h, 0:w]
+            base = 40 + d % 40
+            fs = []
+            for f in range(n):
+                g = base + ((x * (1 + d % 5) + y * (1 + d % 3) + d + 7 * f) % 23) * 6
+                fs.append(_np.repeat(g[:, :, None], 3, axis=2).astype(_np.uint8))
+            return _np.stack(fs)
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                fr = clip(d)
+                ids.append(d)
+                payloads.append(encode_y4m(fr))
+                if d % 10 == 0:
+                    ids.append(d + 3000000)
+                    payloads.append(encode_y4m(fr + _np.uint8(24)))
+            yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        build, schema="doc_id BIGINT, payload BINARY"
+    )
+
+
+def video_frame_dhash(media: DataFrame, stride: int = _Y4M_STRIDE) -> DataFrame:
+    """payload BINARY -> (doc_id, frame_idx, dhash, n_frames): decode
+    the Y4M stream, FRAME-SAMPLE every ``stride``-th frame, dHash each
+    sampled frame (the l9f hash, so image and video fingerprints share
+    one definition). Arrow-batched; undecodable payloads dropped."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, fidx, hashes, nfr = [], [], [], []
+            for r in pdf.itertuples():
+                try:
+                    frames = decode_y4m(bytes(r.payload))
+                except Exception:
+                    continue
+                n = frames.shape[0]
+                for i in range(0, n, stride):
+                    hv = dhash64(frames[i])
+                    ids.append(r.doc_id)
+                    fidx.append(i)
+                    hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+                    nfr.append(n)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": _pd.Series(ids, dtype="int64"),
+                    "frame_idx": _pd.Series(fidx, dtype="int64"),
+                    "dhash": _pd.Series(hashes, dtype="int64"),
+                    "n_frames": _pd.Series(nfr, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id BIGINT, frame_idx BIGINT, dhash BIGINT, n_frames BIGINT",
+    )
+
+
+def video_neardup_pairs(fdh: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Video near-dup pairs from per-frame dHashes, at the CLUSTER
+    grain — the l9f collapse-then-band design lifted to clips:
+
+    Step 1 collapses clips with the IDENTICAL sampled-hash signature
+    (the ordered (frame_idx, dhash) array — equal signature = same
+    fingerprint, the clip analogue of equal dhash) into exact-dup
+    clusters (representative = min doc_id). Popular clips repeat, so
+    only DISTINCT signatures enter the band join — the move that keeps
+    the pair stage sub-quadratic when a template clip has 10^4 copies
+    (the l9f lesson, and the measured blowup the first cut of this
+    operator had: patterned fixture clips collide heavily at sf1).
+
+    Step 2 bands each distinct signature's frames 8x8 bits keyed by
+    (frame_idx, band, key): clusters only meet when a band of the SAME
+    sampled frame agrees; the per-frame XOR popcount filters to
+    hamming <= max_hamming and matches aggregate to the clip grain.
+    n_pairs is the implied doc-pair count (size_a * size_b, or
+    C(size, 2) for the hamming-0 within-cluster row)."""
+    sig = fdh.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("frame_idx", "dhash"))).alias(
+            "frames"
+        )
+    )
+    clusters = sig.groupBy("frames").agg(
+        F.min("doc_id").alias("rep"), F.count(F.lit(1)).alias("size")
+    )
+    n_sampled = F.size("frames").cast("long")
+    within = clusters.where(F.col("size") > 1).select(
+        F.col("rep").alias("doc_a"),
+        F.col("rep").alias("doc_b"),
+        n_sampled.alias("n_frames_matched"),
+        n_sampled.alias("n_frames_sampled"),
+        F.lit(0).alias("max_hamming"),
+        F.lit(True).alias("all_frames_matched"),
+        (F.col("size") * (F.col("size") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    fr = clusters.select(
+        "rep",
+        "size",
+        n_sampled.alias("ns"),
+        F.explode("frames").alias("f"),
+    ).select(
+        "rep", "size", "ns",
+        F.col("f.frame_idx").alias("frame_idx"),
+        F.col("f.dhash").alias("dhash"),
+    )
+    bands = fr.select(
+        "rep",
+        "size",
+        "ns",
+        "frame_idx",
+        "dhash",
+        F.posexplode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("dhash", b * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("key"),
+                )
+                for b in range(8)
+            ])
+        ).alias("_p", "bk"),
+    ).select(
+        "rep", "size", "ns", "frame_idx", "dhash",
+        F.col("bk.band").alias("band"), F.col("bk.key").alias("key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    frame_matches = (
+        a.join(
+            b,
+            (F.col("a.frame_idx") == F.col("b.frame_idx"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("doc_a"),
+            F.col("b.rep").alias("doc_b"),
+            F.col("a.frame_idx").alias("frame_idx"),
+            F.bit_count(
+                F.col("a.dhash").bitwiseXOR(F.col("b.dhash"))
+            ).alias("hamming"),
+            F.col("a.size").alias("size_a"),
+            F.col("b.size").alias("size_b"),
+            F.col("a.ns").alias("ns_a"),
+            F.col("b.ns").alias("ns_b"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    across = (
+        frame_matches.groupBy("doc_a", "doc_b", "size_a", "size_b", "ns_a", "ns_b")
+        .agg(
+            F.countDistinct("frame_idx").alias("n_frames_matched"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_frames_matched",
+            F.least("ns_a", "ns_b").alias("n_frames_sampled"),
+            "max_hamming",
+            (F.col("n_frames_matched") == F.least("ns_a", "ns_b")).alias(
+                "all_frames_matched"
+            ),
+            (F.col("size_a") * F.col("size_b")).cast("long").alias("n_pairs"),
+        )
+    )
+    return within.unionByName(across)
+
+
+@register(
+    "l9l_video_frame_dhash",
+    oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics
+    tags=("L9", "L2", "multimodal", "dedup", "video"),
+)
+def l9l_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9l: VIDEO near-dup detection end-to-end (verdict r08 #7) —
+    from-scratch Y4M (YUV4MPEG2) container decode (pure struct
+    parsing: text stream header + FRAME-delimited raw planes, no
+    entropy coding — the public uncompressed-video interchange
+    format), frame sampling at stride 2, per-frame dHash (the SAME
+    dhash64 as l9f — one fingerprint definition across image and
+    video), and clip-grain near-dup pairs via the 8x8 bander keyed by
+    (frame_idx, band, key). Closes the modality dedup set: text L2,
+    image l9f, audio l9k, video l9l. The +24-brightened twin clips
+    injected at doc_id+3000000 hash identically to their originals
+    frame-by-frame (dHash brightness invariance), so each collapses
+    into its original's signature cluster — a hamming-0
+    within-cluster row, exactly l9f's shape — pinned in
+    tests/test_media_codecs.py along with the closed-form
+    encode→decode roundtrip (the l9d pattern).
+
+    At 100 TB: decode+hash is one Arrow-batched narrow map (per-clip
+    cost bounded by stride); signature collapse means only DISTINCT
+    clips enter the band join, which is keyed on (frame_idx, band,
+    key) — the same collapse-then-band sub-quadratic shape as
+    l9f/l9k. Rows-only by design: SQL cannot see pixel bytes."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
+    fdh = video_frame_dhash(attach_video_payloads(docs))
+    pairs = video_neardup_pairs(fdh)
+    return pairs.select(
+        "doc_a", "doc_b", "n_frames_matched", "n_frames_sampled",
+        "max_hamming", "all_frames_matched", "n_pairs",
+    ).orderBy("doc_a", "doc_b")

@@ -324,7 +324,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 #: (payload bytes invisible to SQL — rows-only by design, closed-form
 #: codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    "l43b_exact_dup_spans",
+    "l9l_video_frame_dhash", "l43b_exact_dup_spans",
 )
 
 

@@ -426,3 +426,80 @@ def test_l9k_injected_copies_cluster(spark, sf_dir):
     within = {r.doc_a for r in rows if r.hamming == 0 and r.doc_a == r.doc_b}
     expected = {d for d in range(0, 500, 2) if d % 10 == 0}
     assert expected <= within, f"missing clusters for {sorted(expected - within)[:5]}"
+
+
+def test_y4m_roundtrip_and_guards():
+    """Closed-form Y4M codec pins (the l9d pattern): grayscale clips
+    round-trip bit-exactly through the C444 container; malformed
+    magic, colorspace, truncation, and non-grayscale input all raise
+    (the poison-pill contract)."""
+    from ipydataclean_spark.operators.media_codecs import decode_y4m, encode_y4m
+
+    g = (np.arange(12 * 16, dtype=np.uint8).reshape(12, 16) % 200)
+    fr = np.stack([np.repeat(((g + 13 * i) % 251)[:, :, None], 3, axis=2)
+                   for i in range(4)])
+    enc = encode_y4m(fr)
+    assert enc.startswith(b"YUV4MPEG2 W16 H12 ")
+    # 4 frames x (FRAME\n + 3 planes of 192 bytes)
+    assert enc.count(b"FRAME\n") == 4
+    dec = decode_y4m(enc)
+    assert dec.shape == fr.shape and (dec == fr).all()
+    with pytest.raises(ValueError):
+        decode_y4m(b"RIFF" + enc[4:])
+    with pytest.raises(ValueError):
+        decode_y4m(enc.replace(b"C444", b"C420"))
+    with pytest.raises(ValueError):
+        decode_y4m(enc[:-10])  # truncated last frame
+    rgb = fr.copy()
+    rgb[0, 0, 0, 0] += 1  # break R == G == B
+    with pytest.raises(ValueError):
+        encode_y4m(rgb)
+
+
+def test_video_frame_dhash_brightness_invariance(spark):
+    """Per-frame dHashes of a clip and its +24-brightened copy must be
+    IDENTICAL (the l9f invariance lifted to the frame sequence), and
+    stride-2 sampling of a 6-frame clip yields frames 0, 2, 4."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_video_payloads,
+        video_frame_dhash,
+    )
+
+    docs = spark.createDataFrame([(10,)], "doc_id long")
+    fdh = video_frame_dhash(attach_video_payloads(docs)).collect()
+    by_doc = {}
+    for r in fdh:
+        by_doc.setdefault(r.doc_id, {})[r.frame_idx] = r.dhash
+    assert set(by_doc) == {10, 3000010}
+    assert set(by_doc[10]) == {0, 2, 4}
+    assert by_doc[10] == by_doc[3000010], "brightened twin hashes differ"
+    assert all(r.n_frames == 6 for r in fdh)
+
+
+def test_l9l_injected_twin_clips_cluster(spark, sf_dir):
+    """Every brightened twin clip must collapse into its original's
+    signature cluster: the original's rep appears as a hamming-0
+    all-frames-matched within-cluster row (l9f's shape at the video
+    grain), and across-cluster rows carry sane frame-match bounds."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l9l_video_frame_dhash"]["fn"](spark, sf_dir).collect()
+    within = {r.doc_a: r for r in rows if r.doc_a == r.doc_b}
+    # twins exist for sampled (even) docs with doc_id % 10 == 0; the
+    # twin shares its original's signature, so the original's cluster
+    # has size >= 2 — represented by a within row at SOME rep <= d
+    expected = {d for d in range(0, 500, 2) if d % 10 == 0}
+    covered = set()
+    for rep, r in within.items():
+        assert r.max_hamming == 0 and r.all_frames_matched and r.n_pairs >= 1
+        covered.add(rep)
+    missing = [d for d in expected if d not in covered
+               and not any(rep < d for rep in covered)]
+    # strict check: each expected doc must itself be a rep unless its
+    # signature collides with a smaller doc (possible but must be rare)
+    assert len(expected - covered) <= 2, f"twin clusters missing: {sorted(expected - covered)[:5]}"
+    for r in rows:
+        if r.doc_a != r.doc_b:
+            assert 1 <= r.n_frames_matched <= r.n_frames_sampled
+            assert not (r.all_frames_matched and r.max_hamming > 7)
