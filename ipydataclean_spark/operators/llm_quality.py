@@ -654,8 +654,11 @@ L47_NGIB = 16
 
 _L47_COIN = "doc_id || ':' || pos"
 
-_L47_ORACLE = (
-    "WITH ex AS MATERIALIZED (SELECT doc_id, "
+#: Shared CTE prefix (fixture -> features -> trained weights) — module
+#: level so l49's distribution report embeds the SAME training SQL
+#: (one definition, the _L35_ORACLE rule).
+_L47_CTES = (
+    "ex AS MATERIALIZED (SELECT doc_id, "
     "CAST(generate_subscripts(t, 1) AS BIGINT) AS pos, unnest(t) AS tok "
     "FROM (SELECT doc_id, string_split("
     + norm_text_sql("text")
@@ -686,7 +689,11 @@ _L47_ORACLE = (
     "w AS MATERIALIZED (SELECT dom.f, "
     "ROUND(LN(2 * COALESCE(c1, 0) + 1) - LN(2 * t1 + "
     f"{L47_V}) - LN(2 * COALESCE(c0, 0) + 1) + LN(2 * t0 + {L47_V}), 12) "
-    "AS w FROM dom LEFT JOIN cnt ON dom.f = cnt.f CROSS JOIN tot), "
+    "AS w FROM dom LEFT JOIN cnt ON dom.f = cnt.f CROSS JOIN tot)"
+)
+
+_L47_ORACLE = (
+    "WITH " + _L47_CTES + ", "
     "scored AS (SELECT feats.doc_id, feats.variant, feats.label, "
     "CAST(COUNT(*) AS BIGINT) AS n_feats, "
     + exact.rsum12_sql("w")
@@ -857,3 +864,78 @@ def l47_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s", 8).alias("score"),
         (F.col("s") > 0).cast("int").alias("predicted"),
     ).orderBy("doc_id", "variant")
+
+
+_L49_ORACLE = (
+    "WITH " + _L47_CTES + ", "
+    # deployment scoring: every CLEAN doc (train + held-out — the
+    # report describes the real corpus; degraded twins were training
+    # negatives only)
+    "scoredall AS (SELECT feats.doc_id, ROUND("
+    + exact.rsum12_sql("w")
+    + ", 8) AS score FROM feats JOIN w ON feats.f = w.f "
+    "WHERE feats.variant = 'clean' GROUP BY feats.doc_id) "
+    "SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "(("
+    + exact.rsum12_sql("score")
+    + ") / CAST(COUNT(*) AS DOUBLE)) AS mean_score, "
+    "ROUND(MIN(score), 8) AS min_score, ROUND(MAX(score), 8) AS max_score, "
+    "(CAST(COUNT_IF(score > 0) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) "
+    "AS keep_rate "
+    "FROM scoredall JOIN documents d ON d.doc_id = scoredall.doc_id "
+    "GROUP BY d.source, d.lang ORDER BY d.source, d.lang"
+)
+
+
+@register(
+    "l49_quality_score_distribution",
+    oracle=_L49_ORACLE,
+    tags=("L49", "L47", "L6", "quality", "report"),
+)
+def l49_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L49: the DEPLOYMENT report for the trained quality filter —
+    per (source, lang) slice: doc count, mean/min/max classifier
+    score, and the keep rate at the decision threshold (score > 0).
+    This is the table a curation run publishes before committing a
+    filter: which sources/languages the classifier would gut, and by
+    how much (the l6/l45 slice-metrics discipline applied to l47's
+    scores). Scores every CLEAN doc — train and held-out alike — since
+    the report describes corpus composition, not model validation.
+
+    Exactness: per-doc scores are the l47 pipeline's round-8 outputs;
+    the slice mean is a 12-dp DECIMAL sum (rsum12 — an 8-dp value
+    re-rounds to 12 dp exactly, unlike the 6-dp davg cast, which
+    half-up/half-even diverges — the d19 lesson) divided once and
+    emitted as the RAW double (the davg convention): a final
+    ROUND(...,8) flipped on an exact .5 boundary (sum of two 8-dp
+    scores / 2 lands on a 9-dp half — the engines' ROUND disagree on
+    boundary doubles even given identical input); keep_rate is one
+    BIGINT/BIGINT division, same raw-double rule.
+
+    At 100 TB: identical shape to l47 scoring (broadcast 1024-row
+    weights, map-only) plus one (source, lang)-keyed partial agg —
+    slice count, not corpus size, bounds the output."""
+    feats, w = l47_weights(spark, sf_dir)
+    scored = (
+        feats.where(F.col("variant") == "clean")
+        .join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.round(exact.rsum12("w"), 8).alias("score"))
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return (
+        scored.join(docs, "doc_id")
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (
+                exact.rsum12("score") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+            F.round(F.min("score"), 8).alias("min_score"),
+            F.round(F.max("score"), 8).alias("max_score"),
+            (
+                F.count_if(F.col("score") > 0) / F.count(F.lit(1))
+            ).alias("keep_rate"),
+        )
+        .orderBy("source", "lang")
+    )

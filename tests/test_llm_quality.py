@@ -372,3 +372,23 @@ def test_l48_rrf_dominates_single_legs(spark, sf_dir):
         assert 0.0 <= r.recall_at_10 <= 1.0
         assert 0.0 <= r.mrr <= 1.0
         assert 0.0 <= r.ndcg_at_10 <= 1.0
+
+
+def test_l49_distribution_report_sane(spark, sf_dir):
+    """Slice report must cover every (source, lang) slice, keep_rate
+    must be a true fraction consistent with the scores, and the
+    classifier must not be gutting clean text (fixture docs are all
+    clean → keep rates should be high)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l49_quality_score_distribution"]["fn"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_slices = docs.select("source", "lang").distinct().count()
+    assert len(rows) == n_slices
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r.keep_rate <= 1.0
+        assert r.min_score <= r.mean_score <= r.max_score
+    overall = sum(r.keep_rate * r.n_docs for r in rows) / sum(r.n_docs for r in rows)
+    assert overall > 0.9, f"classifier guts clean fixture text: keep={overall}"
