@@ -1887,3 +1887,118 @@ def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L53 — containment pairs: the asymmetric dedup measure Jaccard misses
+# ---------------------------------------------------------------------------
+
+_L53_TAU = 0.9  #: containment threshold (near-subset)
+
+#: Excerpt fixture: every doc_id % 7 == 3 also appears as a HALF-doc
+#: excerpt (first ceil(n/2) normalized tokens) under doc_id + 4000000
+#: — a true doc-in-doc duplicate: containment(excerpt -> source) = 1.0
+#: while Jaccard ≈ 0.5 sits below every whole-doc dedup threshold.
+_L53_EXC_SQL = (
+    "SELECT doc_id, text FROM documents UNION ALL "
+    "SELECT doc_id + 4000000 AS doc_id, "
+    "array_to_string(t[1:((len(t) + 1) // 2)], ' ') AS text "
+    "FROM (SELECT doc_id, string_split("
+    + norm_text_sql("text")
+    + ", ' ') AS t FROM documents WHERE doc_id % 7 = 3)"
+)
+
+_L53_ORACLE = (
+    "WITH documents_exc AS (" + _L53_EXC_SQL + "), "
+    "sh AS (SELECT doc_id, UNNEST("
+    + llm.shingles_sql("text")
+    + ") AS s FROM documents_exc), "
+    "sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id), "
+    "common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_common "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id "
+    "GROUP BY a.doc_id, b.doc_id) "
+    "SELECT doc_a, doc_b, n_common, sa.n_sh AS na, sb.n_sh AS nb, "
+    "(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)) AS jaccard, "
+    "(CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh)) AS containment "
+    "FROM common JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b "
+    f"WHERE CAST(n_common AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh) >= {_L53_TAU} "
+    "ORDER BY doc_a, doc_b"
+)
+
+
+def documents_exc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ half-doc excerpt of every doc_id % 7 == 3 (known
+    doc-in-doc containment dups at doc_id + 4000000)."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens_col("text")
+    exc = (
+        docs.where(F.col("doc_id") % 7 == 3)
+        .withColumn("__toks", toks)
+        .select(
+            (F.col("doc_id") + 4000000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    "__toks",
+                    F.lit(1),
+                    ((F.size("__toks") + F.lit(1)) / F.lit(2)).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return docs.unionByName(exc)
+
+
+@register(
+    "l53_containment_pairs",
+    oracle=_L53_ORACLE,
+    tags=("L53", "L2", "dedup", "containment"),
+)
+def l53_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L53: CONTAINMENT dedup pairs — Broder's asymmetric resemblance
+    c(A,B) = |A∩B| / min(|A|,|B|) over word-3-gram shingle sets, the
+    measure that catches doc-IN-doc duplication (excerpts, quoted
+    articles, concatenated shards) which symmetric Jaccard structurally
+    misses: a half-doc excerpt scores containment 1.0 but Jaccard
+    ≈ 0.5, below every whole-doc threshold (both visible side by side
+    in the output — the fixture injects half-doc excerpts at
+    doc_id + 4000000 for every doc_id % 7 == 3).
+
+    Exactness: n_common/na/nb are integers; jaccard and containment
+    are single BIGINT-derived IEEE divisions (raw doubles, the davg
+    convention).
+
+    At 100 TB this is, like l2b, the VERIFY stage: candidates come
+    from banded LSH (an excerpt shares the source's minhashes at rate
+    ≈ |A|/|B| ≈ 0.5 — band at the low τ and verify containment
+    exactly), so the shingle self-join here runs over the fixture /
+    a sampled audit slice, never the raw corpus."""
+    docs = documents_exc(spark, sf_dir)
+    sh = exploded_shingles(docs, "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        a.join(b, "s")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    cont = F.col("n_common").cast("double") / F.least("na", "nb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_common", "na", "nb",
+            jac.alias("jaccard"), cont.alias("containment"),
+        )
+        .where(F.col("containment") >= _L53_TAU)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -316,7 +316,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # round-9 additions (appended as each operator registers — the
     # registry contract test rejects names with no registration)
     "l47_quality_classifier", "l48_retrieval_eval",
-    "l49_quality_score_distribution",
+    "l49_quality_score_distribution", "l53_containment_pairs",
     # re-queued: state append reworked in round 9 (advice r08 #1)
     "inc5_incremental_bloom",
 )

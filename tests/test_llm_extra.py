@@ -587,3 +587,26 @@ def test_l43b_exact_sibling_equals_gram_islands_fixture(spark, sf_dir):
     b = sorted(map(tuple, QUERIES["l43b_exact_dup_spans"]["fn"](spark, sf_dir).collect()))
     assert a == b
     assert len(a) > 100, "fixture span table suspiciously small"
+
+
+def test_l53_containment_catches_excerpts_jaccard_misses(spark, sf_dir):
+    """Every injected half-doc excerpt must surface with containment
+    1.0 while its Jaccard sits well below the whole-doc threshold —
+    the asymmetric-measure payoff, and the reason a containment pass
+    exists at all."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l53_containment_pairs"]["fn"](spark, sf_dir).collect()
+    exc = {r.doc_b - 4000000: r for r in rows if r.doc_b >= 4000000
+           and r.doc_b - 4000000 == r.doc_a}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {r.doc_id for r in docs.where("doc_id % 7 = 3").collect()}
+    missing = expected - set(exc)
+    assert not missing, f"excerpt pairs missing: {sorted(missing)[:5]}"
+    for d, r in exc.items():
+        assert r.containment == 1.0, f"excerpt {d}: containment {r.containment}"
+        assert r.jaccard < 0.75, f"excerpt {d}: jaccard {r.jaccard} suspiciously high"
+    assert any(r.jaccard < 0.6 for r in exc.values()), (
+        "no excerpt below the whole-doc Jaccard threshold — fixture vacuous"
+    )
