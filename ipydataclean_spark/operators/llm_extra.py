@@ -752,21 +752,27 @@ def l15_boilerplate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The l18 oracle, module-level so the l52 perplexity-bucket twin can
+#: embed the SAME per-doc LM-score SQL as a subquery (one definition,
+#: the _L35_ORACLE rule).
+_L18_ORACLE = (
+    "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
+    "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents) u "
+    "WHERE t <> ''), "
+    "freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t), "
+    "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq), "
+    "lp AS (SELECT t, ROUND(LN(CAST(cnt AS DOUBLE) / total), 4) AS lp "
+    "FROM freq CROSS JOIN tot) "
+    "SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+    "ROUND(" + exact.dsum_sql("lp") + " / CAST(COUNT(*) AS DOUBLE), 8) AS avg_logprob "
+    "FROM toks JOIN lp ON toks.t = lp.t "
+    "GROUP BY toks.doc_id ORDER BY toks.doc_id"
+)
+
+
 @register(
     "l18_unigram_logprob",
-    oracle=(
-        "WITH toks AS (SELECT doc_id, t FROM (SELECT doc_id, "
-        "unnest(string_split_regex(lower(text), '[^a-z]+')) AS t FROM documents) u "
-        "WHERE t <> ''), "
-        "freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY t), "
-        "tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq), "
-        "lp AS (SELECT t, ROUND(LN(CAST(cnt AS DOUBLE) / total), 4) AS lp "
-        "FROM freq CROSS JOIN tot) "
-        "SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
-        "ROUND(" + exact.dsum_sql("lp") + " / CAST(COUNT(*) AS DOUBLE), 8) AS avg_logprob "
-        "FROM toks JOIN lp ON toks.t = lp.t "
-        "GROUP BY toks.doc_id ORDER BY toks.doc_id"
-    ),
+    oracle=_L18_ORACLE,
     tags=("L18", "L7"),
 )
 def l18_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2001,4 +2007,90 @@ def l53_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("containment") >= _L53_TAU)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L52 — CCNet perplexity buckets: head / middle / tail per language
+# ---------------------------------------------------------------------------
+
+_L52_ORACLE = (
+    "WITH scores AS (" + _L18_ORACLE + "), "
+    "lb AS (SELECT s.doc_id, s.n_tokens, s.avg_logprob, d.lang, "
+    "CAST(NTILE(3) OVER (PARTITION BY d.lang "
+    "ORDER BY s.avg_logprob DESC, s.doc_id) AS BIGINT) AS bucket "
+    "FROM scores s JOIN documents d ON d.doc_id = s.doc_id) "
+    "SELECT lang, bucket, "
+    "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS n_tokens, "
+    "(" + exact.rsum12_sql("avg_logprob") + " / CAST(COUNT(*) AS DOUBLE)) "
+    "AS mean_logprob, "
+    "MIN(avg_logprob) AS min_logprob, MAX(avg_logprob) AS max_logprob, "
+    "CAST(bucket <= 2 AS BOOLEAN) AS keep "
+    "FROM lb GROUP BY lang, bucket ORDER BY lang, bucket"
+)
+
+
+@register(
+    "l52_perplexity_buckets",
+    oracle=_L52_ORACLE,
+    tags=("L52", "L18", "L7", "quality", "sampling"),
+)
+def l52_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L52: CCNet's perplexity bucketing (Wenzek et al. 2020, public
+    method) — per LANGUAGE, rank documents by LM score and cut into
+    head / middle / tail tertiles; CCNet trains on head+middle and
+    drops (or down-samples) the tail. The LM score is l18's certified
+    per-doc mean unigram log-probability (higher = lower perplexity;
+    _L18_ORACLE embedded, one definition); the report shows, per
+    (lang, tier): doc and token counts, mean/min/max score, and the
+    keep decision — the table that turns an LM-score COLUMN into an
+    actual FILTER policy.
+
+    Determinism: NTILE(3) over the total order (avg_logprob DESC,
+    doc_id) is SQL-standard remainder-to-leading-buckets in both
+    engines; scores are l18's round-8 outputs; the tier mean is
+    rsum12 / count emitted as the raw double (the l49 boundary
+    lesson).
+
+    At 100 TB: the ranking is per-language (CCNet itself sorts per
+    language shard); a production run replaces the exact NTILE with
+    two approx-quantile thresholds per language (one pass, no sort) —
+    the exact tertile here is the certified audit form, same
+    truth-vs-production split as l2b/l48."""
+    from pyspark.sql import Window
+
+    scores = l18_unigram_logprob(spark, sf_dir)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    lb = scores.join(docs, "doc_id").withColumn(
+        "bucket", F.ntile(3).over(w).cast("long")
+    )
+    return (
+        lb.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            (
+                exact.rsum12("avg_logprob") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_logprob"),
+            F.min("avg_logprob").alias("min_logprob"),
+            F.max("avg_logprob").alias("max_logprob"),
+        )
+        .select(
+            "lang",
+            "bucket",
+            F.when(F.col("bucket") == 1, "head")
+            .when(F.col("bucket") == 2, "middle")
+            .otherwise("tail")
+            .alias("tier"),
+            "n_docs",
+            "n_tokens",
+            "mean_logprob",
+            "min_logprob",
+            "max_logprob",
+            (F.col("bucket") <= 2).alias("keep"),
+        )
+        .orderBy("lang", "bucket")
     )

@@ -232,7 +232,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "er2_blocking_metrics", "q28b_apriori_prefilter",
     "q31b_trending_parts_bucketed", "l13_chunk_udtf",
     "l14_countmin_heavy_hitters", "l15_boilerplate_ratio",
-    "l18_unigram_logprob", "l19_gopher_quality", "l20_domain_budget",
+    # l18_unigram_logprob was r6-green but its oracle string was moved
+    # to a module constant in round 9 (l52 embeds it) — byte-identical,
+    # but changed-after-green => re-queued per the standing rule
+    "l19_gopher_quality", "l20_domain_budget",
     "l21_top_bigram_frac", "l23_char_entropy", "l24_url_domains",
     "l26_contamination_check",
     # l28/l29 were r6-green but their shared gram pass was extracted
@@ -317,6 +320,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # registry contract test rejects names with no registration)
     "l47_quality_classifier", "l48_retrieval_eval",
     "l49_quality_score_distribution", "l53_containment_pairs",
+    "l52_perplexity_buckets",
+    # re-queued: oracle moved to module constant in round 9
+    "l18_unigram_logprob",
     # re-queued: state append reworked in round 9 (advice r08 #1)
     "inc5_incremental_bloom",
 )

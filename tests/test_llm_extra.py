@@ -610,3 +610,25 @@ def test_l53_containment_catches_excerpts_jaccard_misses(spark, sf_dir):
     assert any(r.jaccard < 0.6 for r in exc.values()), (
         "no excerpt below the whole-doc Jaccard threshold — fixture vacuous"
     )
+
+
+def test_l52_perplexity_tiers_ordered_and_balanced(spark, sf_dir):
+    """Per language: three tiers, sizes balanced to ±1 (NTILE), score
+    ordering head > middle > tail, and keep covers exactly head+middle
+    — the CCNet policy, verifiable from the report alone."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l52_perplexity_buckets"]["fn"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) >= 3
+    for lang, tiers in by_lang.items():
+        assert [t.bucket for t in sorted(tiers, key=lambda t: t.bucket)] == [1, 2, 3]
+        sizes = [t.n_docs for t in tiers]
+        assert max(sizes) - min(sizes) <= 1, f"{lang}: unbalanced {sizes}"
+        t1, t2, t3 = sorted(tiers, key=lambda t: t.bucket)
+        assert t1.mean_logprob >= t2.mean_logprob >= t3.mean_logprob
+        assert t1.keep and t2.keep and not t3.keep
+        assert (t1.tier, t2.tier, t3.tier) == ("head", "middle", "tail")
