@@ -1000,6 +1000,25 @@ def l2i_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L2J_TAUS = (0.8, 0.9, 0.97, 0.99)
 
 
+#: Shared banded-candidate -> exact-verify SQL segment (sizes/common/
+#: ver over L2F_CTES' cand+sh) — module level so the l54 cluster-
+#: quality twin embeds the SAME verified-pair table as the l2j sweep
+#: (one definition, the _L35_ORACLE rule).
+_SIZES_COMMON_VER_CTES = (
+    ", sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh "
+    "FROM sh GROUP BY doc_id), "
+    "common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_common "
+    "FROM cand c JOIN sh a ON a.doc_id = c.doc_a "
+    "JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s "
+    "GROUP BY c.doc_a, c.doc_b), "
+    "ver AS MATERIALIZED (SELECT doc_a, doc_b, "
+    "CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jac "
+    "FROM common JOIN sizes sa ON sa.doc_id = doc_a "
+    "JOIN sizes sb ON sb.doc_id = doc_b)"
+)
+
+
 def _l2j_oracle() -> str:
     from ipydataclean_spark.operators import dirty
 
@@ -1032,18 +1051,8 @@ def _l2j_oracle() -> str:
     return (
         "WITH RECURSIVE documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + ")"
         + llm.L2F_CTES
-        + ", sizes AS MATERIALIZED (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh "
-        "FROM sh GROUP BY doc_id), "
-        "common AS MATERIALIZED (SELECT c.doc_a, c.doc_b, "
-        "CAST(COUNT(*) AS BIGINT) AS n_common "
-        "FROM cand c JOIN sh a ON a.doc_id = c.doc_a "
-        "JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s "
-        "GROUP BY c.doc_a, c.doc_b), "
-        "ver AS MATERIALIZED (SELECT doc_a, doc_b, "
-        "CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jac "
-        "FROM common JOIN sizes sa ON sa.doc_id = doc_a "
-        "JOIN sizes sb ON sb.doc_id = doc_b), "
-        "q AS MATERIALIZED (SELECT doc_id AS id, LENGTH(text) AS raw_len "
+        + _SIZES_COMMON_VER_CTES
+        + ", q AS MATERIALIZED (SELECT doc_id AS id, LENGTH(text) AS raw_len "
         "FROM documents_dup), "
         + ", ".join(per_tau)
         + f" SELECT * FROM ({reports}) ORDER BY threshold"
@@ -2093,4 +2102,136 @@ def l52_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bucket") <= 2).alias("keep"),
         )
         .orderBy("lang", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# L54 — dedup CLUSTER QUALITY: cohesion audit of the near-dup clustering
+# ---------------------------------------------------------------------------
+
+_L54_TAU = 0.9  #: cluster-formation threshold (inside the fixture regime)
+
+
+def _l54_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+
+    return (
+        "WITH RECURSIVE documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + ")"
+        + llm.L2F_CTES
+        + _SIZES_COMMON_VER_CTES
+        + f", e AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM ver "
+        f"WHERE jac >= {_L54_TAU} "
+        f"UNION SELECT doc_b, doc_a FROM ver WHERE jac >= {_L54_TAU}), "
+        "r(a, b) AS (SELECT doc_id, doc_id FROM documents_dup "
+        "UNION SELECT r.a, e.b FROM r JOIN e ON r.b = e.a), "
+        "l AS (SELECT a AS id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+        f"ed AS (SELECT la.cluster_id, ROUND(v.jac, 6) AS j FROM ver v "
+        f"JOIN l la ON la.id = v.doc_a WHERE v.jac >= {_L54_TAU}), "
+        "cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS size "
+        "FROM l GROUP BY cluster_id HAVING COUNT(*) >= 2) "
+        "SELECT cs.cluster_id, cs.size, CAST(COUNT(j) AS BIGINT) AS n_edges, "
+        "CAST(cs.size * (cs.size - 1) // 2 AS BIGINT) AS possible_pairs, "
+        "(CAST(COUNT(j) AS BIGINT) / CAST(cs.size * (cs.size - 1) // 2 AS BIGINT)) "
+        "AS edge_density, "
+        "MIN(j) AS min_jac, "
+        "(" + exact.rsum12_sql("j") + " / CAST(COUNT(j) AS DOUBLE)) AS mean_jac "
+        "FROM cs JOIN ed ON ed.cluster_id = cs.cluster_id "
+        "GROUP BY cs.cluster_id, cs.size ORDER BY cs.cluster_id"
+    )
+
+
+@register(
+    "l54_dedup_cluster_quality",
+    oracle=_l54_oracle(),
+    tags=("L54", "L2", "dedup", "audit"),
+)
+def l54_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L54: cohesion audit of the near-dup CLUSTERING — per dup
+    cluster (size >= 2) at τ = 0.9: member count, verified-edge count
+    vs possible pairs (edge_density: 1.0 = clique, low = CHAIN — the
+    transitive-closure overmerge signal: a~b~c merged although a and c
+    are not alike), and the min/mean verified Jaccard among members.
+    This is the table that tells a deployment whether connected-
+    components clustering is overmerging before it deletes documents
+    (the l2h/l3m/l48 audit discipline, pointed at the clustering step
+    itself).
+
+    Pipeline: the PRODUCTION md5-certified path — md5 MinHash bands →
+    candidate pairs → exact verify (the shared _SIZES_COMMON_VER_CTES
+    segment, one definition with l2j) → connected components
+    (cluster_pairs / the recursive-closure twin). Edges count once per
+    unordered pair (doc_a < doc_b rows); jac is quantized to 6 dp
+    before the DECIMAL mean (round-then-sum; identical-input ROUND at
+    6 dp is boundary-safe where a raw-division 12-dp re-round is not);
+    density is one BIGINT/BIGINT division; means emit raw doubles.
+
+    At 100 TB: everything up to clustering is the certified l2f/l2j
+    shape (banded, sub-quadratic); the audit aggregations key on
+    cluster_id over the EDGE table — cluster-table-sized, not
+    corpus-sized."""
+    docs = documents_dup(spark, sf_dir)
+    sigs = llm.md5_minhash_sigs(docs)
+    bands = llm.md5_band_keys(sigs)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
+    cand = (
+        a.join(b, ["b", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = exploded_shingles(docs, "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    ver = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .where(F.col("jac") >= _L54_TAU)
+        .localCheckpoint(eager=True)
+    )
+    ids = docs.select(F.col("doc_id").alias("id"))
+    labels = cluster_pairs(
+        ids, ver.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+        max_iter=30,
+    )
+    cs = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .where(F.col("size") >= 2)
+    )
+    ed = ver.join(
+        labels.select(F.col("id").alias("doc_a"), "cluster_id"), "doc_a"
+    ).select("cluster_id", F.round("jac", 6).alias("j"))
+    possible = F.expr("size * (size - 1) DIV 2")
+    return (
+        cs.join(ed, "cluster_id")
+        .groupBy("cluster_id", "size")
+        .agg(
+            F.count("j").alias("n_edges"),
+            F.min("j").alias("min_jac"),
+            (exact.rsum12("j") / F.count("j").cast("double")).alias("mean_jac"),
+        )
+        .select(
+            "cluster_id",
+            "size",
+            "n_edges",
+            possible.alias("possible_pairs"),
+            (F.col("n_edges") / possible).alias("edge_density"),
+            "min_jac",
+            "mean_jac",
+        )
+        .orderBy("cluster_id")
     )

@@ -288,7 +288,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # (advice r08 #4; generated oracle strings byte-identical for the
     # internal salts, but changed helper ⇒ consumers re-queued per the
     # standing rule)
-    "l2b_jaccard_pairs", "l2j_dedup_threshold_sweep",
+    "l2b_jaccard_pairs",
+    # l2j_dedup_threshold_sweep was r8-green but its oracle composition
+    # was refactored in round 9 (_SIZES_COMMON_VER_CTES extraction —
+    # byte-identical output, verified, but the rule is the rule)
     "l43_substring_dup_spans", "l44_bloom_decontaminate",
     "l42_rerank_interaction", "pipeline_span_curation",
     "l28_winnowing_pairs", "l29_repeated_gram_fraction",
@@ -320,9 +323,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # registry contract test rejects names with no registration)
     "l47_quality_classifier", "l48_retrieval_eval",
     "l49_quality_score_distribution", "l53_containment_pairs",
-    "l52_perplexity_buckets",
-    # re-queued: oracle moved to module constant in round 9
-    "l18_unigram_logprob",
+    "l52_perplexity_buckets", "l54_dedup_cluster_quality",
+    # re-queued: oracle composition refactored in round 9
+    "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)
     "inc5_incremental_bloom",
 )

@@ -632,3 +632,26 @@ def test_l52_perplexity_tiers_ordered_and_balanced(spark, sf_dir):
         assert t1.mean_logprob >= t2.mean_logprob >= t3.mean_logprob
         assert t1.keep and t2.keep and not t3.keep
         assert (t1.tier, t2.tier, t3.tier) == ("head", "middle", "tail")
+
+
+def test_l54_cluster_cohesion_consistent(spark, sf_dir):
+    """Cluster audit invariants: edges never exceed possible pairs,
+    density in (0, 1], min <= mean jac, every jac >= tau, and the
+    injected verbatim twins form perfect cliques (density 1.0 at
+    jac 1.0 for their 2-clusters)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l54_dedup_cluster_quality"]["fn"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.size >= 2
+        assert 1 <= r.n_edges <= r.possible_pairs
+        assert 0.0 < r.edge_density <= 1.0
+        assert r.min_jac <= r.mean_jac
+        assert r.min_jac >= 0.9
+    twins = [r for r in rows if r.size == 2 and r.cluster_id % 5 == 0
+             and r.cluster_id < 1000000]
+    assert twins, "no verbatim twin clusters surfaced"
+    for r in twins:
+        assert r.edge_density == 1.0 and r.min_jac == 1.0
