@@ -939,3 +939,185 @@ def l49_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("source", "lang")
     )
+
+
+def _l47_clean_feat_sql(src: str, p: str) -> str:
+    """CTE text: hashed CLEAN-text features (doc_id, f) over corpus
+    table/CTE ``src``, CTE names prefixed ``p`` — the scoring-side
+    feature extraction the curation composite applies to dedup
+    survivors. Same tokenization, gram construction, and md5 bucket
+    hash as the training CTEs (_L47_CTES); a drift here would silently
+    score in a different feature space."""
+    return (
+        f"{p}ex AS MATERIALIZED (SELECT doc_id, "
+        "CAST(generate_subscripts(t, 1) AS BIGINT) AS pos, unnest(t) AS tok "
+        "FROM (SELECT doc_id, string_split("
+        + norm_text_sql("text")
+        + f", ' ') AS t FROM {src})), "
+        f"{p}pairs AS (SELECT doc_id, tok, LEAD(tok) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) AS nxt FROM {p}ex), "
+        f"{p}rawf AS (SELECT doc_id, unnest(CASE WHEN nxt IS NULL "
+        "THEN ['u:' || tok] ELSE ['u:' || tok, 'b:' || tok || ' ' || nxt] END"
+        f") AS feat FROM {p}pairs), "
+        f"{p}feats AS MATERIALIZED (SELECT doc_id, ("
+        + exact.md5_prefix_int_sql("'l47f:' || feat")
+        + f") % {L47_V} AS f FROM {p}rawf)"
+    )
+
+
+def l47_clean_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, f) hashed clean-text feature occurrences over an
+    arbitrary (doc_id, text) frame — the Spark twin of
+    _l47_clean_feat_sql, used to score corpora other than the training
+    fixture (the curation composite scores dedup survivors)."""
+    ex = (
+        docs.withColumn("__toks", tokens_col("text"))
+        .select("doc_id", F.posexplode("__toks").alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = ex.withColumn("nxt", F.lead("tok").over(w_ord))
+    rawf = pairs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.col("nxt").isNull(),
+                F.array(F.concat(F.lit("u:"), F.col("tok"))),
+            ).otherwise(
+                F.array(
+                    F.concat(F.lit("u:"), F.col("tok")),
+                    F.concat(
+                        F.lit("b:"), F.col("tok"), F.lit(" "), F.col("nxt")
+                    ),
+                )
+            )
+        ).alias("feat"),
+    )
+    return rawf.select(
+        "doc_id",
+        (
+            exact.md5_prefix_int(F.concat(F.lit("l47f:"), F.col("feat"))) % L47_V
+        ).alias("f"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline_quality_curation — dedup -> trained filter -> perplexity cut
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_quality_oracle() -> str:
+    from ipydataclean_spark.operators import dirty
+    from ipydataclean_spark.operators.llm_extra import _L18_ORACLE
+
+    return (
+        "WITH documents_dup AS (" + dirty.DOCUMENTS_DUP_SQL + "), "
+        + _L47_CTES
+        + ", keyed AS (SELECT doc_id, text, lang, source, "
+        "ROW_NUMBER() OVER (PARTITION BY SHA256("
+        + norm_text_sql("text")
+        + ") ORDER BY doc_id) AS rn FROM documents_dup), "
+        "surv AS MATERIALIZED (SELECT doc_id, text, lang, source "
+        "FROM keyed WHERE rn = 1), "
+        + _l47_clean_feat_sql("surv", "s")
+        + ", scored AS (SELECT sfeats.doc_id, ROUND("
+        + exact.rsum12_sql("w")
+        + ", 8) AS score FROM sfeats JOIN w ON sfeats.f = w.f "
+        "GROUP BY sfeats.doc_id), "
+        "lmsc AS MATERIALIZED (SELECT * FROM (" + _L18_ORACLE + ")), "
+        "kept AS (SELECT surv.doc_id, surv.lang, surv.source, "
+        "lmsc.n_tokens, lmsc.avg_logprob FROM surv "
+        "JOIN scored ON scored.doc_id = surv.doc_id "
+        "JOIN lmsc ON lmsc.doc_id = surv.doc_id WHERE scored.score > 0), "
+        "ranked AS (SELECT *, NTILE(3) OVER (PARTITION BY lang "
+        "ORDER BY avg_logprob DESC, doc_id) AS b FROM kept), "
+        "fin AS (SELECT * FROM ranked WHERE b <= 2), "
+        "raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw "
+        "FROM documents_dup GROUP BY source), "
+        "d1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_dedup "
+        "FROM surv GROUP BY source), "
+        "d2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after_quality "
+        "FROM kept GROUP BY source), "
+        "d3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final, "
+        "CAST(SUM(n_tokens) AS BIGINT) AS tokens_final FROM fin GROUP BY source) "
+        "SELECT raw.source, n_raw, "
+        "COALESCE(n_after_dedup, 0) AS n_after_dedup, "
+        "COALESCE(n_after_quality, 0) AS n_after_quality, "
+        "COALESCE(n_final, 0) AS n_final, "
+        "COALESCE(tokens_final, 0) AS tokens_final "
+        "FROM raw LEFT JOIN d1 ON d1.source = raw.source "
+        "LEFT JOIN d2 ON d2.source = raw.source "
+        "LEFT JOIN d3 ON d3.source = raw.source ORDER BY raw.source"
+    )
+
+
+@register(
+    "pipeline_quality_curation",
+    oracle=_pipeline_quality_oracle(),
+    tags=("L47", "L52", "L1", "pipeline", "curation"),
+)
+def pipeline_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation COMPOSITE with the trained tier in the loop — the
+    published pipeline order (exact dedup FIRST so the classifier and
+    LM never score text twice, then the trained quality filter, then
+    CCNet's perplexity tail drop): documents_dup → sha256 survivor
+    rule (with_dedup_rank, the l1 definition) → l47 NB-classifier
+    scores over survivor text with weights TRAINED ON THE MODEL
+    FIXTURE (broadcast 1024-row table; score > 0 keeps) → per-lang
+    perplexity tertiles over the keepers (l18 scores, l52's NTILE
+    policy, tail dropped) → per-source funnel report: raw, after
+    dedup, after quality, after perplexity, surviving token total —
+    the stage-attrition table a 100 TB run publishes per ingest batch.
+
+    Every stage is the certified operator's own machinery (one
+    definition each: with_dedup_rank, l47_weights +
+    l47_clean_features, l18's score, l52's tertile rule) and the
+    whole funnel is hash-checked end to end.
+
+    At 100 TB: dedup is the digest shuffle; classifier scoring is
+    map-only behind a broadcast; the LM join is token-keyed; the
+    NTILE is per-language (production swaps in approx thresholds,
+    the l52 note); the report aggregation keys on source."""
+    from ipydataclean_spark.operators.llm import with_dedup_rank
+    from ipydataclean_spark.operators.llm_extra import l18_unigram_logprob
+    from ipydataclean_spark.operators.qhelp import documents_dup
+
+    docs = documents_dup(spark, sf_dir)
+    surv = (
+        with_dedup_rank(docs)
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source")
+        .localCheckpoint(eager=True)
+    )
+    _, w = l47_weights(spark, sf_dir)
+    scored = (
+        l47_clean_features(surv.select("doc_id", "text"))
+        .join(F.broadcast(w), "f")
+        .groupBy("doc_id")
+        .agg(F.round(exact.rsum12("w"), 8).alias("score"))
+    )
+    lm = l18_unigram_logprob(spark, sf_dir)
+    kept = (
+        surv.join(scored, "doc_id")
+        .where(F.col("score") > 0)
+        .join(lm, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "avg_logprob")
+        .localCheckpoint(eager=True)
+    )
+    wnd = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    fin = kept.withColumn("b", F.ntile(3).over(wnd)).where(F.col("b") <= 2)
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    d1 = surv.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    d2 = kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_after_quality"))
+    d3 = fin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_final"),
+        F.sum("n_tokens").cast("long").alias("tokens_final"),
+    )
+    out = (
+        raw.join(d1, "source", "left")
+        .join(d2, "source", "left")
+        .join(d3, "source", "left")
+        .na.fill({"n_after_dedup": 0, "n_after_quality": 0, "n_final": 0,
+                  "tokens_final": 0})
+    )
+    return out.orderBy("source")

@@ -392,3 +392,28 @@ def test_l49_distribution_report_sane(spark, sf_dir):
         assert r.min_score <= r.mean_score <= r.max_score
     overall = sum(r.keep_rate * r.n_docs for r in rows) / sum(r.n_docs for r in rows)
     assert overall > 0.9, f"classifier guts clean fixture text: keep={overall}"
+
+
+def test_pipeline_quality_curation_funnel_monotone(spark, sf_dir):
+    """Funnel invariants: every stage only removes docs
+    (raw >= dedup >= quality >= final per source), the dedup stage
+    actually removes the injected copies, the quality stage keeps most
+    clean text, and the perplexity cut drops roughly a third."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["pipeline_quality_curation"]["fn"](spark, sf_dir).collect()
+    assert rows
+    tot = [0, 0, 0, 0]
+    for r in rows:
+        assert r.n_raw >= r.n_after_dedup >= r.n_after_quality >= r.n_final
+        assert (r.n_final == 0) == (r.tokens_final == 0)
+        tot[0] += r.n_raw
+        tot[1] += r.n_after_dedup
+        tot[2] += r.n_after_quality
+        tot[3] += r.n_final
+    n_raw, n_dedup, n_q, n_fin = tot
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n_raw > docs and n_dedup == docs, "dedup must remove exactly the injected copies"
+    assert n_q / n_dedup > 0.9, f"quality stage guts clean text: {n_q}/{n_dedup}"
+    assert 0.6 < n_fin / n_q < 0.72, f"tail drop not ~1/3: {n_fin}/{n_q}"
