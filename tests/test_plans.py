@@ -733,3 +733,32 @@ def test_l47_scoring_is_broadcast_map_only(spark, sf_dir):
     plan = formatted_plan(df)
     assert "BroadcastHashJoin" in plan, "weight join is not broadcast"
     assert not has_python_eval(df)
+
+
+def test_round9_reports_stay_jvm_side(spark, sf_dir):
+    """The round-9 report/audit tier must stay whole-JVM: no Python
+    eval anywhere, no cartesian product (the 1-row broadcast totals
+    frames ride BroadcastNestedLoopJoin, which is bounded — only a
+    true CartesianProduct is the smell)."""
+    for name in (
+        "l49_quality_score_distribution",
+        "l52_perplexity_buckets",
+        "l53_containment_pairs",
+        "l54_dedup_cluster_quality",
+        "pipeline_quality_curation",
+        "l48_retrieval_eval",
+    ):
+        df = _q(name, spark, sf_dir)
+        assert not has_python_eval(df), name
+        assert count_op(df, "CartesianProduct") == 0, name
+
+
+def test_l52_window_is_language_partitioned(spark, sf_dir):
+    """The perplexity tertile must never sort globally: the NTILE
+    window partitions by lang (CCNet's per-language shard order)."""
+    df = _q("l52_perplexity_buckets", spark, sf_dir)
+    plan = formatted_plan(df)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "no window in the l52 plan?"
+    for s in specs:
+        assert s.startswith("lang"), f"non-lang-partitioned window: {s[:60]}"
