@@ -654,43 +654,52 @@ L47_NGIB = 16
 
 _L47_COIN = "doc_id || ':' || pos"
 
+def _l47_train_sql(src: str = "documents", train_pred: str = "doc_id % 2 = 0") -> str:
+    """CTE text: fixture -> degraded-twin features -> trained weights
+    over corpus table/CTE ``src``, training on rows matching
+    ``train_pred`` — the parameterized trainer so inc6's hist-only
+    model embeds the SAME SQL (one definition, the _L35_ORACLE
+    rule)."""
+    return (
+        "ex AS MATERIALIZED (SELECT doc_id, "
+        "CAST(generate_subscripts(t, 1) AS BIGINT) AS pos, unnest(t) AS tok "
+        "FROM (SELECT doc_id, string_split("
+        + norm_text_sql("text")
+        + f", ' ') AS t FROM {src})), "
+        "noisy AS (SELECT doc_id, pos, CASE WHEN ("
+        + exact.md5_coin_sql(_L47_COIN, salt="l47n")
+        + f") < {L47_NOISE} THEN 'gib' || CAST(("
+        + exact.md5_prefix_int_sql(f"'l47g:' || {_L47_COIN}")
+        + f") % {L47_NGIB} AS VARCHAR) ELSE tok END AS tok FROM ex), "
+        "stream AS (SELECT doc_id, pos, 'clean' AS variant, tok FROM ex "
+        "UNION ALL SELECT doc_id, pos, 'noisy' AS variant, tok FROM noisy), "
+        "pairs AS (SELECT doc_id, variant, tok, LEAD(tok) OVER "
+        "(PARTITION BY doc_id, variant ORDER BY pos) AS nxt FROM stream), "
+        "rawf AS (SELECT doc_id, variant, unnest(CASE WHEN nxt IS NULL "
+        "THEN ['u:' || tok] ELSE ['u:' || tok, 'b:' || tok || ' ' || nxt] END"
+        ") AS feat FROM pairs), "
+        "feats AS MATERIALIZED (SELECT doc_id, variant, "
+        "CAST(CASE WHEN variant = 'clean' THEN 1 ELSE 0 END AS INTEGER) AS label, ("
+        + exact.md5_prefix_int_sql("'l47f:' || feat")
+        + f") % {L47_V} AS f FROM rawf), "
+        "cnt AS (SELECT f, CAST(COUNT_IF(label = 1) AS BIGINT) AS c1, "
+        "CAST(COUNT_IF(label = 0) AS BIGINT) AS c0 "
+        f"FROM feats WHERE {train_pred} GROUP BY f), "
+        "tot AS (SELECT CAST(COUNT_IF(label = 1) AS BIGINT) AS t1, "
+        "CAST(COUNT_IF(label = 0) AS BIGINT) AS t0 "
+        f"FROM feats WHERE {train_pred}), "
+        f"dom AS (SELECT range AS f FROM range(0, {L47_V})), "
+        "w AS MATERIALIZED (SELECT dom.f, "
+        "ROUND(LN(2 * COALESCE(c1, 0) + 1) - LN(2 * t1 + "
+        f"{L47_V}) - LN(2 * COALESCE(c0, 0) + 1) + LN(2 * t0 + {L47_V}), 12) "
+        "AS w FROM dom LEFT JOIN cnt ON dom.f = cnt.f CROSS JOIN tot)"
+    )
+
+
 #: Shared CTE prefix (fixture -> features -> trained weights) — module
 #: level so l49's distribution report embeds the SAME training SQL
 #: (one definition, the _L35_ORACLE rule).
-_L47_CTES = (
-    "ex AS MATERIALIZED (SELECT doc_id, "
-    "CAST(generate_subscripts(t, 1) AS BIGINT) AS pos, unnest(t) AS tok "
-    "FROM (SELECT doc_id, string_split("
-    + norm_text_sql("text")
-    + ", ' ') AS t FROM documents)), "
-    "noisy AS (SELECT doc_id, pos, CASE WHEN ("
-    + exact.md5_coin_sql(_L47_COIN, salt="l47n")
-    + f") < {L47_NOISE} THEN 'gib' || CAST(("
-    + exact.md5_prefix_int_sql(f"'l47g:' || {_L47_COIN}")
-    + f") % {L47_NGIB} AS VARCHAR) ELSE tok END AS tok FROM ex), "
-    "stream AS (SELECT doc_id, pos, 'clean' AS variant, tok FROM ex "
-    "UNION ALL SELECT doc_id, pos, 'noisy' AS variant, tok FROM noisy), "
-    "pairs AS (SELECT doc_id, variant, tok, LEAD(tok) OVER "
-    "(PARTITION BY doc_id, variant ORDER BY pos) AS nxt FROM stream), "
-    "rawf AS (SELECT doc_id, variant, unnest(CASE WHEN nxt IS NULL "
-    "THEN ['u:' || tok] ELSE ['u:' || tok, 'b:' || tok || ' ' || nxt] END"
-    ") AS feat FROM pairs), "
-    "feats AS MATERIALIZED (SELECT doc_id, variant, "
-    "CAST(CASE WHEN variant = 'clean' THEN 1 ELSE 0 END AS INTEGER) AS label, ("
-    + exact.md5_prefix_int_sql("'l47f:' || feat")
-    + f") % {L47_V} AS f FROM rawf), "
-    "cnt AS (SELECT f, CAST(COUNT_IF(label = 1) AS BIGINT) AS c1, "
-    "CAST(COUNT_IF(label = 0) AS BIGINT) AS c0 "
-    "FROM feats WHERE doc_id % 2 = 0 GROUP BY f), "
-    "tot AS (SELECT CAST(COUNT_IF(label = 1) AS BIGINT) AS t1, "
-    "CAST(COUNT_IF(label = 0) AS BIGINT) AS t0 "
-    "FROM feats WHERE doc_id % 2 = 0), "
-    f"dom AS (SELECT range AS f FROM range(0, {L47_V})), "
-    "w AS MATERIALIZED (SELECT dom.f, "
-    "ROUND(LN(2 * COALESCE(c1, 0) + 1) - LN(2 * t1 + "
-    f"{L47_V}) - LN(2 * COALESCE(c0, 0) + 1) + LN(2 * t0 + {L47_V}), 12) "
-    "AS w FROM dom LEFT JOIN cnt ON dom.f = cnt.f CROSS JOIN tot)"
-)
+_L47_CTES = _l47_train_sql()
 
 _L47_ORACLE = (
     "WITH " + _L47_CTES + ", "
@@ -715,8 +724,18 @@ def l47_weights(spark: SparkSession, sf_dir: str):
     ((c + 0.5) / (T + 0.5 V) = (2c + 1) / (2T + V) — every LN argument
     is an exact integer, cross-engine). Separated out so the scoring
     path and tests can reuse the identical trained model."""
-    feats = _l47_features(spark, sf_dir).localCheckpoint(eager=True)
-    train = feats.where(F.col("doc_id") % 2 == 0)
+    docs = T(spark, sf_dir, "documents")
+    return l47_train(docs, F.col("doc_id") % 2 == 0)
+
+
+def l47_train(docs: DataFrame, train_pred):
+    """(feats, weights) over an arbitrary (doc_id, text) corpus,
+    training on rows where ``train_pred`` holds — the Spark twin of
+    _l47_train_sql (inc6 trains on the HISTORY slice only and keeps
+    the model fixed when deltas arrive)."""
+    spark = docs.sparkSession
+    feats = _l47_features(docs).localCheckpoint(eager=True)
+    train = feats.where(train_pred)
     cnt = train.groupBy("f").agg(
         F.count_if(F.col("label") == 1).alias("c1"),
         F.count_if(F.col("label") == 0).alias("c0"),
@@ -744,16 +763,16 @@ def l47_weights(spark: SparkSession, sf_dir: str):
     return feats, w
 
 
-def _l47_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _l47_features(docs: DataFrame) -> DataFrame:
     """(doc_id, variant, label, f) hashed-feature occurrences for the
-    clean corpus and its deterministically degraded twin.
+    clean corpus and its deterministically degraded twin, over an
+    arbitrary (doc_id, text) frame.
 
     The degraded twin replaces ``L47_NOISE`` of token positions with a
     16-word gibberish vocabulary, chosen by the md5 coin over
     (doc_id, pos) — reproducible across engines/retries/partitioning,
     the documents_dup fixture discipline. Both variants come out of
     ONE posexplode via an explode-of-two-structs (no second scan)."""
-    docs = T(spark, sf_dir, "documents")
     ex = (
         docs.withColumn("__toks", tokens_col("text"))
         .select("doc_id", F.posexplode("__toks").alias("pos0", "tok"))
@@ -1121,3 +1140,100 @@ def pipeline_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "tokens_final": 0})
     )
     return out.orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# INC6 — incremental quality scoring: fixed model, score the delta only
+# ---------------------------------------------------------------------------
+
+_INC6_HIST = "doc_id % 4 < 3"
+_INC6_DELTA = "doc_id % 4 = 3"
+
+
+def _inc6_oracle() -> str:
+    return (
+        "WITH "
+        + _l47_train_sql(
+            src=f"(SELECT * FROM documents WHERE {_INC6_HIST}) h",
+            train_pred="TRUE",
+        )
+        + ", "
+        + _l47_clean_feat_sql("documents", "s")
+        + ", scored AS (SELECT sfeats.doc_id, ROUND("
+        + exact.rsum12_sql("w")
+        + ", 8) AS score FROM sfeats JOIN w ON sfeats.f = w.f "
+        "GROUP BY sfeats.doc_id) "
+        "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT_IF(score > 0) AS BIGINT) AS n_kept, "
+        "(" + exact.rsum12_sql("score") + " / CAST(COUNT(*) AS DOUBLE)) "
+        "AS mean_score, "
+        "MIN(score) AS min_score, MAX(score) AS max_score "
+        "FROM scored JOIN documents d ON d.doc_id = scored.doc_id "
+        "GROUP BY d.lang ORDER BY d.lang"
+    )
+
+
+@register(
+    "inc6_incremental_quality",
+    oracle=_inc6_oracle(),
+    tags=("INC6", "L47", "incremental", "scale"),
+)
+def inc6_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC6: the quality filter run INCREMENTALLY — the model is a
+    1024-row weight table trained ONCE on the history slice and then
+    FROZEN; when a delta batch lands, only the delta is tokenized and
+    scored (broadcast stored weights, map-only) and its per-doc scores
+    are APPENDED to the persisted score store — history text is never
+    re-read (the inc-family scan-cost rule applied to l47). The
+    corpus-wide quality report then reads the merged store.
+
+    Stored-state discipline kept literal (the inc4b/inc5 proof style):
+    weights go to parquet, the scorer reads them BACK from disk, hist
+    scores are written, delta scores appended (the append job's
+    lineage reads the WEIGHTS path and the delta — never the store it
+    writes to, the advice-r08 inc5 rule), and the report's lineage
+    starts at the stored table — while the oracle recomputes the SAME
+    report from raw text in one shot. Hash equality proves the
+    persisted model + appended scores carry full fidelity.
+
+    At 100 TB: per delta batch the cost is |delta| tokenization + a
+    broadcast join — corpus-size independent; the report is a
+    lang-keyed agg over the compact score store."""
+    from ipydataclean_spark.operators.qhelp import scratch_dir
+
+    docs = T(spark, sf_dir, "documents")
+    hist = docs.where(F.expr(_INC6_HIST))
+    delta = docs.where(F.expr(_INC6_DELTA))
+
+    _, w = l47_train(hist, F.lit(True))
+    wpath = scratch_dir(spark, "inc6_weights")
+    w.write.mode("overwrite").parquet(wpath)
+    stored_w = spark.read.parquet(wpath)
+
+    def score(d: DataFrame) -> DataFrame:
+        return (
+            l47_clean_features(d.select("doc_id", "text"))
+            .join(F.broadcast(stored_w), "f")
+            .groupBy("doc_id")
+            .agg(F.round(exact.rsum12("w"), 8).alias("score"))
+        )
+
+    spath = scratch_dir(spark, "inc6_scores")
+    score(hist).write.mode("overwrite").parquet(spath)
+    score(delta).write.mode("append").parquet(spath)
+
+    merged = spark.read.parquet(spath)
+    return (
+        merged.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("score") > 0).alias("n_kept"),
+            (
+                exact.rsum12("score") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang")
+    )

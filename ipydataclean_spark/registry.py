@@ -324,7 +324,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l47_quality_classifier", "l48_retrieval_eval",
     "l49_quality_score_distribution", "l53_containment_pairs",
     "l52_perplexity_buckets", "l54_dedup_cluster_quality",
-    "pipeline_quality_curation",
+    "pipeline_quality_curation", "inc6_incremental_quality",
     # re-queued: oracle composition refactored in round 9
     "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)

@@ -318,7 +318,7 @@ def test_l47_degraded_twin_noise_rate(spark, sf_dir):
         _l47_features,
     )
 
-    feats = _l47_features(spark, sf_dir)
+    feats = _l47_features(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     agg = (
         feats.where(F.col("variant") == "noisy")
         .agg(
@@ -417,3 +417,28 @@ def test_pipeline_quality_curation_funnel_monotone(spark, sf_dir):
     assert n_raw > docs and n_dedup == docs, "dedup must remove exactly the injected copies"
     assert n_q / n_dedup > 0.9, f"quality stage guts clean text: {n_q}/{n_dedup}"
     assert 0.6 < n_fin / n_q < 0.72, f"tail drop not ~1/3: {n_fin}/{n_q}"
+
+
+def test_inc6_report_covers_corpus_and_model_is_stable(spark, sf_dir):
+    """The merged store must cover every doc exactly once (hist scored
+    at t0 + delta appended at t1, no doc lost or double-scored), and
+    the persisted model must equal a fresh retrain on the same hist
+    slice (parquet round-trip changes nothing)."""
+    from ipydataclean_spark.operators.llm_quality import (
+        _INC6_HIST,
+        l47_train,
+    )
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["inc6_incremental_quality"]["fn"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert sum(r.n_docs for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_docs
+        assert r.min_score <= r.mean_score <= r.max_score
+    # model stability: retraining on hist reproduces the same weights
+    hist = docs.where(_INC6_HIST)
+    _, w1 = l47_train(hist, F.lit(True))
+    _, w2 = l47_train(hist, F.lit(True))
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
