@@ -988,29 +988,32 @@ def l47_clean_features(docs: DataFrame) -> DataFrame:
     """(doc_id, f) hashed clean-text feature occurrences over an
     arbitrary (doc_id, text) frame — the Spark twin of
     _l47_clean_feat_sql, used to score corpora other than the training
-    fixture (the curation composite scores dedup survivors)."""
-    ex = (
+    fixture (the curation composite scores dedup survivors; the st13
+    streaming filter scores micro-batches).
+
+    MAP-SIDE: unigrams and bigrams come out of per-row array
+    transforms over the materialized token array (the l21 bigram
+    pattern) — no window, no shuffle before the explode, so scoring
+    pipelines as a scan-side stage AND the builder is legal on a
+    streaming DataFrame (window functions are not). The SQL twin keeps
+    its LEAD form; the feature multiset is identical."""
+    toks = F.col("__toks")
+    unis = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.lit("b:"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    rawf = (
         docs.withColumn("__toks", tokens_col("text"))
-        .select("doc_id", F.posexplode("__toks").alias("pos0", "tok"))
-        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    )
-    w_ord = Window.partitionBy("doc_id").orderBy("pos")
-    pairs = ex.withColumn("nxt", F.lead("tok").over(w_ord))
-    rawf = pairs.select(
-        "doc_id",
-        F.explode(
-            F.when(
-                F.col("nxt").isNull(),
-                F.array(F.concat(F.lit("u:"), F.col("tok"))),
-            ).otherwise(
-                F.array(
-                    F.concat(F.lit("u:"), F.col("tok")),
-                    F.concat(
-                        F.lit("b:"), F.col("tok"), F.lit(" "), F.col("nxt")
-                    ),
-                )
-            )
-        ).alias("feat"),
+        .select("doc_id", F.explode(F.concat(unis, bis)).alias("feat"))
     )
     return rawf.select(
         "doc_id",

@@ -399,3 +399,52 @@ def st12_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "status", "canonical_id")
         .orderBy("doc_id")
     )
+
+
+def _st13_oracle() -> str:
+    from ipydataclean_spark.operators.llm_quality import (
+        _L47_CTES,
+        _l47_clean_feat_sql,
+    )
+
+    return (
+        "WITH " + _L47_CTES + ", "
+        + _l47_clean_feat_sql("documents", "s")
+        + ", scored AS (SELECT sfeats.doc_id, ROUND("
+        + exact.rsum12_sql("w")
+        + ", 8) AS score FROM sfeats JOIN w ON sfeats.f = w.f "
+        "GROUP BY sfeats.doc_id) "
+        "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT_IF(score > 0) AS BIGINT) AS n_kept, "
+        "(" + exact.rsum12_sql("score") + " / CAST(COUNT(*) AS DOUBLE)) "
+        "AS mean_score "
+        "FROM scored JOIN documents d ON d.doc_id = scored.doc_id "
+        "GROUP BY d.lang ORDER BY d.lang"
+    )
+
+
+@register(
+    "st13_quality_filter",
+    oracle=_st13_oracle(),
+    tags=("ST13", "ST7", "L47", "streaming", "quality"),
+)
+def st13_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST13 batch twin: the trained quality filter as a stream stage —
+    per-row fold scoring against the l47 model shipped as a dense
+    1024-double literal array, one per-language keep aggregation (the
+    query's only stateful operator; chained per-doc-then-per-lang aggs
+    would be illegal on a stream). The builder
+    (stream.quality_filter_agg) is shared verbatim with the streaming
+    form; tests/test_streaming.py replays the documents stream with
+    availableNow + complete mode and asserts equality with this twin.
+
+    The oracle certifies the whole chain — training, per-row decimal
+    fold (associative-exact, so fold order vs the oracle's grouped
+    DECIMAL sum cannot diverge), keep policy, per-lang report."""
+    from ipydataclean_spark.operators.llm_quality import l47_weights
+    from ipydataclean_spark.streaming.stream import quality_filter_agg
+
+    _, w = l47_weights(spark, sf_dir)
+    wlist = [r.w for r in w.orderBy("f").collect()]
+    docs = T(spark, sf_dir, "documents")
+    return quality_filter_agg(docs, wlist).orderBy("lang")

@@ -649,3 +649,84 @@ def ingest_dedup_batch(
         )
         high_water = bv
     return high_water
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 for the documents table: unbounded file source over the
+    fixture dir (schema from one batch footer read, the events_stream
+    rule)."""
+    schema = spark.read.parquet(catalog.table_path(sf_dir, "documents")).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
+    """ST13: the trained quality filter as a STREAMING stage. The
+    model ships as a DENSE 1024-double literal array (index = feature
+    bucket — the deployed form of l47's weight table: a model is plan
+    metadata, not data), so each document is scored by a PER-ROW fold:
+    tokenize → unigram+bigram features → bucket hash → DECIMAL
+    accumulate of round-12 weights → round-8 score. No join, no
+    per-doc aggregation — which is what makes the per-language keep
+    report the query's ONLY stateful operator (structured streaming
+    forbids chained aggregations; the naive score-agg-then-report-agg
+    form is not runnable on a stream). Complete output mode: the
+    report is a running corpus-composition total, not a time window.
+    Identical builder for the batch twin (the §2.8 contract)."""
+    from ipydataclean_spark.operators.llm_quality import L47_V
+
+    if len(wlist) != L47_V:
+        raise ValueError(f"quality_filter_agg: model must be dense over {L47_V} buckets")
+    warr = F.array(*[F.lit(float(w)) for w in wlist])
+    toks = F.col("__toks")
+    unis = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
+    bis = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.lit("b:"),
+                F.element_at(toks, i),
+                F.lit(" "),
+                F.element_at(toks, i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    idx = F.transform(
+        F.concat(unis, bis),
+        lambda x: exact.md5_prefix_int(F.concat(F.lit("l47f:"), x))
+        % F.lit(L47_V),
+    )
+    # DECIMAL(28,12) accumulator: Spark's decimal-addition rule keeps
+    # scale 12 at precision <= 38 only when the operands' integral
+    # part is narrow enough (38,12 + 38,12 silently drops to scale 11
+    # and truncates the 12th digit); weights are |w| < 10 and docs
+    # have < 10^3 features, so (28,12) arithmetic is exact and the
+    # recast per step is lossless
+    dec = "decimal(28,12)"
+    score = F.round(
+        F.aggregate(
+            idx,
+            F.lit(0).cast(dec),
+            lambda acc, i: (
+                acc + F.element_at(warr, (i + 1).cast("int")).cast(dec)
+            ).cast(dec),
+        ).cast("double"),
+        8,
+    )
+    from ipydataclean_spark.operators.llm import tokens_col
+
+    scored = docs.withColumn("__toks", tokens_col("text")).select(
+        "lang", score.alias("score")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("score") > 0).alias("n_kept"),
+        (exact.rsum12("score") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_score"
+        ),
+    )

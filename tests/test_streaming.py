@@ -522,3 +522,32 @@ def test_st12_replay_idempotent(spark, sf_dir, tmp_path):
         102: "dup_in_batch",
         103: "novel",
     }
+
+
+def test_st13_quality_filter_replay_equals_batch(spark, sf_dir):
+    """ST13: the trained quality filter drained over the documents
+    stream (complete mode — the per-lang report is the query's only
+    stateful operator) must equal the batch twin exactly, model
+    weights and all."""
+    from ipydataclean_spark.operators.llm_quality import l47_weights
+    from ipydataclean_spark.streaming.stream import (
+        documents_stream,
+        quality_filter_agg,
+    )
+
+    _, w = l47_weights(spark, sf_dir)
+    wlist = [r.w for r in w.orderBy("f").collect()]
+    batch = quality_filter_agg(load_table(spark, sf_dir, "documents"), wlist)
+    stream = quality_filter_agg(documents_stream(spark, sf_dir), wlist)
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_st13")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = ["lang", "n_docs", "n_kept", "mean_score"]
+        assert _sorted_rows(spark.table("t_st13"), cols) == _sorted_rows(batch, cols)
