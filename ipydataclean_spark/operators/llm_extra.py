@@ -1830,7 +1830,11 @@ def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     l43 (shared gram-hash agg + doc-partitioned windows, output
     linear in docs). Rows-only by design: an oracle would replay
     l43's SQL, defeating the independence that makes the audit
-    meaningful."""
+    meaningful. (Review r09 trimmed the first cut's dead work: the
+    kernel's mergesort had no effect on the order-independent
+    nunique mask, and the 8-token suffix strings were only ever read
+    3 tokens deep — the qualifying test needs exactly the suffix's
+    3-token prefix, i.e. the length-3 case of Lee-et-al lcp >= L.)"""
     import pandas as pd
 
     d = documents_dup(spark, sf_dir)
@@ -1839,14 +1843,14 @@ def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("wds") >= 3)
         .localCheckpoint(eager=True)
     )
-    # suffix table, truncated to 8 tokens (lcp detection needs only 3;
-    # the truncation bounds shuffle width, not semantics)
+    # suffix table, carried at the 3-token prefix (the qualifying
+    # test reads exactly lcp >= 3; longer carry is dead shuffle bytes)
     sfx = toks.select(
         "doc_id",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(1), F.size("wds") - 2),
-                lambda i: F.array_join(F.slice("wds", i, 8), " "),
+                lambda i: F.array_join(F.slice("wds", i, 3), " "),
             )
         ).alias("pos0", "sfx"),
     ).select(
@@ -1857,11 +1861,10 @@ def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def mark_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one leading-token suffix group: sort, bucket by the 3-token
-        # prefix, keep suffixes whose bucket spans >= 2 docs
-        pdf = pdf.sort_values(["sfx", "doc_id", "pos"], kind="mergesort")
-        pre = pdf["sfx"].str.split(" ").str[:3].str.join(" ")
-        ndocs = pdf.groupby(pre)["doc_id"].transform("nunique")
+        # one leading-token suffix group: bucket by the 3-token prefix,
+        # keep suffixes whose bucket spans >= 2 docs (order-independent
+        # nunique mask — no sort needed, review r09)
+        ndocs = pdf.groupby("sfx")["doc_id"].transform("nunique")
         return pdf.loc[ndocs >= 2, ["doc_id", "pos"]]
 
     covered = sfx.groupBy("lead_tok").applyInPandas(

@@ -708,7 +708,7 @@ _L47_ORACLE = (
     + exact.rsum12_sql("w")
     + " AS s FROM feats JOIN w ON feats.f = w.f "
     "WHERE feats.doc_id % 2 = 1 GROUP BY 1, 2, 3) "
-    "SELECT doc_id, variant, label, n_feats, ROUND(s, 8) AS score, "
+    "SELECT doc_id, variant, label, n_feats, s AS score, "
     "CAST(CASE WHEN s > 0 THEN 1 ELSE 0 END AS INTEGER) AS predicted "
     "FROM scored ORDER BY doc_id, variant"
 )
@@ -856,8 +856,11 @@ def l47_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the weights feed every score) and SCORING in one table.
 
     Exactness: every LN argument is an exact integer; each weight
-    rounds to 12 dp; per-doc sums are DECIMAL (rsum12) so order of
-    summation can't flip the 8-dp output (the l38/d11 discipline).
+    rounds to 12 dp; per-doc sums are DECIMAL (rsum12), order-
+    independent, and emitted as RAW doubles — a final ROUND(...,8)
+    would sit exactly on the 8-dp half whenever the exact 12-dp sum
+    ends in ...5000, where the engines' ROUND disagree (review r09,
+    the l49 boundary class).
 
     At 100 TB: training is one explode + a 1024-key partial agg
     (map-side combine; the feature space, not the corpus, bounds the
@@ -880,7 +883,7 @@ def l47_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         "label",
         "n_feats",
-        F.round("s", 8).alias("score"),
+        F.col("s").alias("score"),
         (F.col("s") > 0).cast("int").alias("predicted"),
     ).orderBy("doc_id", "variant")
 
@@ -890,15 +893,15 @@ _L49_ORACLE = (
     # deployment scoring: every CLEAN doc (train + held-out — the
     # report describes the real corpus; degraded twins were training
     # negatives only)
-    "scoredall AS (SELECT feats.doc_id, ROUND("
+    "scoredall AS (SELECT feats.doc_id, ("
     + exact.rsum12_sql("w")
-    + ", 8) AS score FROM feats JOIN w ON feats.f = w.f "
+    + ") AS score FROM feats JOIN w ON feats.f = w.f "
     "WHERE feats.variant = 'clean' GROUP BY feats.doc_id) "
     "SELECT d.source, d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
     "(("
     + exact.rsum12_sql("score")
     + ") / CAST(COUNT(*) AS DOUBLE)) AS mean_score, "
-    "ROUND(MIN(score), 8) AS min_score, ROUND(MAX(score), 8) AS max_score, "
+    "MIN(score) AS min_score, MAX(score) AS max_score, "
     "(CAST(COUNT_IF(score > 0) AS BIGINT) / CAST(COUNT(*) AS BIGINT)) "
     "AS keep_rate "
     "FROM scoredall JOIN documents d ON d.doc_id = scoredall.doc_id "
@@ -921,7 +924,7 @@ def l49_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     scores). Scores every CLEAN doc — train and held-out alike — since
     the report describes corpus composition, not model validation.
 
-    Exactness: per-doc scores are the l47 pipeline's round-8 outputs;
+    Exactness: per-doc scores are the l47 pipeline's raw doubles;
     the slice mean is a 12-dp DECIMAL sum (rsum12 — an 8-dp value
     re-rounds to 12 dp exactly, unlike the 6-dp davg cast, which
     half-up/half-even diverges — the d19 lesson) divided once and
@@ -939,7 +942,7 @@ def l49_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         feats.where(F.col("variant") == "clean")
         .join(F.broadcast(w), "f")
         .groupBy("doc_id")
-        .agg(F.round(exact.rsum12("w"), 8).alias("score"))
+        .agg(exact.rsum12("w").alias("score"))
     )
     docs = T(spark, sf_dir, "documents").select("doc_id", "source", "lang")
     return (
@@ -950,8 +953,8 @@ def l49_quality_score_distribution(spark: SparkSession, sf_dir: str) -> DataFram
             (
                 exact.rsum12("score") / F.count(F.lit(1)).cast("double")
             ).alias("mean_score"),
-            F.round(F.min("score"), 8).alias("min_score"),
-            F.round(F.max("score"), 8).alias("max_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
             (
                 F.count_if(F.col("score") > 0) / F.count(F.lit(1))
             ).alias("keep_rate"),
@@ -1042,9 +1045,9 @@ def _pipeline_quality_oracle() -> str:
         "surv AS MATERIALIZED (SELECT doc_id, text, lang, source "
         "FROM keyed WHERE rn = 1), "
         + _l47_clean_feat_sql("surv", "s")
-        + ", scored AS (SELECT sfeats.doc_id, ROUND("
+        + ", scored AS (SELECT sfeats.doc_id, ("
         + exact.rsum12_sql("w")
-        + ", 8) AS score FROM sfeats JOIN w ON sfeats.f = w.f "
+        + ") AS score FROM sfeats JOIN w ON sfeats.f = w.f "
         "GROUP BY sfeats.doc_id), "
         "lmsc AS MATERIALIZED (SELECT * FROM (" + _L18_ORACLE + ")), "
         "kept AS (SELECT surv.doc_id, surv.lang, surv.source, "
@@ -1116,7 +1119,7 @@ def pipeline_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         l47_clean_features(surv.select("doc_id", "text"))
         .join(F.broadcast(w), "f")
         .groupBy("doc_id")
-        .agg(F.round(exact.rsum12("w"), 8).alias("score"))
+        .agg(exact.rsum12("w").alias("score"))
     )
     lm = l18_unigram_logprob(spark, sf_dir)
     kept = (
@@ -1162,9 +1165,9 @@ def _inc6_oracle() -> str:
         )
         + ", "
         + _l47_clean_feat_sql("documents", "s")
-        + ", scored AS (SELECT sfeats.doc_id, ROUND("
+        + ", scored AS (SELECT sfeats.doc_id, ("
         + exact.rsum12_sql("w")
-        + ", 8) AS score FROM sfeats JOIN w ON sfeats.f = w.f "
+        + ") AS score FROM sfeats JOIN w ON sfeats.f = w.f "
         "GROUP BY sfeats.doc_id) "
         "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(COUNT_IF(score > 0) AS BIGINT) AS n_kept, "
@@ -1218,7 +1221,7 @@ def inc6_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             l47_clean_features(d.select("doc_id", "text"))
             .join(F.broadcast(stored_w), "f")
             .groupBy("doc_id")
-            .agg(F.round(exact.rsum12("w"), 8).alias("score"))
+            .agg(exact.rsum12("w").alias("score"))
         )
 
     spath = scratch_dir(spark, "inc6_scores")

@@ -551,13 +551,17 @@ _L48_GOLD_SQL = (
 _L48_ORACLE = (
     "WITH " + _L48_GOLD_SQL + ", "
     # the three production runs, each a (system, doc_id, rank) table
+    # doc_id 0 is the query itself — excluded from EVERY run
+    # symmetrically (self-retrieval is not a hit and must not occupy
+    # a rank slot in one leg but not another — review r09)
     "lex AS (SELECT doc_id, score FROM (SELECT gtf.doc_id, "
     + exact.dsum_sql("tf * (n_docs - df + 0.5) / (df + 0.5)")
     + " AS score FROM gtf JOIN gdf ON gtf.t = gdf.t CROSS JOIN gn "
+    "WHERE gtf.doc_id <> 0 "
     f"GROUP BY gtf.doc_id ORDER BY score DESC, gtf.doc_id LIMIT {_L48_GOLD})), "
     "sem AS (SELECT doc_id, cos FROM gcs "
     f"ORDER BY cos DESC, doc_id LIMIT {_L48_GOLD}), "
-    "fus AS (SELECT doc_id, rrf FROM (" + _L35_ORACLE + ")), "
+    "fus AS (SELECT doc_id, rrf FROM (" + _L35_ORACLE + ") WHERE doc_id <> 0), "
     "runs AS (SELECT 'lexical' AS system, doc_id, CAST(ROW_NUMBER() OVER "
     "(ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM lex "
     "UNION ALL SELECT 'semantic', doc_id, CAST(ROW_NUMBER() OVER "
@@ -695,9 +699,18 @@ def l48_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy(*order)).cast("long").alias("rank"),
         )
 
-    lex = bm.orderBy(F.desc("bms"), "doc_id").limit(_L48_GOLD)
+    # self-retrieval excluded from every run symmetrically (review r09)
+    lex = (
+        bm.where(F.col("doc_id") != 0)
+        .orderBy(F.desc("bms"), "doc_id")
+        .limit(_L48_GOLD)
+    )
     sem = cs.orderBy(F.desc("cos"), "doc_id").limit(_L48_GOLD)
-    fus = l35_hybrid_rrf(spark, sf_dir).select("doc_id", "rrf")
+    fus = (
+        l35_hybrid_rrf(spark, sf_dir)
+        .where(F.col("doc_id") != 0)
+        .select("doc_id", "rrf")
+    )
     runs = (
         ranked(lex, (F.desc("bms"), "doc_id"), "lexical")
         .unionByName(ranked(sem, (F.desc("cos"), "doc_id"), "semantic"))

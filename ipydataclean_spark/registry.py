@@ -283,11 +283,13 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # the other 30 window slots were prior-green re-proofs (p1..c8),
     # already members above.
     "l2i_dedup_savings",
-    # l2h_lsh_recall_audit / l3m_ivf_recall_audit were r8-green but
-    # their md5_coin_sql helper gained a salt-safety assert in round 9
-    # (advice r08 #4; generated oracle strings byte-identical for the
-    # internal salts, but changed helper ⇒ consumers re-queued per the
-    # standing rule)
+    # l2h/l3m stay IN this set for round 9: the md5_coin_sql hardening
+    # (advice r08 #4) does not touch them — their registered defaults
+    # (fraction=1.0) never execute md5_coin, the Spark-side md5_coin is
+    # unchanged, and their oracle strings contain no coin expression
+    # (verified by call-chain audit, review r09 — an earlier draft of
+    # this round re-queued them on a wrong rationale)
+    "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
     "l2b_jaccard_pairs",
     # l2j_dedup_threshold_sweep was r8-green but its oracle composition
     # was refactored in round 9 (_SIZES_COMMON_VER_CTES extraction —
@@ -317,8 +319,6 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
 CORE_FRESH_FIRST: tuple[str, ...] = (
     # re-queued: oracle moved to module constant in round 8
     "l35_hybrid_rrf",
-    # re-queued: md5_coin_sql helper hardened in round 9 (advice r08)
-    "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
     # round-9 additions (appended as each operator registers — the
     # registry contract test rejects names with no registration)
     "l47_quality_classifier", "l48_retrieval_eval",

@@ -410,9 +410,9 @@ def _st13_oracle() -> str:
     return (
         "WITH " + _L47_CTES + ", "
         + _l47_clean_feat_sql("documents", "s")
-        + ", scored AS (SELECT sfeats.doc_id, ROUND("
+        + ", scored AS (SELECT sfeats.doc_id, ("
         + exact.rsum12_sql("w")
-        + ", 8) AS score FROM sfeats JOIN w ON sfeats.f = w.f "
+        + ") AS score FROM sfeats JOIN w ON sfeats.f = w.f "
         "GROUP BY sfeats.doc_id) "
         "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
         "CAST(COUNT_IF(score > 0) AS BIGINT) AS n_kept, "

@@ -708,16 +708,16 @@ def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
     # have < 10^3 features, so (28,12) arithmetic is exact and the
     # recast per step is lossless
     dec = "decimal(28,12)"
-    score = F.round(
-        F.aggregate(
-            idx,
-            F.lit(0).cast(dec),
-            lambda acc, i: (
-                acc + F.element_at(warr, (i + 1).cast("int")).cast(dec)
-            ).cast(dec),
-        ).cast("double"),
-        8,
-    )
+    # raw double out of the exact decimal fold — a final ROUND(...,8)
+    # is the l49 boundary class: an exact 12-dp sum can sit on a true
+    # 8-dp half where the engines' ROUND disagree (review r09)
+    score = F.aggregate(
+        idx,
+        F.lit(0).cast(dec),
+        lambda acc, i: (
+            acc + F.element_at(warr, (i + 1).cast("int")).cast(dec)
+        ).cast(dec),
+    ).cast("double")
     from ipydataclean_spark.operators.llm import tokens_col
 
     scored = docs.withColumn("__toks", tokens_col("text")).select(
