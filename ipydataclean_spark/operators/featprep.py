@@ -91,7 +91,9 @@ def one_hot(
                 "`max_categories`) — implicit derivation on a "
                 "high-cardinality column would explode the schema"
             )
-        values = [r[0] for r in rows]
+        # NULL is absence, not a category — and sorted() below would
+        # raise a confusing TypeError on a None mixed into strings
+        values = [r[0] for r in rows if r[0] is not None]
     cols: dict[str, F.Column] = {}
     for v in sorted(values):
         name = f"{col}__{str(v).lower().replace(' ', '_').replace('-', '_')}"

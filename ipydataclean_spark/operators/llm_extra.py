@@ -1000,6 +1000,47 @@ def l2i_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L2J_TAUS = (0.8, 0.9, 0.97, 0.99)
 
 
+def banded_verified_pairs(docs):
+    """(doc_a, doc_b, jac) — the PRODUCTION md5-banded candidate stage
+    followed by the exact word-3-gram Jaccard verify, un-thresholded;
+    materialized once (consumers filter and iterate over it). ONE
+    Spark definition to match the shared _SIZES_COMMON_VER_CTES SQL
+    segment (review r09: l54 had copy-pasted l2j's 30-line pipeline —
+    a drift between the sweep and the cluster audit would silently
+    de-certify the audit against the exact pipeline it judges)."""
+    sigs = llm.md5_minhash_sigs(docs)
+    bands = llm.md5_band_keys(sigs)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
+    cand = (
+        a.join(b, ["b", "bh"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sh = exploded_shingles(docs, "s")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    common = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("n_common")
+    )
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jac"))
+        .localCheckpoint(eager=True)
+    )
+
+
 #: Shared banded-candidate -> exact-verify SQL segment (sizes/common/
 #: ver over L2F_CTES' cand+sh) — module level so the l54 cluster-
 #: quality twin embeds the SAME verified-pair table as the l2j sweep
@@ -1089,39 +1130,10 @@ def l2j_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline per candidate threshold would pay the dominant cost four
     times to vary only the cheap final filter."""
     docs = documents_dup(spark, sf_dir)
-    sigs = llm.md5_minhash_sigs(docs)
-    bands = llm.md5_band_keys(sigs)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
-    cand = (
-        a.join(b, ["b", "bh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sh = exploded_shingles(docs, "s")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
     # one verified table feeds four sweep points and each point's
-    # cluster_pairs iterates over it — materialize once
-    ver = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .localCheckpoint(eager=True)
-    )
+    # cluster_pairs iterates over it — banded_verified_pairs
+    # materializes it once (shared with l54, review r09)
+    ver = banded_verified_pairs(docs)
     ids = docs.select(F.col("doc_id").alias("id"))
     q = docs.select(
         F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
@@ -2173,38 +2185,7 @@ def l54_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster_id over the EDGE table — cluster-table-sized, not
     corpus-sized."""
     docs = documents_dup(spark, sf_dir)
-    sigs = llm.md5_minhash_sigs(docs)
-    bands = llm.md5_band_keys(sigs)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "b", "bh")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "b", "bh")
-    cand = (
-        a.join(b, ["b", "bh"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sh = exploded_shingles(docs, "s")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sha = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    shb = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    common = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("n_common")
-    )
-    ver = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
-        .where(F.col("jac") >= _L54_TAU)
-        .localCheckpoint(eager=True)
-    )
+    ver = banded_verified_pairs(docs).where(F.col("jac") >= _L54_TAU)
     ids = docs.select(F.col("doc_id").alias("id"))
     labels = cluster_pairs(
         ids, ver.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),

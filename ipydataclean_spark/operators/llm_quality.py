@@ -987,20 +987,13 @@ def _l47_clean_feat_sql(src: str, p: str) -> str:
     )
 
 
-def l47_clean_features(docs: DataFrame) -> DataFrame:
-    """(doc_id, f) hashed clean-text feature occurrences over an
-    arbitrary (doc_id, text) frame — the Spark twin of
-    _l47_clean_feat_sql, used to score corpora other than the training
-    fixture (the curation composite scores dedup survivors; the st13
-    streaming filter scores micro-batches).
-
-    MAP-SIDE: unigrams and bigrams come out of per-row array
-    transforms over the materialized token array (the l21 bigram
-    pattern) — no window, no shuffle before the explode, so scoring
-    pipelines as a scan-side stage AND the builder is legal on a
-    streaming DataFrame (window functions are not). The SQL twin keeps
-    its LEAD form; the feature multiset is identical."""
-    toks = F.col("__toks")
+def clean_feature_array(toks) -> "F.Column":
+    """Feature-string array (unigrams + word bigrams, 'u:'/'b:'
+    tagged) from a MATERIALIZED token-array column — THE single
+    definition of the l47 scoring feature space (shared by
+    l47_clean_features and the st13 streaming fold; a private copy
+    drifting would silently score against a model trained in a
+    different space — review r09)."""
     unis = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
     bis = F.when(
         F.size(toks) >= 2,
@@ -1014,9 +1007,28 @@ def l47_clean_features(docs: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    return F.concat(unis, bis)
+
+
+def l47_clean_features(docs: DataFrame) -> DataFrame:
+    """(doc_id, f) hashed clean-text feature occurrences over an
+    arbitrary (doc_id, text) frame — the Spark twin of
+    _l47_clean_feat_sql, used to score corpora other than the training
+    fixture (the curation composite scores dedup survivors; the st13
+    streaming filter scores micro-batches).
+
+    MAP-SIDE: unigrams and bigrams come out of per-row array
+    transforms over the materialized token array (the l21 bigram
+    pattern, clean_feature_array) — no window, no shuffle before the
+    explode, so scoring pipelines as a scan-side stage AND the builder
+    is legal on a streaming DataFrame (window functions are not). The
+    SQL twin keeps its LEAD form; the feature multiset is identical."""
     rawf = (
         docs.withColumn("__toks", tokens_col("text"))
-        .select("doc_id", F.explode(F.concat(unis, bis)).alias("feat"))
+        .select(
+            "doc_id",
+            F.explode(clean_feature_array(F.col("__toks"))).alias("feat"),
+        )
     )
     return rawf.select(
         "doc_id",

@@ -646,10 +646,15 @@ def l48_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = tf.groupBy("t").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    term = (F.col("tf").cast("double")) * (
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
+    # association must match the oracle's `tf * (N - df + 0.5) / (df
+    # + 0.5)` = (tf * (N - df + 0.5)) / (df + 0.5) — the other
+    # grouping differs in the last ulp for ~1/4 of inputs and can
+    # flip the per-term DECIMAL rounding at scale (review r09; same
+    # form as bm25_scores)
+    term = (
+        F.col("tf").cast("double")
+        * (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+    ) / (F.col("df") + F.lit(0.5))
     bm = (
         tf.join(F.broadcast(dfreq), "t")
         .groupBy("doc_id")

@@ -676,28 +676,25 @@ def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
     forbids chained aggregations; the naive score-agg-then-report-agg
     form is not runnable on a stream). Complete output mode: the
     report is a running corpus-composition total, not a time window.
-    Identical builder for the batch twin (the §2.8 contract)."""
-    from ipydataclean_spark.operators.llm_quality import L47_V
+    Identical builder for the batch twin (the §2.8 contract).
+
+    Precondition: text must be non-NULL (the d19 documentation rule —
+    a NULL text scores NULL here and still counts in n_docs, while
+    the SQL twin's unnest drops the doc entirely; not reachable on
+    the fixture, where the empty STRING is safe in both engines)."""
+    from ipydataclean_spark.operators.llm_quality import (
+        L47_V,
+        clean_feature_array,
+    )
 
     if len(wlist) != L47_V:
         raise ValueError(f"quality_filter_agg: model must be dense over {L47_V} buckets")
-    warr = F.array(*[F.lit(float(w)) for w in wlist])
-    toks = F.col("__toks")
-    unis = F.transform(toks, lambda t: F.concat(F.lit("u:"), t))
-    bis = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.lit("b:"),
-                F.element_at(toks, i),
-                F.lit(" "),
-                F.element_at(toks, i + 1),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # ONE array Literal, not 1024 Literal children — a CreateArray
+    # node this wide is the measured l3b janino codegen cliff
+    # (bloom_bits_df documents the same rule; review r09)
+    warr = F.lit([float(w) for w in wlist])
     idx = F.transform(
-        F.concat(unis, bis),
+        clean_feature_array(F.col("__toks")),
         lambda x: exact.md5_prefix_int(F.concat(F.lit("l47f:"), x))
         % F.lit(L47_V),
     )

@@ -494,10 +494,8 @@ def test_l9l_injected_twin_clips_cluster(spark, sf_dir):
     for rep, r in within.items():
         assert r.max_hamming == 0 and r.all_frames_matched and r.n_pairs >= 1
         covered.add(rep)
-    missing = [d for d in expected if d not in covered
-               and not any(rep < d for rep in covered)]
-    # strict check: each expected doc must itself be a rep unless its
-    # signature collides with a smaller doc (possible but must be rare)
+    # each expected doc must itself be a rep unless its signature
+    # collides with a smaller doc (possible but must be rare)
     assert len(expected - covered) <= 2, f"twin clusters missing: {sorted(expected - covered)[:5]}"
     for r in rows:
         if r.doc_a != r.doc_b:
