@@ -1255,3 +1255,67 @@ def inc6_incremental_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_L55_ORACLE = (
+    "WITH heldout AS (SELECT * FROM (" + _L47_ORACLE + ")), "
+    "ranked AS (SELECT label, predicted, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY score, label, doc_id, variant) "
+    "AS BIGINT) AS r FROM heldout) "
+    "SELECT CAST(COUNT_IF(label = 1) AS BIGINT) AS n_pos, "
+    "CAST(COUNT_IF(label = 0) AS BIGINT) AS n_neg, "
+    "(CAST(SUM(CASE WHEN label = 1 THEN r ELSE 0 END) "
+    "- COUNT_IF(label = 1) * (COUNT_IF(label = 1) + 1) // 2 AS BIGINT) "
+    "/ CAST(COUNT_IF(label = 1) * COUNT_IF(label = 0) AS BIGINT)) AS auc, "
+    "(CAST(COUNT_IF(label = predicted) AS BIGINT) "
+    "/ CAST(COUNT(*) AS BIGINT)) AS accuracy "
+    "FROM ranked"
+)
+
+
+@register(
+    "l55_classifier_auc",
+    oracle=_L55_ORACLE,
+    tags=("L55", "L47", "quality", "eval"),
+)
+def l55_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L55: the quality classifier's ROC AUC on the held-out split —
+    the Mann-Whitney rank-sum form (public identity:
+    AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) / (n⁺ n⁻)), computed
+    over l47's certified held-out score table. Completes the trained
+    tier's evaluation story the way l48 did for retrieval: train
+    (l47) → deployment report (l49) → threshold-free quality (l55).
+
+    Exactness: ranks come from ROW_NUMBER over the deterministic
+    total order (score, label, doc_id, variant) — every quantity in
+    the AUC is an exact BIGINT and the result is ONE IEEE division
+    (same for accuracy). Tie note: cross-class score ties would make
+    row_number-AUC ordering-dependent in general; the deterministic
+    tie-break keeps both engines identical regardless, and the
+    fixture has no cross-class ties (scores separate by construction).
+
+    At 100 TB: one global rank over the held-out table — the eval
+    set, not the corpus, pays the sort (and a production run samples
+    its held-out set anyway)."""
+    from pyspark.sql import Window
+
+    heldout = l47_quality_classifier(spark, sf_dir)
+    w = Window.orderBy("score", "label", "doc_id", "variant")
+    ranked = heldout.select(
+        "label", "predicted", F.row_number().over(w).cast("long").alias("r")
+    )
+    n_pos = F.count_if(F.col("label") == 1)
+    n_neg = F.count_if(F.col("label") == 0)
+    pos_ranksum = F.sum(F.when(F.col("label") == 1, F.col("r")).otherwise(0))
+    return ranked.agg(
+        n_pos.alias("n_pos"),
+        n_neg.alias("n_neg"),
+        (
+            (pos_ranksum - (n_pos * (n_pos + 1) / 2).cast("long")).cast("long")
+            / (n_pos * n_neg).cast("long")
+        ).alias("auc"),
+        (
+            F.count_if(F.col("label") == F.col("predicted"))
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )

@@ -442,3 +442,17 @@ def test_inc6_report_covers_corpus_and_model_is_stable(spark, sf_dir):
     _, w1 = l47_train(hist, F.lit(True))
     _, w2 = l47_train(hist, F.lit(True))
     assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+
+
+def test_l55_auc_near_perfect_and_bounded(spark, sf_dir):
+    """AUC must be in [0, 1], near-perfect on the fixture (the classes
+    separate by construction), and consistent with the held-out
+    accuracy; rank identity sanity: n_pos + n_neg docs were ranked."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    r = QUERIES["l55_classifier_auc"]["fn"](spark, sf_dir).first()
+    assert r.n_pos > 0 and r.n_neg > 0 and r.n_pos == r.n_neg
+    assert 0.0 <= r.auc <= 1.0 and 0.0 <= r.accuracy <= 1.0
+    assert r.auc >= 0.99, f"classifier AUC collapsed: {r.auc}"
+    assert r.accuracy >= 0.95
