@@ -855,3 +855,63 @@ def l34_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "pack_id", "pack_offset", "doc_id")
     )
+
+
+#: ST14 benchmark slice over the RAW documents table (the static side
+#: a stream decontaminates against; doc_id-deterministic so stream and
+#: batch agree on the corpus/bench split)
+ST14_BENCH_PRED = "doc_id % 5 = 0"
+
+
+def bloom_decontaminate_agg(docs: DataFrame, bits_df: DataFrame) -> DataFrame:
+    """ST14 builder: the l44 bloom probe as a STREAMING stage — the
+    8 KB bitset rides a one-row stream-static broadcast join, each
+    document's distinct 8-grams are probed by PER-ROW array
+    expressions (size/filter over the materialized gram array — no
+    explode, no per-gram shuffle), and the per-source contamination
+    report is the query's only stateful operator (complete mode).
+    Identical builder for the batch twin (the §2.8 contract).
+
+    With l44 (batch) and inc5 (incremental bloom maintenance) this
+    closes the decontamination triple: the SAME bitset semantics in
+    all three execution modes."""
+    from ipydataclean_spark.operators.llm import shingles_col, tokens_col
+
+    corp = (
+        docs.withColumn("__toks", tokens_col("text"))
+        .withColumn("__grams", shingles_col(F.col("__toks"), 8))
+    )
+    probed = corp.crossJoin(F.broadcast(bits_df))
+    nh = F.size(F.filter(F.col("__grams"), lambda g: bloom_hit_col(g)))
+    perdoc = probed.select(
+        "source",
+        F.size("__grams").alias("ng"),
+        nh.alias("nh"),
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("nh") > 0).alias("n_flagged"),
+        F.sum("ng").cast("long").alias("n_grams"),
+        F.sum("nh").cast("long").alias("n_bloom_hits"),
+    )
+
+
+def st14_bench_positions(spark: SparkSession, sf_dir: str) -> list[int]:
+    """Distinct bloom positions of the static benchmark slice
+    (bounded: <= 2^16 ints) — computed batch-side once; the stream
+    only ever sees the packed bitset."""
+    from ipydataclean_spark.operators.llm import shingles_col, tokens_col
+    from ipydataclean_spark.operators.qhelp import T
+
+    bench = (
+        T(spark, sf_dir, "documents")
+        .where(F.expr(ST14_BENCH_PRED))
+        .withColumn("__toks", tokens_col("text"))
+        .select(F.explode(shingles_col(F.col("__toks"), 8)).alias("g"))
+        .distinct()
+    )
+    pos = None
+    for j in range(_BLOOM_K):
+        p = bench.select(_bloom_pos(F.col("g"), j).alias("p"))
+        pos = p if pos is None else pos.unionByName(p)
+    return [r.p for r in pos.distinct().collect()]

@@ -326,6 +326,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l52_perplexity_buckets", "l54_dedup_cluster_quality",
     "pipeline_quality_curation", "inc6_incremental_quality",
     "st13_quality_filter", "l55_classifier_auc",
+    "st14_bloom_decontaminate",
     # re-queued: oracle composition refactored in round 9
     "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)

@@ -448,3 +448,76 @@ def st13_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     wlist = [r.w for r in w.orderBy("f").collect()]
     docs = T(spark, sf_dir, "documents")
     return quality_filter_agg(docs, wlist).orderBy("lang")
+
+
+def _st14_oracle() -> str:
+    from ipydataclean_spark.operators.curation import (
+        _BLOOM_K,
+        ST14_BENCH_PRED,
+        _bloom_pos_sql,
+    )
+    from ipydataclean_spark.operators.llm import shingles_sql
+
+    pos_cols = ", ".join(
+        f"{_bloom_pos_sql('g', j)} AS p{j}" for j in range(_BLOOM_K)
+    )
+    set_union = " UNION ".join(
+        f"SELECT DISTINCT {_bloom_pos_sql('g', j)} AS p FROM bench"
+        for j in range(_BLOOM_K)
+    )
+    joins = " ".join(
+        f"LEFT JOIN setpos s{j} ON s{j}.p = pos.p{j}" for j in range(_BLOOM_K)
+    )
+    hit = " AND ".join(f"s{j}.p IS NOT NULL" for j in range(_BLOOM_K))
+    return (
+        "WITH bench AS MATERIALIZED (SELECT DISTINCT unnest("
+        + shingles_sql("text", n=8)
+        + f") AS g FROM documents WHERE {ST14_BENCH_PRED}), "
+        f"setpos AS MATERIALIZED ({set_union}), "
+        "corp AS (SELECT doc_id, unnest("
+        + shingles_sql("text", n=8)
+        + f") AS g FROM documents WHERE NOT ({ST14_BENCH_PRED})), "
+        f"pos AS (SELECT doc_id, g, {pos_cols} FROM corp), "
+        f"hits AS (SELECT pos.doc_id, ({hit}) AS bloom_hit FROM pos {joins}), "
+        "hagg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng, "
+        "CAST(COUNT_IF(bloom_hit) AS BIGINT) AS nh FROM hits GROUP BY doc_id) "
+        # LEFT JOIN keeps gram-less docs (< 8 tokens) in n_docs, the
+        # builder's per-row semantics (empty gram array, zero hits)
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT_IF(COALESCE(nh, 0) > 0) AS BIGINT) AS n_flagged, "
+        "CAST(SUM(COALESCE(ng, 0)) AS BIGINT) AS n_grams, "
+        "CAST(SUM(COALESCE(nh, 0)) AS BIGINT) AS n_bloom_hits "
+        "FROM documents d LEFT JOIN hagg ON hagg.doc_id = d.doc_id "
+        # qualify the shared pred's doc_id against the join ambiguity
+        f"WHERE NOT (d.{ST14_BENCH_PRED}) "
+        "GROUP BY d.source ORDER BY d.source"
+    )
+
+
+@register(
+    "st14_bloom_decontaminate",
+    oracle=_st14_oracle(),
+    tags=("ST14", "L44", "INC5", "streaming", "scale"),
+)
+def st14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST14 batch twin: benchmark decontamination ON THE INGEST STREAM
+    — the static benchmark suite folds into the 8 KB bloom bitset
+    batch-side once; the (streamed) corpus probes it via a one-row
+    stream-static broadcast and per-row array expressions, and the
+    per-source contamination report is the only stateful operator.
+    Closes the decontamination triple: l44 (batch), inc5 (incremental
+    bitset maintenance), st14 (streaming probe) — one bitset
+    semantics, certified in each execution mode (the oracle replays
+    the position-join form, false positives and all, grouped by
+    source). tests/test_streaming.py replays the documents stream
+    with availableNow + complete mode and asserts equality."""
+    from ipydataclean_spark.operators.curation import (
+        ST14_BENCH_PRED,
+        bloom_bits_df,
+        bloom_decontaminate_agg,
+        st14_bench_positions,
+    )
+
+    bits = bloom_bits_df(spark, st14_bench_positions(spark, sf_dir))
+    corpus = T(spark, sf_dir, "documents").where(f"NOT ({ST14_BENCH_PRED})")
+    return bloom_decontaminate_agg(corpus, bits).orderBy("source")

@@ -551,3 +551,41 @@ def test_st13_quality_filter_replay_equals_batch(spark, sf_dir):
         q.awaitTermination(120)
         cols = ["lang", "n_docs", "n_kept", "mean_score"]
         assert _sorted_rows(spark.table("t_st13"), cols) == _sorted_rows(batch, cols)
+
+
+def test_st14_bloom_decontaminate_replay_equals_batch(spark, sf_dir):
+    """ST14: the bloom probe drained over the documents stream
+    (stream-static bitset broadcast, complete-mode per-source report)
+    must equal the batch twin exactly — bitset, false positives and
+    all. Non-vacuity: the injected verbatim-bench overlap must flag
+    something."""
+    from ipydataclean_spark.operators.curation import (
+        ST14_BENCH_PRED,
+        bloom_bits_df,
+        bloom_decontaminate_agg,
+        st14_bench_positions,
+    )
+    from ipydataclean_spark.streaming.stream import documents_stream
+
+    bits = bloom_bits_df(spark, st14_bench_positions(spark, sf_dir))
+    batch = bloom_decontaminate_agg(
+        load_table(spark, sf_dir, "documents").where(f"NOT ({ST14_BENCH_PRED})"),
+        bits,
+    )
+    stream = bloom_decontaminate_agg(
+        documents_stream(spark, sf_dir).where(f"NOT ({ST14_BENCH_PRED})"), bits
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_st14")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = ["source", "n_docs", "n_flagged", "n_grams", "n_bloom_hits"]
+        got = _sorted_rows(spark.table("t_st14"), cols)
+        assert got == _sorted_rows(batch, cols)
+        assert sum(r[4] for r in got) > 0, "bloom probe vacuous: nothing flagged"
