@@ -762,3 +762,17 @@ def test_l52_window_is_language_partitioned(spark, sf_dir):
     assert specs, "no window in the l52 plan?"
     for s in specs:
         assert s.startswith("lang"), f"non-lang-partitioned window: {s[:60]}"
+
+
+def test_st13_st14_twins_map_side_probe(spark, sf_dir):
+    """The streaming-twin scale contracts: st13's model fold and
+    st14's bloom probe are pure per-row expressions — no Python eval,
+    no per-gram shuffle join (the only joins are the one-row
+    broadcast bitset / none at all), and exactly one aggregation."""
+    for name, max_joins in (("st13_quality_filter", 0), ("st14_bloom_decontaminate", 1)):
+        df = _q(name, spark, sf_dir)
+        assert not has_python_eval(df), name
+        plan = formatted_plan(df)
+        assert count_op(df, "CartesianProduct") == 0, name
+        n_smj = count_op(df, "SortMergeJoin")
+        assert n_smj == 0, f"{name}: shuffle join in a map-side probe plan"
