@@ -61,6 +61,130 @@ def knn_exact(vectors: DataFrame, queries: DataFrame, k_neighbors: int = 5) -> D
     return _topk(scored, k_neighbors)
 
 
+#: hard cap on the collected candidate side of the vectorized exact
+#: kernel — 2^17 rows x 64 dims x 8 B ≈ 67 MB per worker. Past this,
+#: brute force against a broadcast side is the wrong physical strategy
+#: anyway (use ivf/lsh candidates); failing loud here beats an executor
+#: OOM at scale (the one_hot max_categories convention).
+EXACT_CAND_CAP = 1 << 17
+
+
+def topk_per_row_exact(
+    part: DataFrame,
+    cand: DataFrame,
+    k: int,
+    *,
+    exclude_self: bool = False,
+    part_payload: tuple[tuple[str, str], ...] = (),
+    cand_payload: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Per-row exact cosine top-k against a BOUNDED candidate set —
+    the certified-exact sibling of ``hyperplane_bands``' matmul
+    exception. The in-plan ``aggregate(zip_with(...))`` fold is outside
+    whole-stage codegen (interpreted per element: measured 334 s for a
+    40M-pair audit at sf1); this kernel keeps the numbers bit-identical
+    but evaluates them as ~dim fused numpy ops per Arrow batch.
+
+    Bit-exactness contract (what keeps oracles hash-green on top of
+    this kernel): dot products accumulate a_i*b_i in ascending
+    dimension order — ``acc += A[:, i] ⊗ B[:, i]`` per dimension —
+    and norms square-accumulate in the same order, so every
+    cosine equals the sequential left fold of functions/vector.py
+    (and dot_sql's list_sum) to the last ulp: IEEE adds/muls in the
+    same order are deterministic regardless of vectorization.
+
+    part: (id BIGINT, emb ARRAY<FLOAT>) + declared payload columns —
+    stays distributed; each row's top-k is complete locally (no merge
+    pass), since every candidate rides the closure.
+    cand: same shape — COLLECTED (bounded by EXACT_CAND_CAP, asserted).
+    Ties break (cos DESC, cand id ASC), matching the window-rank
+    convention everywhere else. ``exclude_self`` drops id==id pairs
+    (self-neighbor) before ranking.
+
+    Returns part payloads + (part_id, cand_id, cand payloads,
+    cos_sim DOUBLE, rn INT 1..k).
+    """
+    import numpy as np
+
+    cand_cols = [c for c, _ in cand_payload]
+    cand_rows = cand.select("id", "emb", *cand_cols).collect()
+    if len(cand_rows) > EXACT_CAND_CAP:
+        raise ValueError(
+            f"topk_per_row_exact: candidate side has {len(cand_rows)} rows "
+            f"(cap {EXACT_CAND_CAP}); use the lsh/ivf candidate paths instead"
+        )
+    c_ids = np.array([r.id for r in cand_rows], dtype=np.int64)
+    c_mat = np.array([list(r.emb) for r in cand_rows], dtype=np.float64)
+    m, dim = (c_mat.shape if c_mat.size else (0, 0))
+    c_norm = np.zeros(m, dtype=np.float64)
+    for i in range(dim):  # sequential square-accumulate = norm() fold
+        c_norm += c_mat[:, i] * c_mat[:, i]
+    c_norm = np.sqrt(c_norm)
+    c_pay = {c: np.array([r[c] for r in cand_rows]) for c in cand_cols}
+
+    part_cols = [c for c, _ in part_payload]
+    out_schema = ", ".join(
+        [f"{c} {t}" for c, t in part_payload]
+        + ["part_id bigint", "cand_id bigint"]
+        + [f"{c} {t}" for c, t in cand_payload]
+        + ["cos_sim double", "rn int"]
+    )
+
+    def _kernel(batches):
+        import numpy as np  # worker-side; closure stays self-contained
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0 or m == 0:
+                continue
+            p_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+            acc = np.zeros((n, m), dtype=np.float64)
+            a_norm = np.zeros(n, dtype=np.float64)
+            for i in range(dim):  # ascending-dimension order: the fold
+                acc += np.multiply.outer(a[:, i], c_mat[:, i])
+                a_norm += a[:, i] * a[:, i]
+            cos = acc / (np.sqrt(a_norm)[:, None] * c_norm[None, :])
+            if exclude_self:
+                cos = np.where(p_ids[:, None] == c_ids[None, :], np.nan, cos)
+            out = {c: [] for c in part_cols}
+            out.update(part_id=[], cand_id=[], cos_sim=[], rn=[])
+            out.update({c: [] for c in cand_cols})
+            for r in range(n):
+                row = cos[r]
+                order = np.lexsort((c_ids, -row))
+                taken = 0
+                for j in order:
+                    if taken >= k or np.isnan(row[j]):
+                        break
+                    taken += 1
+                    for c in part_cols:
+                        out[c].append(pdf[c].iloc[r])
+                    out["part_id"].append(p_ids[r])
+                    out["cand_id"].append(c_ids[j])
+                    for c in cand_cols:
+                        out[c].append(c_pay[c][j])
+                    out["cos_sim"].append(row[j])
+                    out["rn"].append(taken)
+            res = pd.DataFrame(out)
+            for col, dt in np_types.items():
+                res[col] = res[col].astype(dt)
+            yield res
+
+    np_map = {"bigint": "int64", "int": "int32", "double": "float64"}
+    np_types = {
+        c: np_map[t]
+        for c, t in (
+            list(part_payload)
+            + [("part_id", "bigint"), ("cand_id", "bigint")]
+            + list(cand_payload)
+            + [("cos_sim", "double"), ("rn", "int")]
+        )
+        if t in np_map
+    }
+    return part.select("id", "emb", *part_cols).mapInPandas(_kernel, out_schema)
+
+
 #: plane-constant cache: (dim, n_planes) -> list[float] (session-independent
 #: values — pure xxhash64 of the plane×coordinate index)
 _PLANE_CACHE: dict[tuple[int, int], list[float]] = {}

@@ -915,3 +915,111 @@ def st14_bench_positions(spark: SparkSession, sf_dir: str) -> list[int]:
         p = bench.select(_bloom_pos(F.col("g"), j).alias("p"))
         pos = p if pos is None else pos.unionByName(p)
     return [r.p for r in pos.distinct().collect()]
+
+
+# ---------------------------------------------------------------------------
+# L57 — UniMax language sampling budgets (closed-form water-filling)
+# ---------------------------------------------------------------------------
+
+#: Epoch cap: no language is repeated more than this many times
+#: (UniMax, Chung et al. ICLR 2023 — "N epochs max" is THE knob that
+#: replaces temperature sampling's over-repetition of tail languages).
+UNIMAX_EPOCH_CAP = 2
+
+#: UniMax's greedy allocation has a closed form once languages are
+#: sorted ascending by size: some prefix k* is CAPPED at N·n_i tokens,
+#: and every language after k* receives the identical uniform share of
+#: the remaining budget. k* is the largest k with
+#: N·n_k·(L−k+1) <= B − N·S_{k−1} (all-BIGINT; S = capped-prefix token
+#: sum) — if k is infeasible then so is k+1 (n ascending), so the
+#: feasible set is a prefix and ONE window cumsum + ONE filtered max
+#: replace the paper's sequential loop.
+_L57_ORACLE = (
+    "WITH cnt AS (SELECT lang, CAST(SUM(LEN(regexp_extract_all(LOWER(text), "
+    "'[a-z0-9]+'))) AS BIGINT) AS n FROM documents GROUP BY lang), "
+    "tot AS (SELECT (3 * CAST(SUM(n) AS BIGINT)) // 2 AS b, "
+    "CAST(COUNT(*) AS BIGINT) AS l FROM cnt), "
+    "ordered AS (SELECT lang, n, "
+    "CAST(ROW_NUMBER() OVER (ORDER BY n, lang) AS BIGINT) AS idx, "
+    "CAST(SUM(n) OVER (ORDER BY n, lang ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum "
+    "FROM cnt), "
+    f"feas AS (SELECT ordered.*, tot.*, (({UNIMAX_EPOCH_CAP} * n * (l - idx + 1)) "
+    f"<= (b - {UNIMAX_EPOCH_CAP} * (cum - n))) AS ok FROM ordered CROSS JOIN tot), "
+    "piv AS (SELECT COALESCE(MAX(idx) FILTER (WHERE ok), 0) AS kstar, "
+    "COALESCE(MAX(cum) FILTER (WHERE ok), 0) AS s FROM feas) "
+    "SELECT lang, n AS n_tokens, "
+    "CAST(idx <= kstar AS INTEGER) AS capped, "
+    f"CASE WHEN idx <= kstar THEN CAST({UNIMAX_EPOCH_CAP} * n AS DOUBLE) "
+    f"ELSE CAST(b - {UNIMAX_EPOCH_CAP} * s AS DOUBLE) / (l - kstar) END AS budget_tokens, "
+    f"(CASE WHEN idx <= kstar THEN CAST({UNIMAX_EPOCH_CAP} * n AS DOUBLE) "
+    f"ELSE CAST(b - {UNIMAX_EPOCH_CAP} * s AS DOUBLE) / (l - kstar) END) / n AS epochs "
+    "FROM feas CROSS JOIN piv ORDER BY lang"
+)
+
+
+@register(
+    "l57_unimax_budgets",
+    oracle=_L57_ORACLE,
+    tags=("L57", "L31", "sampling", "curation"),
+)
+def l57_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L57: UniMax language sampling budgets — the fairer successor to
+    l31's temperature mix: give every language up to ``UNIMAX_EPOCH_CAP``
+    epochs of its own tokens, then split what remains of the total
+    budget UNIFORMLY among the languages big enough to absorb it
+    (Chung et al., ICLR 2023). Budget here = 1.5x the corpus's
+    total regex tokens — oversubscribed relative to one epoch, so tail
+    languages hit the 2-epoch cap while head languages are downsampled
+    (both allocation branches exercised on the fixture).
+
+    Exactness: counts, cumsums, the pivot test, and k* are all BIGINT
+    (the feasibility inequality is cross-multiplied so no division
+    happens before the pivot is fixed); the only doubles are the final
+    uniform share and epochs — ONE IEEE division each, identical
+    cross-engine. Correctness of the closed form vs the paper's
+    sequential greedy loop is property-pinned in pytest.
+
+    Scale shape: one lang-keyed partial agg over the corpus (the only
+    data-sized shuffle), then a #languages-row window — bounded by the
+    language inventory (thousands at most), NOT the corpus. The same
+    plan serves per-domain or per-source budgets by swapping the key."""
+    from pyspark.sql import Window
+
+    cap = F.lit(UNIMAX_EPOCH_CAP).cast("long")
+    n_tok = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).cast("long")
+    cnt = T(spark, sf_dir, "documents").groupBy("lang").agg(F.sum(n_tok).alias("n"))
+    tot = cnt.agg(
+        F.expr("(3 * CAST(sum(n) AS BIGINT)) DIV 2").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    w = Window.orderBy("n", "lang")
+    ordered = cnt.select(
+        "lang",
+        "n",
+        F.row_number().over(w).cast("long").alias("idx"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long").alias("cum"),
+    )
+    feas = ordered.crossJoin(F.broadcast(tot)).withColumn(
+        "ok",
+        (cap * F.col("n") * (F.col("l") - F.col("idx") + 1))
+        <= (F.col("b") - cap * (F.col("cum") - F.col("n"))),
+    )
+    pivot = feas.agg(
+        F.coalesce(F.max(F.when(F.col("ok"), F.col("idx"))), F.lit(0).cast("long")).alias("kstar"),
+        F.coalesce(F.max(F.when(F.col("ok"), F.col("cum"))), F.lit(0).cast("long")).alias("s"),
+    )
+    is_capped = F.col("idx") <= F.col("kstar")
+    budget = F.when(is_capped, (cap * F.col("n")).cast("double")).otherwise(
+        (F.col("b") - cap * F.col("s")).cast("double") / (F.col("l") - F.col("kstar"))
+    )
+    return (
+        feas.crossJoin(F.broadcast(pivot))
+        .select(
+            "lang",
+            F.col("n").alias("n_tokens"),
+            is_capped.cast("int").alias("capped"),
+            budget.alias("budget_tokens"),
+            (budget / F.col("n")).alias("epochs"),
+        )
+        .orderBy("lang")
+    )

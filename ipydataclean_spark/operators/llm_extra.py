@@ -2219,3 +2219,251 @@ def l54_dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# L58 — bitext mining via the ratio-margin criterion (cross-lingual pairs)
+# ---------------------------------------------------------------------------
+
+#: Neighborhood size for the margin denominators (the paper uses k=4;
+#: 3 keeps every language slice at sf0.001 deep enough).
+_L58_K = 3
+
+_L58_SRC_LANG = "en"
+_L58_TGT_LANG = "de"
+
+#: Ratio-margin bitext mining (Artetxe & Schwenk, ACL 2019; the
+#: CCMatrix/LASER mining rule): score(x,y) = cos(x,y) divided by the
+#: mean of the two directions' k-NN cosines — a hubness correction
+#: that absolute-threshold cosine mining lacks. Forward matches
+#: (best y per x) with a mutual-NN flag; the consumer thresholds on
+#: margin.
+from ipydataclean_spark.functions.vector import (  # noqa: E402
+    cosine_sim,
+    cosine_sim_sql,
+    dot,
+    dot_sql,
+    norm,
+    norm_sql,
+)
+
+_L58_MEAN_SQL = (
+    "CAST(SUM(CASE WHEN {rk} <= " + str(_L58_K) + " THEN "
+    "CAST(ROUND(cos_sim, 12) AS DECIMAL(38,12)) END) "
+    "OVER (PARTITION BY {key}) AS DOUBLE) / " + str(_L58_K)
+)
+
+_L58_ORACLE = (
+    "WITH emb_lang AS (SELECT e.vec_id AS id, e.embedding AS emb, d.lang, "
+    f"{norm_sql('e.embedding')} AS nrm "
+    "FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id), "
+    "pairs AS (SELECT s.id AS src_id, t.id AS tgt_id, "
+    f"({dot_sql('s.emb', 't.emb')} / (s.nrm * t.nrm)) AS cos_sim "
+    f"FROM (SELECT * FROM emb_lang WHERE lang = '{_L58_SRC_LANG}') s "
+    f"CROSS JOIN (SELECT * FROM emb_lang WHERE lang = '{_L58_TGT_LANG}') t), "
+    "ranked AS (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY cos_sim DESC, tgt_id) AS rs, "
+    "ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY cos_sim DESC, src_id) AS rt "
+    "FROM pairs), "
+    "means AS (SELECT *, "
+    + _L58_MEAN_SQL.format(rk="rs", key="src_id") + " AS avg_src, "
+    + _L58_MEAN_SQL.format(rk="rt", key="tgt_id") + " AS avg_tgt "
+    "FROM ranked) "
+    "SELECT src_id, tgt_id, cos_sim, "
+    "(cos_sim / ((avg_src + avg_tgt) / 2.0)) AS margin, "
+    "CAST(rt = 1 AS INTEGER) AS mutual "
+    "FROM means WHERE rs = 1 "
+    "ORDER BY (cos_sim / ((avg_src + avg_tgt) / 2.0)) DESC, src_id"
+)
+
+
+@register(
+    "l58_bitext_margin_mining",
+    oracle=_L58_ORACLE,
+    tags=("L58", "L3", "L4", "embeddings", "bitext"),
+)
+def l58_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L58: cross-lingual bitext mining with the ratio-margin criterion
+    (Artetxe & Schwenk ACL'19 — the LASER/CCMatrix rule): each en doc's
+    best de candidate, scored cos/((kNN̄_src + kNN̄_tgt)/2) so hub
+    vectors with uniformly high cosine don't flood the mined set;
+    ``mutual`` marks the pairs where the match is each other's rank 1.
+
+    Exactness: cosines come from the vectorized exact kernel
+    (functions/knn.topk_per_row_exact), which accumulates the dot and
+    norm folds in ascending-dimension order — bit-identical to the
+    in-plan sequential fold and to the oracle's list_sum; the two k-NN
+    means sum ROUND(cos,12) in DECIMAL(38,12) (order-independent),
+    then ONE IEEE division each; margin is arithmetic over those —
+    every double bit-identical cross-engine, so the margin-ordered
+    output hashes. (The first cut ran the same numbers as in-plan
+    fold + four 22.6M-row window exchanges: 380 s at sf1; the kernel
+    form scores each side locally and shuffles only k·|side| rows.)
+
+    Scale shape: each direction is ONE map-side kernel pass (the
+    smaller side rides the closure, capped and asserted) + a
+    groupBy over k rows/vector. At 100 TB the candidate sides exceed
+    the cap and swap to banded sign-LSH / IVF candidate generation
+    (functions/knn.py, the l3b/l3c kernels); the margin arithmetic
+    and mutual join run UNCHANGED over candidates — bounded by
+    k·|candidates|, never |src|·|tgt|."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb_lang = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb"), "lang"
+    )
+    src = emb_lang.where(F.col("lang") == _L58_SRC_LANG).select("id", "emb")
+    tgt = emb_lang.where(F.col("lang") == _L58_TGT_LANG).select("id", "emb")
+
+    dec = F.round("cos_sim", 12).cast(exact.DEC12)
+    best = F.min(F.struct("rn", "cand_id", "cos_sim")).alias("b")
+
+    fwd = (
+        topk_per_row_exact(src, tgt, _L58_K)
+        .groupBy("part_id")
+        .agg(best, (F.sum(dec).cast("double") / _L58_K).alias("avg_src"))
+        .select(
+            F.col("part_id").alias("src_id"),
+            F.col("b.cand_id").alias("tgt_id"),
+            F.col("b.cos_sim").alias("cos_sim"),
+            "avg_src",
+        )
+    )
+    bwd = (
+        topk_per_row_exact(tgt, src, _L58_K)
+        .groupBy("part_id")
+        .agg(best, (F.sum(dec).cast("double") / _L58_K).alias("avg_tgt"))
+        .select(
+            F.col("part_id").alias("tgt_id"),
+            F.col("b.cand_id").alias("best_src"),
+            "avg_tgt",
+        )
+    )
+    margin = F.col("cos_sim") / ((F.col("avg_src") + F.col("avg_tgt")) / F.lit(2.0))
+    return (
+        fwd.join(bwd, "tgt_id")
+        .select(
+            "src_id",
+            "tgt_id",
+            "cos_sim",
+            margin.alias("margin"),
+            (F.col("best_src") == F.col("src_id")).cast("int").alias("mutual"),
+        )
+        .orderBy(F.desc("margin"), "src_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D21 — kNN label-noise detector over the embeddings table
+# ---------------------------------------------------------------------------
+
+_D21_K = 5
+
+#: Deterministic 10% audit slice — the detector's query set. The
+#: l3-family convention (vec_id predicates) keeps both engines on the
+#: same slice with zero sampling machinery.
+_D21_QUERY_PRED = "vec_id % 10 = 0"
+
+_D21_ORACLE = (
+    f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
+    "FROM embeddings), "
+    "q AS (SELECT vec_id AS query_id, embedding AS q_emb, label AS own_label, "
+    f"nrm AS qn FROM v WHERE {_D21_QUERY_PRED}), "
+    "p AS (SELECT q.query_id, q.own_label, e.vec_id AS neighbor_id, "
+    "e.label AS n_label, "
+    "ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY "
+    f"({dot_sql('q.q_emb', 'e.embedding')} / (q.qn * e.nrm)) DESC, e.vec_id) AS rn "
+    "FROM q CROSS JOIN v e WHERE e.vec_id <> q.query_id), "
+    f"top AS (SELECT * FROM p WHERE rn <= {_D21_K}), "
+    "grp AS (SELECT query_id, own_label, n_label, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM top GROUP BY query_id, own_label, n_label), "
+    "sel AS (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, n_label) AS rn2, "
+    "CAST(SUM(CASE WHEN n_label = own_label THEN c ELSE 0 END) "
+    "OVER (PARTITION BY query_id) AS BIGINT) AS n_agree FROM grp) "
+    "SELECT query_id AS vec_id, own_label AS label, "
+    "n_label AS majority_label, n_agree, "
+    "CAST(n_label <> own_label AS INTEGER) AS flagged "
+    "FROM sel WHERE rn2 = 1 ORDER BY vec_id"
+)
+
+
+@register(
+    "d21_knn_label_noise",
+    oracle=_D21_ORACLE,
+    tags=("D21", "L3", "embeddings", "quality"),
+)
+def d21_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D21: label-noise detection by k-NN label agreement — for each
+    audited vector, the majority label among its 5 nearest neighbors
+    (cosine) and how many of them agree with its own label; a mismatch
+    flags a likely annotation error (the model-free core of Confident
+    Learning / deep-kNN label auditing: a point whose neighborhood
+    votes against its label is either noise or an outlier worth
+    routing to review before it trains a classifier).
+
+    Exactness: the top-k comes from the vectorized exact kernel
+    (functions/knn.topk_per_row_exact — ascending-dimension fold, so
+    cosines are bit-identical to the oracle's list_sum) with (cos
+    DESC, neighbor_id) tie-breaks; everything after rank is BIGINT
+    counting and INT flags — no float aggregation at all, so the
+    table hashes cross-engine. Majority ties break (count DESC,
+    label ASC) in both engines. (The in-plan fold + 40M-row rank
+    window first cut measured 334 s at sf1; the kernel scores each
+    audited vector locally and shuffles only k rows per query.)
+
+    Scale shape: the audit slice (a deterministic 10% — ``vec_id %
+    10 = 0``) stays distributed; the corpus rides the kernel closure
+    up to the asserted cap, past which the neighbor side swaps to
+    IVF-pruned candidates (operators/ivf.py, the l3c path) and the
+    vote windows run unchanged — the post-rank shuffles carry only
+    (query, label, count) rows bounded by k·|audit slice|."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    q = emb.where(F.expr(_D21_QUERY_PRED)).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("own_label"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        F.col("label").alias("n_label"),
+    )
+    top = topk_per_row_exact(
+        q,
+        e,
+        _D21_K,
+        exclude_self=True,
+        part_payload=(("own_label", "int"),),
+        cand_payload=(("n_label", "int"),),
+    ).select(F.col("part_id").alias("query_id"), "own_label", "n_label")
+    grp = top.groupBy("query_id", "own_label", "n_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("n_label"))
+    wa = Window.partitionBy("query_id")
+    sel = grp.select(
+        "*",
+        F.row_number().over(wv).alias("rn2"),
+        F.sum(F.when(F.col("n_label") == F.col("own_label"), F.col("c")).otherwise(0))
+        .over(wa)
+        .cast("long")
+        .alias("n_agree"),
+    )
+    return (
+        sel.where(F.col("rn2") == 1)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("own_label").alias("label"),
+            F.col("n_label").alias("majority_label"),
+            "n_agree",
+            (F.col("n_label") != F.col("own_label")).cast("int").alias("flagged"),
+        )
+        .orderBy("vec_id")
+    )

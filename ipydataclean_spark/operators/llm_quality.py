@@ -1319,3 +1319,66 @@ def l55_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("accuracy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# L56 — tokenizer fertility report (bytes/token, tokens/word per language)
+# ---------------------------------------------------------------------------
+
+#: Tokenizer-fertility report: the per-language compression table every
+#: multilingual-pretraining recipe publishes (XLM-R app. A, mT5 §3.1 —
+#: "fertility" = subword tokens per whitespace word; bytes/token is the
+#: byte-level variant ByT5/MegaByte report). Here the certified
+#: tokenizer is the regex proxy l10 established ([a-z0-9]+ runs); the
+#: from-scratch BPE (l10b) slots into the same report via
+#: functions/bpe.py when fertility under a LEARNED vocab is wanted
+#: (rows-only there, same shape).
+_L56_ORACLE = (
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(LEN(string_split(text, ' '))) AS BIGINT) AS total_words, "
+    "CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+'))) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes, "
+    "(CAST(SUM(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+'))) AS DOUBLE) "
+    "/ SUM(LEN(string_split(text, ' ')))) AS tokens_per_word, "
+    "(CAST(SUM(octet_length(encode(text))) AS DOUBLE) "
+    "/ SUM(LEN(regexp_extract_all(LOWER(text), '[a-z0-9]+')))) AS bytes_per_token "
+    "FROM documents GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "l56_token_fertility",
+    oracle=_L56_ORACLE,
+    tags=("L56", "L10", "text-analysis", "tokenizer"),
+)
+def l56_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L56: per-language tokenizer fertility — tokens/word and
+    bytes/token, the table a multilingual budget plan is costed from
+    (a language whose fertility is 2x pays 2x sequence length for the
+    same text; byte budgets convert storage TB to token budgets).
+
+    Exactness: every aggregate is a BIGINT sum of per-row BIGINTs
+    (counts and octet lengths); the two ratios are ONE IEEE division
+    each, so the doubles are bit-identical cross-engine.
+
+    Scale shape: MAP-ONLY per-row arithmetic (regexp_count /
+    size(split) / octet_length, all codegen) into one lang-keyed
+    partial agg — the same single-shuffle scan-side shape as l10;
+    on 100 TB it pipelines with ingest and the shuffle carries only
+    (lang, 3 longs) partials."""
+    df = T(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+")).cast("long")
+    n_words = F.size(F.split(F.col("text"), " ", -1)).cast("long")
+    n_bytes = F.octet_length(F.col("text")).cast("long")
+    return (
+        df.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(n_words).alias("total_words"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.sum(n_bytes).alias("total_bytes"),
+            (F.sum(n_tok).cast("double") / F.sum(n_words)).alias("tokens_per_word"),
+            (F.sum(n_bytes).cast("double") / F.sum(n_tok)).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )

@@ -327,6 +327,10 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "pipeline_quality_curation", "inc6_incremental_quality",
     "st13_quality_filter", "l55_classifier_auc",
     "st14_bloom_decontaminate",
+    # round-9 continuation session: tokenizer-fertility report, UniMax
+    # budgets, ratio-margin bitext mining, kNN label-noise detector
+    "l56_token_fertility", "l57_unimax_budgets",
+    "l58_bitext_margin_mining", "d21_knn_label_noise",
     # re-queued: oracle composition refactored in round 9
     "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)

@@ -283,3 +283,33 @@ def test_inc5_incremental_state_matches_rebuild(spark, sf_dir):
     stored = {r.p for r in state.collect()}
     assert stored == full, "incremental state drifted from the rebuild"
     assert full - hist, "delta contributed no novel positions: update vacuous"
+
+
+def test_l57_matches_sequential_greedy_and_covers_both_branches(spark, sf_dir):
+    """The closed-form (window cumsum + filtered max) allocation must
+    reproduce the paper's sequential greedy loop exactly: ascending by
+    size, each language takes min(cap*n, remaining/langs_left). Capped
+    budgets are exact integers; uniform shares match to float noise of
+    the greedy's running-remainder arithmetic. The fixture must
+    exercise BOTH branches or the pivot machinery is vacuous."""
+    from ipydataclean_spark.operators.curation import UNIMAX_EPOCH_CAP
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l57_unimax_budgets"]["fn"](spark, sf_dir).collect()
+    assert {r.capped for r in rows} == {0, 1}, "pivot vacuous on fixture"
+    asc = sorted(rows, key=lambda r: (r.n_tokens, r.lang))
+    total = sum(r.n_tokens for r in rows)
+    rem = (3 * total) // 2
+    for i, r in enumerate(asc):
+        share = rem / (len(asc) - i)
+        greedy = min(UNIMAX_EPOCH_CAP * r.n_tokens, share)
+        assert abs(r.budget_tokens - greedy) <= 1e-9 * greedy, (r.lang, r.budget_tokens, greedy)
+        assert abs(r.epochs - r.budget_tokens / r.n_tokens) < 1e-12
+        if r.capped:
+            assert r.budget_tokens == float(UNIMAX_EPOCH_CAP * r.n_tokens)
+            assert r.epochs == float(UNIMAX_EPOCH_CAP)
+        else:
+            assert r.epochs < UNIMAX_EPOCH_CAP
+        rem -= greedy
+    assert abs(sum(r.budget_tokens for r in rows) - (3 * total) // 2) < 1e-6

@@ -655,3 +655,114 @@ def test_l54_cluster_cohesion_consistent(spark, sf_dir):
     assert twins, "no verbatim twin clusters surfaced"
     for r in twins:
         assert r.edge_density == 1.0 and r.min_jac == 1.0
+
+
+def test_l58_planted_translation_pair_is_mutual_top_margin(spark, tmp_path):
+    """A planted en/de pair with near-identical embeddings must mine as
+    each other's rank-1 match, mutual, and sit at the TOP of the margin
+    ordering — the hubness correction must not displace a true pair on
+    a clean fixture."""
+    from ipydataclean_spark.operators.llm_extra import l58_bitext_margin_mining
+
+    def vec(axis, dim=16):
+        # shared base + one unique axis: every cross pair has the SAME
+        # background cosine, so the only margin signal is the plant
+        v = [1.0] * dim
+        v[axis] += 0.3 * dim**0.5
+        return [float(x) for x in v]
+
+    en = [(i, vec(i)) for i in range(5)]
+    de = [(10 + i, vec(5 + i)) for i in range(5)]
+    # planted pair: en 0 and de 10 share (almost) the same vector
+    de[0] = (10, [x + 0.001 for x in vec(0)])
+    docs = [(i, f"en doc {i}", "en", "t", 8) for i, _ in en] + [
+        (i, f"de doc {i}", "de", "t", 8) for i, _ in de
+    ]
+    d = str(tmp_path / "mini58")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [(i, v, 0) for i, v in en + de],
+        "vec_id long, embedding array<float>, label int",
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    rows = l58_bitext_margin_mining(spark, d).collect()
+    assert len(rows) == 5 and len({r.src_id for r in rows}) == 5
+    top = rows[0]
+    assert (top.src_id, top.tgt_id, top.mutual) == (0, 10, 1)
+    assert top.cos_sim > 0.999
+    assert top.margin > max(r.margin for r in rows[1:])
+
+
+def test_l58_fixture_invariants(spark, sf_dir):
+    """One forward match per en doc; mutual is 0/1 with at least one
+    mutual pair; margin descends; every tgt is a de doc."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l58_bitext_margin_mining"]["fn"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb_ids = {r.vec_id for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()}
+    n_en = docs.where("lang = 'en'").where(docs.doc_id.isin(emb_ids)).count()
+    de_ids = {r.doc_id for r in docs.where("lang = 'de'").collect()}
+    assert len(rows) == n_en == len({r.src_id for r in rows})
+    assert all(r.tgt_id in de_ids for r in rows)
+    assert all(r.mutual in (0, 1) for r in rows)
+    assert any(r.mutual == 1 for r in rows), "no mutual pairs on fixture"
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins, reverse=True)
+
+
+def test_d21_planted_label_error_is_the_only_flag(spark, tmp_path):
+    """Three tight, well-separated label clusters plus ONE vector with a
+    deliberately wrong label: the detector must flag exactly the planted
+    error (majority = its cluster's true label, n_agree 0) and clear
+    every clean vector with n_agree 5."""
+    from ipydataclean_spark.operators.llm_extra import d21_knn_label_noise
+
+    rows = []
+    for c in range(3):  # clusters on orthogonal axes, tiny jitter
+        for j in range(8):
+            v = [0.0] * 9
+            v[3 * c] = 1.0
+            v[3 * c + 1] = 0.01 * j
+            vid = (c * 8 + j) * 10  # all ids % 10 == 0 -> all audited
+            label = 9 if (c == 0 and j == 0) else c  # planted error at id 0
+            rows.append((vid, [float(x) for x in v], label))
+    d = str(tmp_path / "mini21")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    out = {r.vec_id: r for r in d21_knn_label_noise(spark, d).collect()}
+    assert len(out) == 24
+    planted = out[0]
+    assert planted.flagged == 1 and planted.majority_label == 0 and planted.n_agree == 0
+    for vid, r in out.items():
+        if vid == 0:
+            continue
+        # neighbors of cluster-0 members include the mislabeled one
+        assert r.flagged == 0, (vid, r)
+        assert r.majority_label == r.label
+        assert r.n_agree >= 4
+
+
+def test_d21_fixture_invariants(spark, sf_dir):
+    """Report invariants on the real fixture: the audit slice is exactly
+    vec_id % 10 == 0, n_agree within [0, k], and the flag is literally
+    (label != majority_label)."""
+    from ipydataclean_spark.operators.llm_extra import _D21_K
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["d21_knn_label_noise"]["fn"](spark, sf_dir).collect()
+    expected = {
+        r.vec_id
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        if r.vec_id % 10 == 0
+    }
+    assert {r.vec_id for r in rows} == expected
+    for r in rows:
+        assert 0 <= r.n_agree <= _D21_K
+        assert r.flagged == int(r.label != r.majority_label)

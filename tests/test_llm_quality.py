@@ -456,3 +456,25 @@ def test_l55_auc_near_perfect_and_bounded(spark, sf_dir):
     assert 0.0 <= r.auc <= 1.0 and 0.0 <= r.accuracy <= 1.0
     assert r.auc >= 0.99, f"classifier AUC collapsed: {r.auc}"
     assert r.accuracy >= 0.95
+
+
+def test_l56_fertility_consistent_with_l10_and_bounded(spark, sf_dir):
+    """The fertility report must agree with l10 on the shared tokenizer
+    (same per-lang token totals) and its ratios must be recomputable
+    from its own integer columns — the report is self-auditing."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    fert = {r.lang: r for r in QUERIES["l56_token_fertility"]["fn"](spark, sf_dir).collect()}
+    l10 = {r.lang: r for r in QUERIES["l10_token_count"]["fn"](spark, sf_dir).collect()}
+    assert set(fert) == set(l10) and len(fert) >= 3
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in fert.values()) == n_docs
+    for lang, r in fert.items():
+        assert r.total_tokens == l10[lang].total_tokens, lang
+        assert r.total_bytes >= r.total_tokens > 0
+        assert r.total_words > 0
+        assert r.tokens_per_word == r.total_tokens / r.total_words
+        assert r.bytes_per_token == r.total_bytes / r.total_tokens
+        assert 0.5 <= r.tokens_per_word <= 2.0, (lang, r.tokens_per_word)
+        assert 3.0 <= r.bytes_per_token <= 12.0, (lang, r.bytes_per_token)

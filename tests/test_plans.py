@@ -776,3 +776,19 @@ def test_st13_st14_twins_map_side_probe(spark, sf_dir):
         assert count_op(df, "CartesianProduct") == 0, name
         n_smj = count_op(df, "SortMergeJoin")
         assert n_smj == 0, f"{name}: shuffle join in a map-side probe plan"
+
+
+def test_round9_continuation_ops_jvm_side(spark, sf_dir):
+    """l56/l57/l58/d21: zero Python eval, no CartesianProduct (the
+    lang-slice pair generation and audit-slice scoring ride bounded
+    broadcasts), and l56 stays a single-scan single-agg plan."""
+    for name in (
+        "l56_token_fertility",
+        "l57_unimax_budgets",
+        "l58_bitext_margin_mining",
+        "d21_knn_label_noise",
+    ):
+        df = _q(name, spark, sf_dir)
+        assert not has_python_eval(df), name
+        assert count_op(df, "CartesianProduct") == 0, name
+    assert n_parquet_scans(_q("l56_token_fertility", spark, sf_dir)) == 1
