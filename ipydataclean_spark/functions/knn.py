@@ -72,9 +72,11 @@ EXACT_CAND_CAP = 1 << 17
 def topk_per_row_exact(
     part: DataFrame,
     cand: DataFrame,
-    k: int,
+    k: int | None,
     *,
     exclude_self: bool = False,
+    min_cos: float | None = None,
+    only_greater: bool = False,
     part_payload: tuple[tuple[str, str], ...] = (),
     cand_payload: tuple[tuple[str, str], ...] = (),
 ) -> DataFrame:
@@ -100,6 +102,13 @@ def topk_per_row_exact(
     Ties break (cos DESC, cand id ASC), matching the window-rank
     convention everywhere else. ``exclude_self`` drops id==id pairs
     (self-neighbor) before ranking.
+
+    ``k=None`` emits every surviving candidate (use with ``min_cos``,
+    the threshold-pair mode: l4-shaped similarity joins where the
+    output is bounded by the match set, not by a k). ``min_cos``
+    drops pairs below the threshold BEFORE ranking; ``only_greater``
+    keeps only cand id > part id (the self-join dedup convention,
+    a.vec_id < b.vec_id).
 
     Returns part payloads + (part_id, cand_id, cand payloads,
     cos_sim DOUBLE, rn INT 1..k).
@@ -133,43 +142,55 @@ def topk_per_row_exact(
     def _kernel(batches):
         import numpy as np  # worker-side; closure stays self-contained
 
-        for pdf in batches:
-            n = len(pdf)
-            if n == 0 or m == 0:
-                continue
-            p_ids = pdf["id"].to_numpy(dtype=np.int64)
-            a = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
-            acc = np.zeros((n, m), dtype=np.float64)
-            a_norm = np.zeros(n, dtype=np.float64)
-            for i in range(dim):  # ascending-dimension order: the fold
-                acc += np.multiply.outer(a[:, i], c_mat[:, i])
-                a_norm += a[:, i] * a[:, i]
-            cos = acc / (np.sqrt(a_norm)[:, None] * c_norm[None, :])
-            if exclude_self:
-                cos = np.where(p_ids[:, None] == c_ids[None, :], np.nan, cos)
-            out = {c: [] for c in part_cols}
-            out.update(part_id=[], cand_id=[], cos_sim=[], rn=[])
-            out.update({c: [] for c in cand_cols})
-            for r in range(n):
-                row = cos[r]
-                order = np.lexsort((c_ids, -row))
-                taken = 0
-                for j in order:
-                    if taken >= k or np.isnan(row[j]):
-                        break
-                    taken += 1
-                    for c in part_cols:
-                        out[c].append(pdf[c].iloc[r])
-                    out["part_id"].append(p_ids[r])
-                    out["cand_id"].append(c_ids[j])
-                    for c in cand_cols:
-                        out[c].append(c_pay[c][j])
-                    out["cos_sim"].append(row[j])
-                    out["rn"].append(taken)
-            res = pd.DataFrame(out)
-            for col, dt in np_types.items():
-                res[col] = res[col].astype(dt)
-            yield res
+        # chunk the Arrow batch so the (rows x m) score block stays
+        # ~160 MB: a 10k-row batch against a 20k-vector candidate side
+        # would otherwise allocate 1.6 GB x3 temporaries PER TASK and
+        # swap-thrash concurrent tasks once the part side is spread
+        # across all cores
+        chunk = max(1, int(2e7 // max(m, 1)))
+        for whole in batches:
+            for lo in range(0, len(whole), chunk):
+                pdf = whole.iloc[lo : lo + chunk]
+                n = len(pdf)
+                if n == 0 or m == 0:
+                    continue
+                p_ids = pdf["id"].to_numpy(dtype=np.int64)
+                a = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                acc = np.zeros((n, m), dtype=np.float64)
+                a_norm = np.zeros(n, dtype=np.float64)
+                for i in range(dim):  # ascending-dimension order: the fold
+                    acc += np.multiply.outer(a[:, i], c_mat[:, i])
+                    a_norm += a[:, i] * a[:, i]
+                cos = acc / (np.sqrt(a_norm)[:, None] * c_norm[None, :])
+                if exclude_self:
+                    cos = np.where(p_ids[:, None] == c_ids[None, :], np.nan, cos)
+                if only_greater:
+                    cos = np.where(c_ids[None, :] > p_ids[:, None], cos, np.nan)
+                if min_cos is not None:
+                    cos = np.where(cos >= min_cos, cos, np.nan)
+                out = {c: [] for c in part_cols}
+                out.update(part_id=[], cand_id=[], cos_sim=[], rn=[])
+                out.update({c: [] for c in cand_cols})
+                for r in range(n):
+                    row = cos[r]
+                    order = np.lexsort((c_ids, -row))
+                    taken = 0
+                    for j in order:
+                        if (k is not None and taken >= k) or np.isnan(row[j]):
+                            break
+                        taken += 1
+                        for c in part_cols:
+                            out[c].append(pdf[c].iloc[r])
+                        out["part_id"].append(p_ids[r])
+                        out["cand_id"].append(c_ids[j])
+                        for c in cand_cols:
+                            out[c].append(c_pay[c][j])
+                        out["cos_sim"].append(row[j])
+                        out["rn"].append(taken)
+                res = pd.DataFrame(out)
+                for col, dt in np_types.items():
+                    res[col] = res[col].astype(dt)
+                yield res
 
     np_map = {"bigint": "int64", "int": "int32", "double": "float64"}
     np_types = {
@@ -182,7 +203,17 @@ def topk_per_row_exact(
         )
         if t in np_map
     }
-    return part.select("id", "emb", *part_cols).mapInPandas(_kernel, out_schema)
+    # a small part side arrives as 1-2 parquet splits — without a
+    # spread the whole score job runs on one core (measured: d22's
+    # 400M-pair audit never finished a 580 s budget single-task).
+    # Round-robin repartition is result-neutral: every row's top-k is
+    # computed independently against the full candidate closure.
+    spread = part.sparkSession.sparkContext.defaultParallelism
+    return (
+        part.select("id", "emb", *part_cols)
+        .repartition(spread)
+        .mapInPandas(_kernel, out_schema)
+    )
 
 
 #: plane-constant cache: (dim, n_planes) -> list[float] (session-independent

@@ -840,6 +840,94 @@ def l3h_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# L60 — cluster-balanced sampling (per-cell md5-ranked quota)
+# ---------------------------------------------------------------------------
+
+#: the l3h seed-centroid assignment, shared verbatim by the l60 oracle
+_L60_ASSIGN_CTES = (
+    "cent AS (SELECT vec_id AS cell, embedding AS c_emb "
+    "FROM embeddings WHERE vec_id < 8), "
+    "scored AS (SELECT e.vec_id, cent.cell, "
+    "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+    f"{cosine_sim_sql('e.embedding', 'cent.c_emb')} DESC, cent.cell) AS rn "
+    "FROM embeddings e CROSS JOIN cent), "
+    "assign AS (SELECT vec_id, CAST(cell AS BIGINT) AS cell "
+    "FROM scored WHERE rn = 1)"
+)
+
+_L60_ORACLE = (
+    "WITH " + _L60_ASSIGN_CTES + ", "
+    "sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell "
+    "FROM assign GROUP BY cell), "
+    "quota AS (SELECT MIN(n_cell) AS q FROM sizes), "
+    "ranked AS (SELECT a.vec_id, a.cell, s.n_cell, "
+    "CAST(ROW_NUMBER() OVER (PARTITION BY a.cell ORDER BY "
+    + exact.md5_prefix_int_sql("'l60:' || CAST(a.vec_id AS VARCHAR)")
+    + ", a.vec_id) AS BIGINT) AS kept_rank "
+    "FROM assign a JOIN sizes s ON s.cell = a.cell) "
+    "SELECT cell, vec_id, n_cell, kept_rank "
+    "FROM ranked CROSS JOIN quota WHERE kept_rank <= q "
+    "ORDER BY cell, vec_id"
+)
+
+
+@register(
+    "l60_cluster_balanced_sample",
+    oracle=_L60_ORACLE,
+    tags=("L60", "L3", "L31", "sampling", "clustering"),
+)
+def l60_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L60: cluster-balanced sampling — an equal md5-ranked quota from
+    every k-means cell (quota = the smallest cell, so the draw is the
+    largest exactly-balanced subset). The semantic-diversity sampler
+    of the DataComp/SemDeDup recipes: where l31/l57 balance on
+    METADATA (source, language), this balances on LEARNED structure,
+    down-weighting over-represented semantic regions (the web's
+    boilerplate clusters) without touching rare ones.
+
+    Exactness: assignment reuses l3h's certified argmax arithmetic
+    (broadcast seed centroids, sequential-fold cosine, cell-id
+    tie-break); the per-cell draw ranks by md5_prefix_int — the ONE
+    shared coin definition — so the sample is deterministic,
+    hash-certified, and reproducible across cluster re-runs (the
+    l39/r22d convention).
+
+    Scale shape: map-only assignment (K centroids broadcast) + one
+    cell-keyed window; the quota scalar is a K-row aggregate riding a
+    broadcast. Cells are the IVF partition layout, so at 100 TB this
+    runs as one pass over the stored cell-partitioned table
+    (ivf_write) with no extra shuffle."""
+    emb = T(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "cell", cosine_sim("embedding", "c_emb").alias("sim"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cell"), F.struct(F.col("sim"), -F.col("cell"))
+            ).cast("long").alias("cell")
+        )
+    )
+    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    quota = sizes.agg(F.min("n_cell").alias("q"))
+    coin = exact.md5_prefix_int(
+        F.concat(F.lit("l60:"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cell").orderBy(coin, F.col("vec_id"))
+    return (
+        assign.join(sizes, "cell")
+        .withColumn("kept_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("kept_rank") <= F.col("q"))
+        .select("cell", "vec_id", "n_cell", "kept_rank")
+        .orderBy("cell", "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # L36 — SemDeDup: cluster-then-dedup semantic deduplication
 # ---------------------------------------------------------------------------
 

@@ -2467,3 +2467,72 @@ def d21_knn_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# D22 — contradictory near-duplicates (same content, different label)
+# ---------------------------------------------------------------------------
+
+_D22_ORACLE = (
+    f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
+    "FROM embeddings) "
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+    f"({dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) AS cos_sim, "
+    "a.label AS label_a, b.label AS label_b, "
+    "CAST(a.label <> b.label AS INTEGER) AS conflict "
+    "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    f"WHERE ({dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) >= {llm.SIM_TAU} "
+    "ORDER BY vec_a, vec_b"
+)
+
+
+@register(
+    "d22_neardup_label_conflict",
+    oracle=_D22_ORACLE,
+    tags=("D22", "L4", "D5", "embeddings", "quality"),
+)
+def d22_neardup_label_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D22: contradictory duplicates — near-identical vectors (cosine
+    >= the l4 threshold) carrying DIFFERENT labels. The dedup x
+    label-quality interaction every labeled-corpus audit runs: a
+    near-dup pair with conflicting labels is either annotation noise
+    (route to d21-style review) or a label-leak across a train/test
+    split; a pair with AGREEING labels is safe to collapse to one
+    survivor plus a weight.
+
+    Exactness: pair cosines come from the vectorized exact kernel in
+    threshold mode (min_cos + only_greater — the a.vec_id < b.vec_id
+    self-join dedup convention); the kernel's ascending-dimension fold
+    keeps every double bit-identical to the oracle's list_sum, and
+    everything else is INT flags.
+
+    Scale shape: one map-side kernel pass (corpus rides the closure up
+    to the asserted cap); output is bounded by the MATCH set, never
+    the pair space. At 100 TB the pair generation swaps to the banded
+    projection LSH (l4b) and the label-conflict projection runs
+    unchanged over candidates."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    side = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        F.col("label"),
+    )
+    pairs = topk_per_row_exact(
+        side.select("id", "emb", F.col("label").alias("label_a")),
+        side.select("id", "emb", F.col("label").alias("label_b")),
+        None,
+        min_cos=llm.SIM_TAU,
+        only_greater=True,
+        part_payload=(("label_a", "int"),),
+        cand_payload=(("label_b", "int"),),
+    )
+    return pairs.select(
+        F.col("part_id").alias("vec_a"),
+        F.col("cand_id").alias("vec_b"),
+        "cos_sim",
+        "label_a",
+        "label_b",
+        (F.col("label_a") != F.col("label_b")).cast("int").alias("conflict"),
+    ).orderBy("vec_a", "vec_b")

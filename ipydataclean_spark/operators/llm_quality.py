@@ -1382,3 +1382,77 @@ def l56_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+#: Merge-budget ladder for the fertility sweep. BPE training is
+#: greedily prefix-consistent — the first N merges of one 200-merge
+#: training ARE the N-merge tokenizer — so ONE training run prices
+#: every budget (budget 0 = character tokenizer).
+L59_BUDGETS = (0, 25, 50, 200)
+
+
+@register("l59_bpe_fertility", oracle=None, tags=("L59", "L56", "L10", "tokenizer"))
+def l59_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L59: tokenizer fertility vs vocabulary size, per language — the
+    real metric l56 proxies with regex tokens: learned-subword tokens
+    per word at each merge budget (the published XLM-R/mT5-style
+    comparison sweeps vocab size exactly this way; budget 0 is the
+    character-tokenizer ceiling, the full budget the trained floor —
+    on this fixture 200 merges re-merge the whole synthetic
+    vocabulary, so the SWEEP is the non-vacuous readout, not any
+    single point). Rows-only: BPE training is iterative (the l10b
+    contract); semantics pinned in pytest (fertility non-increasing
+    in budget per language; budget-0 equals chars+terminal per word
+    exactly).
+
+    Scale shape: l10b's recipe — capped driver-side training, ONE
+    distributed pandas pass over DISTINCT words pricing all budgets
+    at once (prefix-filtered rank dicts), broadcast map-back, one
+    lang-keyed rollup per budget over the same exploded frame."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ipydataclean_spark.functions.bpe import apply_bpe, train_bpe
+
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens_col("text"))
+    words = docs.select("doc_id", "lang", F.explode("__toks").alias("w"))
+    wc = (
+        words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(BPE_MAX_VOCAB)
+    )
+    vocab_counts = {r.w: r.c for r in wc.collect()}
+    merges = train_bpe(vocab_counts, max(L59_BUDGETS))
+    rank_ladder = {
+        b: {m: i for i, m in enumerate(merges) if i < b} for b in L59_BUDGETS
+    }
+
+    mapping = words.select("w").distinct()
+    for b in L59_BUDGETS:
+        ranks_b = rank_ladder[b]
+        n_sub_b = pandas_udf(
+            lambda w, _r=ranks_b: w.map(lambda x: len(apply_bpe(x, _r))).astype(
+                "int32"
+            ),
+            "int",
+        )
+        mapping = mapping.withColumn(f"n_sub_{b}", n_sub_b("w"))
+
+    joined = words.join(F.broadcast(mapping), "w", "left")
+    out = None
+    for b in L59_BUDGETS:
+        agg = joined.groupBy("lang").agg(
+            F.count(F.lit(1)).cast("long").alias("total_words"),
+            F.sum(F.coalesce(f"n_sub_{b}", F.lit(1))).cast("long").alias(
+                "total_bpe_tokens"
+            ),
+        ).select(
+            F.lit(b).cast("long").alias("n_merges"),
+            "lang",
+            "total_words",
+            "total_bpe_tokens",
+            (F.col("total_bpe_tokens").cast("double") / F.col("total_words")).alias(
+                "bpe_tokens_per_word"
+            ),
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("n_merges", "lang")

@@ -331,6 +331,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # budgets, ratio-margin bitext mining, kNN label-noise detector
     "l56_token_fertility", "l57_unimax_budgets",
     "l58_bitext_margin_mining", "d21_knn_label_noise",
+    "d22_neardup_label_conflict", "l60_cluster_balanced_sample",
     # re-queued: oracle composition refactored in round 9
     "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)
@@ -342,6 +343,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 #: codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
     "l9l_video_frame_dhash", "l43b_exact_dup_spans",
+    "l59_bpe_fertility",
 )
 
 

@@ -766,3 +766,23 @@ def test_d21_fixture_invariants(spark, sf_dir):
     for r in rows:
         assert 0 <= r.n_agree <= _D21_K
         assert r.flagged == int(r.label != r.majority_label)
+
+
+def test_d22_pairs_equal_l4_and_conflict_flag_consistent(spark, sf_dir):
+    """d22's kernel threshold mode must reproduce l4_sim_join_exact's
+    pair set EXACTLY (two independent implementations of the same
+    τ-join: in-plan fold cross join vs vectorized kernel), and the
+    conflict flag must be literally (label_a != label_b), with both
+    flag values present on the fixture."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    d22 = QUERIES["d22_neardup_label_conflict"]["fn"](spark, sf_dir).collect()
+    l4 = QUERIES["l4_sim_join_exact"]["fn"](spark, sf_dir).collect()
+    assert {(r.vec_a, r.vec_b, r.cos_sim) for r in d22} == {
+        (r.vec_a, r.vec_b, r.cos_sim) for r in l4
+    }
+    assert d22
+    for r in d22:
+        assert r.conflict == int(r.label_a != r.label_b)
+    assert any(r.conflict for r in d22), "no conflicting near-dups on fixture"

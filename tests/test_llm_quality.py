@@ -478,3 +478,39 @@ def test_l56_fertility_consistent_with_l10_and_bounded(spark, sf_dir):
         assert r.bytes_per_token == r.total_bytes / r.total_tokens
         assert 0.5 <= r.tokens_per_word <= 2.0, (lang, r.tokens_per_word)
         assert 3.0 <= r.bytes_per_token <= 12.0, (lang, r.bytes_per_token)
+
+
+def test_l59_fertility_sweep_monotone_and_anchored(spark, sf_dir):
+    """Per language: fertility is non-increasing in merge budget,
+    budget 0 equals the exact character ceiling (len(word)+1 terminal
+    per word, recomputed independently), the sweep strictly decreases
+    somewhere (non-vacuous), and word totals agree across budgets and
+    with l10's certified per-lang token counts (same tokenizer)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l59_bpe_fertility"]["fn"](spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) >= 3
+    l10 = {r.lang: r.total_tokens for r in QUERIES["l10_token_count"]["fn"](spark, sf_dir).collect()}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    import re
+    ceil_num, ceil_den = {}, {}
+    for d in docs:
+        for w in re.findall(r"[a-z0-9]+", d.text.lower()):
+            ceil_num[d.lang] = ceil_num.get(d.lang, 0) + len(w) + 1
+            ceil_den[d.lang] = ceil_den.get(d.lang, 0) + 1
+
+    for lang, rs in by_lang.items():
+        rs = sorted(rs, key=lambda r: r.n_merges)
+        assert [r.n_merges for r in rs] == [0, 25, 50, 200]
+        assert len({r.total_words for r in rs}) == 1
+        assert rs[0].total_words == l10[lang]
+        ferts = [r.bpe_tokens_per_word for r in rs]
+        assert ferts == sorted(ferts, reverse=True), (lang, ferts)
+        assert rs[0].total_bpe_tokens == ceil_num[lang]
+        assert rs[0].total_words == ceil_den[lang]
+        assert ferts[0] > ferts[-1] >= 1.0, (lang, ferts)

@@ -787,6 +787,9 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "l57_unimax_budgets",
         "l58_bitext_margin_mining",
         "d21_knn_label_noise",
+        "d22_neardup_label_conflict",
+        "l59_bpe_fertility",
+        "l60_cluster_balanced_sample",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name

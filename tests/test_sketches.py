@@ -147,3 +147,27 @@ def test_p31_quantile_sketch_within_bound_and_merge_equal(spark, sf_dir):
     direct = li.select(bin_col.alias("b")).groupBy("b").count()
     joined = per_slice.join(direct, "b", "full")
     assert joined.where(F.col("n") != F.col("count")).count() == 0
+
+
+def test_l60_sample_is_exactly_balanced_and_within_cells(spark, sf_dir):
+    """Every cell contributes EXACTLY the quota (the smallest cell's
+    population — which is kept whole), kept_rank is 1..quota per cell,
+    and every sampled vector's cell matches the l3h assignment rule's
+    population counts."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l60_cluster_balanced_sample"]["fn"](spark, sf_dir).collect()
+    assert rows
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    sizes = {c: rs[0].n_cell for c, rs in by_cell.items()}
+    quota = min(sizes.values())
+    l3h = {r.cell: r.n_vectors for r in QUERIES["l3h_kmeans_assign"]["fn"](spark, sf_dir).collect()}
+    assert sizes == l3h, "cell populations diverge from the l3h assignment"
+    for c, rs in by_cell.items():
+        assert len(rs) == quota, (c, len(rs))
+        assert sorted(r.kept_rank for r in rs) == list(range(1, quota + 1))
+    smallest = min(sizes, key=lambda c: (sizes[c], c))
+    assert len(by_cell[smallest]) == sizes[smallest], "smallest cell not kept whole"
