@@ -2536,3 +2536,165 @@ def d22_neardup_label_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label_b",
         (F.col("label_a") != F.col("label_b")).cast("int").alias("conflict"),
     ).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# D23 — embedding-space outliers (kNN-distance score)
+# ---------------------------------------------------------------------------
+
+_D23_K = 5
+_D23_TOPN = 50
+
+_D23_ORACLE = (
+    f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
+    "FROM embeddings), "
+    "p AS (SELECT q.vec_id, q.label, "
+    f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm)) AS cos_sim, "
+    "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+    f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm)) DESC, e.vec_id) AS rn "
+    "FROM v q CROSS JOIN v e WHERE e.vec_id <> q.vec_id), "
+    "m AS (SELECT vec_id, label, "
+    "CAST(SUM(CAST(ROUND(cos_sim, 12) AS DECIMAL(38,12))) AS DOUBLE) "
+    f"/ {_D23_K} AS knn_mean_cos "
+    f"FROM p WHERE rn <= {_D23_K} GROUP BY vec_id, label) "
+    "SELECT vec_id, label, knn_mean_cos, "
+    "(1.0 - knn_mean_cos) AS outlier_score "
+    "FROM m ORDER BY (1.0 - knn_mean_cos) DESC, vec_id "
+    f"LIMIT {_D23_TOPN}"
+)
+
+
+@register(
+    "d23_embedding_outliers",
+    oracle=_D23_ORACLE,
+    tags=("D23", "D3", "L3", "embeddings", "quality"),
+)
+def d23_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D23: embedding-space outlier detection — 1 minus the mean cosine
+    to the 5 nearest neighbors, top-N ranked (the kNN-distance score of
+    classic outlier detection, the model-free cousin of LOF): a vector
+    far from everything is a decode error, an off-distribution sample,
+    or a novelty worth routing to review — the embedding-native
+    complement of the value-space d3 family.
+
+    Exactness: cosines from the vectorized exact kernel (bit-identical
+    fold order); the k-NN mean sums ROUND(cos,12) in DECIMAL(38,12)
+    then ONE IEEE division; the score is 1.0 minus that — every double
+    identical cross-engine, so the top-N order and hash match.
+
+    Scale shape: one kernel pass (corpus in the closure up to the
+    asserted cap, part side spread across cores) emitting k rows per
+    vector; the mean is a vec-keyed agg over 5·n rows and the top-N a
+    single bounded sort. At 100 TB the neighbor side swaps to IVF
+    candidates (l3c) and the score math runs unchanged."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    side = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb"), "label"
+    )
+    top = topk_per_row_exact(
+        side,
+        side.select("id", "emb"),
+        _D23_K,
+        exclude_self=True,
+        part_payload=(("label", "int"),),
+    )
+    mean_cos = (
+        F.sum(F.round("cos_sim", 12).cast(exact.DEC12)).cast("double") / _D23_K
+    )
+    return (
+        top.groupBy(F.col("part_id").alias("vec_id"), F.col("label"))
+        .agg(mean_cos.alias("knn_mean_cos"))
+        .select(
+            "vec_id",
+            "label",
+            "knn_mean_cos",
+            (F.lit(1.0) - F.col("knn_mean_cos")).alias("outlier_score"),
+        )
+        .orderBy(F.desc("outlier_score"), "vec_id")
+        .limit(_D23_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# L64 — leakage-free train/test split (cluster-aware hash split)
+# ---------------------------------------------------------------------------
+
+_L64_TEST_FRAC = 0.2
+_L64_THRESHOLD = int(_L64_TEST_FRAC * (1 << 24))
+
+_L64_ORACLE = (
+    "WITH RECURSIVE "
+    f"v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm "
+    "FROM embeddings), "
+    "pairs AS (SELECT a.vec_id AS ka, b.vec_id AS kb "
+    "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+    f"WHERE ({dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm)) "
+    f">= {llm.SIM_TAU}), "
+    "edges AS (SELECT ka AS a, kb AS b FROM pairs "
+    "UNION SELECT kb, ka FROM pairs), "
+    "r(a, b) AS (SELECT vec_id, vec_id FROM v "
+    "UNION SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a), "
+    "lbl AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+    "sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members "
+    "FROM lbl GROUP BY cluster_id) "
+    "SELECT l.vec_id, l.cluster_id, s.n_members, "
+    "CASE WHEN "
+    + exact.md5_prefix_int_sql("'l64:' || CAST(l.cluster_id AS VARCHAR)")
+    + f" < {_L64_THRESHOLD} THEN 'test' ELSE 'train' END AS split "
+    "FROM lbl l JOIN sized s ON s.cluster_id = l.cluster_id "
+    "ORDER BY l.vec_id"
+)
+
+
+@register(
+    "l64_leakage_free_split",
+    oracle=_L64_ORACLE,
+    tags=("L64", "L2", "L4", "C25", "sampling", "dedup"),
+)
+def l64_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L64: leakage-free train/test split — hash-split by NEAR-DUP
+    CLUSTER, not by document: every vector joins the component of its
+    cosine-τ neighbors first, then the whole cluster lands on one side
+    of an md5 coin on the cluster id. The published "dedup before you
+    split" rule (GPT-3 App. C / Lee et al. ACL'22): a doc-level hash
+    split (c25) puts near-identical members on both sides and inflates
+    eval scores; by construction this split has ZERO τ-pairs crossing
+    the boundary (pinned in pytest, alongside the naive split's
+    nonzero crossing count on the same fixture).
+
+    Correctness proof of the iterative stage (the er1 pattern): Spark
+    clusters with alternating large-star/small-star over the kernel's
+    τ-pairs, while the oracle computes a RECURSIVE-CTE transitive
+    closure — two different fixpoint mechanisms whose value hash must
+    agree, and the coin is the ONE shared md5 definition.
+
+    Scale shape: pair generation is the kernel pass (swap to l4b
+    banding past the cap); star rounds shuffle only the contracting
+    edge table (O(log n) rounds); the split is a map-side expression
+    on the label table."""
+    emb = T(spark, sf_dir, "embeddings")
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    pairs = topk_per_row_exact(
+        side, side, None, min_cos=llm.SIM_TAU, only_greater=True
+    ).select(F.col("part_id").alias("a"), F.col("cand_id").alias("b"))
+    lbl = cluster_pairs(side.select("id"), pairs)
+    sized = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    coin = exact.md5_prefix_int(
+        F.concat(F.lit("l64:"), F.col("cluster_id").cast("string"))
+    )
+    return (
+        lbl.join(sized, "cluster_id")
+        .select(
+            F.col("id").alias("vec_id"),
+            "cluster_id",
+            "n_members",
+            F.when(coin < _L64_THRESHOLD, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        .orderBy("vec_id")
+    )

@@ -786,3 +786,63 @@ def test_d22_pairs_equal_l4_and_conflict_flag_consistent(spark, sf_dir):
     for r in d22:
         assert r.conflict == int(r.label_a != r.label_b)
     assert any(r.conflict for r in d22), "no conflicting near-dups on fixture"
+
+
+def test_d23_planted_isolate_is_top_outlier(spark, tmp_path):
+    """Three tight clusters plus one vector orthogonal to everything:
+    the isolate must rank as the single top outlier, and every
+    clustered vector's knn_mean_cos must sit far above it."""
+    from ipydataclean_spark.operators.llm_extra import d23_embedding_outliers
+
+    rows = []
+    for c in range(3):
+        for j in range(8):
+            v = [0.0] * 10
+            v[3 * c] = 1.0
+            v[3 * c + 1] = 0.01 * j
+            rows.append((c * 8 + j, [float(x) for x in v], c))
+    iso = [0.0] * 10
+    iso[9] = 1.0
+    rows.append((99, [float(x) for x in iso], 7))
+    d = str(tmp_path / "mini23")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{d}/embeddings.parquet")
+
+    out = d23_embedding_outliers(spark, d).collect()
+    assert out[0].vec_id == 99 and out[0].label == 7
+    assert out[0].outlier_score > 0.9
+    assert all(r.outlier_score < 0.2 for r in out[1:])
+    for r in out:
+        assert abs(r.outlier_score - (1.0 - r.knn_mean_cos)) < 1e-15
+
+
+def test_l64_split_has_zero_pair_leakage_where_naive_leaks(spark, sf_dir):
+    """The cluster-aware split must put every cosine-τ pair on ONE
+    side (zero crossings); the naive per-doc md5 coin on the same
+    fixture crosses at least one pair — the measured reason the
+    operator exists. Cluster labels must agree pairwise with d22's
+    independently-computed pair set."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    split = {r.vec_id: r for r in QUERIES["l64_leakage_free_split"]["fn"](spark, sf_dir).collect()}
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["d22_neardup_label_conflict"]["fn"](spark, sf_dir).collect()
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert split[a].cluster_id == split[b].cluster_id, (a, b)
+        assert split[a].split == split[b].split, (a, b)
+
+    import hashlib
+
+    thr = int(0.2 * (1 << 24))
+    naive = lambda x: int(hashlib.md5(f"l64:{x}".encode()).hexdigest()[:6], 16) < thr  # noqa: E731
+    assert any(naive(a) != naive(b) for a, b in pairs), (
+        "naive split leaks nothing on this fixture — pin vacuous"
+    )
+    assert {r.split for r in split.values()} == {"train", "test"}
+    frac = sum(1 for r in split.values() if r.split == "test") / len(split)
+    assert 0.05 < frac < 0.45, frac

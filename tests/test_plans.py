@@ -790,6 +790,8 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "d22_neardup_label_conflict",
         "l59_bpe_fertility",
         "l60_cluster_balanced_sample",
+        "d23_embedding_outliers",
+        "l64_leakage_free_split",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
