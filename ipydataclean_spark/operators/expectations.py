@@ -572,3 +572,57 @@ def x5_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("group_size") < 5)
         .orderBy("group_size", "c_nationkey", "c_mktsegment", "bal_band")
     )
+
+
+_X6_L = 3
+
+_X6_ORACLE = (
+    # QI = (nation, balance band); sensitive attribute = market segment
+    "WITH qi AS (SELECT c_nationkey, "
+    "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band, "
+    "c_mktsegment FROM customer), "
+    "grp AS (SELECT c_nationkey, bal_band, "
+    "CAST(COUNT(*) AS BIGINT) AS group_size, "
+    "CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive "
+    "FROM qi GROUP BY 1, 2) "
+    f"SELECT c_nationkey, bal_band, group_size, n_sensitive "
+    f"FROM grp WHERE n_sensitive < {_X6_L} "
+    "ORDER BY n_sensitive, group_size, c_nationkey, bal_band"
+)
+
+
+@register(
+    "x6_l_diversity",
+    oracle=_X6_ORACLE,
+    tags=("X6", "X5", "privacy", "quality"),
+)
+def x6_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: l-diversity audit — x5's k-anonymity catches SMALL
+    quasi-identifier classes; this catches HOMOGENEOUS ones: a class
+    can be large (k-anonymous) yet reveal its members' sensitive
+    attribute because everyone in it shares one value (Machanavajjhala
+    et al., "l-Diversity", ICDE'06). QI = (nation, $1000 balance
+    band); sensitive = market segment; every class with fewer than
+    l=3 distinct sensitive values is surfaced. The release fix loop
+    pairs with x5's: coarsen QI columns until both audits clear.
+
+    Plan: one groupBy on the QI tuple with a partial-aggregable count
+    + distinct-count — the QI-class count bounds the output, identical
+    shape at 100 TB (swap COUNT(DISTINCT) for approx_count_distinct
+    when the sensitive domain is large; here it is 5 segments)."""
+    qi = T(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(1000.0))
+        .cast("long")
+        .alias("bal_band"),
+        "c_mktsegment",
+    )
+    return (
+        qi.groupBy("c_nationkey", "bal_band")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.countDistinct("c_mktsegment").alias("n_sensitive"),
+        )
+        .where(F.col("n_sensitive") < _X6_L)
+        .orderBy("n_sensitive", "group_size", "c_nationkey", "bal_band")
+    )

@@ -2698,3 +2698,185 @@ def l64_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# PIPELINE — embedding-side curation: outliers → dedup → balance → split
+# ---------------------------------------------------------------------------
+
+_PEC_K = 5
+_PEC_OUT_DIV = 100.0  #: drop the top ceil(n/100) outliers (1%)
+_PEC_TEST_THRESHOLD = int(0.2 * (1 << 24))
+
+def _pec_oracle() -> str:
+    cos_qe = f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm))"
+    cos_ab = f"({dot_sql('a.embedding', 'b.embedding')} / (a.nrm * b.nrm))"
+    cos_sc = f"({dot_sql('s.embedding', 'cent.c_emb')} / (s.nrm * cent.cnrm))"
+    return (
+        f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
+        "FROM embeddings), "
+        "p AS (SELECT q.vec_id, " + cos_qe + " AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        + cos_qe + " DESC, e.vec_id) AS rn "
+        "FROM v q CROSS JOIN v e WHERE e.vec_id <> q.vec_id), "
+        "m AS (SELECT vec_id, "
+        "CAST(SUM(CAST(ROUND(cos_sim, 12) AS DECIMAL(38,12))) AS DOUBLE) "
+        f"/ {_PEC_K} AS knn_mean_cos FROM p WHERE rn <= {_PEC_K} GROUP BY vec_id), "
+        "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v), "
+        "orank AS (SELECT vec_id, "
+        "ROW_NUMBER() OVER (ORDER BY knn_mean_cos ASC, vec_id) AS r FROM m), "
+        "surv1 AS (SELECT v.* FROM v JOIN orank o ON o.vec_id = v.vec_id "
+        f"CROSS JOIN cnt WHERE o.r > CAST(CEIL(n / {_PEC_OUT_DIV}) AS BIGINT)), "
+        "dup AS (SELECT DISTINCT b.vec_id AS kb FROM surv1 a JOIN surv1 b "
+        f"ON a.vec_id < b.vec_id WHERE {cos_ab} >= {llm.SIM_TAU}), "
+        "surv2 AS (SELECT * FROM surv1 "
+        "WHERE vec_id NOT IN (SELECT kb FROM dup)), "
+        "cent AS (SELECT vec_id AS cell, embedding AS c_emb, "
+        f"{norm_sql('embedding')} AS cnrm FROM embeddings WHERE vec_id < 8), "
+        "scored AS (SELECT s.vec_id, s.label, cent.cell, "
+        "ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY "
+        + cos_sc + " DESC, cent.cell) AS crn "
+        "FROM surv2 s CROSS JOIN cent), "
+        "asg AS (SELECT vec_id, label, CAST(cell AS BIGINT) AS cell "
+        "FROM scored WHERE crn = 1), "
+        "sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell "
+        "FROM asg GROUP BY cell), "
+        "quota AS (SELECT MIN(n_cell) AS q FROM sizes), "
+        "sampled AS (SELECT vec_id, label FROM (SELECT a.*, "
+        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY "
+        + exact.md5_prefix_int_sql("'pec:' || CAST(a.vec_id AS VARCHAR)")
+        + ", a.vec_id) AS kr FROM asg a) CROSS JOIN quota WHERE kr <= q), "
+        "sp AS (SELECT vec_id, label, CASE WHEN "
+        + exact.md5_prefix_int_sql("'pec:s:' || CAST(vec_id AS VARCHAR)")
+        + f" < {_PEC_TEST_THRESHOLD} THEN 'test' ELSE 'train' END AS split "
+        "FROM sampled), "
+        "raw AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_raw FROM v GROUP BY label), "
+        "s1 AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_after_outlier FROM surv1 GROUP BY label), "
+        "s2 AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_after_dedup FROM surv2 GROUP BY label), "
+        "s3 AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_sampled, "
+        "CAST(COUNT_IF(split = 'train') AS BIGINT) AS n_train, "
+        "CAST(COUNT_IF(split = 'test') AS BIGINT) AS n_test FROM sp GROUP BY label) "
+        "SELECT raw.label, n_raw, "
+        "COALESCE(n_after_outlier, 0) AS n_after_outlier, "
+        "COALESCE(n_after_dedup, 0) AS n_after_dedup, "
+        "COALESCE(n_sampled, 0) AS n_sampled, "
+        "COALESCE(n_train, 0) AS n_train, COALESCE(n_test, 0) AS n_test "
+        "FROM raw LEFT JOIN s1 ON s1.label = raw.label "
+        "LEFT JOIN s2 ON s2.label = raw.label "
+        "LEFT JOIN s3 ON s3.label = raw.label "
+        "ORDER BY raw.label"
+    )
+
+
+@register(
+    "pipeline_embedding_curation",
+    oracle=_pec_oracle(),
+    tags=("D23", "L4", "L60", "L64", "pipeline", "embeddings"),
+)
+def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side curation COMPOSITE — the four round-9 embedding
+    operators in deployment order, hash-checked end to end: drop the
+    top-1% kNN-distance outliers (d23's score, rank cut so the stage
+    is non-vacuous at every SF) → cosine-τ near-dup dedup keeping the
+    lowest id (l4c's rule) → cluster-balanced sample (l60's per-cell
+    md5 quota over the seed-centroid assignment) → hash split
+    (singleton clusters post-dedup, so the per-vector coin IS the
+    leakage-free l64 split). Readout: the per-label stage-attrition
+    funnel (raw → outlier cut → dedup → sampled → train/test), the
+    table a labeled-corpus release publishes.
+
+    Every stage reuses the certified operator's own arithmetic: the
+    vectorized exact kernel for both pair passes, ROUND12-decimal kNN
+    means, the l3h argmax, and the ONE shared md5 coin ('pec' salts).
+
+    At 100 TB: the global outlier rank becomes an approx-quantile
+    threshold (the l52 note); pair generation swaps to l4b banding
+    past the kernel cap; everything else is map-side or bounded by
+    cells/labels."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    side = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb"), "label"
+    )
+
+    # stage 1: outlier rank cut (d23 score, lowest mean cos = worst)
+    mean_cos = (
+        F.sum(F.round("cos_sim", 12).cast(exact.DEC12)).cast("double") / _PEC_K
+    )
+    means = (
+        topk_per_row_exact(side.select("id", "emb"), side.select("id", "emb"),
+                           _PEC_K, exclude_self=True)
+        .groupBy("part_id")
+        .agg(mean_cos.alias("knn_mean_cos"))
+    )
+    cnt = means.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    orank = means.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.asc("knn_mean_cos"), F.asc("part_id")))
+    )
+    surv1 = (
+        side.join(orank, side.id == orank.part_id)
+        .crossJoin(F.broadcast(cnt))
+        .where(F.col("r") > F.ceil(F.col("n") / F.lit(_PEC_OUT_DIV)).cast("long"))
+        .select("id", "emb", "label")
+        .localCheckpoint(eager=True)
+    )
+
+    # stage 2: cosine-τ dedup, keep lowest id (the l4c rule)
+    dup = (
+        topk_per_row_exact(
+            surv1.select("id", "emb"), surv1.select("id", "emb"), None,
+            min_cos=llm.SIM_TAU, only_greater=True,
+        )
+        .select(F.col("cand_id").alias("id"))
+        .distinct()
+    )
+    surv2 = surv1.join(dup, "id", "left_anti").localCheckpoint(eager=True)
+
+    # stage 3: balanced sample over the l3h seed-centroid assignment
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
+    )
+    asg = (
+        surv2.crossJoin(F.broadcast(cent))
+        .select("id", "label", "cell", cosine_sim("emb", "c_emb").alias("sim"))
+        .groupBy("id", "label")
+        .agg(F.max_by(F.col("cell"), F.struct(F.col("sim"), -F.col("cell")))
+             .cast("long").alias("cell"))
+    )
+    sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    quota = sizes.agg(F.min("n_cell").alias("q"))
+    kr_coin = exact.md5_prefix_int(F.concat(F.lit("pec:"), F.col("id").cast("string")))
+    sampled = (
+        asg.withColumn(
+            "kr", F.row_number().over(Window.partitionBy("cell").orderBy(kr_coin, F.col("id")))
+        )
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("kr") <= F.col("q"))
+        .select("id", "label")
+    )
+
+    # stage 4: hash split (post-dedup clusters are singletons)
+    sp_coin = exact.md5_prefix_int(F.concat(F.lit("pec:s:"), F.col("id").cast("string")))
+    sp = sampled.withColumn(
+        "split",
+        F.when(sp_coin < _PEC_TEST_THRESHOLD, F.lit("test")).otherwise(F.lit("train")),
+    )
+
+    raw = side.groupBy("label").agg(F.count(F.lit(1)).alias("n_raw"))
+    s1 = surv1.groupBy("label").agg(F.count(F.lit(1)).alias("n_after_outlier"))
+    s2 = surv2.groupBy("label").agg(F.count(F.lit(1)).alias("n_after_dedup"))
+    s3 = sp.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.count_if(F.col("split") == "train").alias("n_train"),
+        F.count_if(F.col("split") == "test").alias("n_test"),
+    )
+    return (
+        raw.join(s1, "label", "left")
+        .join(s2, "label", "left")
+        .join(s3, "label", "left")
+        .na.fill({"n_after_outlier": 0, "n_after_dedup": 0, "n_sampled": 0,
+                  "n_train": 0, "n_test": 0})
+        .orderBy("label")
+    )

@@ -846,3 +846,26 @@ def test_l64_split_has_zero_pair_leakage_where_naive_leaks(spark, sf_dir):
     assert {r.split for r in split.values()} == {"train", "test"}
     frac = sum(1 for r in split.values() if r.split == "test") / len(split)
     assert 0.05 < frac < 0.45, frac
+
+
+def test_pipeline_embedding_curation_funnel_consistent(spark, sf_dir):
+    """Funnel invariants: monotone attrition per label through outlier
+    cut and dedup, sampled <= after_dedup, train+test == sampled, the
+    outlier stage drops exactly ceil(n/100) rows overall, and the
+    sampled total is quota x live cells (exact balance)."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["pipeline_embedding_curation"]["fn"](spark, sf_dir).collect()
+    assert len(rows) >= 5
+    import math
+
+    n_raw = sum(r.n_raw for r in rows)
+    n_s1 = sum(r.n_after_outlier for r in rows)
+    assert n_raw - n_s1 == math.ceil(n_raw / 100.0)
+    for r in rows:
+        assert r.n_raw >= r.n_after_outlier >= r.n_after_dedup >= 0
+        assert r.n_sampled <= r.n_after_dedup
+        assert r.n_train + r.n_test == r.n_sampled
+    assert sum(r.n_after_dedup for r in rows) < n_s1, "dedup stage vacuous"
+    assert sum(r.n_test for r in rows) > 0

@@ -792,6 +792,8 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "l60_cluster_balanced_sample",
         "d23_embedding_outliers",
         "l64_leakage_free_split",
+        "x6_l_diversity",
+        "pipeline_embedding_curation",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
