@@ -116,11 +116,14 @@ def topk_per_row_exact(
     import numpy as np
 
     cand_cols = [c for c, _ in cand_payload]
-    cand_rows = cand.select("id", "emb", *cand_cols).collect()
+    # limit(cap+1) bounds DRIVER memory BEFORE the pull — collecting
+    # first and counting after would OOM on exactly the oversized side
+    # this guard exists to reject (review: fail loud BEFORE the harm)
+    cand_rows = cand.select("id", "emb", *cand_cols).limit(EXACT_CAND_CAP + 1).collect()
     if len(cand_rows) > EXACT_CAND_CAP:
         raise ValueError(
-            f"topk_per_row_exact: candidate side has {len(cand_rows)} rows "
-            f"(cap {EXACT_CAND_CAP}); use the lsh/ivf candidate paths instead"
+            f"topk_per_row_exact: candidate side exceeds {EXACT_CAND_CAP} rows; "
+            "use the lsh/ivf candidate paths instead"
         )
     c_ids = np.array([r.id for r in cand_rows], dtype=np.int64)
     c_mat = np.array([list(r.emb) for r in cand_rows], dtype=np.float64)
@@ -129,6 +132,16 @@ def topk_per_row_exact(
     for i in range(dim):  # sequential square-accumulate = norm() fold
         c_norm += c_mat[:, i] * c_mat[:, i]
     c_norm = np.sqrt(c_norm)
+    # NaN cosines (zero-norm or NaN embeddings) would silently DIVERGE
+    # from the certified engines: DuckDB/Spark sort NaN greatest, the
+    # kernel's lexsort+isnan-break would drop them. No fixture or sane
+    # corpus has them; reject loudly instead of de-certifying quietly.
+    if m and not (np.isfinite(c_norm).all() and (c_norm > 0.0).all()):
+        raise ValueError(
+            "topk_per_row_exact: candidate side has zero-norm or non-finite "
+            "embeddings — cosine is undefined (NaN) and the kernel's NaN "
+            "exclusion would diverge from the oracle's NaN-greatest ordering"
+        )
     c_pay = {c: np.array([r[c] for r in cand_rows]) for c in cand_cols}
 
     part_cols = [c for c, _ in part_payload]
@@ -161,6 +174,11 @@ def topk_per_row_exact(
                 for i in range(dim):  # ascending-dimension order: the fold
                     acc += np.multiply.outer(a[:, i], c_mat[:, i])
                     a_norm += a[:, i] * a[:, i]
+                if not (np.isfinite(a_norm).all() and (a_norm > 0.0).all()):
+                    raise ValueError(
+                        "topk_per_row_exact: part side has zero-norm or "
+                        "non-finite embeddings — cosine undefined (NaN)"
+                    )
                 cos = acc / (np.sqrt(a_norm)[:, None] * c_norm[None, :])
                 if exclude_self:
                     cos = np.where(p_ids[:, None] == c_ids[None, :], np.nan, cos)

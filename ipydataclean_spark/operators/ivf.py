@@ -855,6 +855,49 @@ _L60_ASSIGN_CTES = (
     "FROM scored WHERE rn = 1)"
 )
 
+def assign_cells(
+    df: DataFrame,
+    cent: DataFrame,
+    id_col: str,
+    emb_col: str,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """The l3h seed-centroid argmax as a shared builder: route every
+    row of ``df`` to its most-cosine-similar centroid (broadcast
+    ``cent``: (cell, c_emb)), ties to the lowest cell. ONE definition
+    so l60 and the embedding-curation pipeline cannot fork the
+    certified assignment arithmetic (review r09c)."""
+    return (
+        df.crossJoin(F.broadcast(cent))
+        .select(id_col, *keep, "cell", cosine_sim(emb_col, "c_emb").alias("sim"))
+        .groupBy(id_col, *keep)
+        .agg(
+            F.max_by(F.col("cell"), F.struct(F.col("sim"), -F.col("cell")))
+            .cast("long")
+            .alias("cell")
+        )
+    )
+
+
+def quota_sample(asg: DataFrame, id_col: str, salt: str) -> DataFrame:
+    """Per-cell md5-ranked quota draw over an assignment table
+    (quota = the smallest cell): adds (n_cell, kept_rank) and keeps
+    rank <= quota. The coin is the ONE shared md5 definition, salted
+    per caller so independent draws stay independent."""
+    from pyspark.sql import Window
+
+    sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
+    quota = sizes.agg(F.min("n_cell").alias("q"))
+    coin = exact.md5_prefix_int(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy("cell").orderBy(coin, F.col(id_col))
+    return (
+        asg.join(sizes, "cell")
+        .withColumn("kept_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(quota))
+        .where(F.col("kept_rank") <= F.col("q"))
+    )
+
+
 _L60_ORACLE = (
     "WITH " + _L60_ASSIGN_CTES + ", "
     "sizes AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_cell "
@@ -901,27 +944,9 @@ def l60_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assign = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "cell", cosine_sim("embedding", "c_emb").alias("sim"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by(
-                F.col("cell"), F.struct(F.col("sim"), -F.col("cell"))
-            ).cast("long").alias("cell")
-        )
-    )
-    sizes = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
-    quota = sizes.agg(F.min("n_cell").alias("q"))
-    coin = exact.md5_prefix_int(
-        F.concat(F.lit("l60:"), F.col("vec_id").cast("string"))
-    )
-    w = Window.partitionBy("cell").orderBy(coin, F.col("vec_id"))
+    assign = assign_cells(emb, cent, "vec_id", "embedding")
     return (
-        assign.join(sizes, "cell")
-        .withColumn("kept_rank", F.row_number().over(w).cast("long"))
-        .crossJoin(F.broadcast(quota))
-        .where(F.col("kept_rank") <= F.col("q"))
+        quota_sample(assign, "vec_id", "l60:")
         .select("cell", "vec_id", "n_cell", "kept_rank")
         .orderBy("cell", "vec_id")
     )

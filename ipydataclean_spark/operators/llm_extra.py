@@ -2238,14 +2238,7 @@ _L58_TGT_LANG = "de"
 #: that absolute-threshold cosine mining lacks. Forward matches
 #: (best y per x) with a mutual-NN flag; the consumer thresholds on
 #: margin.
-from ipydataclean_spark.functions.vector import (  # noqa: E402
-    cosine_sim,
-    cosine_sim_sql,
-    dot,
-    dot_sql,
-    norm,
-    norm_sql,
-)
+from ipydataclean_spark.functions.vector import dot_sql, norm_sql  # noqa: E402
 
 _L58_MEAN_SQL = (
     "CAST(SUM(CASE WHEN {rk} <= " + str(_L58_K) + " THEN "
@@ -2545,6 +2538,25 @@ def d22_neardup_label_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D23_K = 5
 _D23_TOPN = 50
 
+def knn_mean_table(
+    side: DataFrame, k: int, part_payload: tuple[tuple[str, str], ...] = ()
+) -> DataFrame:
+    """(part_id [, payloads], knn_mean_cos): mean ROUND12-decimal
+    cosine to the k nearest neighbors (self excluded) over a
+    (id, emb [, payload]) frame — the d23 score, shared with the
+    embedding-curation pipeline so one definition carries the
+    certified arithmetic (review r09c)."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    top = topk_per_row_exact(
+        side, side.select("id", "emb"), k,
+        exclude_self=True, part_payload=part_payload,
+    )
+    mean_cos = F.sum(F.round("cos_sim", 12).cast(exact.DEC12)).cast("double") / k
+    keys = ["part_id"] + [c for c, _ in part_payload]
+    return top.groupBy(*keys).agg(mean_cos.alias("knn_mean_cos"))
+
+
 _D23_ORACLE = (
     f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
     "FROM embeddings), "
@@ -2587,25 +2599,13 @@ def d23_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector; the mean is a vec-keyed agg over 5·n rows and the top-N a
     single bounded sort. At 100 TB the neighbor side swaps to IVF
     candidates (l3c) and the score math runs unchanged."""
-    from ipydataclean_spark.functions.knn import topk_per_row_exact
-
     emb = T(spark, sf_dir, "embeddings")
     side = emb.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("emb"), "label"
     )
-    top = topk_per_row_exact(
-        side,
-        side.select("id", "emb"),
-        _D23_K,
-        exclude_self=True,
-        part_payload=(("label", "int"),),
-    )
-    mean_cos = (
-        F.sum(F.round("cos_sim", 12).cast(exact.DEC12)).cast("double") / _D23_K
-    )
     return (
-        top.groupBy(F.col("part_id").alias("vec_id"), F.col("label"))
-        .agg(mean_cos.alias("knn_mean_cos"))
+        knn_mean_table(side, _D23_K, part_payload=(("label", "int"),))
+        .select(F.col("part_id").alias("vec_id"), "label", "knn_mean_cos")
         .select(
             "vec_id",
             "label",
@@ -2706,7 +2706,8 @@ def l64_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PEC_K = 5
 _PEC_OUT_DIV = 100.0  #: drop the top ceil(n/100) outliers (1%)
-_PEC_TEST_THRESHOLD = int(0.2 * (1 << 24))
+#: same 20% test fraction as l64 — one derivation, not a re-typed copy
+_PEC_TEST_THRESHOLD = _L64_THRESHOLD
 
 def _pec_oracle() -> str:
     cos_qe = f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm))"
@@ -2794,6 +2795,7 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the kernel cap; everything else is map-side or bounded by
     cells/labels."""
     from ipydataclean_spark.functions.knn import topk_per_row_exact
+    from ipydataclean_spark.operators.ivf import assign_cells, quota_sample
     from pyspark.sql import Window
 
     emb = T(spark, sf_dir, "embeddings")
@@ -2801,16 +2803,8 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id"), F.col("embedding").alias("emb"), "label"
     )
 
-    # stage 1: outlier rank cut (d23 score, lowest mean cos = worst)
-    mean_cos = (
-        F.sum(F.round("cos_sim", 12).cast(exact.DEC12)).cast("double") / _PEC_K
-    )
-    means = (
-        topk_per_row_exact(side.select("id", "emb"), side.select("id", "emb"),
-                           _PEC_K, exclude_self=True)
-        .groupBy("part_id")
-        .agg(mean_cos.alias("knn_mean_cos"))
-    )
+    # stage 1: outlier rank cut (d23's score via the shared builder)
+    means = knn_mean_table(side.select("id", "emb"), _PEC_K)
     cnt = means.agg(F.count(F.lit(1)).cast("long").alias("n"))
     orank = means.withColumn(
         "r", F.row_number().over(Window.orderBy(F.asc("knn_mean_cos"), F.asc("part_id")))
@@ -2834,28 +2828,12 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     surv2 = surv1.join(dup, "id", "left_anti").localCheckpoint(eager=True)
 
-    # stage 3: balanced sample over the l3h seed-centroid assignment
+    # stage 3: balanced sample via the shared l60 builders
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    asg = (
-        surv2.crossJoin(F.broadcast(cent))
-        .select("id", "label", "cell", cosine_sim("emb", "c_emb").alias("sim"))
-        .groupBy("id", "label")
-        .agg(F.max_by(F.col("cell"), F.struct(F.col("sim"), -F.col("cell")))
-             .cast("long").alias("cell"))
-    )
-    sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
-    quota = sizes.agg(F.min("n_cell").alias("q"))
-    kr_coin = exact.md5_prefix_int(F.concat(F.lit("pec:"), F.col("id").cast("string")))
-    sampled = (
-        asg.withColumn(
-            "kr", F.row_number().over(Window.partitionBy("cell").orderBy(kr_coin, F.col("id")))
-        )
-        .crossJoin(F.broadcast(quota))
-        .where(F.col("kr") <= F.col("q"))
-        .select("id", "label")
-    )
+    asg = assign_cells(surv2, cent, "id", "emb", keep=("label",))
+    sampled = quota_sample(asg, "id", "pec:").select("id", "label")
 
     # stage 4: hash split (post-dedup clusters are singletons)
     sp_coin = exact.md5_prefix_int(F.concat(F.lit("pec:s:"), F.col("id").cast("string")))

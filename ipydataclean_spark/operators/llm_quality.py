@@ -1438,15 +1438,24 @@ def l59_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         mapping = mapping.withColumn(f"n_sub_{b}", n_sub_b("w"))
 
     joined = words.join(F.broadcast(mapping), "w", "left")
-    out = None
-    for b in L59_BUDGETS:
-        agg = joined.groupBy("lang").agg(
-            F.count(F.lit(1)).cast("long").alias("total_words"),
-            F.sum(F.coalesce(f"n_sub_{b}", F.lit(1))).cast("long").alias(
-                "total_bpe_tokens"
-            ),
-        ).select(
-            F.lit(b).cast("long").alias("n_merges"),
+    # ONE lang-keyed agg computes every budget's sum, then stack()
+    # unpivots to (n_merges, lang) rows — a per-budget union of aggs
+    # would rescan the explode+join lineage once per budget (review)
+    agg = joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("total_words"),
+        *[
+            F.sum(F.coalesce(f"n_sub_{b}", F.lit(1))).cast("long").alias(f"t_{b}")
+            for b in L59_BUDGETS
+        ],
+    )
+    stack = "stack({n}, {args}) AS (n_merges, total_bpe_tokens)".format(
+        n=len(L59_BUDGETS),
+        args=", ".join(f"CAST({b} AS BIGINT), t_{b}" for b in L59_BUDGETS),
+    )
+    return (
+        agg.select("lang", "total_words", F.expr(stack))
+        .select(
+            "n_merges",
             "lang",
             "total_words",
             "total_bpe_tokens",
@@ -1454,5 +1463,5 @@ def l59_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "bpe_tokens_per_word"
             ),
         )
-        out = agg if out is None else out.unionByName(agg)
-    return out.orderBy("n_merges", "lang")
+        .orderBy("n_merges", "lang")
+    )

@@ -850,9 +850,11 @@ def test_l64_split_has_zero_pair_leakage_where_naive_leaks(spark, sf_dir):
 
 def test_pipeline_embedding_curation_funnel_consistent(spark, sf_dir):
     """Funnel invariants: monotone attrition per label through outlier
-    cut and dedup, sampled <= after_dedup, train+test == sampled, the
-    outlier stage drops exactly ceil(n/100) rows overall, and the
-    sampled total is quota x live cells (exact balance)."""
+    cut and dedup, sampled <= after_dedup, train+test == sampled, and
+    the outlier stage drops exactly ceil(n/100) rows overall. (The
+    stage-3 exact-balance property is carried by the driver's oracle
+    hash — the twin recomputes the quota draw value-for-value — and by
+    the standalone l60 test; this pin covers the funnel accounting.)"""
     from ipydataclean_spark.registry import QUERIES, load_all
 
     load_all()
@@ -869,3 +871,25 @@ def test_pipeline_embedding_curation_funnel_consistent(spark, sf_dir):
         assert r.n_train + r.n_test == r.n_sampled
     assert sum(r.n_after_dedup for r in rows) < n_s1, "dedup stage vacuous"
     assert sum(r.n_test for r in rows) > 0
+
+
+def test_topk_kernel_rejects_zero_norm_embeddings(spark):
+    """A zero-norm vector makes cosine NaN, where the kernel's NaN
+    exclusion would silently diverge from the oracle's NaN-greatest
+    ordering — the contract is to fail loud on both sides of the
+    join (review r09c)."""
+    import pytest
+
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.5, 0.5])], "id long, emb array<float>"
+    )
+    bad = spark.createDataFrame(
+        [(3, [0.0, 0.0])], "id long, emb array<float>"
+    )
+    with pytest.raises(ValueError, match="zero-norm"):
+        topk_per_row_exact(good, good.unionByName(bad), 2)
+    with pytest.raises(Exception, match="zero-norm"):
+        # part-side guard raises inside the worker kernel
+        topk_per_row_exact(good.unionByName(bad), good, 2).collect()
