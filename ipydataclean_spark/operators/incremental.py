@@ -704,3 +704,104 @@ def inc5_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# INC7 — incremental embedding curation: score the delta against the store
+# ---------------------------------------------------------------------------
+
+_INC7_HIST = "vec_id % 4 < 3"
+_INC7_DELTA = "vec_id % 4 = 3"
+_INC7_K = 5
+
+def _inc7_oracle() -> str:
+    from ipydataclean_spark.functions.vector import dot_sql, norm_sql
+    from ipydataclean_spark.operators.llm import SIM_TAU
+
+    cos = f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm))"
+    return (
+        f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
+        "FROM embeddings), "
+        f"q AS (SELECT * FROM v WHERE {_INC7_DELTA}), "
+        f"e AS (SELECT * FROM v WHERE {_INC7_HIST}), "
+        "p AS (SELECT q.vec_id, q.label, e.vec_id AS hist_id, "
+        + cos + " AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        + cos + " DESC, e.vec_id) AS rn FROM q CROSS JOIN e), "
+        "m AS (SELECT vec_id, label, "
+        "CAST(SUM(CASE WHEN rn <= " + str(_INC7_K) + " THEN "
+        "CAST(ROUND(cos_sim, 12) AS DECIMAL(38,12)) END) AS DOUBLE) "
+        f"/ {_INC7_K} AS knn_mean_cos, "
+        "MAX(CASE WHEN rn = 1 THEN hist_id END) AS best_hist_id, "
+        "MAX(CASE WHEN rn = 1 THEN cos_sim END) AS best_cos "
+        "FROM p GROUP BY vec_id, label) "
+        "SELECT vec_id, label, knn_mean_cos, best_hist_id, best_cos, "
+        f"CASE WHEN best_cos >= {SIM_TAU} THEN 'dup_of_history' "
+        "ELSE 'novel' END AS status "
+        "FROM m ORDER BY vec_id"
+    )
+
+
+@register(
+    "inc7_incremental_embedding",
+    oracle=_inc7_oracle(),
+    tags=("INC7", "INC4", "D23", "L4", "embeddings", "incremental"),
+)
+def inc7_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC7: incremental EMBEDDING curation — the daily-ingest form of
+    the round-9 embedding family, completing what inc2/inc4 do for
+    text: classify a delta batch of vectors against the STORED history
+    without rescoring history-vs-history. Per delta vector: kNN-mean
+    cosine against the store (the d23 outlier score, computed vs
+    history only), the best historical match, and a dup/novel status
+    at the l4 threshold — the report an ingest run uses to route new
+    vectors (drop dups, flag isolates, append novels to the store).
+
+    State is LITERAL (the inc4 convention): the history slice is
+    persisted to parquet and the classify plan's lineage starts at the
+    stored table — float32 embeddings round-trip parquet exactly, so
+    the oracle (which reads the original fixture slices) stays
+    hash-identical. Scoring is one kernel pass: delta spread across
+    cores, store riding the closure up to the asserted cap; at 100 TB
+    the store side is the IVF cell layout (l3c) probed per delta
+    vector, and history text/vectors never rejoin the job.
+
+    Exactness: kernel fold order + ROUND12-decimal mean + MAX-of-one
+    (the rn=1 row) — every value bit-identical cross-engine."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    from ipydataclean_spark.operators.llm import SIM_TAU
+
+    emb = T(spark, sf_dir, "embeddings")
+    store_path = scratch_dir(spark, "inc7_store")
+    emb.where(F.expr(_INC7_HIST)).write.mode("overwrite").parquet(store_path)
+    store = spark.read.parquet(store_path).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+    )
+    delta = emb.where(F.expr(_INC7_DELTA)).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("emb"),
+        F.col("label"),
+    )
+    top = topk_per_row_exact(
+        delta, store, _INC7_K, part_payload=(("label", "int"),)
+    )
+    mean_cos = (
+        F.sum(F.round("cos_sim", 12).cast(exact.DEC12)).cast("double") / _INC7_K
+    )
+    best = F.max(F.when(F.col("rn") == 1, F.struct("cos_sim", "cand_id")))
+    m = top.groupBy(F.col("part_id").alias("vec_id"), F.col("label")).agg(
+        mean_cos.alias("knn_mean_cos"), best.alias("b")
+    )
+    return (
+        m.select(
+            "vec_id",
+            "label",
+            "knn_mean_cos",
+            F.col("b.cand_id").alias("best_hist_id"),
+            F.col("b.cos_sim").alias("best_cos"),
+            F.when(F.col("b.cos_sim") >= SIM_TAU, F.lit("dup_of_history"))
+            .otherwise(F.lit("novel"))
+            .alias("status"),
+        )
+        .orderBy("vec_id")
+    )

@@ -893,3 +893,27 @@ def test_topk_kernel_rejects_zero_norm_embeddings(spark):
     with pytest.raises(Exception, match="zero-norm"):
         # part-side guard raises inside the worker kernel
         topk_per_row_exact(good.unionByName(bad), good, 2).collect()
+
+
+def test_inc7_classifies_delta_against_history_only(spark, sf_dir):
+    """The delta report covers exactly the vec_id % 4 == 3 slice, best
+    matches point INTO the history slice, both statuses appear on the
+    fixture, and the status is literally (best_cos >= SIM_TAU). A dup's
+    kNN-mean must include its near-copy (mean >= best/k lower bound)."""
+    from ipydataclean_spark.operators.llm import SIM_TAU
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["inc7_incremental_embedding"]["fn"](spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    delta = {r.vec_id for r in emb if r.vec_id % 4 == 3}
+    hist = {r.vec_id for r in emb if r.vec_id % 4 < 3}
+    assert {r.vec_id for r in rows} == delta
+    statuses = {r.status for r in rows}
+    assert statuses == {"dup_of_history", "novel"}
+    for r in rows:
+        assert r.best_hist_id in hist
+        assert r.best_cos >= r.knn_mean_cos or r.best_cos == r.knn_mean_cos
+        assert r.status == (
+            "dup_of_history" if r.best_cos >= SIM_TAU else "novel"
+        )

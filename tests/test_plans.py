@@ -794,6 +794,7 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "l64_leakage_free_split",
         "x6_l_diversity",
         "pipeline_embedding_curation",
+        "inc7_incremental_embedding",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
