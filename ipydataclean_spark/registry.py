@@ -334,7 +334,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "d22_neardup_label_conflict", "l60_cluster_balanced_sample",
     "d23_embedding_outliers", "l64_leakage_free_split",
     "x6_l_diversity", "pipeline_embedding_curation",
-    "inc7_incremental_embedding",
+    "inc7_incremental_embedding", "st15_embedding_ingest",
     # re-queued: oracle composition refactored in round 9
     "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)

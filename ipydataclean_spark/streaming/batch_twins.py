@@ -521,3 +521,51 @@ def st14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits = bloom_bits_df(spark, st14_bench_positions(spark, sf_dir))
     corpus = T(spark, sf_dir, "documents").where(f"NOT ({ST14_BENCH_PRED})")
     return bloom_decontaminate_agg(corpus, bits).orderBy("source")
+
+
+def _st15_oracle() -> str:
+    from ipydataclean_spark.functions.vector import dot_sql, norm_sql
+    from ipydataclean_spark.operators.incremental import _INC7_DELTA, _INC7_HIST
+    from ipydataclean_spark.operators.llm import SIM_TAU
+
+    cos = f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm))"
+    return (
+        f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
+        "FROM embeddings), "
+        f"q AS (SELECT * FROM v WHERE {_INC7_DELTA}), "
+        f"e AS (SELECT * FROM v WHERE {_INC7_HIST}), "
+        "p AS (SELECT q.vec_id, " + cos + " AS cos_sim, "
+        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+        + cos + " DESC, e.vec_id) AS rn FROM q CROSS JOIN e), "
+        "b AS (SELECT vec_id, cos_sim, "
+        f"CASE WHEN cos_sim >= {SIM_TAU} THEN 'dup_of_history' "
+        "ELSE 'novel' END AS status FROM p WHERE rn = 1) "
+        "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_vectors, "
+        "CAST(SUM(CAST(ROUND(cos_sim, 12) AS DECIMAL(38,12))) AS DOUBLE) "
+        "AS sum_best_cos "
+        "FROM b GROUP BY status ORDER BY status"
+    )
+
+
+@register(
+    "st15_embedding_ingest",
+    oracle=_st15_oracle(),
+    tags=("ST15", "INC7", "D23", "L4", "embeddings", "streaming"),
+)
+def st15_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST15 batch twin: incremental embedding classification ON THE
+    INGEST STREAM — each arriving vector scored against the persisted
+    history store via the kernel (per-row local top-1, stream-legal),
+    rolled into the per-status ingest report. Closes the embedding
+    family's execution-mode triple the way st14 closed
+    decontamination's: d22/d23/l64 (batch), inc7 (incremental, stored
+    state), st15 (streaming probe) — one store semantics, certified
+    in each mode. tests/test_streaming.py replays the embeddings
+    stream with availableNow + complete mode and asserts equality."""
+    from ipydataclean_spark.operators.incremental import _INC7_DELTA, _INC7_HIST
+    from ipydataclean_spark.streaming.stream import embedding_ingest_agg
+
+    emb = T(spark, sf_dir, "embeddings")
+    store = emb.where(F.expr(_INC7_HIST))
+    delta = emb.where(F.expr(_INC7_DELTA))
+    return embedding_ingest_agg(delta, store).orderBy("status")

@@ -727,3 +727,59 @@ def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
             "mean_score"
         ),
     )
+
+
+def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 for the embeddings table (schema from one batch footer read,
+    the events_stream rule)."""
+    schema = spark.read.parquet(catalog.table_path(sf_dir, "embeddings")).schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+    )
+
+
+def embedding_ingest_agg(delta: DataFrame, store: DataFrame) -> DataFrame:
+    """ST15: incremental embedding classification as a STREAM stage —
+    each arriving vector's best match against the PERSISTED store
+    (stream-side mapInPandas kernel; the store rides the closure, the
+    inc7 state), then ONE stateful aggregation: the per-status ingest
+    report. The kernel's top-1 is computed per row INSIDE the batch
+    (local numpy, not a Spark aggregation), which is what keeps the
+    report the query's only stateful operator — the inc7 form
+    (groupBy per vector, then report) would be an illegal chained
+    aggregation on a stream (the st13 lesson). Complete output mode:
+    the report is a running ingest-composition total.
+
+    Identical builder for the batch twin (the §2.8 contract); decimal
+    best-cos sums make the report order-independent and hash-exact."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    from ipydataclean_spark.operators.llm import SIM_TAU
+
+    best = topk_per_row_exact(
+        delta.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("emb"),
+            F.col("label"),
+        ),
+        store.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+        1,
+        part_payload=(("label", "int"),),
+    )
+    status = (
+        F.when(F.col("cos_sim") >= SIM_TAU, F.lit("dup_of_history"))
+        .otherwise(F.lit("novel"))
+        .alias("status")
+    )
+    return (
+        best.select(status, "cos_sim")
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.round("cos_sim", 12).cast(exact.DEC12))
+            .cast("double")
+            .alias("sum_best_cos"),
+        )
+    )

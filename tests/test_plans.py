@@ -769,7 +769,11 @@ def test_st13_st14_twins_map_side_probe(spark, sf_dir):
     st14's bloom probe are pure per-row expressions — no Python eval,
     no per-gram shuffle join (the only joins are the one-row
     broadcast bitset / none at all), and exactly one aggregation."""
-    for name, max_joins in (("st13_quality_filter", 0), ("st14_bloom_decontaminate", 1)):
+    for name, max_joins in (
+        ("st13_quality_filter", 0),
+        ("st14_bloom_decontaminate", 1),
+        ("st15_embedding_ingest", 0),
+    ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
         plan = formatted_plan(df)

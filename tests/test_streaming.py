@@ -589,3 +589,35 @@ def test_st14_bloom_decontaminate_replay_equals_batch(spark, sf_dir):
         got = _sorted_rows(spark.table("t_st14"), cols)
         assert got == _sorted_rows(batch, cols)
         assert sum(r[4] for r in got) > 0, "bloom probe vacuous: nothing flagged"
+
+
+def test_st15_embedding_ingest_replay_equals_batch(spark, sf_dir):
+    """ST15: the store probe drained over the embeddings stream
+    (per-row kernel top-1, complete-mode per-status report) must equal
+    the batch twin exactly. Non-vacuity: both statuses present."""
+    from ipydataclean_spark.operators.incremental import _INC7_DELTA, _INC7_HIST
+    from ipydataclean_spark.streaming.stream import (
+        embedding_ingest_agg,
+        embeddings_stream,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.where(_INC7_HIST)
+    batch = embedding_ingest_agg(emb.where(_INC7_DELTA), store)
+    stream = embedding_ingest_agg(
+        embeddings_stream(spark, sf_dir).where(_INC7_DELTA), store
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_st15")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = ["status", "n_vectors", "sum_best_cos"]
+        got = _sorted_rows(spark.table("t_st15"), cols)
+        assert got == _sorted_rows(batch, cols)
+        assert len(got) == 2, got
