@@ -1125,3 +1125,67 @@ def c38_parse_localized_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# C39 — exponential smoothing (per-key EWMA via order-pinned folds)
+# ---------------------------------------------------------------------------
+
+_C39_ALPHA = 0.3
+
+_C39_ORACLE = (
+    "WITH seq AS (SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals "
+    "FROM events WHERE value IS NOT NULL GROUP BY user_id) "
+    "SELECT user_id, CAST(LEN(vals) AS BIGINT) AS n_events, "
+    "vals[-1] AS last_value, "
+    f"list_reduce(vals, (acc, x) -> acc * {1 - _C39_ALPHA} + x * {_C39_ALPHA}) AS ewma, "
+    f"(vals[-1] - list_reduce(vals, (acc, x) -> acc * {1 - _C39_ALPHA} + x * {_C39_ALPHA})) "
+    "AS residual "
+    "FROM seq ORDER BY user_id"
+)
+
+
+@register(
+    "c39_exponential_smoothing",
+    oracle=_C39_ORACLE,
+    tags=("C39", "C21", "D9", "timeseries", "cleaning"),
+)
+def c39_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C39: per-user exponential smoothing (EWMA, α=0.3) over the
+    event stream — the classic denoise/level estimate behind
+    forecasting baselines and d9-style anomaly residuals (|last −
+    ewma| is the smoothed surprise). The recurrence s_t = α·x_t +
+    (1−α)·s_{t−1} is inherently SEQUENTIAL — no associative rewrite
+    exists — so it is certified with the sequential-fold trick the
+    vector kernels use: Spark folds the time-ordered value array with
+    ``aggregate`` (seed = first element), DuckDB with ``list_reduce``
+    (same seeding rule), and IEEE ops in the same order make the
+    doubles bit-identical.
+
+    Scale shape: ONE user-keyed shuffle collects each key's ordered
+    values (array size = per-user event count — fine wherever a
+    per-key series fits a row, the same boundedness contract as
+    c5/c21's per-user paths); the fold is a codegen higher-order
+    expression, no Python. Tie order is pinned (ts, event_id) in both
+    engines so duplicate timestamps cannot reorder the fold."""
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+            lambda s: s["value"],
+        ).alias("vals")
+    )
+    alpha = F.lit(_C39_ALPHA)
+    rest = F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at("vals", 1),
+        lambda acc, x: acc * (F.lit(1.0) - alpha) + x * alpha,
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.element_at("vals", -1).alias("last_value"),
+        ewma.alias("ewma"),
+        (F.element_at("vals", -1) - ewma).alias("residual"),
+    ).orderBy("user_id")

@@ -855,14 +855,16 @@ _L60_ASSIGN_CTES = (
     "FROM scored WHERE rn = 1)"
 )
 
-def assign_cells(
+def seed_assign_cells(
     df: DataFrame,
     cent: DataFrame,
     id_col: str,
     emb_col: str,
     keep: tuple[str, ...] = (),
 ) -> DataFrame:
-    """The l3h seed-centroid argmax as a shared builder: route every
+    """The l3h seed-centroid COSINE argmax as a shared builder (named
+    apart from the module's Lloyd-loop ``assign_cells``, which assigns
+    by squared L2 against trained centroids): route every
     row of ``df`` to its most-cosine-similar centroid (broadcast
     ``cent``: (cell, c_emb)), ties to the lowest cell. ONE definition
     so l60 and the embedding-curation pipeline cannot fork the
@@ -944,7 +946,7 @@ def l60_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    assign = assign_cells(emb, cent, "vec_id", "embedding")
+    assign = seed_assign_cells(emb, cent, "vec_id", "embedding")
     return (
         quota_sample(assign, "vec_id", "l60:")
         .select("cell", "vec_id", "n_cell", "kept_rank")

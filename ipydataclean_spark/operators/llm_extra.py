@@ -2795,7 +2795,7 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     past the kernel cap; everything else is map-side or bounded by
     cells/labels."""
     from ipydataclean_spark.functions.knn import topk_per_row_exact
-    from ipydataclean_spark.operators.ivf import assign_cells, quota_sample
+    from ipydataclean_spark.operators.ivf import quota_sample, seed_assign_cells
     from pyspark.sql import Window
 
     emb = T(spark, sf_dir, "embeddings")
@@ -2832,7 +2832,7 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cell"), F.col("embedding").alias("c_emb")
     )
-    asg = assign_cells(surv2, cent, "id", "emb", keep=("label",))
+    asg = seed_assign_cells(surv2, cent, "id", "emb", keep=("label",))
     sampled = quota_sample(asg, "id", "pec:").select("id", "label")
 
     # stage 4: hash split (post-dedup clusters are singletons)

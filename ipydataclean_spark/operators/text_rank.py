@@ -759,3 +759,138 @@ def l48_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("system")
     )
+
+
+# ---------------------------------------------------------------------------
+# L65 — RAKE keyword extraction (degree/frequency phrase scoring)
+# ---------------------------------------------------------------------------
+
+#: RAKE's stopword delimiter set = the engine's fixture stopwords
+#: (llm_quality.STOPWORDS — the Gopher-rule set the corpus carries).
+_L65_STOPS = ("the", "a")
+_L65_TOPN = 30
+#: standard RAKE candidate cap — stopword-free runs longer than this
+#: are discarded entirely (they are run-on segments, not collocations;
+#: the sf1 salted fixture, where 'the' becomes 'thex0', produced
+#: 28-word "phrases" without it)
+_L65_MAX_PLEN = 4
+
+_L65_STOP_SQL = "w IN ('" + "', '".join(_L65_STOPS) + "')"
+
+
+def _l65_oracle() -> str:
+    from ipydataclean_spark.functions.text import norm_text_sql
+
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "UNNEST(string_split(" + norm_text_sql("text") + ", ' ')) AS w, "
+        "generate_subscripts(string_split(" + norm_text_sql("text") + ", ' '), 1) AS pos "
+        "FROM documents), "
+        f"marked AS (SELECT doc_id, w, pos, CAST({_L65_STOP_SQL} AS INTEGER) AS is_stop "
+        "FROM tok), "
+        "seg AS (SELECT doc_id, w, pos, "
+        "SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS UNBOUNDED PRECEDING) AS phrase_id "
+        "FROM marked), "
+        "member AS (SELECT doc_id, w, pos, phrase_id, "
+        "CAST(COUNT(*) OVER (PARTITION BY doc_id, phrase_id) AS BIGINT) AS plen "
+        f"FROM seg WHERE NOT ({_L65_STOP_SQL})), "
+        f"cand AS (SELECT * FROM member WHERE plen <= {_L65_MAX_PLEN}), "
+        "wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq, "
+        "CAST(SUM(plen) AS BIGINT) AS deg FROM cand GROUP BY w), "
+        "wscore AS (SELECT w, (CAST(deg AS DOUBLE) / freq) AS ws FROM wstat), "
+        "ph AS (SELECT m.doc_id, m.phrase_id, "
+        "string_agg(m.w, ' ' ORDER BY m.pos) AS phrase, "
+        + exact.rsum12_sql("s.ws") + " AS pscore "
+        "FROM cand m JOIN wscore s ON s.w = m.w "
+        "GROUP BY m.doc_id, m.phrase_id) "
+        "SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences, "
+        "MAX(pscore) AS score "
+        "FROM ph GROUP BY phrase "
+        f"ORDER BY MAX(pscore) DESC, phrase LIMIT {_L65_TOPN}"
+    )
+
+
+@register(
+    "l65_rake_keywords",
+    oracle=_l65_oracle(),
+    tags=("L65", "L8", "L17", "text-analysis"),
+)
+def l65_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L65: RAKE keyword extraction (Rose et al. 2010) — candidate
+    phrases are maximal stopword-free token runs; each word scores
+    degree/frequency (degree = Σ length of the phrases it appears in,
+    rewarding words that travel in long collocations); a phrase scores
+    the sum of its words' scores. The corpus-level top-N is the
+    keyword table a search/tagging pipeline seeds from — the unsupervised
+    complement of l8c's TF-IDF (which needs a query) and l17's raw
+    bigram counts (which have no notion of phrase).
+
+    Phrase segmentation is GAPS-AND-ISLANDS over exploded tokens (a
+    running stopword count is the phrase id) rather than regex
+    splitting — the same arithmetic in both engines, immune to
+    Java-vs-RE2 boundary divergences (the x1 anchor lesson). Score
+    doubles: ONE division per word, then ROUND12-decimal sums per
+    phrase; identical phrases score identical decimals, so the final
+    MAX is exact.
+
+    Candidates cap at _L65_MAX_PLEN words (the standard RAKE rule):
+    longer stopword-free runs are run-on segments, not collocations,
+    and without the cap they dominate the score by length alone.
+
+    Scale shape: one explode pass; the phrase window and member count
+    are doc-keyed; word stats are one word-keyed agg (broadcast-sized
+    result joins back); the top-N is a bounded sort over distinct
+    phrases."""
+    from pyspark.sql import Window
+
+    from ipydataclean_spark.operators.llm import tokens_col
+
+    docs = T(spark, sf_dir, "documents").withColumn("__toks", tokens_col("text"))
+    tok = docs.select(
+        "doc_id", F.posexplode("__toks").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    is_stop = F.col("w").isin(*_L65_STOPS)
+    wseg = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = tok.withColumn("phrase_id", F.sum(is_stop.cast("int")).over(wseg))
+    member = (
+        seg.where(~is_stop)
+        .withColumn(
+            "plen",
+            F.count(F.lit(1)).over(Window.partitionBy("doc_id", "phrase_id")).cast("long"),
+        )
+        .where(F.col("plen") <= _L65_MAX_PLEN)
+    )
+    wscore = (
+        member.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").cast("long").alias("deg"),
+        )
+        .select("w", (F.col("deg").cast("double") / F.col("freq")).alias("ws"))
+    )
+    ph = (
+        member.join(wscore, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            exact.rsum12("ws").alias("pscore"),
+        )
+    )
+    return (
+        ph.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.max("pscore").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(_L65_TOPN)
+    )

@@ -106,3 +106,28 @@ def test_global_interpolate_guarded_above_cap(spark):
     # under the cap the small-data pandas-parity form still works
     out = interpolate_linear(df, "v", "row_id", max_global_rows=1000)
     assert out.where(F.col("v").isNull()).count() == 0
+
+
+def test_c39_ewma_matches_python_recurrence(spark, sf_dir):
+    """The order-pinned fold must equal the textbook sequential
+    recurrence computed independently in Python over the same
+    (ts, event_id)-ordered values, per user, to the last bit."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.user_id: r for r in QUERIES["c39_exponential_smoothing"]["fn"](spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").where("value is not null").collect()
+    series = {}
+    for e in sorted(ev, key=lambda e: (e.user_id, e.ts, e.event_id)):
+        series.setdefault(e.user_id, []).append(e.value)
+    assert set(rows) == set(series)
+    for uid, vals in series.items():
+        s = vals[0]
+        for x in vals[1:]:
+            s = s * 0.7 + x * 0.3
+        r = rows[uid]
+        assert r.ewma == s, (uid, r.ewma, s)
+        assert r.n_events == len(vals)
+        assert r.last_value == vals[-1]
+        assert r.residual == vals[-1] - s

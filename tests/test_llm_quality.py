@@ -514,3 +514,32 @@ def test_l59_fertility_sweep_monotone_and_anchored(spark, sf_dir):
         assert rs[0].total_bpe_tokens == ceil_num[lang]
         assert rs[0].total_words == ceil_den[lang]
         assert ferts[0] > ferts[-1] >= 1.0, (lang, ferts)
+
+
+def test_l65_rake_prefers_collocations(spark, tmp_path):
+    """Controlled corpus: a repeated two-word collocation must outscore
+    every single-word phrase (degree rewards words that travel
+    together), stopwords never appear inside phrases, and scores are
+    recomputable from RAKE's deg/freq definition."""
+    from ipydataclean_spark.operators.text_rank import l65_rake_keywords
+
+    docs = [
+        (1, "data pipeline the data pipeline a spark"),
+        (2, "data pipeline the spark"),
+        (3, "noise the spark a noise"),
+    ]
+    d = str(tmp_path / "mini65")
+    spark.createDataFrame(
+        [(i, t, "en", "t", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = l65_rake_keywords(spark, d).collect()
+    by_phrase = {r.phrase: r for r in rows}
+    for p in by_phrase:
+        assert "the" not in p.split() and "a" not in p.split()
+    # deg(data)=6 over freq 3 -> 2.0; deg(pipeline)=6/3 -> 2.0; phrase 4.0
+    top = rows[0]
+    assert top.phrase == "data pipeline" and top.score == 4.0
+    assert top.n_occurrences == 3
+    assert by_phrase["spark"].score == 1.0
+    assert by_phrase["noise"].score == 1.0

@@ -799,6 +799,8 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "x6_l_diversity",
         "pipeline_embedding_curation",
         "inc7_incremental_embedding",
+        "c39_exponential_smoothing",
+        "l65_rake_keywords",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
