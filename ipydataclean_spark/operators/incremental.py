@@ -714,9 +714,12 @@ _INC7_HIST = "vec_id % 4 < 3"
 _INC7_DELTA = "vec_id % 4 = 3"
 _INC7_K = 5
 
-def _inc7_oracle() -> str:
+def inc7_pair_ctes() -> str:
+    """The v/q/e/p CTE prefix — delta-vs-history cosine pairs with
+    per-delta ranks — shared VERBATIM by inc7's oracle and st15's
+    streaming twin, so the two certifications cannot de-sync (review
+    r09c: they are one store semantics, so they get one SQL builder)."""
     from ipydataclean_spark.functions.vector import dot_sql, norm_sql
-    from ipydataclean_spark.operators.llm import SIM_TAU
 
     cos = f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm))"
     return (
@@ -727,8 +730,16 @@ def _inc7_oracle() -> str:
         "p AS (SELECT q.vec_id, q.label, e.vec_id AS hist_id, "
         + cos + " AS cos_sim, "
         "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
-        + cos + " DESC, e.vec_id) AS rn FROM q CROSS JOIN e), "
-        "m AS (SELECT vec_id, label, "
+        + cos + " DESC, e.vec_id) AS rn FROM q CROSS JOIN e)"
+    )
+
+
+def _inc7_oracle() -> str:
+    from ipydataclean_spark.operators.llm import SIM_TAU
+
+    return (
+        inc7_pair_ctes()
+        + ", m AS (SELECT vec_id, label, "
         "CAST(SUM(CASE WHEN rn <= " + str(_INC7_K) + " THEN "
         "CAST(ROUND(cos_sim, 12) AS DECIMAL(38,12)) END) AS DOUBLE) "
         f"/ {_INC7_K} AS knn_mean_cos, "

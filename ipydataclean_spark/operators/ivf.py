@@ -886,8 +886,6 @@ def quota_sample(asg: DataFrame, id_col: str, salt: str) -> DataFrame:
     (quota = the smallest cell): adds (n_cell, kept_rank) and keeps
     rank <= quota. The coin is the ONE shared md5 definition, salted
     per caller so independent draws stay independent."""
-    from pyspark.sql import Window
-
     sizes = asg.groupBy("cell").agg(F.count(F.lit(1)).alias("n_cell"))
     quota = sizes.agg(F.min("n_cell").alias("q"))
     coin = exact.md5_prefix_int(F.concat(F.lit(salt), F.col(id_col).cast("string")))

@@ -765,9 +765,11 @@ def l48_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # L65 — RAKE keyword extraction (degree/frequency phrase scoring)
 # ---------------------------------------------------------------------------
 
+from ipydataclean_spark.operators.llm_quality import STOPWORDS as _L65_STOPS  # noqa: E402
+
 #: RAKE's stopword delimiter set = the engine's fixture stopwords
-#: (llm_quality.STOPWORDS — the Gopher-rule set the corpus carries).
-_L65_STOPS = ("the", "a")
+#: (llm_quality.STOPWORDS, imported — not re-typed — so the delimiter
+#: contract cannot drift; review r09c).
 _L65_TOPN = 30
 #: standard RAKE candidate cap — stopword-free runs longer than this
 #: are discarded entirely (they are run-on segments, not collocations;

@@ -524,20 +524,12 @@ def st14_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _st15_oracle() -> str:
-    from ipydataclean_spark.functions.vector import dot_sql, norm_sql
-    from ipydataclean_spark.operators.incremental import _INC7_DELTA, _INC7_HIST
+    from ipydataclean_spark.operators.incremental import inc7_pair_ctes
     from ipydataclean_spark.operators.llm import SIM_TAU
 
-    cos = f"({dot_sql('q.embedding', 'e.embedding')} / (q.nrm * e.nrm))"
     return (
-        f"WITH v AS (SELECT vec_id, embedding, label, {norm_sql('embedding')} AS nrm "
-        "FROM embeddings), "
-        f"q AS (SELECT * FROM v WHERE {_INC7_DELTA}), "
-        f"e AS (SELECT * FROM v WHERE {_INC7_HIST}), "
-        "p AS (SELECT q.vec_id, " + cos + " AS cos_sim, "
-        "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
-        + cos + " DESC, e.vec_id) AS rn FROM q CROSS JOIN e), "
-        "b AS (SELECT vec_id, cos_sim, "
+        inc7_pair_ctes()
+        + ", b AS (SELECT vec_id, cos_sim, "
         f"CASE WHEN cos_sim >= {SIM_TAU} THEN 'dup_of_history' "
         "ELSE 'novel' END AS status FROM p WHERE rn = 1) "
         "SELECT status, CAST(COUNT(*) AS BIGINT) AS n_vectors, "

@@ -25,14 +25,20 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     NTZ — streams with the same canonical ``ts`` rule as the batch
     catalog loader (catalog.normalize_events_ts)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(catalog.table_path(sf_dir, "events")).schema
-    raw = (
-        spark.readStream.schema(raw_schema)
+    return catalog.normalize_events_ts(_table_stream(spark, sf_dir, "events"))
+
+
+def _table_stream(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """ONE schema-from-footer + pathGlobFilter stream-reader builder
+    for every fixture table (review r09c: three verbatim copies had
+    grown; events layers its ts normalization on top of this)."""
+    schema = spark.read.parquet(catalog.table_path(sf_dir, name)).schema
+    return (
+        spark.readStream.schema(schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", f"{name}.parquet")
         .load(sf_dir)
     )
-    return catalog.normalize_events_ts(raw)
 
 
 def tumbling_counts(ev: DataFrame, watermark: str = "1 hour") -> DataFrame:
@@ -655,13 +661,7 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 for the documents table: unbounded file source over the
     fixture dir (schema from one batch footer read, the events_stream
     rule)."""
-    schema = spark.read.parquet(catalog.table_path(sf_dir, "documents")).schema
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    return _table_stream(spark, sf_dir, "documents")
 
 
 def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
@@ -732,13 +732,7 @@ def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
 def embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 for the embeddings table (schema from one batch footer read,
     the events_stream rule)."""
-    schema = spark.read.parquet(catalog.table_path(sf_dir, "embeddings")).schema
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "embeddings.parquet")
-        .load(sf_dir)
-    )
+    return _table_stream(spark, sf_dir, "embeddings")
 
 
 def embedding_ingest_agg(delta: DataFrame, store: DataFrame) -> DataFrame:
@@ -759,14 +753,9 @@ def embedding_ingest_agg(delta: DataFrame, store: DataFrame) -> DataFrame:
     from ipydataclean_spark.operators.llm import SIM_TAU
 
     best = topk_per_row_exact(
-        delta.select(
-            F.col("vec_id").alias("id"),
-            F.col("embedding").alias("emb"),
-            F.col("label"),
-        ),
+        delta.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
         store.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
         1,
-        part_payload=(("label", "int"),),
     )
     status = (
         F.when(F.col("cos_sim") >= SIM_TAU, F.lit("dup_of_history"))

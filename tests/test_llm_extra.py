@@ -911,9 +911,15 @@ def test_inc7_classifies_delta_against_history_only(spark, sf_dir):
     assert {r.vec_id for r in rows} == delta
     statuses = {r.status for r in rows}
     assert statuses == {"dup_of_history", "novel"}
+    from ipydataclean_spark.operators.incremental import _INC7_K
+
     for r in rows:
         assert r.best_hist_id in hist
-        assert r.best_cos >= r.knn_mean_cos or r.best_cos == r.knn_mean_cos
+        # the mean includes best as one of its k terms, so it is
+        # bounded below by best/k minus the other terms' worst case;
+        # with cosines in [-1, 1]: mean >= (best - (k-1)) / k
+        assert r.knn_mean_cos >= (r.best_cos - (_INC7_K - 1)) / _INC7_K - 1e-9
+        assert r.best_cos >= r.knn_mean_cos
         assert r.status == (
             "dup_of_history" if r.best_cos >= SIM_TAU else "novel"
         )

@@ -776,10 +776,21 @@ def test_st13_st14_twins_map_side_probe(spark, sf_dir):
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
-        plan = formatted_plan(df)
         assert count_op(df, "CartesianProduct") == 0, name
-        n_smj = count_op(df, "SortMergeJoin")
-        assert n_smj == 0, f"{name}: shuffle join in a map-side probe plan"
+        assert count_op(df, "SortMergeJoin") == 0, (
+            f"{name}: shuffle join in a map-side probe plan"
+        )
+        # tree-section lines only: formatted_plan repeats each node in
+        # the detail section, so count_op would double-count joins
+        n_joins = sum(
+            1
+            for line in plan_tree(df)
+            if any(
+                j in line
+                for j in ("BroadcastHashJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin")
+            )
+        )
+        assert n_joins <= max_joins, f"{name}: {n_joins} joins > {max_joins}"
 
 
 def test_round9_continuation_ops_jvm_side(spark, sf_dir):
