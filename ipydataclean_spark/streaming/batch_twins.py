@@ -561,3 +561,28 @@ def st15_embedding_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = emb.where(F.expr(_INC7_HIST))
     delta = emb.where(F.expr(_INC7_DELTA))
     return embedding_ingest_agg(delta, store).orderBy("status")
+
+
+from ipydataclean_spark.operators.cleaning import _C39_ORACLE  # noqa: E402
+
+
+@register(
+    "st16_streaming_ewma",
+    # c39's oracle REUSED (one fold definition; cleaning registers
+    # before batch_twins in _OPERATOR_MODULES, so the import is safe)
+    oracle=_C39_ORACLE,
+    tags=("ST16", "C39", "D9", "streaming", "timeseries"),
+)
+def st16_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST16 batch twin: per-user exponential smoothing ON THE EVENT
+    STREAM — the c39 level/residual table maintained as a running
+    complete-mode aggregate (the ordered value collection is the
+    query's only stateful operator; the sequential fold is a
+    post-aggregation projection, stream-legal). The streaming form of
+    the d9 anomaly residual: |last − ewma| per user, live.
+    tests/test_streaming.py replays the events stream with
+    availableNow + complete mode and asserts equality."""
+    from ipydataclean_spark.catalog import load_table
+    from ipydataclean_spark.streaming.stream import ewma_agg
+
+    return ewma_agg(load_table(spark, sf_dir, "events")).orderBy("user_id")

@@ -621,3 +621,27 @@ def test_st15_embedding_ingest_replay_equals_batch(spark, sf_dir):
         got = _sorted_rows(spark.table("t_st15"), cols)
         assert got == _sorted_rows(batch, cols)
         assert len(got) == 2, got
+
+
+def test_st16_streaming_ewma_replay_equals_batch(spark, sf_dir):
+    """ST16: the per-user EWMA table drained over the events stream
+    (complete mode) must equal the batch twin exactly — fold order,
+    tie order, and all."""
+    from ipydataclean_spark.streaming.stream import events_stream, ewma_agg
+
+    batch = ewma_agg(load_table(spark, sf_dir, "events"))
+    stream = ewma_agg(events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_st16")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = ["user_id", "n_events", "last_value", "ewma", "residual"]
+        got = _sorted_rows(spark.table("t_st16"), cols)
+        assert got == _sorted_rows(batch, cols)
+        assert len(got) > 10
