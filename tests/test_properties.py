@@ -475,3 +475,91 @@ def test_dup_spans_matches_python_islands(spark, texts):
         lens = [e - s + 1 for s, e in spans]
         want[i] = (len(spans), sum(lens), max(lens))
     assert got == want
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**9), min_size=2, max_size=12),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=40, deadline=None)
+def test_unimax_closed_form_equals_greedy(ns, cap, budget_pct_x10):
+    """The l57 closed form (ascending sort, all-BIGINT prefix
+    feasibility, pivot k*, uniform remainder) must equal the UniMax
+    paper's sequential greedy loop for RANDOM language-size vectors,
+    epoch caps, and budgets — pure-Python replica of the exact integer
+    arithmetic both engines run, no Spark roundtrip needed."""
+    langs = [(f"l{i}", n) for i, n in enumerate(ns)]
+    total = sum(ns)
+    B = (total * budget_pct_x10) // 10
+
+    # closed form (the l57 algebra)
+    asc = sorted(langs, key=lambda t: (t[1], t[0]))
+    L = len(asc)
+    cum = 0
+    kstar, s_at_k = 0, 0
+    for i, (_, n) in enumerate(asc, start=1):
+        cum += n
+        if cap * n * (L - i + 1) <= B - cap * (cum - n):
+            kstar, s_at_k = i, cum
+    closed = {}
+    for i, (lang, n) in enumerate(asc, start=1):
+        if i <= kstar:
+            closed[lang] = float(cap * n)
+        else:
+            closed[lang] = float(B - cap * s_at_k) / (L - kstar)
+
+    # the paper's greedy loop
+    rem = float(B)
+    greedy = {}
+    for i, (lang, n) in enumerate(asc):
+        share = rem / (L - i)
+        b = min(float(cap * n), share)
+        greedy[lang] = b
+        rem -= b
+
+    for lang in greedy:
+        g, c = greedy[lang], closed[lang]
+        assert abs(g - c) <= 1e-9 * max(1.0, g), (lang, g, c, ns, cap, B)
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-8, max_value=8, allow_nan=False, width=32),
+            min_size=6, max_size=6,
+        ),
+        min_size=3, max_size=10,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_topk_kernel_bit_identical_to_inplan_fold(spark, vecs):
+    """The vectorized kernel's cosines must equal the in-plan
+    sequential fold (functions/vector.cosine_sim) BIT-FOR-BIT on
+    random float32 vectors — the claim every kernel-backed oracle
+    certification rests on, asserted directly."""
+    assume(all(any(abs(x) > 1e-3 for x in v) for v in vecs))
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    from ipydataclean_spark.functions.vector import cosine_sim
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, emb array<float>",
+    )
+    got = {
+        (r.part_id, r.cand_id): r.cos_sim
+        for r in topk_per_row_exact(df, df, None, exclude_self=True).collect()
+    }
+    a = df.select(F.col("id").alias("ia"), F.col("emb").alias("ea"))
+    b = df.select(F.col("id").alias("ib"), F.col("emb").alias("eb"))
+    want = {
+        (r.ia, r.ib): r.c
+        for r in a.crossJoin(b)
+        .where(F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cosine_sim("ea", "eb").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == want[k], (k, got[k].hex(), want[k].hex())
