@@ -1487,13 +1487,18 @@ def decode_y4m(data: bytes) -> np.ndarray:
     return np.stack(frames) if frames else np.zeros((0, h, w, 3), np.uint8)
 
 
-def attach_video_payloads(docs: DataFrame) -> DataFrame:
+def attach_video_payloads(docs: DataFrame, encoder=None) -> DataFrame:
     """Video fixture: a 6-frame 16x12 clip per doc whose per-frame
     pattern varies with (doc_id, frame) — in-clip motion via a
     frame-phase shift; every doc_id % 10 == 0 also emits a +24
     uniformly BRIGHTENED copy of the whole clip under doc_id + 3000000
     — a known video near-dup whose per-frame dHashes must be
-    IDENTICAL (the l9f invariance, lifted to the frame sequence)."""
+    IDENTICAL (the l9f invariance, lifted to the frame sequence).
+    ``encoder`` picks the container (default Y4M; l9m passes
+    encode_avi — SAME pixels, different container, so cross-container
+    fingerprints must agree)."""
+    if encoder is None:
+        encoder = encode_y4m
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -1515,10 +1520,10 @@ def attach_video_payloads(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 fr = clip(d)
                 ids.append(d)
-                payloads.append(encode_y4m(fr))
+                payloads.append(encoder(fr))
                 if d % 10 == 0:
                     ids.append(d + 3000000)
-                    payloads.append(encode_y4m(fr + _np.uint8(24)))
+                    payloads.append(encoder(fr + _np.uint8(24)))
             yield _pd.DataFrame({"doc_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(
@@ -1526,11 +1531,16 @@ def attach_video_payloads(docs: DataFrame) -> DataFrame:
     )
 
 
-def video_frame_dhash(media: DataFrame, stride: int = _Y4M_STRIDE) -> DataFrame:
+def video_frame_dhash(
+    media: DataFrame, stride: int = _Y4M_STRIDE, decoder=None
+) -> DataFrame:
     """payload BINARY -> (doc_id, frame_idx, dhash, n_frames): decode
-    the Y4M stream, FRAME-SAMPLE every ``stride``-th frame, dHash each
+    the container (``decoder``: Y4M by default, decode_avi for l9m),
+    FRAME-SAMPLE every ``stride``-th frame, dHash each
     sampled frame (the l9f hash, so image and video fingerprints share
     one definition). Arrow-batched; undecodable payloads dropped."""
+    if decoder is None:
+        decoder = decode_y4m
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -1539,7 +1549,7 @@ def video_frame_dhash(media: DataFrame, stride: int = _Y4M_STRIDE) -> DataFrame:
             ids, fidx, hashes, nfr = [], [], [], []
             for r in pdf.itertuples():
                 try:
-                    frames = decode_y4m(bytes(r.payload))
+                    frames = decoder(bytes(r.payload))
                 except Exception:
                     continue
                 n = frames.shape[0]
@@ -1706,6 +1716,147 @@ def l9l_video_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     l9f/l9k. Rows-only by design: SQL cannot see pixel bytes."""
     docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 2 == 0)
     fdh = video_frame_dhash(attach_video_payloads(docs))
+    pairs = video_neardup_pairs(fdh)
+    return pairs.select(
+        "doc_a", "doc_b", "n_frames_matched", "n_frames_sampled",
+        "max_hamming", "all_frames_matched", "n_pairs",
+    ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# L9m — VIDEO: RIFF/AVI container codec (uncompressed DIB frames)
+# ---------------------------------------------------------------------------
+
+
+def encode_avi(frames: np.ndarray) -> bytes:
+    """RIFF/AVI encoder (public container spec: RIFF chunk tree —
+    LIST hdrl [avih + LIST strl [strh 'vids'/'DIB ' + strf
+    BITMAPINFOHEADER]] + LIST movi ['00db' raw DIB frames]). Frames
+    are 24-bit uncompressed DIBs: bottom-up rows, BGR byte order,
+    rows padded to 4 bytes — pure struct packing, no entropy coding.
+    ``frames`` is (n, h, w, 3) uint8 RGB; encode→decode round-trips
+    bit-exactly (the closed-form codec-test property)."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    row_stride = (3 * w + 3) & ~3
+    frame_size = row_stride * h
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I", 40000, frame_size * 25, 0, 0x10, n, 0, 1, frame_size, w, h,
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n, frame_size, 0, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_frames = []
+    for i in range(n):
+        bgr = frames[i][::-1, :, ::-1]  # bottom-up rows, BGR order
+        rows = bgr.tobytes()
+        if row_stride != 3 * w:
+            pad = bytes(row_stride - 3 * w)
+            rows = b"".join(
+                rows[r * 3 * w : (r + 1) * 3 * w] + pad for r in range(h)
+            )
+        movi_frames.append(chunk(b"00db", rows))
+    movi = lst(b"movi", b"".join(movi_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> np.ndarray:
+    """Parse an uncompressed 24-bit RIFF/AVI back to (n, h, w, 3)
+    uint8 RGB. Walks the chunk tree (dims from strf/BITMAPINFOHEADER,
+    frames from the movi LIST's 00db/00dc chunks); raises on bad
+    magic/truncation — the poison-pill contract of every decode
+    kernel."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    def walk(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            payload_at = pos + 8
+            if payload_at + size > end:
+                raise ValueError("truncated AVI chunk")
+            yield fourcc, payload_at, size
+            pos = payload_at + size + (size % 2)
+
+    w = h = None
+    frames_raw: list[bytes] = []
+    for fourcc, at, size in walk(data, 12, len(data)):
+        if fourcc != b"LIST":
+            continue
+        kind = data[at : at + 4]
+        if kind == b"hdrl":
+            for f2, at2, sz2 in walk(data, at + 4, at + size):
+                if f2 == b"LIST" and data[at2 : at2 + 4] == b"strl":
+                    for f3, at3, sz3 in walk(data, at2 + 4, at2 + sz2):
+                        if f3 == b"strf":
+                            hdr = struct.unpack("<Iii", data[at3 : at3 + 12])
+                            w, h = hdr[1], abs(hdr[2])
+                            bits = struct.unpack("<H", data[at3 + 14 : at3 + 16])[0]
+                            if bits != 24:
+                                raise ValueError(f"unsupported biBitCount {bits}")
+        elif kind == b"movi":
+            for f2, at2, sz2 in walk(data, at + 4, at + size):
+                if f2 in (b"00db", b"00dc"):
+                    frames_raw.append(data[at2 : at2 + sz2])
+    if w is None or h is None:
+        raise ValueError("AVI missing strf header")
+    row_stride = (3 * w + 3) & ~3
+    out = []
+    for raw in frames_raw:
+        if len(raw) != row_stride * h:
+            raise ValueError("AVI frame size mismatch")
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_stride)
+        bgr = arr[:, : 3 * w].reshape(h, w, 3)
+        out.append(bgr[::-1, :, ::-1])  # undo bottom-up + BGR
+    return np.stack(out) if out else np.zeros((0, h, w, 3), np.uint8)
+
+
+@register(
+    "l9m_avi_frame_dhash",
+    oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics
+    tags=("L9", "L2", "multimodal", "dedup", "video"),
+)
+def l9m_avi_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9m: the l9l video near-dup pipeline over a SECOND container —
+    from-scratch RIFF/AVI decode (chunk-tree walking, uncompressed
+    bottom-up BGR DIB frames) feeding the SAME stride-2 frame
+    sampling, the SAME dhash64, and the SAME collapse-then-band pair
+    stage. The point is container-agnostic fingerprints: the codec
+    test pins that one clip encoded as Y4M and as AVI produces
+    IDENTICAL per-frame dHashes, so a mixed-container corpus dedups
+    as one modality (the real-corpus condition — crawled video never
+    arrives in one format). Same fixture contract as l9l (brightened
+    twins collapse into their originals' clusters); rows-only by
+    design."""
+    # odd docs (disjoint from l9l's even slice) PLUS the % 10 == 0
+    # docs, because attach_video_payloads injects brightened twins for
+    # those ids only — without them the twin contract is vacuous here
+    docs = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    fdh = video_frame_dhash(
+        attach_video_payloads(docs, encoder=encode_avi), decoder=decode_avi
+    )
     pairs = video_neardup_pairs(fdh)
     return pairs.select(
         "doc_a", "doc_b", "n_frames_matched", "n_frames_sampled",

@@ -348,7 +348,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 #: codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
     "l9l_video_frame_dhash", "l43b_exact_dup_spans",
-    "l59_bpe_fertility",
+    "l59_bpe_fertility", "l9m_avi_frame_dhash",
 )
 
 

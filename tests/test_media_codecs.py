@@ -501,3 +501,66 @@ def test_l9l_injected_twin_clips_cluster(spark, sf_dir):
         if r.doc_a != r.doc_b:
             assert 1 <= r.n_frames_matched <= r.n_frames_sampled
             assert not (r.all_frames_matched and r.max_hamming > 7)
+
+
+def test_avi_roundtrip_bit_exact():
+    """encode_avi -> decode_avi is the identity on arbitrary RGB
+    frames (odd widths exercise the 4-byte row padding), and the
+    poison-pill contract raises on bad magic / truncation."""
+    import numpy as np
+    import pytest
+
+    from ipydataclean_spark.operators.media_codecs import decode_avi, encode_avi
+
+    rng = np.random.default_rng(7)
+    for h, w, n in [(12, 16, 6), (13, 17, 3), (5, 5, 1)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        back = decode_avi(encode_avi(fr))
+        assert back.shape == fr.shape and (back == fr).all()
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"nope" + bytes(64))
+    good = encode_avi(rng.integers(0, 256, (2, 8, 8, 3), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_avi(good[:-10])
+
+
+def test_video_fingerprints_are_container_agnostic(spark, sf_dir):
+    """One clip set encoded as Y4M and as AVI must produce IDENTICAL
+    per-frame dHash tables — the mixed-container-corpus condition.
+    (Grayscale clips, so the Y4M grayscale-subset restriction and the
+    AVI BGR order cannot diverge.)"""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_video_payloads,
+        decode_avi,
+        encode_avi,
+        video_frame_dhash,
+    )
+    from ipydataclean_spark.operators.qhelp import T
+    from pyspark.sql import functions as F
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    y4m = video_frame_dhash(attach_video_payloads(docs))
+    avi = video_frame_dhash(
+        attach_video_payloads(docs, encoder=encode_avi), decoder=decode_avi
+    )
+    a = sorted(map(tuple, y4m.collect()))
+    b = sorted(map(tuple, avi.collect()))
+    assert a == b and len(a) > 50
+
+
+def test_l9m_brightened_twins_collapse(spark, sf_dir):
+    """l9m's fixture contract (the l9l shape over the odd-doc slice):
+    every brightened twin collapses into its original's signature
+    cluster — a hamming-0 within-cluster row per twinned clip."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["l9m_avi_frame_dhash"]["fn"](spark, sf_dir).collect()
+    within = [r for r in rows if r.doc_a == r.doc_b]
+    assert within, "no within-cluster rows — twins did not collapse"
+    for r in within:
+        assert r.max_hamming == 0 and r.all_frames_matched
+    # at least one within row must be a TWINNED clip's cluster (rep is
+    # the min doc_id, i.e. the % 10 == 0 original) — not just organic
+    # signature collisions
+    assert any(r.doc_a % 10 == 0 for r in within)
