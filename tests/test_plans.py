@@ -812,6 +812,8 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "inc7_incremental_embedding",
         "c39_exponential_smoothing",
         "l65_rake_keywords",
+        "st16_streaming_ewma",
+        "l9m_avi_frame_dhash",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
