@@ -1168,6 +1168,38 @@ def c39_exponential_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c5/c21's per-user paths); the fold is a codegen higher-order
     expression, no Python. Tie order is pinned (ts, event_id) in both
     engines so duplicate timestamps cannot reorder the fold."""
-    from ipydataclean_spark.streaming.stream import ewma_agg
-
     return ewma_agg(T(spark, sf_dir, "events")).orderBy("user_id")
+
+def ewma_agg(ev: DataFrame) -> DataFrame:
+    """ST16: per-user exponential smoothing as a STREAM stage — the
+    c39 computation verbatim (one definition, c39 registers it
+    batch-side, st16 streams it): the time-ordered value collection is the query's
+    only stateful operator (complete mode — the smoothed level is a
+    running per-user total, recomputed as batches land), and the
+    sequential fold runs as a post-aggregation projection, which
+    structured streaming permits. Identical builder for the batch
+    twin (the §2.8 contract)."""
+    seq = (
+        ev.where(F.col("value").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
+                lambda s: s["value"],
+            ).alias("vals")
+        )
+    )
+    alpha = F.lit(_C39_ALPHA)
+    rest = F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0)))
+    ewma = F.aggregate(
+        rest,
+        F.element_at("vals", 1),
+        lambda acc, x: acc * (F.lit(1.0) - alpha) + x * alpha,
+    )
+    return seq.select(
+        "user_id",
+        F.size("vals").cast("long").alias("n_events"),
+        F.element_at("vals", -1).alias("last_value"),
+        ewma.alias("ewma"),
+        (F.element_at("vals", -1) - ewma).alias("residual"),
+    )

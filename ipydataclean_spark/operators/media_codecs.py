@@ -1749,8 +1749,10 @@ def encode_avi(frames: np.ndarray) -> bytes:
     def lst(kind: bytes, payload: bytes) -> bytes:
         return chunk(b"LIST", kind + payload)
 
+    # dwFlags = 0: we write no idx1 chunk, so AVIF_HASINDEX would be
+    # a lie a strict demuxer is entitled to reject (review r09c #4)
     avih = struct.pack(
-        "<14I", 40000, frame_size * 25, 0, 0x10, n, 0, 1, frame_size, w, h,
+        "<14I", 40000, frame_size * 25, 0, 0, n, 0, 1, frame_size, w, h,
         0, 0, 0, 0,
     )
     strh = struct.pack(
@@ -1799,7 +1801,19 @@ def decode_avi(data: bytes) -> np.ndarray:
             pos = payload_at + size + (size % 2)
 
     w = h = None
+    bottom_up = True
     frames_raw: list[bytes] = []
+
+    def collect_frames(pos: int, end: int) -> None:
+        # AVI-1.0 interleaving wraps frame chunks in LIST 'rec ' groups
+        # — recurse so interleaved files don't silently decode to zero
+        # frames (review r09c #2)
+        for f2, at2, sz2 in walk(data, pos, end):
+            if f2 in (b"00db", b"00dc"):
+                frames_raw.append(data[at2 : at2 + sz2])
+            elif f2 == b"LIST" and data[at2 : at2 + 4] == b"rec ":
+                collect_frames(at2 + 4, at2 + sz2)
+
     for fourcc, at, size in walk(data, 12, len(data)):
         if fourcc != b"LIST":
             continue
@@ -1811,13 +1825,25 @@ def decode_avi(data: bytes) -> np.ndarray:
                         if f3 == b"strf":
                             hdr = struct.unpack("<Iii", data[at3 : at3 + 12])
                             w, h = hdr[1], abs(hdr[2])
+                            # negative biHeight = TOP-DOWN rows; honor
+                            # the sign instead of silently flipping a
+                            # top-down file (review r09c #1)
+                            bottom_up = hdr[2] > 0
                             bits = struct.unpack("<H", data[at3 + 14 : at3 + 16])[0]
                             if bits != 24:
                                 raise ValueError(f"unsupported biBitCount {bits}")
+                            (compression,) = struct.unpack(
+                                "<I", data[at3 + 16 : at3 + 20]
+                            )
+                            if compression != 0:
+                                # BI_RGB only: an entropy-coded stream
+                                # must raise, not decode as pixels
+                                # (review r09c #3)
+                                raise ValueError(
+                                    f"unsupported biCompression {compression}"
+                                )
         elif kind == b"movi":
-            for f2, at2, sz2 in walk(data, at + 4, at + size):
-                if f2 in (b"00db", b"00dc"):
-                    frames_raw.append(data[at2 : at2 + sz2])
+            collect_frames(at + 4, at + size)
     if w is None or h is None:
         raise ValueError("AVI missing strf header")
     row_stride = (3 * w + 3) & ~3
@@ -1827,7 +1853,8 @@ def decode_avi(data: bytes) -> np.ndarray:
             raise ValueError("AVI frame size mismatch")
         arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_stride)
         bgr = arr[:, : 3 * w].reshape(h, w, 3)
-        out.append(bgr[::-1, :, ::-1])  # undo bottom-up + BGR
+        rgb = bgr[:, :, ::-1]
+        out.append(rgb[::-1] if bottom_up else rgb)
     return np.stack(out) if out else np.zeros((0, h, w, 3), np.uint8)
 
 

@@ -583,6 +583,6 @@ def st16_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming.py replays the events stream with
     availableNow + complete mode and asserts equality."""
     from ipydataclean_spark.catalog import load_table
-    from ipydataclean_spark.streaming.stream import ewma_agg
+    from ipydataclean_spark.operators.cleaning import ewma_agg
 
     return ewma_agg(load_table(spark, sf_dir, "events")).orderBy("user_id")

@@ -772,40 +772,3 @@ def embedding_ingest_agg(delta: DataFrame, store: DataFrame) -> DataFrame:
             .alias("sum_best_cos"),
         )
     )
-
-
-def ewma_agg(ev: DataFrame) -> DataFrame:
-    """ST16: per-user exponential smoothing as a STREAM stage — the
-    c39 computation verbatim (one definition, cleaning.ewma_report
-    delegates here): the time-ordered value collection is the query's
-    only stateful operator (complete mode — the smoothed level is a
-    running per-user total, recomputed as batches land), and the
-    sequential fold runs as a post-aggregation projection, which
-    structured streaming permits. Identical builder for the batch
-    twin (the §2.8 contract)."""
-    from ipydataclean_spark.operators.cleaning import _C39_ALPHA
-
-    seq = (
-        ev.where(F.col("value").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))),
-                lambda s: s["value"],
-            ).alias("vals")
-        )
-    )
-    alpha = F.lit(_C39_ALPHA)
-    rest = F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0)))
-    ewma = F.aggregate(
-        rest,
-        F.element_at("vals", 1),
-        lambda acc, x: acc * (F.lit(1.0) - alpha) + x * alpha,
-    )
-    return seq.select(
-        "user_id",
-        F.size("vals").cast("long").alias("n_events"),
-        F.element_at("vals", -1).alias("last_value"),
-        ewma.alias("ewma"),
-        (F.element_at("vals", -1) - ewma).alias("residual"),
-    )

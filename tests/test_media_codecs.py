@@ -523,6 +523,23 @@ def test_avi_roundtrip_bit_exact():
     with pytest.raises(ValueError):
         decode_avi(good[:-10])
 
+    # a compressed stream must raise, never decode bytes as pixels
+    import struct
+
+    strf_at = good.index(b"strf")
+    bad = bytearray(good)
+    struct.pack_into("<I", bad, strf_at + 8 + 16, 0x47504A4D)  # 'MJPG'
+    with pytest.raises(ValueError, match="biCompression"):
+        decode_avi(bytes(bad))
+
+    # negative biHeight = top-down rows: the sign must be honored
+    fr = rng.integers(0, 256, (2, 6, 8, 3), dtype=np.uint8)
+    enc = bytearray(encode_avi(fr))
+    strf_at = enc.index(b"strf")
+    struct.pack_into("<i", enc, strf_at + 8 + 8, -6)  # biHeight -> -h
+    flipped = decode_avi(bytes(enc))
+    assert (flipped == fr[:, ::-1, :, :]).all()
+
 
 def test_video_fingerprints_are_container_agnostic(spark, sf_dir):
     """One clip set encoded as Y4M and as AVI must produce IDENTICAL

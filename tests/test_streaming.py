@@ -627,7 +627,8 @@ def test_st16_streaming_ewma_replay_equals_batch(spark, sf_dir):
     """ST16: the per-user EWMA table drained over the events stream
     (complete mode) must equal the batch twin exactly — fold order,
     tie order, and all."""
-    from ipydataclean_spark.streaming.stream import events_stream, ewma_agg
+    from ipydataclean_spark.operators.cleaning import ewma_agg
+    from ipydataclean_spark.streaming.stream import events_stream
 
     batch = ewma_agg(load_table(spark, sf_dir, "events"))
     stream = ewma_agg(events_stream(spark, sf_dir))
