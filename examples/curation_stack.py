@@ -22,7 +22,9 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from ipydataclean_spark.registry import QUERIES, load_all
 from ipydataclean_spark.session import get_spark

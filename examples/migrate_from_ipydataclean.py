@@ -16,7 +16,10 @@ the distributed, headless equivalent; run it with
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark, sf_dir: str, workdir: str) -> dict:
