@@ -1465,3 +1465,65 @@ def l59_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_merges", "lang")
     )
+
+
+_L66_BINS = 10
+
+_L66_ORACLE = (
+    "WITH heldout AS (SELECT * FROM (" + _L47_ORACLE + ")), "
+    f"binned AS (SELECT label, score, NTILE({_L66_BINS}) "
+    "OVER (ORDER BY score, label, doc_id, variant) AS bin FROM heldout) "
+    "SELECT CAST(bin AS BIGINT) AS bin, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT_IF(label = 1) AS BIGINT) AS n_pos, "
+    "(CAST(COUNT_IF(label = 1) AS DOUBLE) / COUNT(*)) AS frac_pos, "
+    + exact.rsum12_sql("score") + " / COUNT(*) AS mean_score, "
+    "MIN(score) AS min_score, MAX(score) AS max_score "
+    "FROM binned GROUP BY bin ORDER BY bin"
+)
+
+
+@register(
+    "l66_classifier_calibration",
+    oracle=_L66_ORACLE,
+    tags=("L66", "L55", "L47", "quality", "eval"),
+)
+def l66_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L66: the quality classifier's RELIABILITY TABLE — held-out
+    scores cut into 10 rank deciles, each reporting its positive
+    fraction against its score range (the tabular form of a
+    calibration/reliability diagram): l55's AUC says the model RANKS
+    well; this says where along the score axis the decision threshold
+    actually separates — the table a deployment reads to pick a keep
+    threshold at a target precision, and the drift check a retrained
+    model is compared against.
+
+    Exactness: the decile cut is NTILE over the same deterministic
+    total order l55 ranks by (score, label, doc_id, variant); counts
+    are BIGINT; frac_pos is ONE IEEE division and mean_score a
+    ROUND12-decimal sum then one division — hash-exact cross-engine.
+
+    At 100 TB: the eval set, not the corpus, pays the sort (the l55
+    note); production swaps NTILE for approx-quantile bin edges when
+    the held-out set itself is huge."""
+    from pyspark.sql import Window
+
+    heldout = l47_quality_classifier(spark, sf_dir)
+    w = Window.orderBy("score", "label", "doc_id", "variant")
+    binned = heldout.select(
+        "label", "score", F.ntile(_L66_BINS).over(w).alias("bin")
+    )
+    return (
+        binned.groupBy(F.col("bin").cast("long").alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("label") == 1).alias("n_pos"),
+            (F.count_if(F.col("label") == 1).cast("double") / F.count(F.lit(1))).alias(
+                "frac_pos"
+            ),
+            (exact.rsum12("score") / F.count(F.lit(1))).alias("mean_score"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("bin")
+    )

@@ -543,3 +543,30 @@ def test_l65_rake_prefers_collocations(spark, tmp_path):
     assert top.n_occurrences == 3
     assert by_phrase["spark"].score == 1.0
     assert by_phrase["noise"].score == 1.0
+
+
+def test_l66_calibration_monotone_and_consistent(spark, sf_dir):
+    """Reliability-table invariants: 10 near-equal rank deciles
+    covering the whole held-out set, score ranges non-overlapping and
+    ascending, frac_pos consistent with its own counts, and the table
+    SEPARATES — the bottom decile is (almost) all negatives and the
+    top (almost) all positives on a classifier l55 scores at ~0.99
+    AUC; a well-ranked model's calibration curve must rise."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = sorted(
+        QUERIES["l66_classifier_calibration"]["fn"](spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    assert [r.bin for r in rows] == list(range(1, 11))
+    sizes = [r.n_docs for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    heldout_n = QUERIES["l47_quality_classifier"]["fn"](spark, sf_dir).count()
+    assert sum(sizes) == heldout_n
+    for r in rows:
+        assert r.frac_pos == r.n_pos / r.n_docs
+        assert r.min_score <= r.mean_score <= r.max_score
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_score <= b.min_score
+    assert rows[0].frac_pos <= 0.1 and rows[-1].frac_pos >= 0.9
