@@ -2624,7 +2624,9 @@ def d23_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L64_TEST_FRAC = 0.2
 _L64_THRESHOLD = int(_L64_TEST_FRAC * (1 << 24))
 
-_L64_ORACLE = (
+#: shared by l64's oracle and d24's (review-style single-sourcing):
+#: τ-pairs over embeddings + recursive-closure cluster labels
+_L64_LABEL_CTES = (
     "WITH RECURSIVE "
     f"v AS (SELECT vec_id, embedding, {norm_sql('embedding')} AS nrm "
     "FROM embeddings), "
@@ -2636,7 +2638,11 @@ _L64_ORACLE = (
     "UNION SELECT kb, ka FROM pairs), "
     "r(a, b) AS (SELECT vec_id, vec_id FROM v "
     "UNION SELECT r.a, e.b FROM r JOIN edges e ON r.b = e.a), "
-    "lbl AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM r GROUP BY a), "
+    "lbl AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM r GROUP BY a)"
+)
+
+_L64_ORACLE = (
+    _L64_LABEL_CTES + ", "
     "sized AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members "
     "FROM lbl GROUP BY cluster_id) "
     "SELECT l.vec_id, l.cluster_id, s.n_members, "
@@ -2857,4 +2863,95 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill({"n_after_outlier": 0, "n_after_dedup": 0, "n_sampled": 0,
                   "n_train": 0, "n_test": 0})
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# D24 — split-leakage audit (naive doc coin vs l64's cluster coin)
+# ---------------------------------------------------------------------------
+
+_D24_ORACLE = (
+    _L64_LABEL_CTES + ", "
+    "asg AS (SELECT l.vec_id, "
+    "CAST(("
+    + exact.md5_prefix_int_sql("'l64:' || CAST(l.vec_id AS VARCHAR)")
+    + f" < {_L64_THRESHOLD}) AS INTEGER) AS naive_test, "
+    "CAST(("
+    + exact.md5_prefix_int_sql("'l64:' || CAST(l.cluster_id AS VARCHAR)")
+    + f" < {_L64_THRESHOLD}) AS INTEGER) AS cluster_test FROM lbl l), "
+    "audit AS (SELECT p.ka, p.kb, "
+    "a.naive_test AS na, b.naive_test AS nb, "
+    "a.cluster_test AS ca, b.cluster_test AS cb "
+    "FROM pairs p JOIN asg a ON a.vec_id = p.ka "
+    "JOIN asg b ON b.vec_id = p.kb) "
+    "SELECT method, n_pairs, n_crossing, "
+    "(CAST(n_crossing AS DOUBLE) / n_pairs) AS crossing_frac FROM ("
+    "SELECT 'cluster_hash' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(COUNT_IF(ca <> cb) AS BIGINT) AS n_crossing FROM audit "
+    "UNION ALL "
+    "SELECT 'doc_hash' AS method, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(COUNT_IF(na <> nb) AS BIGINT) AS n_crossing FROM audit"
+    ") ORDER BY method"
+)
+
+
+@register(
+    "d24_split_leakage",
+    oracle=_D24_ORACLE,
+    tags=("D24", "L64", "L4", "embeddings", "quality"),
+)
+def d24_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D24: split-leakage audit — for the SAME cosine-τ near-dup pair
+    set, how many pairs straddle the train/test boundary under (a) the
+    naive per-document hash split (c25's shape) and (b) l64's
+    cluster-aware split. One certified two-row table that states the
+    leakage problem AND its fix with numbers: doc_hash crosses pairs
+    (inflating every eval the split feeds), cluster_hash crosses ZERO
+    by construction. Run it before trusting any held-out metric on a
+    corpus that was not dedup-split (the GPT-3 App. C lesson, audited
+    rather than assumed).
+
+    Reuses l64's machinery end to end: the kernel τ-pairs, the star
+    components, the one shared md5 coin with l64's own salt/threshold
+    — so the audit certifies the exact split l64 ships.
+
+    Scale shape: pair generation as in l64 (kernel below the cap,
+    banding beyond); the audit itself is two broadcast-sized hash
+    joins from the pair table to the label table and ONE aggregation."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    pairs = topk_per_row_exact(
+        side, side, None, min_cos=llm.SIM_TAU, only_greater=True
+    ).select(F.col("part_id").alias("ka"), F.col("cand_id").alias("kb"))
+    lbl = cluster_pairs(side.select("id"), pairs.select(F.col("ka").alias("a"), F.col("kb").alias("b")))
+    naive = exact.md5_prefix_int(F.concat(F.lit("l64:"), F.col("id").cast("string")))
+    clus = exact.md5_prefix_int(F.concat(F.lit("l64:"), F.col("cluster_id").cast("string")))
+    asg = lbl.select(
+        F.col("id").alias("vec_id"),
+        (naive < _L64_THRESHOLD).cast("int").alias("naive_test"),
+        (clus < _L64_THRESHOLD).cast("int").alias("cluster_test"),
+    )
+    a = asg.select(
+        F.col("vec_id").alias("ka"),
+        F.col("naive_test").alias("na"),
+        F.col("cluster_test").alias("ca"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("kb"),
+        F.col("naive_test").alias("nb"),
+        F.col("cluster_test").alias("cb"),
+    )
+    audit = pairs.join(a, "ka").join(b, "kb")
+    row = lambda method, cross: audit.agg(  # noqa: E731
+        F.lit(method).alias("method"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_if(cross).alias("n_crossing"),
+        (F.count_if(cross).cast("double") / F.count(F.lit(1))).alias("crossing_frac"),
+    ).select("method", "n_pairs", "n_crossing", "crossing_frac")
+    return (
+        row("cluster_hash", F.col("ca") != F.col("cb"))
+        .unionByName(row("doc_hash", F.col("na") != F.col("nb")))
+        .orderBy("method")
     )

@@ -923,3 +923,20 @@ def test_inc7_classifies_delta_against_history_only(spark, sf_dir):
         assert r.status == (
             "dup_of_history" if r.best_cos >= SIM_TAU else "novel"
         )
+
+
+def test_d24_names_the_leak_and_the_fix(spark, sf_dir):
+    """The audit's two rows must agree with the d22 pair count, show
+    ZERO crossings for the cluster split, a NONZERO crossing count for
+    the doc split on this fixture, and a consistent fraction."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    rows = {r.method: r for r in QUERIES["d24_split_leakage"]["fn"](spark, sf_dir).collect()}
+    assert set(rows) == {"cluster_hash", "doc_hash"}
+    n_pairs = QUERIES["d22_neardup_label_conflict"]["fn"](spark, sf_dir).count()
+    for r in rows.values():
+        assert r.n_pairs == n_pairs
+        assert r.crossing_frac == r.n_crossing / r.n_pairs
+    assert rows["cluster_hash"].n_crossing == 0
+    assert rows["doc_hash"].n_crossing > 0
