@@ -1023,3 +1023,82 @@ def l57_unimax_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# L68 — UniMax materialization plan (budgets → executable sampling)
+# ---------------------------------------------------------------------------
+
+_L68_ORACLE = (
+    "WITH budgets AS (SELECT * FROM (" + _L57_ORACLE + ")), "
+    "th AS (SELECT lang, epochs, "
+    "CAST(FLOOR(epochs) AS BIGINT) AS n_full_copies, "
+    "CAST(FLOOR((epochs - FLOOR(epochs)) * 16777216.0) AS BIGINT) AS t "
+    "FROM budgets), "
+    "tagged AS (SELECT d.lang, th.epochs, th.n_full_copies, th.t, "
+    + md5_prefix_int_sql("'l68:' || CAST(d.doc_id AS VARCHAR)")
+    + " AS h FROM documents d JOIN th ON d.lang = th.lang) "
+    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "MAX(epochs) AS epochs, MAX(n_full_copies) AS n_full_copies, "
+    "CAST(COUNT_IF(h < t) AS BIGINT) AS n_extra_docs, "
+    "CAST(COUNT(*) * MAX(n_full_copies) + COUNT_IF(h < t) AS BIGINT) "
+    "AS total_doc_instances "
+    "FROM tagged GROUP BY lang ORDER BY lang"
+)
+
+
+@register(
+    "l68_unimax_materialize",
+    oracle=_L68_ORACLE,
+    tags=("L68", "L57", "L31", "sampling", "curation"),
+)
+def l68_unimax_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L68: the UniMax budgets MATERIALIZED — l57 says how many epochs
+    each language gets; this turns that into an executable per-document
+    plan: ``floor(epochs)`` full passes over every doc plus ONE
+    md5-coin draw for the fractional epoch (a doc is either in the
+    extra pass or not, decided by its hash — deterministic,
+    reproducible, no RNG state), reported per language with the final
+    instance count a dataloader manifest is built from. Completes the
+    budget→plan loop the way l31 operationalizes temperature sampling
+    and l39 operationalizes DSIR weights.
+
+    Exactness: epochs are l57's certified doubles; the fractional-pass
+    threshold is FLOOR((epochs − floor) · 2^24) — one multiply and
+    floor of identical doubles — compared against the ONE shared md5
+    coin; everything aggregated is BIGINT.
+
+    Scale shape: l57's lang-keyed agg, then a broadcast of the
+    #languages-row threshold table against the corpus scan and one
+    lang-keyed rollup — map-side except two bounded shuffles."""
+    budgets = l57_unimax_budgets(spark, sf_dir).select(
+        "lang",
+        "epochs",
+        F.floor("epochs").cast("long").alias("n_full_copies"),
+        F.floor((F.col("epochs") - F.floor("epochs")) * F.lit(16777216.0))
+        .cast("long")
+        .alias("t"),
+    )
+    coin = md5_prefix_int(F.concat(F.lit("l68:"), F.col("doc_id").cast("string")))
+    tagged = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .join(F.broadcast(budgets), "lang")
+        .select("lang", "epochs", "n_full_copies", "t", coin.alias("h"))
+    )
+    return (
+        tagged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("epochs").alias("epochs"),
+            F.max("n_full_copies").alias("n_full_copies"),
+            F.count_if(F.col("h") < F.col("t")).alias("n_extra_docs"),
+            (
+                F.count(F.lit(1)) * F.max("n_full_copies")
+                + F.count_if(F.col("h") < F.col("t"))
+            )
+            .cast("long")
+            .alias("total_doc_instances"),
+        )
+        .orderBy("lang")
+    )

@@ -337,7 +337,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "inc7_incremental_embedding", "st15_embedding_ingest",
     "c39_exponential_smoothing", "l65_rake_keywords",
     "st16_streaming_ewma", "l66_classifier_calibration",
-    "d24_split_leakage",
+    "d24_split_leakage", "l68_unimax_materialize",
     # re-queued: oracle composition refactored in round 9
     "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
     # re-queued: state append reworked in round 9 (advice r08 #1)

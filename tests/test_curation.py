@@ -313,3 +313,31 @@ def test_l57_matches_sequential_greedy_and_covers_both_branches(spark, sf_dir):
             assert r.epochs < UNIMAX_EPOCH_CAP
         rem -= greedy
     assert abs(sum(r.budget_tokens for r in rows) - (3 * total) // 2) < 1e-6
+
+
+def test_l68_materializes_l57_budgets_consistently(spark, sf_dir):
+    """The plan must reconcile with l57 exactly: per language,
+    n_full_copies = floor(epochs), capped languages get whole epochs
+    and ZERO fractional draws, extra docs stay within the fractional
+    expectation's support (0 <= n_extra <= n_docs, zero iff frac is
+    zero), and total instances = n_docs*full + extra."""
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    plan = {r.lang: r for r in QUERIES["l68_unimax_materialize"]["fn"](spark, sf_dir).collect()}
+    budgets = {r.lang: r for r in QUERIES["l57_unimax_budgets"]["fn"](spark, sf_dir).collect()}
+    assert set(plan) == set(budgets)
+    import math
+
+    for lang, p in plan.items():
+        b = budgets[lang]
+        assert p.epochs == b.epochs
+        assert p.n_full_copies == math.floor(b.epochs)
+        frac = b.epochs - math.floor(b.epochs)
+        assert 0 <= p.n_extra_docs <= p.n_docs
+        if frac == 0.0:
+            assert p.n_extra_docs == 0
+        if b.capped:
+            assert p.n_extra_docs == 0 and p.epochs == float(p.n_full_copies)
+        assert p.total_doc_instances == p.n_docs * p.n_full_copies + p.n_extra_docs
+    assert any(p.n_extra_docs > 0 for p in plan.values()), "fractional pass vacuous"

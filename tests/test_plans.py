@@ -816,6 +816,7 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         "l9m_avi_frame_dhash",
         "l66_classifier_calibration",
         "d24_split_leakage",
+        "l68_unimax_materialize",
     ):
         df = _q(name, spark, sf_dir)
         assert not has_python_eval(df), name
