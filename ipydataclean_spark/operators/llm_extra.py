@@ -2624,6 +2624,28 @@ def d23_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L64_TEST_FRAC = 0.2
 _L64_THRESHOLD = int(_L64_TEST_FRAC * (1 << 24))
 
+def tau_pair_labels(spark: SparkSession, sf_dir: str):
+    """(pairs(a,b), labels(id, cluster_id)) over the embeddings
+    cosine-τ graph — the Spark half of _L64_LABEL_CTES, shared by l64
+    and d24 so the audit always certifies the exact split l64 ships
+    (review r09c: the SQL side was single-sourced; the Spark side must
+    be too). Kernel τ-pairs below the cap; swap THIS function's pair
+    stage to the banded path (l4b) at scale and both consumers follow."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact
+
+    emb = T(spark, sf_dir, "embeddings")
+    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
+    pairs = (
+        topk_per_row_exact(side, side, None, min_cos=llm.SIM_TAU, only_greater=True)
+        .select(F.col("part_id").alias("a"), F.col("cand_id").alias("b"))
+        # eager checkpoint: the kernel pass is the expensive stage and
+        # BOTH consumers (the clustering rounds and d24's audit join)
+        # would otherwise re-run it from scratch
+        .localCheckpoint(eager=True)
+    )
+    return pairs, cluster_pairs(side.select("id"), pairs)
+
+
 #: shared by l64's oracle and d24's (review-style single-sourcing):
 #: τ-pairs over embeddings + recursive-closure cluster labels
 _L64_LABEL_CTES = (
@@ -2680,14 +2702,7 @@ def l64_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding past the cap); star rounds shuffle only the contracting
     edge table (O(log n) rounds); the split is a map-side expression
     on the label table."""
-    emb = T(spark, sf_dir, "embeddings")
-    from ipydataclean_spark.functions.knn import topk_per_row_exact
-
-    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
-    pairs = topk_per_row_exact(
-        side, side, None, min_cos=llm.SIM_TAU, only_greater=True
-    ).select(F.col("part_id").alias("a"), F.col("cand_id").alias("b"))
-    lbl = cluster_pairs(side.select("id"), pairs)
+    pairs, lbl = tau_pair_labels(spark, sf_dir)
     sized = lbl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
     coin = exact.md5_prefix_int(
         F.concat(F.lit("l64:"), F.col("cluster_id").cast("string"))
@@ -2918,14 +2933,8 @@ def d24_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: pair generation as in l64 (kernel below the cap,
     banding beyond); the audit itself is two broadcast-sized hash
     joins from the pair table to the label table and ONE aggregation."""
-    from ipydataclean_spark.functions.knn import topk_per_row_exact
-
-    emb = T(spark, sf_dir, "embeddings")
-    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
-    pairs = topk_per_row_exact(
-        side, side, None, min_cos=llm.SIM_TAU, only_greater=True
-    ).select(F.col("part_id").alias("ka"), F.col("cand_id").alias("kb"))
-    lbl = cluster_pairs(side.select("id"), pairs.select(F.col("ka").alias("a"), F.col("kb").alias("b")))
+    pairs, lbl = tau_pair_labels(spark, sf_dir)
+    pairs = pairs.select(F.col("a").alias("ka"), F.col("b").alias("kb"))
     naive = exact.md5_prefix_int(F.concat(F.lit("l64:"), F.col("id").cast("string")))
     clus = exact.md5_prefix_int(F.concat(F.lit("l64:"), F.col("cluster_id").cast("string")))
     asg = lbl.select(
@@ -2943,15 +2952,29 @@ def d24_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("naive_test").alias("nb"),
         F.col("cluster_test").alias("cb"),
     )
-    audit = pairs.join(a, "ka").join(b, "kb")
-    row = lambda method, cross: audit.agg(  # noqa: E731
-        F.lit(method).alias("method"),
+    # ONE aggregation over the audit lineage (the kernel pair pass is
+    # the expensive stage — a per-method agg would run it twice), then
+    # a two-row unpivot, mirroring the oracle's single-audit shape
+    totals = pairs.join(a, "ka").join(b, "kb").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.count_if(cross).alias("n_crossing"),
-        (F.count_if(cross).cast("double") / F.count(F.lit(1))).alias("crossing_frac"),
-    ).select("method", "n_pairs", "n_crossing", "crossing_frac")
+        F.count_if(F.col("ca") != F.col("cb")).alias("cross_cluster"),
+        F.count_if(F.col("na") != F.col("nb")).alias("cross_doc"),
+    )
     return (
-        row("cluster_hash", F.col("ca") != F.col("cb"))
-        .unionByName(row("doc_hash", F.col("na") != F.col("nb")))
+        totals.select(
+            F.expr(
+                "stack(2, 'cluster_hash', cross_cluster, 'doc_hash', cross_doc) "
+                "AS (method, n_crossing)"
+            ),
+            "n_pairs",
+        )
+        .select(
+            "method",
+            "n_pairs",
+            "n_crossing",
+            (F.col("n_crossing").cast("double") / F.col("n_pairs")).alias(
+                "crossing_frac"
+            ),
+        )
         .orderBy("method")
     )

@@ -1506,7 +1506,6 @@ def l66_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: the eval set, not the corpus, pays the sort (the l55
     note); production swaps NTILE for approx-quantile bin edges when
     the held-out set itself is huge."""
-    from pyspark.sql import Window
 
     heldout = l47_quality_classifier(spark, sf_dir)
     w = Window.orderBy("score", "label", "doc_id", "variant")

@@ -1823,6 +1823,11 @@ def decode_avi(data: bytes) -> np.ndarray:
                 if f2 == b"LIST" and data[at2 : at2 + 4] == b"strl":
                     for f3, at3, sz3 in walk(data, at2 + 4, at2 + sz2):
                         if f3 == b"strf":
+                            if sz3 < 20:
+                                # parsing reads through byte 20
+                                # (biCompression); a shorter chunk
+                                # would misparse neighbors (review)
+                                raise ValueError("strf chunk too short")
                             hdr = struct.unpack("<Iii", data[at3 : at3 + 12])
                             w, h = hdr[1], abs(hdr[2])
                             # negative biHeight = TOP-DOWN rows; honor
