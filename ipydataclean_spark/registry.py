@@ -305,52 +305,49 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l46_hard_negatives",
     # r08 rows-only tier (rows recorded, err=no_oracle by design)
     "p3b_approx_profile", "f_map_functions", "l9k_audio_fp_pairs",
-})
-
-#: Round-9 window priority (VERDICT r08 #1/#2/#3). CORRECTNESS_r08
-#: recorded 50/50 clean — all 17 fresh oracle names hash-green, the
-#: 3 rows-only by design. Round-9 fresh set: (1) l35_hybrid_rrf
-#: FIRST — its oracle string was refactored to a module constant in
-#: round 8 after its r6 green row (byte-identical, but the standing
-#: changed-after-green rule applies); (2) the round-9 additions
-#: (trained quality classifier, retrieval eval, etc.); (3) anything
-#: round 9 touches gets appended here as it changes. Remaining slots
-#: fall through to prior-green re-proofs.
-CORE_FRESH_FIRST: tuple[str, ...] = (
-    # re-queued: oracle moved to module constant in round 8
-    "l35_hybrid_rrf",
-    # round-9 additions (appended as each operator registers — the
-    # registry contract test rejects names with no registration)
-    "l47_quality_classifier", "l48_retrieval_eval",
+    # CORRECTNESS_r09.json — 50/50 clean (46 oracle rows+schema+hash,
+    # 4 rows-only by design with rows recorded). The 33 fresh oracle
+    # names below; the window's other 13 oracle slots were prior-green
+    # re-proofs (p1..p28), already members above.
+    "l35_hybrid_rrf", "l47_quality_classifier", "l48_retrieval_eval",
     "l49_quality_score_distribution", "l53_containment_pairs",
     "l52_perplexity_buckets", "l54_dedup_cluster_quality",
     "pipeline_quality_curation", "inc6_incremental_quality",
     "st13_quality_filter", "l55_classifier_auc",
-    "st14_bloom_decontaminate",
-    # round-9 continuation session: tokenizer-fertility report, UniMax
-    # budgets, ratio-margin bitext mining, kNN label-noise detector
-    "l56_token_fertility", "l57_unimax_budgets",
-    "l58_bitext_margin_mining", "d21_knn_label_noise",
-    "d22_neardup_label_conflict", "l60_cluster_balanced_sample",
-    "d23_embedding_outliers", "l64_leakage_free_split",
-    "x6_l_diversity", "pipeline_embedding_curation",
-    "inc7_incremental_embedding", "st15_embedding_ingest",
-    "c39_exponential_smoothing", "l65_rake_keywords",
-    "st16_streaming_ewma", "l66_classifier_calibration",
-    "d24_split_leakage", "l68_unimax_materialize",
-    # re-queued: oracle composition refactored in round 9
-    "l18_unigram_logprob", "l2j_dedup_threshold_sweep",
-    # re-queued: state append reworked in round 9 (advice r08 #1)
-    "inc5_incremental_bloom",
-)
-
-#: Rows-only priority: the round-9 video-modality frame extraction
-#: (payload bytes invisible to SQL — rows-only by design, closed-form
-#: codec goldens pin semantics, the l9d pattern).
-ROWS_ONLY_FIRST: tuple[str, ...] = (
+    "st14_bloom_decontaminate", "l56_token_fertility",
+    "l57_unimax_budgets", "l58_bitext_margin_mining",
+    "d21_knn_label_noise", "d22_neardup_label_conflict",
+    "l60_cluster_balanced_sample", "d23_embedding_outliers",
+    "l64_leakage_free_split", "x6_l_diversity",
+    "pipeline_embedding_curation", "inc7_incremental_embedding",
+    "st15_embedding_ingest", "c39_exponential_smoothing",
+    "l65_rake_keywords", "st16_streaming_ewma",
+    "l66_classifier_calibration", "d24_split_leakage",
+    "l68_unimax_materialize", "l18_unigram_logprob",
+    "l2j_dedup_threshold_sweep", "inc5_incremental_bloom",
+    # r09 rows-only tier (rows recorded, err=no_oracle by design;
+    # semantics pinned by codec goldens / full-frame equality / sweep
+    # pins per the VERDICT r09 coverage table)
     "l9l_video_frame_dhash", "l43b_exact_dup_spans",
     "l59_bpe_fertility", "l9m_avi_frame_dhash",
+})
+
+#: Round-10 window priority (VERDICT r09 #2). CORRECTNESS_r09 recorded
+#: 50/50 clean — all 33 fresh oracle names hash-green, 4 rows-only by
+#: design, 13 prior-green re-proofs. All 365 registered queries now
+#: have a driver row (zero re-queue debt entering round 10). Round-10
+#: fresh set: new additions appended here as each operator registers,
+#: plus anything round 10 touches (call-chain-verified). Remaining
+#: slots fall through to prior-green re-proofs.
+CORE_FRESH_FIRST: tuple[str, ...] = (
+    # round-10 additions (appended as each operator registers — the
+    # registry contract test rejects names with no registration)
 )
+
+#: Rows-only priority: round-10 rows-only additions, flagship scale
+#: paths first (payload bytes invisible to SQL — rows-only by design,
+#: closed-form codec goldens pin semantics, the l9d pattern).
+ROWS_ONLY_FIRST: tuple[str, ...] = ()
 
 
 def ordered_queries() -> dict[str, dict[str, Any]]:
