@@ -1,0 +1,632 @@
+"""From-scratch baseline JPEG codec (public spec: ITU-T T.81 /
+ISO 10918-1, baseline sequential DCT, 8-bit) — VERDICT r09 #4.
+
+Web corpora are overwhelmingly JPEG; BMP/PNG/GIF decode landed in
+earlier rounds but photographs stayed behind the documented stub.
+This module implements the missing piece with stdlib ``struct`` +
+numpy only:
+
+- ``decode_jpeg``: marker parse (SOI/APPn/COM/DQT/SOF0-1/DHT/DRI/
+  SOS/RSTn/EOI), table-driven canonical Huffman decode (tables come
+  from the file's own DHT segments — no hardcoded Annex K tables, so
+  ANY baseline file decodes, including optimized-Huffman encodes),
+  run-length AC expansion, dequantize, batched orthonormal IDCT,
+  chroma upsample for integer sampling ratios (4:4:4 and 4:2:0
+  included), JFIF YCbCr->RGB. Progressive (SOF2), arithmetic-coded,
+  12-bit, and hierarchical files raise — the honest boundary.
+- ``encode_jpeg``: the inverse pipeline (RGB->YCbCr, optional 2x2
+  chroma subsample, batched DCT, quantize, zigzag, DC-differential +
+  AC run-length entropy coding) emitting OPTIMIZED fixed-length
+  canonical Huffman tables computed from the data in a first pass —
+  every emitted table is fully described in DHT, so the output is a
+  standard baseline JPEG any conformant decoder reads. Optional
+  restart intervals (DRI + RSTn) exercise the decoder's restart
+  path.
+
+Exactness property the tests and the l9n oracle lean on: a
+CONSTANT gray image (R=G=B=v) with the all-ones quantization table
+(``q=0``) round-trips BIT-EXACTLY — Y=v exactly (the JFIF luma
+coefficients sum to 1.0), Cb=Cr=128 exactly, a constant block is
+DC-only with an integer DC, and the orthonormal DCT/IDCT pair is
+exact on DC-only blocks. That turns a lossy codec into a
+closed-form-oracle-able one on the fixture subset while gradient
+fixtures exercise the full lossy path under a pinned error bound.
+
+Scale notes: this is a PER-PAYLOAD kernel invoked from Arrow-batched
+``mapInPandas`` stages — cost linear in payload bytes, no shuffle,
+no driver involvement. DCT/IDCT/dequant are batched numpy matmuls
+over all blocks of a component at once; only the entropy-coding
+bit loop is per-symbol Python (bounded by nonzero coefficients).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --------------------------------------------------------------------------
+# Shared constant tables (generated, not transcribed)
+# --------------------------------------------------------------------------
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """Zigzag scan order, position -> (row, col): generated from the
+    diagonal-walk definition (T.81 figure 5) rather than transcribed,
+    so a typo cannot silently scramble coefficients."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        rng = (
+            range(max(0, s - 7), min(7, s) + 1)
+            if s % 2
+            else range(min(7, s), max(0, s - 7) - 1, -1)
+        )
+        order.extend((r, s - r) for r in rng)
+    return order
+
+_ZZ = _zigzag()
+_ZZR = np.array([r for r, _ in _ZZ])
+_ZZC = np.array([c for _, c in _ZZ])
+
+#: Orthonormal 8x8 DCT-II matrix: A[u, x] = c(u)/2 * cos((2x+1)u*pi/16),
+#: c(0)=1/sqrt(2). DCT = A f A^T, IDCT = A^T F A (exact inverse pair).
+_A = np.array(
+    [
+        [
+            (np.sqrt(0.5) if u == 0 else 1.0)
+            / 2.0
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def quant_table(q: int) -> np.ndarray:
+    """Quantization table in ZIGZAG order (the DQT storage order):
+    Q[k] = 1 + (row+col)*q — flat all-ones at q=0 (near-lossless, and
+    EXACTLY lossless on constant blocks), coarser with frequency as q
+    grows (the perceptual shape real tables share). Any table is
+    legal; both our decoder and conformant third-party decoders read
+    whatever DQT declares."""
+    return (1 + (_ZZR + _ZZC) * int(q)).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Color transforms (JFIF / ITU-R BT.601 constants — public)
+# --------------------------------------------------------------------------
+
+
+def rgb_to_ycbcr(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    clip = lambda a: np.clip(np.rint(a), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Entropy-coding helpers
+# --------------------------------------------------------------------------
+
+
+def _size_cat(v: int) -> int:
+    """Amplitude size category: number of bits in |v| (0 for v=0)."""
+    return abs(int(v)).bit_length()
+
+
+def _enc_bits(v: int, s: int) -> int:
+    """The s low-order amplitude bits (T.81 F.1.2.1: negative values
+    are coded as v + 2^s - 1)."""
+    return v if v >= 0 else v + (1 << s) - 1
+
+
+def _extend(v: int, s: int) -> int:
+    """Decoder-side inverse of ``_enc_bits`` (T.81 EXTEND)."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _fixed_table(symbols) -> tuple[list[int], list[int], dict[int, tuple[int, int]]]:
+    """Canonical Huffman table with ALL codes the same length — the
+    simplest valid shape (bits[L] = n). Deliberately suboptimal:
+    correctness of the FORMAT is the goal, and a fully-populated DHT
+    makes the file self-describing for any decoder. The all-ones code
+    is kept unused as T.81 requires (n <= 2^L - 1)."""
+    syms = sorted(set(int(s) for s in symbols))
+    n = len(syms)
+    if n == 0:
+        raise ValueError("empty huffman symbol set")
+    L = max(1, n.bit_length())
+    while n > (1 << L) - 1:  # pragma: no cover — bit_length already suffices
+        L += 1
+    bits = [0] * 17
+    bits[L] = n
+    codes = {s: (i, L) for i, s in enumerate(syms)}
+    return bits, syms, codes
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with T.81 byte stuffing (0xFF -> 0xFF
+    0x00) applied to entropy-coded bytes only."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        """Pad to a byte boundary with 1-bits (T.81 F.1.2.3)."""
+        if self.nbits:
+            self.write((1 << (8 - self.nbits)) - 1, 8 - self.nbits)
+
+
+class _BitReader:
+    """Entropy-segment bit reader: unstuffs 0xFF 0x00, stops at any
+    real marker (exposed via ``at_marker``), and re-aligns across
+    RSTn markers."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.p >= len(self.d):
+            raise ValueError("truncated entropy segment")
+        b = self.d[self.p]
+        if b == 0xFF:
+            if self.p + 1 >= len(self.d):
+                raise ValueError("truncated entropy segment")
+            nxt = self.d[self.p + 1]
+            if nxt == 0x00:
+                self.p += 2
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xFF{nxt:02X} inside entropy data"
+                )
+        else:
+            self.p += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def expect_restart(self, idx: int) -> None:
+        """Byte-align and consume the RST(idx mod 8) marker."""
+        self.acc = 0
+        self.nbits = 0
+        if self.p + 2 > len(self.d) or self.d[self.p] != 0xFF:
+            raise ValueError("missing restart marker")
+        m = self.d[self.p + 1]
+        if m != 0xD0 + (idx % 8):
+            raise ValueError(f"bad restart marker 0xFF{m:02X} (want RST{idx % 8})")
+        self.p += 2
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code (no match within 16 bits)")
+
+
+def _canonical_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """DHT (bits, values) -> {(length, code): symbol} via the T.81
+    canonical code construction (Annex C)."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    vi = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1] if len(bits) == 16 else bits[length]):
+            table[(length, code)] = values[vi]
+            vi += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge") if ph or pw else plane
+
+
+def _blockify_quant(plane: np.ndarray, qtbl_zz: np.ndarray) -> np.ndarray:
+    """(H, W) uint8 (8-multiple dims) -> (brows, bcols, 64) int32
+    quantized zigzag coefficients. DCT batched over all blocks."""
+    hp, wp = plane.shape
+    blocks = (
+        plane.reshape(hp // 8, 8, wp // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .astype(np.float64)
+        - 128.0
+    )
+    coef = _A @ blocks @ _A.T
+    zz = coef[..., _ZZR, _ZZC] / qtbl_zz.astype(np.float64)
+    return np.rint(zz).astype(np.int32)
+
+
+def _block_syms(zz: np.ndarray, pred: int):
+    """One block's entropy symbols: [(is_ac, symbol, ampl_value,
+    ampl_len), ...] plus the new DC predictor."""
+    syms = []
+    dc = int(zz[0])
+    diff = dc - pred
+    s = _size_cat(diff)
+    syms.append((0, s, _enc_bits(diff, s), s))
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            syms.append((1, 0xF0, 0, 0))
+            run -= 16
+        s = _size_cat(v)
+        syms.append((1, (run << 4) | s, _enc_bits(v, s), s))
+        run = 0
+    if run > 0:
+        syms.append((1, 0x00, 0, 0))
+    return syms, dc
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    q: int = 0,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) uint8 grayscale -> baseline JPEG
+    bytes (JFIF). ``q=0`` gives all-ones quantization (bit-exact on
+    constant gray inputs); ``subsample=True`` writes 4:2:0 chroma;
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    gray = px.ndim == 2
+    if not gray and (px.ndim != 3 or px.shape[2] != 3):
+        raise ValueError("encode_jpeg needs (h,w) gray or (h,w,3) RGB")
+    h, w = px.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qtbl = quant_table(q)
+
+    if gray:
+        planes = [px]
+        hs, vs, tqs = [1], [1], [0]
+    else:
+        y, cb, cr = rgb_to_ycbcr(px)
+        if subsample:
+            hs, vs, tqs = [2, 1, 1], [2, 1, 1], [0, 1, 1]
+            ypad = _pad_edge(y, 16, 16)
+            # 2x2 mean then round — exact on constant chroma
+            def down(c: np.ndarray) -> np.ndarray:
+                cpad = _pad_edge(c, 16, 16).astype(np.float64)
+                return np.clip(
+                    np.rint(
+                        (cpad[0::2, 0::2] + cpad[0::2, 1::2]
+                         + cpad[1::2, 0::2] + cpad[1::2, 1::2]) / 4.0
+                    ), 0, 255,
+                ).astype(np.uint8)
+
+            planes = [ypad, down(cb), down(cr)]
+        else:
+            hs, vs, tqs = [1, 1, 1], [1, 1, 1], [0, 1, 1]
+            planes = [y, cb, cr]
+    hmax, vmax = max(hs), max(vs)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    ncomp = len(planes)
+    tqs = tqs[:ncomp]
+
+    # pad each plane to its block grid and quantize
+    comps_zz = []
+    for ci in range(ncomp):
+        # grid must cover mcuy*vs x mcux*hs blocks exactly
+        need_h, need_w = mcuy * vs[ci] * 8, mcux * hs[ci] * 8
+        p = np.pad(
+            planes[ci],
+            ((0, need_h - planes[ci].shape[0]), (0, need_w - planes[ci].shape[1])),
+            mode="edge",
+        )
+        comps_zz.append(_blockify_quant(p, qtbl))
+
+    def mcu_stream():
+        """Yield (comp_idx, zz_vector) in interleaved MCU order, with
+        a RESTART sentinel (None, None) at each restart boundary."""
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    yield None, None
+                count += 1
+                for ci in range(ncomp):
+                    for by in range(vs[ci]):
+                        for bx in range(hs[ci]):
+                            yield ci, comps_zz[ci][my * vs[ci] + by, mx * hs[ci] + bx]
+
+    # pass 1: symbol statistics per (table_id, class)
+    ntab = 1 if gray else 2
+    dc_syms: list[list[int]] = [[] for _ in range(ntab)]
+    ac_syms: list[list[int]] = [[] for _ in range(ntab)]
+    preds = [0] * ncomp
+    tids = [0] + [1] * (ncomp - 1)
+    for ci, zz in mcu_stream():
+        if ci is None:
+            preds = [0] * ncomp
+            continue
+        syms, preds[ci] = _block_syms(zz, preds[ci])
+        for is_ac, sym, _, _ in syms:
+            (ac_syms if is_ac else dc_syms)[tids[ci]].append(sym)
+    dc_tabs = [_fixed_table(s) for s in dc_syms]
+    ac_tabs = [_fixed_table(s) for s in ac_syms]
+
+    # pass 2: bitstream
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    rst = 0
+    for ci, zz in mcu_stream():
+        if ci is None:
+            bw.align()
+            bw.out.extend(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            preds = [0] * ncomp
+            continue
+        syms, preds[ci] = _block_syms(zz, preds[ci])
+        dcod = dc_tabs[tids[ci]][2]
+        acod = ac_tabs[tids[ci]][2]
+        for is_ac, sym, av, al in syms:
+            code, length = (acod if is_ac else dcod)[sym]
+            bw.write(code, length)
+            if al:
+                bw.write(av, al)
+    bw.align()
+
+    # headers
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in range(ntab):
+        out += seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in qtbl))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci], tqs[ci]])
+    out += seg(0xFFC0, sof)
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for tid, (bits, vals, _) in enumerate(tabs):
+            out += seg(
+                0xFFC4,
+                bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(vals),
+            )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, (tids[ci] << 4) | tids[ci]])
+    sos += bytes([0, 63, 0])
+    out += seg(0xFFDA, sos)
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale files are
+    replicated to 3 channels so image/video fingerprints share one
+    pixel shape). Table-driven from the file's own DQT/DHT segments;
+    supports interleaved scans with integer sampling ratios (4:4:4,
+    4:2:0, 4:2:2), restart markers, and fill bytes. Raises with a
+    clear message on progressive/arithmetic/12-bit streams and on any
+    truncation — the poison-pill contract of every decode kernel."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = None
+    ri = 0
+    scan: list[dict] = []
+
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
+        while pos < len(data) and data[pos] == 0xFF and data[pos + 1] == 0xFF:
+            pos += 1  # fill bytes
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS (no image data)")
+        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
+            raise ValueError("progressive JPEG not supported (baseline only)")
+        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
+            raise ValueError("non-baseline SOF not supported")
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if len(body) != seglen - 2:
+            raise ValueError("truncated JPEG segment")
+        pos += seglen
+        if marker == 0xDB:  # DQT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                pq, tq = body[bp] >> 4, body[bp] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables not supported")
+                qts[tq] = np.frombuffer(
+                    body, np.uint8, 64, bp + 1
+                ).astype(np.int32)
+                bp += 65
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"{prec}-bit precision not supported")
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker == 0xC4:  # DHT (may hold several tables)
+            bp = 0
+            while bp < len(body):
+                cls, tid = body[bp] >> 4, body[bp] & 0x0F
+                bits = list(body[bp + 1 : bp + 17])
+                nv = sum(bits)
+                vals = list(body[bp + 17 : bp + 17 + nv])
+                huffs[(cls, tid)] = _canonical_decode_table(bits, vals)
+                bp += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next((c for c in comps if c["id"] == cid), None)
+                if comp is None:
+                    raise ValueError(f"SOS references unknown component {cid}")
+                scan.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
+            break
+        # else: APPn / COM / unknown — skipped via seglen
+
+    if h is None or not scan:
+        raise ValueError("missing SOF/SOS")
+    # single-component scans are non-interleaved: sampling factors do
+    # not shape the MCU (T.81 A.2.2)
+    if len(scan) == 1:
+        scan[0] = {**scan[0], "h": 1, "v": 1}
+    hmax = max(c["h"] for c in scan)
+    vmax = max(c["v"] for c in scan)
+    if any(hmax % c["h"] or vmax % c["v"] for c in scan):
+        raise ValueError("non-integer chroma sampling ratio")
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    for c in scan:
+        if c["tq"] not in qts:
+            raise ValueError(f"missing quantization table {c['tq']}")
+        if (0, c["td"]) not in huffs or (1, c["ta"]) not in huffs:
+            raise ValueError("missing huffman table referenced by SOS")
+        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
+
+    br = _BitReader(data, pos)
+    preds = [0] * len(scan)
+    rst = 0
+    for mcu in range(mcux * mcuy):
+        if ri and mcu and mcu % ri == 0:
+            br.expect_restart(rst)
+            rst += 1
+            preds = [0] * len(scan)
+        my, mx = divmod(mcu, mcux)
+        for ci, c in enumerate(scan):
+            dtab, atab = huffs[(0, c["td"])], huffs[(1, c["ta"])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = np.zeros(64, np.int32)
+                    s = _huff_decode(br, dtab)
+                    preds[ci] += _extend(br.read_bits(s), s)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(br, atab)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ValueError("AC run past end of block")
+                        zz[k] = _extend(br.read_bits(s), s)
+                        k += 1
+                    c["coef"][my * c["v"] + by, mx * c["h"] + bx] = zz
+
+    # batched dequant + IDCT per component
+    planes = []
+    for c in scan:
+        coef = c["coef"].astype(np.float64) * qts[c["tq"]].astype(np.float64)
+        brows, bcols, _ = coef.shape
+        F = np.zeros((brows, bcols, 8, 8))
+        F[..., _ZZR, _ZZC] = coef
+        f = _A.T @ F @ _A + 128.0
+        plane = np.clip(np.rint(f), 0, 255).astype(np.uint8)
+        plane = plane.transpose(0, 2, 1, 3).reshape(brows * 8, bcols * 8)
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise ValueError(f"unsupported component count {len(planes)}")
+    return ycbcr_to_rgb(*planes)
+
+
+# Worker-side mapInPandas kernels reference these codec functions;
+# register the module for cloudpickle BY-VALUE pickling so closures
+# are self-contained on executors that never import this package
+# (see media_codecs.py — same contract). stdlib+numpy only.
+import sys as _sys
+
+from pyspark import cloudpickle as _cloudpickle
+
+_cloudpickle.register_pickle_by_value(_sys.modules[__name__])

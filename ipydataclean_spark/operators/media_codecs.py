@@ -35,6 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ipydataclean_spark.functions.jpeg import decode_jpeg, encode_jpeg
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
@@ -1741,6 +1742,35 @@ def encode_avi(frames: np.ndarray) -> bytes:
     n, h, w, _ = frames.shape
     row_stride = (3 * w + 3) & ~3
     frame_size = row_stride * h
+    movi_frames = []
+    for i in range(n):
+        bgr = frames[i][::-1, :, ::-1]  # bottom-up rows, BGR order
+        rows = bgr.tobytes()
+        if row_stride != 3 * w:
+            pad = bytes(row_stride - 3 * w)
+            rows = b"".join(
+                rows[r * 3 * w : (r + 1) * 3 * w] + pad for r in range(h)
+            )
+        movi_frames.append(rows)
+    return _avi_wrap(movi_frames, w, h, b"DIB ", 0, frame_size, b"00db")
+
+
+def _avi_wrap(
+    frame_payloads: list[bytes],
+    w: int,
+    h: int,
+    handler: bytes,
+    compression: int,
+    frame_size: int,
+    frame_fourcc: bytes,
+) -> bytes:
+    """Shared RIFF/AVI scaffolding: wrap per-frame payload bytes in the
+    chunk tree (LIST hdrl [avih + LIST strl [strh + strf]] + LIST
+    movi). ``compression`` is the strf biCompression dword (0 =
+    BI_RGB raw DIB; the 'MJPG' fourcc for Motion-JPEG)."""
+    import struct
+
+    n = len(frame_payloads)
 
     def chunk(fourcc: bytes, payload: bytes) -> bytes:
         pad = b"\x00" if len(payload) % 2 else b""
@@ -1757,26 +1787,32 @@ def encode_avi(frames: np.ndarray) -> bytes:
     )
     strh = struct.pack(
         "<4s4sIHHIIIIIIIIhhhh",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, 25, 0, n, frame_size, 0, 0,
+        b"vids", handler, 0, 0, 0, 0, 1, 25, 0, n, frame_size, 0, 0,
         0, 0, w, h,
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0
+        "<IiiHHIIiiII", 40, w, h, 1, 24, compression, frame_size, 0, 0, 0, 0
     )
     hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi_frames = []
-    for i in range(n):
-        bgr = frames[i][::-1, :, ::-1]  # bottom-up rows, BGR order
-        rows = bgr.tobytes()
-        if row_stride != 3 * w:
-            pad = bytes(row_stride - 3 * w)
-            rows = b"".join(
-                rows[r * 3 * w : (r + 1) * 3 * w] + pad for r in range(h)
-            )
-        movi_frames.append(chunk(b"00db", rows))
-    movi = lst(b"movi", b"".join(movi_frames))
+    movi = lst(b"movi", b"".join(chunk(frame_fourcc, p) for p in frame_payloads))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi_mjpeg(frames: np.ndarray, q: int = 0) -> bytes:
+    """RIFF/AVI with Motion-JPEG frames: each frame is a COMPLETE
+    baseline JPEG (the from-scratch functions/jpeg.py encoder) carried
+    in a '00dc' (compressed) chunk, biCompression = 'MJPG'. ``q=0``
+    keeps grayscale-valued frames bit-exact (the functions/jpeg.py
+    constant-gray exactness property), so a clip encoded as raw-DIB
+    AVI and as MJPEG AVI fingerprints identically — the
+    cross-container pin lifted to a COMPRESSED container."""
+    n, h, w, _ = frames.shape
+    payloads = [encode_jpeg(frames[i], q=q) for i in range(n)]
+    return _avi_wrap(payloads, w, h, b"MJPG", _MJPG_FOURCC, max(map(len, payloads)), b"00dc")
 
 
 def decode_avi(data: bytes) -> np.ndarray:
@@ -1802,6 +1838,7 @@ def decode_avi(data: bytes) -> np.ndarray:
 
     w = h = None
     bottom_up = True
+    mjpeg = False
     frames_raw: list[bytes] = []
 
     def collect_frames(pos: int, end: int) -> None:
@@ -1840,9 +1877,15 @@ def decode_avi(data: bytes) -> np.ndarray:
                             (compression,) = struct.unpack(
                                 "<I", data[at3 + 16 : at3 + 20]
                             )
-                            if compression != 0:
-                                # BI_RGB only: an entropy-coded stream
-                                # must raise, not decode as pixels
+                            if compression == _MJPG_FOURCC:
+                                # Motion-JPEG: frames are complete
+                                # baseline JPEGs (functions/jpeg.py
+                                # decoder — VERDICT r09 #4 unlocked
+                                # this branch; it used to raise)
+                                mjpeg = True
+                            elif compression != 0:
+                                # any OTHER entropy coding must still
+                                # raise, not decode as pixels
                                 # (review r09c #3)
                                 raise ValueError(
                                     f"unsupported biCompression {compression}"
@@ -1851,6 +1894,16 @@ def decode_avi(data: bytes) -> np.ndarray:
             collect_frames(at + 4, at + size)
     if w is None or h is None:
         raise ValueError("AVI missing strf header")
+    if mjpeg:
+        out = []
+        for raw in frames_raw:
+            rgb = decode_jpeg(raw)  # JPEG frames are top-down already
+            if rgb.shape[:2] != (h, w):
+                raise ValueError(
+                    f"MJPEG frame dims {rgb.shape[:2]} != strf ({h}, {w})"
+                )
+            out.append(rgb)
+        return np.stack(out) if out else np.zeros((0, h, w, 3), np.uint8)
     row_stride = (3 * w + 3) & ~3
     out = []
     for raw in frames_raw:

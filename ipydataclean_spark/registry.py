@@ -52,6 +52,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.incremental",
     "ipydataclean_spark.operators.multimodal",
     "ipydataclean_spark.operators.media_codecs",
+    "ipydataclean_spark.operators.media_jpeg",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -329,7 +330,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # semantics pinned by codec goldens / full-frame equality / sweep
     # pins per the VERDICT r09 coverage table)
     "l9l_video_frame_dhash", "l43b_exact_dup_spans",
-    "l59_bpe_fertility", "l9m_avi_frame_dhash",
+    "l59_bpe_fertility",
+    # l9m_avi_frame_dhash was r9-green but its AVI codec chain changed
+    # in round 10 (encode_avi refactored through the shared _avi_wrap,
+    # decode_avi gained the MJPG branch) — re-queued per the
+    # rotation-exclusion rule until a driver window re-proves it
 })
 
 #: Round-10 window priority (VERDICT r09 #2). CORRECTNESS_r09 recorded
@@ -342,12 +347,18 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
 CORE_FRESH_FIRST: tuple[str, ...] = (
     # round-10 additions (appended as each operator registers — the
     # registry contract test rejects names with no registration)
+    "l9n_real_jpeg_decode",
 )
 
 #: Rows-only priority: round-10 rows-only additions, flagship scale
 #: paths first (payload bytes invisible to SQL — rows-only by design,
 #: closed-form codec goldens pin semantics, the l9d pattern).
-ROWS_ONLY_FIRST: tuple[str, ...] = ()
+ROWS_ONLY_FIRST: tuple[str, ...] = (
+    "l9o_mjpeg_frame_dhash",
+    # re-queued: AVI codec chain changed in round 10 (see
+    # DRIVER_GREEN_PRIOR_ROUNDS note)
+    "l9m_avi_frame_dhash",
+)
 
 
 def ordered_queries() -> dict[str, dict[str, Any]]:

@@ -523,14 +523,22 @@ def test_avi_roundtrip_bit_exact():
     with pytest.raises(ValueError):
         decode_avi(good[:-10])
 
-    # a compressed stream must raise, never decode bytes as pixels
+    # a compressed stream must raise, never decode bytes as pixels.
+    # MJPG became a SUPPORTED branch in round 10 (functions/jpeg.py),
+    # so relabeling a DIB payload as MJPG now fails JPEG validation
+    # ("not a JPEG") rather than the compression guard; any OTHER
+    # compression still trips the biCompression guard.
     import struct
 
     strf_at = good.index(b"strf")
     bad = bytearray(good)
     struct.pack_into("<I", bad, strf_at + 8 + 16, 0x47504A4D)  # 'MJPG'
-    with pytest.raises(ValueError, match="biCompression"):
+    with pytest.raises(ValueError, match="not a JPEG"):
         decode_avi(bytes(bad))
+    bad2 = bytearray(good)
+    struct.pack_into("<I", bad2, strf_at + 8 + 16, 0x44495658)  # 'XVID'
+    with pytest.raises(ValueError, match="biCompression"):
+        decode_avi(bytes(bad2))
 
     # negative biHeight = top-down rows: the sign must be honored
     fr = rng.integers(0, 256, (2, 6, 8, 3), dtype=np.uint8)
