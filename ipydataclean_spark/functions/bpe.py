@@ -148,6 +148,182 @@ def load_merges(path: str) -> dict[tuple[str, str], int]:
     return ranks
 
 
+# ---------------------------------------------------------------------------
+# Byte-level pre-tokenization (VERDICT r09 #6) — the GPT-2 convention
+# (public: Radford et al. 2019 and the published MIT-licensed
+# encoder; both the byte<->unicode remap and the split pattern are
+# documented public algorithms, re-implemented here from the spec).
+# With these, a user holding a PUBLISHED merges.txt gets end-to-end
+# token counts from raw text: pretokenize -> utf-8 bytes -> unicode
+# remap -> apply_bpe(end_marker=None) per pretoken.
+# ---------------------------------------------------------------------------
+
+#: The published GPT-2 split pattern (regex-module syntax). The
+#: from-scratch scanner below implements it without the third-party
+#: ``regex`` dependency; tests/test_bpe_published.py certifies
+#: equivalence against this pattern when ``regex`` is importable.
+GPT2_SPLIT_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+    r"|\s+(?!\S)|\s+"
+)
+
+_CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+
+def bytes_to_unicode() -> dict[int, str]:
+    """The GPT-2 byte->unicode bijection: the 188 'printable' bytes
+    (``!``–``~``, ``¡``–``¬``, ``®``–``ÿ``) map to themselves; the
+    other 68 (controls, space, DEL, 0xAD) map to 256+n in first-seen
+    order, so every byte becomes a VISIBLE character and merge tables
+    stay whitespace-free (space = ``Ġ`` = U+0120, newline = ``Ċ``).
+    Generated from the published algorithm, not transcribed."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = list(bs)
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {b: chr(c) for b, c in zip(bs, cs)}
+
+
+_B2U = bytes_to_unicode()
+_U2B = {u: b for b, u in _B2U.items()}
+
+
+def _cat0(ch: str) -> str:
+    import unicodedata
+
+    return unicodedata.category(ch)[0]
+
+
+def _is_ws(ch: str) -> bool:
+    """Regex-``\\s`` semantics = the Unicode White_Space property.
+    Python's ``str.isspace`` additionally accepts the four ASCII
+    information separators (U+001C–U+001F, category Cc), which the
+    published pattern treats as ORDINARY characters — found by the
+    hypothesis equivalence property, pinned in
+    tests/test_bpe_published.py."""
+    return ch.isspace() and ch not in "\x1c\x1d\x1e\x1f"
+
+
+#: Lazily-resolved fast path: the third-party ``regex`` module (a
+#: public PyPI package, present in this container as a transitive
+#: dependency) compiles the published pattern directly. Resolved at
+#: first call — on the WORKER when the closure ships by value — so
+#: nothing unpicklable sits at module level and environments without
+#: ``regex`` silently use the scanner (equivalence is test-certified,
+#: including a hypothesis property).
+_GPT2_RE_UNSET = object()
+_GPT2_RE = _GPT2_RE_UNSET
+
+
+def pretokenize(text: str) -> list[str]:
+    """Split ``text`` exactly as the published GPT-2 pattern does.
+    Uses the ``regex`` C engine when importable; otherwise the
+    from-scratch scanner (``pretokenize_scan``)."""
+    global _GPT2_RE
+    if _GPT2_RE is _GPT2_RE_UNSET:
+        try:
+            import regex as _regex
+
+            _GPT2_RE = _regex.compile(GPT2_SPLIT_PATTERN)
+        except ImportError:
+            _GPT2_RE = None
+    if _GPT2_RE is not None:
+        return _GPT2_RE.findall(text)
+    return pretokenize_scan(text)
+
+
+def pretokenize_scan(text: str) -> list[str]:
+    """From-scratch implementation of the published GPT-2 split
+    (contractions; optional-single-space + letter/number/other runs;
+    whitespace runs that donate their last character to the following
+    token), as a scanner over Unicode categories — \\p{L} = category
+    L*, \\p{N} = category N*, \\s = ``str.isspace`` — with the
+    ``\\s+(?!\\S)`` backtracking rule made explicit: a whitespace run
+    followed by non-whitespace yields all but its last character
+    (which re-enters as the next token's optional leading space); a
+    terminal run is taken whole."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        hit = next(
+            (c for c in _CONTRACTIONS if text.startswith(c, i)), None
+        )
+        if hit is not None:
+            out.append(hit)
+            i += len(hit)
+            continue
+        j = i + 1 if text[i] == " " and i + 1 < n else i
+        ch = text[j] if j < n else ""
+        if ch and not _is_ws(ch):
+            cat = _cat0(ch)
+            if cat in ("L", "N"):
+                k = j
+                while k < n and not _is_ws(text[k]) and _cat0(text[k]) == cat:
+                    k += 1
+            else:
+                k = j
+                while (
+                    k < n
+                    and not _is_ws(text[k])
+                    and _cat0(text[k]) not in ("L", "N")
+                ):
+                    k += 1
+            if k > j:
+                out.append(text[i:k])
+                i = k
+                continue
+        # whitespace run (text[i] is \s here: the optional-space
+        # branches above consumed every non-space start)
+        e = i
+        while e < n and _is_ws(text[e]):
+            e += 1
+        if e == n:
+            out.append(text[i:e])  # terminal run: lookahead vacuous
+            i = e
+        elif e - i > 1:
+            out.append(text[i : e - 1])  # donate last ws char forward
+            i = e - 1
+        else:
+            out.append(text[i:e])  # single ws char before non-space
+            i = e
+    return out
+
+
+def encode_published(text: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Full published-tokenizer pipeline: GPT-2 pretokenize, utf-8
+    encode, byte->unicode remap, then ``apply_bpe`` with the published
+    merge ranks (``load_merges`` output) per pretoken. Returns tokens
+    in the remapped alphabet (space = ``Ġ``...), exactly the strings a
+    published merges.txt operates over."""
+    out: list[str] = []
+    for pre in pretokenize(text):
+        mapped = "".join(_B2U[b] for b in pre.encode("utf-8"))
+        out.extend(apply_bpe(mapped, ranks, end_marker=None))
+    return out
+
+
+def count_published_tokens(text: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Token count under a published merge table (the quantity the
+    L10 fertility/budget operators consume)."""
+    return len(encode_published(text, ranks))
+
+
+def decode_published(tokens: list[str]) -> str:
+    """Inverse of ``encode_published``: unicode->byte remap and utf-8
+    decode — the round-trip property the tests pin (lossless for any
+    input text, the point of the byte-level alphabet)."""
+    data = bytes(_U2B[ch] for tok in tokens for ch in tok)
+    return data.decode("utf-8")
+
+
 # Worker-side closures (the l10b pandas UDF) reference this module's
 # functions; registering the module for cloudpickle BY-VALUE pickling
 # makes those closures self-contained — executors never need

@@ -345,6 +345,79 @@ def l10b_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: A published-STYLE merge table (the huggingface/GPT-2 merges.txt
+#: convention: rank = position) over the byte-level remapped alphabet
+#: (``Ġ`` = leading space). A CONSTANT stands in for the user's real
+#: published artifact so the query is deterministic; the code path is
+#: identical to loading merges.txt via ``bpe.load_merges`` (pinned in
+#: tests/test_bpe_published.py: a file round-trip of THIS table parses
+#: to THESE ranks).
+L10C_MERGES: tuple[tuple[str, str], ...] = (
+    ("Ġ", "t"), ("h", "e"), ("i", "n"), ("e", "r"), ("Ġ", "a"),
+    ("o", "n"), ("r", "e"), ("Ġt", "he"), ("e", "n"), ("a", "t"),
+    ("o", "r"), ("e", "s"), ("Ġ", "s"), ("Ġ", "w"), ("a", "n"),
+    ("Ġ", "o"), ("Ġ", "c"), ("i", "t"), ("o", "u"), ("Ġa", "n"),
+    ("a", "l"), ("Ġan", "d"), ("in", "g"), ("e", "d"),
+)
+
+
+@register("l10c_published_token_count", oracle=None, tags=("L10", "L7", "U2"))
+def l10c_published_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10c: token counts under a PUBLISHED merge table with full
+    byte-level pre-tokenization (VERDICT r09 #6) — the missing half of
+    the published-vocab contract. l10b trains its own merges and
+    counts word-level subtokens; THIS query consumes a fixed
+    merges-file-style table exactly as a user holding a published
+    merges.txt would: GPT-2 pretokenize (contractions / letter /
+    number / other runs with the optional leading space), utf-8 ->
+    byte-level unicode remap, then the published greedy-rank merge
+    loop per pretoken (functions/bpe.py: pretokenize /
+    encode_published).
+
+    Scale shape mirrors l10b: pretokenization is one Arrow-batched
+    pandas UDF pass (O(corpus chars), map-only); the BPE merge loop
+    runs only over DISTINCT pretokens (Zipfian, so |distinct| <<
+    |corpus|), and the (pretoken -> n_subtokens) mapping broadcast-
+    joins back so the per-occurrence hot path is a JVM hash lookup.
+    Rows-only (the merge loop is not SQL-expressible); semantics
+    pinned in tests/test_bpe_published.py against an independent
+    pure-Python recompute and hand-computed vectors."""
+    from pyspark.sql.functions import pandas_udf
+
+    from ipydataclean_spark.functions.bpe import (
+        count_published_tokens,
+        pretokenize,
+    )
+
+    ranks = {m: i for i, m in enumerate(L10C_MERGES)}
+
+    pre_udf = pandas_udf(
+        lambda s: s.map(lambda x: pretokenize(x) if isinstance(x, str) else []),
+        "array<string>",
+    )
+    # per-pretoken subtoken count: a pretoken is already one
+    # pretokenization unit, so counting IT directly equals the
+    # full-pipeline count restricted to that unit
+    n_sub = pandas_udf(
+        lambda p: p.map(lambda x: count_published_tokens(x, ranks)).astype(
+            "int32"
+        ),
+        "int",
+    )
+    docs = T(spark, sf_dir, "documents")
+    pres = docs.select("doc_id", F.explode(pre_udf("text")).alias("p"))
+    mapping = pres.select("p").distinct().select("p", n_sub("p").alias("n_sub"))
+    return (
+        pres.join(F.broadcast(mapping), "p", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+            F.sum("n_sub").cast("long").alias("n_published_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 @register(
     "l24_url_domains",
     oracle=(

@@ -275,7 +275,9 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q21_sole_return_suppliers", "p16_fk_integrity", "q27_yoy_growth",
     # r07 rows-only tier (rows recorded, err=no_oracle by design)
     "g1_pagerank", "inc4_incremental_minhash", "l2d_dedup_clusters",
-    "l9c_frame_sample", "l9f_image_dhash_pairs", "l10b_bpe_token_count",
+    "l9c_frame_sample", "l9f_image_dhash_pairs",
+    # l10b_bpe_token_count re-queued in round 10: functions/bpe.py
+    # changed (see the r09 rows-only tier note below)
     "l11_language_id", "l12_fingerprints", "c30_dedup_keep_best",
     "l27_cdc_chunk_dedup", "r22b_stratified_sample",
     "r22c_weighted_sample", "r22_sample", "f_misc_string", "f_hash_misc",
@@ -330,7 +332,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # semantics pinned by codec goldens / full-frame equality / sweep
     # pins per the VERDICT r09 coverage table)
     "l9l_video_frame_dhash", "l43b_exact_dup_spans",
-    "l59_bpe_fertility",
+    # l59_bpe_fertility was r9-green but functions/bpe.py (in its
+    # call chain) gained the byte-level pre-tokenization block in
+    # round 10 — re-queued per the rotation rule, along with
+    # l10b_bpe_token_count (r7 rows-only green, same module)
     # l9m_avi_frame_dhash was r9-green but its AVI codec chain changed
     # in round 10 (encode_avi refactored through the shared _avi_wrap,
     # decode_avi gained the MJPG branch) — re-queued per the
@@ -355,9 +360,12 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 #: closed-form codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
     "l9o_mjpeg_frame_dhash",
-    # re-queued: AVI codec chain changed in round 10 (see
-    # DRIVER_GREEN_PRIOR_ROUNDS note)
+    "l10c_published_token_count",
+    # re-queued: AVI codec chain / functions/bpe.py changed in round
+    # 10 (see DRIVER_GREEN_PRIOR_ROUNDS notes)
     "l9m_avi_frame_dhash",
+    "l10b_bpe_token_count",
+    "l59_bpe_fertility",
 )
 
 
