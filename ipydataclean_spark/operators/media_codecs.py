@@ -9,8 +9,10 @@ non-interlaced PNG (all five scanline filters, CRC-verified chunks)
 is implemented from the public spec as well. This module implements
 honest encoders+decoders for all three with stdlib ``struct``/
 ``zlib`` + numpy, and wires the decoders into the L9 mapInPandas
-stage. Formats whose codecs are NOT in the stdlib (JPEG/MP4/Opus)
-remain behind the documented stub in multimodal.py.
+stage. Baseline JPEG joined in round 10 (functions/jpeg.py — from
+scratch, no codec lib) with the MJPEG AVI branch below; formats that
+genuinely need absent codec libraries (MP4/H.26x, Opus) remain behind
+the documented stub in multimodal.py.
 
 The registered query's ORACLE cannot see the payload bytes — it
 recomputes the expected features in closed form from doc_id (the

@@ -822,3 +822,43 @@ def test_round9_continuation_ops_jvm_side(spark, sf_dir):
         assert not has_python_eval(df), name
         assert count_op(df, "CartesianProduct") == 0, name
     assert n_parquet_scans(_q("l56_token_fertility", spark, sf_dir)) == 1
+
+
+def test_round10_ops_plan_gates(spark, sf_dir):
+    """Round-10 additions: zero row-at-a-time Python (Arrow maps are
+    the sanctioned boundary), no CartesianProduct anywhere — the JPEG
+    decode queries are narrow map pipelines over ONE documents scan,
+    and the published-tokenizer count joins its distinct-pretoken
+    mapping back as a BROADCAST hash join (the l10b shape: the
+    per-occurrence hot path is a JVM lookup, Python cost is
+    |distinct pretokens|)."""
+    for name in (
+        "l9n_real_jpeg_decode",
+        "l9o_mjpeg_frame_dhash",
+        "l10c_published_token_count",
+    ):
+        df = _q(name, spark, sf_dir)
+        assert not has_python_eval(df), name
+        assert count_op(df, "CartesianProduct") == 0, name
+    assert n_parquet_scans(_q("l9n_real_jpeg_decode", spark, sf_dir)) == 1
+    plan = formatted_plan(_q("l10c_published_token_count", spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, "pretoken mapping join is not broadcast"
+
+
+def test_blocked_kernel_reranks_with_partitioned_window(spark, sf_dir, monkeypatch):
+    """The blocked-exact handoff's re-rank must be a part_id-
+    PARTITIONED window (per-row top-k restore), never a global sort —
+    the property that keeps the union re-rank shuffle-bounded by the
+    match set at any block count."""
+    from ipydataclean_spark.functions import knn
+
+    monkeypatch.setattr(knn, "EXACT_CAND_CAP", 64)
+    monkeypatch.setattr(knn, "_BLOCK_FILL", 0.4)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    side = emb.selectExpr("vec_id AS id", "embedding AS emb")
+    df = knn.topk_per_row_exact_auto(side, side, 3, exclude_self=True)
+    plan = formatted_plan(df)
+    specs = plan.split("windowspecdefinition(")[1:]
+    assert specs, "no window in the blocked re-rank plan?"
+    for s in specs:
+        assert s.startswith("part_id"), f"non-part_id window: {s[:60]}"
