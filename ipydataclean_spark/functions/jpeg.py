@@ -83,6 +83,12 @@ _A = np.array(
 )
 
 
+#: decoder coefficient-cell cap (~0.5 GB of int32): images above
+#: ~128 Mpixel raise instead of allocating unbounded memory off a
+#: 2-byte header field (the EXACT_CAND_CAP fail-loud convention)
+_JPEG_CELL_CAP = 1 << 27
+
+
 def quant_table(q: int) -> np.ndarray:
     """Quantization table in ZIGZAG order (the DQT storage order):
     Q[k] = 1 + (row+col)*q — flat all-ones at q=0 (near-lossless, and
@@ -559,6 +565,16 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcux = -(-w // (8 * hmax))
     mcuy = -(-h // (8 * vmax))
 
+    # poison-pill dimension cap: a fuzzed/hostile header declaring
+    # 65535x65535 would otherwise attempt a multi-GB coefficient
+    # allocation BEFORE the (tiny) entropy data could fail the read —
+    # fail loud first (the EXACT_CAND_CAP convention)
+    cells = mcux * mcuy * sum(c["h"] * c["v"] for c in scan) * 64
+    if cells > _JPEG_CELL_CAP:
+        raise ValueError(
+            f"declared dimensions need {cells} coefficient cells "
+            f"(> {_JPEG_CELL_CAP}); refusing before allocation"
+        )
     for c in scan:
         if c["tq"] not in qts:
             raise ValueError(f"missing quantization table {c['tq']}")

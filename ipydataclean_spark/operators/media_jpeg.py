@@ -175,6 +175,121 @@ def l9o_mjpeg_frame_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+# ---------------------------------------------------------------------------
+# L9p — perceptual pHash (DCT low-frequency hash) + near-dup pairs
+# ---------------------------------------------------------------------------
+
+import numpy as np
+
+
+def dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal n-point DCT-II matrix (the functions/jpeg.py 8x8
+    basis generalized): A[u,x] = c(u)*sqrt(2/n)*cos((2x+1)u*pi/2n),
+    c(0)=1/sqrt(2)."""
+    return np.array(
+        [
+            [
+                (np.sqrt(0.5) if u == 0 else 1.0)
+                * np.sqrt(2.0 / n)
+                * np.cos((2 * x + 1) * u * np.pi / (2.0 * n))
+                for x in range(n)
+            ]
+            for u in range(n)
+        ]
+    )
+
+
+_DCT32 = dct_matrix(32)
+
+
+def phash64(px: np.ndarray) -> int:
+    """64-bit perceptual hash (the classic pHash recipe): integer luma
+    (the l9f/dhash64 weights, platform-deterministic), 32x32
+    grid sample, 2-D orthonormal DCT, keep the top-left 8x8
+    low-frequency block, threshold its 63 AC coefficients at their
+    median. Properties the tests pin: EXACTLY invariant to uniform
+    brightness shifts (a constant adds only to the DC basis — every
+    AC row of the DCT matrix sums to 0), robust to per-pixel noise
+    and moderate rescaling (low-frequency content dominates), and
+    63 live bits — NOT a narrower fingerprint that would degenerate
+    the 8x8 bander's high bands (the l9k lesson; one constant bit in
+    one band is harmless)."""
+    h, w, _ = px.shape
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    rows = (np.arange(32) * h) // 32
+    cols = (np.arange(32) * w) // 32
+    grid = g[np.ix_(rows, cols)].astype(np.float64)
+    freq = _DCT32 @ grid @ _DCT32.T
+    ac = freq[:8, :8].ravel()[1:]  # 63 low-frequency AC coefficients
+    med = float(np.median(ac))
+    out = 0
+    for v in ac:
+        out = (out << 1) | int(v > med)
+    return out
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """payload BINARY -> (doc_id, dhash BIGINT) with dhash = pHash —
+    the column keeps the bander's name so ONE pair stage
+    (media_codecs.dhash_neardup_pairs) serves both fingerprints.
+    Arrow-batched narrow map; undecodable payloads dropped."""
+    from ipydataclean_spark.operators.media_codecs import decode_bmp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for r in pdf.itertuples():
+                try:
+                    px = decode_bmp(bytes(r.payload))
+                except Exception:
+                    continue
+                ids.append(r.doc_id)
+                hv = phash64(px)
+                hashes.append(hv - (1 << 64) if hv >= (1 << 63) else hv)
+            yield _pd.DataFrame(
+                {"doc_id": ids, "dhash": _pd.Series(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(kernel, schema="doc_id BIGINT, dhash BIGINT")
+
+
+@register(
+    "l9p_image_phash_pairs",
+    oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics
+    tags=("L9", "L2", "multimodal", "dedup"),
+)
+def l9p_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9p: perceptual near-dup detection via pHash — the DCT
+    low-frequency hash, the industry-standard companion to l9f's
+    dHash (dHash sees local gradients; pHash sees global structure,
+    so it survives noise and rescaling that flip dHash bits). The
+    round-10 JPEG work made it nearly free: the same orthonormal DCT
+    basis drives both the codec and the hash. Pipeline identical to
+    l9f — exact-hash cluster collapse, then the banded hamming join
+    over DISTINCT hashes (sub-quadratic; popular images contribute
+    one banding row each) — with the +24-brightened twins collapsing
+    into their originals' clusters (pHash brightness invariance is
+    EXACT: a constant shift touches only the DC basis). Rows-only by
+    design; invariance/robustness/recall pinned in
+    tests/test_media_jpeg.py."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        dhash_neardup_pairs,
+    )
+
+    docs = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    pairs = dhash_neardup_pairs(image_phash(attach_patterned_payloads(docs)))
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 # Worker-side kernels reference encode_jpeg/decode_jpeg through this
 # module's closures; functions/jpeg.py and media_codecs.py are already
 # registered for by-value pickling, and this module adds itself so the

@@ -374,6 +374,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 #: closed-form codec goldens pin semantics, the l9d pattern).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
     "l9o_mjpeg_frame_dhash",
+    "l9p_image_phash_pairs",
     "l10c_published_token_count",
     # re-queued: AVI codec chain / functions/bpe.py changed in round
     # 10 (see DRIVER_GREEN_PRIOR_ROUNDS notes)

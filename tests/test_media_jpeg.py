@@ -224,3 +224,104 @@ def test_l9o_mjpeg_twins_collapse(spark, sf_dir):
     within = [r for r in rows if r.doc_a == r.doc_b]
     assert within, "expected within-cluster twin rows"
     assert all(r.max_hamming == 0 and r.all_frames_matched for r in within)
+
+
+# ---------------------------------------------------------------------------
+# pHash (l9p) pins
+# ---------------------------------------------------------------------------
+
+
+def _pattern(d, h=20, w=28):
+    y, x = np.mgrid[0:h, 0:w]
+    g = (40 + ((x * (1 + d % 5) + y * (1 + d % 3) + d) % 23) * 6).astype(np.uint8)
+    return np.repeat(g[:, :, None], 3, axis=2)
+
+
+def test_phash_brightness_invariance_exact():
+    """A uniform brightness shift touches only the DC basis (every AC
+    row of the orthonormal DCT sums to zero), so pHash is EXACTLY
+    invariant — the contract that collapses re-exposed copies."""
+    from ipydataclean_spark.operators.media_jpeg import phash64
+
+    for d in (1, 7, 13):
+        px = _pattern(d)
+        assert phash64(px) == phash64(px + np.uint8(24))
+
+
+def test_phash_noise_and_scale_robustness():
+    """Per-pixel noise and 2x rescaling perturb high frequencies; the
+    8x8 low-frequency block barely moves (observed hamming 0-3 on
+    these fixtures; pinned <= 8, the bander's default reach)."""
+    from ipydataclean_spark.operators.media_jpeg import phash64
+
+    rng = np.random.RandomState(11)
+    for d in (2, 9):
+        px = _pattern(d)
+        noisy = np.clip(
+            px.astype(int) + rng.randint(-2, 3, px.shape), 0, 255
+        ).astype(np.uint8)
+        assert bin(phash64(px) ^ phash64(noisy)).count("1") <= 8
+        up = np.repeat(np.repeat(px, 2, axis=0), 2, axis=1)
+        assert bin(phash64(px) ^ phash64(up)).count("1") <= 8
+
+
+def test_phash_separates_distinct_patterns():
+    from ipydataclean_spark.operators.media_jpeg import phash64
+
+    h01 = phash64(_pattern(1))
+    h02 = phash64(_pattern(2))
+    assert bin(h01 ^ h02).count("1") > 12
+
+
+def test_l9p_twins_collapse(spark, sf_dir):
+    """The +24-brightened twins (doc_id+2000000) must land in their
+    originals' exact-hash clusters — hamming-0 within-cluster rows,
+    the l9f contract carried by the second fingerprint."""
+    from ipydataclean_spark.operators.media_jpeg import l9p_image_phash_pairs
+
+    rows = l9p_image_phash_pairs(spark, sf_dir).collect()
+    assert rows, "pair output must not be empty"
+    within = [r for r in rows if r.doc_a == r.doc_b]
+    assert within and all(r.hamming == 0 for r in within)
+
+
+def test_decoder_fuzz_never_hangs_or_leaks(spark=None):
+    """Byte-mutation fuzz over a valid baseline JPEG: the decoder must
+    either return pixels or raise — promptly, with bounded memory (the
+    _JPEG_CELL_CAP guard covers hostile dimension fields) — never hang
+    or corrupt state. 300 deterministic mutations across the whole
+    stream (headers, tables, entropy data)."""
+    from ipydataclean_spark.functions.jpeg import encode_jpeg, decode_jpeg
+
+    base = bytearray(
+        encode_jpeg(_pattern(5), q=1, subsample=True, restart_interval=2)
+    )
+    rng = np.random.RandomState(99)
+    ok, raised = 0, 0
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randint(0, len(mut))] = rng.randint(0, 256)
+        try:
+            out = decode_jpeg(bytes(mut))
+            assert out.dtype == np.uint8 and out.ndim == 3
+            ok += 1
+        except Exception:
+            raised += 1
+    assert ok + raised == 300
+    assert raised > 0, "mutations never tripped a guard? fuzz is vacuous"
+
+
+def test_dimension_cap_fails_loud():
+    """A header declaring a multi-gigabyte image must raise BEFORE
+    allocating (the fail-loud cap), not MemoryError mid-decode."""
+    import struct as _struct
+
+    from ipydataclean_spark.functions.jpeg import encode_jpeg, decode_jpeg
+
+    data = bytearray(encode_jpeg(np.full((8, 8, 3), 50, np.uint8), q=0))
+    sof_at = data.find(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) height(2) width(2) — blow up dims
+    _struct.pack_into(">HH", data, sof_at + 5, 65500, 65500)
+    with pytest.raises(ValueError, match="coefficient cells"):
+        decode_jpeg(bytes(data))
