@@ -53,6 +53,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.multimodal",
     "ipydataclean_spark.operators.media_codecs",
     "ipydataclean_spark.operators.media_jpeg",
+    "ipydataclean_spark.operators.media_flac",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -359,6 +360,7 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # round-10 additions (appended as each operator registers — the
     # registry contract test rejects names with no registration)
     "l9n_real_jpeg_decode",
+    "l9q_real_flac_decode",
     # re-queued: the kernel body changed (matmul-screen + exact
     # rerank) and/or call sites switched to topk_per_row_exact_auto
     # in round 10 (see the DRIVER_GREEN_PRIOR_ROUNDS note)
