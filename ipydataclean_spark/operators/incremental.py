@@ -816,3 +816,52 @@ def inc7_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "inc8_incremental_media",
+    oracle=None,  # payload bytes are invisible to SQL; pins in pytest
+    tags=("INC8", "L9", "L2", "multimodal", "dedup", "incremental"),
+)
+def inc8_incremental_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INC8: incremental MEDIA dedup — the daily-ingest form of the
+    l9f/l9p image dedup, completing the media family's triple with
+    st17 (streaming) the way inc7 completed embeddings'. State is
+    LITERAL (the inc4/inc7 convention): the history fingerprint table
+    is persisted to parquet and the classify plan's lineage starts at
+    the STORED table, so history images are never re-decoded. Each
+    delta image gets its min store hamming and a dup/novel status at
+    the l9f reach (<= 7); the per-image report is what an ingest run
+    uses to route media (drop re-crawls, append novel fingerprints).
+
+    Scale: the store rides the probe kernel's closure up to the
+    asserted MEDIA_STORE_CAP; past that the persisted table feeds the
+    l9f banded pair join instead (same fingerprints, shuffle-bounded
+    by DISTINCT hashes). Rows-only by design; semantics pinned in
+    tests/test_streaming.py (every replayed history image classifies
+    dup at hamming 0; the novel slice classifies novel; batch twin,
+    incremental state, and streaming replay agree)."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        image_dhash,
+    )
+    from ipydataclean_spark.streaming.batch_twins import _ST17_DELTA
+    from ipydataclean_spark.streaming.stream import (
+        MEDIA_STORE_CAP,
+        media_probe_rows,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    store_path = scratch_dir(spark, "inc8_store")
+    image_dhash(
+        attach_patterned_payloads(docs.where(F.col("doc_id") % 10 == 0))
+    ).write.mode("overwrite").parquet(store_path)
+    stored = spark.read.parquet(store_path).limit(MEDIA_STORE_CAP + 1).collect()
+    if len(stored) > MEDIA_STORE_CAP:
+        raise ValueError(
+            f"media store exceeds {MEDIA_STORE_CAP} fingerprints; use the "
+            "banded pair join (l9f) instead of the closure probe"
+        )
+    store_hashes = sorted({int(r.dhash) for r in stored})
+    delta = docs.where(F.expr(_ST17_DELTA)).select("doc_id")
+    return media_probe_rows(delta, store_hashes).orderBy("doc_id")

@@ -377,6 +377,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
 ROWS_ONLY_FIRST: tuple[str, ...] = (
     "l9o_mjpeg_frame_dhash",
     "l9p_image_phash_pairs",
+    "st17_media_ingest",
+    "inc8_incremental_media",
     "l10c_published_token_count",
     # re-queued: AVI codec chain / functions/bpe.py changed in round
     # 10 (see DRIVER_GREEN_PRIOR_ROUNDS notes)

@@ -586,3 +586,40 @@ def st16_streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ipydataclean_spark.operators.cleaning import ewma_agg
 
     return ewma_agg(load_table(spark, sf_dir, "events")).orderBy("user_id")
+
+
+#: the st17/inc8 delta slice: the full history slice (known dups —
+#: every history image re-arrives, the re-crawl condition) plus a
+#: disjoint novel slice
+_ST17_DELTA = "(doc_id % 10 = 0) OR (doc_id % 10 = 6)"
+
+
+@register(
+    "st17_media_ingest",
+    oracle=None,  # payload bytes are invisible to SQL; replay + pins
+    tags=("ST17", "L9", "L2", "multimodal", "dedup", "streaming"),
+)
+def st17_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST17 batch twin: media dedup ON THE INGEST STREAM — each
+    arriving image fingerprinted (decode + dHash) and distanced
+    against the persisted fingerprint store inside the kernel (the
+    st15 per-row pattern, which keeps the per-status report the
+    query's only stateful operator), rolled into the running ingest
+    report. Closes the MEDIA family's execution-mode triple the way
+    st15 closed embeddings': l9f/l9p (batch pairs), inc8
+    (incremental, stored state), st17 (streaming probe) — one store
+    definition (stream.media_store_hashes), certified consistent in
+    each mode. The delta replays the full history slice (every
+    re-crawled image must classify dup at hamming 0) plus a disjoint
+    novel slice. Rows-only by design (SQL cannot see pixels);
+    tests/test_streaming.py replays the documents stream with
+    availableNow + complete mode and asserts equality with this twin,
+    and pins both statuses present."""
+    from ipydataclean_spark.streaming.stream import (
+        media_ingest_agg,
+        media_store_hashes,
+    )
+
+    store = media_store_hashes(spark, sf_dir)
+    delta = T(spark, sf_dir, "documents").where(F.expr(_ST17_DELTA))
+    return media_ingest_agg(delta.select("doc_id"), store).orderBy("status")

@@ -664,6 +664,121 @@ def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _table_stream(spark, sf_dir, "documents")
 
 
+#: media fingerprint store cap — the probe store rides the kernel
+#: closure (the st15 convention); past this, persist it as a table
+#: and band-join instead (the l9f pair stage)
+MEDIA_STORE_CAP = 1 << 16
+
+
+def media_store_hashes(spark, sf_dir: str) -> list[int]:
+    """The persisted media fingerprint store: dHashes of the HISTORY
+    image slice (doc_id % 10 == 0, twins included — identical hashes
+    collapse naturally), collected once (bounded pull, cap-asserted)
+    and sorted for determinism. Shared by st17's stream probe and
+    inc8's literal-state classify so one store definition carries all
+    execution modes."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        image_dhash,
+    )
+    from ipydataclean_spark.operators.qhelp import T
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    rows = (
+        image_dhash(attach_patterned_payloads(docs))
+        .limit(MEDIA_STORE_CAP + 1)
+        .collect()
+    )
+    if len(rows) > MEDIA_STORE_CAP:
+        raise ValueError(
+            f"media store exceeds {MEDIA_STORE_CAP} fingerprints; persist "
+            "it and use the banded pair join (l9f) instead of the closure probe"
+        )
+    return sorted({int(r.dhash) for r in rows})
+
+
+def media_probe_rows(
+    delta_docs: DataFrame, store_hashes: list[int], *, max_hamming: int = 7
+) -> DataFrame:
+    """(doc_id) -> (doc_id, dhash, min_hamming, status): build the
+    fixture payload, decode, dHash, and compute the MINIMUM hamming
+    distance against the store INSIDE the kernel (vectorized XOR +
+    unpackbits popcount over the closure-resident store — the st15
+    per-row-top-1 pattern, which keeps the downstream report the
+    query's ONLY stateful operator and therefore stream-legal).
+    status = dup_of_history iff min_hamming <= max_hamming (the l9f
+    reach). Stateless Arrow map; undecodable payloads dropped."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        decode_bmp,
+        dhash64,
+    )
+
+    media = attach_patterned_payloads(delta_docs)
+    store = list(store_hashes)
+    _decode, _dh = decode_bmp, dhash64  # closure-bound (by-value module)
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        hu = np.array(store, dtype=np.int64).view(np.uint64)
+        for pdf in batches:
+            ids, hashes, mins, status = [], [], [], []
+            for r in pdf.itertuples():
+                try:
+                    px = _decode(bytes(r.payload))
+                except Exception:
+                    continue
+                hv = _dh(px)
+                signed = hv - (1 << 64) if hv >= (1 << 63) else hv
+                if len(hu):
+                    x = np.bitwise_xor(hu, np.uint64(hv))
+                    pop = (
+                        np.unpackbits(x.view(np.uint8).reshape(len(hu), 8), axis=1)
+                        .sum(axis=1)
+                        .min()
+                    )
+                    mh = int(pop)
+                else:
+                    mh = 64
+                ids.append(r.doc_id)
+                hashes.append(signed)
+                mins.append(mh)
+                status.append(
+                    "dup_of_history" if mh <= max_hamming else "novel"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    "min_hamming": pd.Series(mins, dtype="int32"),
+                    "status": pd.Series(status, dtype=object),
+                }
+            )
+
+    return media.mapInPandas(
+        kernel,
+        schema="doc_id BIGINT, dhash BIGINT, min_hamming INT, status STRING",
+    )
+
+
+def media_ingest_agg(delta_docs: DataFrame, store_hashes: list[int]) -> DataFrame:
+    """ST17: the media dedup probe as a STREAM stage — per-image
+    fingerprint + store distance inside the kernel, then ONE stateful
+    aggregation: the per-status ingest report (all-integer columns,
+    order-independent, so batch and replay agree exactly). Complete
+    output mode: a running ingest-composition total. Identical
+    builder for the batch twin (the §2.8 contract)."""
+    rows = media_probe_rows(delta_docs, store_hashes)
+    return rows.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("min_hamming").cast("long").alias("sum_min_hamming"),
+        F.min("min_hamming").alias("min_min_hamming"),
+        F.max("min_hamming").alias("max_min_hamming"),
+    )
+
+
 def quality_filter_agg(docs: DataFrame, wlist: list) -> DataFrame:
     """ST13: the trained quality filter as a STREAMING stage. The
     model ships as a DENSE 1024-double literal array (index = feature

@@ -646,3 +646,64 @@ def test_st16_streaming_ewma_replay_equals_batch(spark, sf_dir):
         got = _sorted_rows(spark.table("t_st16"), cols)
         assert got == _sorted_rows(batch, cols)
         assert len(got) > 10
+
+
+def test_st17_media_ingest_replay_equals_batch(spark, sf_dir):
+    """ST17: the media fingerprint probe drained over the documents
+    stream (per-row kernel store distance, complete-mode per-status
+    report) must equal the batch twin exactly. Non-vacuity: both
+    statuses present, and the dup row's hamming range is [0, 7]."""
+    from ipydataclean_spark.streaming.batch_twins import (
+        _ST17_DELTA,
+        st17_media_ingest,
+    )
+    from ipydataclean_spark.streaming.stream import (
+        documents_stream,
+        media_ingest_agg,
+        media_store_hashes,
+    )
+
+    store = media_store_hashes(spark, sf_dir)
+    batch = st17_media_ingest(spark, sf_dir)
+    stream = media_ingest_agg(
+        documents_stream(spark, sf_dir).where(_ST17_DELTA).select("doc_id"),
+        store,
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_st17")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = [
+            "status", "n_images", "sum_min_hamming",
+            "min_min_hamming", "max_min_hamming",
+        ]
+        got = _sorted_rows(spark.table("t_st17"), cols)
+        assert got == _sorted_rows(batch, cols)
+        by_status = {r[0]: r for r in got}
+        assert set(by_status) == {"dup_of_history", "novel"}
+        assert by_status["dup_of_history"][4] <= 7
+        assert by_status["novel"][3] > 7
+
+
+def test_inc8_incremental_media_classifies_history_as_dup(spark, sf_dir):
+    """INC8: every replayed history image (doc_id % 10 == 0 — its
+    fingerprint IS in the stored state) classifies dup at hamming 0;
+    the disjoint novel slice classifies novel unless its pattern
+    happens to collide (deterministic fixture, so pin the counts
+    against a direct recompute)."""
+    from ipydataclean_spark.operators.incremental import inc8_incremental_media
+
+    rows = inc8_incremental_media(spark, sf_dir).collect()
+    assert rows
+    hist = [r for r in rows if r.doc_id % 10 == 0]
+    assert hist and all(
+        r.min_hamming == 0 and r.status == "dup_of_history" for r in hist
+    )
+    novel = [r for r in rows if r.status == "novel"]
+    assert novel and all(r.doc_id % 10 == 6 for r in novel)
