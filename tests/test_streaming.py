@@ -3,6 +3,8 @@ streaming op drained with availableNow must equal its batch twin."""
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.catalog import load_table
@@ -707,3 +709,15 @@ def test_inc8_incremental_media_classifies_history_as_dup(spark, sf_dir):
     )
     novel = [r for r in rows if r.status == "novel"]
     assert novel and all(r.doc_id % 10 == 6 for r in novel)
+
+
+def test_media_store_cap_fails_loud(spark, sf_dir, monkeypatch):
+    """The closure-resident store must refuse to grow unbounded: past
+    MEDIA_STORE_CAP the build raises with the banded-join guidance
+    (the EXACT_CAND_CAP convention), never an executor-memory
+    surprise."""
+    from ipydataclean_spark.streaming import stream as stream_mod
+
+    monkeypatch.setattr(stream_mod, "MEDIA_STORE_CAP", 3)
+    with pytest.raises(ValueError, match="banded"):
+        stream_mod.media_store_hashes(spark, sf_dir)
