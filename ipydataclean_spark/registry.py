@@ -54,6 +54,8 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.media_codecs",
     "ipydataclean_spark.operators.media_jpeg",
     "ipydataclean_spark.operators.media_flac",
+    "ipydataclean_spark.operators.html_extract",
+    "ipydataclean_spark.operators.instruct_qa",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -361,6 +363,8 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # registry contract test rejects names with no registration)
     "l9n_real_jpeg_decode",
     "l9q_real_flac_decode",
+    "l70_html_extract",
+    "l71_conversation_qa",
     # re-queued: the kernel body changed (matmul-screen + exact
     # rerank) and/or call sites switched to topk_per_row_exact_auto
     # in round 10 (see the DRIVER_GREEN_PRIOR_ROUNDS note)

@@ -1,0 +1,99 @@
+"""Pins for the HTML extractor (l70) and the conversation QA (l71).
+
+Both queries are oracle-certified per driver round; these pin what
+the template fixtures can't reach: hostile HTML shapes for the
+scanner, and the validation rules on hand-built JSON."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from ipydataclean_spark.operators.html_extract import html_to_text
+
+
+@pytest.mark.parametrize(
+    "html,expected",
+    [
+        # chrome dropped, content kept, entities decoded
+        (
+            "<html><head><title>t</title><style>x{}</style></head><body>"
+            "<nav>menu</nav><p>Hello &amp; world</p><p>second</p>"
+            "<footer>f</footer><script>var a='<p>no</p>';</script>"
+            "</body></html>",
+            "Hello & world\nsecond",
+        ),
+        # nested dropped containers
+        ("<nav>a<header>b</header>c</nav><p>keep</p>", "keep"),
+        # '>' inside a quoted attribute must not end the tag
+        ('<p title="a > b">x</p><p>y</p>', "x\ny"),
+        # numeric entities, decimal and hex
+        ("<p>&#65;&#x42;&quot;</p>", 'AB"'),
+        # comments vanish, even with tags inside
+        ("<p>a</p><!-- <p>hidden</p> --><p>b</p>", "a\nb"),
+        # unterminated trailing tag drops the tail, keeps the rest
+        ("<p>ok</p><div class=", "ok"),
+        # self-closing boilerplate tag must not open a drop region
+        ("<header/><p>visible</p>", "visible"),
+        # whitespace runs collapse, blank lines drop
+        ("<p>  a   b  </p>\n\n\n<p> c </p>", "a b\nc"),
+        # inline tags strip without breaking the line
+        ("<p><b>bold</b> and <i>italic</i></p>", "bold and italic"),
+        # unknown entity passes through verbatim
+        ("<p>&bogus; ok</p>", "&bogus; ok"),
+        # empty input
+        ("", ""),
+    ],
+)
+def test_html_to_text_goldens(html, expected):
+    assert html_to_text(html) == expected
+
+
+def test_case_insensitive_tags():
+    assert html_to_text("<SCRIPT>x</SCRIPT><P>y</P>") == "y"
+    assert html_to_text("<NaV>m</nAv><p>z</p>") == "z"
+
+
+def test_conversation_qa_rules(spark):
+    """Rule coverage on hand JSON: wrong first role, alternation
+    break, empty content, a fully valid transcript, and malformed
+    JSON (null parse -> null-safe outputs)."""
+    from ipydataclean_spark.operators.instruct_qa import (
+        _CHAT_SCHEMA,
+        conversation_qa,
+    )
+
+    rows = [
+        (1, '[{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]'),
+        (2, '[{"role":"assistant","content":"hi"}]'),
+        (3, '[{"role":"user","content":"a"},{"role":"user","content":"b"}]'),
+        (4, '[{"role":"user","content":"a"},{"role":"assistant","content":""}]'),
+        (5, "not json at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, chat_json STRING").select(
+        "doc_id", F.from_json("chat_json", _CHAT_SCHEMA).alias("turns")
+    )
+    got = {r.doc_id: r for r in conversation_qa(df).collect()}
+    assert got[1].valid == 1 and got[1].violation == "none"
+    assert got[1].n_user_words == 1 and got[1].n_assistant_words == 1
+    assert got[2].violation == "first_role"
+    assert got[3].violation == "role_alternation"
+    assert got[4].violation == "empty_content"
+    assert got[5].n_turns is None  # malformed JSON -> null parse
+
+
+def test_l70_l71_plan_gates(spark, sf_dir):
+    """Both queries: no row-at-a-time Python (the fixture build is an
+    Arrow map; the validation itself is pure JVM expressions), no
+    cartesian product, one documents scan."""
+    from ipydataclean_spark.plans import (
+        count_op,
+        has_python_eval,
+        n_parquet_scans,
+    )
+    from ipydataclean_spark.registry import QUERIES, load_all
+
+    load_all()
+    for name in ("l70_html_extract", "l71_conversation_qa"):
+        df = QUERIES[name]["fn"](spark, sf_dir)
+        assert not has_python_eval(df), name
+        assert count_op(df, "CartesianProduct") == 0, name
+        assert n_parquet_scans(df) == 1, name
