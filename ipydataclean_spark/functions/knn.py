@@ -209,12 +209,11 @@ def topk_per_row_exact(
                         "topk_per_row_exact: part side has zero-norm or "
                         "non-finite embeddings — cosine undefined (NaN)"
                     )
-                if scr_buf is None:
-                    scr_buf = np.empty((min(chunk, len(whole)), m))
-                    kth_buf = np.empty_like(scr_buf)
-                if n > scr_buf.shape[0]:  # later batch larger than first
+                if scr_buf is None or n > scr_buf.shape[0]:
                     scr_buf = np.empty((n, m))
-                    kth_buf = np.empty_like(scr_buf)
+                    # the partition scratch is only needed in k-mode;
+                    # threshold-mode tasks skip its 160 MB entirely
+                    kth_buf = np.empty_like(scr_buf) if k is not None else None
                 scr = np.matmul(a / np.sqrt(a_norm)[:, None], c_hat_t, out=scr_buf[:n])
                 if exclude_self:
                     scr[p_ids[:, None] == c_ids[None, :]] = -np.inf

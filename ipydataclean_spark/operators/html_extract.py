@@ -109,7 +109,7 @@ def html_to_text(html: str) -> str:
             tag_body = html[i + 1 : j].strip()
             i = j + 1
             closing = tag_body.startswith("/")
-            name = re.split(r"[\s/>]", tag_body.lstrip("/"), 1)[0].lower()
+            name = re.split(r"[\s/>]", tag_body.lstrip("/"), maxsplit=1)[0].lower()
             if skip_until:
                 # inside a dropped container: only its matching close
                 # tag matters

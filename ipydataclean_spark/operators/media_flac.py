@@ -152,24 +152,22 @@ def _rice_unfold(u: int) -> int:
 
 
 def _utf8_number(n: int) -> bytes:
-    """The UTF-8-style frame-number coding of the FLAC frame header."""
+    """The UTF-8-style frame-number coding of the FLAC frame header
+    (extended to 7 bytes / 36 payload bits per the spec). Minimal
+    nbytes satisfies payload bits = (7 - nbytes) + 6*(nbytes - 1)."""
     if n < 0x80:
         return bytes([n])
-    out = []
     bits = n.bit_length()
-    nbytes = 2
-    while bits > 1 + 5 * nbytes - (nbytes - 1) * 0 and nbytes < 7:
-        if bits <= (7 - nbytes) + 6 * (nbytes - 1):
-            break
-        nbytes += 1
-    # compute minimal nbytes directly: payload bits = (7 - nbytes) + 6*(nbytes-1)
     nbytes = 2
     while (7 - nbytes) + 6 * (nbytes - 1) < bits:
         nbytes += 1
+    if nbytes > 7:
+        raise ValueError(f"frame number {n} exceeds the 36-bit coding")
+    out = []
     lead = (0xFF << (8 - nbytes)) & 0xFF
     shift = 6 * (nbytes - 1)
     out.append(lead | (n >> shift))
-    for i in range(nbytes - 1):
+    for _ in range(nbytes - 1):
         shift -= 6
         out.append(0x80 | ((n >> shift) & 0x3F))
     return bytes(out)
