@@ -496,8 +496,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (no SOS)")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
-        while pos < len(data) and data[pos] == 0xFF and data[pos + 1] == 0xFF:
+        while pos + 1 < len(data) and data[pos] == 0xFF and data[pos + 1] == 0xFF:
             pos += 1  # fill bytes
+        if pos + 1 >= len(data):
+            raise ValueError("truncated JPEG (marker cut off)")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:

@@ -212,6 +212,11 @@ def l70_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
+                if not any(w for w in (r.text or "").split(" ")):
+                    # all-whitespace text builds an empty page; the
+                    # oracle's word CTE yields no row for it — skip to
+                    # keep row sets identical (the l71 convention)
+                    continue
                 base = {
                     "doc_id": r.doc_id, "ok": 1, "text": None,
                     "n_paragraphs": None, "n_chars": None,
