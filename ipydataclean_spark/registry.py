@@ -278,7 +278,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q21_sole_return_suppliers", "p16_fk_integrity", "q27_yoy_growth",
     # r07 rows-only tier (rows recorded, err=no_oracle by design)
     "g1_pagerank", "inc4_incremental_minhash", "l2d_dedup_clusters",
-    "l9c_frame_sample", "l9f_image_dhash_pairs",
+    "l9c_frame_sample",
+    # l9f_image_dhash_pairs (r7 rows-only green) left this set in
+    # round 11: dhash_neardup_pairs' banding expression is extracted
+    # into the shared band8 helper the new banded media probe reuses
+    # (changed shared body ⇒ re-queue; same for l9k below)
     # l10b_bpe_token_count re-queued in round 10: functions/bpe.py
     # changed (see the r09 rows-only tier note below)
     "l11_language_id", "l12_fingerprints", "c30_dedup_keep_best",
@@ -310,7 +314,9 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # r08 #1) — re-queued per the rotation rule
     "l46_hard_negatives",
     # r08 rows-only tier (rows recorded, err=no_oracle by design)
-    "p3b_approx_profile", "f_map_functions", "l9k_audio_fp_pairs",
+    "p3b_approx_profile", "f_map_functions",
+    # l9k_audio_fp_pairs (r8 rows-only green) re-queued in round 11
+    # with l9f: shared banding body extracted (see the l9f note)
     # CORRECTNESS_r09.json — 50/50 clean (46 oracle rows+schema+hash,
     # 4 rows-only by design with rows recorded). The 33 fresh oracle
     # names below; the window's other 13 oracle slots were prior-green
@@ -349,46 +355,71 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # in round 10 (encode_avi refactored through the shared _avi_wrap,
     # decode_avi gained the MJPG branch) — re-queued per the
     # rotation-exclusion rule until a driver window re-proves it
+    # CORRECTNESS_r10.json — 50/50 clean (42 oracle rows+schema+hash,
+    # 8 rows-only by design with rows recorded). The r10-fresh names
+    # below; the window's other 29 oracle slots were prior-green
+    # re-proofs (p1..c7), already members above. HELD OUT of this
+    # append (round 11 touches their call chains, so their r10 rows
+    # certify superseded bodies — re-queued in CORE_FRESH_FIRST /
+    # ROWS_ONLY_FIRST): l9n_real_jpeg_decode + l9o_mjpeg_frame_dhash
+    # (functions/jpeg.py gains progressive/multi-scan decode + the
+    # ADVICE r10 marker-loop fixes), l9q_real_flac_decode
+    # (media_flac.py gains stereo/24-bit decorrelation),
+    # l70_html_extract (ADVICE r10 whitespace-class alignment),
+    # st17_media_ingest + inc8_incremental_media (the media-store
+    # scale handoff, VERDICT r10 #1), l9f_image_dhash_pairs +
+    # l9k_audio_fp_pairs (the banding expression they share is
+    # extracted into a helper the new banded probe reuses).
+    "l71_conversation_qa", "d23_embedding_outliers",
+    "l64_leakage_free_split", "d24_split_leakage",
+    "pipeline_embedding_curation", "l58_bitext_margin_mining",
+    "d21_knn_label_noise", "d22_neardup_label_conflict",
+    "inc7_incremental_embedding", "st15_embedding_ingest",
+    # r10 rows-only tier (rows recorded, err=no_oracle by design;
+    # semantics pinned by codec goldens / recompute pins per the
+    # VERDICT r10 coverage table). l9p_image_phash_pairs consumes
+    # decode_bmp + its own DCT basis (media_jpeg.py), NOT
+    # functions/jpeg.py — call-chain-verified untouched by round 11.
+    "l9p_image_phash_pairs", "l10c_published_token_count",
+    "l9m_avi_frame_dhash", "l10b_bpe_token_count", "l59_bpe_fertility",
 })
 
-#: Round-10 window priority (VERDICT r09 #2). CORRECTNESS_r09 recorded
-#: 50/50 clean — all 33 fresh oracle names hash-green, 4 rows-only by
-#: design, 13 prior-green re-proofs. All 365 registered queries now
-#: have a driver row (zero re-queue debt entering round 10). Round-10
-#: fresh set: new additions appended here as each operator registers,
-#: plus anything round 10 touches (call-chain-verified). Remaining
-#: slots fall through to prior-green re-proofs.
+#: Round-11 window priority (VERDICT r10 #5). CORRECTNESS_r10 recorded
+#: 50/50 clean — the 13 fresh oracle names hash-green, 8 rows-only by
+#: design, 29 prior-green re-proofs; all 374 registered queries have a
+#: driver row cumulatively (zero never-checked debt entering round
+#: 11). Round-11 fresh set: new additions appended here as each
+#: operator registers, plus anything round 11 touches
+#: (call-chain-verified — see the DRIVER_GREEN_PRIOR_ROUNDS holdout
+#: note). Remaining slots fall through to prior-green re-proofs.
 CORE_FRESH_FIRST: tuple[str, ...] = (
-    # round-10 additions (appended as each operator registers — the
+    # round-11 additions (appended as each operator registers — the
     # registry contract test rejects names with no registration)
+    # re-queued: functions/jpeg.py decode body gains multi-scan +
+    # progressive decode and the ADVICE r10 marker-loop hardening
     "l9n_real_jpeg_decode",
+    # re-queued: media_flac.py decode body gains stereo decorrelation
+    # (L/S, R/S, M/S) and 8/24-bit sample depths
     "l9q_real_flac_decode",
+    # re-queued: the l70 fixture/oracle whitespace-class alignment
+    # (ADVICE r10 #4)
     "l70_html_extract",
-    "l71_conversation_qa",
-    # re-queued: the kernel body changed (matmul-screen + exact
-    # rerank) and/or call sites switched to topk_per_row_exact_auto
-    # in round 10 (see the DRIVER_GREEN_PRIOR_ROUNDS note)
-    "d23_embedding_outliers", "l64_leakage_free_split",
-    "d24_split_leakage", "pipeline_embedding_curation",
-    "l58_bitext_margin_mining", "d21_knn_label_noise",
-    "d22_neardup_label_conflict", "inc7_incremental_embedding",
-    "st15_embedding_ingest",
 )
 
-#: Rows-only priority: round-10 rows-only additions, flagship scale
-#: paths first (payload bytes invisible to SQL — rows-only by design,
-#: closed-form codec goldens pin semantics, the l9d pattern).
+#: Rows-only priority: the round-11 touched rows-only set, scale
+#: handoff first (the round's headline change — VERDICT r10 #1).
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    "l9o_mjpeg_frame_dhash",
-    "l9p_image_phash_pairs",
+    # re-queued: st17/inc8 dispatch through media_probe_auto past
+    # MEDIA_STORE_CAP (banded persisted-store fallback) and the probe
+    # kernel clamps novel min_hamming at max_hamming+1 so both
+    # execution strategies emit bit-identical rows
     "st17_media_ingest",
     "inc8_incremental_media",
-    "l10c_published_token_count",
-    # re-queued: AVI codec chain / functions/bpe.py changed in round
-    # 10 (see DRIVER_GREEN_PRIOR_ROUNDS notes)
-    "l9m_avi_frame_dhash",
-    "l10b_bpe_token_count",
-    "l59_bpe_fertility",
+    # re-queued: l9o consumes decode_jpeg (changed body, see l9n);
+    # l9f/l9k's banding expression moved into the shared band8 helper
+    "l9o_mjpeg_frame_dhash",
+    "l9f_image_dhash_pairs",
+    "l9k_audio_fp_pairs",
 )
 
 
