@@ -834,34 +834,31 @@ def inc8_incremental_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     the l9f reach (<= 7); the per-image report is what an ingest run
     uses to route media (drop re-crawls, append novel fingerprints).
 
-    Scale: the store rides the probe kernel's closure up to the
-    asserted MEDIA_STORE_CAP; past that the persisted table feeds the
-    l9f banded pair join instead (same fingerprints, shuffle-bounded
-    by DISTINCT hashes). Rows-only by design; semantics pinned in
+    Scale: the probe dispatches on store size (media_probe_auto, the
+    topk_per_row_exact_auto precedent — VERDICT r10 #1): the store
+    rides the probe kernel's closure up to MEDIA_STORE_CAP; past that
+    the persisted table feeds the banded hamming join
+    (shuffle-bounded by DISTINCT hashes per side), emitting
+    bit-identical rows — so a re-crawl history of any size classifies
+    instead of raising. Rows-only by design; semantics pinned in
     tests/test_streaming.py (every replayed history image classifies
     dup at hamming 0; the novel slice classifies novel; batch twin,
-    incremental state, and streaming replay agree)."""
+    incremental state, and streaming replay agree) and
+    tests/test_media_handoff.py (cross-strategy equality under a
+    shrunk cap)."""
     from ipydataclean_spark.operators.media_codecs import (
         attach_patterned_payloads,
         image_dhash,
     )
     from ipydataclean_spark.streaming.batch_twins import _ST17_DELTA
-    from ipydataclean_spark.streaming.stream import (
-        MEDIA_STORE_CAP,
-        media_probe_rows,
-    )
+    from ipydataclean_spark.streaming.stream import media_probe_auto
 
     docs = T(spark, sf_dir, "documents")
     store_path = scratch_dir(spark, "inc8_store")
     image_dhash(
         attach_patterned_payloads(docs.where(F.col("doc_id") % 10 == 0))
     ).write.mode("overwrite").parquet(store_path)
-    stored = spark.read.parquet(store_path).limit(MEDIA_STORE_CAP + 1).collect()
-    if len(stored) > MEDIA_STORE_CAP:
-        raise ValueError(
-            f"media store exceeds {MEDIA_STORE_CAP} fingerprints; use the "
-            "banded pair join (l9f) instead of the closure probe"
-        )
-    store_hashes = sorted({int(r.dhash) for r in stored})
     delta = docs.where(F.expr(_ST17_DELTA)).select("doc_id")
-    return media_probe_rows(delta, store_hashes).orderBy("doc_id")
+    return media_probe_auto(
+        spark, delta, spark.read.parquet(store_path)
+    ).orderBy("doc_id")

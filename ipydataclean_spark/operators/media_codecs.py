@@ -436,6 +436,40 @@ def image_dhash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema="doc_id BIGINT, dhash BIGINT")
 
 
+def band8(df: DataFrame, hash_col: str = "dhash") -> DataFrame:
+    """8x8-bit banding rows for a 64-bit hash column: every input row
+    explodes into 8 rows carrying (band, key) where key is the hash's
+    b-th byte. Pigeonhole (the SimHash guarantee): two hashes within
+    hamming <= 7 flip at most 7 of the 8 bytes, so they MUST agree on
+    >= 1 (band, key) — an equi-join on (band, key) is a complete
+    candidate generator for hamming <= 7. Shared by the pair grain
+    (dhash_neardup_pairs: l9f/l9k) and the probe grain
+    (stream.media_probe_banded: st17/inc8 past MEDIA_STORE_CAP).
+
+    Scale: selectivity is 8/256 of the other side per probe row
+    (uniform hashes) — sub-quadratic only because both callers band
+    DISTINCT hashes; AQE handles residual key skew. ``bit_count`` on
+    the XOR is the exact filter downstream."""
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned(hash_col, b * 8)
+                    .bitwiseAND(F.lit(255))
+                    .alias("key"),
+                )
+                for b in range(8)
+            ])
+        ).alias("_p", "bk"),
+    ).select(
+        *df.columns,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
 def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Near-dup image detection by banded dHash, at the CLUSTER grain.
 
@@ -466,20 +500,7 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
         F.lit(0).alias("hamming"),
         (F.col("size") * (F.col("size") - 1) / 2).cast("long").alias("n_pairs"),
     )
-    bands = clusters.select(
-        "rep",
-        "dhash",
-        "size",
-        F.posexplode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.shiftrightunsigned("dhash", b * 8).bitwiseAND(F.lit(255)).alias("key"),
-                )
-                for b in range(8)
-            ])
-        ).alias("_p", "bk"),
-    ).select("rep", "dhash", "size", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    bands = band8(clusters.select("rep", "dhash", "size"), "dhash")
     a, b = bands.alias("a"), bands.alias("b")
     across = (
         a.join(

@@ -608,18 +608,36 @@ def st17_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     report. Closes the MEDIA family's execution-mode triple the way
     st15 closed embeddings': l9f/l9p (batch pairs), inc8
     (incremental, stored state), st17 (streaming probe) — one store
-    definition (stream.media_store_hashes), certified consistent in
-    each mode. The delta replays the full history slice (every
-    re-crawled image must classify dup at hamming 0) plus a disjoint
-    novel slice. Rows-only by design (SQL cannot see pixels);
+    definition (the doc_id % 10 == 0 fingerprint slice), certified
+    consistent in each mode. The delta replays the full history slice
+    (every re-crawled image must classify dup at hamming 0) plus a
+    disjoint novel slice. The probe dispatches on store size
+    (stream.media_probe_auto, VERDICT r10 #1): within MEDIA_STORE_CAP
+    the store rides the kernel closure; past it the persisted
+    fingerprint table feeds the banded join — bit-identical rows
+    either way, so this twin runs at ANY store size instead of
+    raising. Rows-only by design (SQL cannot see pixels);
     tests/test_streaming.py replays the documents stream with
     availableNow + complete mode and asserts equality with this twin,
-    and pins both statuses present."""
+    and pins both statuses present; tests/test_media_handoff.py pins
+    the cross-strategy equality."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        image_dhash,
+    )
+    from ipydataclean_spark.operators.qhelp import scratch_dir
     from ipydataclean_spark.streaming.stream import (
-        media_ingest_agg,
-        media_store_hashes,
+        media_probe_auto,
+        media_report,
     )
 
-    store = media_store_hashes(spark, sf_dir)
-    delta = T(spark, sf_dir, "documents").where(F.expr(_ST17_DELTA))
-    return media_ingest_agg(delta.select("doc_id"), store).orderBy("status")
+    docs = T(spark, sf_dir, "documents")
+    store_path = scratch_dir(spark, "st17_store")
+    image_dhash(
+        attach_patterned_payloads(docs.where(F.col("doc_id") % 10 == 0))
+    ).write.mode("overwrite").parquet(store_path)
+    delta = docs.where(F.expr(_ST17_DELTA))
+    rows = media_probe_auto(
+        spark, delta.select("doc_id"), spark.read.parquet(store_path)
+    )
+    return media_report(rows).orderBy("status")

@@ -707,7 +707,13 @@ def media_probe_rows(
     per-row-top-1 pattern, which keeps the downstream report the
     query's ONLY stateful operator and therefore stream-legal).
     status = dup_of_history iff min_hamming <= max_hamming (the l9f
-    reach). Stateless Arrow map; undecodable payloads dropped."""
+    reach). min_hamming is CLAMPED at max_hamming + 1 — distances
+    past the dup threshold carry no routing information, and the
+    clamp is what makes this closure strategy and the banded store
+    strategy (``media_probe_banded``) emit BIT-IDENTICAL rows, so
+    ``media_probe_auto`` can dispatch on store size without changing
+    any output (the topk_per_row_exact_auto contract). Stateless
+    Arrow map; undecodable payloads dropped."""
     from ipydataclean_spark.operators.media_codecs import (
         attach_patterned_payloads,
         decode_bmp,
@@ -739,9 +745,9 @@ def media_probe_rows(
                         .sum(axis=1)
                         .min()
                     )
-                    mh = int(pop)
+                    mh = min(int(pop), max_hamming + 1)
                 else:
-                    mh = 64
+                    mh = max_hamming + 1
                 ids.append(r.doc_id)
                 hashes.append(signed)
                 mins.append(mh)
@@ -763,6 +769,94 @@ def media_probe_rows(
     )
 
 
+def media_probe_banded(
+    delta_docs: DataFrame, store_df: DataFrame, *, max_hamming: int = 7
+) -> DataFrame:
+    """The SCALE strategy of the media probe: same contract as
+    ``media_probe_rows`` — (doc_id) -> (doc_id, dhash, min_hamming,
+    status), bit-identical rows — but the store is a persisted TABLE
+    (any size), never a driver collect. Shape: fingerprint the delta
+    (stateless Arrow map), band DISTINCT delta hashes and DISTINCT
+    store hashes 8x8 bits (``band8`` — pigeonhole-complete for
+    hamming <= max_hamming <= 7), equi-join on (band, key), exact
+    ``bit_count`` filter, min per delta hash, then join back to the
+    per-doc grain. Because every store hash within hamming <=
+    max_hamming of a probe IS a band candidate, the matched minimum
+    equals the true minimum for every dup row; novel rows emit the
+    clamped sentinel max_hamming + 1 exactly as the closure kernel
+    does. Shuffles are bounded by DISTINCT hashes per side (popular
+    images collapse first, the l9f rule)."""
+    if max_hamming > 7:
+        raise ValueError("band8 is pigeonhole-complete only for max_hamming <= 7")
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+        band8,
+        image_dhash,
+    )
+
+    delta_hashes = image_dhash(attach_patterned_payloads(delta_docs))
+    probe_bands = band8(delta_hashes.select("dhash").distinct(), "dhash")
+    store_bands = band8(
+        store_df.select(F.col("dhash").alias("__sh")).distinct(), "__sh"
+    )
+    matched = (
+        probe_bands.join(store_bands, ["band", "key"])
+        .select(
+            "dhash",
+            F.bit_count(F.col("dhash").bitwiseXOR(F.col("__sh"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("dhash")
+        .agg(F.min("hamming").alias("__mh"))
+    )
+    return delta_hashes.join(matched, "dhash", "left").select(
+        "doc_id",
+        "dhash",
+        F.coalesce(F.col("__mh"), F.lit(max_hamming + 1))
+        .cast("int")
+        .alias("min_hamming"),
+        F.when(F.col("__mh").isNotNull(), F.lit("dup_of_history"))
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+    )
+
+
+def media_probe_auto(
+    spark, delta_docs: DataFrame, store_df: DataFrame, *, max_hamming: int = 7
+) -> DataFrame:
+    """Dispatch the media probe on store size (the
+    topk_per_row_exact_auto precedent — VERDICT r10 #1): a store
+    within MEDIA_STORE_CAP rides the kernel closure
+    (``media_probe_rows``, one bounded collect); past the cap the
+    persisted table feeds the banded join (``media_probe_banded``) —
+    no driver collect, no hard stop. The two strategies emit
+    bit-identical rows (clamped min_hamming), pinned in
+    tests/test_media_handoff.py with a monkeypatched cap. The size
+    probe is one bounded job (limit cap+1): under the cap its rows
+    ARE the store, so nothing is fingerprinted twice."""
+    cap = MEDIA_STORE_CAP  # module attr read at call time (tests shrink it)
+    head = store_df.select("dhash").limit(cap + 1).collect()
+    if len(head) <= cap:
+        return media_probe_rows(
+            delta_docs,
+            sorted({int(r.dhash) for r in head}),
+            max_hamming=max_hamming,
+        )
+    return media_probe_banded(delta_docs, store_df, max_hamming=max_hamming)
+
+
+def media_report(rows: DataFrame) -> DataFrame:
+    """The per-status ingest report over media probe rows —
+    all-integer columns, order-independent, so batch, replay, and
+    both probe strategies agree exactly."""
+    return rows.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("min_hamming").cast("long").alias("sum_min_hamming"),
+        F.min("min_hamming").alias("min_min_hamming"),
+        F.max("min_hamming").alias("max_min_hamming"),
+    )
+
+
 def media_ingest_agg(delta_docs: DataFrame, store_hashes: list[int]) -> DataFrame:
     """ST17: the media dedup probe as a STREAM stage — per-image
     fingerprint + store distance inside the kernel, then ONE stateful
@@ -770,12 +864,74 @@ def media_ingest_agg(delta_docs: DataFrame, store_hashes: list[int]) -> DataFram
     order-independent, so batch and replay agree exactly). Complete
     output mode: a running ingest-composition total. Identical
     builder for the batch twin (the §2.8 contract)."""
-    rows = media_probe_rows(delta_docs, store_hashes)
-    return rows.groupBy("status").agg(
-        F.count(F.lit(1)).alias("n_images"),
-        F.sum("min_hamming").cast("long").alias("sum_min_hamming"),
-        F.min("min_hamming").alias("min_min_hamming"),
-        F.max("min_hamming").alias("max_min_hamming"),
+    return media_report(media_probe_rows(delta_docs, store_hashes))
+
+
+def run_media_ingest_banded(
+    spark,
+    stream_docs: DataFrame,
+    store_path: str,
+    rows_path: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """ST17 past MEDIA_STORE_CAP: drain the documents stream through
+    the BANDED probe via foreachBatch — inside foreachBatch each
+    micro-batch is a batch plan, so the banded join's two shuffles
+    (band join + per-hash min) are legal where the single-stateful-op
+    stream plan could not chain them. Probe rows land PARTITIONED on
+    the batch id with dynamic partition overwrite (the st12
+    idempotence rule: an at-least-once replay of a partially
+    committed batch converges to the same files), and the returned
+    report aggregates the sink — equal to the batch twin's report
+    because the probe rows themselves are bit-identical per doc.
+    The store stays a parquet TABLE end-to-end: executors stream it
+    through the join; the driver never holds a fingerprint."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        rows = media_probe_banded(
+            batch_df, batch_df.sparkSession.read.parquet(store_path)
+        )
+        (
+            rows.withColumn("b", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("b")
+            .parquet(rows_path)
+        )
+
+    q = (
+        stream_docs.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return media_report(spark.read.parquet(rows_path).drop("b"))
+
+
+def media_ingest_stream_auto(
+    spark,
+    stream_docs: DataFrame,
+    store_path: str,
+    *,
+    checkpoint_dir: str,
+    rows_path: str,
+    query_name: str = "t_media_auto",
+) -> DataFrame:
+    """The STREAMING auto dispatch (st17's scale handoff): store
+    within the cap -> the closure-probe stream plan (one stateful
+    agg, complete-mode memory sink); past the cap -> the foreachBatch
+    banded runner. Both return the drained per-status report, equal
+    to the batch twin's in either mode."""
+    cap = MEDIA_STORE_CAP
+    head = (
+        spark.read.parquet(store_path).select("dhash").limit(cap + 1).collect()
+    )
+    if len(head) <= cap:
+        agg = media_ingest_agg(stream_docs, sorted({int(r.dhash) for r in head}))
+        return run_available_now(agg, query_name, checkpoint_dir)
+    return run_media_ingest_banded(
+        spark, stream_docs, store_path, rows_path, checkpoint_dir
     )
 
 
