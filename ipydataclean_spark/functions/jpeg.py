@@ -239,15 +239,21 @@ class _BitReader:
         return v
 
     def expect_restart(self, idx: int) -> None:
-        """Byte-align and consume the RST(idx mod 8) marker."""
+        """Byte-align and consume the RST(idx mod 8) marker, skipping
+        any run of 0xFF fill bytes first — T.81 B.1.1.2 permits fill
+        before any marker, and conformant third-party encoders use it
+        (ADVICE r10 #3)."""
         self.acc = 0
         self.nbits = 0
-        if self.p + 2 > len(self.d) or self.d[self.p] != 0xFF:
+        p = self.p
+        while p + 1 < len(self.d) and self.d[p] == 0xFF and self.d[p + 1] == 0xFF:
+            p += 1
+        if p + 2 > len(self.d) or self.d[p] != 0xFF:
             raise ValueError("missing restart marker")
-        m = self.d[self.p + 1]
+        m = self.d[p + 1]
         if m != 0xD0 + (idx % 8):
             raise ValueError(f"bad restart marker 0xFF{m:02X} (want RST{idx % 8})")
-        self.p += 2
+        self.p = p + 2
 
 
 def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
@@ -328,16 +334,13 @@ def _block_syms(zz: np.ndarray, pred: int):
     return syms, dc
 
 
-def encode_jpeg(
-    pixels: np.ndarray,
-    q: int = 0,
-    subsample: bool = False,
-    restart_interval: int = 0,
-) -> bytes:
-    """(h, w, 3) uint8 RGB or (h, w) uint8 grayscale -> baseline JPEG
-    bytes (JFIF). ``q=0`` gives all-ones quantization (bit-exact on
-    constant gray inputs); ``subsample=True`` writes 4:2:0 chroma;
-    ``restart_interval=N`` emits DRI + RSTn every N MCUs."""
+def _prep_planes(pixels: np.ndarray, q: int, subsample: bool):
+    """Shared encoder front half: RGB/gray pixels -> per-component
+    quantized zigzag coefficient grids plus the frame geometry. Used
+    by both the baseline (``encode_jpeg``) and the scripted
+    multi-scan/progressive (``_encode_scripted``) entropy back
+    halves, so every scan script transports the SAME coefficients —
+    the equality pin the progressive tests lean on."""
     px = np.asarray(pixels, dtype=np.uint8)
     gray = px.ndim == 2
     if not gray and (px.ndim != 3 or px.shape[2] != 3):
@@ -386,6 +389,45 @@ def encode_jpeg(
             mode="edge",
         )
         comps_zz.append(_blockify_quant(p, qtbl))
+    return comps_zz, qtbl, hs, vs, tqs, hmax, vmax, mcux, mcuy, h, w, ncomp
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _frame_headers(
+    qtbl, hs, vs, tqs, h, w, ncomp, sof_marker: int, restart_interval: int
+) -> bytearray:
+    """SOI + JFIF + DQT(s) + SOF + optional DRI — shared by both
+    encoder back halves."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for tid in range(1 if ncomp == 1 else 2):
+        out += _seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in qtbl))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci], tqs[ci]])
+    out += _seg(sof_marker, sof)
+    if restart_interval:
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
+    return out
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    q: int = 0,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) uint8 grayscale -> baseline JPEG
+    bytes (JFIF). ``q=0`` gives all-ones quantization (bit-exact on
+    constant gray inputs); ``subsample=True`` writes 4:2:0 chroma;
+    ``restart_interval=N`` emits DRI + RSTn every N MCUs."""
+    comps_zz, qtbl, hs, vs, tqs, hmax, vmax, mcux, mcuy, h, w, ncomp = (
+        _prep_planes(pixels, q, subsample)
+    )
+    gray = ncomp == 1
 
     def mcu_stream():
         """Yield (comp_idx, zz_vector) in interleaved MCU order, with
@@ -439,33 +481,327 @@ def encode_jpeg(
     bw.align()
 
     # headers
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for tid in range(ntab):
-        out += seg(0xFFDB, bytes([tid]) + bytes(int(v) for v in qtbl))
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, (hs[ci] << 4) | vs[ci], tqs[ci]])
-    out += seg(0xFFC0, sof)
+    out = _frame_headers(qtbl, hs, vs, tqs, h, w, ncomp, 0xFFC0, restart_interval)
     for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for tid, (bits, vals, _) in enumerate(tabs):
-            out += seg(
+            out += _seg(
                 0xFFC4,
                 bytes([(cls << 4) | tid]) + bytes(bits[1:17]) + bytes(vals),
             )
-    if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, (tids[ci] << 4) | tids[ci]])
     sos += bytes([0, 63, 0])
-    out += seg(0xFFDA, sos)
+    out += _seg(0xFFDA, sos)
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Scripted encoder: multi-scan sequential + progressive (T.81 Annex G)
+# --------------------------------------------------------------------------
+
+
+class _StatsEm:
+    """Pass-1 emitter: records Huffman symbols only (amplitude /
+    correction bits and restarts do not affect code statistics)."""
+
+    def __init__(self) -> None:
+        self.dc: list[int] = []
+        self.ac: list[int] = []
+
+    def dc_sym(self, s: int) -> None:
+        self.dc.append(s)
+
+    def ac_sym(self, s: int) -> None:
+        self.ac.append(s)
+
+    def raw(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self) -> None:
+        pass
+
+
+class _WriteEm:
+    """Pass-2 emitter: writes the entropy bitstream (with the pass-1
+    canonical tables) plus byte-aligned RSTn markers."""
+
+    def __init__(self, dc_codes, ac_codes) -> None:
+        self.bw = _BitWriter()
+        self.dcc = dc_codes
+        self.acc_ = ac_codes
+        self.rst = 0
+
+    def dc_sym(self, s: int) -> None:
+        code, length = self.dcc[s]
+        self.bw.write(code, length)
+
+    def ac_sym(self, s: int) -> None:
+        code, length = self.acc_[s]
+        self.bw.write(code, length)
+
+    def raw(self, v: int, n: int) -> None:
+        self.bw.write(v, n)
+
+    def restart(self) -> None:
+        self.bw.align()
+        self.bw.out.extend(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+        self.rst += 1
+
+
+def _ni_grid(w: int, h: int, ch: int, cv: int, hmax: int, vmax: int):
+    """Non-interleaved block grid of a component (T.81 A.2.2):
+    ceil(ceil(dim * sampling / max_sampling) / 8) per axis."""
+    cols = -(-(-(-w * ch // hmax)) // 8)
+    rows = -(-(-(-h * cv // vmax)) // 8)
+    return rows, cols
+
+
+def _walk_scan(em, sel, comps_zz, hs, vs, hmax, vmax, mcux, mcuy, w, h,
+               kind, ss, se, al, ri):
+    """Drive one scan's entropy symbols through ``em`` — identical
+    sequence in the stats and write passes. ``sel`` is the list of
+    component indices; ``kind`` is 'seq' | 'dc_first' | 'dc_refine' |
+    'ac_first' | 'ac_refine' (T.81 G.1.2 coding models; the AC
+    refinement correction-bit buffering follows the spec's decoder
+    inverse exactly — see _ac_refine_block)."""
+    interleaved = len(sel) > 1
+    preds = {ci: 0 for ci in sel}
+    eobrun = 0
+    be: list[int] = []   # correction bits attached to the pending EOB run
+    br_: list[int] = []  # correction bits pending since the last symbol
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.ac_sym(nbits << 4)
+            if nbits:
+                em.raw(eobrun - (1 << nbits), nbits)
+            for b in be:
+                em.raw(b, 1)
+            be.clear()
+            eobrun = 0
+
+    def block_seq(ci: int, zz) -> None:
+        syms, preds[ci] = _block_syms(zz, preds[ci])
+        for is_ac, sym, av, alen in syms:
+            (em.ac_sym if is_ac else em.dc_sym)(sym)
+            if alen:
+                em.raw(av, alen)
+
+    def block_dc_first(ci: int, zz) -> None:
+        dc = int(zz[0]) >> al  # arithmetic shift: the DC point transform
+        diff = dc - preds[ci]
+        preds[ci] = dc
+        s = _size_cat(diff)
+        em.dc_sym(s)
+        if s:
+            em.raw(_enc_bits(diff, s), s)
+
+    def block_dc_refine(ci: int, zz) -> None:
+        em.raw((int(zz[0]) >> al) & 1, 1)
+
+    def block_ac_first(ci: int, zz) -> None:
+        nonlocal eobrun
+        coded = []
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            coded.append((abs(v) >> al) * (1 if v >= 0 else -1))
+        last = -1
+        for i, v in enumerate(coded):
+            if v:
+                last = i
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+            return
+        flush_eob()
+        r = 0
+        for i in range(last + 1):
+            v = coded[i]
+            if v == 0:
+                r += 1
+                continue
+            while r > 15:
+                em.ac_sym(0xF0)
+                r -= 16
+            s = _size_cat(v)
+            em.ac_sym((r << 4) | s)
+            em.raw(_enc_bits(v, s), s)
+            r = 0
+        if last < se - ss:
+            eobrun = 1
+
+    def block_ac_refine(ci: int, zz) -> None:
+        nonlocal eobrun
+        absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob()
+                em.ac_sym(0xF0)
+                r -= 16
+                for b in br_:
+                    em.raw(b, 1)
+                br_.clear()
+            if a > 1:
+                # previously nonzero: only its next approximation bit
+                br_.append(a & 1)
+                continue
+            # newly nonzero (a == 1): position + sign
+            flush_eob()
+            em.ac_sym((r << 4) | 1)
+            em.raw(1 if int(zz[ss + i]) >= 0 else 0, 1)
+            for b in br_:
+                em.raw(b, 1)
+            br_.clear()
+            r = 0
+        if r > 0 or br_:
+            eobrun += 1
+            be.extend(br_)
+            br_.clear()
+            if eobrun == 0x7FFF:
+                flush_eob()
+
+    handler = {
+        "seq": block_seq,
+        "dc_first": block_dc_first,
+        "dc_refine": block_dc_refine,
+        "ac_first": block_ac_first,
+        "ac_refine": block_ac_refine,
+    }[kind]
+
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        ci0 = sel[0]
+        rows, cols = _ni_grid(w, h, hs[ci0], vs[ci0], hmax, vmax)
+        units = rows * cols
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            flush_eob()
+            em.restart()
+            for ci in sel:
+                preds[ci] = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for ci in sel:
+                for by in range(vs[ci]):
+                    for bx in range(hs[ci]):
+                        handler(ci, comps_zz[ci][my * vs[ci] + by, mx * hs[ci] + bx])
+        else:
+            my, mx = divmod(u, cols)
+            handler(ci0, comps_zz[ci0][my, mx])
+    flush_eob()
+
+
+def _encode_scripted(
+    pixels: np.ndarray,
+    q: int,
+    subsample: bool,
+    restart_interval: int,
+    scans,
+    sof_marker: int,
+) -> bytes:
+    """Back half shared by ``encode_jpeg_progressive`` and
+    ``encode_jpeg_multiscan``: run each scan spec (sel, kind, ss, se,
+    ah, al) in two passes — symbol stats -> per-scan canonical DHT
+    (ids redefined between scans, which the decoder must honor) ->
+    bitstream — and assemble the marker stream."""
+    comps_zz, qtbl, hs, vs, tqs, hmax, vmax, mcux, mcuy, h, w, ncomp = (
+        _prep_planes(pixels, q, subsample)
+    )
+    out = _frame_headers(
+        qtbl, hs, vs, tqs, h, w, ncomp, sof_marker, restart_interval
+    )
+    for sel, kind, ss, se, ah, al in scans:
+        stats = _StatsEm()
+        _walk_scan(stats, sel, comps_zz, hs, vs, hmax, vmax, mcux, mcuy,
+                   w, h, kind, ss, se, al, restart_interval)
+        dc_codes = ac_codes = None
+        if stats.dc:
+            bits, vals, dc_codes = _fixed_table(stats.dc)
+            out += _seg(0xFFC4, bytes([0x00]) + bytes(bits[1:17]) + bytes(vals))
+        if stats.ac:
+            bits, vals, ac_codes = _fixed_table(stats.ac)
+            out += _seg(0xFFC4, bytes([0x10]) + bytes(bits[1:17]) + bytes(vals))
+        wr = _WriteEm(dc_codes, ac_codes)
+        _walk_scan(wr, sel, comps_zz, hs, vs, hmax, vmax, mcux, mcuy,
+                   w, h, kind, ss, se, al, restart_interval)
+        wr.bw.align()
+        sos = bytes([len(sel)])
+        for ci in sel:
+            sos += bytes([ci + 1, 0x00])  # td=0, ta=0 (redefined per scan)
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        out += wr.bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    q: int = 0,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    successive: bool = True,
+) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) gray -> PROGRESSIVE JPEG bytes
+    (SOF2). ``successive=True`` writes the full Annex G script — DC
+    first at Al=1, AC spectral bands (1-5, 6-63) at Al=1, then DC and
+    AC refinement scans down to Al=0 — exercising every progressive
+    coding model; ``successive=False`` writes spectral selection only
+    (all scans at Al=0). Either way the scans transport the SAME
+    quantized coefficients as ``encode_jpeg`` on the same inputs, so
+    decode(progressive) == decode(baseline) EXACTLY — the equality
+    pin in tests/test_media_jpeg.py."""
+    ncomp = 1 if np.asarray(pixels).ndim == 2 else 3
+    allc = list(range(ncomp))
+    if successive:
+        scans = [(allc, "dc_first", 0, 0, 0, 1)]
+        for ci in allc:
+            scans += [([ci], "ac_first", 1, 5, 0, 1),
+                      ([ci], "ac_first", 6, 63, 0, 1)]
+        scans += [(allc, "dc_refine", 0, 0, 1, 0)]
+        for ci in allc:
+            scans += [([ci], "ac_refine", 1, 5, 1, 0),
+                      ([ci], "ac_refine", 6, 63, 1, 0)]
+    else:
+        scans = [(allc, "dc_first", 0, 0, 0, 0)]
+        for ci in allc:
+            scans += [([ci], "ac_first", 1, 5, 0, 0),
+                      ([ci], "ac_first", 6, 63, 0, 0)]
+    return _encode_scripted(
+        pixels, q, subsample, restart_interval, scans, 0xFFC2
+    )
+
+
+def encode_jpeg_multiscan(
+    pixels: np.ndarray,
+    q: int = 0,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline (SOF0) file with one NON-INTERLEAVED sequential scan
+    per component — the legal multi-scan baseline shape ADVICE r10 #1
+    flagged (previously silently decoded as scan 1 only; now decoded
+    fully, with a missing-component raise if a scan is absent)."""
+    ncomp = 1 if np.asarray(pixels).ndim == 2 else 3
+    scans = [([ci], "seq", 0, 63, 0, 0) for ci in range(ncomp)]
+    return _encode_scripted(
+        pixels, q, subsample, restart_interval, scans, 0xFFC0
+    )
 
 
 # --------------------------------------------------------------------------
@@ -473,14 +809,200 @@ def encode_jpeg(
 # --------------------------------------------------------------------------
 
 
+def _seq_block(br: _BitReader, blk, dtab, atab, pred: int) -> int:
+    """One baseline sequential block (DC diff + AC run-length) into
+    the zigzag vector ``blk``; returns the new DC predictor."""
+    s = _huff_decode(br, dtab)
+    pred += _extend(br.read_bits(s), s)
+    if abs(pred) > (1 << 20):
+        # a conformant 8-bit stream's quantized DC magnitude is
+        # <= 1024 * 255; a runaway predictor means corrupt entropy
+        # data — raise rather than overflow the int32 grid
+        raise ValueError("DC predictor out of range (corrupt stream)")
+    blk[0] = pred
+    k = 1
+    while k < 64:
+        rs = _huff_decode(br, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        blk[k] = _extend(br.read_bits(s), s)
+        k += 1
+    return pred
+
+
+def _ac_first_block(br, blk, atab, ss, se, al, eobrun: int) -> int:
+    """Progressive AC first scan for one block (T.81 G.1.2.2): coded
+    values are sign * (|coef| >> Al), reconstructed << Al; EOB runs
+    skip whole blocks. Returns the remaining EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(br, atab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past end of band")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, blk, atab, ss, se, al, eobrun: int) -> int:
+    """Progressive AC refinement for one block (T.81 G.1.2.3 decoder
+    model, the jdphuff shape): newly-nonzero coefficients arrive as
+    (run, size=1) symbols + a sign bit; coefficients nonzero from
+    prior scans take one correction bit each as the position walk
+    passes them; EOB runs still carry correction bits for the rest of
+    each covered block. Returns the remaining EOB run."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(br, atab)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad AC refinement amplitude size")
+                val = p1 if br.read_bit() else m1
+            elif r != 15:
+                eobrun = 1 << r
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            # advance over r zero-HISTORY positions, correcting any
+            # nonzero-history coefficients passed on the way
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and (v & p1) == 0:
+                        blk[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError("AC refinement run past end of band")
+                blk[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0:
+                if br.read_bit() and (v & p1) == 0:
+                    blk[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_entropy(
+    data, pos, sel, huffs, *, kind, ss, se, al, ri, hmax, vmax,
+    mcux, mcuy, w, h,
+) -> int:
+    """Decode one scan's entropy segment into the components'
+    coefficient grids; returns the byte position of the next marker.
+    ``sel`` holds the scan's component dicts ({h, v, td, ta, coef});
+    multi-component scans interleave over the FRAME MCU grid, single-
+    component scans walk the component's own block grid (T.81 A.2.2),
+    restarting every ``ri`` units either way."""
+    # resolve tables at scan time: DHT may redefine ids between scans
+    need_dc = kind in ("seq", "dc_first")
+    need_ac = kind in ("seq", "ac_first", "ac_refine")
+    for c in sel:
+        if need_dc and (0, c["td"]) not in huffs:
+            raise ValueError("missing huffman table referenced by SOS")
+        if need_ac and (1, c["ta"]) not in huffs:
+            raise ValueError("missing huffman table referenced by SOS")
+        c["_dt"] = huffs.get((0, c["td"]))
+        c["_at"] = huffs.get((1, c["ta"]))
+
+    br = _BitReader(data, pos)
+    preds = {id(c): 0 for c in sel}
+    eobrun = 0
+    rst = 0
+    interleaved = len(sel) > 1
+    if interleaved:
+        units = mcux * mcuy
+    else:
+        c0 = sel[0]
+        rows, cols = _ni_grid(w, h, c0["h"], c0["v"], hmax, vmax)
+        units = rows * cols
+
+    def one(c, blk) -> None:
+        nonlocal eobrun
+        if kind == "seq":
+            preds[id(c)] = _seq_block(br, blk, c["_dt"], c["_at"], preds[id(c)])
+        elif kind == "dc_first":
+            s = _huff_decode(br, c["_dt"])
+            preds[id(c)] += _extend(br.read_bits(s), s)
+            if abs(preds[id(c)]) > (1 << 20):
+                raise ValueError("DC predictor out of range (corrupt stream)")
+            blk[0] = preds[id(c)] << al
+        elif kind == "dc_refine":
+            if br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+        elif kind == "ac_first":
+            eobrun = _ac_first_block(br, blk, c["_at"], ss, se, al, eobrun)
+        else:  # ac_refine
+            eobrun = _ac_refine_block(br, blk, c["_at"], ss, se, al, eobrun)
+
+    for u in range(units):
+        if ri and u and u % ri == 0:
+            br.expect_restart(rst)
+            rst += 1
+            preds = {id(c): 0 for c in sel}
+            eobrun = 0
+        if interleaved:
+            my, mx = divmod(u, mcux)
+            for c in sel:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        one(c, c["coef"][my * c["v"] + by, mx * c["h"] + bx])
+        else:
+            my, mx = divmod(u, cols)
+            one(c0, c0["coef"][my, mx])
+    if eobrun > 0:
+        raise ValueError("EOB run past end of scan")
+    for c in sel:
+        c.pop("_dt", None)
+        c.pop("_at", None)
+    return br.p
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> (h, w, 3) uint8 RGB (grayscale files are
+    """JPEG bytes -> (h, w, 3) uint8 RGB (grayscale files are
     replicated to 3 channels so image/video fingerprints share one
-    pixel shape). Table-driven from the file's own DQT/DHT segments;
-    supports interleaved scans with integer sampling ratios (4:4:4,
-    4:2:0, 4:2:2), restart markers, and fill bytes. Raises with a
-    clear message on progressive/arithmetic/12-bit streams and on any
-    truncation — the poison-pill contract of every decode kernel."""
+    pixel shape). Table-driven from the file's own DQT/DHT segments
+    (redefinable between scans); supports baseline/extended
+    sequential (SOF0/1) including MULTI-SCAN files (ADVICE r10 #1)
+    and PROGRESSIVE (SOF2) with spectral selection, successive
+    approximation, and EOB runs (T.81 Annex G — VERDICT r10 #2);
+    interleaved and non-interleaved scans with integer sampling
+    ratios (4:4:4, 4:2:0, 4:2:2), restart markers, and fill bytes.
+    Raises with a clear message on arithmetic-coded / lossless /
+    hierarchical / 12-bit streams, standalone markers outside entropy
+    data, components never covered by a scan, and any truncation —
+    the poison-pill contract of every decode kernel."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -488,12 +1010,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     comps: list[dict] = []
     h = w = None
+    hmax = vmax = mcux = mcuy = 0
     ri = 0
-    scan: list[dict] = []
+    progressive = False
+    n_scans = 0
 
     while True:
         if pos + 2 > len(data):
-            raise ValueError("truncated JPEG (no SOS)")
+            raise ValueError("truncated JPEG (missing EOI)")
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}, got 0x{data[pos]:02X}")
         while pos + 1 < len(data) and data[pos] == 0xFF and data[pos + 1] == 0xFF:
@@ -502,12 +1026,22 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG (marker cut off)")
         marker = data[pos + 1]
         pos += 2
-        if marker == 0xD9:
-            raise ValueError("EOI before SOS (no image data)")
-        if marker in (0xC2, 0xC6, 0xCA, 0xCE):
-            raise ValueError("progressive JPEG not supported (baseline only)")
-        if marker in (0xC3, 0xC5, 0xC7, 0xC9, 0xCB, 0xCD, 0xCF):
-            raise ValueError("non-baseline SOF not supported")
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01:  # TEM: standalone, no length — skip (ADVICE r10 #2)
+            continue
+        if 0xD0 <= marker <= 0xD7:
+            raise ValueError(
+                f"stray restart marker 0xFF{marker:02X} outside entropy data"
+            )
+        if marker in (0xC9, 0xCA, 0xCB, 0xCC):
+            raise ValueError("arithmetic-coded JPEG not supported")
+        if marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCD, 0xCE, 0xCF, 0xDE, 0xDF):
+            raise ValueError("lossless/differential/hierarchical SOF not supported")
+        if marker == 0xDC:
+            raise ValueError("DNL-deferred dimensions not supported")
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG segment")
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
         if len(body) != seglen - 2:
@@ -523,14 +1057,39 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                     body, np.uint8, 64, bp + 1
                 ).astype(np.int32)
                 bp += 65
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            if comps:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision not supported")
+            if h == 0 or w == 0:
+                raise ValueError("zero image dimension (DNL not supported)")
             for i in range(nc):
                 cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            if any(
+                c["h"] < 1 or c["v"] < 1 or hmax % c["h"] or vmax % c["v"]
+                for c in comps
+            ):
+                raise ValueError("non-integer chroma sampling ratio")
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # poison-pill dimension cap: a fuzzed/hostile header
+            # declaring 65535x65535 would otherwise attempt a multi-GB
+            # coefficient allocation BEFORE the (tiny) entropy data
+            # could fail the read — fail loud first (the
+            # EXACT_CAND_CAP convention)
+            cells = mcux * mcuy * sum(c["h"] * c["v"] for c in comps) * 64
+            if cells > _JPEG_CELL_CAP:
+                raise ValueError(
+                    f"declared dimensions need {cells} coefficient cells "
+                    f"(> {_JPEG_CELL_CAP}); refusing before allocation"
                 )
         elif marker == 0xC4:  # DHT (may hold several tables)
             bp = 0
@@ -544,82 +1103,71 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
+            if not comps:
+                raise ValueError("SOS before SOF")
             ns = body[0]
+            if len(body) != 1 + 2 * ns + 3:
+                raise ValueError("malformed SOS header")
+            sel: list[dict] = []
             for i in range(ns):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 comp = next((c for c in comps if c["id"] == cid), None)
                 if comp is None:
                     raise ValueError(f"SOS references unknown component {cid}")
-                scan.append({**comp, "td": tt >> 4, "ta": tt & 0x0F})
-            break
+                comp["td"], comp["ta"] = tt >> 4, tt & 0x0F
+                sel.append(comp)
+            ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            if progressive:
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError(
+                            "invalid progressive scan (DC requires Ss=Se=0)"
+                        )
+                    kind = "dc_refine" if ah else "dc_first"
+                else:
+                    if se < ss or se > 63:
+                        raise ValueError("invalid progressive spectral band")
+                    if len(sel) != 1:
+                        raise ValueError(
+                            "progressive AC scan must be non-interleaved"
+                        )
+                    kind = "ac_refine" if ah else "ac_first"
+                if al > 13 or (ah and ah != al + 1):
+                    raise ValueError("invalid successive approximation bits")
+            else:
+                if (ss, se, ah, al) != (0, 63, 0, 0):
+                    raise ValueError("invalid sequential scan header")
+                kind = "seq"
+            if "coef" not in comps[0]:  # first scan: allocate grids
+                for c in comps:
+                    if c["tq"] not in qts:
+                        raise ValueError(f"missing quantization table {c['tq']}")
+                    c["coef"] = np.zeros(
+                        (mcuy * c["v"], mcux * c["h"], 64), np.int32
+                    )
+            pos = _decode_scan_entropy(
+                data, pos, sel, huffs, kind=kind, ss=ss, se=se, al=al,
+                ri=ri, hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy, w=w, h=h,
+            )
+            if kind in ("seq", "dc_first"):
+                for c in sel:
+                    c["dc_seen"] = True
+            n_scans += 1
         # else: APPn / COM / unknown — skipped via seglen
 
-    if h is None or not scan:
+    if not comps or n_scans == 0:
         raise ValueError("missing SOF/SOS")
-    # single-component scans are non-interleaved: sampling factors do
-    # not shape the MCU (T.81 A.2.2)
-    if len(scan) == 1:
-        scan[0] = {**scan[0], "h": 1, "v": 1}
-    hmax = max(c["h"] for c in scan)
-    vmax = max(c["v"] for c in scan)
-    if any(hmax % c["h"] or vmax % c["v"] for c in scan):
-        raise ValueError("non-integer chroma sampling ratio")
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # poison-pill dimension cap: a fuzzed/hostile header declaring
-    # 65535x65535 would otherwise attempt a multi-GB coefficient
-    # allocation BEFORE the (tiny) entropy data could fail the read —
-    # fail loud first (the EXACT_CAND_CAP convention)
-    cells = mcux * mcuy * sum(c["h"] * c["v"] for c in scan) * 64
-    if cells > _JPEG_CELL_CAP:
+    missing = [c["id"] for c in comps if not c.get("dc_seen")]
+    if missing:
         raise ValueError(
-            f"declared dimensions need {cells} coefficient cells "
-            f"(> {_JPEG_CELL_CAP}); refusing before allocation"
+            f"components {missing} never received a DC/sequential scan "
+            "(incomplete multi-scan file)"
         )
-    for c in scan:
-        if c["tq"] not in qts:
-            raise ValueError(f"missing quantization table {c['tq']}")
-        if (0, c["td"]) not in huffs or (1, c["ta"]) not in huffs:
-            raise ValueError("missing huffman table referenced by SOS")
-        c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64), np.int32)
-
-    br = _BitReader(data, pos)
-    preds = [0] * len(scan)
-    rst = 0
-    for mcu in range(mcux * mcuy):
-        if ri and mcu and mcu % ri == 0:
-            br.expect_restart(rst)
-            rst += 1
-            preds = [0] * len(scan)
-        my, mx = divmod(mcu, mcux)
-        for ci, c in enumerate(scan):
-            dtab, atab = huffs[(0, c["td"])], huffs[(1, c["ta"])]
-            for by in range(c["v"]):
-                for bx in range(c["h"]):
-                    zz = np.zeros(64, np.int32)
-                    s = _huff_decode(br, dtab)
-                    preds[ci] += _extend(br.read_bits(s), s)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        rs = _huff_decode(br, atab)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise ValueError("AC run past end of block")
-                        zz[k] = _extend(br.read_bits(s), s)
-                        k += 1
-                    c["coef"][my * c["v"] + by, mx * c["h"] + bx] = zz
 
     # batched dequant + IDCT per component
     planes = []
-    for c in scan:
+    for c in comps:
         coef = c["coef"].astype(np.float64) * qts[c["tq"]].astype(np.float64)
         brows, bcols, _ = coef.shape
         F = np.zeros((brows, bcols, 8, 8))

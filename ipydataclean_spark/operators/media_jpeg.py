@@ -72,12 +72,33 @@ def l9n_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     BIT-EXACTLY (functions/jpeg.py), so every feature is closed-form
     for the oracle — a hash match certifies the full
     huffman->dequant->IDCT->YCbCr pixel path, not just shapes.
-    doc_id parity rotates the encoder through 4:4:4 / 4:2:0 chroma
-    and restart-interval 0/1/2 variants, so the oracle certifies all
-    three decoder paths every run. Lossy-path error bounds, the
-    hand-crafted byte-stream decode vector, and poison-pill guards
-    (progressive SOF, truncation, bad restart) are pinned in
-    tests/test_media_jpeg.py."""
+    doc_id parity rotates the encoder through 4:4:4 / 4:2:0 chroma,
+    restart-interval 0/1/2, and (round 11) the full SCAN-SHAPE family
+    — baseline single-scan, PROGRESSIVE with successive approximation,
+    progressive spectral-selection-only, and multi-scan sequential —
+    so the oracle certifies every decoder entropy model every run
+    (the scripted encoders transport the same coefficients, so the
+    constant-gray exactness is unchanged — pinned by
+    test_progressive_constant_gray_bit_exact). Lossy-path error
+    bounds, the hand-crafted byte-stream decode vector, the
+    progressive==baseline equality sweep, and poison-pill guards
+    (unsupported SOF, truncation, bad restart, incomplete multi-scan)
+    are pinned in tests/test_media_jpeg.py."""
+
+    from ipydataclean_spark.functions.jpeg import (
+        encode_jpeg_multiscan as _ems,
+        encode_jpeg_progressive as _ep,
+    )
+
+    # closure-bound OUTSIDE the kernel (both modules are registered
+    # for by-value pickling; a package import inside the kernel dies
+    # with ModuleNotFoundError on plain-session workers)
+    encoders = [
+        encode_jpeg,
+        lambda px, **kw: _ep(px, successive=True, **kw),
+        lambda px, **kw: _ep(px, successive=False, **kw),
+        _ems,
+    ]
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
@@ -91,7 +112,7 @@ def l9n_real_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 v = (7 * d) % 256
                 px = _np.full((h, w, 3), v, dtype=_np.uint8)
                 payloads.append(
-                    encode_jpeg(
+                    encoders[d % 4](
                         px, q=0, subsample=bool(d % 2), restart_interval=d % 3
                     )
                 )
