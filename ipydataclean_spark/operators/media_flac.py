@@ -11,12 +11,17 @@ numpy:
 - ``decode_flac``: STREAMINFO parse, frame sync + header (UTF-8
   frame index, CRC-8 verified), CONSTANT / VERBATIM / FIXED(0-4) /
   LPC subframes, Rice residual partitions (4- and 5-bit parameter
-  methods, escape codes), frame CRC-16 verified — 16-bit mono
-  (the honest boundary: stereo decorrelation modes raise).
+  methods, escape codes), frame CRC-16 verified — mono and STEREO
+  with all four channel assignments (independent L/R, left/side,
+  right/side, mid/side; side channels at bps+1 bits) at 8/16/24-bit
+  depths (the round-11 boundary extension, VERDICT r10 #3; >2
+  channels still raise).
 - ``encode_flac``: CONSTANT frames for flat signals, FIXED order-2
-  prediction + single-partition Rice otherwise, VERBATIM when Rice
-  would expand — enough to produce spec-conformant files any FLAC
-  decoder reads, exercising every decoder path the tests pin.
+  prediction + single-partition Rice otherwise (4-bit parameters,
+  5-bit when k > 14), VERBATIM when Rice would expand; stereo input
+  encodes through any of the four decorrelation modes — enough to
+  produce spec-conformant files any FLAC decoder reads, exercising
+  every decoder path the tests pin.
 
 Lossless means the tests pin BIT-EXACT round-trips on arbitrary
 int16 signals, and the registered query gets a full closed-form SQL
@@ -193,15 +198,97 @@ def _read_utf8_number(br: _BR) -> int:
     return v
 
 
-def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096) -> bytes:
-    """int16 mono -> FLAC bytes. Per block: CONSTANT when flat, else
-    FIXED order-2 + single-partition Rice (k from the mean folded
-    residual), VERBATIM when Rice would expand. Spec-conformant
-    headers and CRCs throughout."""
+#: frame-header channel assignment codes (RFC 9639 §9.1.3)
+_CHAN_CODES = {"mono": 0b0000, "lr": 0b0001, "ls": 0b1000, "rs": 0b1001, "ms": 0b1010}
+#: frame-header sample size codes (RFC 9639 §9.1.4)
+_SS_CODES = {8: 0b001, 16: 0b100, 24: 0b110}
+
+
+def _encode_subframe(body: _BW, blk: np.ndarray, eff: int) -> None:
+    """One subframe at ``eff`` bits: CONSTANT when flat, else FIXED
+    order-2 + single-partition Rice (parameter method 0 while k fits
+    4 bits, method 1 above — RFC 9639 §9.2.7), VERBATIM when Rice
+    would expand. Side channels pass eff = bps + 1 (the
+    decorrelation bit)."""
+    mask = (1 << eff) - 1
+    bs = int(blk.size)
+    if np.all(blk == blk[0]):
+        body.w(0, 1)
+        body.w(0b000000, 6)  # CONSTANT
+        body.w(0, 1)
+        body.w(int(blk[0]) & mask, eff)
+        return
+    order = min(2, bs - 1)
+    res = blk.copy()
+    for i in range(bs - 1, order - 1, -1):
+        pred = sum(
+            c * int(blk[i - 1 - j]) for j, c in enumerate(_FIXED_COEFS[order])
+        )
+        res[i] = int(blk[i]) - pred
+    tail = res[order:]
+    folded = np.array([_rice_fold(int(v)) for v in tail], dtype=np.int64)
+    mean = float(folded.mean()) if folded.size else 0.0
+    k = 0
+    while (1 << (k + 1)) < mean + 1 and k < 30:
+        k += 1
+    rice_bits = int((folded >> k).sum()) + folded.size * (k + 1)
+    if rice_bits > eff * folded.size:
+        body.w(0, 1)
+        body.w(0b000001, 6)  # VERBATIM
+        body.w(0, 1)
+        for v in blk:
+            body.w(int(v) & mask, eff)
+        return
+    body.w(0, 1)
+    body.w(0b001000 | order, 6)  # FIXED, order
+    body.w(0, 1)
+    for v in blk[:order]:  # warm-up
+        body.w(int(v) & mask, eff)
+    if k <= 14:
+        body.w(0, 2)  # residual method 0: 4-bit Rice parameters
+        body.w(0, 4)  # partition order 0 (one partition)
+        body.w(k, 4)
+    else:
+        body.w(1, 2)  # method 1: 5-bit Rice parameters
+        body.w(0, 4)
+        body.w(k, 5)
+    for u in folded:
+        body.unary(int(u) >> k)
+        body.w(int(u) & ((1 << k) - 1), k)
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int,
+    block_size: int = 4096,
+    *,
+    bps: int = 16,
+    mode: str = "lr",
+) -> bytes:
+    """(n,) mono or (n, 2) stereo integer samples -> FLAC bytes at
+    ``bps`` in {8, 16, 24}. Stereo ``mode`` picks the channel
+    decorrelation: 'lr' (independent), 'ls' (left/side), 'rs'
+    (right/side), 'ms' (mid/side) — side channels carry bps+1 bits
+    per RFC 9639 §9.1.3. Spec-conformant headers and CRCs throughout;
+    every mode round-trips bit-exactly (the lossless contract the
+    tests pin)."""
+    if bps not in _SS_CODES:
+        raise ValueError(f"unsupported bits per sample {bps} (8/16/24)")
     x = np.asarray(samples, dtype=np.int64)
+    stereo = x.ndim == 2
+    if stereo and x.shape[1] != 2:
+        raise ValueError("stereo input must be (n, 2)")
     if x.size == 0:
         raise ValueError("empty signal")
-    n_total = int(x.size)
+    lim = 1 << (bps - 1)
+    if x.max() >= lim or x.min() < -lim:
+        raise ValueError(f"samples exceed {bps}-bit range")
+    if not stereo:
+        mode = "mono"
+    elif mode not in ("lr", "ls", "rs", "ms"):
+        raise ValueError(f"unknown stereo mode {mode!r}")
+    n_total = int(x.shape[0])  # inter-channel sample (frame) count
+    channels = 2 if stereo else 1
 
     # --- STREAMINFO ------------------------------------------------------
     si = _BW()
@@ -210,8 +297,8 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096) -> bytes
     si.w(0, 24)           # min frame size (unknown)
     si.w(0, 24)           # max frame size (unknown)
     si.w(rate, 20)
-    si.w(0, 3)            # channels - 1 (mono)
-    si.w(15, 5)           # bits per sample - 1 (16)
+    si.w(channels - 1, 3)
+    si.w(bps - 1, 5)
     si.w(n_total, 36)
     si.align()
     streaminfo = bytes(si.out) + bytes(16)  # MD5 = 0 (unknown, spec-legal)
@@ -222,77 +309,108 @@ def encode_flac(samples: np.ndarray, rate: int, block_size: int = 4096) -> bytes
     # --- frames ----------------------------------------------------------
     for fi, lo in enumerate(range(0, n_total, block_size)):
         blk = x[lo : lo + block_size]
-        bs = int(blk.size)
+        bs = int(blk.shape[0])
         hdr = _BW()
         hdr.w(0x3FFE, 14)  # sync
         hdr.w(0, 1)        # reserved
         hdr.w(0, 1)        # fixed blocking
         hdr.w(0b0111, 4)   # block size: explicit 16-bit at end of header
         hdr.w(0, 4)        # sample rate: from STREAMINFO
-        hdr.w(0, 4)        # channel assignment: mono
-        hdr.w(0b100, 3)    # sample size: 16 bits
+        hdr.w(_CHAN_CODES[mode], 4)
+        hdr.w(_SS_CODES[bps], 3)
         hdr.w(0, 1)        # reserved
         hdr.align()
         hdr_bytes = bytes(hdr.out) + _utf8_number(fi) + struct.pack(">H", bs - 1)
         hdr_bytes += bytes([_crc8(hdr_bytes)])
 
-        body = _BW()
-        if np.all(blk == blk[0]):
-            body.w(0, 1)
-            body.w(0b000000, 6)  # CONSTANT
-            body.w(0, 1)
-            body.w(int(blk[0]) & 0xFFFF, 16)
+        if mode == "mono":
+            chans = [(blk, bps)]
         else:
-            order = min(2, bs - 1)
-            res = blk.copy()
-            for i in range(len(blk) - 1, order - 1, -1):
-                pred = sum(
-                    c * int(blk[i - 1 - j]) for j, c in enumerate(_FIXED_COEFS[order])
-                )
-                res[i] = int(blk[i]) - pred
-            tail = res[order:]
-            folded = np.array([_rice_fold(int(v)) for v in tail], dtype=np.int64)
-            mean = float(folded.mean()) if folded.size else 0.0
-            k = 0
-            while (1 << (k + 1)) < mean + 1 and k < 14:
-                k += 1
-            rice_bits = int((folded >> k).sum()) + folded.size * (k + 1)
-            if rice_bits > 16 * folded.size:
-                body.w(0, 1)
-                body.w(0b000001, 6)  # VERBATIM
-                body.w(0, 1)
-                for v in blk:
-                    body.w(int(v) & 0xFFFF, 16)
-            else:
-                body.w(0, 1)
-                body.w(0b001000 | order, 6)  # FIXED, order
-                body.w(0, 1)
-                for v in blk[:order]:  # warm-up
-                    body.w(int(v) & 0xFFFF, 16)
-                body.w(0, 2)  # residual method 0: 4-bit Rice
-                body.w(0, 4)  # partition order 0 (one partition)
-                body.w(k, 4)
-                for u in folded:
-                    body.unary(int(u) >> k)
-                    body.w(int(u) & ((1 << k) - 1), k)
+            left, right = blk[:, 0], blk[:, 1]
+            side = left - right
+            if mode == "lr":
+                chans = [(left, bps), (right, bps)]
+            elif mode == "ls":
+                chans = [(left, bps), (side, bps + 1)]
+            elif mode == "rs":
+                chans = [(side, bps + 1), (right, bps)]
+            else:  # ms
+                chans = [((left + right) >> 1, bps), (side, bps + 1)]
+        body = _BW()
+        for cblk, eff in chans:
+            _encode_subframe(body, cblk, eff)
         body.align()
         frame = hdr_bytes + bytes(body.out)
         out += frame + struct.pack(">H", _crc16(frame))
     return bytes(out)
 
 
-def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
-    """FLAC bytes -> (int16 mono samples, sample_rate). Verifies the
-    magic, walks metadata blocks, decodes every frame (CONSTANT /
+_CHAN_NAMES = {0b0000: "mono", 0b0001: "lr", 0b1000: "ls", 0b1001: "rs", 0b1010: "ms"}
+_SS_BITS = {0b001: 8, 0b100: 16, 0b110: 24}
+
+
+def _read_subframe(br: _BR, bs: int, eff: int) -> np.ndarray:
+    """One subframe at ``eff`` bits: CONSTANT / VERBATIM / FIXED(0-4)
+    / LPC, wasted-bits flag, Rice residual partitions."""
+    if br.r(1) != 0:
+        raise ValueError("bad subframe padding bit")
+    stype = br.r(6)
+    wasted = 0
+    if br.r(1):  # wasted-bits flag: unary count - 1
+        wasted = br.unary() + 1
+    eff -= wasted
+    if eff <= 0:
+        raise ValueError("wasted bits exceed sample width")
+    if stype == 0b000000:
+        blk = np.full(bs, br.rs(eff), dtype=np.int64)
+    elif stype == 0b000001:
+        blk = np.array([br.rs(eff) for _ in range(bs)], dtype=np.int64)
+    elif (stype >> 3) == 0b001 and (stype & 7) <= 4:
+        order = stype & 7
+        blk = _decode_predicted(
+            br, bs, order, eff, _FIXED_COEFS[order], shift=0, lpc=False
+        )
+    elif stype & 0b100000:
+        order = (stype & 0x1F) + 1
+        warm = [br.rs(eff) for _ in range(order)]
+        prec = br.r(4) + 1
+        if prec == 16:
+            raise ValueError("invalid LPC precision escape")
+        shift = br.rs(5)
+        if shift < 0:
+            raise ValueError("negative LPC shift")
+        coefs = [br.rs(prec) for _ in range(order)]
+        blk = _decode_predicted(
+            br, bs, order, eff, coefs, shift=shift, lpc=True, warm=warm
+        )
+    else:
+        raise ValueError(f"reserved subframe type {stype:06b}")
+    if wasted:
+        blk = blk << wasted
+    return blk
+
+
+def decode_flac(data: bytes, return_layout: bool = False):
+    """FLAC bytes -> (samples, sample_rate[, layout]). Samples are
+    shape (n,) for mono and (n, 2) interleaved [left, right] for
+    stereo — int16 for 8/16-bit streams, int32 for 24-bit. Verifies
+    the magic, walks metadata blocks, decodes every frame (CONSTANT /
     VERBATIM / FIXED / LPC subframes, Rice methods 0 and 1 with
-    escapes), and checks CRC-8 (header) + CRC-16 (frame). Stereo
-    channel assignments and non-16-bit depths raise — the honest
-    boundary of this from-scratch subset."""
+    escapes, wasted bits), undoes all four stereo channel
+    assignments — independent L/R, left/side, right/side, mid/side
+    (side channels at bps+1 bits, RFC 9639 §9.1.3; mid/side restores
+    the dropped LSB from the side parity) — and checks CRC-8
+    (header) + CRC-16 (frame). >2 channels and depths outside
+    {8, 16, 24} raise — the honest boundary of this from-scratch
+    subset. ``return_layout=True`` appends the decoded channel
+    assignment name ('mono'/'lr'/'ls'/'rs'/'ms'), which the l9q
+    oracle certifies per fixture rotation."""
     if data[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4
     rate = None
     n_total = None
+    channels = bps = None
     while True:
         if pos + 4 > len(data):
             raise ValueError("truncated metadata")
@@ -307,10 +425,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             channels = br.r(3) + 1
             bps = br.r(5) + 1
             n_total = br.r(36)
-            if channels != 1 or bps != 16:
+            if channels not in (1, 2) or bps not in (8, 16, 24):
                 raise ValueError(
                     f"unsupported FLAC layout ({channels} ch, {bps}-bit; "
-                    "this decoder is 16-bit mono)"
+                    "this decoder is mono/stereo at 8/16/24-bit)"
                 )
         pos += 4 + blen
         if last:
@@ -318,8 +436,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
     if rate is None:
         raise ValueError("missing STREAMINFO")
 
-    samples: list[int] = []
-    while pos < len(data) and len(samples) < (n_total or 1 << 62):
+    frames: list[np.ndarray] = []
+    n_frames = 0
+    layout = None
+    while pos < len(data) and n_frames < (n_total or 1 << 62):
         frame_start = pos
         br = _BR(data, pos)
         sync = br.r(14)
@@ -332,10 +452,25 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         chan = br.r(4)
         ss_code = br.r(3)
         br.r(1)
-        if chan != 0:
-            raise ValueError("unsupported channel assignment (mono only)")
-        if ss_code != 0b100:
-            raise ValueError("unsupported sample size (16-bit only)")
+        if chan not in _CHAN_NAMES:
+            raise ValueError(
+                f"unsupported channel assignment {chan} (mono/stereo only)"
+            )
+        nch = 1 if chan == 0 else 2
+        if nch != channels:
+            raise ValueError(
+                f"frame channel count {nch} != STREAMINFO {channels}"
+            )
+        if layout is None:
+            layout = _CHAN_NAMES[chan]
+        if ss_code == 0b000:
+            frame_bps = bps  # from STREAMINFO
+        elif ss_code in _SS_BITS:
+            frame_bps = _SS_BITS[ss_code]
+            if frame_bps != bps:
+                raise ValueError("frame sample size != STREAMINFO")
+        else:
+            raise ValueError(f"unsupported sample size code {ss_code:03b}")
         _read_utf8_number(br)
         if bs_code == 0b0110:
             bs = br.r(8) + 1
@@ -357,58 +492,57 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
             raise ValueError("invalid sample rate code")
         br.align()
         hdr_end = br.p
+        if hdr_end >= len(data):
+            raise ValueError("truncated frame header")
         want_crc8 = data[hdr_end]
         if _crc8(data[frame_start:hdr_end]) != want_crc8:
             raise ValueError("frame header CRC-8 mismatch")
         br = _BR(data, hdr_end + 1)
 
-        # --- one mono subframe -------------------------------------------
-        if br.r(1) != 0:
-            raise ValueError("bad subframe padding bit")
-        stype = br.r(6)
-        wasted = 0
-        if br.r(1):  # wasted-bits flag: unary count - 1
-            wasted = br.unary() + 1
-        eff = 16 - wasted
-        if stype == 0b000000:
-            blk = np.full(bs, br.rs(eff), dtype=np.int64)
-        elif stype == 0b000001:
-            blk = np.array([br.rs(eff) for _ in range(bs)], dtype=np.int64)
-        elif (stype >> 3) == 0b001 and (stype & 7) <= 4:
-            order = stype & 7
-            blk = _decode_predicted(
-                br, bs, order, eff, _FIXED_COEFS[order], shift=0, lpc=False
-            )
-        elif stype & 0b100000:
-            order = (stype & 0x1F) + 1
-            warm = [br.rs(eff) for _ in range(order)]
-            prec = br.r(4) + 1
-            if prec == 16:
-                raise ValueError("invalid LPC precision escape")
-            shift = br.rs(5)
-            if shift < 0:
-                raise ValueError("negative LPC shift")
-            coefs = [br.rs(prec) for _ in range(order)]
-            blk = _decode_predicted(
-                br, bs, order, eff, coefs, shift=shift, lpc=True, warm=warm
-            )
+        # --- subframes (side channels carry one extra bit) ---------------
+        if chan == 0b0000:
+            out_blk = _read_subframe(br, bs, frame_bps)
         else:
-            raise ValueError(f"reserved subframe type {stype:06b}")
-        if wasted:
-            blk = blk << wasted
+            eff0 = frame_bps + (1 if chan == 0b1001 else 0)
+            eff1 = frame_bps + (1 if chan in (0b1000, 0b1010) else 0)
+            c0 = _read_subframe(br, bs, eff0)
+            c1 = _read_subframe(br, bs, eff1)
+            if chan == 0b0001:  # independent L/R
+                left, right = c0, c1
+            elif chan == 0b1000:  # left/side
+                left, right = c0, c0 - c1
+            elif chan == 0b1001:  # side/right
+                left, right = c1 + c0, c1
+            else:  # mid/side: restore the dropped LSB from side parity
+                mid2 = (c0 << 1) | (c1 & 1)
+                left, right = (mid2 + c1) >> 1, (mid2 - c1) >> 1
+            out_blk = np.stack([left, right], axis=1)
         br.align()
+        if br.p + 2 > len(data):
+            raise ValueError("truncated frame CRC")
         want_crc16 = struct.unpack(">H", data[br.p : br.p + 2])[0]
         if _crc16(data[frame_start : br.p]) != want_crc16:
             raise ValueError("frame CRC-16 mismatch")
         pos = br.p + 2
-        samples.extend(int(v) for v in blk)
+        frames.append(out_blk)
+        n_frames += out_blk.shape[0]
 
-    if n_total and len(samples) > n_total:
-        samples = samples[:n_total]
-    arr = np.array(samples, dtype=np.int64)
-    if arr.size and (arr.max() > 32767 or arr.min() < -32768):
-        raise ValueError("decoded samples exceed 16-bit range (corrupt stream)")
-    return arr.astype(np.int16), rate
+    if not frames:
+        raise ValueError("no audio frames")
+    arr = np.concatenate(frames, axis=0)
+    if n_total and arr.shape[0] > n_total:
+        arr = arr[:n_total]
+    lim = 1 << (bps - 1)
+    if arr.size and (arr.max() >= lim or arr.min() < -lim):
+        raise ValueError(
+            f"decoded samples exceed {bps}-bit range (corrupt stream)"
+        )
+    arr = arr.astype(np.int16 if bps <= 16 else np.int32)
+    if channels == 1:
+        arr = arr.reshape(-1)
+    if return_layout:
+        return arr, rate, layout
+    return arr, rate
 
 
 def _decode_predicted(br, bs, order, eff, coefs, *, shift, lpc, warm=None):
@@ -461,9 +595,17 @@ def _decode_predicted(br, bs, order, eff, coefs, *, shift, lpc, warm=None):
     oracle=(
         "SELECT doc_id, 'audio/flac' AS mime, 1 AS ok, "
         "CAST(800 + (doc_id % 7) * 160 AS BIGINT) AS n_samples, "
+        "CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END AS INT) AS n_channels, "
+        "CASE WHEN doc_id % 2 = 1 THEN 'mono' "
+        "WHEN (doc_id // 2) % 4 = 0 THEN 'lr' "
+        "WHEN (doc_id // 2) % 4 = 1 THEN 'ls' "
+        "WHEN (doc_id // 2) % 4 = 2 THEN 'rs' "
+        "ELSE 'ms' END AS layout, "
+        "CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS INT) AS bits, "
         "8000 AS sample_rate, "
         "CAST((800 + (doc_id % 7) * 160) / 8000.0 AS DOUBLE) AS duration_s, "
-        "CAST(500 + (doc_id % 50) * 100 AS DOUBLE) AS rms "
+        "CAST((500 + (doc_id % 50) * 100) * "
+        "(CASE WHEN doc_id % 3 = 0 THEN 256 ELSE 1 END) AS DOUBLE) AS rms "
         "FROM documents WHERE doc_id % 11 = 7 ORDER BY doc_id"
     ),
     tags=("L9", "multimodal", "U5"),
@@ -473,29 +615,43 @@ def l9q_real_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (Rice-coded fixed-prediction residuals, CRC-verified
     frames) built by the from-scratch encoder, shipped through the
     binary column, decoded by the from-scratch spec decoder, reduced
-    to audio features. Square-wave fixtures (amplitude A alternating
-    ±A) make every feature closed-form: RMS = A exactly (mean square
-    is A² in exact integer arithmetic, sqrt of a perfect square of a
-    small integer is exact in float64), so the oracle hash-certifies
-    the whole Rice→prediction→samples path. Losslessness itself
-    (bit-exact round-trips on sines/noise/edge amplitudes), CRC
-    corruption detection, LPC/escape/5-bit-Rice decode paths, and
+    to audio features. The fixture rotates the full round-11 layout
+    family: mono (odd ids) vs stereo (even ids, right = -left) with
+    the decorrelation mode cycling lr/ls/rs/ms by (doc_id//2)%4, at
+    16-bit (24-bit when doc_id%3=0, amplitude scaled x256). Square
+    waves (amplitude A alternating ±A per channel) keep every feature
+    closed-form: RMS = A exactly in every mode (mean square is A² in
+    exact integer arithmetic; mid/side sees mid=0, side=±2A and must
+    reconstruct ±A), and the LAYOUT column comes from the decoded
+    frame header — so the oracle hash-certifies the Rice→prediction→
+    decorrelation→samples path for all four channel assignments and
+    both depths every driver run. Losslessness itself (bit-exact
+    round-trips on sines/noise/edge amplitudes, all modes x depths),
+    CRC corruption detection, LPC/escape/5-bit-Rice decode paths, and
     truncation guards are pinned in tests/test_media_flac.py."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
 
+        modes = ["lr", "ls", "rs", "ms"]
         for pdf in batches:
             payloads = []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 n = 800 + (d % 7) * 160
-                amp = 500 + (d % 50) * 100
+                bps = 24 if d % 3 == 0 else 16
+                amp = (500 + (d % 50) * 100) * (256 if bps == 24 else 1)
                 wave = _np.where(_np.arange(n) % 2 == 0, amp, -amp).astype(
-                    _np.int16
+                    _np.int64
                 )
-                payloads.append(encode_flac(wave, 8000))
+                if d % 2 == 1:
+                    payloads.append(encode_flac(wave, 8000, bps=bps))
+                else:
+                    sig = _np.stack([wave, -wave], axis=1)
+                    payloads.append(
+                        encode_flac(sig, 8000, bps=bps, mode=modes[(d // 2) % 4])
+                    )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -505,15 +661,19 @@ def l9q_real_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         def one(doc_id, payload):
             base = {
                 "doc_id": doc_id, "mime": "audio/flac", "ok": 1,
-                "n_samples": None, "sample_rate": None,
+                "n_samples": None, "n_channels": None, "layout": None,
+                "bits": None, "sample_rate": None,
                 "duration_s": None, "rms": None,
             }
             try:
-                x, rate = decode_flac(bytes(payload))
+                x, rate, layout = decode_flac(bytes(payload), return_layout=True)
+                nch = 1 if x.ndim == 1 else x.shape[1]
                 ms = float(_np.mean(x.astype(_np.float64) ** 2))
                 base.update(
-                    n_samples=int(x.size), sample_rate=rate,
-                    duration_s=x.size / rate,
+                    n_samples=int(x.shape[0]), n_channels=nch, layout=layout,
+                    bits=16 if x.dtype == _np.int16 else 24,
+                    sample_rate=rate,
+                    duration_s=x.shape[0] / rate,
                     rms=float(_np.sqrt(ms)),
                 )
             except Exception:
@@ -531,6 +691,7 @@ def l9q_real_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         kernel,
         schema=(
             "doc_id BIGINT, mime STRING, ok INT, n_samples BIGINT, "
+            "n_channels INT, layout STRING, bits INT, "
             "sample_rate INT, duration_s DOUBLE, rms DOUBLE"
         ),
     )

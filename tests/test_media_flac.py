@@ -170,8 +170,10 @@ def test_five_bit_rice_method_decodes():
     _hand_frame(b, 3, [1, -1, 2])
 
 
-def test_stereo_rejected():
-    """The honest boundary: a STREAMINFO declaring stereo raises."""
+def test_streaminfo_frame_channel_mismatch_rejected():
+    """A STREAMINFO declaring stereo over mono frames is corrupt and
+    must raise (round 11: stereo itself now decodes — the guard moved
+    from the STREAMINFO parse to the per-frame consistency check)."""
     sig = np.arange(100, dtype=np.int16)
     data = bytearray(encode_flac(sig, 8000))
     # STREAMINFO bit layout: sizes(32) + frame sizes(48) = 80 bits,
@@ -188,8 +190,106 @@ def test_l9q_query_matches_closed_form(spark, sf_dir):
 
     rows = l9q_real_flac_decode(spark, sf_dir).collect()
     assert rows, "fixture slice must not be empty"
+    modes = ["lr", "ls", "rs", "ms"]
     for r in rows:
         d = r.doc_id
         assert r.ok == 1 and r.sample_rate == 8000
         assert r.n_samples == 800 + (d % 7) * 160
-        assert r.rms == float(500 + (d % 50) * 100)
+        scale = 256 if d % 3 == 0 else 1
+        assert r.rms == float((500 + (d % 50) * 100) * scale)
+        assert r.bits == (24 if d % 3 == 0 else 16)
+        if d % 2 == 1:
+            assert r.n_channels == 1 and r.layout == "mono"
+        else:
+            assert r.n_channels == 2
+            assert r.layout == modes[(d // 2) % 4]
+    assert {r.layout for r in rows} == {"mono", "lr", "ls", "rs", "ms"}
+    assert {r.bits for r in rows} == {16, 24}
+
+
+# ---------------------------------------------------------------------------
+# Round 11: stereo decorrelation + 8/24-bit depths (VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["lr", "ls", "rs", "ms"])
+@pytest.mark.parametrize("bps", [8, 16, 24])
+def test_stereo_roundtrip_bit_exact(mode, bps):
+    """Every decorrelation mode x depth round-trips arbitrary stereo
+    signals bit-exactly, including the mid/side dropped-LSB path
+    (odd left+right sums) and the side channel's bps+1 width at the
+    amplitude extremes."""
+    rng = np.random.RandomState(bps * 101 + len(mode))
+    lim = 1 << (bps - 1)
+    n = 700
+    cases = [
+        rng.randint(-lim, lim, (n, 2)).astype(np.int64),
+        # extreme amplitudes: side = left - right spans ±(2^bps - 1)
+        np.stack(
+            [np.full(n, lim - 1, np.int64), np.full(n, -lim, np.int64)], axis=1
+        ),
+        # odd sums exercise the mid/side LSB restoration every sample
+        np.stack(
+            [np.arange(n, dtype=np.int64) % lim,
+             (np.arange(n, dtype=np.int64) + 1) % lim], axis=1
+        ),
+    ]
+    for sig in cases:
+        data = encode_flac(sig, 8000, block_size=256, bps=bps, mode=mode)
+        got, rate, layout = decode_flac(data, return_layout=True)
+        assert layout == mode and rate == 8000
+        assert got.shape == sig.shape
+        np.testing.assert_array_equal(got.astype(np.int64), sig)
+
+
+def test_mono_depths_roundtrip():
+    """8- and 24-bit mono round-trips (16-bit is the legacy suite)."""
+    for bps in (8, 24):
+        lim = 1 << (bps - 1)
+        sig = np.clip(
+            np.cumsum(np.random.RandomState(bps).randint(-9, 10, 1500)),
+            -lim, lim - 1,
+        ).astype(np.int64)
+        got, rate = decode_flac(encode_flac(sig, 16000, bps=bps))
+        np.testing.assert_array_equal(got.astype(np.int64), sig)
+        assert got.dtype == (np.int16 if bps <= 16 else np.int32)
+
+
+def test_stereo_mode_bitstreams_differ_but_agree():
+    """The four modes produce four DIFFERENT bitstreams of the same
+    signal (the decorrelation is real, not a relabel) that all decode
+    to the same samples."""
+    rng = np.random.RandomState(77)
+    sig = np.cumsum(rng.randint(-20, 21, (900, 2)), axis=0).astype(np.int64)
+    streams = {
+        m: encode_flac(sig, 8000, bps=16, mode=m) for m in ("lr", "ls", "rs", "ms")
+    }
+    assert len({bytes(s) for s in streams.values()}) == 4
+    for m, data in streams.items():
+        got, _, layout = decode_flac(data, return_layout=True)
+        assert layout == m
+        np.testing.assert_array_equal(got.astype(np.int64), sig)
+
+
+def test_correlated_stereo_compresses_with_side_coding():
+    """The point of decorrelation: for strongly-correlated channels
+    (right = left + small noise) the left/side stream is smaller than
+    independent L/R."""
+    rng = np.random.RandomState(5)
+    left = np.cumsum(rng.randint(-30, 31, 4000)).astype(np.int64)
+    left = np.clip(left, -30000, 30000)
+    right = left + rng.randint(-3, 4, 4000)
+    sig = np.stack([left, np.clip(right, -32768, 32767)], axis=1)
+    assert len(encode_flac(sig, 8000, mode="ls")) < len(
+        encode_flac(sig, 8000, mode="lr")
+    )
+
+
+def test_bad_bps_and_bad_mode_raise():
+    sig = np.zeros((10, 2), np.int64)
+    with pytest.raises(ValueError, match="bits per sample"):
+        encode_flac(sig, 8000, bps=12)
+    with pytest.raises(ValueError, match="stereo mode"):
+        encode_flac(sig, 8000, mode="xy")
+    with pytest.raises(ValueError, match="range"):
+        encode_flac(np.full(10, 200, np.int64), 8000, bps=8)
