@@ -138,13 +138,24 @@ def html_to_text(html: str) -> str:
 #: mirrors (see _L70_ORACLE)
 _L70_PARA_WORDS = 12
 
+#: the builder's word separator — exactly the whitespace class
+#: html_to_text normalizes ([ \t\r\f\x0B] within lines + \n between),
+#: mirrored verbatim in the oracle's regexp_split_to_array
+_WS_RE = re.compile(r"[ \t\r\n\f\x0b]+")
+
 _L70_ORACLE = (
     # the template is a pure function of documents.text, so the
     # expected extraction recomputes from the SOURCE: words grouped
     # into 12-word paragraphs, single-spaced, joined by \n.
     # (generate_subscripts instead of WITH ORDINALITY — DuckDB has no
     # ordinality on FROM-clause unnest)
-    "WITH src AS (SELECT doc_id, string_split(text, ' ') AS ws "
+    # The split class is EXACTLY the whitespace the extractor
+    # normalizes — [ \t\r\n\f\x0B] — matching the builder's re.split,
+    # so a source word containing a tab/CR/FF cannot make the kernel
+    # and oracle diverge (ADVICE r10 #4); \x0B not \v per the l34
+    # RE2-class rule.
+    "WITH src AS (SELECT doc_id, "
+    "regexp_split_to_array(text, '[ \\t\\r\\n\\f\\x0B]+') AS ws "
     "FROM documents WHERE doc_id % 13 = 4 AND text IS NOT NULL "
     "AND length(text) > 0), "
     "w AS (SELECT doc_id, unnest(ws) AS w, "
@@ -187,7 +198,10 @@ def l70_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def page(doc_id: int, text: str) -> str:
-            words = [w for w in text.split(" ") if w]
+            # split on the SAME explicit whitespace class the
+            # extractor normalizes (ADVICE r10 #4) — not str.split(),
+            # whose Unicode class is wider than the extractor's
+            words = [w for w in _WS_RE.split(text) if w]
             paras = [
                 " ".join(words[k : k + _L70_PARA_WORDS])
                 for k in range(0, len(words), _L70_PARA_WORDS)
@@ -212,7 +226,7 @@ def l70_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples():
-                if not any(w for w in (r.text or "").split(" ")):
+                if not any(w for w in _WS_RE.split(r.text or "")):
                     # all-whitespace text builds an empty page; the
                     # oracle's word CTE yields no row for it — skip to
                     # keep row sets identical (the l71 convention)

@@ -34,8 +34,20 @@ def get_spark(app_name: str = "ipydataclean-spark", cpus: int | str | None = Non
     # worker inherits it; Spark-level task parallelism already uses
     # all cores, so per-task BLAS threading is pure oversubscription
     # anyway. On a real cluster, ship the same via
-    # spark.executorEnv.OPENBLAS_NUM_THREADS=1.
-    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    # spark.executorEnv.OPENBLAS_NUM_THREADS=1. FORCED, not
+    # setdefault (ADVICE r10 #5): a user environment exporting a
+    # multi-threaded value would silently re-introduce the documented
+    # fork crash — warn and override.
+    preset = os.environ.get("OPENBLAS_NUM_THREADS")
+    if preset not in (None, "1"):
+        import warnings
+
+        warnings.warn(
+            f"OPENBLAS_NUM_THREADS={preset} overridden to 1: forked "
+            "pyspark workers crash inside multi-threaded OpenBLAS",
+            stacklevel=2,
+        )
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -97,3 +97,45 @@ def test_l70_l71_plan_gates(spark, sf_dir):
         assert not has_python_eval(df), name
         assert count_op(df, "CartesianProduct") == 0, name
         assert n_parquet_scans(df) == 1, name
+
+
+def test_nonspace_whitespace_in_source_words(spark, sf_dir):
+    """ADVICE r10 #4: a source word containing tab/CR/FF/VT must not
+    diverge the kernel from the oracle — builder and oracle now split
+    on the extractor's exact whitespace class. Reproduce the failure
+    shape directly: build a page from text with embedded \\t \\r \\f
+    \\x0b \\n and assert the extraction equals the class-split words
+    regrouped into paragraphs (what the oracle computes)."""
+    import duckdb
+
+    from ipydataclean_spark.operators.html_extract import (
+        _L70_PARA_WORDS,
+        _WS_RE,
+        html_to_text,
+    )
+
+    text = "alpha\tbeta gamma\rdelta\fepsilon\x0bzeta\neta " + " ".join(
+        f"w{i}" for i in range(20)
+    )
+    words = [w for w in _WS_RE.split(text) if w]
+    expect = "\n".join(
+        " ".join(words[k : k + _L70_PARA_WORDS])
+        for k in range(0, len(words), _L70_PARA_WORDS)
+    )
+    # the builder's page() is a closure; reproduce its template inline
+    # via the registered query over a 1-row DataFrame would be heavy —
+    # instead assert the two halves separately: (1) the oracle's RE2
+    # class splits identically to the builder's, (2) the extractor
+    # returns exactly the regrouped words for a built page.
+    duck_words = duckdb.sql(
+        "SELECT unnest(regexp_split_to_array(?, '[ \\t\\r\\n\\f\\x0B]+'))",
+        params=[text],
+    ).fetchall()
+    assert [w for (w,) in duck_words if w] == words
+    paras = [
+        " ".join(words[k : k + _L70_PARA_WORDS])
+        for k in range(0, len(words), _L70_PARA_WORDS)
+    ]
+    body = "\n".join(f"  <p>{p}</p>" for p in paras)
+    page = f"<html><head><title>t</title></head><body><article>\n{body}\n</article></body></html>"
+    assert html_to_text(page) == expect
