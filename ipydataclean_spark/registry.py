@@ -56,6 +56,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.media_flac",
     "ipydataclean_spark.operators.html_extract",
     "ipydataclean_spark.operators.instruct_qa",
+    "ipydataclean_spark.operators.encoding_qa",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -404,6 +405,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # re-queued: the l70 fixture/oracle whitespace-class alignment
     # (ADVICE r10 #4)
     "l70_html_extract",
+    # round-11 addition: encoding QA (mojibake detect + repair,
+    # VERDICT r10 #4), closed-form oracle
+    "l72_encoding_qa",
 )
 
 #: Rows-only priority: the round-11 touched rows-only set, scale
