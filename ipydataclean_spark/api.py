@@ -181,10 +181,14 @@ class DataCleaner:
         # common non-date-like value (measured 17 -> 5 s on the sf0.1
         # string columns)
         date_like = col.rlike("^[0-9]")
+        from ipydataclean_spark.operators.encoding_qa import mojibake_repair
+
+        moji_flag, _ = mojibake_repair(col)
         return [
             F.sum(
                 (col.isNotNull() & F.expr(f"TRY_CAST({c} AS DOUBLE)").isNull()).cast("long")
             ).alias(f"{c}__mismatch"),
+            F.sum(moji_flag.cast("long")).alias(f"{c}__mojibake"),
             F.sum(
                 F.when(
                     date_like,
@@ -218,6 +222,12 @@ class DataCleaner:
         n_unit = counters.get(f"{c}__unit") or 0
         n_mismatch = counters.get(f"{c}__mismatch") or 0
         n_variants = counters.get(f"{c}__variants") or 0
+        n_moji = counters.get(f"{c}__mojibake") or 0
+        if n_moji:
+            # encoding damage is orthogonal to content problems (a
+            # column can be mojibake AND pii) and its repair must run
+            # before any text interpretation — see autofix ordering
+            out.append((c, "mojibake", int(n_moji)))
         if n_pii:
             out.append((c, "pii", int(n_pii)))
         if n_date / non_null >= 0.8:
@@ -281,6 +291,7 @@ class DataCleaner:
         "dates": ("parse_dates", "drop_rows"),
         "units": ("standardize_units", "drop_rows"),
         "pii": ("redact",),
+        "mojibake": ("repair_mojibake",),
         "variants": ("standardize_values",),
         "duplicates": ("dedup",),
     }
@@ -309,7 +320,10 @@ class DataCleaner:
         # converters first, fillers second, outlier handling last —
         # the flagship's C9-then-C2 pipeline order: converting AFTER
         # filling would re-introduce NULLs for unparseable values
-        order = {"string_mismatch": 0, "dates": 0, "units": 0,
+        # mojibake repair FIRST: converters/date-parsers/variant
+        # clustering must see repaired text, never the Latin-1 bytes
+        order = {"mojibake": -1,
+                 "string_mismatch": 0, "dates": 0, "units": 0,
                  "variants": 0, "pii": 1, "missing": 2, "outliers": 3,
                  # dedup LAST: normalization upstream merges more dups
                  "duplicates": 4}
@@ -395,6 +409,8 @@ class DataCleaner:
             )
         elif fix == "standardize_values":
             self.recipe.standardize_values(column, params.get("out"))
+        elif fix == "repair_mojibake":
+            self.recipe.repair_mojibake(column, params.get("out"))
         elif fix == "dedup":
             # table-level fix (column is "*"): exact full-row dedup by
             # default; pass keys/order_col for keyed keep-first

@@ -60,6 +60,56 @@ def mojibake_repair(col: Column) -> tuple[Column, Column]:
     return flagged, repaired
 
 
+def repair_mojibake(df: DataFrame, col: str, out: str | None = None) -> DataFrame:
+    """The widget-loop fix: repair double-encoded values of ``col``
+    in place (or into ``out``), leaving clean values untouched — the
+    DataFrame form of ``mojibake_repair`` the recipe step and
+    ``DataCleaner.apply_fix`` route to."""
+    _, repaired = mojibake_repair(F.col(col))
+    return df.withColumn(out or col, repaired)
+
+
+#: strict UTF-8 validity over Latin-1 code points, as ONE RE2 class
+#: alternation (public form of the Unicode table: overlongs, CESU
+#: surrogates, and >U+10FFFF excluded — matching Spark's
+#: is_valid_utf8). Chars above U+00FF fail every class, so the
+#: anchored match doubles as the Latin-1 gate. Kept in one place so
+#: the recipe SQL twin can't drift from the detector (the exact.py
+#: one-definition rule).
+_MOJIBAKE_STRICT_RE = (
+    r"^(?:[\x00-\x7F]"
+    r"|[\xc2-\xdf][\x80-\xbf]"
+    r"|\xe0[\xa0-\xbf][\x80-\xbf]"
+    r"|[\xe1-\xec\xee\xef][\x80-\xbf]{2}"
+    r"|\xed[\x80-\x9f][\x80-\xbf]"
+    r"|\xf0[\x90-\xbf][\x80-\xbf]{2}"
+    r"|[\xf1-\xf3][\x80-\xbf]{3}"
+    r"|\xf4[\x80-\x8f][\x80-\xbf]{2})*$"
+)
+
+
+def mojibake_flag_sql(expr: str) -> str:
+    """DuckDB twin of ``mojibake_repair``'s flag: Latin-1 bytes form
+    strictly-valid UTF-8 AND at least one byte is multibyte content.
+    NULL-safe (NULL text -> NULL, like the Spark side)."""
+    return (
+        f"(regexp_matches({expr}, '{_MOJIBAKE_STRICT_RE}') "
+        f"AND regexp_matches({expr}, '[\\x80-\\xff]'))"
+    )
+
+
+def mojibake_repair_sql(expr: str) -> str:
+    """DuckDB twin of the repair: re-read the text's code points as
+    bytes (codepoint==byte under the Latin-1 gate) and UTF-8-decode
+    them — guarded by the flag (decode of valid-by-regex bytes cannot
+    fail; the CASE keeps it off the clean branch)."""
+    repair = (
+        "decode(unhex(array_to_string(list_transform("
+        f"string_split({expr}, ''), x -> printf('%02x', unicode(x))), '')))"
+    )
+    return f"CASE WHEN {mojibake_flag_sql(expr)} THEN {repair} ELSE {expr} END"
+
+
 #: deterministic non-ASCII decorations, keyed by (doc_id // 2) % 4 —
 #: 2-byte (é, ö), 3-byte (CJK, —), and 4-byte (emoji) UTF-8 widths so
 #: the repair is certified across every multibyte length. Mirrored

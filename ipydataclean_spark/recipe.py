@@ -320,6 +320,32 @@ class Recipe:
             out=out,
         )
 
+    def repair_mojibake(self, col: str, out: str | None = None) -> "Recipe":
+        """L72 as a widget fix: repair UTF-8-as-Latin-1 double
+        encoding in ``col`` (clean values untouched — see
+        operators.encoding_qa). The SQL twin re-reads code points as
+        bytes behind the one-definition strict-validity regex, so the
+        export reproduces the repair on any DuckDB-dialect warehouse."""
+        from ipydataclean_spark.operators.encoding_qa import (
+            mojibake_repair_sql,
+            repair_mojibake,
+        )
+
+        tgt = out or col
+        return self.add(
+            "repair_mojibake",
+            lambda df: repair_mojibake(df, col, out),
+            "from ipydataclean_spark.operators.encoding_qa import repair_mojibake\n"
+            f"df = repair_mojibake(df, {col!r}, {out!r})",
+            sql=lambda p, ex: (
+                f"SELECT * REPLACE ({mojibake_repair_sql(col)} AS {tgt}) FROM {p}"
+                if ex
+                else f"SELECT *, {mojibake_repair_sql(col)} AS {tgt} FROM {p}"
+            ),
+            col=col,
+            out=out,
+        )
+
     def standardize_values(self, col: str, out: str | None = None) -> "Recipe":
         """OpenRefine-style bulk value standardization (c34/c35): every
         raw variant of ``col`` is replaced by its fingerprint cluster's

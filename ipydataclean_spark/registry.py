@@ -225,7 +225,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # the star method in round 7 AFTER its green row — re-queued.
     "q28_association_rules", "q31_trending_parts", "x1_expectations",
     "x3_quarantine", "l8b_bm25_search", "l2e_fuzzy_match_join",
-    "autofix_pipeline", "w11_gap_islands", "w12_merge_intervals",
+    # autofix_pipeline (r6-green, r10 re-proved) left this set in
+    # round 11: problems()/_string_problem_exprs gained the mojibake
+    # counter + classification and autofix gained the repair ordering
+    # (changed bodies in its call chain) — re-queued per the rule
+    "w11_gap_islands", "w12_merge_intervals",
     "s9_orc_roundtrip", "s10_json_corrupt_records", "s11_schema_evolution",
     "r8b_range_join_bucketed", "c34_value_cluster", "c35_standardize_values",
     "c36_canonicalize_urls", "c37_regression_impute",
@@ -408,6 +412,10 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # round-11 addition: encoding QA (mojibake detect + repair,
     # VERDICT r10 #4), closed-form oracle
     "l72_encoding_qa",
+    # re-queued: the widget loop gained the mojibake problem kind
+    # (problems() counter, FIX_MENU, autofix ordering — changed
+    # bodies in autofix_pipeline's call chain)
+    "autofix_pipeline",
 )
 
 #: Rows-only priority: the round-11 touched rows-only set, scale

@@ -91,3 +91,48 @@ def test_l72_plan_is_pure_jvm(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "PythonUDF" not in plan
+
+
+def test_widget_loop_detects_and_repairs_mojibake(spark):
+    """The reference's core loop, extended: problems() surfaces
+    'mojibake' on a damaged string column, autofix routes to
+    repair_mojibake FIRST (before any text interpretation), and the
+    recipe's SQL export reproduces the repair value-for-value in
+    DuckDB (the recipe_sql_export contract for the new step)."""
+    import duckdb
+
+    from ipydataclean_spark.api import DataCleaner
+
+    originals = ["café au lait", "naïve — déjà", "你好", "plain", "x1 y", "señor"]
+    dirty = [
+        (i, o.encode("utf-8").decode("latin-1") if i % 2 == 0 else o)
+        for i, o in enumerate(originals)
+    ]
+    df = spark.createDataFrame(dirty, "id long, note string")
+    dc = DataCleaner(df)
+    probs = dc.problems()
+    assert ("note", "mojibake", 2) in probs  # ids 0 and 2 damaged non-ascii
+    applied = dc.autofix(cols=["note"])
+    fixes = [(a["problem"], a["fix"]) for a in applied]
+    assert ("mojibake", "repair_mojibake") in fixes
+    assert fixes.index(("mojibake", "repair_mojibake")) == 0
+    got = {r.id: r.note for r in dc.df.collect()}
+    assert got[0] == "café au lait" and got[2] == "你好"
+    assert got[3] == "plain" and got[5] == "señor"
+
+    # NULL passthrough of the standalone fix (autofix would also
+    # mode-fill the null via the separate 'missing' problem)
+    from ipydataclean_spark.operators.encoding_qa import repair_mojibake
+
+    ndf = spark.createDataFrame([(None,)], "note string")
+    assert repair_mojibake(ndf, "note").first().note is None
+
+    # SQL export twin: run the generated SQL in DuckDB over the same
+    # dirty rows and compare the repaired column value-for-value
+    sql = dc.recipe.to_sql("src")
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src(id BIGINT, note VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", dirty)
+    duck = {r[0]: r[1] for r in con.execute(
+        f"SELECT id, note FROM ({sql})").fetchall()}
+    assert duck == got
