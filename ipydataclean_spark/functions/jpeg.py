@@ -955,9 +955,14 @@ def _decode_scan_entropy(
         elif kind == "dc_first":
             s = _huff_decode(br, c["_dt"])
             preds[id(c)] += _extend(br.read_bits(s), s)
-            if abs(preds[id(c)]) > (1 << 20):
-                raise ValueError("DC predictor out of range (corrupt stream)")
-            blk[0] = preds[id(c)] << al
+            v = preds[id(c)] << al
+            # bound the SHIFTED value (what the int32 grid stores):
+            # Al<=13 times a hostile predictor would overflow int32
+            # with an OverflowError instead of the poison-pill
+            # ValueError (round-11 self-review #4)
+            if abs(v) > (1 << 27):
+                raise ValueError("DC coefficient out of range (corrupt stream)")
+            blk[0] = v
         elif kind == "dc_refine":
             if br.read_bit():
                 blk[0] = int(blk[0]) | (1 << al)
@@ -1106,7 +1111,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             if not comps:
                 raise ValueError("SOS before SOF")
             ns = body[0]
-            if len(body) != 1 + 2 * ns + 3:
+            if ns == 0 or ns > 4 or len(body) != 1 + 2 * ns + 3:
                 raise ValueError("malformed SOS header")
             sel: list[dict] = []
             for i in range(ns):
@@ -1141,11 +1146,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 kind = "seq"
             if "coef" not in comps[0]:  # first scan: allocate grids
                 for c in comps:
-                    if c["tq"] not in qts:
-                        raise ValueError(f"missing quantization table {c['tq']}")
                     c["coef"] = np.zeros(
                         (mcuy * c["v"], mcux * c["h"], 64), np.int32
                     )
+            # latch each component's quantization table at its FIRST
+            # scan (T.81 only requires the table before the scan that
+            # uses it, and permits redefinition between scans — a
+            # later DQT must not re-dequantize earlier coefficients;
+            # round-11 self-review #2, the libjpeg latching rule)
+            for c in sel:
+                if "qtbl" not in c:
+                    if c["tq"] not in qts:
+                        raise ValueError(f"missing quantization table {c['tq']}")
+                    c["qtbl"] = qts[c["tq"]].copy()
             pos = _decode_scan_entropy(
                 data, pos, sel, huffs, kind=kind, ss=ss, se=se, al=al,
                 ri=ri, hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy, w=w, h=h,
@@ -1165,10 +1178,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             "(incomplete multi-scan file)"
         )
 
-    # batched dequant + IDCT per component
+    # batched dequant + IDCT per component (each with the table
+    # latched at its first scan — see the SOS branch)
     planes = []
     for c in comps:
-        coef = c["coef"].astype(np.float64) * qts[c["tq"]].astype(np.float64)
+        coef = c["coef"].astype(np.float64) * c["qtbl"].astype(np.float64)
         brows, bcols, _ = coef.shape
         F = np.zeros((brows, bcols, 8, 8))
         F[..., _ZZR, _ZZC] = coef

@@ -382,10 +382,12 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "inc7_incremental_embedding", "st15_embedding_ingest",
     # r10 rows-only tier (rows recorded, err=no_oracle by design;
     # semantics pinned by codec goldens / recompute pins per the
-    # VERDICT r10 coverage table). l9p_image_phash_pairs consumes
-    # decode_bmp + its own DCT basis (media_jpeg.py), NOT
-    # functions/jpeg.py — call-chain-verified untouched by round 11.
-    "l9p_image_phash_pairs", "l10c_published_token_count",
+    # VERDICT r10 coverage table). l9p_image_phash_pairs is NOT here:
+    # it avoids functions/jpeg.py but DOES consume
+    # dhash_neardup_pairs, whose banding body moved into band8 this
+    # round — re-queued with l9f/l9k (round-11 self-review #1; an
+    # earlier draft exempted it on the jpeg.py rationale alone).
+    "l10c_published_token_count",
     "l9m_avi_frame_dhash", "l10b_bpe_token_count", "l59_bpe_fertility",
 })
 
@@ -428,10 +430,12 @@ ROWS_ONLY_FIRST: tuple[str, ...] = (
     "st17_media_ingest",
     "inc8_incremental_media",
     # re-queued: l9o consumes decode_jpeg (changed body, see l9n);
-    # l9f/l9k's banding expression moved into the shared band8 helper
+    # l9f/l9k/l9p share dhash_neardup_pairs, whose banding expression
+    # moved into the band8 helper
     "l9o_mjpeg_frame_dhash",
     "l9f_image_dhash_pairs",
     "l9k_audio_fp_pairs",
+    "l9p_image_phash_pairs",
 )
 
 

@@ -821,6 +821,19 @@ def media_probe_banded(
     )
 
 
+def store_hashes_under_cap(store_df: DataFrame) -> list[int] | None:
+    """THE dispatch probe (one definition — round-11 self-review #6):
+    one bounded job (limit cap+1); returns the sorted distinct hashes
+    when the store fits MEDIA_STORE_CAP (they ARE the store — nothing
+    is fingerprinted twice), None when it doesn't. Reads the module
+    attr at call time so tests can shrink the cap."""
+    cap = MEDIA_STORE_CAP
+    head = store_df.select("dhash").limit(cap + 1).collect()
+    if len(head) <= cap:
+        return sorted({int(r.dhash) for r in head})
+    return None
+
+
 def media_probe_auto(
     spark, delta_docs: DataFrame, store_df: DataFrame, *, max_hamming: int = 7
 ) -> DataFrame:
@@ -831,17 +844,10 @@ def media_probe_auto(
     persisted table feeds the banded join (``media_probe_banded``) —
     no driver collect, no hard stop. The two strategies emit
     bit-identical rows (clamped min_hamming), pinned in
-    tests/test_media_handoff.py with a monkeypatched cap. The size
-    probe is one bounded job (limit cap+1): under the cap its rows
-    ARE the store, so nothing is fingerprinted twice."""
-    cap = MEDIA_STORE_CAP  # module attr read at call time (tests shrink it)
-    head = store_df.select("dhash").limit(cap + 1).collect()
-    if len(head) <= cap:
-        return media_probe_rows(
-            delta_docs,
-            sorted({int(r.dhash) for r in head}),
-            max_hamming=max_hamming,
-        )
+    tests/test_media_handoff.py with a monkeypatched cap."""
+    hashes = store_hashes_under_cap(store_df)
+    if hashes is not None:
+        return media_probe_rows(delta_docs, hashes, max_hamming=max_hamming)
     return media_probe_banded(delta_docs, store_df, max_hamming=max_hamming)
 
 
@@ -905,7 +911,10 @@ def run_media_ingest_banded(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # NO timeout: availableNow terminates on its own, and returning
+    # early would aggregate a durable sink mid-commit — a silently
+    # partial report (round-11 self-review #5)
+    q.awaitTermination()
     return media_report(spark.read.parquet(rows_path).drop("b"))
 
 
@@ -922,13 +931,12 @@ def media_ingest_stream_auto(
     within the cap -> the closure-probe stream plan (one stateful
     agg, complete-mode memory sink); past the cap -> the foreachBatch
     banded runner. Both return the drained per-status report, equal
-    to the batch twin's in either mode."""
-    cap = MEDIA_STORE_CAP
-    head = (
-        spark.read.parquet(store_path).select("dhash").limit(cap + 1).collect()
-    )
-    if len(head) <= cap:
-        agg = media_ingest_agg(stream_docs, sorted({int(r.dhash) for r in head}))
+    to the batch twin's in either mode. Dispatch shares
+    ``store_hashes_under_cap`` with ``media_probe_auto`` so the batch
+    and streaming legs can never disagree at the same store size."""
+    hashes = store_hashes_under_cap(spark.read.parquet(store_path))
+    if hashes is not None:
+        agg = media_ingest_agg(stream_docs, hashes)
         return run_available_now(agg, query_name, checkpoint_dir)
     return run_media_ingest_banded(
         spark, stream_docs, store_path, rows_path, checkpoint_dir

@@ -448,3 +448,68 @@ def test_progressive_decoder_fuzz_never_hangs():
             raised += 1
     assert ok + raised == 300
     assert raised > 0, "mutations never tripped a guard? fuzz is vacuous"
+
+
+def _segments(data):
+    """(marker, start, end) for every lengthed segment in the stream."""
+    out, pos = [], 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            break
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack_from(">H", data, pos + 2)[0]
+        out.append((marker, pos, pos + 2 + seglen))
+        if marker == 0xDA:  # entropy follows; stop segment walk
+            break
+        pos += 2 + seglen
+    return out
+
+
+def test_dqt_between_scans_accepted():
+    """Round-11 self-review #2a: T.81 only requires a quantization
+    table before the scan that USES it — move the chroma DQT from the
+    header to just before the second scan and decode must succeed,
+    identical to the unmodified stream."""
+    px = _gradient(8, 8)
+    data = encode_jpeg_multiscan(px, q=2)
+    segs = _segments(data)
+    dqts = [s for s in segs if s[0] == 0xDB]
+    assert len(dqts) == 2
+    _, d_start, d_end = dqts[1]
+    dqt1 = data[d_start:d_end]
+    stripped = data[:d_start] + data[d_end:]
+    # insert before the SECOND SOS of the stripped stream
+    sos2 = stripped.find(b"\xff\xda", stripped.find(b"\xff\xda") + 2)
+    assert sos2 > 0
+    moved = stripped[:sos2] + dqt1 + stripped[sos2:]
+    assert (decode_jpeg(moved) == decode_jpeg(data)).all()
+
+
+def test_dqt_redefinition_does_not_redequantize_prior_scans():
+    """Round-11 self-review #2b: a DQT redefining table 0 BETWEEN
+    scans must not change how scan 1's already-decoded coefficients
+    dequantize (the per-component latch; last-seen-table decoding
+    would silently corrupt pixels)."""
+    px = _gradient(16, 16, seed=3)
+    data = encode_jpeg_multiscan(px, q=2)
+    base = decode_jpeg(data)
+    # garbage table 0 (all 255) injected before the second SOS
+    evil = b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([255] * 64)
+    sos2 = data.find(b"\xff\xda", data.find(b"\xff\xda") + 2)
+    assert sos2 > 0
+    mutated = data[:sos2] + evil + data[sos2:]
+    assert (decode_jpeg(mutated) == base).all()
+
+
+def test_empty_sos_raises_valueerror():
+    """Round-11 self-review #3: ns=0 in SOS must be the poison-pill
+    ValueError, not an IndexError from sel[0]."""
+    good = encode_jpeg(np.full((8, 8, 3), 44, np.uint8), q=0)
+    sos_at = good.find(b"\xff\xda")
+    mutated = good[:sos_at] + b"\xff\xda" + struct.pack(">H", 6) + bytes(
+        [0, 0, 63, 0]
+    ) + good[sos_at:]
+    with pytest.raises(ValueError, match="malformed SOS"):
+        decode_jpeg(mutated)
