@@ -142,6 +142,53 @@ _L72_ORACLE = (
 )
 
 
+def encoding_qa_frame(docs: DataFrame) -> DataFrame:
+    """The shared l72/st18 stage: decorate (doc-id-keyed non-ASCII
+    suffixes), corrupt the md5-coin half (UTF-8 bytes re-read as
+    Latin-1 — never fails), then detect + repair. Stateless
+    projections only, so the streaming form's report aggregation is
+    the query's ONLY stateful operator (the st13 rule). Input needs
+    (doc_id, text [, ...passthrough cols]); adds __dirty, mojibake,
+    repaired."""
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.element_at(
+            F.lit(list(_L72_SUFFIXES)),
+            ((F.col("doc_id") / 2).cast("long") % 4 + 1).cast("int"),
+        ),
+    ).otherwise(F.lit(""))
+    decorated = F.concat(F.col("text"), suffix)
+    coin = (
+        exact.md5_prefix_int(F.concat(F.lit("l72:"), F.col("doc_id").cast("string")))
+        % 3
+        == 0
+    )
+    dirty = F.when(
+        coin, F.decode(F.encode(decorated, "UTF-8"), "ISO-8859-1")
+    ).otherwise(decorated)
+    out = docs.withColumn("__dirty", dirty)
+    flagged, repaired = mojibake_repair(F.col("__dirty"))
+    return out.withColumn("mojibake", flagged.cast("int")).withColumn(
+        "repaired", repaired
+    )
+
+
+def encoding_report(docs: DataFrame) -> DataFrame:
+    """ST18: the per-language encoding-QA ingest report — all-integer
+    columns, order-independent, so batch and replay agree exactly.
+    chars_repaired counts the byte-overhead removed by the repair
+    (mojibake length − repaired length), the operational measure of
+    encoding damage in the feed."""
+    d = encoding_qa_frame(docs)
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("mojibake").cast("long").alias("n_mojibake"),
+        F.sum(F.length("__dirty") - F.length("repaired"))
+        .cast("long")
+        .alias("chars_repaired"),
+    )
+
+
 @register("l72_encoding_qa", oracle=_L72_ORACLE, tags=("L72", "L7", "quality"))
 def l72_encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L72: encoding QA end-to-end — decorate the doc slice with
@@ -162,34 +209,14 @@ def l72_encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("doc_id") % 9 == 2) & F.col("text").isNotNull())
         .select("doc_id", "text")
     )
-    suffix = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.element_at(
-            F.lit(list(_L72_SUFFIXES)),
-            ((F.col("doc_id") / 2).cast("long") % 4 + 1).cast("int"),
-        ),
-    ).otherwise(F.lit(""))
-    decorated = F.concat(F.col("text"), suffix)
-    coin = (
-        exact.md5_prefix_int(F.concat(F.lit("l72:"), F.col("doc_id").cast("string")))
-        % 3
-        == 0
-    )
-    # the seeded corruption: UTF-8 bytes re-read as Latin-1 (never
-    # fails: every byte is a valid Latin-1 char)
-    dirty = F.when(
-        coin, F.decode(F.encode(decorated, "UTF-8"), "ISO-8859-1")
-    ).otherwise(decorated)
-    flagged, repaired = mojibake_repair(F.col("__dirty"))
-    return (
-        docs.withColumn("__dirty", dirty)
-        .select(
-            "doc_id",
-            flagged.cast("int").alias("mojibake"),
-            F.when(flagged, F.lit("repaired")).otherwise(F.lit("kept")).alias("action"),
-            F.length("__dirty").cast("long").alias("n_chars_in"),
-            F.length(repaired).cast("long").alias("n_chars_out"),
-            repaired.alias("repaired"),
-        )
-        .orderBy("doc_id")
-    )
+    d = encoding_qa_frame(docs)
+    return d.select(
+        "doc_id",
+        "mojibake",
+        F.when(F.col("mojibake") == 1, F.lit("repaired"))
+        .otherwise(F.lit("kept"))
+        .alias("action"),
+        F.length("__dirty").cast("long").alias("n_chars_in"),
+        F.length("repaired").cast("long").alias("n_chars_out"),
+        "repaired",
+    ).orderBy("doc_id")

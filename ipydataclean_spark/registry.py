@@ -411,9 +411,10 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # re-queued: the l70 fixture/oracle whitespace-class alignment
     # (ADVICE r10 #4)
     "l70_html_extract",
-    # round-11 addition: encoding QA (mojibake detect + repair,
-    # VERDICT r10 #4), closed-form oracle
+    # round-11 additions: encoding QA (mojibake detect + repair,
+    # VERDICT r10 #4), closed-form oracle; st18 = its streaming twin
     "l72_encoding_qa",
+    "st18_encoding_qa",
     # re-queued: the widget loop gained the mojibake problem kind
     # (problems() counter, FIX_MENU, autofix ordering — changed
     # bodies in autofix_pipeline's call chain)

@@ -721,3 +721,35 @@ def test_media_store_cap_fails_loud(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(stream_mod, "MEDIA_STORE_CAP", 3)
     with pytest.raises(ValueError, match="banded"):
         stream_mod.media_store_hashes(spark, sf_dir)
+
+
+def test_st18_encoding_qa_replay_equals_batch(spark, sf_dir):
+    """ST18: the encoding-QA report drained over the documents stream
+    (stateless decorate/corrupt/detect projections, ONE complete-mode
+    per-language aggregation) must equal the batch twin exactly.
+    Non-vacuity: some language shows repaired mojibake."""
+    from ipydataclean_spark.operators.encoding_qa import encoding_report
+    from ipydataclean_spark.streaming.batch_twins import st18_encoding_qa
+    from ipydataclean_spark.streaming.stream import documents_stream
+
+    batch = st18_encoding_qa(spark, sf_dir)
+    stream = encoding_report(
+        documents_stream(spark, sf_dir)
+        .where("(doc_id % 9 = 2) AND text IS NOT NULL")
+        .select("doc_id", "lang", "text")
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            stream.writeStream.format("memory")
+            .queryName("t_st18")
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        cols = ["lang", "n_docs", "n_mojibake", "chars_repaired"]
+        got = _sorted_rows(spark.table("t_st18"), cols)
+        assert got == _sorted_rows(batch, cols)
+        assert sum(r[2] for r in got) > 0
+        assert sum(r[3] for r in got) > 0
