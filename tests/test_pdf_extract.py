@@ -1,0 +1,133 @@
+"""Pins for L73 PDF text extraction (operators/pdf_extract.py).
+
+The driver oracle hash-certifies the query end-to-end; these pin the
+parser paths the template never emits (hex strings, TJ kerning
+arrays, octal escapes, multi-stream pages, ' and \" operators) and
+the poison pills.
+"""
+
+import numpy as np
+import pytest
+
+from ipydataclean_spark.operators.pdf_extract import (
+    _content_text,
+    build_pdf,
+    extract_pdf_text,
+    l73_pdf_extract,
+)
+
+
+def _expected(text, k=12):
+    words = text.split()
+    return "\n".join(
+        " ".join(words[i : i + k]) for i in range(0, len(words), k)
+    )
+
+
+def test_roundtrip_random_texts():
+    rng = np.random.RandomState(7)
+    vocab = ["spark", "table", "(paren)", "a\\b", "x)y", "word", "q1"]
+    for trial in range(20):
+        text = " ".join(
+            vocab[rng.randint(len(vocab))] for _ in range(rng.randint(1, 80))
+        )
+        for compress in (True, False):
+            got = extract_pdf_text(build_pdf(trial, text, compress=compress))
+            assert got == _expected(text), (trial, compress)
+
+
+def test_content_stream_vectors():
+    """Hand-built content streams pin operators the builder never
+    emits — decoder correctness independent of our builder (the JPEG
+    hand-vector rule)."""
+    cases = [
+        # TJ array: strings concatenated, kerning <= -180 = word space
+        (b"BT [(Hel) -50 (lo) -250 (world)] TJ ET", "Hello world"),
+        # hex strings (odd digit -> trailing 0: 0x40 = '@')
+        (b"BT <48656C6C6F> Tj ( ) Tj <4> Tj ET", "Hello @"),
+        # ' moves to next line then shows; " takes two numbers first
+        (b"BT (one) Tj (two) ' 3 4 (three) \" ET", "one\ntwo\nthree"),
+        # octal escapes incl. 3-digit and 1-digit forms
+        (rb"BT (\101\102\103 \77) Tj ET", "ABC ?"),
+        # Td/TD break lines; names and dicts are skipped
+        (b"BT /F1 12 Tf (a) Tj 0 -14 Td (b) Tj 10 20 TD (c) Tj ET", "a\nb\nc"),
+        # escaped newline continuation inside a literal
+        (b"BT (long\\\nline) Tj ET", "longline"),
+    ]
+    for content, want in cases:
+        assert _content_text(content) == want, content
+
+
+def test_multiple_content_streams_concatenate():
+    """Two page streams join with a newline (document order)."""
+    one = build_pdf(1, "first page words here", compress=True)
+    # graft a second uncompressed stream object before the xref
+    extra = (
+        b"9 0 obj\n<< /Length 16 >>\nstream\nBT (again) Tj ET\nendstream\nendobj\n"
+    )
+    at = one.find(b"xref")
+    grafted = one[:at] + extra + one[at:]
+    got = extract_pdf_text(grafted)
+    assert got == "first page words here\nagain"
+
+
+def test_poison_pills():
+    good = build_pdf(5, "hello world")
+    with pytest.raises(ValueError, match="PDF header"):
+        extract_pdf_text(b"NOTAPDF")
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(good.replace(b"/Root", b"/Encrypt 9 0 R /Root"))
+    with pytest.raises(ValueError, match="Type0"):
+        extract_pdf_text(good.replace(b"/Type1", b"/Type0"))
+    with pytest.raises(ValueError, match="filter"):
+        extract_pdf_text(good.replace(b"/FlateDecode", b"/LZWDecode00"))
+    # corrupt deflate payload: flip bytes inside the stream
+    data = bytearray(good)
+    s = data.find(b"stream\n") + 7
+    data[s : s + 4] = b"\x00\x00\x00\x00"
+    with pytest.raises(ValueError, match="FlateDecode"):
+        extract_pdf_text(bytes(data))
+    with pytest.raises(ValueError, match="unterminated"):
+        _content_text(b"BT (never closed Tj ET")
+
+
+def test_fuzz_never_hangs():
+    """Byte-mutation fuzz: extract returns text or raises, promptly."""
+    base = bytearray(build_pdf(9, " ".join(f"w{i}" for i in range(40))))
+    rng = np.random.RandomState(42)
+    ok = raised = 0
+    for _ in range(200):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randint(0, len(mut))] = rng.randint(0, 256)
+        try:
+            out = extract_pdf_text(bytes(mut))
+            assert isinstance(out, str)
+            ok += 1
+        except Exception:
+            raised += 1
+    assert ok + raised == 200
+    assert raised > 0
+
+
+def test_l73_query_nonvacuous(spark, sf_dir):
+    rows = l73_pdf_extract(spark, sf_dir).collect()
+    assert rows and all(r.ok == 1 for r in rows)
+    # both compressed and raw stream paths present
+    assert {(r.doc_id // 14) % 2 for r in rows} == {0, 1}
+    assert all(r.n_chars == len(r.text) for r in rows)
+
+
+def test_third_party_readability_xref_offsets():
+    """The builder's xref must carry CORRECT byte offsets — the part
+    a lenient scan-based parser (ours) never checks but a conformant
+    reader requires."""
+    data = build_pdf(2, "check the xref table words")
+    at = data.find(b"xref")
+    lines = data[at:].split(b"\n")
+    n = int(lines[1].split()[1])
+    for i in range(1, n):  # entry 0 is the free head
+        off = int(lines[2 + i].split()[0])
+        assert data[off:].startswith(f"{i} 0 obj".encode()), i
+    startxref = int(data[data.rfind(b"startxref") + 10 :].split()[0])
+    assert data[startxref:].startswith(b"xref")
