@@ -58,6 +58,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.instruct_qa",
     "ipydataclean_spark.operators.encoding_qa",
     "ipydataclean_spark.operators.pdf_extract",
+    "ipydataclean_spark.operators.warc_extract",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -416,9 +417,11 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # VERDICT r10 #4), closed-form oracle; st18 = its streaming twin
     "l72_encoding_qa",
     "st18_encoding_qa",
-    # round-11 addition: from-scratch PDF text extraction (the l70
-    # playbook on the document format), closed-form oracle
+    # round-11 additions: from-scratch PDF text extraction and WARC
+    # container ingestion (the l70 playbook on the document format
+    # and the crawl container), closed-form oracles
     "l73_pdf_extract",
+    "l74_warc_extract",
     # re-queued: the widget loop gained the mojibake problem kind
     # (problems() counter, FIX_MENU, autofix ordering — changed
     # bodies in autofix_pipeline's call chain)
