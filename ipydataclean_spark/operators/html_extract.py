@@ -143,6 +143,51 @@ _L70_PARA_WORDS = 12
 #: mirrored verbatim in the oracle's regexp_split_to_array
 _WS_RE = re.compile(r"[ \t\r\n\f\x0b]+")
 
+
+def split_paragraphs(text: str) -> list[str]:
+    """THE fixture reflow (one definition — round-11 review-2 #4):
+    class-split words regrouped into 12-word single-spaced
+    paragraphs. Shared by the l70/l74 page builders, l73's PDF
+    builder, and mirrored by every oracle's SQL — ADVICE r10 #4 was
+    exactly a drift bug between a private copy and its oracle."""
+    words = [w for w in _WS_RE.split(text) if w]
+    return [
+        " ".join(words[k : k + _L70_PARA_WORDS])
+        for k in range(0, len(words), _L70_PARA_WORDS)
+    ]
+
+
+def fixture_page(doc_id: int, text: str) -> str:
+    """The deterministic page template (head/style/nav/comment/
+    article/aside/footer/script chrome around entity-escaped
+    paragraphs) — a pure function of (doc_id, text), so oracles
+    recompute the expected extraction from source. Shared by l70
+    (bare HTML) and l74 (the same page inside a WARC response
+    record)."""
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;").replace('"', "&quot;")
+        )
+
+    body = "\n".join(f"  <p>{esc(p)}</p>" for p in split_paragraphs(text))
+    return (
+        "<!DOCTYPE html><html><head>"
+        f"<title>doc {doc_id}</title>"
+        "<style>body { font: 14px serif; }</style>"
+        "</head><body>"
+        "<header><h1>Example Site</h1></header>"
+        '<nav><ul><li><a href="/">home</a></li>'
+        "<li><a href=\"/about\">about</a></li></ul></nav>"
+        "<!-- tracking pixel -->"
+        f'<article data-doc="{doc_id}">\n{body}\n</article>'
+        "<aside>related links</aside>"
+        "<footer>&copy; example.com</footer>"
+        "<script>var t = '<not a tag>';</script>"
+        "</body></html>"
+    )
+
 _L70_ORACLE = (
     # the template is a pure function of documents.text, so the
     # expected extraction recomputes from the SOURCE: words grouped
@@ -188,40 +233,10 @@ def l70_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     entities, unterminated tags) are pinned in
     tests/test_html_extract.py."""
 
+    page = fixture_page  # closure-bound (by-value module)
+
     def build_and_extract(batches):
         import pandas as _pd
-
-        def esc(s: str) -> str:
-            return (
-                s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;").replace('"', "&quot;")
-            )
-
-        def page(doc_id: int, text: str) -> str:
-            # split on the SAME explicit whitespace class the
-            # extractor normalizes (ADVICE r10 #4) — not str.split(),
-            # whose Unicode class is wider than the extractor's
-            words = [w for w in _WS_RE.split(text) if w]
-            paras = [
-                " ".join(words[k : k + _L70_PARA_WORDS])
-                for k in range(0, len(words), _L70_PARA_WORDS)
-            ]
-            body = "\n".join(f"  <p>{esc(p)}</p>" for p in paras)
-            return (
-                "<!DOCTYPE html><html><head>"
-                f"<title>doc {doc_id}</title>"
-                "<style>body { font: 14px serif; }</style>"
-                "</head><body>"
-                "<header><h1>Example Site</h1></header>"
-                '<nav><ul><li><a href="/">home</a></li>'
-                "<li><a href=\"/about\">about</a></li></ul></nav>"
-                "<!-- tracking pixel -->"
-                f'<article data-doc="{doc_id}">\n{body}\n</article>'
-                "<aside>related links</aside>"
-                "<footer>&copy; example.com</footer>"
-                "<script>var t = '<not a tag>';</script>"
-                "</body></html>"
-            )
 
         for pdf in batches:
             rows = []

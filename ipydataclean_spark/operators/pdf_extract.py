@@ -41,12 +41,9 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ipydataclean_spark.operators.html_extract import _WS_RE
+from ipydataclean_spark.operators.html_extract import split_paragraphs, _WS_RE
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
-
-_L73_PARA_WORDS = 12
-
 
 def _esc_literal(s: str) -> bytes:
     """PDF literal-string escaping (§7.3.4.2); input must be
@@ -60,15 +57,12 @@ def _esc_literal(s: str) -> bytes:
     )
 
 
-def build_pdf(doc_id: int, text: str, *, compress: bool = True) -> bytes:
-    """Deterministic one-page PDF from ``text``: 12-word paragraphs,
-    one Tj per line, T* line advances, FlateDecode content stream,
-    correct xref offsets. The same grouping the oracle recomputes."""
-    words = [w for w in _WS_RE.split(text) if w]
-    paras = [
-        " ".join(words[k : k + _L73_PARA_WORDS])
-        for k in range(0, len(words), _L73_PARA_WORDS)
-    ]
+def build_pdf(text: str, *, compress: bool = True) -> bytes:
+    """Deterministic one-page PDF from ``text``: the shared fixture
+    reflow (html_extract.split_paragraphs — ONE definition, review-2
+    #4), one Tj per line, T* line advances, FlateDecode content
+    stream, correct xref offsets."""
+    paras = split_paragraphs(text)
     content = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
     for i, p in enumerate(paras):
         if i:
@@ -111,10 +105,15 @@ def build_pdf(doc_id: int, text: str, *, compress: bool = True) -> bytes:
 _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
-def _object_streams(data: bytes) -> list[tuple[bytes, bytes]]:
-    """Every (object dict bytes, stream payload bytes) pair, located
-    by the obj/endobj structure (length read from the declared
-    /Length when parseable, else the endstream scan)."""
+def _object_streams(data: bytes) -> list[tuple[bytes, bytes, tuple[int, int]]]:
+    """Every (object dict bytes, stream payload bytes, payload byte
+    span) triple, located by the obj/endobj structure. Length comes
+    from a DIRECT /Length integer; the common indirect form
+    ``/Length N 0 R`` falls back to the endstream scan (review-2 #2 —
+    the bare regex used to misread the reference number as the
+    length and silently slice a short payload), as does a missing
+    /Length. The spans let the caller excise payload bytes when
+    scanning the document STRUCTURE (review-2 #1)."""
     out = []
     pos = 0
     while True:
@@ -123,19 +122,20 @@ def _object_streams(data: bytes) -> list[tuple[bytes, bytes]]:
             break
         dict_start = data.rfind(b"obj", 0, m.start())
         head = data[dict_start : m.start()] if dict_start >= 0 else b""
-        lm = re.search(rb"/Length\s+(\d+)", head)
+        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
         if lm:
-            payload = data[m.end() : m.end() + int(lm.group(1))]
-            endpos = data.find(b"endstream", m.end() + int(lm.group(1)))
+            end = m.end() + int(lm.group(1))
+            payload = data[m.end() : end]
+            endpos = data.find(b"endstream", end)
         else:
             endpos = data.find(b"endstream", m.end())
             if endpos < 0:
                 raise ValueError("unterminated stream object")
-            payload = data[m.end() : endpos]
-            payload = payload.rstrip(b"\r\n")
+            payload = data[m.end() : endpos].rstrip(b"\r\n")
+            end = m.end() + len(payload)
         if endpos < 0:
             raise ValueError("unterminated stream object")
-        out.append((head, payload))
+        out.append((head, payload, (m.end(), end)))
         pos = endpos + 9
     return out
 
@@ -287,12 +287,23 @@ def extract_pdf_text(data: bytes) -> str:
     unknown stream filters, and truncation — never silently garbles."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF header)")
-    if b"/Encrypt" in data:
+    streams = _object_streams(data)
+    # poison-pill scans run over the document STRUCTURE (payload
+    # bytes excised) — a document whose TEXT mentions "/Type0" must
+    # not be rejected (review-2 #1: whole-file substring checks
+    # false-tripped on legitimate raw-stream content)
+    parts, at = [], 0
+    for _, _, (s, e) in streams:
+        parts.append(data[at:s])
+        at = e
+    parts.append(data[at:])
+    structure = b"".join(parts)
+    if b"/Encrypt" in structure:
         raise ValueError("encrypted PDF not supported")
-    if b"/Type0" in data or b"/CIDFont" in data.replace(b"/CIDFontType", b"/CIDFont"):
+    if b"/Type0" in structure or b"/CIDFont" in structure:
         raise ValueError("composite (Type0/CID) fonts not supported")
     texts = []
-    for head, payload in _object_streams(data):
+    for head, payload, _span in streams:
         fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", head)
         if fm:
             filt = fm.group(1)
@@ -359,11 +370,10 @@ def l73_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_paragraphs": None, "n_chars": None,
                 }
                 try:
+                    # the %14==3 slice is all-odd ids, so the
+                    # rotation keys on the slice index instead
                     payload = build_pdf(
-                        int(r.doc_id), r.text,
-                        # the %14==3 slice is all-odd ids, so the
-                        # rotation keys on the slice index instead
-                        compress=bool((r.doc_id // 14) % 2 == 0),
+                        r.text, compress=bool((r.doc_id // 14) % 2 == 0)
                     )
                     text = extract_pdf_text(payload)
                     base.update(

@@ -41,7 +41,11 @@ import zlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ipydataclean_spark.operators.html_extract import _WS_RE, html_to_text
+from ipydataclean_spark.operators.html_extract import (
+    _WS_RE,
+    fixture_page,
+    html_to_text,
+)
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
 
@@ -88,22 +92,33 @@ def http_response(body: bytes, content_type: str = "text/html") -> bytes:
 
 def _split_members(data: bytes) -> list[bytes]:
     """Concatenated gzip members -> list of inflated payloads; plain
-    (non-gzip) input returns itself whole."""
+    (non-gzip) input returns itself whole. Members are fed in 64 KiB
+    blocks from a memoryview so a K-member archive costs O(N) bytes
+    total, not O(K*N) (review-2 #5 — the unused_data hand-off used to
+    re-copy the whole remaining archive per member)."""
     if not data[:2] == b"\x1f\x8b":
         return [data]
     out = []
-    rest = data
-    while rest:
-        if rest[:2] != b"\x1f\x8b":
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    block = 1 << 16
+    while pos < n:
+        if bytes(view[pos : pos + 2]) != b"\x1f\x8b":
             raise ValueError("garbage between gzip members")
         do = zlib.decompressobj(31)
-        try:
-            out.append(do.decompress(rest))
-        except zlib.error as exc:
-            raise ValueError("corrupt gzip member") from exc
-        if not do.eof:
-            raise ValueError("truncated gzip member")
-        rest = do.unused_data
+        buf = bytearray()
+        p = pos
+        while not do.eof:
+            if p >= n:
+                raise ValueError("truncated gzip member")
+            chunk = view[p : p + block]
+            try:
+                buf += do.decompress(chunk)
+            except zlib.error as exc:
+                raise ValueError("corrupt gzip member") from exc
+            p += len(chunk)
+        pos = p - len(do.unused_data)
+        out.append(bytes(buf))
     return out
 
 
@@ -197,32 +212,10 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content-Length slicing, record-type filtering, HTTP envelope
     stripping, and the HTML extraction in one number. Container
     goldens and poison pills are pinned in tests/test_warc_extract.py."""
-    from ipydataclean_spark.operators.html_extract import _L70_PARA_WORDS
+    page = fixture_page  # l70's exact template (shared builder)
 
     def build_and_extract(batches):
         import pandas as _pd
-
-        def esc(s: str) -> str:
-            return (
-                s.replace("&", "&amp;").replace("<", "&lt;")
-                .replace(">", "&gt;").replace('"', "&quot;")
-            )
-
-        def page(doc_id: int, text: str) -> str:
-            words = [w for w in _WS_RE.split(text) if w]
-            paras = [
-                " ".join(words[k : k + _L70_PARA_WORDS])
-                for k in range(0, len(words), _L70_PARA_WORDS)
-            ]
-            body = "\n".join(f"  <p>{esc(p)}</p>" for p in paras)
-            return (
-                "<!DOCTYPE html><html><head>"
-                f"<title>doc {doc_id}</title></head><body>"
-                "<nav>chrome</nav>"
-                f"<article>\n{body}\n</article>"
-                "<footer>&copy; example.com</footer>"
-                "</body></html>"
-            )
 
         for pdf in batches:
             rows = []

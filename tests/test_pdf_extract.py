@@ -32,7 +32,7 @@ def test_roundtrip_random_texts():
             vocab[rng.randint(len(vocab))] for _ in range(rng.randint(1, 80))
         )
         for compress in (True, False):
-            got = extract_pdf_text(build_pdf(trial, text, compress=compress))
+            got = extract_pdf_text(build_pdf(text, compress=compress))
             assert got == _expected(text), (trial, compress)
 
 
@@ -60,7 +60,7 @@ def test_content_stream_vectors():
 
 def test_multiple_content_streams_concatenate():
     """Two page streams join with a newline (document order)."""
-    one = build_pdf(1, "first page words here", compress=True)
+    one = build_pdf("first page words here", compress=True)
     # graft a second uncompressed stream object before the xref
     extra = (
         b"9 0 obj\n<< /Length 16 >>\nstream\nBT (again) Tj ET\nendstream\nendobj\n"
@@ -72,7 +72,7 @@ def test_multiple_content_streams_concatenate():
 
 
 def test_poison_pills():
-    good = build_pdf(5, "hello world")
+    good = build_pdf("hello world")
     with pytest.raises(ValueError, match="PDF header"):
         extract_pdf_text(b"NOTAPDF")
     with pytest.raises(ValueError, match="encrypted"):
@@ -93,7 +93,7 @@ def test_poison_pills():
 
 def test_fuzz_never_hangs():
     """Byte-mutation fuzz: extract returns text or raises, promptly."""
-    base = bytearray(build_pdf(9, " ".join(f"w{i}" for i in range(40))))
+    base = bytearray(build_pdf(" ".join(f"w{i}" for i in range(40))))
     rng = np.random.RandomState(42)
     ok = raised = 0
     for _ in range(200):
@@ -122,7 +122,7 @@ def test_third_party_readability_xref_offsets():
     """The builder's xref must carry CORRECT byte offsets — the part
     a lenient scan-based parser (ours) never checks but a conformant
     reader requires."""
-    data = build_pdf(2, "check the xref table words")
+    data = build_pdf("check the xref table words")
     at = data.find(b"xref")
     lines = data[at:].split(b"\n")
     n = int(lines[1].split()[1])
@@ -131,3 +131,28 @@ def test_third_party_readability_xref_offsets():
         assert data[off:].startswith(f"{i} 0 obj".encode()), i
     startxref = int(data[data.rfind(b"startxref") + 10 :].split()[0])
     assert data[startxref:].startswith(b"xref")
+
+
+def test_structural_poison_pills_ignore_stream_content():
+    """Review-2 #1: a document whose TEXT mentions /Type0 or /Encrypt
+    must extract fine in both raw and compressed streams — the
+    poison-pill scan covers the structure only."""
+    text = "see section /Type0 and /Encrypt handling notes " + " ".join(
+        f"w{i}" for i in range(10)
+    )
+    for compress in (True, False):
+        got = extract_pdf_text(build_pdf(text, compress=compress))
+        assert got == _expected(text), compress
+
+
+def test_indirect_length_falls_back_to_scan():
+    """Review-2 #2: the common '/Length N 0 R' indirect form must not
+    be misread as a direct length (which silently sliced a short
+    payload); the endstream scan recovers the full text."""
+    data = build_pdf("indirect length object words here", compress=False)
+    at = data.find(b"/Length ")
+    sp = data.find(b" ", at + 8)
+    mutated = data[:at] + b"/Length 6 0 R" + data[sp:]
+    assert extract_pdf_text(mutated) == _expected(
+        "indirect length object words here"
+    )
