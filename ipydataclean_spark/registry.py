@@ -391,59 +391,60 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # earlier draft exempted it on the jpeg.py rationale alone).
     "l10c_published_token_count",
     "l9m_avi_frame_dhash", "l10b_bpe_token_count", "l59_bpe_fertility",
+    # CORRECTNESS_r11.json — 50/50 clean (44 oracle rows+schema+hash,
+    # 6 rows-only by design with rows recorded). The r11-fresh oracle
+    # names below; the window's other 36 oracle slots were prior-green
+    # re-proofs, already members above. HELD OUT of this append
+    # (round 12 touches their call chains, so their r11 rows certify
+    # superseded bodies — re-queued in CORE_FRESH_FIRST /
+    # ROWS_ONLY_FIRST): l72_encoding_qa + st18_encoding_qa +
+    # autofix_pipeline (mojibake_repair gains the sloppy-cp1252 gate,
+    # VERDICT r11 #1 — the widget counter consumes the detector body),
+    # l73_pdf_extract (ADVICE r11 /Length-regex + endstream-EOL fixes
+    # and the ObjStm work, VERDICT r11 #3), l74_warc_extract (ADVICE
+    # r11 WARC-Date + the chunked/gzip HTTP envelope, VERDICT r11 #2),
+    # st17_media_ingest + inc8_incremental_media (store_hashes_under_cap
+    # gains distinct-before-limit, ADVICE r11 #4).
+    "l9n_real_jpeg_decode", "l9q_real_flac_decode", "l70_html_extract",
+    # r11 rows-only tier (rows recorded, err=no_oracle by design;
+    # semantics pinned by codec goldens / banding pins per the
+    # VERDICT r11 coverage table)
+    "l9o_mjpeg_frame_dhash", "l9f_image_dhash_pairs",
+    "l9k_audio_fp_pairs", "l9p_image_phash_pairs",
 })
 
-#: Round-11 window priority (VERDICT r10 #5). CORRECTNESS_r10 recorded
-#: 50/50 clean — the 13 fresh oracle names hash-green, 8 rows-only by
-#: design, 29 prior-green re-proofs; all 374 registered queries have a
+#: Round-12 window priority (VERDICT r11 #4). CORRECTNESS_r11 recorded
+#: 50/50 clean — 8 fresh oracle names hash-green, 6 rows-only by
+#: design, 36 prior-green re-proofs; all 378 registered queries have a
 #: driver row cumulatively (zero never-checked debt entering round
-#: 11). Round-11 fresh set: new additions appended here as each
-#: operator registers, plus anything round 11 touches
+#: 12). Round-12 fresh set: new additions appended here as each
+#: operator registers, plus anything round 12 touches
 #: (call-chain-verified — see the DRIVER_GREEN_PRIOR_ROUNDS holdout
 #: note). Remaining slots fall through to prior-green re-proofs.
 CORE_FRESH_FIRST: tuple[str, ...] = (
-    # round-11 additions (appended as each operator registers — the
-    # registry contract test rejects names with no registration)
-    # re-queued: functions/jpeg.py decode body gains multi-scan +
-    # progressive decode and the ADVICE r10 marker-loop hardening
-    "l9n_real_jpeg_decode",
-    # re-queued: media_flac.py decode body gains stereo decorrelation
-    # (L/S, R/S, M/S) and 8/24-bit sample depths
-    "l9q_real_flac_decode",
-    # re-queued: the l70 fixture/oracle whitespace-class alignment
-    # (ADVICE r10 #4)
-    "l70_html_extract",
-    # round-11 additions: encoding QA (mojibake detect + repair,
-    # VERDICT r10 #4), closed-form oracle; st18 = its streaming twin
+    # re-queued: mojibake_repair's gate widens to sloppy-cp1252
+    # (VERDICT r11 #1) — l72/st18 consume the detector body directly,
+    # autofix_pipeline through problems()'s mojibake counter and the
+    # recipe repair step
     "l72_encoding_qa",
     "st18_encoding_qa",
-    # round-11 additions: from-scratch PDF text extraction and WARC
-    # container ingestion (the l70 playbook on the document format
-    # and the crawl container), closed-form oracles
-    "l73_pdf_extract",
-    "l74_warc_extract",
-    # re-queued: the widget loop gained the mojibake problem kind
-    # (problems() counter, FIX_MENU, autofix ordering — changed
-    # bodies in autofix_pipeline's call chain)
     "autofix_pipeline",
+    # re-queued: pdf_extract gains the ADVICE r11 /Length-regex +
+    # endstream-EOL fixes and ObjStm/xref-stream handling
+    # (VERDICT r11 #3)
+    "l73_pdf_extract",
+    # re-queued: warc_extract gains WARC-Date (ADVICE r11 #3) and the
+    # chunked/gzip HTTP envelope (VERDICT r11 #2)
+    "l74_warc_extract",
 )
 
-#: Rows-only priority: the round-11 touched rows-only set, scale
-#: handoff first (the round's headline change — VERDICT r10 #1).
+#: Rows-only priority: the round-12 touched rows-only set.
 ROWS_ONLY_FIRST: tuple[str, ...] = (
-    # re-queued: st17/inc8 dispatch through media_probe_auto past
-    # MEDIA_STORE_CAP (banded persisted-store fallback) and the probe
-    # kernel clamps novel min_hamming at max_hamming+1 so both
-    # execution strategies emit bit-identical rows
+    # re-queued: store_hashes_under_cap applies the store cap to
+    # DISTINCT hashes (ADVICE r11 #4 — changed body in the
+    # media_probe_auto dispatch both consume)
     "st17_media_ingest",
     "inc8_incremental_media",
-    # re-queued: l9o consumes decode_jpeg (changed body, see l9n);
-    # l9f/l9k/l9p share dhash_neardup_pairs, whose banding expression
-    # moved into the band8 helper
-    "l9o_mjpeg_frame_dhash",
-    "l9f_image_dhash_pairs",
-    "l9k_audio_fp_pairs",
-    "l9p_image_phash_pairs",
 )
 
 
