@@ -105,14 +105,21 @@ def build_pdf(text: str, *, compress: bool = True) -> bytes:
 _STREAM_RE = re.compile(rb"stream\r?\n")
 
 
-def _object_streams(data: bytes) -> list[tuple[bytes, bytes, tuple[int, int]]]:
-    """Every (object dict bytes, stream payload bytes, payload byte
-    span) triple, located by the obj/endobj structure. Length comes
-    from a DIRECT /Length integer; the common indirect form
-    ``/Length N 0 R`` falls back to the endstream scan (review-2 #2 —
-    the bare regex used to misread the reference number as the
-    length and silently slice a short payload), as does a missing
-    /Length. The spans let the caller excise payload bytes when
+def _object_streams(
+    data: bytes,
+) -> list[tuple[bytes, bytes, bytes, tuple[int, int]]]:
+    """Every (object dict bytes, stream payload bytes, raw endstream
+    slice, payload byte span) tuple, located by the obj/endobj
+    structure. Length comes from a DIRECT /Length integer (the
+    ``(?!\\d)`` anchor stops backtracking from misreading an indirect
+    ``/Length 12 0 R`` as length 1 — ADVICE r11 #1); the indirect
+    form and a missing /Length fall back to the endstream scan
+    (review-2 #2), which strips AT MOST ONE EOL sequence per ISO
+    32000 §7.3.8.1 (ADVICE r11 #2 — a blanket rstrip truncated
+    payloads whose real data ends in EOL bytes, common in Flate
+    output). The raw slice lets the FlateDecode path retry when a
+    nonconforming writer omitted the EOL and the one-EOL strip took a
+    data byte. The spans let the caller excise payload bytes when
     scanning the document STRUCTURE (review-2 #1)."""
     out = []
     pos = 0
@@ -122,20 +129,27 @@ def _object_streams(data: bytes) -> list[tuple[bytes, bytes, tuple[int, int]]]:
             break
         dict_start = data.rfind(b"obj", 0, m.start())
         head = data[dict_start : m.start()] if dict_start >= 0 else b""
-        lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+        lm = re.search(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)", head)
         if lm:
             end = m.end() + int(lm.group(1))
             payload = data[m.end() : end]
+            raw = payload
             endpos = data.find(b"endstream", end)
         else:
             endpos = data.find(b"endstream", m.end())
             if endpos < 0:
                 raise ValueError("unterminated stream object")
-            payload = data[m.end() : endpos].rstrip(b"\r\n")
+            raw = data[m.end() : endpos]
+            if raw.endswith(b"\r\n"):
+                payload = raw[:-2]
+            elif raw.endswith((b"\n", b"\r")):
+                payload = raw[:-1]
+            else:
+                payload = raw
             end = m.end() + len(payload)
         if endpos < 0:
             raise ValueError("unterminated stream object")
-        out.append((head, payload, (m.end(), end)))
+        out.append((head, payload, raw, (m.end(), end)))
         pos = endpos + 9
     return out
 
@@ -293,7 +307,7 @@ def extract_pdf_text(data: bytes) -> str:
     # not be rejected (review-2 #1: whole-file substring checks
     # false-tripped on legitimate raw-stream content)
     parts, at = [], 0
-    for _, _, (s, e) in streams:
+    for _, _, _, (s, e) in streams:
         parts.append(data[at:s])
         at = e
     parts.append(data[at:])
@@ -303,7 +317,7 @@ def extract_pdf_text(data: bytes) -> str:
     if b"/Type0" in structure or b"/CIDFont" in structure:
         raise ValueError("composite (Type0/CID) fonts not supported")
     texts = []
-    for head, payload, _span in streams:
+    for head, payload, raw, _span in streams:
         fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", head)
         if fm:
             filt = fm.group(1)
@@ -311,8 +325,16 @@ def extract_pdf_text(data: bytes) -> str:
                 raise ValueError(f"unsupported stream filter {filt!r}")
             try:
                 payload = zlib.decompress(payload)
-            except zlib.error as exc:
-                raise ValueError("corrupt FlateDecode stream") from exc
+            except zlib.error:
+                # a writer that omitted the EOL before 'endstream'
+                # while the Flate data itself ends in EOL bytes: the
+                # one-EOL strip took a data byte. decompressobj stops
+                # at the DEFLATE final block, so the raw slice (data
+                # + at most one trailing EOL) inflates exactly.
+                try:
+                    payload = zlib.decompressobj().decompress(raw)
+                except zlib.error as exc:
+                    raise ValueError("corrupt FlateDecode stream") from exc
         if b"BT" in payload:
             texts.append(_content_text(payload))
     return "\n".join(t for t in texts if t)

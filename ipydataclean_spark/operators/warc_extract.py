@@ -60,13 +60,18 @@ def _gzip_member(data: bytes) -> bytes:
 def build_warc(records, *, compress: bool = True) -> bytes:
     """``records`` = [(warc_type, url, payload bytes)]; returns the
     archive — one gzip member per record when ``compress`` (the
-    .warc.gz convention), plain concatenation otherwise."""
+    .warc.gz convention), plain concatenation otherwise. Every record
+    carries the ISO 28500 MANDATORY header set — WARC-Type,
+    WARC-Record-ID, WARC-Date (fixed deterministic instant; ADVICE
+    r11 #3 — strict third-party tooling rejects records without it),
+    Content-Length — plus WARC-Target-URI and Content-Type."""
     out = bytearray()
     for i, (wtype, url, payload) in enumerate(records):
         head = bytearray(b"WARC/1.0\r\n")
         head += f"WARC-Type: {wtype}\r\n".encode()
         head += f"WARC-Target-URI: {url}\r\n".encode()
         head += f"WARC-Record-ID: <urn:uuid:rec-{i}>\r\n".encode()
+        head += b"WARC-Date: 2026-01-01T00:00:00Z\r\n"
         if wtype == "response":
             head += b"Content-Type: application/http; msgtype=response\r\n"
         else:
@@ -78,16 +83,38 @@ def build_warc(records, *, compress: bool = True) -> bytes:
     return bytes(out)
 
 
-def http_response(body: bytes, content_type: str = "text/html") -> bytes:
-    """A minimal HTTP/1.1 response envelope around ``body`` — what a
-    crawler stores in a WARC ``response`` record."""
-    return (
-        b"HTTP/1.1 200 OK\r\n"
-        + f"Content-Type: {content_type}\r\n".encode()
-        + f"Content-Length: {len(body)}\r\n".encode()
-        + _CRLF
-        + body
-    )
+def http_response(
+    body: bytes,
+    content_type: str = "text/html",
+    *,
+    gzip_body: bool = False,
+    chunked: bool = False,
+    chunk_size: int = 500,
+) -> bytes:
+    """An HTTP/1.1 response envelope around ``body`` — what a crawler
+    stores in a WARC ``response`` record. ``gzip_body`` applies
+    ``Content-Encoding: gzip``; ``chunked`` frames the (possibly
+    gzipped) entity with ``Transfer-Encoding: chunked`` (RFC 9112
+    §7.1: hex size line, data, CRLF per chunk; 0-chunk terminator) —
+    the two realistic crawl-record shapes VERDICT r11 #2 asked the
+    reader to handle."""
+    head = bytearray(b"HTTP/1.1 200 OK\r\n")
+    head += f"Content-Type: {content_type}\r\n".encode()
+    ent = body
+    if gzip_body:
+        ent = _gzip_member(ent)
+        head += b"Content-Encoding: gzip\r\n"
+    if chunked:
+        head += b"Transfer-Encoding: chunked\r\n"
+        framed = bytearray()
+        for at in range(0, len(ent), chunk_size):
+            chunk = ent[at : at + chunk_size]
+            framed += f"{len(chunk):x}".encode() + _CRLF + chunk + _CRLF
+        framed += b"0" + _CRLF + _CRLF
+        ent = bytes(framed)
+    else:
+        head += f"Content-Length: {len(ent)}\r\n".encode()
+    return bytes(head) + _CRLF + ent
 
 
 def _split_members(data: bytes) -> list[bytes]:
@@ -122,10 +149,79 @@ def _split_members(data: bytes) -> list[bytes]:
     return out
 
 
+def _dechunk(framed: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked transfer decoding: hex size line (chunk
+    extensions after ';' ignored), CRLF, data, CRLF, repeated; a
+    0-size chunk then optional trailer fields then a blank line
+    terminate. Malformed framing RAISES (the poison-pill contract)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = framed.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("truncated chunked encoding (no size line)")
+        token = framed[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(token, 16)
+        except ValueError as exc:
+            raise ValueError(f"bad chunk size line {token!r}") from exc
+        pos = eol + 2
+        if size == 0:
+            while not framed.startswith(_CRLF, pos):
+                eol = framed.find(_CRLF, pos)
+                if eol < 0:
+                    raise ValueError("truncated chunked encoding (trailer)")
+                pos = eol + 2
+            return bytes(out)
+        if pos + size > len(framed):
+            raise ValueError("truncated chunked encoding (chunk data)")
+        out += framed[pos : pos + size]
+        pos += size
+        if framed[pos : pos + 2] != _CRLF:
+            raise ValueError("missing CRLF after chunk data")
+        pos += 2
+
+
+def _strip_http_envelope(body: bytes) -> tuple[str, dict[str, str], bytes]:
+    """HTTP/1.x response message -> (status line, headers, entity
+    body): de-frames ``Transfer-Encoding: chunked`` and inflates
+    ``Content-Encoding: gzip`` (the realistic crawl-record shapes —
+    VERDICT r11 #2); any OTHER transfer/content coding RAISES rather
+    than hand garbled bytes downstream."""
+    env_end = body.find(_CRLF + _CRLF)
+    if env_end < 0:
+        raise ValueError("truncated HTTP envelope in response record")
+    status = body[: body.find(_CRLF)].decode("latin-1")
+    headers: dict[str, str] = {}
+    for line in body[body.find(_CRLF) + 2 : env_end].split(_CRLF):
+        k, _, v = line.partition(b":")
+        headers[k.decode("latin-1").strip().lower()] = v.decode("latin-1").strip()
+    ent = body[env_end + 4 :]
+    te = headers.get("transfer-encoding", "").lower()
+    if te:
+        if te != "chunked":
+            raise ValueError(f"unsupported Transfer-Encoding {te!r}")
+        ent = _dechunk(ent)
+    ce = headers.get("content-encoding", "").lower()
+    if ce in ("gzip", "x-gzip"):
+        do = zlib.decompressobj(31)
+        try:
+            ent = do.decompress(ent) + do.flush()
+        except zlib.error as exc:
+            raise ValueError("corrupt gzip entity body") from exc
+        if not do.eof:
+            raise ValueError("truncated gzip entity body")
+    elif ce and ce != "identity":
+        raise ValueError(f"unsupported Content-Encoding {ce!r}")
+    return status, headers, ent
+
+
 def iter_warc_records(data: bytes) -> list[dict]:
     """Archive bytes -> [{'type', 'url', 'headers', 'body'}]; response
-    records have the HTTP envelope stripped into 'http_status', with
-    'body' = the entity body. See module docstring for the raises."""
+    records have the HTTP envelope stripped into 'http_status' +
+    'http_headers', with 'body' = the DECODED entity body (chunked
+    framing removed, gzip inflated). See module docstring for the
+    raises."""
     records = []
     for chunk in _split_members(data):
         pos = 0
@@ -165,11 +261,10 @@ def iter_warc_records(data: bytes) -> list[dict]:
                 "body": body,
             }
             if rec["type"] == "response" and body.startswith(b"HTTP/"):
-                env_end = body.find(_CRLF + _CRLF)
-                if env_end < 0:
-                    raise ValueError("truncated HTTP envelope in response record")
-                rec["http_status"] = body[: body.find(_CRLF)].decode("latin-1")
-                rec["body"] = body[env_end + 4 :]
+                status, env_headers, ent = _strip_http_envelope(body)
+                rec["http_status"] = status
+                rec["http_headers"] = env_headers
+                rec["body"] = ent
             records.append(rec)
             pos = body_at + clen + 4
     return records
@@ -205,12 +300,15 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (a response record wrapping the l70 HTML page in an HTTP
     envelope, plus a metadata record that must be SKIPPED, each its
     own gzip member; (doc_id // 17) parity rotates compressed/plain
-    archives) through the from-scratch WARC iterator, envelope strip,
-    and the l70 tag scanner, reduced to text + structure stats. The
-    oracle recomputes everything from documents.text + doc_id, so a
-    hash match certifies gzip-member splitting, record framing,
-    Content-Length slicing, record-type filtering, HTTP envelope
-    stripping, and the HTML extraction in one number. Container
+    archives, and (doc_id // 17) % 3 rotates the HTTP envelope shape:
+    plain Content-Length / Transfer-Encoding chunked / chunked +
+    Content-Encoding gzip — VERDICT r11 #2) through the from-scratch
+    WARC iterator, envelope strip, and the l70 tag scanner, reduced
+    to text + structure stats. The oracle recomputes everything from
+    documents.text + doc_id, so a hash match certifies gzip-member
+    splitting, record framing, Content-Length slicing, record-type
+    filtering, HTTP envelope stripping (incl. de-chunking and entity
+    inflation), and the HTML extraction in one number. Container
     goldens and poison pills are pinned in tests/test_warc_extract.py."""
     page = fixture_page  # l70's exact template (shared builder)
 
@@ -231,9 +329,18 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
                 try:
                     html = page(d, r.text).encode("utf-8")
+                    env = (d // 17) % 3
                     archive = build_warc(
                         [
-                            ("response", url, http_response(html)),
+                            (
+                                "response",
+                                url,
+                                http_response(
+                                    html,
+                                    chunked=env >= 1,
+                                    gzip_body=env == 2,
+                                ),
+                            ),
                             ("metadata", url, b"fetch-ms: 12"),
                         ],
                         compress=bool((d // 17) % 2 == 0),

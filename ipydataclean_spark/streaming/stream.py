@@ -823,12 +823,16 @@ def media_probe_banded(
 
 def store_hashes_under_cap(store_df: DataFrame) -> list[int] | None:
     """THE dispatch probe (one definition — round-11 self-review #6):
-    one bounded job (limit cap+1); returns the sorted distinct hashes
-    when the store fits MEDIA_STORE_CAP (they ARE the store — nothing
-    is fingerprinted twice), None when it doesn't. Reads the module
-    attr at call time so tests can shrink the cap."""
+    one bounded job (distinct, then limit cap+1 — the cap is on
+    DISTINCT hashes, so a re-crawl store with duplicate fingerprints
+    but few distinct values stays on the cheap closure path, ADVICE
+    r11 #4); returns the sorted distinct hashes when the store fits
+    MEDIA_STORE_CAP, None when it doesn't. The distinct is a shuffle,
+    but a bounded one — partial aggregation caps each map task's
+    output at cap+1 rows. Reads the module attr at call time so tests
+    can shrink the cap."""
     cap = MEDIA_STORE_CAP
-    head = store_df.select("dhash").limit(cap + 1).collect()
+    head = store_df.select("dhash").distinct().limit(cap + 1).collect()
     if len(head) <= cap:
         return sorted({int(r.dhash) for r in head})
     return None

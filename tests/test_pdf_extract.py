@@ -146,13 +146,60 @@ def test_structural_poison_pills_ignore_stream_content():
 
 
 def test_indirect_length_falls_back_to_scan():
-    """Review-2 #2: the common '/Length N 0 R' indirect form must not
-    be misread as a direct length (which silently sliced a short
+    """Review-2 #2 + ADVICE r11 #1: the common '/Length N 0 R'
+    indirect form must not be misread as a direct length (which
+    silently sliced a short payload) — including MULTI-digit object
+    numbers, where regex backtracking used to defeat the lookahead
+    ((\\d+) retreated to '1' in '/Length 12 0 R' and sliced a 1-byte
     payload); the endstream scan recovers the full text."""
-    data = build_pdf("indirect length object words here", compress=False)
-    at = data.find(b"/Length ")
-    sp = data.find(b" ", at + 8)
-    mutated = data[:at] + b"/Length 6 0 R" + data[sp:]
-    assert extract_pdf_text(mutated) == _expected(
-        "indirect length object words here"
+    for ref in (b"/Length 6 0 R", b"/Length 12 0 R", b"/Length 907 12 R"):
+        data = build_pdf("indirect length object words here", compress=False)
+        at = data.find(b"/Length ")
+        sp = data.find(b" ", at + 8)
+        mutated = data[:at] + ref + data[sp:]
+        assert extract_pdf_text(mutated) == _expected(
+            "indirect length object words here"
+        ), ref
+
+
+def _flate_content_ending_in_eol():
+    """A content stream whose zlib bytes end in an EOL byte — the
+    payload the endstream scan can truncate. The zlib stream ends
+    with the big-endian adler32, whose low byte is (1 + sum(content))
+    mod 65521 & 0xFF for short inputs — so pad the literal string
+    with \\x01 bytes until that byte is exactly 0x0A."""
+    import zlib
+
+    base, tail = b"BT (eol case ok", b") Tj ET"
+    k = (9 - sum(base + tail)) % 256
+    content = base + b"\x01" * k + tail
+    z = zlib.compress(content)
+    assert z.endswith(b"\n"), z[-1]
+    return _content_text(content), z
+
+
+def _wrap_stream_obj(obj):
+    return b"%PDF-1.4\n7 0 obj\n" + obj + b"\nendobj\n%%EOF\n"
+
+
+def test_endstream_scan_strips_at_most_one_eol():
+    """ADVICE r11 #2: Flate data ending in 0x0A, conforming writer
+    EOL before 'endstream', indirect /Length (scan path) — the old
+    blanket rstrip removed BOTH bytes and raised 'corrupt FlateDecode
+    stream' on a valid file; one-EOL strip recovers it exactly."""
+    want, z = _flate_content_ending_in_eol()
+    obj = (
+        b"<< /Length 99 0 R /Filter /FlateDecode >>\nstream\n"
+        + z + b"\nendstream"
     )
+    assert extract_pdf_text(_wrap_stream_obj(obj)) == want
+
+
+def test_endstream_scan_retries_unstripped_flate():
+    """A nonconforming writer that omits the EOL before 'endstream'
+    while the Flate data ends in an EOL byte: the one-EOL strip takes
+    a data byte, and the decompressobj retry on the raw slice must
+    recover the stream."""
+    want, z = _flate_content_ending_in_eol()
+    obj = b"<< /Length 99 0 R /Filter /FlateDecode >>\nstream\n" + z + b"endstream"
+    assert extract_pdf_text(_wrap_stream_obj(obj)) == want

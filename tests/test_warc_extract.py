@@ -68,6 +68,79 @@ def test_poison_pills():
         iter_warc_records(good + b"JUNK")
 
 
+def test_warc_date_header_on_every_record():
+    """ADVICE r11 #3: WARC-Date is MANDATORY on every record (ISO
+    28500) — strict third-party tooling rejects records without it.
+    Fixed deterministic instant keeps the fixture bytes stable."""
+    recs = iter_warc_records(_three_record_archive(False))
+    assert len(recs) == 3
+    for r in recs:
+        assert r["headers"]["warc-date"] == "2026-01-01T00:00:00Z"
+
+
+@pytest.mark.parametrize("gzip_body", [False, True])
+@pytest.mark.parametrize("chunked", [False, True])
+@pytest.mark.parametrize("compress", [False, True])
+def test_http_envelope_codings_roundtrip(compress, chunked, gzip_body):
+    """VERDICT r11 #2: chunked de-framing and gzip entity inflation —
+    every coding combination hands downstream the same entity body."""
+    body = b"<p>" + b"hello coded world " * 40 + b"</p>"
+    archive = build_warc(
+        [
+            (
+                "response",
+                "https://a.example/z",
+                http_response(body, chunked=chunked, gzip_body=gzip_body,
+                              chunk_size=37),
+            )
+        ],
+        compress=compress,
+    )
+    (rec,) = iter_warc_records(archive)
+    assert rec["body"] == body
+    assert rec["http_status"] == "HTTP/1.1 200 OK"
+    te = rec["http_headers"].get("transfer-encoding")
+    assert (te == "chunked") == chunked
+    assert ("content-encoding" in rec["http_headers"]) == gzip_body
+
+
+def test_chunked_vectors():
+    """Hand-built chunked entities pin framing details the builder
+    never emits: chunk extensions, trailer fields, hex case."""
+    from ipydataclean_spark.operators.warc_extract import _dechunk
+
+    assert _dechunk(b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n") == b"Wikipedia"
+    # chunk extension after ';' ignored; uppercase hex size
+    assert _dechunk(b"A;name=v\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+    # trailer fields after the 0-chunk are skipped
+    assert (
+        _dechunk(b"3\r\nabc\r\n0\r\nExpires: never\r\nX-T: 1\r\n\r\n") == b"abc"
+    )
+
+
+def test_envelope_poison_pills():
+    """Malformed codings RAISE — never hand garbled bytes downstream."""
+    def _one(payload):
+        archive = build_warc([("response", "https://a.example/p", payload)],
+                             compress=False)
+        return iter_warc_records(archive)
+
+    base = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    with pytest.raises(ValueError, match="unsupported Transfer-Encoding"):
+        _one(base + b"Transfer-Encoding: gzip\r\n\r\nxx")
+    with pytest.raises(ValueError, match="unsupported Content-Encoding"):
+        _one(base + b"Content-Encoding: br\r\n\r\nxx")
+    with pytest.raises(ValueError, match="bad chunk size"):
+        _one(base + b"Transfer-Encoding: chunked\r\n\r\nZZ\r\nxx\r\n0\r\n\r\n")
+    with pytest.raises(ValueError, match="chunk data"):
+        _one(base + b"Transfer-Encoding: chunked\r\n\r\nFF\r\nshort")
+    with pytest.raises(ValueError, match="gzip entity"):
+        _one(base + b"Content-Encoding: gzip\r\n\r\nnot-gzip-bytes")
+    truncated_gz = http_response(b"<p>cut</p>", gzip_body=True)[:-3]
+    with pytest.raises(ValueError, match="gzip entity"):
+        _one(truncated_gz)
+
+
 def test_fuzz_never_hangs():
     base = bytearray(_three_record_archive(True))
     rng = np.random.RandomState(17)
@@ -93,3 +166,6 @@ def test_l74_query_nonvacuous(spark, sf_dir):
     assert all(r.url == f"https://example.com/doc/{r.doc_id}" for r in rows)
     # both compressed and plain archive paths present
     assert {(r.doc_id // 17) % 2 for r in rows} == {0, 1}
+    # all three HTTP envelope shapes present (plain / chunked /
+    # chunked+gzip — the VERDICT r11 #2 rotation)
+    assert {(r.doc_id // 17) % 3 for r in rows} == {0, 1, 2}
