@@ -643,26 +643,23 @@ def st17_media_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_report(rows).orderBy("status")
 
 
-from ipydataclean_spark.operators.encoding_qa import (  # noqa: E402
-    _L72_COIN_SQL,
-    _L72_SUFFIXES,
-)
+from ipydataclean_spark.operators.encoding_qa import _L72_CTE  # noqa: E402
 
 _ST18_ORACLE = (
-    "WITH d AS (SELECT doc_id, lang, text || CASE WHEN doc_id % 2 = 0 THEN "
-    "CASE (doc_id // 2) % 4 "
-    f"WHEN 0 THEN '{_L72_SUFFIXES[0]}' WHEN 1 THEN '{_L72_SUFFIXES[1]}' "
-    f"WHEN 2 THEN '{_L72_SUFFIXES[2]}' ELSE '{_L72_SUFFIXES[3]}' END "
-    "ELSE '' END AS dec, "
-    f"({_L72_COIN_SQL} % 3 = 0) AS coin "
-    "FROM documents WHERE doc_id % 9 = 2 AND text IS NOT NULL) "
-    "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-    "CAST(SUM(CASE WHEN coin AND doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) "
-    "AS n_mojibake, "
-    # a mojibake text's length is the original's BYTE length, so the
-    # repair removes strlen(dec) - length(dec) chars; kept docs
-    # (including ASCII 'corruptions', which are identity) remove 0
-    "CAST(SUM(CASE WHEN coin AND doc_id % 2 = 0 "
+    # the SAME d-CTE as the l72 oracle (one definition in
+    # encoding_qa.py): decoration + the three-way corruption coin
+    # (0 = latin1, 1 = sloppy-cp1252, 2 = clean), aggregated
+    _L72_CTE
+    + "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CASE WHEN coin3 < 2 AND doc_id % 2 = 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_mojibake, "
+    "CAST(SUM(CASE WHEN coin3 = 1 AND doc_id % 2 = 0 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_cp1252, "
+    # a mojibake text's length is the original's BYTE length under
+    # EITHER single-byte read, so the repair removes strlen(dec) -
+    # length(dec) chars; kept docs (including ASCII 'corruptions',
+    # which are identity) remove 0
+    "CAST(SUM(CASE WHEN coin3 < 2 AND doc_id % 2 = 0 "
     "THEN strlen(dec) - length(dec) ELSE 0 END) AS BIGINT) AS chars_repaired "
     "FROM d GROUP BY lang ORDER BY lang"
 )
@@ -675,12 +672,15 @@ _ST18_ORACLE = (
 )
 def st18_encoding_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ST18 batch twin: encoding QA ON THE INGEST STREAM — every
-    arriving document decorated/corrupted (the l72 fixture stage) and
+    arriving document decorated/corrupted (the l72 fixture stage,
+    now rotating latin1 AND sloppy-cp1252 damage) and
     mojibake-detected STATELESSLY (pure JVM projections), rolled into
     ONE per-language running report (the query's only stateful
     operator — the st13 rule). Completes l72's execution-mode pair:
     a crawl feed gets live per-language encoding-damage telemetry
-    with the same certified detector the batch pass uses. Full
+    with the same certified detector the batch pass uses; n_cp1252
+    crosses the detector flag with the fixture's cp1252 coin, so the
+    hash certifies the new variant is caught per language. Full
     closed-form oracle (the l72 CTE, aggregated); the streaming
     replay (availableNow + complete mode) is asserted equal in
     tests/test_streaming.py."""

@@ -21,6 +21,16 @@ def _run(spark, texts):
     return df.select("t", fl.alias("f"), rep.alias("r")).collect()
 
 
+def _sloppy_cp1252(data: bytes) -> str:
+    """ftfy's sloppy-cp1252 read: the 5 undefined bytes decode to
+    their C1 controls (Python's strict cp1252 codec raises there)."""
+    return "".join(
+        bytes([b]).decode("cp1252") if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+        else chr(b)
+        for b in data
+    )
+
+
 def test_hand_vectors(spark):
     """Mojibake of every UTF-8 width repairs byte-exactly; ASCII,
     genuine Latin-1 accents, CJK, and emoji pass untouched."""
@@ -32,6 +42,33 @@ def test_hand_vectors(spark):
     clean = ["plain ascii", "café au lait", "你好世界", "🚀", "", "x"]
     for row in _run(spark, clean):
         assert row.f is False and row.r == row.t
+
+
+def test_cp1252_hand_vectors(spark):
+    """VERDICT r11 #1: UTF-8 read as Windows-1252 — the dominant
+    real-world mojibake, whose € ™ ’ “ ” land ABOVE U+00FF and used
+    to slip through the Latin-1 gate. Every vector repairs
+    byte-exactly, including ” (E2 80 9D — byte 0x9D is UNDEFINED in
+    cp1252, the sloppy-C1 leg) and mixed-width text."""
+    originals = [
+        "it’s here",            # ’ -> â€™  (the classic)
+        "€100 and ™ marks",     # E2 82 AC -> â‚¬ ; E2 84 A2 -> â„¢
+        "“quoted” text",        # ” exercises undefined 0x9D
+        "café — déjà 🚀",       # 2/3/4-byte widths in one string
+        "dash – and bullet •",
+    ]
+    mojibake = [_sloppy_cp1252(o.encode("utf-8")) for o in originals]
+    # the fixture-side sanity: the classic ’ damage shape
+    assert mojibake[0] == "itâ€™s here"
+    rows = _run(spark, mojibake)
+    for orig, row in zip(originals, rows):
+        assert row.f is True and row.r == orig, (orig, row)
+    # legitimate text CONTAINING the printables is not repairable
+    # mojibake: a lone € maps to a bare continuation byte (invalid
+    # UTF-8) and passes through untouched
+    clean = ["€9.99", "™", "left ‘quote’ alone", "Ÿ", "A–B"]
+    for row in _run(spark, clean):
+        assert row.f is False and row.r == row.t, row
 
 
 def test_false_positive_boundary(spark):
@@ -61,16 +98,21 @@ def test_l72_query_nonvacuous_and_consistent(spark, sf_dir):
     assert rows
     acts = {r.action for r in rows}
     assert acts == {"repaired", "kept"}
+    # the fixture rotates BOTH corruption charsets plus clean docs
+    assert {r.variant for r in rows} == {"latin1", "cp1252", "clean"}
     for r in rows:
         d = r.doc_id
         decorated_suffix = _L72_SUFFIXES[(d // 2) % 4] if d % 2 == 0 else ""
         assert r.repaired.endswith(decorated_suffix) or decorated_suffix == ""
         assert (r.action == "repaired") == bool(r.mojibake)
+        assert bool(r.mojibake) == (r.variant != "clean" and d % 2 == 0)
         if r.mojibake:
             assert r.n_chars_in > r.n_chars_out  # bytes > codepoints
         else:
             assert r.n_chars_in == r.n_chars_out
-    # all four suffix variants must occur among repaired rows at sf0.001+
+    # both charset variants must flag at sf0.001+, and several suffix
+    # shapes must occur among the repaired rows
+    assert {r.variant for r in rows if r.mojibake} == {"latin1", "cp1252"}
     repaired_sfx = {
         _L72_SUFFIXES[(r.doc_id // 2) % 4]
         for r in rows
@@ -95,29 +137,37 @@ def test_l72_plan_is_pure_jvm(spark, sf_dir):
 
 def test_widget_loop_detects_and_repairs_mojibake(spark):
     """The reference's core loop, extended: problems() surfaces
-    'mojibake' on a damaged string column, autofix routes to
-    repair_mojibake FIRST (before any text interpretation), and the
-    recipe's SQL export reproduces the repair value-for-value in
-    DuckDB (the recipe_sql_export contract for the new step)."""
+    'mojibake' on a damaged string column — counting BOTH charset
+    variants (VERDICT r11 #1) — autofix routes to repair_mojibake
+    FIRST (before any text interpretation), and the recipe's SQL
+    export reproduces both repairs value-for-value in DuckDB (the
+    recipe_sql_export contract for the new step)."""
     import duckdb
 
     from ipydataclean_spark.api import DataCleaner
 
-    originals = ["café au lait", "naïve — déjà", "你好", "plain", "x1 y", "señor"]
-    dirty = [
-        (i, o.encode("utf-8").decode("latin-1") if i % 2 == 0 else o)
-        for i, o in enumerate(originals)
-    ]
+    originals = ["café au lait", "naïve — déjà", "it’s 你好", "plain", "x1 y", "señor"]
+
+    def _damage(i, o):
+        if i == 0:
+            return o.encode("utf-8").decode("latin-1")
+        if i == 2:
+            return _sloppy_cp1252(o.encode("utf-8"))
+        return o
+
+    dirty = [(i, _damage(i, o)) for i, o in enumerate(originals)]
+    assert "â€™" in dirty[2][1]  # the classic cp1252 shape, above U+00FF
     df = spark.createDataFrame(dirty, "id long, note string")
     dc = DataCleaner(df)
     probs = dc.problems()
-    assert ("note", "mojibake", 2) in probs  # ids 0 and 2 damaged non-ascii
+    # one latin1-damaged + one cp1252-damaged value — both counted
+    assert ("note", "mojibake", 2) in probs
     applied = dc.autofix(cols=["note"])
     fixes = [(a["problem"], a["fix"]) for a in applied]
     assert ("mojibake", "repair_mojibake") in fixes
     assert fixes.index(("mojibake", "repair_mojibake")) == 0
     got = {r.id: r.note for r in dc.df.collect()}
-    assert got[0] == "café au lait" and got[2] == "你好"
+    assert got[0] == "café au lait" and got[2] == "it’s 你好"
     assert got[3] == "plain" and got[5] == "señor"
 
     # NULL passthrough of the standalone fix (autofix would also
