@@ -57,11 +57,19 @@ def _esc_literal(s: str) -> bytes:
     )
 
 
-def build_pdf(text: str, *, compress: bool = True) -> bytes:
+def build_pdf(text: str, *, compress: bool = True, objstm: bool = False) -> bytes:
     """Deterministic one-page PDF from ``text``: the shared fixture
     reflow (html_extract.split_paragraphs — ONE definition, review-2
     #4), one Tj per line, T* line advances, FlateDecode content
-    stream, correct xref offsets."""
+    stream, correct xref offsets. ``objstm`` emits the PDF 1.5 shape
+    instead (VERDICT r11 #3 — the default for post-2005 writers): the
+    four dict objects packed into one compressed /Type/ObjStm (§7.5.7
+    — N obj-number/offset pairs, then the bodies at /First+offset; a
+    stream itself cannot live in an ObjStm, so the content stream
+    stays top-level), and the classic xref table + trailer replaced
+    by a /Type/XRef CROSS-REFERENCE STREAM (§7.5.8: /W [1 4 2]
+    packed binary rows — type 1 = byte offset, type 2 = (objstm,
+    index))."""
     paras = split_paragraphs(text)
     content = bytearray(b"BT /F1 12 Tf 14 TL 72 720 Td\n")
     for i, p in enumerate(paras):
@@ -69,36 +77,90 @@ def build_pdf(text: str, *, compress: bool = True) -> bytes:
             content += b"T*\n"
         content += b"(" + _esc_literal(p) + b") Tj\n"
     content += b"ET"
-    if compress:
+    if compress or objstm:
         data = zlib.compress(bytes(content))
         filt = b" /Filter /FlateDecode"
     else:
         data = bytes(content)
         filt = b""
-    objs = [
-        b"<< /Type /Catalog /Pages 2 0 R >>",
-        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
-        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+    dicts = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    content_obj = (
         b"<< /Length " + str(len(data)).encode() + filt + b" >>\nstream\n"
-        + data + b"\nendstream",
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-    ]
-    out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
-    offsets = []
-    for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
-    xref_at = len(out)
-    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
-    out += b"0000000000 65535 f \n"
-    for off in offsets:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (
-        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
-        + b"\n%%EOF\n"
+        + data + b"\nendstream"
     )
+    if not objstm:
+        objs = [dicts[1], dicts[2], dicts[3], content_obj, dicts[5]]
+        out = bytearray(b"%PDF-1.4\n%\xc2\xa5\xc2\xb1\n")
+        offsets = []
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += str(i).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+        out += b"0000000000 65535 f \n"
+        for off in offsets:
+            out += f"{off:010d} 00000 n \n".encode()
+        out += (
+            b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+            + b"\n%%EOF\n"
+        )
+        return bytes(out)
+    # --- PDF 1.5: ObjStm (obj 6) + cross-reference stream (obj 7) ---
+    inner = sorted(dicts)  # obj numbers packed, in index order
+    bodies = [dicts[n] for n in inner]
+    offs, at = [], 0
+    for b in bodies:
+        offs.append(at)
+        at += len(b) + 1  # bodies joined by single \n
+    pair_table = (
+        b" ".join(
+            str(n).encode() + b" " + str(o).encode()
+            for n, o in zip(inner, offs)
+        )
+        + b"\n"
+    )
+    first = len(pair_table)
+    stm_plain = pair_table + b"\n".join(bodies) + b"\n"
+    stm_data = zlib.compress(stm_plain)
+    objstm_obj = (
+        b"<< /Type /ObjStm /N " + str(len(inner)).encode()
+        + b" /First " + str(first).encode()
+        + b" /Length " + str(len(stm_data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + stm_data + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xc2\xa5\xc2\xb1\n")
+    top_offsets: dict[int, int] = {}
+    for num, body in ((4, content_obj), (6, objstm_obj)):
+        top_offsets[num] = len(out)
+        out += str(num).encode() + b" 0 obj\n" + body + b"\nendobj\n"
+    xref_at = len(out)
+    # /W [1 4 2] rows for objects 0..7: type 0 free head; type 2 =
+    # (containing objstm, index); type 1 = byte offset
+    import struct
+
+    idx_in_stm = {n: i for i, n in enumerate(inner)}
+    rows = bytearray()
+    rows += struct.pack(">BIH", 0, 0, 0xFFFF)  # obj 0: free list head
+    for num in range(1, 8):
+        if num in idx_in_stm:
+            rows += struct.pack(">BIH", 2, 6, idx_in_stm[num])
+        else:
+            rows += struct.pack(">BIH", 1, top_offsets.get(num, xref_at), 0)
+    xr_data = zlib.compress(bytes(rows))
+    out += (
+        b"7 0 obj\n<< /Type /XRef /Size 8 /W [1 4 2] /Root 1 0 R "
+        b"/Length " + str(len(xr_data)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + xr_data
+        + b"\nendstream\nendobj\n"
+    )
+    out += b"startxref\n" + str(xref_at).encode() + b"\n%%EOF\n"
     return bytes(out)
 
 
@@ -295,10 +357,70 @@ def _content_text(content: bytes) -> str:
     return "\n".join(ln for ln in out_lines if ln)
 
 
+def _inflate(head: bytes, payload: bytes, raw: bytes) -> bytes:
+    """Apply the declared stream filter: FlateDecode inflates, no
+    filter passes through, anything else RAISES (poison-pill)."""
+    fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", head)
+    if not fm:
+        return payload
+    filt = fm.group(1)
+    if b"FlateDecode" not in filt:
+        raise ValueError(f"unsupported stream filter {filt!r}")
+    try:
+        return zlib.decompress(payload)
+    except zlib.error:
+        # a writer that omitted the EOL before 'endstream' while the
+        # Flate data itself ends in EOL bytes: the one-EOL strip took
+        # a data byte. decompressobj stops at the DEFLATE final
+        # block, so the raw slice (data + at most one trailing EOL)
+        # inflates exactly.
+        try:
+            return zlib.decompressobj().decompress(raw)
+        except zlib.error as exc:
+            raise ValueError("corrupt FlateDecode stream") from exc
+
+
+def _objstm_objects(head: bytes, payload: bytes) -> list[tuple[int, bytes]]:
+    """Parse an INFLATED /Type/ObjStm payload (§7.5.7): /N
+    obj-number/offset integer pairs in the first /First bytes, object
+    bodies at /First+offset. Returns [(obj number, body bytes)];
+    malformed headers, short pair tables, and out-of-range offsets
+    RAISE (the poison-pill contract — never a silent empty)."""
+    nm = re.search(rb"/N\s+(\d+)(?!\d)", head)
+    fm = re.search(rb"/First\s+(\d+)(?!\d)", head)
+    if not nm or not fm:
+        raise ValueError("ObjStm missing /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    if first > len(payload):
+        raise ValueError("ObjStm /First beyond payload")
+    toks = payload[:first].split()
+    if len(toks) < 2 * n:
+        raise ValueError("truncated ObjStm pair table")
+    try:
+        pairs = [(int(toks[2 * i]), int(toks[2 * i + 1])) for i in range(n)]
+    except ValueError as exc:
+        raise ValueError("non-integer ObjStm pair table") from exc
+    out = []
+    for k, (num, off) in enumerate(pairs):
+        start = first + off
+        end = first + pairs[k + 1][1] if k + 1 < n else len(payload)
+        if not 0 <= start <= end <= len(payload):
+            raise ValueError("ObjStm object offset out of range")
+        out.append((num, payload[start:end]))
+    return out
+
+
 def extract_pdf_text(data: bytes) -> str:
     """PDF bytes -> extracted text (see module docstring for the
     honest subset). Raises on bad magic, encryption, composite fonts,
-    unknown stream filters, and truncation — never silently garbles."""
+    unknown stream filters, and truncation — never silently garbles.
+    PDF 1.5 object streams are unpacked and their contained objects
+    join the STRUCTURE scan (VERDICT r11 #3 — a /Type0 font hidden in
+    a compressed ObjStm must still poison-pill); /Type/XRef
+    cross-reference streams are recognized and their binary payload
+    excluded from content parsing (offset tables aren't needed — the
+    walk is structural — but their bytes could contain 'BT' by
+    chance)."""
     if not data.startswith(b"%PDF-"):
         raise ValueError("not a PDF (missing %PDF header)")
     streams = _object_streams(data)
@@ -311,32 +433,26 @@ def extract_pdf_text(data: bytes) -> str:
         parts.append(data[at:s])
         at = e
     parts.append(data[at:])
-    structure = b"".join(parts)
-    if b"/Encrypt" in structure:
+    structure = [b"".join(parts)]
+    # /Encrypt gates BEFORE any inflation: in an encrypted file the
+    # stream bytes are ciphertext and would misreport as corrupt Flate
+    if b"/Encrypt" in structure[0]:
         raise ValueError("encrypted PDF not supported")
-    if b"/Type0" in structure or b"/CIDFont" in structure:
-        raise ValueError("composite (Type0/CID) fonts not supported")
-    texts = []
+    contents = []
     for head, payload, raw, _span in streams:
-        fm = re.search(rb"/Filter\s*(/\w+|\[[^\]]*\])", head)
-        if fm:
-            filt = fm.group(1)
-            if b"FlateDecode" not in filt:
-                raise ValueError(f"unsupported stream filter {filt!r}")
-            try:
-                payload = zlib.decompress(payload)
-            except zlib.error:
-                # a writer that omitted the EOL before 'endstream'
-                # while the Flate data itself ends in EOL bytes: the
-                # one-EOL strip took a data byte. decompressobj stops
-                # at the DEFLATE final block, so the raw slice (data
-                # + at most one trailing EOL) inflates exactly.
-                try:
-                    payload = zlib.decompressobj().decompress(raw)
-                except zlib.error as exc:
-                    raise ValueError("corrupt FlateDecode stream") from exc
-        if b"BT" in payload:
-            texts.append(_content_text(payload))
+        tm = re.search(rb"/Type\s*/(\w+)", head)
+        stype = tm.group(1) if tm else b""
+        if stype == b"ObjStm":
+            for _num, body in _objstm_objects(head, _inflate(head, payload, raw)):
+                structure.append(body)
+        elif stype == b"XRef":
+            continue  # binary offset rows — structure dict is already scanned
+        else:
+            contents.append(_inflate(head, payload, raw))
+    full_structure = b"\n".join(structure)
+    if b"/Type0" in full_structure or b"/CIDFont" in full_structure:
+        raise ValueError("composite (Type0/CID) fonts not supported")
+    texts = [_content_text(p) for p in contents if b"BT" in p]
     return "\n".join(t for t in texts if t)
 
 
@@ -370,14 +486,16 @@ def l73_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     objects, FlateDecode content streams, escaped literal strings,
     built deterministically from documents.text) through the
     from-scratch parser, reduced to extracted text + structure stats.
-    (doc_id // 14) parity alternates compressed/raw streams so both
-    decode paths certify every run. The oracle recomputes the
-    expectation from the SOURCE text (the l70 playbook), so a hash
-    match certifies the whole build -> (deflate) -> locate -> inflate
-    -> tokenize -> unescape -> reflow path. Nasty-PDF goldens (escape
+    (doc_id // 14) % 3 rotates the document shape — compressed
+    classic / raw classic / PDF 1.5 ObjStm + xref stream (VERDICT
+    r11 #3) — so both decode paths AND the object-stream unpacker
+    certify every run. The oracle recomputes the expectation from the
+    SOURCE text (the l70 playbook), so a hash match certifies the
+    whole build -> (deflate) -> locate -> (unpack) -> inflate ->
+    tokenize -> unescape -> reflow path. Nasty-PDF goldens (escape
     sequences, octal, hex strings, TJ kerning, multi-stream) and
-    poison pills (encryption, Type0, unknown filter, truncation) are
-    pinned in tests/test_pdf_extract.py."""
+    poison pills (encryption, Type0 incl. ObjStm-hidden, unknown
+    filter, truncation) are pinned in tests/test_pdf_extract.py."""
 
     def build_and_extract(batches):
         import pandas as _pd
@@ -394,8 +512,11 @@ def l73_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 try:
                     # the %14==3 slice is all-odd ids, so the
                     # rotation keys on the slice index instead
+                    shape = (r.doc_id // 14) % 3
                     payload = build_pdf(
-                        r.text, compress=bool((r.doc_id // 14) % 2 == 0)
+                        r.text,
+                        compress=bool(shape == 0),
+                        objstm=bool(shape == 2),
                     )
                     text = extract_pdf_text(payload)
                     base.update(

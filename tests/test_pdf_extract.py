@@ -6,6 +6,8 @@ arrays, octal escapes, multi-stream pages, ' and \" operators) and
 the poison pills.
 """
 
+import re
+
 import numpy as np
 import pytest
 
@@ -113,8 +115,9 @@ def test_fuzz_never_hangs():
 def test_l73_query_nonvacuous(spark, sf_dir):
     rows = l73_pdf_extract(spark, sf_dir).collect()
     assert rows and all(r.ok == 1 for r in rows)
-    # both compressed and raw stream paths present
-    assert {(r.doc_id // 14) % 2 for r in rows} == {0, 1}
+    # all three document shapes present: compressed classic / raw
+    # classic / PDF 1.5 ObjStm + xref stream (VERDICT r11 #3)
+    assert {(r.doc_id // 14) % 3 for r in rows} == {0, 1, 2}
     assert all(r.n_chars == len(r.text) for r in rows)
 
 
@@ -203,3 +206,116 @@ def test_endstream_scan_retries_unstripped_flate():
     want, z = _flate_content_ending_in_eol()
     obj = b"<< /Length 99 0 R /Filter /FlateDecode >>\nstream\n" + z + b"endstream"
     assert extract_pdf_text(_wrap_stream_obj(obj)) == want
+
+
+# --- PDF 1.5 object streams / xref streams (VERDICT r11 #3) ---
+
+
+def _objstm_doc(text="object stream words packed in a compressed container"):
+    return build_pdf(text, objstm=True)
+
+
+def test_objstm_roundtrip_random_texts():
+    """The PDF 1.5 shape (dicts in a compressed ObjStm, xref as a
+    /Type/XRef stream, NO classic table) extracts identically."""
+    rng = np.random.RandomState(11)
+    vocab = ["spark", "table", "(paren)", "a\\b", "x)y", "word", "q1"]
+    for trial in range(10):
+        text = " ".join(
+            vocab[rng.randint(len(vocab))] for _ in range(rng.randint(1, 80))
+        )
+        data = build_pdf(text, objstm=True)
+        assert b"\nxref\n" not in data and b"trailer" not in data
+        assert b"/Type /ObjStm" in data and b"/Type /XRef" in data
+        assert extract_pdf_text(data) == _expected(text), trial
+
+
+def test_objstm_xref_stream_offsets_and_rows():
+    """Third-party readability of the 1.5 shape: the /W [1 4 2] rows
+    must carry correct types and byte offsets (type 1) / ObjStm
+    indexes (type 2), and startxref must point at obj 7."""
+    import struct
+    import zlib
+
+    data = _objstm_doc()
+    startxref = int(data[data.rfind(b"startxref") + 10 :].split()[0])
+    assert data[startxref:].startswith(b"7 0 obj")
+    m = re.search(rb"7 0 obj\n<<[^>]*>>\nstream\n", data[startxref:])
+    head = data[startxref : startxref + m.end()]
+    ln = int(re.search(rb"/Length (\d+)", head).group(1))
+    rows = zlib.decompress(data[startxref + m.end() : startxref + m.end() + ln])
+    assert len(rows) == 8 * 7
+    ent = [struct.unpack(">BIH", rows[i * 7 : i * 7 + 7]) for i in range(8)]
+    assert ent[0] == (0, 0, 0xFFFF)
+    for num in (1, 2, 3, 5):  # packed into the ObjStm (obj 6)
+        t, f2, f3 = ent[num]
+        assert (t, f2) == (2, 6)
+    for num in (4, 6):  # top-level: offset points at "num 0 obj"
+        t, off, _ = ent[num]
+        assert t == 1 and data[off:].startswith(f"{num} 0 obj".encode())
+    assert ent[7][0] == 1 and ent[7][1] == startxref
+
+
+def _mutate_objstm(data, fn):
+    """Inflate obj 6's ObjStm payload, run fn(plain)->plain', splice
+    back with a corrected /Length."""
+    import zlib
+
+    at = data.find(b"6 0 obj\n")
+    m = re.search(rb"stream\r?\n", data[at:])
+    head_end = at + m.end()
+    ln = int(re.search(rb"/Length (\d+)", data[at:head_end]).group(1))
+    plain = zlib.decompress(data[head_end : head_end + ln])
+    new = zlib.compress(fn(plain))
+    head = data[at:head_end].replace(
+        b"/Length " + str(ln).encode(), b"/Length " + str(len(new)).encode()
+    )
+    return data[:at] + head + new + data[head_end + ln :]
+
+
+def test_objstm_hidden_type0_still_poisons():
+    """The r11 gap: a /Type0 font packed inside a COMPRESSED ObjStm
+    was invisible to the structural scan. Now the unpacked bodies
+    join the scan and the poison-pill fires."""
+    data = _mutate_objstm(
+        _objstm_doc(), lambda p: p.replace(b"/Subtype /Type1", b"/Subtype /Type0")
+    )
+    with pytest.raises(ValueError, match="Type0"):
+        extract_pdf_text(data)
+
+
+def test_objstm_malformed_raises():
+    """ObjStm header/table damage RAISES — never a silent empty
+    extraction (the r11 'extract as empty' failure mode)."""
+    good = _objstm_doc()
+    with pytest.raises(ValueError, match="/First beyond"):
+        extract_pdf_text(
+            good.replace(b" /First ", b" /First 99999 %", 1)
+        )
+    with pytest.raises(ValueError, match="pair table"):
+        # lop one pair off the table: /N still promises 4
+        extract_pdf_text(
+            _mutate_objstm(good, lambda p: p.replace(b"1 0 ", b"", 1))
+        )
+    with pytest.raises(ValueError, match="ObjStm"):
+        extract_pdf_text(
+            _mutate_objstm(good, lambda p: p.replace(b"1 0 ", b"x y ", 1))
+        )
+
+
+def test_xref_stream_payload_never_parsed_as_content():
+    """A cross-reference stream's binary rows can contain 'BT' by
+    chance — the /Type/XRef classification must keep them out of the
+    content walk (and out of the extracted text)."""
+    fake_rows = b"BT (sneaky xref text) Tj ET"
+    obj = (
+        b"9 0 obj\n<< /Type /XRef /Size 1 /W [1 4 2] /Root 1 0 R /Length "
+        + str(len(fake_rows)).encode()
+        + b" >>\nstream\n" + fake_rows + b"\nendstream\nendobj\n"
+    )
+    base = build_pdf("real words only here please", compress=False)
+    at = base.rfind(b"xref\n")
+    data = base[:at] + obj + base[at:]
+    out = extract_pdf_text(data)
+    assert "sneaky" not in out
+    assert out == _expected("real words only here please")
