@@ -470,6 +470,41 @@ def band8(df: DataFrame, hash_col: str = "dhash") -> DataFrame:
     )
 
 
+def band16(df: DataFrame, hi_col: str = "phi", lo_col: str = "plo") -> DataFrame:
+    """16x8-bit banding rows for a 128-bit hash stored as two signed
+    BIGINTs (hi = bits 127..64, lo = 63..0) — the escalation band8's
+    docstring names for 10^8-row stores: same pigeonhole, wider
+    fingerprint. Two hashes within hamming <= 15 flip at most 15 of
+    the 16 bytes, so they MUST agree on >= 1 (band, key) — the
+    equi-join on (band, key) is a complete candidate generator for
+    hamming <= 15. Bands 0..7 are lo's bytes, 8..15 hi's. Selectivity
+    per probe row is 16/256 of the other side (uniform hashes), and
+    the 128-bit grain keeps accidental key collisions between
+    UNRELATED images half as likely per band as the 64-bit grain —
+    the reason this is the 10^8-store leg."""
+    def _bytes(col: str, base: int):
+        return [
+            F.struct(
+                F.lit(base + b).alias("band"),
+                F.shiftrightunsigned(col, b * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("key"),
+            )
+            for b in range(8)
+        ]
+
+    return df.select(
+        "*",
+        F.posexplode(
+            F.array(*(_bytes(lo_col, 0) + _bytes(hi_col, 8)))
+        ).alias("_p", "bk"),
+    ).select(
+        *df.columns,
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
 def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7) -> DataFrame:
     """Near-dup image detection by banded dHash, at the CLUSTER grain.
 

@@ -280,6 +280,151 @@ def image_phash(media: DataFrame) -> DataFrame:
     return media.mapInPandas(kernel, schema="doc_id BIGINT, dhash BIGINT")
 
 
+#: the 128 lowest-frequency AC positions of the 32x32 DCT in
+#: diagonal (u+v, then u) order, DC excluded — all inside the 16x16
+#: low-frequency corner (u+v <= 15 yields 136 positions; the first
+#: 128 after dropping DC). Deterministic, and every selected basis
+#: function has u+v > 0, so the EXACT brightness invariance argument
+#: of phash64 carries over unchanged.
+_ZZ128 = sorted(
+    ((u, v) for u in range(16) for v in range(16)),
+    key=lambda t: (t[0] + t[1], t[0]),
+)[1:129]
+
+
+def phash128(px: np.ndarray) -> tuple[int, int]:
+    """128-bit perceptual hash -> (hi, lo) signed 64-bit halves (bits
+    127..64 / 63..0, Spark LongType) — phash64 widened for the
+    10^8-row banding regime (VERDICT r11 #7): same integer luma,
+    32x32 grid sample, and orthonormal 2-D DCT, but thresholding the
+    128 lowest AC coefficients (diagonal order) at their median
+    instead of the 8x8 block's 63. The median split sets exactly 64
+    bits on distinct coefficients, so all 16 bands of the 16x8
+    bander stay live (the l9k degenerate-band lesson), and DC
+    exclusion keeps uniform-brightness invariance EXACT."""
+    h, w, _ = px.shape
+    g = (
+        px[:, :, 0].astype(np.int64) * 299
+        + px[:, :, 1].astype(np.int64) * 587
+        + px[:, :, 2].astype(np.int64) * 114
+    )
+    rows = (np.arange(32) * h) // 32
+    cols = (np.arange(32) * w) // 32
+    grid = g[np.ix_(rows, cols)].astype(np.float64)
+    freq = _DCT32 @ grid @ _DCT32.T
+    ac = np.array([freq[u, v] for u, v in _ZZ128])
+    med = float(np.median(ac))
+    out = 0
+    for v in ac:
+        out = (out << 1) | int(v > med)
+    hi, lo = out >> 64, out & ((1 << 64) - 1)
+    to_signed = lambda x: x - (1 << 64) if x >= (1 << 63) else x  # noqa: E731
+    return to_signed(hi), to_signed(lo)
+
+
+def image_phash128(media: DataFrame) -> DataFrame:
+    """payload BINARY -> (doc_id, phi BIGINT, plo BIGINT). Arrow-
+    batched narrow map; undecodable payloads dropped."""
+    from ipydataclean_spark.operators.media_codecs import decode_bmp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for r in pdf.itertuples():
+                try:
+                    px = decode_bmp(bytes(r.payload))
+                except Exception:
+                    continue
+                hi, lo = phash128(px)
+                ids.append(r.doc_id)
+                his.append(hi)
+                los.append(lo)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "phi": _pd.Series(his, dtype="int64"),
+                    "plo": _pd.Series(los, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema="doc_id BIGINT, phi BIGINT, plo BIGINT")
+
+
+def phash128_neardup_pairs(hashes: DataFrame, max_hamming: int = 15) -> DataFrame:
+    """dhash_neardup_pairs at the 128-bit (phi, plo) grain: exact-dup
+    cluster collapse (only DISTINCT hashes enter the band join), 16x8
+    banding (complete for hamming <= 15 by pigeonhole), exact
+    popcount filter as bit_count(phi XOR phi') + bit_count(plo XOR
+    plo'). Same aggregate pair-table output shape as the 64-bit
+    stage. This is the probe-side escalation's pair twin: when a
+    pHash-grain store passes MEDIA_STORE_CAP, media_probe_banded's
+    dispatch uses band16 over the same persisted (phi, plo) table."""
+    from ipydataclean_spark.operators.media_codecs import band16
+
+    clusters = hashes.groupBy("phi", "plo").agg(
+        F.min("doc_id").alias("rep"),
+        F.count(F.lit(1)).alias("size"),
+    )
+    within = clusters.where(F.col("size") > 1).select(
+        F.col("rep").alias("doc_a"),
+        F.col("rep").alias("doc_b"),
+        F.lit(0).alias("hamming"),
+        (F.col("size") * (F.col("size") - 1) / 2).cast("long").alias("n_pairs"),
+    )
+    bands = band16(clusters.select("rep", "phi", "plo", "size"))
+    a, b = bands.alias("a"), bands.alias("b")
+    across = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.rep") < F.col("b.rep")),
+        )
+        .select(
+            F.col("a.rep").alias("doc_a"),
+            F.col("b.rep").alias("doc_b"),
+            (
+                F.bit_count(F.col("a.phi").bitwiseXOR(F.col("b.phi")))
+                + F.bit_count(F.col("a.plo").bitwiseXOR(F.col("b.plo")))
+            ).alias("hamming"),
+            (F.col("a.size") * F.col("b.size")).cast("long").alias("n_pairs"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return within.unionByName(across)
+
+
+@register(
+    "l9r_image_phash128_pairs",
+    oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics
+    tags=("L9", "L2", "multimodal", "dedup"),
+)
+def l9r_image_phash128_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9r: perceptual near-dup detection at the 128-bit pHash grain —
+    the wide-fingerprint escalation band8's docstring reserves for
+    10^8-row stores (VERDICT r11 #7), now a first-class query:
+    image_phash128 (two-BIGINT hash columns) -> exact-hash cluster
+    collapse -> band16 hamming join (complete for hamming <= 15).
+    The +24-brightened twins collapse into their originals' clusters
+    (DC exclusion makes brightness invariance EXACT at 128 bits too).
+    Rows-only by design; cross-strategy equality vs the brute-force
+    all-pairs popcount join, band liveness (all 16 bands carry >1
+    key), and planted-pair completeness are pinned in
+    tests/test_media_jpeg.py."""
+    from ipydataclean_spark.operators.media_codecs import (
+        attach_patterned_payloads,
+    )
+
+    docs = T(spark, sf_dir, "documents").where(
+        (F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)
+    )
+    pairs = phash128_neardup_pairs(image_phash128(attach_patterned_payloads(docs)))
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 @register(
     "l9p_image_phash_pairs",
     oracle=None,  # payload bytes are invisible to SQL; goldens pin semantics

@@ -513,3 +513,134 @@ def test_empty_sos_raises_valueerror():
     ) + good[sos_at:]
     with pytest.raises(ValueError, match="malformed SOS"):
         decode_jpeg(mutated)
+
+
+# --- L9r: 128-bit pHash + 16-band hamming join (VERDICT r11 #7) ---
+
+
+def _u128(hi, lo):
+    return ((hi & ((1 << 64) - 1)) << 64) | (lo & ((1 << 64) - 1))
+
+
+def _signed(x):
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def test_phash128_brightness_invariance_and_balance():
+    """DC exclusion keeps uniform-brightness invariance EXACT at 128
+    bits; the median split sets exactly 64 bits (all bands live)."""
+    from ipydataclean_spark.operators.media_jpeg import phash128
+
+    for d in (1, 7, 13):
+        px = _pattern(d)
+        assert phash128(px) == phash128(px + np.uint8(24))
+        hi, lo = phash128(px)
+        assert bin(_u128(hi, lo)).count("1") == 64
+
+
+def test_phash128_separates_and_correlates():
+    """Distinct patterns differ widely; noise moves few of 128 bits."""
+    from ipydataclean_spark.operators.media_jpeg import phash128
+
+    a = _u128(*phash128(_pattern(1)))
+    b = _u128(*phash128(_pattern(2)))
+    assert bin(a ^ b).count("1") > 20
+    rng = np.random.RandomState(5)
+    px = _pattern(3)
+    noisy = np.clip(px.astype(int) + rng.randint(-2, 3, px.shape), 0, 255).astype(
+        np.uint8
+    )
+    n = _u128(*phash128(noisy))
+    base = _u128(*phash128(px))
+    assert bin(base ^ n).count("1") <= 15
+
+
+def test_band16_liveness(spark):
+    """The l9k degenerate-band lesson at 16 bands: across a set of
+    real pattern hashes, every band must carry >1 distinct key."""
+    from ipydataclean_spark.operators.media_codecs import band16
+    from ipydataclean_spark.operators.media_jpeg import phash128
+
+    rows = []
+    for d in range(24):
+        hi, lo = phash128(_pattern(d))
+        rows.append((d, hi, lo))
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(rows, "doc_id long, phi long, plo long")
+    got = (
+        band16(df)
+        .groupBy("band")
+        .agg(F.countDistinct("key").alias("n"))
+        .collect()
+    )
+    assert len(got) == 16
+    assert all(r.n > 1 for r in got), got
+
+
+def test_phash128_banded_equals_bruteforce(spark):
+    """Cross-strategy equality (the media-handoff pin pattern): the
+    banded 16x8 join must emit EXACTLY the pairs the brute-force
+    all-pairs popcount join emits — including planted neighbors at
+    hamming 1/8/15 (kept) and 16 (dropped), plus exact-dup clusters."""
+    from ipydataclean_spark.operators.media_jpeg import phash128_neardup_pairs
+
+    rng = np.random.RandomState(17)
+    vals = []
+    for i in range(40):
+        vals.append(int.from_bytes(rng.bytes(16), "big"))
+    base = vals[0]
+    for k, flips in ((1, [3]), (8, range(0, 64, 8)), (15, range(0, 120, 8)),
+                     (16, range(0, 128, 8))):
+        h = base
+        for f in flips:
+            h ^= 1 << f
+        assert bin(base ^ h).count("1") == k
+        vals.append(h)
+    # an exact-dup cluster: three docs sharing vals[1]
+    rows = [(i, _signed(v >> 64), _signed(v & ((1 << 64) - 1)))
+            for i, v in enumerate(vals)]
+    rows += [(100, rows[1][1], rows[1][2]), (101, rows[1][1], rows[1][2])]
+    df = spark.createDataFrame(rows, "doc_id long, phi long, plo long")
+    got = {
+        (r.doc_a, r.doc_b, r.hamming, r.n_pairs)
+        for r in phash128_neardup_pairs(df).collect()
+    }
+    # brute force in python over distinct hashes
+    uniq = {}
+    for i, v in enumerate(vals):
+        uniq.setdefault(v, []).append(i)
+    uniq[vals[1]] += [100, 101]
+    reps = {v: min(ids) for v, ids in uniq.items()}
+    want = set()
+    for v, ids in uniq.items():
+        if len(ids) > 1:
+            want.add((reps[v], reps[v], 0, len(ids) * (len(ids) - 1) // 2))
+    dv = sorted(uniq)
+    for x in range(len(dv)):
+        for y in range(x + 1, len(dv)):
+            hm = bin(dv[x] ^ dv[y]).count("1")
+            if hm <= 15:
+                a, b = sorted((reps[dv[x]], reps[dv[y]]))
+                want.add((a, b, hm, len(uniq[dv[x]]) * len(uniq[dv[y]])))
+    assert got == want
+    # the planted hamming-16 neighbor must be absent
+    assert not any(h == 16 for _, _, h, _ in got)
+    assert any(h == 15 for _, _, h, _ in got)
+
+
+def test_l9r_twins_collapse_and_no_cartesian(spark, sf_dir):
+    """The +24-brightened twins land in their originals' clusters at
+    the 128-bit grain too, and the plan is an equi-join (no
+    CartesianProduct / BroadcastNestedLoopJoin — the band join is the
+    candidate generator)."""
+    from ipydataclean_spark.operators.media_jpeg import l9r_image_phash128_pairs
+
+    q = l9r_image_phash128_pairs(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = q.collect()
+    assert rows, "pair output must not be empty"
+    within = [r for r in rows if r.doc_a == r.doc_b]
+    assert within and all(r.hamming == 0 for r in within)
