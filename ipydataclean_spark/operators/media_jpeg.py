@@ -358,9 +358,9 @@ def phash128_neardup_pairs(hashes: DataFrame, max_hamming: int = 15) -> DataFram
     banding (complete for hamming <= 15 by pigeonhole), exact
     popcount filter as bit_count(phi XOR phi') + bit_count(plo XOR
     plo'). Same aggregate pair-table output shape as the 64-bit
-    stage. This is the probe-side escalation's pair twin: when a
-    pHash-grain store passes MEDIA_STORE_CAP, media_probe_banded's
-    dispatch uses band16 over the same persisted (phi, plo) table."""
+    stage. ``phash128_probe_banded`` below is the probe-grain
+    sibling (history-store lookup, the media_probe_banded contract
+    at the wide grain)."""
     from ipydataclean_spark.operators.media_codecs import band16
 
     clusters = hashes.groupBy("phi", "plo").agg(
@@ -395,6 +395,59 @@ def phash128_neardup_pairs(hashes: DataFrame, max_hamming: int = 15) -> DataFram
         .where(F.col("hamming") <= max_hamming)
     )
     return within.unionByName(across)
+
+
+def phash128_probe_banded(
+    probe_hashes: DataFrame, store_hashes: DataFrame, *, max_hamming: int = 15
+) -> DataFrame:
+    """``stream.media_probe_banded`` at the 128-bit grain: probe
+    (doc_id, phi, plo) rows against a persisted (phi, plo) history
+    TABLE of any size — band16 equi-join over DISTINCT hashes on both
+    sides (pigeonhole-complete for hamming <= 15), exact two-half
+    popcount filter, min per probe hash, joined back to the doc
+    grain. min_hamming is CLAMPED at max_hamming + 1 (novel rows),
+    the same contract that makes the 64-bit closure/banded strategies
+    bit-identical — so a pHash-grain history that outgrows
+    MEDIA_STORE_CAP has the same no-hard-stop scale path the dHash
+    grain got in round 11. Equality against the brute-force popcount
+    minimum is pinned in tests/test_media_jpeg.py."""
+    if max_hamming > 15:
+        raise ValueError("band16 is pigeonhole-complete only for max_hamming <= 15")
+    from ipydataclean_spark.operators.media_codecs import band16
+
+    probe_bands = band16(probe_hashes.select("phi", "plo").distinct())
+    store_bands = band16(
+        store_hashes.select(
+            F.col("phi").alias("__shi"), F.col("plo").alias("__slo")
+        ).distinct(),
+        "__shi",
+        "__slo",
+    )
+    matched = (
+        probe_bands.join(store_bands, ["band", "key"])
+        .select(
+            "phi",
+            "plo",
+            (
+                F.bit_count(F.col("phi").bitwiseXOR(F.col("__shi")))
+                + F.bit_count(F.col("plo").bitwiseXOR(F.col("__slo")))
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .groupBy("phi", "plo")
+        .agg(F.min("hamming").alias("__mh"))
+    )
+    return probe_hashes.join(matched, ["phi", "plo"], "left").select(
+        "doc_id",
+        "phi",
+        "plo",
+        F.coalesce(F.col("__mh"), F.lit(max_hamming + 1))
+        .cast("int")
+        .alias("min_hamming"),
+        F.when(F.col("__mh").isNotNull(), F.lit("dup_of_history"))
+        .otherwise(F.lit("novel"))
+        .alias("status"),
+    )
 
 
 @register(

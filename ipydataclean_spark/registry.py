@@ -445,6 +445,9 @@ ROWS_ONLY_FIRST: tuple[str, ...] = (
     # media_probe_auto dispatch both consume)
     "st17_media_ingest",
     "inc8_incremental_media",
+    # new in round 12: the 128-bit pHash 16-band escalation
+    # (VERDICT r11 #7)
+    "l9r_image_phash128_pairs",
 )
 
 

@@ -644,3 +644,47 @@ def test_l9r_twins_collapse_and_no_cartesian(spark, sf_dir):
     assert rows, "pair output must not be empty"
     within = [r for r in rows if r.doc_a == r.doc_b]
     assert within and all(r.hamming == 0 for r in within)
+
+
+def test_phash128_probe_banded_equals_bruteforce(spark):
+    """The probe-grain contract at 128 bits: banded history lookup
+    must emit the same (min_hamming, status) rows as the brute-force
+    popcount minimum, with novel rows clamped at max_hamming + 1 —
+    the media_probe_rows/banded bit-identity carried to the wide
+    grain."""
+    from ipydataclean_spark.operators.media_jpeg import phash128_probe_banded
+
+    rng = np.random.RandomState(23)
+    store_vals = [int.from_bytes(rng.bytes(16), "big") for _ in range(50)]
+    probes = []
+    # planted: exact dup, hamming 9, hamming 15 (dup) and 16 (novel)
+    for flips in ([], [1, *range(8, 72, 8)][:9], list(range(0, 120, 8)),
+                  list(range(0, 128, 8))):
+        h = store_vals[0]
+        for f in flips:
+            h ^= 1 << f
+        probes.append(h)
+    probes += [int.from_bytes(rng.bytes(16), "big") for _ in range(20)]
+    sdf = spark.createDataFrame(
+        [(_signed(v >> 64), _signed(v & ((1 << 64) - 1))) for v in store_vals],
+        "phi long, plo long",
+    )
+    pdf = spark.createDataFrame(
+        [(i, _signed(v >> 64), _signed(v & ((1 << 64) - 1)))
+         for i, v in enumerate(probes)],
+        "doc_id long, phi long, plo long",
+    )
+    q = phash128_probe_banded(pdf, sdf)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {r.doc_id: (r.min_hamming, r.status) for r in q.collect()}
+    assert len(got) == len(probes)
+    for i, v in enumerate(probes):
+        mh = min(bin(v ^ s).count("1") for s in store_vals)
+        mh = min(mh, 16)
+        want = (mh, "dup_of_history" if mh <= 15 else "novel")
+        assert got[i] == want, (i, got[i], want)
+    # the planted shapes actually occurred
+    mins = {got[i][0] for i in range(4)}
+    assert {0, 9, 15, 16} <= mins

@@ -319,3 +319,25 @@ def test_xref_stream_payload_never_parsed_as_content():
     out = extract_pdf_text(data)
     assert "sneaky" not in out
     assert out == _expected("real words only here please")
+
+
+def test_hybrid_xrefstm_trailer_extracts():
+    """Hybrid-reference files (classic xref + /XRefStm trailer key
+    pointing at a cross-reference stream, ISO 32000-1 §7.5.8.4 — the
+    Acrobat-compat shape) must extract normally: the structural walk
+    doesn't consume xref offsets, and the /Type/XRef stream payload
+    stays out of the content path."""
+    import zlib as _z
+
+    base = build_pdf("hybrid reference table words here", compress=False)
+    rows = _z.compress(b"\x01" * 14)
+    xr = (
+        b"8 0 obj\n<< /Type /XRef /Size 2 /W [1 4 2] /Root 1 0 R /Length "
+        + str(len(rows)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + rows
+        + b"\nendstream\nendobj\n"
+    )
+    at = base.find(b"xref\n")
+    data = base[:at] + xr + base[at:]
+    data = data.replace(b"/Root 1 0 R >>", b"/Root 1 0 R /XRefStm 20 >>")
+    assert extract_pdf_text(data) == _expected("hybrid reference table words here")
