@@ -450,6 +450,12 @@ def extract_pdf_text(data: bytes) -> str:
         else:
             contents.append(_inflate(head, payload, raw))
     full_structure = b"\n".join(structure)
+    # re-check /Encrypt on the FULL structure (an encryption dict
+    # referenced from inside an ObjStm — in real encrypted files the
+    # streams are ciphertext and fail inflation first, but a hostile
+    # plaintext file must still poison-pill, self-review r12)
+    if b"/Encrypt" in full_structure:
+        raise ValueError("encrypted PDF not supported")
     if b"/Type0" in full_structure or b"/CIDFont" in full_structure:
         raise ValueError("composite (Type0/CID) fonts not supported")
     texts = [_content_text(p) for p in contents if b"BT" in p]

@@ -341,3 +341,35 @@ def test_hybrid_xrefstm_trailer_extracts():
     data = base[:at] + xr + base[at:]
     data = data.replace(b"/Root 1 0 R >>", b"/Root 1 0 R /XRefStm 20 >>")
     assert extract_pdf_text(data) == _expected("hybrid reference table words here")
+
+
+def test_objstm_hidden_encrypt_still_poisons():
+    """Self-review r12: /Encrypt referenced from INSIDE an ObjStm (a
+    hostile plaintext file — real encrypted files fail inflation
+    first) must still poison-pill via the full-structure re-check."""
+    data = _mutate_objstm(
+        _objstm_doc(),
+        lambda p: p.replace(b"/Type /Catalog", b"/Type /Catalog /Encrypt 9 0 R"),
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        extract_pdf_text(data)
+
+
+def test_objstm_fuzz_never_hangs():
+    """Byte-mutation fuzz over the PDF 1.5 shape: the ObjStm/XRef
+    parse loops must return text or raise, promptly."""
+    base = bytearray(build_pdf(" ".join(f"w{i}" for i in range(40)), objstm=True))
+    rng = np.random.RandomState(77)
+    ok = raised = 0
+    for _ in range(150):
+        mut = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            mut[rng.randint(0, len(mut))] = rng.randint(0, 256)
+        try:
+            out = extract_pdf_text(bytes(mut))
+            assert isinstance(out, str)
+            ok += 1
+        except Exception:
+            raised += 1
+    assert ok + raised == 150
+    assert raised > 0
