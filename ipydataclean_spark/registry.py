@@ -59,6 +59,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.encoding_qa",
     "ipydataclean_spark.operators.pdf_extract",
     "ipydataclean_spark.operators.warc_extract",
+    "ipydataclean_spark.operators.unicode_norm",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -436,6 +437,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # re-queued: warc_extract gains WARC-Date (ADVICE r11 #3) and the
     # chunked/gzip HTTP envelope (VERDICT r11 #2)
     "l74_warc_extract",
+    # new in round 12: Unicode NFC normalization QA (full
+    # nfc_normalize oracle)
+    "l75_unicode_nfc_qa",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
