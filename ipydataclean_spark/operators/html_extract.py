@@ -136,6 +136,53 @@ def html_to_text(html: str) -> str:
 
 #: words per fixture paragraph — the template constant the oracle
 #: mirrors (see _L70_ORACLE)
+#: charset labels a crawl pipeline actually meets, mapped to their
+#: Python codec names (WHATWG Encoding-standard label aliasing,
+#: honest subset) — anything else RAISES rather than garbles.
+_CHARSET_ALIASES = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "latin-1", "latin-1": "latin-1", "latin1": "latin-1",
+    "windows-1252": "cp1252", "cp1252": "cp1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,200}?charset\s*=\s*[\"']?([A-Za-z0-9_.:-]+)", re.I
+)
+
+
+def sniff_decode_html(data: bytes, content_type: str | None = None) -> str:
+    """HTML bytes -> str via the HTML5 encoding-sniffing order
+    (§13.2.3, honest subset): BOM (authoritative per the WHATWG
+    Encoding standard) > transport-layer ``charset=`` parameter >
+    ``<meta charset>`` prescan over the first 1024 bytes > the UTF-8
+    default. STRICT decode with an allowlisted label set — unknown
+    charsets and undecodable bytes RAISE (the poison-pill contract;
+    a crawl page must never silently garble into the corpus)."""
+    if data.startswith(b"\xef\xbb\xbf"):
+        return data[3:].decode("utf-8")
+    if data.startswith(b"\xff\xfe"):
+        return data[2:].decode("utf-16-le")
+    if data.startswith(b"\xfe\xff"):
+        return data[2:].decode("utf-16-be")
+    label = None
+    if content_type:
+        m = re.search(r"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)", content_type, re.I)
+        if m:
+            label = m.group(1).lower()
+    if label is None:
+        m = _META_CHARSET_RE.search(data[:1024])
+        if m:
+            label = m.group(1).decode("ascii").lower()
+    if label is None:
+        label = "utf-8"
+    enc = _CHARSET_ALIASES.get(label)
+    if enc is None:
+        raise ValueError(f"unsupported charset label {label!r}")
+    return data.decode(enc)
+
+
 _L70_PARA_WORDS = 12
 
 #: the builder's word separator — exactly the whitespace class

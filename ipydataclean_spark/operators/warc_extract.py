@@ -45,6 +45,7 @@ from ipydataclean_spark.operators.html_extract import (
     _WS_RE,
     fixture_page,
     html_to_text,
+    sniff_decode_html,
 )
 from ipydataclean_spark.operators.qhelp import T
 from ipydataclean_spark.registry import register
@@ -300,16 +301,21 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes (a response record wrapping the l70 HTML page in an HTTP
     envelope, plus a metadata record that must be SKIPPED, each its
     own gzip member; (doc_id // 17) parity rotates compressed/plain
-    archives, and (doc_id // 17) % 3 rotates the HTTP envelope shape:
-    plain Content-Length / Transfer-Encoding chunked / chunked +
-    Content-Encoding gzip — VERDICT r11 #2) through the from-scratch
-    WARC iterator, envelope strip, and the l70 tag scanner, reduced
-    to text + structure stats. The oracle recomputes everything from
-    documents.text + doc_id, so a hash match certifies gzip-member
-    splitting, record framing, Content-Length slicing, record-type
-    filtering, HTTP envelope stripping (incl. de-chunking and entity
-    inflation), and the HTML extraction in one number. Container
-    goldens and poison pills are pinned in tests/test_warc_extract.py."""
+    archives, (doc_id // 17) % 3 rotates the HTTP envelope shape
+    (plain Content-Length / Transfer-Encoding chunked / chunked +
+    Content-Encoding gzip — VERDICT r11 #2), and (doc_id // 17) % 5
+    rotates the page CHARSET shape (utf-8 default / utf-16+BOM /
+    windows-1252 via <meta charset> with a non-ASCII markup crumb /
+    utf-8 via the Content-Type parameter) through the from-scratch
+    WARC iterator, envelope strip, HTML5 charset sniffing
+    (html_extract.sniff_decode_html), and the l70 tag scanner,
+    reduced to text + structure stats. The oracle recomputes
+    everything from documents.text + doc_id, so a hash match
+    certifies gzip-member splitting, record framing, Content-Length
+    slicing, record-type filtering, HTTP envelope stripping (incl.
+    de-chunking and entity inflation), charset sniff + strict decode,
+    and the HTML extraction in one number. Container goldens and
+    poison pills are pinned in tests/test_warc_extract.py."""
     page = fixture_page  # l70's exact template (shared builder)
 
     def build_and_extract(batches):
@@ -328,8 +334,29 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_paragraphs": None, "n_chars": None,
                 }
                 try:
-                    html = page(d, r.text).encode("utf-8")
+                    page_str = page(d, r.text)
                     env = (d // 17) % 3
+                    cs = (d // 17) % 5
+                    ctype = "text/html"
+                    if cs == 2:
+                        # UTF-16 with BOM: every byte doubled, so any
+                        # sniff/decode bug breaks the driver hash
+                        html = page_str.encode("utf-16")  # BOM + LE
+                    elif cs == 3:
+                        # windows-1252 declared by <meta charset>; the
+                        # title crumb (é, —) is non-ASCII markup the
+                        # extractor DROPS, so a UTF-8 misread raises
+                        # (0xE9 alone is invalid UTF-8) instead of
+                        # passing vacuously
+                        html = page_str.replace(
+                            "<head>", '<head><meta charset="windows-1252">', 1
+                        ).replace("<title>", "<title>café — ", 1).encode("cp1252")
+                    elif cs == 4:
+                        # charset via the transport-layer parameter
+                        ctype = "text/html; charset=utf-8"
+                        html = page_str.encode("utf-8")
+                    else:
+                        html = page_str.encode("utf-8")
                     archive = build_warc(
                         [
                             (
@@ -337,6 +364,7 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 url,
                                 http_response(
                                     html,
+                                    ctype,
                                     chunked=env >= 1,
                                     gzip_body=env == 2,
                                 ),
@@ -347,7 +375,12 @@ def l74_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     recs = iter_warc_records(archive)
                     responses = [x for x in recs if x["type"] == "response"]
-                    text = html_to_text(responses[0]["body"].decode("utf-8"))
+                    text = html_to_text(
+                        sniff_decode_html(
+                            responses[0]["body"],
+                            responses[0]["http_headers"].get("content-type"),
+                        )
+                    )
                     base.update(
                         url=responses[0]["url"],
                         n_records=len(recs),

@@ -139,3 +139,44 @@ def test_nonspace_whitespace_in_source_words(spark, sf_dir):
     body = "\n".join(f"  <p>{p}</p>" for p in paras)
     page = f"<html><head><title>t</title></head><body><article>\n{body}\n</article></body></html>"
     assert html_to_text(page) == expect
+
+
+# --- HTML5 charset sniffing (round 12; consumed by l74) ---
+
+
+def test_sniff_decode_priority_and_labels():
+    from ipydataclean_spark.operators.html_extract import sniff_decode_html
+
+    body = "<html><body><p>café — ok</p></body></html>"
+    # BOMs are authoritative — even over a LYING meta tag
+    lying = ('<meta charset="windows-1252">' + body).encode("utf-16")
+    assert "café" in sniff_decode_html(lying)
+    assert sniff_decode_html(b"\xef\xbb\xbf" + body.encode("utf-8")) \
+        .startswith("<html>")
+    assert sniff_decode_html(body.encode("utf-16-be").join(
+        [b"\xfe\xff", b""])) == body
+    # transport charset beats meta
+    both = ('<meta charset="utf-8">' + body).encode("cp1252")
+    assert "café" in sniff_decode_html(
+        both, "text/html; charset=windows-1252")
+    # meta prescan
+    meta = ('<meta charset="windows-1252">' + body).encode("cp1252")
+    assert "café — ok" in sniff_decode_html(meta)
+    # default utf-8
+    assert sniff_decode_html(body.encode("utf-8")) == body
+
+
+def test_sniff_decode_poison_pills():
+    from ipydataclean_spark.operators.html_extract import sniff_decode_html
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="charset label"):
+        sniff_decode_html(b'<meta charset="koi8-r"><p>x</p>')
+    # declared utf-8 but invalid bytes: strict decode raises
+    with _pytest.raises(UnicodeDecodeError):
+        sniff_decode_html(b"<p>caf\xe9</p>")
+    # meta beyond the 1024-byte prescan window is ignored -> default
+    # utf-8 -> the cp1252 byte raises instead of garbling
+    far = b"<!--" + b"x" * 1100 + b'--><meta charset="windows-1252"><p>caf\xe9</p>'
+    with _pytest.raises(UnicodeDecodeError):
+        sniff_decode_html(far)

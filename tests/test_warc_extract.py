@@ -169,3 +169,8 @@ def test_l74_query_nonvacuous(spark, sf_dir):
     # all three HTTP envelope shapes present (plain / chunked /
     # chunked+gzip — the VERDICT r11 #2 rotation)
     assert {(r.doc_id // 17) % 3 for r in rows} == {0, 1, 2}
+    # all five charset shapes present (utf-8 x2 / utf-16+BOM /
+    # cp1252 via meta / utf-8 via Content-Type — the round-12
+    # sniffing rotation), and every one extracted ok
+    assert {(r.doc_id // 17) % 5 for r in rows} == {0, 1, 2, 3, 4}
+    assert all(r.ok == 1 for r in rows)
