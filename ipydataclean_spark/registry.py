@@ -60,6 +60,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.pdf_extract",
     "ipydataclean_spark.operators.warc_extract",
     "ipydataclean_spark.operators.unicode_norm",
+    "ipydataclean_spark.operators.url_canonical",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -440,6 +441,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # new in round 12: Unicode NFC normalization QA (full
     # nfc_normalize oracle)
     "l75_unicode_nfc_qa",
+    # new in round 12: canonical-URL dedup (two-dialect canonicalizer
+    # certified by one hash)
+    "l76_url_canonical_dedup",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
