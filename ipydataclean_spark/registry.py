@@ -61,6 +61,7 @@ _OPERATOR_MODULES = (
     "ipydataclean_spark.operators.warc_extract",
     "ipydataclean_spark.operators.unicode_norm",
     "ipydataclean_spark.operators.url_canonical",
+    "ipydataclean_spark.operators.robots_filter",
     "ipydataclean_spark.streaming.batch_twins",
     "ipydataclean_spark.sources.pydatasource",
     "ipydataclean_spark.sources.txlog",
@@ -444,6 +445,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # new in round 12: canonical-URL dedup (two-dialect canonicalizer
     # certified by one hash)
     "l76_url_canonical_dedup",
+    # new in round 12: robots.txt evaluation (RFC 9309 relational
+    # evaluator, full oracle)
+    "l77_robots_filter",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
