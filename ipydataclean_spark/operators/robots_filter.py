@@ -126,7 +126,7 @@ def robots_decisions(urls: DataFrame, rules: DataFrame,
 
 _L77_COIN_SQL = exact.md5_prefix_int_sql("'l77:' || CAST(doc_id AS VARCHAR)")
 
-_L77_ORACLE = (
+_L77_CTES = (
     "WITH u AS (SELECT doc_id, CAST(doc_id % 20 AS BIGINT) AS j, "
     f"({_L77_COIN_SQL} % 5) AS v FROM documents WHERE doc_id % 4 = 2), "
     "urls AS (SELECT doc_id, 'h' || CAST(j AS VARCHAR) || '.example.com' "
@@ -170,13 +170,17 @@ _L77_ORACLE = (
     "best AS (SELECT doc_id, directive, path, ROW_NUMBER() OVER ("
     "PARTITION BY doc_id ORDER BY strlen(path) DESC, "
     "(directive = 'allow') DESC, path, directive) AS rn FROM cand) "
-    "SELECT urls.doc_id, urls.host, urls.upath, "
+    # dec: the per-URL decision table (the l77 result grain), shared
+    # with the pipeline_crawl_frontend oracle
+    ", dec AS (SELECT urls.doc_id, urls.host, urls.upath, "
     "CASE WHEN b.directive IS NULL OR b.directive = 'allow' "
     "THEN 'allowed' ELSE 'disallowed' END AS decision, "
     "COALESCE(b.path, '-') AS matched_rule "
     "FROM urls LEFT JOIN (SELECT * FROM best WHERE rn = 1) b "
-    "USING (doc_id) ORDER BY doc_id"
+    "USING (doc_id)) "
 )
+
+_L77_ORACLE = _L77_CTES + "SELECT * FROM dec ORDER BY doc_id"
 
 
 @register(
@@ -246,3 +250,105 @@ def l77_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rules = parse_robots(robots)
     return robots_decisions(urls, rules).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# The crawl front end, composed: robots -> messy URL -> canonical
+# dedup -> per-host frontier report (one oracle hash certifies the
+# whole chain)
+# ---------------------------------------------------------------------------
+
+from ipydataclean_spark.operators.url_canonical import (  # noqa: E402
+    canonical_url,
+    canonical_url_sql,
+)
+
+_PCF_COIN_SQL = exact.md5_prefix_int_sql("'pcf:' || CAST(doc_id AS VARCHAR)")
+
+_PCF_ORACLE = (
+    _L77_CTES
+    + ", raw AS (SELECT dec.*, "
+    f"({_PCF_COIN_SQL} % 4) AS w FROM dec), "
+    "full_url AS (SELECT doc_id, host, decision, CASE w "
+    "WHEN 0 THEN 'https://' || host || upath "
+    "WHEN 1 THEN 'https://' || upper(host) || upath "
+    "WHEN 2 THEN 'https://' || host || ':443' || upath "
+    "|| '?utm_source=feed' "
+    "ELSE 'https://' || host || upath || '#top' END AS url FROM raw), "
+    "canon AS (SELECT doc_id, host, decision, "
+    + canonical_url_sql("url")
+    + " AS curl FROM full_url) "
+    "SELECT host, "
+    "CAST(COUNT(*) AS BIGINT) AS n_urls, "
+    "CAST(SUM(CASE WHEN decision = 'allowed' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_allowed, "
+    "CAST(COUNT(DISTINCT CASE WHEN decision = 'allowed' THEN curl END) "
+    "AS BIGINT) AS n_pages "
+    "FROM canon GROUP BY host ORDER BY host"
+)
+
+
+@register(
+    "pipeline_crawl_frontend",
+    oracle=_PCF_ORACLE,
+    tags=("pipeline", "L76", "L77", "crawl", "dedup"),
+)
+def pipeline_crawl_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl front end COMPOSED: l77's robots evaluation feeds
+    l76's canonicalizer — per doc, build the full raw URL with a
+    second md5-coin's damage class (host case / explicit default port
+    + tracking param / fragment), canonicalize, and reduce to the
+    per-host frontier report (n_urls, n_allowed, n_pages = distinct
+    canonical pages among allowed URLs — the number a crawl scheduler
+    actually budgets by; the '/' path shape dedups across its host's
+    docs, so n_pages < n_allowed on most hosts). Still pure JVM end
+    to end. ONE oracle hash certifies robots parsing + group
+    precedence + longest-match + URL canonicalization + the dedup
+    aggregate, composed — the pipeline_corpus_curation pattern for
+    the crawl stage."""
+    dec = l77_robots_filter(spark, sf_dir)
+    w = (
+        exact.md5_prefix_int(
+            F.concat(F.lit("pcf:"), F.col("doc_id").cast("string"))
+        )
+        % 4
+    )
+    url = (
+        F.when(w == 0, F.concat(F.lit("https://"), F.col("host"), F.col("upath")))
+        .when(
+            w == 1,
+            F.concat(F.lit("https://"), F.upper(F.col("host")), F.col("upath")),
+        )
+        .when(
+            w == 2,
+            F.concat(
+                F.lit("https://"), F.col("host"), F.lit(":443"),
+                F.col("upath"), F.lit("?utm_source=feed"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.col("host"), F.col("upath"), F.lit("#top")
+            )
+        )
+    )
+    canon = dec.select(
+        "host",
+        "decision",
+        canonical_url(url).alias("curl"),
+    )
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.sum((F.col("decision") == "allowed").cast("int"))
+            .cast("long")
+            .alias("n_allowed"),
+            F.countDistinct(
+                F.when(F.col("decision") == "allowed", F.col("curl"))
+            )
+            .cast("long")
+            .alias("n_pages"),
+        )
+        .orderBy("host")
+    )

@@ -448,6 +448,9 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # new in round 12: robots.txt evaluation (RFC 9309 relational
     # evaluator, full oracle)
     "l77_robots_filter",
+    # new in round 12: the composed crawl front end (l77 -> l76 ->
+    # frontier report, one hash)
+    "pipeline_crawl_frontend",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.

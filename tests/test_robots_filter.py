@@ -90,3 +90,23 @@ def test_l77_plan_is_pure_jvm_and_nonvacuous(spark, sf_dir):
     for r in priv:
         j = int(r.host[1:].split(".")[0])
         assert r.decision == ("allowed" if j % 4 == 0 else "disallowed"), r
+
+
+def test_pipeline_crawl_frontend(spark, sf_dir):
+    from ipydataclean_spark.operators.robots_filter import (
+        pipeline_crawl_frontend,
+    )
+
+    q = pipeline_crawl_frontend(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    rows = q.collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.n_allowed <= r.n_urls
+        assert 0 < r.n_pages <= r.n_allowed
+    # the canonical dedup is doing real work somewhere: the '/' shape
+    # and the URL damage classes collapse to fewer pages than allowed
+    assert any(r.n_pages < r.n_allowed for r in rows)
