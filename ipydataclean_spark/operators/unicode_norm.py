@@ -53,10 +53,9 @@ def unicode_normalize(df: DataFrame, col: str, form: str = "NFC",
         import unicodedata as _ud
 
         for pdf in batches:
-            src = pdf[col] if tgt == col else pdf[col]
             pdf[tgt] = [
                 _ud.normalize(form, v) if isinstance(v, str) else v
-                for v in src
+                for v in pdf[col]
             ]
             yield pdf
 

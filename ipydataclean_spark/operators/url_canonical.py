@@ -18,7 +18,7 @@ and the query rewrite as split -> filter -> array_sort -> array_join
 scan; the dedup is one groupBy on the canonical key.
 
 Honest subset (documented, pinned): syntax-based normalization only —
-no percent-encoding normalization, no dot-segment removal, no IDN.
+no percent-encoding normalization, no dot-segment removal, no IDN; a userinfo component, if present, is folded with the authority (crawl URLs carrying credentials are dropped upstream in practice).
 Strings without a scheme pass through unchanged (garbage in, same
 garbage out — never a false merge).
 
