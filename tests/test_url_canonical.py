@@ -108,3 +108,58 @@ def test_l76_plan_is_pure_jvm_and_nonvacuous(spark, sf_dir):
     # real collapses occur: some canonical has multiple raw variants
     assert any(r.n_raw_variants > 1 for r in rows)
     assert all(r.n_docs >= r.n_raw_variants for r in rows)
+
+
+def test_random_urls_twin_agreement_and_idempotence(spark):
+    """Property check over generated URLs: for 120 random
+    compositions of scheme case x host case x port x path depth x
+    param multiset (with/without tracking) x fragment, the Spark and
+    DuckDB canonicalizers agree exactly, canonicalization is
+    idempotent, and adding pure damage (case/default port/tracking/
+    fragment) to a clean base never changes its canonical form."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.RandomState(1234)
+    urls, bases = [], []
+    for _ in range(120):
+        scheme = ["http", "https", "HTTP", "HTTPS"][rng.randint(4)]
+        host = "".join(
+            (c.upper() if rng.randint(2) else c)
+            for c in f"sub{rng.randint(9)}.example{rng.randint(9)}.com"
+        )
+        port = ["", ":80", ":443", ":8080"][rng.randint(4)]
+        path = "/" + "/".join(
+            f"seg{rng.randint(20)}" for _ in range(rng.randint(4))
+        ).rstrip("/")
+        n = rng.randint(4)
+        params = [f"k{rng.randint(5)}={rng.randint(9)}" for _ in range(n)]
+        if rng.randint(2):
+            params.insert(rng.randint(len(params) + 1), "utm_source=x")
+        qs = "?" + "&".join(params) if params else ""
+        frag = "#frag" if rng.randint(2) else ""
+        urls.append(f"{scheme}://{host}{port}{path}{qs}{frag}")
+        kept = sorted(p for p in params if not p.startswith("utm_"))
+        dport = {"http": ":80", "https": ":443"}[scheme.lower()]
+        bases.append(
+            scheme.lower() + "://" + host.lower()
+            + (port if port not in ("", dport) else "")
+            + path + ("?" + "&".join(kept) if kept else "")
+        )
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    got = [r.c for r in df.select(canonical_url(F.col("u")).alias("c")).collect()]
+    # expected form derived independently in the test
+    assert got == bases
+    # twin agreement
+    con = duckdb.connect()
+    duck = [
+        con.execute(
+            "SELECT " + canonical_url_sql("u") + " FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        for u in urls
+    ]
+    assert duck == got
+    # idempotence in one batch
+    df2 = spark.createDataFrame([(u,) for u in got], "u string")
+    again = [r.c for r in df2.select(canonical_url(F.col("u")).alias("c")).collect()]
+    assert again == got
