@@ -674,8 +674,14 @@ def pipeline_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = base.withColumn("tk", F.split("t", " ")).where(
         (F.length("t") >= 100) & (F.size("tk") >= 20)
     )
+    # Optimization round 12 (guide §2.3): only size(tk) is ever read
+    # above the dedup window — pre-reduce the token array to a scalar
+    # so the window exchange carries (doc_id, source, t, n_tk) instead
+    # of the full array (t itself must survive: the decontamination
+    # gram explode runs on dedup survivors).
+    slim = q.select("doc_id", "source", "t", F.size("tk").alias("n_tk"))
     w = Window.partitionBy(F.md5("t")).orderBy("doc_id")
-    dd = q.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
+    dd = slim.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1).drop("rn")
 
     bench = dd_all.where(
         (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 1000000)
@@ -685,7 +691,21 @@ def pipeline_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = contamination_check(
         dd.select("doc_id", F.col("t").alias("text")), bench
     ).select("doc_id")
-    clean = dd.join(hits, "doc_id", "left_anti")
+    # Optimization round 12 (guide §3.3 — materialize an intermediate
+    # to truncate the plan): `clean` feeds TWO consumers (the
+    # source-count threshold leg and the final mixed card), and each
+    # leg's separate column pruning made Catalyst plan the whole
+    # quality→dedup→decontamination subtree per leg with no exchange
+    # reuse — the corpus was scanned and dedup-shuffled three times
+    # (plan-verified: three copies of the window subtree). Projected
+    # down to (doc_id, source, n_tk) — text is not needed past the
+    # decontamination join — the lazy localCheckpoint materializes
+    # that tiny table once; both legs re-read it.
+    clean = (
+        dd.join(hits, "doc_id", "left_anti")
+        .select("doc_id", "source", "n_tk")
+        .localCheckpoint(eager=False)
+    )
 
     cnt = clean.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     thr = temperature_thresholds(cnt, budget=200.0).drop("n")
@@ -696,9 +716,9 @@ def pipeline_lm_dataset(spark: SparkSession, sf_dir: str) -> DataFrame:
         mixed.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("tk").cast("long")).alias("n_tokens"),
+            F.sum(F.col("n_tk").cast("long")).alias("n_tokens"),
             F.round(
-                F.sum(F.size("tk").cast("long")).cast("double")
+                F.sum(F.col("n_tk").cast("long")).cast("double")
                 / F.count(F.lit(1)).cast("double"),
                 8,
             ).alias("avg_tokens"),

@@ -154,7 +154,15 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     per-seed values re-hash that single 8-byte long (seeded double
     hashing, the standard trick). The old form built every shingle
     string and hashed it K times — ~40% of the whole LSH wall at
-    sf0.1."""
+    sf0.1.
+
+    Optimization round 12 NEGATIVE RESULT (recorded, lever retracted):
+    replacing explode+groupBy with a map-only per-seed higher-order
+    ``aggregate`` fold (zero shuffles) measured SLOWER — noop-timed
+    0.66 s vs 0.50 s at sf0.1 — because Spark evaluates higher-order
+    lambdas interpreted per element while the explode+agg path is
+    whole-stage-codegen'd; the saved exchange (O(docs × 17 longs)) is
+    far cheaper than the lost codegen. See OPTIMIZATION_r12.md."""
     n = 3
     # short-doc guard (same hazard shingles_col documents): < n tokens
     # would make sequence() descend through index 0 and element_at(t,0)
@@ -273,23 +281,40 @@ def lsh_candidate_pairs(sigs: DataFrame, cap: int | None = 1024) -> DataFrame:
             .drop("__hub")
             .withColumn("grp", F.lit(-1).cast("long"))
         )
-        cols = ["doc_id", "sig", "band_id", "band_hash", "grp"]
+        cols = ["doc_id", "band_id", "band_hash", "grp"]
         keyed = (
             cold.select(cols)
             .unionByName(hot.select(cols))
             .unionByName(hub.select(cols))
         )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"), "band_id", "band_hash", "grp"
-    )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"), "band_id", "band_hash", "grp"
-    )
-    return (
+    # Optimization round 12 (guide §2.3 — project before the exchange,
+    # the md5_band_keys slim-fanout lesson applied to the production
+    # layout): the band join and the pair-dedup previously carried BOTH
+    # 16-long signature arrays through every candidate row — ~34 longs
+    # per row shuffled and hash-compared where 2 ids suffice. The join
+    # now runs on (doc_id, band_id, band_hash, grp) only, the distinct
+    # dedups bare (doc_a, doc_b) id pairs, and the signatures rejoin
+    # AFTER dedup from the (already checkpointed) signature table —
+    # output schema and rows identical (sig is functionally dependent
+    # on doc_id), pinned by the l2 goldens.
+    a = keyed.select(F.col("doc_id").alias("doc_a"), "band_id", "band_hash", "grp")
+    b = keyed.select(F.col("doc_id").alias("doc_b"), "band_id", "band_hash", "grp")
+    pair_ids = (
         a.join(b, ["band_id", "band_hash", "grp"])
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .select("doc_a", "doc_b")
         .distinct()
+    )
+    sig_arr = F.array(*[F.col(f"mh_{i}") for i in range(_MINHASH_K)])
+    sig_tbl = sigs.select("doc_id", sig_arr.alias("sig"))
+    return (
+        pair_ids.join(
+            sig_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")), "doc_a"
+        )
+        .join(
+            sig_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")), "doc_b"
+        )
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
     )
 
 

@@ -596,12 +596,22 @@ def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.size("t") >= 20)
         & (F.size(F.array_distinct("t")).cast("double") / F.size("t") >= 0.25)
     )
-    deduped = with_dedup_rank(staged).where(F.col("rn") == 1)
+    # Optimization round 12 (guide §2.3 — project before the exchange):
+    # the dedup window shuffles by the 32-byte digest, and the budget
+    # agg above it only ever reads size(t) — but referencing the array
+    # column above the window forced the FULL token array through the
+    # exchange (plan-verified: `t` in the Exchange input). Reducing it
+    # to a pre-shuffle n_toks scalar drops the exchange payload to
+    # (doc_id, lang, n_chars, n_toks, digest); text itself was already
+    # pruned below the window by Catalyst. sum(n_toks) == sum(size(t))
+    # row-for-row, so the oracle is unchanged (re-proven hash-green).
+    slim = staged.select("doc_id", "text", "lang", "n_chars", F.size("t").alias("n_toks"))
+    deduped = with_dedup_rank(slim).where(F.col("rn") == 1)
     return (
         deduped.groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.size("t")).cast("long").alias("total_tokens"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
         .orderBy("lang")

@@ -44,7 +44,22 @@ _Q1_MEAN_SQL = with_lineitem_dirty(
 def q1_pricing_summary_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: dirty lineitem → C9 string→numeric parse → C2 fill-mean
     (two-phase: tiny scalar job, then literal substitution — no
-    window-over-table shuffle) → Q1-style grouped pricing summary."""
+    window-over-table shuffle) → Q1-style grouped pricing summary.
+
+    Optimization round 12 NEGATIVE RESULT (recorded, lever retracted):
+    fusing the fill-mean pre-pass into the grouped scan via the q1b
+    per-group-partials recombination (one fact scan instead of two,
+    collect + driver recombine) was implemented, proved hash-identical
+    against the oracle at sf0.01/sf0.1 — and measured 0.68 s → 2.3 s
+    on the bench. Cause: the fused form must materialize every
+    decimal aggregate eagerly (collect in fn()), while this lazy
+    declarative form lets the terminal action decide what to compute —
+    and Spark's Decimal sum update is the dominant per-row cost
+    (~0.2 s per decimal agg per 600k rows, measured; the cast is
+    cheap). The scan it saves (~0.06 s at sf0.1) is far cheaper than
+    the laziness it gives up. q1b remains the registered single-scan
+    variant for the I/O-bound regime where the trade inverts.
+    See OPTIMIZATION_r12.md."""
     df = lineitem_dirty(spark, sf_dir)
     mean_qty = df.agg(exact.davg("qty_parsed")).first()[0]
     qty = F.coalesce(F.col("qty_parsed"), F.lit(mean_qty))

@@ -218,8 +218,17 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "tx4_bloom_lookup", "tx5_restore_read", "tx6_describe_history",
     "inc1_incremental_stats", "inc2_incremental_dedup", "inc3_incremental_join",
     "s8_pyds_scan", "s8b_pyds_cleaned",
-    "pipeline_lm_dataset", "pipeline_media_curation",
-    "l2_minhash_lsh", "l2c_simhash",
+    # pipeline_lm_dataset was r5-green but restructured in the
+    # round-12 optimization pass (slim dedup-exchange payload + the
+    # clean-table checkpoint that stops the three-leg recompute) —
+    # re-queued per the rotation-exclusion rule
+    "pipeline_media_curation",
+    # l2_minhash_lsh was r5-checked (rows-only) but its candidate
+    # generator changed in the round-12 optimization pass
+    # (lsh_candidate_pairs: slim band-join fanout + post-dedup
+    # signature rejoin; rows identical, golden-pinned) — re-queued per
+    # the rotation-exclusion rule
+    "l2c_simhash",
     # l2d_dedup_clusters was r5-checked (rows-only) but cluster_pairs
     # switched to the large-star/small-star default in round 7 —
     # re-queued per the rotation-exclusion rule
@@ -285,7 +294,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "q11_important_parts", "q14_promo_revenue", "q16_supplier_count",
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_disjunctive_revenue", "q20_part_share_suppliers",
-    "q21_sole_return_suppliers", "p16_fk_integrity", "q27_yoy_growth",
+    # q21_sole_return_suppliers was r7-green but REWRITTEN in the
+    # round-12 optimization pass (three-scan semi/anti self-joins →
+    # one-scan pair-grain agg + order window, oracle unchanged and
+    # locally hash-green) — re-queued per the rotation-exclusion rule
+    "p16_fk_integrity", "q27_yoy_growth",
     # r07 rows-only tier (rows recorded, err=no_oracle by design)
     "g1_pagerank", "inc4_incremental_minhash", "l2d_dedup_clusters",
     "l9c_frame_sample",
@@ -317,7 +330,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l43_substring_dup_spans", "l44_bloom_decontaminate",
     "l42_rerank_interaction", "pipeline_span_curation",
     "l28_winnowing_pairs", "l29_repeated_gram_fraction",
-    "l1_exact_dedup", "pipeline_corpus_curation",
+    "l1_exact_dedup",
+    # pipeline_corpus_curation was r8-green but its dedup-exchange
+    # projection was slimmed in the round-12 optimization pass —
+    # re-queued per the rotation-exclusion rule
     "l45_domain_dedup_report", "d19_embedding_drift",
     # inc5_incremental_bloom was r8-green but its state append was
     # reworked in round 9 (driver-side novel-position append, advice
@@ -451,6 +467,20 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # new in round 12: the composed crawl front end (l77 -> l76 ->
     # frontier report, one hash)
     "pipeline_crawl_frontend",
+    # re-queued by the round-12 OPTIMIZATION pass: q21 rewritten
+    # (one-scan pair-grain agg + order window replaces the three-scan
+    # semi/anti self-joins; oracle unchanged, locally hash-green at
+    # sf0.01 + sf0.1 — the driver window re-proves the new plan)
+    "q21_sole_return_suppliers",
+    # re-queued by the round-12 OPTIMIZATION pass: the dedup-window
+    # exchange payload slimmed to a pre-shuffle n_toks scalar (the
+    # token array no longer crosses the shuffle; oracle unchanged,
+    # locally hash-green)
+    "pipeline_corpus_curation",
+    # re-queued by the round-12 OPTIMIZATION pass: slim dedup-exchange
+    # payload + clean-table checkpoint ending the three-leg subtree
+    # recompute (oracle unchanged, locally hash-green)
+    "pipeline_lm_dataset",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
@@ -463,6 +493,10 @@ ROWS_ONLY_FIRST: tuple[str, ...] = (
     # new in round 12: the 128-bit pHash 16-band escalation
     # (VERDICT r11 #7)
     "l9r_image_phash128_pairs",
+    # re-queued by the round-12 OPTIMIZATION pass: lsh_candidate_pairs
+    # gained the slim band-join fanout + post-dedup signature rejoin
+    # (rows identical, golden-pinned — the driver re-records the row)
+    "l2_minhash_lsh",
 )
 
 
