@@ -659,15 +659,28 @@ def l2h_lsh_recall_audit(
     # expensive side by this docstring's own accounting) feeds an agg
     # plus a hits join PER layout, and ``sigs`` feeds every layout's
     # banding — checkpoints stop those plans re-executing per
-    # reference (review r07 #6)
-    sigs = md5_minhash_sigs(docs).localCheckpoint(eager=True)
-    truth = (
-        exact_jaccard_pairs(docs)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
-    rows = []
-    for nb, r in _L2H_LAYOUTS:
+    # reference (review r07 #6).
+    # Optimization round 12 (guide §2.6 — overlap independent jobs):
+    # the sigs and truth materializations are independent, as are the
+    # two per-layout candidate materializations — sequentially, each
+    # left most cores idle. A driver thread pool submits the
+    # independent eager jobs together; outputs unchanged (pool.map
+    # preserves layout order, lineages are thread-private).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_sigs = pool.submit(
+            lambda: md5_minhash_sigs(docs).localCheckpoint(eager=True)
+        )
+        f_truth = pool.submit(
+            lambda: exact_jaccard_pairs(docs)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+        sigs, truth = f_sigs.result(), f_truth.result()
+
+    def layout_row(layout: tuple[int, int]) -> DataFrame:
+        nb, r = layout
         # the SAME generator that builds the production 4x4 keys —
         # the audit measures the real banding, not a reimplementation
         bands = md5_band_keys(sigs, n_bands=nb, rows_per_band=r)
@@ -681,7 +694,7 @@ def l2h_lsh_recall_audit(
             .localCheckpoint(eager=True)
         )
         hits = truth.join(cand, ["doc_a", "doc_b"])
-        rows.append(
+        return (
             truth.agg(F.count(F.lit(1)).alias("n_truth"))
             .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
             .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
@@ -693,6 +706,9 @@ def l2h_lsh_recall_audit(
                 "n_hits",
             )
         )
+
+    with ThreadPoolExecutor(max_workers=len(_L2H_LAYOUTS)) as pool:
+        rows = list(pool.map(layout_row, _L2H_LAYOUTS))
     # sigs is dead once every layout's cand checkpoint materialized
     # (cand's lineage is truncated); truth/cand stay live — the
     # returned lazy plans read their blocks

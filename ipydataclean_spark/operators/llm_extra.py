@@ -1148,8 +1148,8 @@ def l2j_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = docs.select(
         F.col("doc_id").alias("id"), F.length("text").alias("raw_len")
     ).localCheckpoint(eager=True)
-    rows = []
-    for tau in _L2J_TAUS:
+
+    def sweep_point(tau: float) -> DataFrame:
         edges = ver.where(F.col("jac") >= tau).select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
         )
@@ -1175,16 +1175,30 @@ def l2j_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_dropped"),
         )
         n_pairs = edges.agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-        rows.append(
-            n_pairs.crossJoin(rep).select(
-                F.lit(float(tau)).alias("threshold"),
-                "n_pairs",
-                "n_dup_clusters",
-                "n_dup_docs",
-                "n_docs_dropped",
-                "chars_dropped",
-            )
+        return n_pairs.crossJoin(rep).select(
+            F.lit(float(tau)).alias("threshold"),
+            "n_pairs",
+            "n_dup_clusters",
+            "n_dup_docs",
+            "n_docs_dropped",
+            "chars_dropped",
         )
+
+    # Optimization round 12 (guide §2.6 — overlap independent jobs):
+    # the four τ fixpoints are independent (each clusters its own
+    # filtered edge subset of the shared checkpointed `ver` table) and
+    # each one's iterative jobs are far too small to fill the cluster,
+    # so running them sequentially left most cores idle during every
+    # convergence round. A small driver thread pool submits all four
+    # concurrently; Spark's FIFO scheduler back-fills the idle
+    # capacity. Outputs are unchanged (pool.map preserves τ order and
+    # each point's lineage is thread-private; `ver`/`ids`/`q` are
+    # immutable checkpointed inputs). Measured warm median 6.8 s →
+    # 3.3 s at sf0.01 (2.1×); oracle still hash-green.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(_L2J_TAUS)) as pool:
+        rows = list(pool.map(sweep_point, _L2J_TAUS))
     out = rows[0]
     for extra in rows[1:]:
         out = out.unionByName(extra)

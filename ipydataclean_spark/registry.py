@@ -316,13 +316,16 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # the other 30 window slots were prior-green re-proofs (p1..c8),
     # already members above.
     "l2i_dedup_savings",
-    # l2h/l3m stay IN this set for round 9: the md5_coin_sql hardening
-    # (advice r08 #4) does not touch them — their registered defaults
-    # (fraction=1.0) never execute md5_coin, the Spark-side md5_coin is
-    # unchanged, and their oracle strings contain no coin expression
-    # (verified by call-chain audit, review r09 — an earlier draft of
-    # this round re-queued them on a wrong rationale)
-    "l2h_lsh_recall_audit", "l3m_ivf_recall_audit",
+    # l2h/l3m stayed IN this set for round 9: the md5_coin_sql
+    # hardening (advice r08 #4) does not touch them — their registered
+    # defaults (fraction=1.0) never execute md5_coin, the Spark-side
+    # md5_coin is unchanged, and their oracle strings contain no coin
+    # expression (verified by call-chain audit, review r09).
+    # l2h_lsh_recall_audit left in the round-12 optimization pass: its
+    # independent eager legs now overlap via a driver thread pool
+    # (rows identical, oracle hash-green locally) — re-queued per the
+    # rotation-exclusion rule
+    "l3m_ivf_recall_audit",
     "l2b_jaccard_pairs",
     # l2j_dedup_threshold_sweep was r8-green but its oracle composition
     # was refactored in round 9 (_SIZES_COMMON_VER_CTES extraction —
@@ -368,7 +371,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "l65_rake_keywords", "st16_streaming_ewma",
     "l66_classifier_calibration",
     "l68_unimax_materialize", "l18_unigram_logprob",
-    "l2j_dedup_threshold_sweep", "inc5_incremental_bloom",
+    # l2j_dedup_threshold_sweep was r9-green but its four τ fixpoints
+    # now run through a driver thread pool (round-12 optimization
+    # pass; rows identical, oracle hash-green locally) — re-queued per
+    # the rotation-exclusion rule
+    "inc5_incremental_bloom",
     # r09 rows-only tier (rows recorded, err=no_oracle by design;
     # semantics pinned by codec goldens / full-frame equality / sweep
     # pins per the VERDICT r09 coverage table)
@@ -481,6 +488,11 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # payload + clean-table checkpoint ending the three-leg subtree
     # recompute (oracle unchanged, locally hash-green)
     "pipeline_lm_dataset",
+    # re-queued by the round-12 OPTIMIZATION pass: independent eager
+    # legs overlapped via driver thread pools (guide §2.6; rows
+    # identical, oracles hash-green locally)
+    "l2j_dedup_threshold_sweep",
+    "l2h_lsh_recall_audit",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
