@@ -124,7 +124,31 @@ class DataCleaner:
                 iqr = q3 - q1
                 bounds[c] = (q1 - self.outlier_k * iqr, q3 + self.outlier_k * iqr)
 
-        # ONE fused aggregate across every column's remaining counters
+        # Remaining counters: TWO independent jobs, overlapped
+        # (optimization round 12; guide §2.3/§2.6/§8).
+        #
+        # Job A (full scan): numeric outlier sums + the table-level
+        # duplicate counter — inherently per-row work, all codegen.
+        # The duplicate counter lives here ONLY when inspecting the
+        # full table: a column-subset call would count projection
+        # collisions that are not row duplicates (n_rows minus
+        # distinct row-hashes; detection-grade 64-bit hash, the dedup
+        # fix itself is exact).
+        #
+        # Job B (distinct-value): every string-column counter is a
+        # pure function of the VALUE, so sum_rows f(v) ==
+        # sum_{distinct v} n_v * f(v) — one explode+groupBy builds the
+        # (column, value, n) table and the expensive predicates (the
+        # 4-format date-parse cascade, TRY_CAST, the mojibake
+        # translate/CASE, the PII/unit regexes) run once per DISTINCT
+        # value instead of once per row. The old fused form already
+        # paid a distinct-value shuffle inside its per-column
+        # countDistinct pair AND evaluated the cascades per row —
+        # measured 14.5 s of string counters at sf0.1 against ~0.5 s
+        # for the distinct-value form on the same columns (null groups
+        # carry flag = NULL and drop out of both forms identically;
+        # the variants counter's distinct counts collapse to row
+        # counts of the pairs table).
         aggs: list[F.Column] = []
         for c in num_cols:
             if c in bounds:
@@ -134,13 +158,6 @@ class DataCleaner:
                         f"{c}__outliers"
                     )
                 )
-        for c in str_cols:
-            aggs.extend(self._string_problem_exprs(c))
-        # table-level duplicate counter in the SAME fused aggregate —
-        # ONLY when inspecting the full table: a column-subset call
-        # would count projection collisions that are not row
-        # duplicates (n_rows minus distinct row-hashes;
-        # detection-grade 64-bit hash, the dedup fix itself is exact)
         if set(cols) == set(self._df.columns):
             aggs.append(
                 (
@@ -148,7 +165,40 @@ class DataCleaner:
                     - F.countDistinct(F.xxhash64(*[F.col(c) for c in cols]))
                 ).alias("__dup_rows")
             )
-        counters = self._df.agg(*aggs).first().asDict() if aggs else {}
+
+        str_aggs: list[F.Column] = []
+        pairs: DataFrame | None = None
+        if str_cols:
+            pairs = (
+                self._df.select(
+                    F.explode(
+                        F.array(*[
+                            F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
+                            for c in str_cols
+                        ])
+                    ).alias("e")
+                )
+                .select("e.c", "e.v")
+                .groupBy("c", "v")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            for c in str_cols:
+                str_aggs.extend(self._string_problem_weighted(c))
+
+        counters: dict = {}
+        if aggs and str_aggs:
+            # independent jobs — submit together so the small
+            # distinct-value pipeline back-fills the scan's tail
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_a = pool.submit(lambda: self._df.agg(*aggs).first().asDict())
+                f_b = pool.submit(lambda: pairs.agg(*str_aggs).first().asDict())
+                counters = {**f_a.result(), **f_b.result()}
+        elif aggs:
+            counters = self._df.agg(*aggs).first().asDict()
+        elif str_aggs:
+            counters = pairs.agg(*str_aggs).first().asDict()
 
         out: list[tuple[str, str, int]] = []
         for c in cols:
@@ -169,41 +219,56 @@ class DataCleaner:
             out.append(("*", "duplicates", int(n_dup)))
         return out
 
-    def _string_problem_exprs(self, c: str) -> list[F.Column]:
-        """Fused counter expressions for one string column: numeric
-        mismatches (reference rule [P]), date-typed, unit-suffixed,
-        PII-bearing — aliased ``{col}__{kind}`` for the shared agg."""
-        col = F.col(c)
+    def _string_problem_weighted(self, c: str) -> list[F.Column]:
+        """Counter expressions for one string column over the fused
+        distinct-value table (columns ``c`` = source column name,
+        ``v`` = distinct value, ``n`` = row count): numeric mismatches
+        (reference rule [P]), mojibake, date-typed, unit-suffixed,
+        PII-bearing — aliased ``{col}__{kind}`` exactly like the old
+        per-row fused agg, with identical counts (each flag is a pure
+        function of the value; a NULL flag — null value or
+        non-matching regex on null — contributes to neither form)."""
+        mine = F.col("c") == c
+        val = F.when(mine, F.col("v"))  # NULL outside this column's slice
         # one alternation regex instead of N rlike passes per value
-        any_pii = col.rlike("|".join(f"(?:{p})" for p in PII_RES))
+        any_pii = val.rlike("|".join(f"(?:{p})" for p in PII_RES))
         # every known format is digit-leading: the cheap prefilter
         # short-circuits the try_to_timestamp parser cascade for the
         # common non-date-like value (measured 17 -> 5 s on the sf0.1
-        # string columns)
-        date_like = col.rlike("^[0-9]")
+        # string columns back when this ran per row)
+        date_like = val.rlike("^[0-9]")
         from ipydataclean_spark.operators.encoding_qa import mojibake_repair
 
-        moji_flag, _ = mojibake_repair(col)
+        moji_flag, _ = mojibake_repair(val)
+        n = F.col("n")
+
+        def wsum(flag: F.Column) -> F.Column:
+            # sum of n over value-groups whose flag is TRUE == the old
+            # per-row sum of flag.cast("long") (sum skips NULL/absent)
+            return F.coalesce(F.sum(F.when(flag, n)), F.lit(0))
+
         return [
-            F.sum(
-                (col.isNotNull() & F.expr(f"TRY_CAST({c} AS DOUBLE)").isNull()).cast("long")
-            ).alias(f"{c}__mismatch"),
-            F.sum(moji_flag.cast("long")).alias(f"{c}__mojibake"),
-            F.sum(
+            wsum(val.isNotNull() & val.try_cast("double").isNull()).alias(
+                f"{c}__mismatch"
+            ),
+            wsum(moji_flag).alias(f"{c}__mojibake"),
+            wsum(
                 F.when(
                     date_like,
                     F.coalesce(
-                        *[F.try_to_timestamp(col, F.lit(f)) for f in DATE_FORMATS]
+                        *[F.try_to_timestamp(val, F.lit(f)) for f in DATE_FORMATS]
                     ),
-                ).isNotNull().cast("long")
+                ).isNotNull()
             ).alias(f"{c}__date"),
-            F.sum(col.rlike(UNIT_RE).cast("long")).alias(f"{c}__unit"),
-            F.sum(any_pii.cast("long")).alias(f"{c}__pii"),
+            wsum(val.rlike(UNIT_RE)).alias(f"{c}__unit"),
+            wsum(any_pii).alias(f"{c}__pii"),
             # redundant raw forms: distinct raw values beyond one per
-            # lower+trim fingerprint cluster (OpenRefine facet signal)
+            # lower+trim fingerprint cluster (OpenRefine facet signal);
+            # the pairs table has one row per distinct value, so
+            # countDistinct(raw) is just a filtered row count
             (
-                F.countDistinct(col)
-                - F.countDistinct(F.lower(F.trim(col)))
+                F.count(val)
+                - F.countDistinct(F.lower(F.trim(val)))
             ).alias(f"{c}__variants"),
         ]
 

@@ -390,6 +390,7 @@ def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         _MINHASH_K,
         banded_signatures,
         minhash_signatures,
+        sig_agreement,
     )
     from ipydataclean_spark.operators.qhelp import documents_dup, scratch_dir
 
@@ -411,12 +412,7 @@ def inc4_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = spark.read.parquet(state_path)
 
     probe = banded(delta_docs)
-    est = (
-        F.size(
-            F.filter(F.zip_with("sig", "h_sig", lambda x, y: x == y), lambda v: v)
-        ).cast("double")
-        / F.lit(float(_MINHASH_K))
-    )
+    est = sig_agreement("sig", "h_sig").cast("double") / F.lit(float(_MINHASH_K))
     cands = (
         probe.join(
             index.select(
@@ -523,7 +519,11 @@ def inc4b_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
     md5_minhash_banded(hist).write.mode("overwrite").parquet(state_path)
     index = spark.read.parquet(state_path)
 
-    from ipydataclean_spark.operators.llm import md5_band_keys, md5_minhash_sigs
+    from ipydataclean_spark.operators.llm import (
+        md5_band_keys,
+        md5_minhash_sigs,
+        sig_agreement,
+    )
 
     # SLIM probe (round-6 review #7): band keys only through the join
     # and pair dedup; signatures rejoin after. The stored index is read
@@ -542,9 +542,7 @@ def inc4b_incremental_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(probe_sigs, "doc_id")
         .join(index_sigs, "h_doc")
     )
-    n_agree = F.size(
-        F.filter(F.zip_with("sg", "h_sg", lambda x, y: x == y), lambda v: v)
-    ).cast("long")
+    n_agree = sig_agreement("sg", "h_sg").cast("long")
     scored = cand.withColumn("n_agree", n_agree).where(F.col("n_agree") >= 8)
     best = scored.groupBy("doc_id").agg(
         F.max(

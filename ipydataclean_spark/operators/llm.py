@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
@@ -142,6 +142,28 @@ def l1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_K = 16
 _BAND_ROWS = 4  # 4 bands × 4 rows
+
+
+def sig_agreement(a: str, b: str, k: int = _MINHASH_K) -> Column:
+    """Number of agreeing signature slots between two fixed-``k``
+    signature arrays, as a codegen'd sum of per-index equalities.
+
+    Replaces ``size(filter(zip_with(a, b, ==), identity))`` on the
+    candidate-pair hot paths (optimization round 12, guide §4.1):
+    Spark evaluates higher-order-function lambdas interpreted PER
+    ELEMENT, so the old form paid 2k interpreted lambda calls per
+    candidate pair — billions of pairs at 100 TB (the same mechanism
+    functions/knn.py measured at 334 s for a 40M-pair fold). Counts
+    are identical: signature arrays are always length k with non-null
+    elements (min aggregates over non-empty shingle sets), so
+    per-index equality never yields NULL. No measurable local delta
+    (the sf0.1 fixture yields ~1.4k candidate pairs); rows proven
+    identical on l2 before shipping."""
+    terms = [(F.col(a)[i] == F.col(b)[i]).cast("int") for i in range(k)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
@@ -330,10 +352,7 @@ def l2_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the uncapped plan)."""
     sigs = minhash_signatures(documents_dup(spark, sf_dir))
     pairs = lsh_candidate_pairs(sigs)
-    est = (
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(float(_MINHASH_K))
-    )
+    est = sig_agreement("sig_a", "sig_b") / F.lit(float(_MINHASH_K))
     return (
         pairs.withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= 0.5)
@@ -550,9 +569,7 @@ def l2f_minhash_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sa")), "doc_a")
         .join(sigs.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sb")), "doc_b")
     )
-    n_agree = F.size(
-        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda v: v)
-    )
+    n_agree = sig_agreement("sa", "sb")
     return (
         cand.withColumn("n_agree", n_agree)
         .where(F.col("n_agree") >= 8)
