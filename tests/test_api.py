@@ -418,3 +418,34 @@ def test_variants_problem_detected_and_standardized(spark):
             f"SELECT id, seg FROM ({cleaner.to_sql('src')})"
         ).fetchall()}
         assert duck == got
+
+
+def test_string_counters_row_weighted(spark):
+    """The distinct-value weighted counter rewrite (optimization r12:
+    counters evaluated once per DISTINCT value, multiplied by the
+    value's row count) must still count ROWS. Every kind's n is
+    pinned on a fixture where the triggering values REPEAT with
+    different multiplicities — a rewrite bug that counted distinct
+    values instead of rows fails every assertion here."""
+    from pyspark.sql import Row
+
+    nums = ["1.5"] * 4 + ["2"] * 2 + ["abc"] * 3 + ["x!"]       # 4 mismatch rows, "abc" repeated
+    dates = ["2024-01-11"] * 8 + ["19/03/2024", None]            # 9 parse, 1 null
+    units = ["9 kg"] * 6 + ["hello"] * 4                         # 6 unit rows
+    pii = ["mail a@b.com"] * 2 + ["clean"] * 8                   # repeated pii value
+    var = [" A "] * 3 + ["a"] * 4 + ["B"] * 3                    # 3 raw forms, 2 fingerprints
+    moji = ["cafÃ©"] * 2 + ["plain"] * 8               # repeated mojibake value
+    rows = [
+        Row(id=i, num=nums[i], d=dates[i], w=units[i], p=pii[i],
+            v=var[i], m=moji[i])
+        for i in range(10)
+    ]
+    probs = {(c, k): n for c, k, n in DataCleaner(spark.createDataFrame(rows)).problems()}
+    assert probs[("num", "string_mismatch")] == 4   # 3x"abc" + 1x"x!", row-weighted
+    assert probs[("d", "dates")] == 9               # n = non-null rows for a date column
+    assert probs[("d", "missing")] == 1
+    assert probs[("w", "units")] == 10              # n = non-null rows for a unit column
+    assert probs[("p", "pii")] == 2                 # the repeated pii value counts twice
+    assert probs[("v", "variants")] == 1            # 3 raw forms - 2 fingerprints
+    assert probs[("m", "mojibake")] == 2            # the repeated mojibake value counts twice
+    assert ("num", "outliers") not in probs and ("id", "outliers") not in probs
