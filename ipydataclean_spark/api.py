@@ -76,14 +76,17 @@ class DataCleaner:
         regardless of column count (the P10 single-scan rule):
 
         1. ONE profile scan (nulls + count/min/max for every column);
-        2. ONE fused multi-column quartile pass for all numeric IQR
+        2. ONE fused distinct-value string-counter job (mismatch/
+           mojibake/date/unit/PII/variants for ALL string columns at
+           once), submitted on a background thread so it OVERLAPS
+           steps 3–4 (guide §2.6 — the jobs are independent);
+        3. ONE fused multi-column quartile pass for all numeric IQR
            bounds — the O(levels)-job histogram-refinement EXACT path
            by default (``exact_bounds=True``), or a single
            percentile_approx scan (detection-grade triage) under
            ``exact_bounds=False``;
-        3. ONE global aggregate computing every numeric column's
-           outlier count and every string column's mismatch/date/unit/
-           PII counters together.
+        4. ONE global scan aggregate computing every numeric column's
+           outlier count plus the whole-row duplicate counter.
 
         A 100-column 100 TB table costs ~4 scans, not ~100 (VERDICT r02
         #2 closed)."""
@@ -93,6 +96,37 @@ class DataCleaner:
         prof = self.profile(cols)
         num_cols = [c for c in cols if isinstance(self._df.schema[c].dataType, NumericType)]
         str_cols = [c for c in cols if isinstance(self._df.schema[c].dataType, StringType)]
+
+        # String-counter job (B) FIRST: it depends only on the string
+        # columns — submit it before the numeric quartile block so the
+        # distinct-value pipeline overlaps those scans as well as the
+        # outlier scan (guide §2.6; its result is only read at the
+        # end). Job descriptions are thread-local, so the overlapped
+        # job labels itself.
+        from concurrent.futures import ThreadPoolExecutor
+
+        str_aggs: list[F.Column] = []
+        pairs: DataFrame | None = None
+        pool: ThreadPoolExecutor | None = None
+        f_b = None
+        if str_cols:
+            pairs = (
+                self._df.select(
+                    F.explode(
+                        F.array(*[
+                            F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
+                            for c in str_cols
+                        ])
+                    ).alias("e")
+                )
+                .select("e.c", "e.v")
+                .groupBy("c", "v")
+                .agg(F.count(F.lit(1)).alias("n"))
+            )
+            for c in str_cols:
+                str_aggs.extend(self._string_problem_weighted(c))
+            pool = ThreadPoolExecutor(max_workers=1)
+            f_b = pool.submit(lambda: pairs.agg(*str_aggs).first().asDict())
 
         # fused IQR bounds for ALL numeric columns: approx (one scan)
         # for detection by default, histogram-refinement exact on the
@@ -124,9 +158,6 @@ class DataCleaner:
                 iqr = q3 - q1
                 bounds[c] = (q1 - self.outlier_k * iqr, q3 + self.outlier_k * iqr)
 
-        # Remaining counters: TWO independent jobs, overlapped
-        # (optimization round 12; guide §2.3/§2.6/§8).
-        #
         # Job A (full scan): numeric outlier sums + the table-level
         # duplicate counter — inherently per-row work, all codegen.
         # The duplicate counter lives here ONLY when inspecting the
@@ -135,8 +166,9 @@ class DataCleaner:
         # distinct row-hashes; detection-grade 64-bit hash, the dedup
         # fix itself is exact).
         #
-        # Job B (distinct-value): every string-column counter is a
-        # pure function of the VALUE, so sum_rows f(v) ==
+        # Job B (already in flight, above) is the distinct-value
+        # counter table: every string-column counter is a pure
+        # function of the VALUE, so sum_rows f(v) ==
         # sum_{distinct v} n_v * f(v) — one explode+groupBy builds the
         # (column, value, n) table and the expensive predicates (the
         # 4-format date-parse cascade, TRY_CAST, the mojibake
@@ -166,39 +198,12 @@ class DataCleaner:
                 ).alias("__dup_rows")
             )
 
-        str_aggs: list[F.Column] = []
-        pairs: DataFrame | None = None
-        if str_cols:
-            pairs = (
-                self._df.select(
-                    F.explode(
-                        F.array(*[
-                            F.struct(F.lit(c).alias("c"), F.col(c).alias("v"))
-                            for c in str_cols
-                        ])
-                    ).alias("e")
-                )
-                .select("e.c", "e.v")
-                .groupBy("c", "v")
-                .agg(F.count(F.lit(1)).alias("n"))
-            )
-            for c in str_cols:
-                str_aggs.extend(self._string_problem_weighted(c))
-
         counters: dict = {}
-        if aggs and str_aggs:
-            # independent jobs — submit together so the small
-            # distinct-value pipeline back-fills the scan's tail
-            from concurrent.futures import ThreadPoolExecutor
-
-            with ThreadPoolExecutor(max_workers=2) as pool:
-                f_a = pool.submit(lambda: self._df.agg(*aggs).first().asDict())
-                f_b = pool.submit(lambda: pairs.agg(*str_aggs).first().asDict())
-                counters = {**f_a.result(), **f_b.result()}
-        elif aggs:
-            counters = self._df.agg(*aggs).first().asDict()
-        elif str_aggs:
-            counters = pairs.agg(*str_aggs).first().asDict()
+        if aggs:
+            counters.update(self._df.agg(*aggs).first().asDict())
+        if f_b is not None:
+            counters.update(f_b.result())
+            pool.shutdown()
 
         out: list[tuple[str, str, int]] = []
         for c in cols:
