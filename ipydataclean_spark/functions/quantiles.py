@@ -31,16 +31,34 @@ job count right before per-task tuning): the resolved value at a rank
 is EXACT regardless of n_buckets/pull_threshold (the pull indexes the
 sorted bucket by an exactly-maintained offset), so both are pure
 performance knobs — verified by A/B: outputs bit-identical across
-(2048, 4096) / (2048, 32768) / (2048, 131072) / (8192, 32768) on the
-10-column dirty frame at sf0.1. pull_threshold 4096 → 131072 cuts the
-10-column refinement from ~24 s to ~7 s by terminating descents 1-2
-levels earlier: each extra level is a full codegen scan whose
-bucket-chain predicates grow with depth, while a bigger pull is just
-more bytes on an Arrow collect (131072 doubles ≈ 1 MB per rank —
-the driver-memory contract stays "≤ pull_threshold values per rank";
-interactive callers profiling hundreds of columns at once can pass a
-smaller threshold). Pulls ride ``toPandas`` (Arrow when enabled):
-value-identical doubles, ~6× cheaper than Row pickling at 500k rows.
+(2048, 4096) / (2048, 32768) / (2048, 131072) / (2048, 524288) /
+(8192, 32768) on the 10-column dirty frame at sf0.1 (pinned by
+tests/test_api.py::test_quantiles_pull_threshold_invariant).
+pull_threshold 4096 → 131072 cut the 10-column refinement from ~24 s
+to ~7 s by terminating descents 1-2 levels earlier: each extra level
+is a full codegen scan whose bucket-chain predicates grow with depth,
+while a bigger pull is just more bytes on an Arrow collect. The
+second pass raised it to 524288 (4 MB per rank on the driver — still
+"≤ pull_threshold values per rank"; wide-profile callers can pass a
+smaller value): on the outlier-stretched d3 shape the dense level-0
+buckets hold ~293k values, so the raise removes a whole histogram
+level (stats/hist/pull instead of stats/hist/hist/pull — one fewer
+full scan per skew octave at any scale). Pulls ride ``toPandas``
+(Arrow when enabled): value-identical doubles, ~6× cheaper than Row
+pickling at 500k rows.
+
+Two alternatives were implemented, measured, and REVERTED this round
+(negative results, recorded in OPTIMIZATION_r12.md): (a) a
+percentile_approx-bracketed first level (the earlier design note) —
+exactness held (offset+distinct-count verification with descent
+fallback), but ApproximatePercentile is an ObjectAggregate outside
+whole-stage codegen and measured 0.19 s/column per 600k rows, 3× the
+histogram level it replaced (10-column pass 3.2 s → 6.0 s A/B), and
+its accuracy knob cannot cover 10^12 rows (sketch memory O(acc) ≥
+12·n/pull_threshold); (b) a grouped pull (``groupBy(tag, value)``) to
+collapse ties before the exchange — wins on enum-like columns but
+adds a shuffle + final agg that measured net-slower on the
+high-distinct columns that dominate pull bytes (d3 1.4 s → 2.3 s).
 """
 
 from __future__ import annotations
@@ -150,7 +168,7 @@ def exact_quantiles(
     col: str,
     qs: list[float],
     n_buckets: int = 2048,
-    pull_threshold: int = 131072,
+    pull_threshold: int = 524288,
     max_levels: int = 6,
 ) -> list[float | None]:
     """Exact interpolated quantiles of a numeric column (nulls ignored)."""
@@ -206,7 +224,7 @@ def exact_quantiles_multi(
     df: DataFrame,
     specs: dict[str, list[float]],
     n_buckets: int = 2048,
-    pull_threshold: int = 131072,
+    pull_threshold: int = 524288,
     max_levels: int = 6,
     stats: dict[str, tuple[int, float | None, float | None]] | None = None,
 ) -> dict[str, list[float | None]]:

@@ -169,6 +169,35 @@ def test_quantiles_multi_matches_single(spark, sf_dir):
     assert multi["l_quantity"] == exact_quantiles(df, "l_quantity", [0.25, 0.75])
 
 
+def test_quantiles_pull_threshold_invariant(spark):
+    """pull_threshold (raised 131072 -> 524288, r12 optimization) is a
+    pure performance knob: thresholds an order of magnitude apart
+    force different descent depths on an outlier-stretched column yet
+    must produce bit-identical quantiles, equal to the sorted-array
+    ground truth."""
+    from ipydataclean_spark.functions.quantiles import exact_quantiles
+
+    # the d3 shape scaled down: dense cluster + x1000 outliers so the
+    # value-uniform histogram concentrates mass in a few buckets
+    df = spark.range(20000).select(
+        F.when(F.col("id") % 1000 == 0, F.col("id").cast("double") * 1000.0)
+        .otherwise((F.col("id") % 97).cast("double") / 7.0)
+        .alias("v")
+    )
+    qs = [0.25, 0.5, 0.75, 0.99]
+    deep = exact_quantiles(df, "v", qs, n_buckets=16, pull_threshold=64, max_levels=12)
+    shallow = exact_quantiles(df, "v", qs, n_buckets=16, pull_threshold=8192, max_levels=12)
+    default = exact_quantiles(df, "v", qs)
+    assert deep == shallow == default
+    vals = sorted(r.v for r in df.collect())
+    for q, got in zip(qs, deep):
+        r = (len(vals) - 1) * q
+        k0 = int(r)
+        k1 = min(k0 + 1, len(vals) - 1)
+        exp = vals[k0] + (vals[k1] - vals[k0]) * (r - k0)
+        assert got == exp, (q, got, exp)
+
+
 def test_quantiles_multi_edge_columns(spark):
     from ipydataclean_spark.functions.quantiles import exact_quantiles_multi
 
