@@ -98,12 +98,12 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "p4_numeric_profile", "p5_quantiles", "p6_mode", "p7_histogram",
     "p8_castability", "p9_topk_values", "p10_summary_bundle",
     "p11_column_entropy", "d1_missing_rows", "d2_string_mismatch",
-    "d3_outliers_iqr", "d3b_outliers_zscore", "d4_duplicate_rows",
+    "d3b_outliers_zscore", "d4_duplicate_rows",
     "d6_castability_report", "c1_fill_value", "c2_fill_mean",
-    "c3_fill_median", "c4_fill_mode", "c5_interpolate_linear",
+    "c4_fill_mode", "c5_interpolate_linear",
     "c5b_interpolate_per_user", "c6_ffill_bfill", "c7_dropna",
     "c8_drop_by_predicate", "c9_convert_string_numeric", "c10_replace_value",
-    "c11_clip_outliers", "c12_outlier_to_null", "c13_cast_column",
+    "c13_cast_column",
     "c14_15_rename_drop", "c16_dedup_exact", "recipe_pipeline",
     "c17_normalize_text", "c18_merge_upsert", "q1_pricing_summary_cleaned",
     "q6_revenue_band",
@@ -138,7 +138,7 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "f_string", "f_datetime", "f_math",
     # CORRECTNESS_r03.json — 50/50 green
     "p28_histogram_2d", "p30_functional_dependencies",
-    "c21_resample_timeseries", "c22_one_hot", "c23_binning",
+    "c21_resample_timeseries", "c22_one_hot",
     "c24_feature_scaling", "l16_pii_redact", "c29_target_encode",
     "recipe_sql_export", "r14_collect_set",
     # autofix_pipeline was r3-green but problems() gained the variants
@@ -164,7 +164,7 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "f_array2", "f_posexplode", "f_datetime2", "f_regexp", "f_moment_stats",
     "f_agg_extra", "f_bitwise", "p18_corr_matrix", "p25_mutual_info",
     "p26_group_regression", "c19_parse_dates_multi", "c20_standardize_units",
-    "d3c_outliers_mad", "p13_constraint_suite", "d7_drift_ks",
+    "p13_constraint_suite", "d7_drift_ks",
     "d8_pattern_validity", "d9_rolling_anomaly",
     # p16_fk_integrity was r3-green but its customer anti-join lost
     # the forced broadcast in round 7 (VERDICT r06 #1) — re-queued
@@ -172,7 +172,7 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # CORRECTNESS_r04.json — 50/50 green (includes the round-4 rewrites
     # q_rfm_segments / q_pareto_revenue / q29_session_conversion, whose
     # NEW implementations these rows certify — VERDICT r04 #4)
-    "c33_robust_scale", "r27_recursive_cte_sql", "r28_null_safe_join",
+    "r27_recursive_cte_sql", "r28_null_safe_join",
     "q_rfm_segments", "q_pareto_revenue", "q29_session_conversion",
     "q_revenue_deciles", "q34_rolling_corr", "p19_missingness_patterns",
     "c26_rank_normalize", "d10_snapshot_diff", "d11_drift_psi",
@@ -217,7 +217,7 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "tx1_acid_upsert", "tx2_skipping_read", "tx3_cdc_read",
     "tx4_bloom_lookup", "tx5_restore_read", "tx6_describe_history",
     "inc1_incremental_stats", "inc2_incremental_dedup", "inc3_incremental_join",
-    "s8_pyds_scan", "s8b_pyds_cleaned",
+    "s8_pyds_scan",
     # pipeline_lm_dataset was r5-green but restructured in the
     # round-12 optimization pass (slim dedup-exchange payload + the
     # clean-table checkpoint that stops the three-leg recompute) —
@@ -493,6 +493,20 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # identical, oracles hash-green locally)
     "l2j_dedup_threshold_sweep",
     "l2h_lsh_recall_audit",
+    # re-queued by the round-12 OPTIMIZATION passes on the exact-
+    # quantile engine (interpreted-HOF fix + pull_threshold retunes —
+    # changed bodies in functions/quantiles.py, the call chain of
+    # every exact_quantiles/exact_median consumer; all eight re-proven
+    # hash-green locally at sf0.01, d3 additionally at sf0.1, but the
+    # rotation rule wants the DRIVER's window to lead with them)
+    "d3_outliers_iqr",
+    "d3c_outliers_mad",
+    "c3_fill_median",
+    "c11_clip_outliers",
+    "c12_outlier_to_null",
+    "c23_binning",
+    "c33_robust_scale",
+    "s8b_pyds_cleaned",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
