@@ -279,12 +279,11 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # "unhashable type: 'list'") and therefore have NO green row:
     # they stay fresh, flattened to scalar columns for round 8.
     "x3b_quarantine_codegen", "r8c_range_join_sparse",
-    "l2f_minhash_lsh_md5", "l2g_simhash_md5",
+    "l2g_simhash_md5",
     "l3i_knn_ivf_seeded", "l3j_knn_pq_seeded", "l3k_knn_lsh_md5",
     "l4e_embed_neardup_lsh_md5", "l11b_language_id_certified",
     "l12b_fingerprints_md5", "c30b_dedup_keep_best_md5",
     "g1b_pagerank_fixedpoint", "r22d_hash_sample",
-    "inc4b_incremental_minhash_md5",
     # l2h/l3m were r7-green but gained the deterministic sampling
     # fraction parameter in round 8 (VERDICT r07 #5) — re-queued per
     # the rotation-exclusion rule until a window re-proves them
@@ -300,7 +299,7 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # locally hash-green) — re-queued per the rotation-exclusion rule
     "p16_fk_integrity", "q27_yoy_growth",
     # r07 rows-only tier (rows recorded, err=no_oracle by design)
-    "g1_pagerank", "inc4_incremental_minhash", "l2d_dedup_clusters",
+    "g1_pagerank", "l2d_dedup_clusters",
     "l9c_frame_sample",
     # l9f_image_dhash_pairs (r7 rows-only green) left this set in
     # round 11: dhash_neardup_pairs' banding expression is extracted
@@ -507,6 +506,14 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "c23_binning",
     "c33_robust_scale",
     "s8b_pyds_cleaned",
+    # re-queued by the round-12 OPTIMIZATION pass: sig_agreement's
+    # est-Jaccard projection switched from the interpreted
+    # zip_with/filter HOF to the codegen'd per-index cast-sum — a
+    # changed body in these queries' candidate-pair chain (l2 itself
+    # is queued in ROWS_ONLY_FIRST; l2f/inc4b re-proven hash-green
+    # locally at sf0.01 AND sf0.1)
+    "l2f_minhash_lsh_md5",
+    "inc4b_incremental_minhash_md5",
 )
 
 #: Rows-only priority: the round-12 touched rows-only set.
@@ -523,6 +530,10 @@ ROWS_ONLY_FIRST: tuple[str, ...] = (
     # gained the slim band-join fanout + post-dedup signature rejoin
     # (rows identical, golden-pinned — the driver re-records the row)
     "l2_minhash_lsh",
+    # re-queued by the round-12 OPTIMIZATION pass: sig_agreement
+    # codegen rewrite in its incremental-verify chain (rows-only;
+    # goldens green)
+    "inc4_incremental_minhash",
 )
 
 
