@@ -102,9 +102,9 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     "d6_castability_report", "c1_fill_value", "c2_fill_mean",
     "c4_fill_mode", "c5_interpolate_linear",
     "c5b_interpolate_per_user", "c6_ffill_bfill", "c7_dropna",
-    "c8_drop_by_predicate", "c9_convert_string_numeric", "c10_replace_value",
+    "c9_convert_string_numeric", "c10_replace_value",
     "c13_cast_column",
-    "c14_15_rename_drop", "c16_dedup_exact", "recipe_pipeline",
+    "c14_15_rename_drop", "c16_dedup_exact",
     "c17_normalize_text", "c18_merge_upsert", "q1_pricing_summary_cleaned",
     "q6_revenue_band",
     # q3_top_orders / q5_nation_revenue were r1-green but their joins
@@ -495,17 +495,20 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # re-queued by the round-12 OPTIMIZATION passes on the exact-
     # quantile engine (interpreted-HOF fix + pull_threshold retunes —
     # changed bodies in functions/quantiles.py, the call chain of
-    # every exact_quantiles/exact_median consumer; all eight re-proven
-    # hash-green locally at sf0.01, d3 additionally at sf0.1, but the
-    # rotation rule wants the DRIVER's window to lead with them)
+    # every exact_quantiles/exact_median consumer, direct or through
+    # fill_aggregate("median"); all ten re-proven hash-green locally
+    # at sf0.01, d3 additionally at sf0.1, but the rotation rule wants
+    # the DRIVER's window to lead with them)
     "d3_outliers_iqr",
     "d3c_outliers_mad",
     "c3_fill_median",
+    "c8_drop_by_predicate",
     "c11_clip_outliers",
     "c12_outlier_to_null",
     "c23_binning",
     "c33_robust_scale",
     "s8b_pyds_cleaned",
+    "recipe_pipeline",
     # re-queued by the round-12 OPTIMIZATION pass: sig_agreement's
     # est-Jaccard projection switched from the interpreted
     # zip_with/filter HOF to the codegen'd per-index cast-sum — a
