@@ -125,9 +125,12 @@ def _value_at_ranks(
                 continue
             width = (st.rhi - st.rlo) / n_buckets
             bexpr = _bucket_expr(st.rlo, width, n_buckets)
-            hist = sorted(
-                subset.groupBy(bexpr.alias("b")).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            hpdf = (
+                subset.groupBy(bexpr.alias("b"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .toPandas()
             )
+            hist = sorted(zip(hpdf["b"].tolist(), hpdf["cnt"].tolist()))
             pull_by_bucket: dict[int, list[tuple[int, int]]] = {}
             for k in ks:
                 local = k - st.offset
@@ -163,15 +166,42 @@ def _value_at_ranks(
     return resolved
 
 
+def _adaptive_buckets(n: int, pull_threshold: int, floor: int = 2048,
+                      cap: int = 131072) -> int:
+    """Histogram resolution derived from the column count (optimization
+    round 12, guide §2 scale-adaptive knobs). Below n = 2x
+    pull_threshold even a fully-concentrated bucket pulls in one level,
+    so the default 2048 is optimal and finer resolution is pure
+    histogram-job cost (measured: a 12.5k-bucket fused 10-column
+    histogram at sf0.1 cost +15% with zero levels saved). Above it, a
+    range-stretched column (x1000 outliers pack the dense mass into
+    ~range/1000) overflows its level-0 bucket and pays a whole extra
+    full scan per level — while the histogram the driver collects
+    costs only n_buckets (b, cnt) rows (~16 B each over Arrow). So
+    resolution grows as n // 48, clamped to [floor, cap]; the cap
+    keeps the fused multi-column histogram collect bounded (~2 MB per
+    column worst case). Pure performance knob — resolved values are
+    exact at ANY resolution (pinned by
+    test_quantiles_pull_threshold_invariant's n_buckets=16 leg;
+    measured bit-identical across 2048/12500/131072 on the sf1 d3
+    column)."""
+    if n <= 2 * pull_threshold:
+        return floor
+    return int(min(cap, max(floor, n // 48)))
+
+
 def exact_quantiles(
     df: DataFrame,
     col: str,
     qs: list[float],
-    n_buckets: int = 2048,
+    n_buckets: int | None = None,
     pull_threshold: int = 524288,
     max_levels: int = 6,
 ) -> list[float | None]:
-    """Exact interpolated quantiles of a numeric column (nulls ignored)."""
+    """Exact interpolated quantiles of a numeric column (nulls ignored).
+
+    ``n_buckets=None`` (the default) derives the histogram resolution
+    from the column count — see ``_adaptive_buckets``."""
     base = df.select(F.col(col).cast("double").alias("v")).where(F.col("v").isNotNull())
     base = base.persist()
     try:
@@ -180,13 +210,14 @@ def exact_quantiles(
             return [None] * len(qs)
         if lo == hi:
             return [float(lo)] * len(qs)
+        nb = _adaptive_buckets(int(n), pull_threshold) if n_buckets is None else n_buckets
         targets = []
         for q in qs:
             r = (n - 1) * q
             k0 = int(r)
             targets.append((r, k0, min(k0 + 1, n - 1)))
         ranks = sorted({k for (_, k0, k1) in targets for k in (k0, k1)})
-        at = _value_at_ranks(base, ranks, float(lo), float(hi), n_buckets, pull_threshold, max_levels)
+        at = _value_at_ranks(base, ranks, float(lo), float(hi), nb, pull_threshold, max_levels)
         out: list[float | None] = []
         for r, k0, k1 in targets:
             v0 = at[k0]
@@ -223,7 +254,7 @@ def _col_cond(c: str, path: tuple[tuple[float, float, int], ...], n_buckets: int
 def exact_quantiles_multi(
     df: DataFrame,
     specs: dict[str, list[float]],
-    n_buckets: int = 2048,
+    n_buckets: int | None = None,
     pull_threshold: int = 524288,
     max_levels: int = 6,
     stats: dict[str, tuple[int, float | None, float | None]] | None = None,
@@ -240,6 +271,9 @@ def exact_quantiles_multi(
 
     ``stats``: optional {col: (non_null_count, min, max)} from an
     already-run profile scan, skipping the count/min/max job.
+
+    ``n_buckets=None`` derives the shared histogram resolution from
+    the largest column count (``_adaptive_buckets``).
     """
     cols = list(specs)
     out: dict[str, list[float | None]] = {}
@@ -253,6 +287,11 @@ def exact_quantiles_multi(
                 aggs += [F.count(c), F.min(c), F.max(c)]
             row = base.agg(*aggs).first()
             stats = {c: (row[3 * i], row[3 * i + 1], row[3 * i + 2]) for i, c in enumerate(cols)}
+
+        if n_buckets is None:
+            n_buckets = _adaptive_buckets(
+                max(int(stats[c][0] or 0) for c in cols), pull_threshold
+            )
 
         # Per-(col, rank) refinement state; trivially-resolved columns
         # (empty / constant) never enter the loop.
@@ -319,15 +358,17 @@ def exact_quantiles_multi(
                         )
                     )
                 e = F.explode(F.array(*entries)).alias("e")
-                rows = (
+                hpdf = (
                     base.select(e)
                     .where(F.col("e").isNotNull())
                     .groupBy(F.col("e.sid").alias("sid"), F.col("e.b").alias("b"))
                     .agg(F.count(F.lit(1)).alias("cnt"))
-                    .collect()
+                    .toPandas()
                 )
-                for r in rows:
-                    hists.setdefault(r.sid, []).append((r.b, r.cnt))
+                for sid_v, b_v, cnt_v in zip(
+                    hpdf["sid"].tolist(), hpdf["b"].tolist(), hpdf["cnt"].tolist()
+                ):
+                    hists.setdefault(sid_v, []).append((b_v, cnt_v))
                 for sid in hists:
                     hists[sid].sort()
 
