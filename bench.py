@@ -63,6 +63,25 @@ def time_query(spark, fn, sf_dir: str, runs: int = 3) -> float:
     return statistics.median(samples)
 
 
+def time_query_noop(spark, fn, sf_dir: str, runs: int = 3) -> float:
+    """Same protocol against the noop sink (guide §1.4): computes EVERY
+    column of every row, so aggregate expressions the `.count()` action
+    lets Catalyst prune (the round-12 q1 finding) are measured too.
+    ADDITIVE metric (VERDICT r12 #3): the `.count()` numbers above stay
+    untouched for round-over-round comparability."""
+
+    def run():
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    run()  # warm-up
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        run()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     load_all()
@@ -76,6 +95,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         timings[name] = round(time_query(spark, QUERIES[name]["fn"], sf_dir), 3)
+    # Second, ADDITIVE metric (VERDICT r12 #3): the noop sink measures the
+    # declared work even where count() prunes it. Reported in separate
+    # fields so `value`/`queries` stay comparable with every prior round.
+    noop_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        noop_timings[name] = round(
+            time_query_noop(spark, QUERIES[name]["fn"], sf_dir), 3
+        )
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -85,6 +112,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "queries_noop": noop_timings,
+                "noop_total": round(sum(noop_timings.values()), 3),
             }
         )
     )

@@ -198,12 +198,19 @@ class DataCleaner:
                 ).alias("__dup_rows")
             )
 
+        # try/finally (ADVICE r12): if the main-thread agg or
+        # f_b.result() raises, the pool must still be shut down — a
+        # leaked worker thread would keep the overlapped Spark job
+        # running after the failure.
         counters: dict = {}
-        if aggs:
-            counters.update(self._df.agg(*aggs).first().asDict())
-        if f_b is not None:
-            counters.update(f_b.result())
-            pool.shutdown()
+        try:
+            if aggs:
+                counters.update(self._df.agg(*aggs).first().asDict())
+            if f_b is not None:
+                counters.update(f_b.result())
+        finally:
+            if pool is not None:
+                pool.shutdown()
 
         out: list[tuple[str, str, int]] = []
         for c in cols:

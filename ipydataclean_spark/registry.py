@@ -436,108 +436,150 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # VERDICT r11 coverage table)
     "l9o_mjpeg_frame_dhash", "l9f_image_dhash_pairs",
     "l9k_audio_fp_pairs", "l9p_image_phash_pairs",
+    # CORRECTNESS_r12.json — 45/50 clean (the 5 non-pass rows are all
+    # rows-only err=no_oracle by design: inc4/inc8/l2/l9r/st17, rows
+    # recorded). The r12-fresh + r12-requeued oracle names below.
+    # HELD OUT of this append (round 13 touches their call chains —
+    # the dsum/davg/dstddev/rsum12 int128 fast path and the quantile
+    # pull-budget default — so their r12 rows certify superseded
+    # bodies; re-queued in CORE_FRESH_FIRST): autofix_pipeline,
+    # d3_outliers_iqr, d3c_outliers_mad, c3_fill_median,
+    # c8_drop_by_predicate, c11_clip_outliers, c12_outlier_to_null,
+    # c23_binning, c33_robust_scale, s8b_pyds_cleaned, recipe_pipeline.
+    # (q21, pipeline_corpus_curation and pipeline_lm_dataset were
+    # runtime-traced NOT to consume the dsum family — they stay green.)
+    "l72_encoding_qa", "st18_encoding_qa", "l73_pdf_extract",
+    "l74_warc_extract", "l75_unicode_nfc_qa", "l76_url_canonical_dedup",
+    "l77_robots_filter", "pipeline_crawl_frontend",
+    "q21_sole_return_suppliers", "pipeline_corpus_curation",
+    "pipeline_lm_dataset",
+    "l2j_dedup_threshold_sweep", "l2h_lsh_recall_audit",
+    "l2f_minhash_lsh_md5", "inc4b_incremental_minhash_md5",
+    # r12 rows-only tier (rows recorded, err=no_oracle by design)
+    "st17_media_ingest", "inc8_incremental_media",
+    "l9r_image_phash128_pairs", "l2_minhash_lsh", "inc4_incremental_minhash",
 })
 
-#: Round-12 window priority (VERDICT r11 #4). CORRECTNESS_r11 recorded
-#: 50/50 clean — 8 fresh oracle names hash-green, 6 rows-only by
-#: design, 36 prior-green re-proofs; all 378 registered queries have a
-#: driver row cumulatively (zero never-checked debt entering round
-#: 12). Round-12 fresh set: new additions appended here as each
-#: operator registers, plus anything round 12 touches
-#: (call-chain-verified — see the DRIVER_GREEN_PRIOR_ROUNDS holdout
-#: note). Remaining slots fall through to prior-green re-proofs.
+#: Round-13 window priority (OPTIMIZATION round 2). Every name below
+#: has a changed BODY in its call chain this round and therefore leaves
+#: the prior-green holdout per the rotation rule:
+#:   - the dsum/davg/dstddev/rsum12 int128 fast path
+#:     (functions/exact.py + jvm/Decimal128Sum.scala) — consumers
+#:     enumerated by RUNTIME TRACING (every registered query built with
+#:     instrumented exact.* wrappers at sf0.001; 84 hits, zero misses
+#:     possible through indirect wrappers by construction),
+#:   - the quantile-engine pull-budget default
+#:     (functions/quantiles.py _effective_pull_threshold) — the r12
+#:     engine-consumer set again (d3/d3c/c23/c33 are engine-only
+#:     consumers, the c*/s8b/recipe names are in the traced 84 too),
+#:   - problems()'s pool shutdown hardening (api.py) — autofix_pipeline.
+#: The driver window covers ~50: headline + engine consumers lead, the
+#: long tail keeps local full-sweep evidence (348 pass / 0 fail on
+#: final code) plus prior rows.
 CORE_FRESH_FIRST: tuple[str, ...] = (
-    # re-queued: mojibake_repair's gate widens to sloppy-cp1252
-    # (VERDICT r11 #1) — l72/st18 consume the detector body directly,
-    # autofix_pipeline through problems()'s mojibake counter and the
-    # recipe repair step
-    "l72_encoding_qa",
-    "st18_encoding_qa",
-    "autofix_pipeline",
-    # re-queued: pdf_extract gains the ADVICE r11 /Length-regex +
-    # endstream-EOL fixes and ObjStm/xref-stream handling
-    # (VERDICT r11 #3)
-    "l73_pdf_extract",
-    # re-queued: warc_extract gains WARC-Date (ADVICE r11 #3) and the
-    # chunked/gzip HTTP envelope (VERDICT r11 #2)
-    "l74_warc_extract",
-    # new in round 12: Unicode NFC normalization QA (full
-    # nfc_normalize oracle)
-    "l75_unicode_nfc_qa",
-    # new in round 12: canonical-URL dedup (two-dialect canonicalizer
-    # certified by one hash)
-    "l76_url_canonical_dedup",
-    # new in round 12: robots.txt evaluation (RFC 9309 relational
-    # evaluator, full oracle)
-    "l77_robots_filter",
-    # new in round 12: the composed crawl front end (l77 -> l76 ->
-    # frontier report, one hash)
-    "pipeline_crawl_frontend",
-    # re-queued by the round-12 OPTIMIZATION pass: q21 rewritten
-    # (one-scan pair-grain agg + order window replaces the three-scan
-    # semi/anti self-joins; oracle unchanged, locally hash-green at
-    # sf0.01 + sf0.1 — the driver window re-proves the new plan)
-    "q21_sole_return_suppliers",
-    # re-queued by the round-12 OPTIMIZATION pass: the dedup-window
-    # exchange payload slimmed to a pre-shuffle n_toks scalar (the
-    # token array no longer crosses the shuffle; oracle unchanged,
-    # locally hash-green)
-    "pipeline_corpus_curation",
-    # re-queued by the round-12 OPTIMIZATION pass: slim dedup-exchange
-    # payload + clean-table checkpoint ending the three-leg subtree
-    # recompute (oracle unchanged, locally hash-green)
-    "pipeline_lm_dataset",
-    # re-queued by the round-12 OPTIMIZATION pass: independent eager
-    # legs overlapped via driver thread pools (guide §2.6; rows
-    # identical, oracles hash-green locally)
-    "l2j_dedup_threshold_sweep",
-    "l2h_lsh_recall_audit",
-    # re-queued by the round-12 OPTIMIZATION passes on the exact-
-    # quantile engine (interpreted-HOF fix + pull_threshold retunes —
-    # changed bodies in functions/quantiles.py, the call chain of
-    # every exact_quantiles/exact_median consumer, direct or through
-    # fill_aggregate("median"); all ten re-proven hash-green locally
-    # at sf0.01, d3 additionally at sf0.1, but the rotation rule wants
-    # the DRIVER's window to lead with them)
+    # headline bench queries first (changed plans: decimal128_sum)
+    "q1_pricing_summary_cleaned",
+    "p10_summary_bundle",
+    "q5_nation_revenue",
+    "q3_top_orders",
+    "q9_product_profit",
+    "st1_tumbling_window",
+    "st2_sliding_window",
+    "st3_session_window",
+    # exact-quantile engine consumers (pull-budget default derivation)
     "d3_outliers_iqr",
     "d3c_outliers_mad",
+    "c23_binning",
+    "c33_robust_scale",
+    "autofix_pipeline",
+    "recipe_pipeline",
+    "s8b_pyds_cleaned",
     "c3_fill_median",
     "c8_drop_by_predicate",
     "c11_clip_outliers",
     "c12_outlier_to_null",
-    "c23_binning",
-    "c33_robust_scale",
-    "s8b_pyds_cleaned",
-    "recipe_pipeline",
-    # re-queued by the round-12 OPTIMIZATION pass: sig_agreement's
-    # est-Jaccard projection switched from the interpreted
-    # zip_with/filter HOF to the codegen'd per-index cast-sum — a
-    # changed body in these queries' candidate-pair chain (l2 itself
-    # is queued in ROWS_ONLY_FIRST; l2f/inc4b re-proven hash-green
-    # locally at sf0.01 AND sf0.1)
-    "l2f_minhash_lsh_md5",
-    "inc4b_incremental_minhash_md5",
+    # remaining dsum/davg/dstddev/rsum12 consumers (traced)
+    "p4_numeric_profile",
+    "d3b_outliers_zscore",
+    "c1_fill_value",
+    "c2_fill_mean",
+    "c4_fill_mode",
+    "c7_dropna",
+    "c21_resample_timeseries",
+    "c24_feature_scaling",
+    "c37_regression_impute",
+    "d11_drift_psi",
+    "d16_cusum_changepoint",
+    "d19_embedding_drift",
+    "f_moment_stats",
+    "inc3_incremental_join",
+    "inc6_incremental_quality",
+    "l18_unigram_logprob",
+    "l23_char_entropy",
+    "l32_bigram_logprob",
+    "l35_hybrid_rrf",
+    "l37_dsir_weights",
+    "l38_token_kl_drift",
+    "l39_gumbel_resample",
+    "l3h_kmeans_assign",
+    "l42_rerank_interaction",
+    "l46_hard_negatives",
+    "l47_quality_classifier",
+    "l48_retrieval_eval",
+    "l49_quality_score_distribution",
+    "l52_perplexity_buckets",
+    "l54_dedup_cluster_quality",
+    "l55_classifier_auc",
+    "l65_rake_keywords",
+    "l66_classifier_calibration",
+    "l8b_bm25_search",
+    "l8c_tfidf_search",
+    "p18_corr_matrix",
+    "p22_cramers_v",
+    "p25_mutual_info",
+    "p26_group_regression",
+    "pipeline_quality_curation",
+    "q2_min_cost_supplier",
+    "q6_revenue_band",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q22_dormant_customers",
+    "q27_yoy_growth",
+    "q33_cohort_ltv",
+    "q_pareto_revenue",
+    "q_revenue_deciles",
+    "q_rfm_segments",
+    "r4_left_join_counts",
+    "r8_range_join",
+    "r11_groupby_agg",
+    "r13_conditional_agg",
+    "r25_scalar_subquery",
+    "recipe_sql_export",
+    "st7_stream_static_join",
+    "st10_chained_rollup",
+    "st13_quality_filter",
+    "u2_pandas_udf_zclamp",
+    "u3_applyinpandas_groupfill",
+    "x1_expectations",
 )
 
-#: Rows-only priority: the round-12 touched rows-only set.
-ROWS_ONLY_FIRST: tuple[str, ...] = (
-    # re-queued: store_hashes_under_cap applies the store cap to
-    # DISTINCT hashes (ADVICE r11 #4 — changed body in the
-    # media_probe_auto dispatch both consume)
-    "st17_media_ingest",
-    "inc8_incremental_media",
-    # new in round 12: the 128-bit pHash 16-band escalation
-    # (VERDICT r11 #7)
-    "l9r_image_phash128_pairs",
-    # re-queued by the round-12 OPTIMIZATION pass: lsh_candidate_pairs
-    # gained the slim band-join fanout + post-dedup signature rejoin
-    # (rows identical, golden-pinned — the driver re-records the row)
-    "l2_minhash_lsh",
-    # re-queued by the round-12 OPTIMIZATION pass: sig_agreement
-    # codegen rewrite in its incremental-verify chain (rows-only;
-    # goldens green)
-    "inc4_incremental_minhash",
-)
+#: Rows-only priority: nothing rows-only touched yet in round 13.
+ROWS_ONLY_FIRST: tuple[str, ...] = ()
+
+#: Round-13 holdout (the rotation-exclusion rule, applied in one place
+#: instead of 88 scattered deletions): every CORE_FRESH_FIRST name has a
+#: changed body in its call chain THIS round, so any prior-round green
+#: row certifies a superseded body — they leave the proven set until a
+#: driver window re-proves them.
+DRIVER_GREEN_PRIOR_ROUNDS = DRIVER_GREEN_PRIOR_ROUNDS - frozenset(CORE_FRESH_FIRST)
+
 
 
 def ordered_queries() -> dict[str, dict[str, Any]]:

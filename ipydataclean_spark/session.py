@@ -64,4 +64,17 @@ def get_spark(app_name: str = "ipydataclean-spark", cpus: int | str | None = Non
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
+    # fastagg jar (jvm/Decimal128Sum.scala): the codegen'd int128 exact
+    # decimal sum behind functions/exact.py. extraClassPath puts it on
+    # the system classpath (needed for py4j expression construction and
+    # whole-stage-codegen compilation); it only takes effect when this
+    # call launches the JVM — a pre-existing session without it simply
+    # leaves exact.py on its built-in fallback (identical results).
+    jar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "jars", "ipydataclean-fastagg.jar"
+    )
+    if os.path.exists(jar):
+        builder = builder.config("spark.jars", jar).config(
+            "spark.driver.extraClassPath", jar
+        )
     return builder.getOrCreate()

@@ -198,6 +198,43 @@ def test_quantiles_pull_threshold_invariant(spark):
         assert got == exp, (q, got, exp)
 
 
+def test_quantiles_pull_budget_wide_frame(spark):
+    """Round-13 (VERDICT r12 #5): the DEFAULT pull_threshold is now a
+    total driver budget divided by the simultaneous rank count, so a
+    50-column profile pulls a bounded number of values in the worst
+    case — and the budget-scaled descent still produces bit-identical
+    results vs explicit small/large thresholds."""
+    from ipydataclean_spark.functions import quantiles as Q
+
+    n_cols = 50
+    df = spark.range(4000).select(
+        *[
+            F.when(F.col("id") % 500 == c, F.col("id").cast("double") * 1000.0)
+            .otherwise(((F.col("id") + c * 13) % 89).cast("double") / 3.0)
+            .alias(f"c{c}")
+            for c in range(n_cols)
+        ]
+    )
+    specs = {f"c{c}": [0.25, 0.75] for c in range(n_cols)}
+    # 50 cols x up to 4 distinct ranks: the budgeted default must sit
+    # between floor and cap and bound the worst-case pull
+    n_ranks = 4 * n_cols
+    eff = Q._effective_pull_threshold(None, n_ranks)
+    assert Q._PER_RANK_FLOOR <= eff <= Q._PER_RANK_CAP
+    assert eff * n_ranks <= max(
+        Q.PULL_BUDGET_VALUES, n_ranks * Q._PER_RANK_FLOOR
+    )
+    # explicit callers are untouched
+    assert Q._effective_pull_threshold(1234, n_ranks) == 1234
+    # and at a genuinely wide rank count the budget binds below the cap
+    assert Q._effective_pull_threshold(None, 500) == Q.PULL_BUDGET_VALUES // 500
+
+    default = Q.exact_quantiles_multi(df, specs)
+    small = Q.exact_quantiles_multi(df, specs, pull_threshold=64, max_levels=12)
+    large = Q.exact_quantiles_multi(df, specs, pull_threshold=8192)
+    assert default == small == large
+
+
 def test_quantiles_multi_edge_columns(spark):
     from ipydataclean_spark.functions.quantiles import exact_quantiles_multi
 
