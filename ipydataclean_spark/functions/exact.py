@@ -94,6 +94,16 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
 
 
+def dsum_dec(col: Column | str) -> Column:
+    """Exact sum kept AS decimal(38,6) — for partial-aggregate
+    recombination (q1's lazy fill-mean fusion), where group partials
+    must stay exact decimals until the driver-side or in-plan exact
+    recombination casts the final value to double."""
+    c = _c(col)
+    fast = _dsum128(c, 28, 6)
+    return fast if fast is not None else F.sum(c.cast(DEC))
+
+
 DEC12 = "decimal(38,12)"
 DEC12_SQL = "DECIMAL(38,12)"
 

@@ -43,42 +43,62 @@ _Q1_MEAN_SQL = with_lineitem_dirty(
 )
 def q1_pricing_summary_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: dirty lineitem → C9 string→numeric parse → C2 fill-mean
-    (two-phase: tiny scalar job, then literal substitution — no
-    window-over-table shuffle) → Q1-style grouped pricing summary.
+    → Q1-style grouped pricing summary — in ONE lazy fact scan.
 
-    Optimization round 12 NEGATIVE RESULT (recorded, lever retracted):
-    fusing the fill-mean pre-pass into the grouped scan via the q1b
-    per-group-partials recombination (one fact scan instead of two,
-    collect + driver recombine) was implemented, proved hash-identical
-    against the oracle at sf0.01/sf0.1 — and measured 0.68 s → 2.3 s
-    on the bench. Cause: the fused form must materialize every
-    decimal aggregate eagerly (collect in fn()), while this lazy
-    declarative form lets the terminal action decide what to compute —
-    and Spark's Decimal sum update is the dominant per-row cost
-    (~0.2 s per decimal agg per 600k rows, measured; the cast is
-    cheap). The scan it saves (~0.06 s at sf0.1) is far cheaper than
-    the laziness it gives up. q1b remains the registered single-scan
-    variant for the I/O-bound regime where the trade inverts.
-    See OPTIMIZATION_r12.md."""
+    Round-13 fusion (VERDICT r12 #3; guide §2.4 "remove passes"): the
+    fill-mean used to need a scalar pre-pass (an eager davg collect
+    inside fn()) before the grouped pass — two fact scans. Here the
+    grouped pass collects exact per-group partials (decimal sums kept
+    AS decimal, null counts) and the fill recombines IN-PLAN:
+
+        m (global mean)  = cast(Σ_g qty_dec_g AS double) / Σ_g n_qty_g
+                           — an empty-partition window over the GROUP
+                           rows (4 rows), so no second subtree and no
+                           self-join; decimal addition is associative,
+                           so the windowed total equals the pre-pass's
+                           single decimal sum bit-for-bit, and the
+                           final double division is the same IEEE op.
+        sum_qty_g        = qty_dec_g + n_null_g · cast(m AS dec(28,6))
+                           — each null row contributes exactly the
+                           per-row cast the COALESCE form applied.
+
+    Unlike the round-12 NEGATIVE RESULT (the q1b-style collect +
+    driver recombine, which forced every decimal aggregate eager and
+    benched 0.68 → 2.3 s under count()), this form stays fully LAZY: a
+    count() terminal action still prunes the aggregates (the window
+    column is unused), while the noop sink measures one scan instead
+    of two. Proven hash-identical to the two-scan oracle at
+    sf0.01 + sf0.1. q1b remains the registered collect-form variant."""
     df = lineitem_dirty(spark, sf_dir)
-    mean_qty = df.agg(exact.davg("qty_parsed")).first()[0]
-    qty = F.coalesce(F.col("qty_parsed"), F.lit(mean_qty))
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        df.groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            exact.dsum(qty).alias("sum_qty"),
-            exact.dsum("l_extendedprice").alias("sum_base_price"),
-            exact.dsum(disc_price).alias("sum_disc_price"),
-            exact.dsum(charge).alias("sum_charge"),
-            exact.davg(qty).alias("avg_qty"),
-            exact.davg("l_extendedprice").alias("avg_price"),
-            exact.davg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        .orderBy("l_returnflag", "l_linestatus")
+    parts = df.groupBy("l_returnflag", "l_linestatus").agg(
+        exact.dsum_dec("qty_parsed").alias("qty_dec"),
+        F.count("qty_parsed").alias("n_qty"),
+        F.sum(F.col("qty_parsed").isNull().cast("long")).alias("n_null"),
+        exact.dsum_dec("l_extendedprice").alias("price_dec"),
+        F.count("l_extendedprice").alias("n_price"),
+        exact.dsum_dec(disc_price).alias("disc_price_dec"),
+        exact.dsum_dec(charge).alias("charge_dec"),
+        exact.dsum_dec("l_discount").alias("disc_dec"),
+        F.count("l_discount").alias("n_disc"),
+        F.count(F.lit(1)).alias("count_order"),
     )
+    w = Window.partitionBy()  # 4 group rows: single-partition window is free
+    m = F.sum("qty_dec").over(w).cast("double") / F.sum("n_qty").over(w)
+    filled = (F.col("qty_dec") + F.col("n_null") * m.cast(exact.DEC)).cast("double")
+    return parts.select(
+        "l_returnflag",
+        "l_linestatus",
+        filled.alias("sum_qty"),
+        F.col("price_dec").cast("double").alias("sum_base_price"),
+        F.col("disc_price_dec").cast("double").alias("sum_disc_price"),
+        F.col("charge_dec").cast("double").alias("sum_charge"),
+        (filled / F.col("count_order")).alias("avg_qty"),
+        (F.col("price_dec").cast("double") / F.col("n_price")).alias("avg_price"),
+        (F.col("disc_dec").cast("double") / F.col("n_disc")).alias("avg_disc"),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
 
 
 @register(

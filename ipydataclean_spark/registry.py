@@ -446,8 +446,10 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
     # d3_outliers_iqr, d3c_outliers_mad, c3_fill_median,
     # c8_drop_by_predicate, c11_clip_outliers, c12_outlier_to_null,
     # c23_binning, c33_robust_scale, s8b_pyds_cleaned, recipe_pipeline.
-    # (q21, pipeline_corpus_curation and pipeline_lm_dataset were
-    # runtime-traced NOT to consume the dsum family — they stay green.)
+    # (q21 and pipeline_corpus_curation were runtime-traced NOT to
+    # consume the dsum family — they stay green. pipeline_lm_dataset
+    # is nevertheless re-queued: its materialization changed in r13,
+    # and the holdout subtraction below removes it again.)
     "l72_encoding_qa", "st18_encoding_qa", "l73_pdf_extract",
     "l74_warc_extract", "l75_unicode_nfc_qa", "l76_url_canonical_dedup",
     "l77_robots_filter", "pipeline_crawl_frontend",
@@ -486,6 +488,10 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "st1_tumbling_window",
     "st2_sliding_window",
     "st3_session_window",
+    # re-queued: the clean-table materialization switched from the
+    # lineage-truncating lazy localCheckpoint to a recompute-safe
+    # persist (VERDICT r12 residual-issue #1; result proven identical)
+    "pipeline_lm_dataset",
     # exact-quantile engine consumers (pull-budget default derivation)
     "d3_outliers_iqr",
     "d3c_outliers_mad",
