@@ -57,25 +57,46 @@ _FIXED_COEFS = {
 }
 
 
-def _crc8(data: bytes) -> int:
-    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
-    header CRC."""
-    crc = 0
-    for b in data:
-        crc ^= b
+def _make_crc_tables() -> tuple[list[int], list[int]]:
+    """256-entry tables for the two FLAC CRCs (identical values to the
+    bit-serial definition; round-13 optimization — the bit loop was 35%
+    of decode wall in the profile)."""
+    t8 = []
+    for b in range(256):
+        crc = b
         for _ in range(8):
             crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        t8.append(crc)
+    t16 = []
+    for b in range(256):
+        crc = b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        t16.append(crc)
+    return t8, t16
+
+
+_CRC8_TABLE, _CRC16_TABLE = _make_crc_tables()
+
+
+def _crc8(data: bytes) -> int:
+    """CRC-8, polynomial x^8+x^2+x+1 (0x07), init 0 — the FLAC frame
+    header CRC (table-driven; value-identical to the bit-serial form)."""
+    crc = 0
+    t = _CRC8_TABLE
+    for b in data:
+        crc = t[crc ^ b]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     """CRC-16, polynomial x^16+x^15+x^2+1 (0x8005), init 0 — the FLAC
-    whole-frame CRC."""
+    whole-frame CRC (table-driven; value-identical to the bit-serial
+    form)."""
     crc = 0
+    t = _CRC16_TABLE
     for b in data:
-        crc ^= b << 8
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 else (crc << 1) & 0xFFFF
+        crc = ((crc << 8) & 0xFF00) ^ t[((crc >> 8) ^ b) & 0xFF]
     return crc
 
 
@@ -103,6 +124,28 @@ class _BW:
             self.w(0, 32)
             q -= 32
         self.w(1, q + 1)
+
+    def w_bits(self, bits_arr: np.ndarray) -> None:
+        """Append a uint8 0/1 bit array, MSB-first (round-13: the
+        vectorized residual writer hands whole partitions here instead
+        of per-sample w()/unary() calls). Emits the identical bit
+        stream: packbits is MSB-first like w()."""
+        if self.n:
+            head = np.empty(self.n, dtype=np.uint8)
+            for i in range(self.n):
+                head[self.n - 1 - i] = (self.acc >> i) & 1
+            bits_arr = np.concatenate([head, bits_arr])
+            self.acc = 0
+            self.n = 0
+        nbytes = bits_arr.size >> 3
+        if nbytes:
+            self.out += np.packbits(bits_arr[: nbytes * 8]).tobytes()
+        acc = 0
+        rem = bits_arr[nbytes * 8 :]
+        for b in rem:
+            acc = (acc << 1) | int(b)
+        self.acc = acc
+        self.n = int(rem.size)
 
     def align(self) -> None:
         if self.n:
@@ -146,6 +189,83 @@ class _BR:
     def align(self) -> None:
         self.n = 0
         self.acc = 0
+
+
+def _br_seek(br: _BR, bitpos: int) -> None:
+    """Position ``br`` at absolute bit offset ``bitpos`` (round-13: the
+    vectorized readers below consume whole spans from the unpacked bit
+    array and then re-sync the scalar reader)."""
+    byte = bitpos >> 3
+    rem = bitpos & 7
+    if rem:
+        if byte >= len(br.d):
+            raise ValueError("truncated FLAC stream")
+        br.n = 8 - rem
+        br.acc = br.d[byte] & ((1 << br.n) - 1)
+        br.p = byte + 1
+    else:
+        br.n = 0
+        br.acc = 0
+        br.p = byte
+
+
+def _read_rice_block(br: _BR, bits: np.ndarray, cnt: int, k: int) -> np.ndarray:
+    """``cnt`` Rice(k) residuals, vectorized (round-13; guide §4.2):
+    terminator 1-bits are located by a pointer chase over the payload's
+    unpacked bit array (2 array ops per sample instead of per-BIT
+    Python reads), payload bits gather as one matrix. Bit-exact: the
+    same q/payload split, fold, and error conditions as the scalar
+    unary()/r(k) loop."""
+    if cnt == 0:
+        return np.empty(0, dtype=np.int64)
+    start = br.p * 8 - br.n
+    ones = np.flatnonzero(bits[start:]).astype(np.int64)
+    step = 1 + k
+    if ones.size:
+        nxt = np.searchsorted(ones, ones + step)
+    t = np.empty(cnt, dtype=np.int64)
+    j = 0
+    n_ones = ones.size
+    for i in range(cnt):
+        if j >= n_ones:
+            raise ValueError("truncated FLAC stream")
+        t[i] = ones[j]
+        j = nxt[j]
+    prev_end = np.empty(cnt, dtype=np.int64)
+    prev_end[0] = 0
+    prev_end[1:] = t[:-1] + step
+    q = t - prev_end
+    if int(q.max()) > (1 << 20):
+        raise ValueError("runaway unary code (corrupt Rice data)")
+    end = start + int(t[-1]) + step
+    if end > bits.size:
+        raise ValueError("truncated FLAC stream")
+    if k:
+        idx = (start + t)[:, None] + np.arange(1, k + 1, dtype=np.int64)
+        weights = np.left_shift(1, np.arange(k - 1, -1, -1, dtype=np.int64))
+        payload = bits[idx].astype(np.int64) @ weights
+        u = (q << k) | payload
+    else:
+        u = q
+    _br_seek(br, end)
+    return np.where(u & 1 == 0, u >> 1, -((u + 1) >> 1))
+
+
+def _read_signed_block(br: _BR, bits: np.ndarray, cnt: int, width: int) -> np.ndarray:
+    """``cnt`` fixed-width two's-complement values, vectorized (the
+    VERBATIM subframe body and escaped Rice partitions)."""
+    if cnt == 0 or width == 0:
+        return np.zeros(cnt, dtype=np.int64)
+    start = br.p * 8 - br.n
+    end = start + cnt * width
+    if end > bits.size:
+        raise ValueError("truncated FLAC stream")
+    w = bits[start:end].reshape(cnt, width).astype(np.int64)
+    weights = np.left_shift(1, np.arange(width - 1, -1, -1, dtype=np.int64))
+    v = w @ weights
+    v = np.where(v >= (1 << (width - 1)), v - (1 << width), v)
+    _br_seek(br, end)
+    return v
 
 
 def _rice_fold(v: int) -> int:
@@ -219,14 +339,17 @@ def _encode_subframe(body: _BW, blk: np.ndarray, eff: int) -> None:
         body.w(int(blk[0]) & mask, eff)
         return
     order = min(2, bs - 1)
-    res = blk.copy()
-    for i in range(bs - 1, order - 1, -1):
-        pred = sum(
-            c * int(blk[i - 1 - j]) for j, c in enumerate(_FIXED_COEFS[order])
-        )
-        res[i] = int(blk[i]) - pred
-    tail = res[order:]
-    folded = np.array([_rice_fold(int(v)) for v in tail], dtype=np.int64)
+    # round-13 vectorization (guide §4.2) — same residuals, same bits:
+    # the fixed-predictor residual is a plain linear combination of
+    # shifted sample vectors, the Rice fold a branchless where, and the
+    # whole residual partition is assembled as ONE bit array (unary
+    # zeros + terminator + k payload bits per sample) handed to
+    # w_bits() instead of per-sample unary()/w() calls.
+    b64 = blk.astype(np.int64)
+    res = b64[order:].copy()
+    for j, c in enumerate(_FIXED_COEFS[order]):
+        res -= c * b64[order - 1 - j : bs - 1 - j]
+    folded = np.where(res >= 0, res << 1, ((-res) << 1) - 1)
     mean = float(folded.mean()) if folded.size else 0.0
     k = 0
     while (1 << (k + 1)) < mean + 1 and k < 30:
@@ -236,8 +359,8 @@ def _encode_subframe(body: _BW, blk: np.ndarray, eff: int) -> None:
         body.w(0, 1)
         body.w(0b000001, 6)  # VERBATIM
         body.w(0, 1)
-        for v in blk:
-            body.w(int(v) & mask, eff)
+        verb = (b64[:, None] >> np.arange(eff - 1, -1, -1, dtype=np.int64)) & 1
+        body.w_bits(verb.astype(np.uint8).reshape(-1))
         return
     body.w(0, 1)
     body.w(0b001000 | order, 6)  # FIXED, order
@@ -252,9 +375,17 @@ def _encode_subframe(body: _BW, blk: np.ndarray, eff: int) -> None:
         body.w(1, 2)  # method 1: 5-bit Rice parameters
         body.w(0, 4)
         body.w(k, 5)
-    for u in folded:
-        body.unary(int(u) >> k)
-        body.w(int(u) & ((1 << k) - 1), k)
+    q = folded >> k
+    ends = np.cumsum(q + 1 + k)
+    t = ends - 1 - k  # terminator (1-bit) position of each sample
+    arr = np.zeros(int(ends[-1]), dtype=np.uint8)
+    arr[t] = 1
+    if k:
+        idx = t[:, None] + 1 + np.arange(k, dtype=np.int64)
+        arr[idx] = ((folded[:, None] >> np.arange(k - 1, -1, -1, dtype=np.int64)) & 1).astype(
+            np.uint8
+        )
+    body.w_bits(arr)
 
 
 def encode_flac(
@@ -349,9 +480,11 @@ _CHAN_NAMES = {0b0000: "mono", 0b0001: "lr", 0b1000: "ls", 0b1001: "rs", 0b1010:
 _SS_BITS = {0b001: 8, 0b100: 16, 0b110: 24}
 
 
-def _read_subframe(br: _BR, bs: int, eff: int) -> np.ndarray:
+def _read_subframe(br: _BR, bs: int, eff: int, bits: np.ndarray) -> np.ndarray:
     """One subframe at ``eff`` bits: CONSTANT / VERBATIM / FIXED(0-4)
-    / LPC, wasted-bits flag, Rice residual partitions."""
+    / LPC, wasted-bits flag, Rice residual partitions. ``bits`` is the
+    whole payload unpacked to a 0/1 array (round-13: the vectorized
+    block readers index it directly)."""
     if br.r(1) != 0:
         raise ValueError("bad subframe padding bit")
     stype = br.r(6)
@@ -364,11 +497,11 @@ def _read_subframe(br: _BR, bs: int, eff: int) -> np.ndarray:
     if stype == 0b000000:
         blk = np.full(bs, br.rs(eff), dtype=np.int64)
     elif stype == 0b000001:
-        blk = np.array([br.rs(eff) for _ in range(bs)], dtype=np.int64)
+        blk = _read_signed_block(br, bits, bs, eff)
     elif (stype >> 3) == 0b001 and (stype & 7) <= 4:
         order = stype & 7
         blk = _decode_predicted(
-            br, bs, order, eff, _FIXED_COEFS[order], shift=0, lpc=False
+            br, bs, order, eff, _FIXED_COEFS[order], bits, shift=0, lpc=False
         )
     elif stype & 0b100000:
         order = (stype & 0x1F) + 1
@@ -381,7 +514,7 @@ def _read_subframe(br: _BR, bs: int, eff: int) -> np.ndarray:
             raise ValueError("negative LPC shift")
         coefs = [br.rs(prec) for _ in range(order)]
         blk = _decode_predicted(
-            br, bs, order, eff, coefs, shift=shift, lpc=True, warm=warm
+            br, bs, order, eff, coefs, bits, shift=shift, lpc=True, warm=warm
         )
     else:
         raise ValueError(f"reserved subframe type {stype:06b}")
@@ -435,6 +568,11 @@ def decode_flac(data: bytes, return_layout: bool = False):
             break
     if rate is None:
         raise ValueError("missing STREAMINFO")
+
+    # one unpack of the payload to a 0/1 bit array: the vectorized
+    # subframe readers index it directly (8x the payload in memory —
+    # fine for the KB..MB payloads this kernel sees per record)
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
 
     frames: list[np.ndarray] = []
     n_frames = 0
@@ -501,12 +639,12 @@ def decode_flac(data: bytes, return_layout: bool = False):
 
         # --- subframes (side channels carry one extra bit) ---------------
         if chan == 0b0000:
-            out_blk = _read_subframe(br, bs, frame_bps)
+            out_blk = _read_subframe(br, bs, frame_bps, bits)
         else:
             eff0 = frame_bps + (1 if chan == 0b1001 else 0)
             eff1 = frame_bps + (1 if chan in (0b1000, 0b1010) else 0)
-            c0 = _read_subframe(br, bs, eff0)
-            c1 = _read_subframe(br, bs, eff1)
+            c0 = _read_subframe(br, bs, eff0, bits)
+            c1 = _read_subframe(br, bs, eff1, bits)
             if chan == 0b0001:  # independent L/R
                 left, right = c0, c1
             elif chan == 0b1000:  # left/side
@@ -545,13 +683,20 @@ def decode_flac(data: bytes, return_layout: bool = False):
     return arr, rate
 
 
-def _decode_predicted(br, bs, order, eff, coefs, *, shift, lpc, warm=None):
+def _decode_predicted(br, bs, order, eff, coefs, bits, *, shift, lpc, warm=None):
     """Shared FIXED/LPC body: warm-up + Rice residual partitions, then
-    the prediction recurrence (integer-exact per spec)."""
-    x = [0] * bs
+    the prediction recurrence (integer-exact per spec).
+
+    Round-13 vectorization (guide §4.2): residual partitions decode
+    through the bit-array readers, and the FIXED recurrence — the m-th
+    finite difference inverted — is computed as m cumulative sums
+    seeded by the warm-ups' difference pyramid (algebraically the same
+    exact integer recurrence; int64 is safe because a guard falls back
+    to the scalar loop for residual magnitudes that could overflow the
+    cumsum intermediates). The LPC recurrence stays scalar (shift
+    truncation is order-dependent per step)."""
     if warm is None:
         warm = [br.rs(eff) for _ in range(order)]
-    x[:order] = warm
     method = br.r(2)
     if method not in (0, 1):
         raise ValueError(f"reserved residual method {method}")
@@ -561,7 +706,7 @@ def _decode_predicted(br, bs, order, eff, coefs, *, shift, lpc, warm=None):
     nparts = 1 << porder
     if bs % nparts:
         raise ValueError("block size not divisible by partition count")
-    res: list[int] = []
+    parts: list[np.ndarray] = []
     for part in range(nparts):
         cnt = bs // nparts - (order if part == 0 else 0)
         if cnt < 0:
@@ -569,14 +714,41 @@ def _decode_predicted(br, bs, order, eff, coefs, *, shift, lpc, warm=None):
         k = br.r(pbits)
         if k == escape:
             raw_bits = br.r(5)
-            res.extend(
-                br.rs(raw_bits) if raw_bits else 0 for _ in range(cnt)
-            )
+            parts.append(_read_signed_block(br, bits, cnt, raw_bits))
         else:
-            for _ in range(cnt):
-                q = br.unary()
-                u = (q << k) | (br.r(k) if k else 0)
-                res.append(_rice_unfold(u))
+            parts.append(_read_rice_block(br, bits, cnt, k))
+    res_arr = np.concatenate(parts) if len(parts) > 1 else parts[0]
+
+    if not lpc:
+        # FIXED order m: Δ^m x = res. Reconstruct with m cumsums; the
+        # seed for level j is Δ^j x at index m-1, read off the warm-up
+        # difference pyramid.
+        if order == 0:
+            return res_arr.copy()
+        ok = int(np.abs(res_arr).max(initial=0)) <= (1 << 40) and bs <= (1 << 20)
+        if ok:
+            w = np.asarray(warm, dtype=np.int64)
+            seeds = []
+            for _ in range(order):
+                seeds.append(int(w[-1]))
+                w = np.diff(w)
+            cur = res_arr
+            for j in range(order - 1, -1, -1):
+                cur = seeds[j] + np.cumsum(cur)
+                # guard EVERY level: a cumsum can amplify magnitudes, and
+                # a silent int64 wrap would return in-range garbage where
+                # the scalar loop returns the true (huge) value
+                if int(np.abs(cur).max(initial=0)) > (1 << 41):
+                    ok = False
+                    break
+            if ok:
+                return np.concatenate([np.asarray(warm, dtype=np.int64), cur])
+        # fall through to the exact arbitrary-precision scalar loop for
+        # adversarial residual magnitudes (never hit by valid audio)
+
+    x = [0] * bs
+    x[:order] = warm
+    res = res_arr.tolist()
     for i in range(order, bs):
         pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
         if lpc:

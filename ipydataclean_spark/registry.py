@@ -492,6 +492,10 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # lineage-truncating lazy localCheckpoint to a recompute-safe
     # persist (VERDICT r12 residual-issue #1; result proven identical)
     "pipeline_lm_dataset",
+    # re-queued: the FLAC codec's CRC/Rice/prediction loops vectorized
+    # (VERDICT r12 #6) — encode and decode byte/sample-identical over a
+    # 520-case A/B vs the old implementation, oracle hash-green
+    "l9q_real_flac_decode",
     # exact-quantile engine consumers (pull-budget default derivation)
     "d3_outliers_iqr",
     "d3c_outliers_mad",
