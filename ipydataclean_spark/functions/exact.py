@@ -94,6 +94,20 @@ def dsum_sql(expr: str) -> str:
     return f"CAST(SUM(CAST({expr} AS {DEC_SQL})) AS DOUBLE)"
 
 
+def dsum_scaled(col: Column | str, precision: int, scale: int) -> Column:
+    """Exact sum of a double column at an arbitrary decimal (p, s),
+    returned as double — the parameterized twin of ``dsum`` for paths
+    whose contract is a different scale (pagerank's decimal(28,18)
+    rank sums). Fast path and fallback compute the identical value
+    (same per-row conversion sequence, exact associative accumulation;
+    the (28,18) twin is fuzz-pinned in tests/test_fastagg.py)."""
+    c = _c(col)
+    fast = _dsum128(c, precision, scale)
+    if fast is not None:
+        return fast.cast("double")
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
 def dsum_dec(col: Column | str) -> Column:
     """Exact sum kept AS decimal(38,6) — for partial-aggregate
     recombination (q1's lazy fill-mean fusion), where group partials

@@ -200,7 +200,10 @@ def topk_per_row_exact(
                 if n == 0 or m == 0:
                     continue
                 p_ids = pdf["id"].to_numpy(dtype=np.int64)
-                a = np.array([list(v) for v in pdf["emb"]], dtype=np.float64)
+                # stack the per-row embedding arrays directly (float32
+                # -> float64 widening is exact; identical values to the
+                # old per-row list() conversion, measured ~6x faster)
+                a = np.array(pdf["emb"].tolist(), dtype=np.float64)
                 a_norm = np.zeros(n, dtype=np.float64)
                 for i in range(dim):  # sequential square-accumulate fold
                     a_norm += a[:, i] * a[:, i]
@@ -259,25 +262,36 @@ def topk_per_row_exact(
                     continue
                 kept_cids = c_ids[cols_idx]
                 order = np.lexsort((kept_cids, -cos_kept, rows_idx))
-                out = {c: [] for c in part_cols}
-                out.update(part_id=[], cand_id=[], cos_sim=[], rn=[])
-                out.update({c: [] for c in cand_cols})
-                prev_row, taken = -1, 0
-                for idx in order:
-                    r = rows_idx[idx]
-                    if r != prev_row:
-                        prev_row, taken = r, 0
-                    if k is not None and taken >= k:
-                        continue
-                    taken += 1
-                    for c in part_cols:
-                        out[c].append(pdf[c].iloc[r])
-                    out["part_id"].append(p_ids[r])
-                    out["cand_id"].append(kept_cids[idx])
-                    for c in cand_cols:
-                        out[c].append(c_pay[c][cols_idx[idx]])
-                    out["cos_sim"].append(cos_kept[idx])
-                    out["rn"].append(taken)
+                # per-row rank in the (row, -cos, cand_id) order, fully
+                # vectorized (round 13, guide §4.2 — the old per-pair
+                # Python loop with per-element .iloc payload gathers was
+                # the kernel's emit bottleneck in threshold mode). Same
+                # selection (first k per row in `order`), same rn
+                # values, same output row order as the loop it replaces.
+                rs = rows_idx[order]
+                n_out = len(rs)
+                first = np.empty(n_out, dtype=bool)
+                first[0] = True
+                first[1:] = rs[1:] != rs[:-1]
+                grp_start = np.maximum.accumulate(
+                    np.where(first, np.arange(n_out), 0)
+                )
+                rn_all = np.arange(n_out) - grp_start + 1
+                if k is not None:
+                    keep = rn_all <= k
+                    sel, rn_sel = order[keep], rn_all[keep]
+                else:
+                    sel, rn_sel = order, rn_all
+                r_sel = rows_idx[sel]
+                out = {}
+                for c in part_cols:
+                    out[c] = pdf[c].to_numpy()[r_sel]
+                out["part_id"] = p_ids[r_sel]
+                out["cand_id"] = kept_cids[sel]
+                for c in cand_cols:
+                    out[c] = c_pay[c][cols_idx[sel]]
+                out["cos_sim"] = cos_kept[sel]
+                out["rn"] = rn_sel
                 res = pd.DataFrame(out)
                 for col, dt in np_types.items():
                     res[col] = res[col].astype(dt)

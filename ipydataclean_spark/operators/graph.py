@@ -32,7 +32,26 @@ def pagerank(
 ) -> DataFrame:
     """PageRank with uniform teleport over a directed edge list
     (src BIGINT, dst BIGINT). Returns (node, rank). Dangling mass is
-    redistributed uniformly each step so total rank stays = n_nodes."""
+    redistributed uniformly each step so total rank stays = n_nodes.
+
+    Round-13 restructure (guide §1.2 "the distributed algorithm";
+    values bit-identical — decimal sums are order-independent and the
+    restructured dangling term sums exactly the same row set):
+
+    * the dangling-node SET is iteration-invariant — it is now a flag
+      computed once on the cached node table, and the per-iteration
+      dangling mass is a filter+agg over the node-sized rank table.
+      Previously the term re-derived ``out_deg`` from the RAW edge
+      lineage (the full upstream join/distinct!) inside a left_anti
+      join EVERY iteration — measured as most of g1's 25 s at sf0.1.
+    * per-edge contributions sum through the int128 decimal fast path
+      (functions/exact.dsum_scaled) when the fastagg jar is present —
+      the per-row BigDecimal add + CheckOverflow + UnsafeRow write was
+      the remaining per-iteration CPU. Fallback computes the identical
+      value on the built-in path.
+    """
+    from ipydataclean_spark.functions.exact import dsum_scaled
+
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -44,46 +63,58 @@ def pagerank(
     # out-degree is consulted every iteration: attach once, cache.
     e = edges.join(out_deg, "src").select("src", "dst", "out_deg").cache()
     e.count()
-    ranks = nodes.withColumn("rank", F.lit(1.0))
+    # dangling flag: node has no out-edges. Node-sized, cached — the
+    # per-iteration dangling-mass term never touches edges again.
+    nd = (
+        nodes.join(
+            out_deg.select(F.col("src").alias("node"), F.lit(1).alias("__has_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__has_out").isNull().cast("int").alias("__dang"))
+        .cache()
+    )
+    nd.count()
+    ranks = nd.withColumn("rank", F.lit(1.0))
     # rank table = one row per node. Below ~10M nodes broadcast it so
     # the per-iteration join is map-side over the CACHED edge table
     # (zero edge shuffle per iteration); above that, Spark's planner
     # shuffles both sides — the standard Pregel-style regime.
     bcast = n_nodes < 10_000_000
     for _ in range(iterations):
-        ranks_j = F.broadcast(ranks) if bcast else ranks
+        ranks_j = (
+            F.broadcast(ranks.select("node", "rank")) if bcast
+            else ranks.select("node", "rank")
+        )
         contribs = (
             e.join(ranks_j, e.src == ranks_j.node)
             .select(
                 F.col("dst").alias("node"),
-                (F.col("rank") / F.col("out_deg")).cast(DEC).alias("contrib"),
+                (F.col("rank") / F.col("out_deg")).alias("contrib"),
             )
             .groupBy("node")
-            .agg(F.sum("contrib").cast("double").alias("in_sum"))
+            .agg(dsum_scaled("contrib", 28, 18).alias("in_sum"))
         )
-        # dangling nodes (no out-edges) leak their mass; re-spread it
-        # uniformly. Computed INSIDE the plan (1-row agg, broadcast
-        # cross join) — no per-iteration driver round-trip, so the
-        # whole fixed point executes as one pipelined job chain.
+        # dangling mass, re-spread uniformly: a filter+1-row agg over
+        # the node-sized rank table (the __dang flag), broadcast cross
+        # join — still INSIDE the plan (no per-iteration driver
+        # round-trip), so the fixed point executes as one pipelined
+        # job chain.
         dang = (
-            ranks.join(
-                F.broadcast(out_deg) if bcast else out_deg,
-                ranks.node == out_deg.src,
-                "left_anti",
-            )
+            ranks.where(F.col("__dang") == 1)
             .agg(
                 (
-                    F.coalesce(F.sum(F.col("rank").cast(DEC)).cast("double"), F.lit(0.0))
+                    F.coalesce(dsum_scaled("rank", 28, 18), F.lit(0.0))
                     / F.lit(float(n_nodes))
                 ).alias("dang_share")
             )
         )
         ranks = (
-            ranks.select("node")
-            .join(F.broadcast(contribs) if bcast else contribs, "node", "left")
+            nd.join(F.broadcast(contribs) if bcast else contribs, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__dang",
                 (
                     F.lit(1.0 - damping)
                     + F.lit(damping)
@@ -92,6 +123,7 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+    ranks = ranks.select("node", "rank")
     # Checkpoint retention is bounded BY DESIGN at ``iterations``
     # rank-table-sized block sets: this loop composes lazily (no
     # action per round — the fixpoint runs as one pipelined job
@@ -216,7 +248,15 @@ def g1b_pagerank_fixedpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10) -> DataFrame:
     """(node, r): exact integer PageRank (see g1b docstring). Shapes
     match pagerank(): per-iteration work is rank-table-sized joins;
-    lineage cut per round via lazy localCheckpoint."""
+    lineage cut per round via lazy localCheckpoint.
+
+    Round-13 restructure, mirroring pagerank() (results identical —
+    integer sums over identical row sets): out-degree is attached to
+    the edge table ONCE (it was a groupBy re-run from the checkpointed
+    edges inside BOTH the contribution join and the dangling anti-join
+    every iteration — 2 extra edge-table passes per round), and the
+    dangling-node set is an iteration-invariant flag on the node table
+    instead of a per-round left_anti join."""
     edges = edges.localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -225,30 +265,42 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    e = (
+        edges.join(deg, "src")
+        .select("src", "dst", "d")
+        .localCheckpoint(eager=False)
+    )
+    nd = (
+        nodes.join(
+            deg.select(F.col("src").alias("node"), F.lit(1).alias("__has_out")),
+            "node",
+            "left",
+        )
+        .select("node", F.col("__has_out").isNull().cast("int").alias("__dang"))
+        .localCheckpoint(eager=False)
+    )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
-    ranks = nodes.select("node", F.lit(_G1B_SCALE).cast("long").alias("r"))
+    ranks = nd.select("node", "__dang", F.lit(_G1B_SCALE).cast("long").alias("r"))
     base = F.lit(15 * _G1B_SCALE // 100).cast("long")
     for _ in range(iterations):
         contribs = (
-            edges.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(deg, "src")
+            e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
             .select(F.col("dst").alias("node"), F.expr("r div d").alias("contrib"))
             .groupBy("node")
             .agg(F.sum("contrib").cast("long").alias("in_sum"))
         )
         dang = (
-            ranks.join(
-                deg.select(F.col("src").alias("node")), "node", "left_anti"
-            )
+            ranks.where(F.col("__dang") == 1)
             .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm"))
             .crossJoin(F.broadcast(nn))
             .select(F.expr("dm div n").cast("long").alias("dang"))
         )
         ranks = (
-            nodes.join(contribs, "node", "left")
+            nd.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",
+                "__dang",
                 (
                     base
                     + F.expr("(85 * (COALESCE(in_sum, 0) + dang)) div 100")
@@ -256,7 +308,7 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", "r")
 
 
 @register(

@@ -1129,16 +1129,29 @@ def l4_sim_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: all-pairs cosine ≥ τ (exact baseline; LSH bounds the pair
     space at scale — l2/l3b machinery).
 
-    Norms are precomputed PER VECTOR before the O(n²) join — computing
-    them per pair triples the inner-loop flops (measured 146 s → tens
-    of seconds at 5000 vectors)."""
+    Round 13 (guide §4.2): routed through the vectorized exact kernel
+    in threshold mode (the d22/d24/l64 path) instead of the in-plan
+    O(n²) join + per-element interpreted cosine fold — the sweep
+    measured this query as the registry's single most expensive sf0.1
+    row (~25 s; the fold evaluates 2·dim interpreted lambda calls per
+    pair). The kernel's matmul screen + ascending-dimension exact
+    recompute emits the IDENTICAL pair set with bit-identical cosines
+    (same per-vector norm fold, same per-pair dot fold, same ≥ τ
+    exact threshold — the contract topk_per_row_exact certifies and
+    the unchanged DuckDB oracle re-proves). only_greater is the
+    a < b self-join dedup convention; blocked handoff beyond the
+    candidate cap keeps it executable at any corpus size."""
+    from ipydataclean_spark.functions.knn import topk_per_row_exact_auto
+
     emb = T(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"), norm("embedding").alias("na"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"), norm("embedding").alias("nb"))
+    side = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb"))
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", (dot("emb_a", "emb_b") / (F.col("na") * F.col("nb"))).alias("cos_sim"))
-        .where(F.col("cos_sim") >= SIM_TAU)
+        topk_per_row_exact_auto(side, side, None, min_cos=SIM_TAU, only_greater=True)
+        .select(
+            F.col("part_id").alias("vec_a"),
+            F.col("cand_id").alias("vec_b"),
+            "cos_sim",
+        )
         .orderBy("vec_a", "vec_b")
     )
 

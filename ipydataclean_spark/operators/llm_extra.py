@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ipydataclean_spark.functions import exact
@@ -189,7 +189,9 @@ def _cluster_pairs_star(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Data
     # contract or the two mechanisms diverge on ids-filtered callers;
     # review r07 #3), orient u > v, dedup; checkpoint so the upstream
     # candidate pipeline (the full LSH build for c30/l2d) executes
-    # ONCE, not once per round
+    # ONCE, not once per round. The checkpoint is LAZY and the count
+    # that follows materializes it — one job instead of two (round-13
+    # optimization; same for the per-round checkpoints below).
     ids_a = ids.select(F.col("id").alias("__ia"))
     ids_b = ids.select(F.col("id").alias("__ib"))
     cur = (
@@ -201,49 +203,78 @@ def _cluster_pairs_star(ids: DataFrame, pairs: DataFrame, max_iter: int) -> Data
             F.least(F.col("a"), F.col("b")).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur_count = cur.count()
     converged = cur_count == 0  # no edges: every id is its own star
+    # Round-13 rewrite of the per-round plan (guide §2.4 "window
+    # functions partitioned by the same key as a preceding aggregation
+    # do not need a second shuffle"): each star's per-node minimum is a
+    # WINDOW over the edge table instead of a groupBy + join back, so a
+    # round shuffles the contracting edge table twice (once per star,
+    # by its grouping node) and the (u,v) distinct once, instead of the
+    # old agg-exchange + join + per-star distinct + TWO eager
+    # checkpoints. The emitted edge SETS are identical per round (same
+    # per-node minima over the same neighborhoods, same filters, same
+    # final distinct), so the fixpoint, round count and labels are
+    # unchanged — pinned by the star-vs-propagate equality tests and
+    # the er1/c30b recursive-closure oracles. At scale this also
+    # strictly dominates the old shape once the per-node min table
+    # outgrows the broadcast threshold (the join side would shuffle +
+    # sort the same bytes the window sorts, PLUS the agg exchange).
+    w_u = Window.partitionBy("u")
+    w_uo = Window.partitionBy("u").orderBy("v")
     for _ in range(max_iter):
         if converged:
             break
-        # large-star over the symmetrized neighborhood
+        # large-star over the symmetrized neighborhood: attach
+        # m = min(N(u) + {u}) per row, emit (v, m) for the larger
+        # neighbors. Duplicate emitted pairs are fine — the small-star
+        # min is dup-insensitive and the round's final distinct
+        # canonicalizes the set.
         nbr = cur.unionByName(
             cur.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = (
-            nbr.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least("mn", F.col("u")).alias("m"))
-        )
-        # materialized per round: ``large`` feeds BOTH small-star
-        # subtrees (the min agg and the probe side of its join) — an
-        # unmaterialized plan would execute the large-star stage twice
         large = (
-            nbr.join(mins, "u")
+            nbr.select(
+                "u", "v", F.least(F.min("v").over(w_u), F.col("u")).alias("m")
+            )
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
-            .localCheckpoint(eager=True)
         )
-        # small-star: ``large`` is already directed u > v (m <= u < v
-        # for every emitted edge), so N(u) here is exactly the smaller
-        # neighbors
-        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        # small-star: ``large`` is directed u > v (m <= u < v for every
+        # emitted edge), so N(u) here is exactly the smaller neighbors.
+        # One ordered window computes the per-u min AND marks one row
+        # per u (rn = 1); the explode emits (v, m) per row plus (u, m)
+        # once per u — the old union of two subtrees re-executed the
+        # whole round's plan twice.
+        pair = lambda x, y: F.struct(x.alias("x"), y.alias("y"))  # noqa: E731
+        t = large.select(
+            "u", "v",
+            F.min("v").over(w_u).alias("m"),
+            F.row_number().over(w_uo).alias("rn"),
+        )
         small = (
-            large.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            t.select(
+                F.explode(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.array(
+                            pair(F.col("v"), F.col("m")),
+                            pair(F.col("u"), F.col("m")),
+                        ),
+                    ).otherwise(F.array(pair(F.col("v"), F.col("m"))))
+                ).alias("e")
+            )
+            .select(F.col("e.x").alias("u"), F.col("e.y").alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_count = small.count()
+        new_count = small.count()  # materializes the checkpoint too
         converged = new_count == cur_count and small.subtract(cur).isEmpty()
         # previous round's blocks are dead once the equality check ran
-        _free_local_checkpoint(large)
         _free_local_checkpoint(cur)
         cur, cur_count = small, new_count
     if not converged:

@@ -474,10 +474,16 @@ DRIVER_GREEN_PRIOR_ROUNDS: frozenset[str] = frozenset({
 #:     (functions/quantiles.py _effective_pull_threshold) — the r12
 #:     engine-consumer set again (d3/d3c/c23/c33 are engine-only
 #:     consumers, the c*/s8b/recipe names are in the traced 84 too),
-#:   - problems()'s pool shutdown hardening (api.py) — autofix_pipeline.
-#: The driver window covers ~50: headline + engine consumers lead, the
-#: long tail keeps local full-sweep evidence (348 pass / 0 fail on
-#: final code) plus prior rows.
+#:   - problems()'s pool shutdown hardening (api.py) — autofix_pipeline,
+#:   - the pass-4 restructures: cluster_pairs' window-based star
+#:     rounds, pagerank's once-computed dangling set + dsum_scaled fast
+#:     path, the exact kernel's vectorized emit, and l4's kernel
+#:     routing — consumers re-traced at sf0.001 with instrumented
+#:     wrappers (21 hits; the oracle-backed ones lead the window below,
+#:     rows-only ones in ROWS_ONLY_FIRST).
+#: The driver window covers ~50: headline + pass-4 restructures +
+#: engine consumers lead; the long tail keeps local full-sweep evidence
+#: (348 pass / 0 fail on final code) plus prior rows.
 CORE_FRESH_FIRST: tuple[str, ...] = (
     # headline bench queries first (changed plans: decimal128_sum)
     "q1_pricing_summary_cleaned",
@@ -496,6 +502,28 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     # (VERDICT r12 #6) — encode and decode byte/sample-identical over a
     # 520-case A/B vs the old implementation, oracle hash-green
     "l9q_real_flac_decode",
+    # pass-4 restructured call chains (traced consumers, oracle-backed):
+    # the star-rounds window rewrite, pagerank restructure, kernel emit
+    # vectorization, l4 kernel routing — all re-proven hash-green
+    # locally on final code
+    "g1b_pagerank_fixedpoint",
+    "l4_sim_join_exact",
+    "l4c_embed_dedup",
+    "er1_entity_resolution",
+    "d24_split_leakage",
+    "l64_leakage_free_split",
+    "d21_knn_label_noise",
+    "d22_neardup_label_conflict",
+    "d23_embedding_outliers",
+    "l58_bitext_margin_mining",
+    "inc7_incremental_embedding",
+    "st15_embedding_ingest",
+    "pipeline_embedding_curation",
+    "c30b_dedup_keep_best_md5",
+    "l2i_dedup_savings",
+    "l2j_dedup_threshold_sweep",
+    "l45_domain_dedup_report",
+    "l54_dedup_cluster_quality",
     # exact-quantile engine consumers (pull-budget default derivation)
     "d3_outliers_iqr",
     "d3c_outliers_mad",
@@ -538,7 +566,6 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l48_retrieval_eval",
     "l49_quality_score_distribution",
     "l52_perplexity_buckets",
-    "l54_dedup_cluster_quality",
     "l55_classifier_auc",
     "l65_rake_keywords",
     "l66_classifier_calibration",
@@ -580,15 +607,23 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "x1_expectations",
 )
 
-#: Rows-only priority: nothing rows-only touched yet in round 13.
-ROWS_ONLY_FIRST: tuple[str, ...] = ()
+#: Rows-only priority: the pass-4 traced rows-only consumers (identity/
+#: golden tests pin their semantics; the driver's rows check re-proves
+#: row counts when the window reaches them).
+ROWS_ONLY_FIRST: tuple[str, ...] = (
+    "g1_pagerank",
+    "l2d_dedup_clusters",
+    "c30_dedup_keep_best",
+)
 
 #: Round-13 holdout (the rotation-exclusion rule, applied in one place
 #: instead of 88 scattered deletions): every CORE_FRESH_FIRST name has a
 #: changed body in its call chain THIS round, so any prior-round green
 #: row certifies a superseded body — they leave the proven set until a
 #: driver window re-proves them.
-DRIVER_GREEN_PRIOR_ROUNDS = DRIVER_GREEN_PRIOR_ROUNDS - frozenset(CORE_FRESH_FIRST)
+DRIVER_GREEN_PRIOR_ROUNDS = DRIVER_GREEN_PRIOR_ROUNDS - frozenset(
+    CORE_FRESH_FIRST + ROWS_ONLY_FIRST
+)
 
 
 

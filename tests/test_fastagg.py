@@ -91,6 +91,41 @@ def test_scale12_twin_matches(spark):
     assert str(r.fast) == str(r.ref)
 
 
+def test_scale18_twin_matches(spark):
+    """dsum_scaled's decimal(28,18) form (pagerank's rank sums): fast
+    vs built-in compared as decimal strings, plus the dsum_scaled
+    wrapper itself vs its own fallback. Values bounded to the (28,18)
+    domain (|x| < 10^10)."""
+    rng = random.Random(29)
+    vals = [rng.uniform(-1e5, 1e5) for _ in range(3000)]
+    vals += [rng.uniform(-1, 1) * 10 ** rng.randint(-18, 9) for _ in range(3000)]
+    vals += [(k + 0.5) / 1e18 for k in range(-200, 200)]
+    df = spark.createDataFrame(
+        [(i % 17, v) for i, v in enumerate(vals)], "k int, x double"
+    ).repartition(8)
+    rows = (
+        df.groupBy("k")
+        .agg(
+            _d128(F.col("x"), 28, 18).alias("fast"),
+            F.sum(F.col("x").cast("decimal(28,18)")).alias("ref"),
+            exact.dsum_scaled("x", 28, 18).alias("wrapped"),
+        )
+        .collect()
+    )
+    assert len(rows) == 17
+    for r in rows:
+        assert str(r.fast) == str(r.ref), r
+        assert r.wrapped == float(r.ref), r
+
+
+def test_dsum_scaled_fallback_equal(spark, monkeypatch):
+    df = spark.createDataFrame([(0.125,), (7.5,), (None,)], "x double")
+    fast = df.agg(exact.dsum_scaled("x", 28, 18).alias("s")).collect()[0]
+    monkeypatch.setattr(exact, "_dsum128", lambda *a, **k: None)
+    slow = df.agg(exact.dsum_scaled("x", 28, 18).alias("s")).collect()[0]
+    assert fast == slow
+
+
 def test_null_nan_inf_semantics(spark):
     df = spark.createDataFrame(
         [(1, None), (1, float("nan")), (1, float("inf")), (1, float("-inf")), (2, 1.5)],
