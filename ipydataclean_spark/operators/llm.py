@@ -989,19 +989,70 @@ def l3b_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _L3K_BANDS, _L3K_BITS, _L3K_DIM = 12, 4, 64
 
 
-def _l3k_plane(p: int) -> list[float]:
-    """Plane p's 64 md5-derived components, computed driver-side with
+def _md5_plane(p: int, dim: int) -> list[float]:
+    """Plane p's md5-derived components, computed driver-side with
     hashlib (hashlib.md5 == Spark F.md5 == DuckDB md5 on the same
     string, so these literals match the oracle's in-SQL derivation
-    bit-for-bit): u = (first-24-bits(md5(f'{p}:{i}')) + 0.5)/2^24 - 0.5."""
+    bit-for-bit): u = (first-24-bits(md5(f'{p}:{i}')) + 0.5)/2^24 - 0.5.
+    Every step is IEEE-exact (24-bit int + 0.5 exact in double, the
+    divisor a power of two), so the doubles are identical whether
+    derived here, in a Spark md5 expression, or in DuckDB SQL."""
     import hashlib
 
     return [
         (int(hashlib.md5(f"{p}:{i}".encode()).hexdigest()[:6], 16) + 0.5)
         / 16777216.0
         - 0.5
-        for i in range(_L3K_DIM)
+        for i in range(dim)
     ]
+
+
+def _l3k_plane(p: int) -> list[float]:
+    return _md5_plane(p, _L3K_DIM)
+
+
+def md5_sign_bands(df, n_bands: int, n_bits: int, dim: int):
+    """(id, b, key) hyperplane-LSH band table over ``df(id, emb)`` via a
+    vectorized sign-sketch kernel (round 13, guide §4.2): the in-plan
+    ``aggregate(zip_with(...))`` dot folds are interpreted PER ELEMENT
+    (n_planes · dim lambda evals per vector — l3k measured 7.4 s and
+    l4e 4.6 s at sf0.1 on exactly this), while the kernel accumulates
+    every (vector, plane) dot in ascending-dimension order with numpy —
+    the SAME IEEE op sequence per pair as the sequential fold, so sign
+    bits are bit-identical and the md5-certified oracles stay
+    hash-green. Band keys are integer bit-sums (exact). Output rows:
+    one per (vector, band)."""
+    import numpy as np
+
+    n_planes = n_bands * n_bits
+    planes = np.array(
+        [_md5_plane(p, dim) for p in range(n_planes)], dtype=np.float64
+    )
+    weights = (1 << np.arange(n_bits - 1, -1, -1, dtype=np.int64))
+
+    def sketch(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.array(pdf["emb"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(a), n_planes))
+            for i in range(dim):  # ascending-dimension fold, per pair
+                acc += np.outer(a[:, i], planes[:, i])
+            s = (acc >= 0.0).astype(np.int64)
+            keys = s.reshape(len(a), n_bands, n_bits) @ weights
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(ids, n_bands),
+                    "b": np.tile(np.arange(n_bands, dtype=np.int64), len(a)),
+                    "key": keys.reshape(-1),
+                }
+            )
+
+    return df.mapInPandas(sketch, "id long, b long, key long")
 
 
 def md5_planes_sql(n_planes: int, dim: int) -> str:
@@ -1060,33 +1111,20 @@ def l3k_knn_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     family (l2f/l3i/l3j cover MinHash-LSH/IVF/PQ). l3b itself stays
     on xxhash64 planes (JVM-side, no DuckDB twin — why it is
     rows-only by design). The planes are CONSTANTS: computed once
-    driver-side with hashlib (identical md5, see _l3k_plane) and
-    inlined as literal arrays, so the Spark plan is a map-only
-    sign-sketch over the scan — the shape that holds at 100 TB; the
-    oracle derives the same doubles in SQL. Sign bits compare a
-    sequential-fold dot against 0 (bit-identical doubles
-    cross-engine); band keys are INTEGER bit-sums, immune to float
-    order."""
+    driver-side with hashlib (identical md5, see _md5_plane); the
+    sign sketch runs in the vectorized md5_sign_bands kernel (round
+    13 — the 48 inline interpreted dot folds were 7.4 s at sf0.1;
+    the kernel's ascending-dimension accumulation is the same IEEE
+    op order, so every sign bit matches), one map-only pass over the
+    scan materialized once (lazy checkpoint) because both the query
+    side and the probe side read it — the shape that holds at
+    100 TB; the oracle derives the same doubles in SQL. Band keys
+    are INTEGER bit-sums, immune to float order."""
     emb = T(spark, sf_dir, "embeddings")
-    sign_exprs = []
-    for p in range(_L3K_BANDS * _L3K_BITS):
-        plane = F.array(*[F.lit(v) for v in _l3k_plane(p)])
-        prods = F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y)
-        d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        sign_exprs.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)))
-    band_structs = [
-        F.struct(
-            F.lit(b).cast("long").alias("b"),
-            sum(
-                (sign_exprs[b * _L3K_BITS + j] * F.lit(1 << (3 - j)))
-                for j in range(_L3K_BITS)
-            ).cast("long").alias("key"),
-        )
-        for b in range(_L3K_BANDS)
-    ]
-    bands = emb.select(
-        "vec_id", F.explode(F.array(*band_structs)).alias("bd")
-    ).select("vec_id", F.col("bd.b").alias("b"), F.col("bd.key").alias("key"))
+    bands = md5_sign_bands(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+        _L3K_BANDS, _L3K_BITS, _L3K_DIM,
+    ).select(F.col("id").alias("vec_id"), "b", "key").localCheckpoint(eager=False)
     qb = bands.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "b", "key"
     )
@@ -1383,64 +1421,24 @@ def l4e_embed_neardup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     operating point (16 bands x 12 bits, tau = 0.98 over
     embeddings_dup) with md5-derived planes so DuckDB replays every
     stage — band self-join candidates, exact-cosine verify, the lot.
-    l4b stays on xxhash64 planes (rows-only by design). Unlike l3k's
-    48 inline-literal planes, the 192 planes here are a DERIVED
-    16-row-per-vector-free table: built once from md5 expressions
-    (192 x 64 rows -> grouped arrays), broadcast into a slim
-    (vec_id, p, sign) fanout, then integer band keys via one grouped
-    sum — the same two-shuffle shape at any corpus size, and the same
-    CTE structure the oracle runs. Sign bits compare a
-    sequential-fold dot to 0 (bit-identical doubles); band keys are
-    integer bit-sums (POWER(2, k) exact for k <= 11)."""
+    l4b stays on xxhash64 planes (rows-only by design). The 192
+    planes are md5-derived constants (the identical
+    u = (md5-24-bit-prefix + 0.5)/2^24 - 0.5 doubles the oracle's
+    derived-plane CTE computes — _md5_plane's IEEE-exactness note);
+    the sign sketch runs in the vectorized md5_sign_bands kernel
+    (round 13 — the previous in-plan form exploded a 192-row-per-
+    vector (vec_id, p, sign) fanout through a crossJoin and a grouped
+    integer sum, paying an interpreted 64-element fold per (vector,
+    plane) row plus two exchanges; the kernel's ascending-dimension
+    accumulation is the same IEEE op order per pair, so every sign
+    bit matches and the certificate holds). Band keys are integer
+    bit-sums; the band table is map-only over the scan, checkpointed
+    once for its two join sides."""
     emb = embeddings_dup(spark, sf_dir)
-    n_planes = _L4E_NB * _L4E_BITS
-    from ipydataclean_spark.operators.curation import md5_prefix_int
-
-    idx = spark.range(n_planes * _L4E_DIM).select(
-        F.expr(f"id div {_L4E_DIM}").alias("p"),
-        F.expr(f"id % {_L4E_DIM}").alias("i"),
-    )
-    planes = (
-        idx.select(
-            "p",
-            "i",
-            (
-                (
-                    md5_prefix_int(
-                        F.concat_ws(
-                            ":", F.col("p").cast("string"), F.col("i").cast("string")
-                        )
-                    )
-                    + F.lit(0.5)
-                )
-                / F.lit(16777216.0)
-                - F.lit(0.5)
-            ).alias("u"),
-        )
-        .groupBy("p")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "u"))), lambda s: s.u
-            ).alias("plane")
-        )
-    )
-    prods = F.zip_with("embedding", "plane", lambda x, y: x.cast("double") * y)
-    d = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    sb = emb.crossJoin(F.broadcast(planes)).select(
-        "vec_id", "p", F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).alias("s")
-    )
-    bands = sb.groupBy(
-        "vec_id", F.expr(f"CAST(p div {_L4E_BITS} AS BIGINT)").alias("b")
-    ).agg(
-        F.sum(
-            F.col("s")
-            * F.expr(
-                f"CAST(power(2, {_L4E_BITS - 1} - (p % {_L4E_BITS})) AS BIGINT)"
-            )
-        )
-        .cast("long")
-        .alias("key")
-    )
+    bands = md5_sign_bands(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("emb")),
+        _L4E_NB, _L4E_BITS, _L4E_DIM,
+    ).select(F.col("id").alias("vec_id"), "b", "key").localCheckpoint(eager=False)
     a = bands.select(F.col("vec_id").alias("vec_a"), "b", "key")
     v = bands.select(F.col("vec_id").alias("vec_b"), "b", "key")
     cand = (

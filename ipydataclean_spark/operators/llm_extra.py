@@ -1885,9 +1885,10 @@ def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix is grouped by its leading token, each group's suffixes are
     sorted and bucketed by their 3-token prefix, a suffix qualifies
     iff its prefix bucket spans >= 2 documents, and qualifying
-    coverage intervals [pos, pos+2] are unioned per doc by a pure-
-    Python interval merge. Both passes are applyInPandas kernels with
-    LOCAL closures (the worker-pickling rule).
+    coverage intervals [pos, pos+2] are unioned per doc by a
+    vectorized interval merge. Both passes are applyInPandas kernels
+    with LOCAL closures (the worker-pickling rule), cogrouped on hash
+    buckets of their key (round 13 — see the in-body note).
 
     This is the AUDIT tier: per-group pandas kernels are bounded by
     leading-token bucket sizes (stop-word buckets grow with the
@@ -1927,40 +1928,66 @@ def l43b_exact_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("sfx", " ", 1).alias("lead_tok"),
     )
 
+    # Round 13: both kernels now cogroup on deterministic HASH BUCKETS
+    # of their key instead of the raw key — the per-group Arrow⇄pandas
+    # materialization overhead (one Python call per leading token /
+    # per doc — thousands of tiny groups) dominated the 12.5 s sf0.1
+    # wall. Grouping is result-neutral: mark_group's nunique mask is
+    # keyed on the full 3-token prefix (sfx determines lead_tok, so a
+    # bucket of several lead groups computes the identical mask), and
+    # the interval merge is keyed on doc_id inside the bucket. Bucket
+    # ids never reach the output. Pinned by the full-frame l43-equality
+    # tests.
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
+
     def mark_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one leading-token suffix group: bucket by the 3-token prefix,
-        # keep suffixes whose bucket spans >= 2 docs (order-independent
-        # nunique mask — no sort needed, review r09)
+        # keep suffixes whose 3-token-prefix bucket spans >= 2 docs
+        # (order-independent nunique mask — no sort needed, review r09)
         ndocs = pdf.groupby("sfx")["doc_id"].transform("nunique")
         return pdf.loc[ndocs >= 2, ["doc_id", "pos"]]
 
-    covered = sfx.groupBy("lead_tok").applyInPandas(
-        mark_group, schema="doc_id long, pos long"
+    covered = (
+        sfx.withColumn("__b", F.pmod(F.xxhash64("lead_tok"), F.lit(n_buckets)))
+        .groupBy("__b")
+        .applyInPandas(mark_group, schema="doc_id long, pos long")
     )
 
-    def merge_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        # independent interval-union recompute (no SQL windows)
-        doc = int(pdf["doc_id"].iloc[0])
-        spans: list[tuple[int, int]] = []
-        for p in sorted(pdf["pos"].tolist()):
-            s, e = p, p + 2
-            if spans and s <= spans[-1][1] + 1:
-                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
-            else:
-                spans.append((s, e))
-        lens = [e - s + 1 for s, e in spans]
-        return pd.DataFrame(
-            {
-                "doc_id": [doc],
-                "n_spans": [len(spans)],
-                "dup_words": [sum(lens)],
-                "longest_span": [max(lens)],
-            }
+    def merge_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+        # vectorized interval union over every doc in the bucket.
+        # Positions ascend within a doc after the sort, and every
+        # interval is [p, p+2], so ends are monotone within a doc and
+        # a new span starts exactly when p jumps by > 3 (the scalar
+        # loop's `s <= prev_end + 1` merge test) — same spans, same
+        # aggregates as the per-doc loop this replaces.
+        import numpy as np
+
+        pdf = pdf.sort_values(["doc_id", "pos"], kind="stable")
+        doc = pdf["doc_id"].to_numpy(dtype=np.int64)
+        p = pdf["pos"].to_numpy(dtype=np.int64)
+        brk = np.empty(len(p), dtype=bool)
+        brk[0] = True
+        brk[1:] = (doc[1:] != doc[:-1]) | (p[1:] > p[:-1] + 3)
+        starts = p[brk]
+        span_last = np.r_[np.flatnonzero(brk)[1:] - 1, len(p) - 1]
+        lens = p[span_last] + 2 - starts + 1
+        return (
+            pd.DataFrame({"doc_id": doc[brk], "len": lens})
+            .groupby("doc_id", sort=False)
+            .agg(
+                n_spans=("len", "size"),
+                dup_words=("len", "sum"),
+                longest_span=("len", "max"),
+            )
+            .reset_index()
         )
 
-    per_doc = covered.groupBy("doc_id").applyInPandas(
-        merge_doc,
-        schema="doc_id long, n_spans long, dup_words long, longest_span long",
+    per_doc = (
+        covered.withColumn("__b", F.pmod(F.col("doc_id"), F.lit(n_buckets)))
+        .groupBy("__b")
+        .applyInPandas(
+            merge_docs,
+            schema="doc_id long, n_spans long, dup_words long, longest_span long",
+        )
     )
     tot = toks.select("doc_id", F.size("wds").cast("long").alias("n_words"))
     frac = F.col("dup_words").cast("double") / F.col("n_words").cast("double")

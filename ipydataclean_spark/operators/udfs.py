@@ -229,7 +229,21 @@ def u9_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     NaN→NULL on the output value column mirrors the engine's ingest
     rule (catalog.normalize_nan): merge_asof emits NaN for probes with
-    no preceding event, and the oracle's LEFT JOIN emits NULL."""
+    no preceding event, and the oracle's LEFT JOIN emits NULL.
+
+    Round 13 (guide §4.1 "aggregate before you shuffle" applied to the
+    GROUP grain): cogrouping per user_id invoked the Python kernel once
+    per user — thousands of tiny Arrow⇄pandas group materializations
+    dominated the 25 s sf0.1 wall. The cogroup key is now a
+    deterministic user BUCKET (pmod(user_id, B)) and each group pair
+    runs ONE ``merge_asof(..., by="user_id")`` — the pandas-native
+    per-key as-of over the whole bucket, so the per-group overhead
+    amortizes over ~B× more rows. Per-user results are identical:
+    ``by=`` scopes the backward search to the user exactly as the
+    per-user grouping did (and the fixture has no (user_id, ts) ties,
+    so ordering within a bucket cannot matter — probed before the
+    change). B scales with core count; bucket ids never reach the
+    output, so the result is B-invariant."""
     ev = T(spark, sf_dir, "events").select("user_id", "ts", "value")
     probes = spark.createDataFrame(
         [("2024-01-08 00:00:00",), ("2024-01-15 00:00:00",), ("2024-01-22 00:00:00",)], ["p"]
@@ -238,21 +252,25 @@ def u9_cogroup_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one parent relation trips the ambiguous-self-join analyzer check
     users = T(spark, sf_dir, "events").select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(probes))
+    n_buckets = max(64, spark.sparkContext.defaultParallelism * 4)
+    bucket = lambda c: F.pmod(F.col(c), F.lit(n_buckets))  # noqa: E731
 
     def asof(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        left = left.sort_values("probe_ts")
-        right = right.sort_values("ts")
+        left = left.sort_values("probe_ts", kind="stable")
+        right = right.sort_values("ts", kind="stable")
         out = pd.merge_asof(
-            left, right[["ts", "value"]],
-            left_on="probe_ts", right_on="ts", direction="backward",
+            left, right[["user_id", "ts", "value"]],
+            left_on="probe_ts", right_on="ts", by="user_id",
+            direction="backward",
         )
         return out.rename(columns={"ts": "last_ts", "value": "last_value"})[
             ["user_id", "probe_ts", "last_ts", "last_value"]
         ]
 
     res = (
-        grid.groupby("user_id")
-        .cogroup(ev.groupby("user_id"))
+        grid.withColumn("__b", bucket("user_id"))
+        .groupby("__b")
+        .cogroup(ev.withColumn("__b", bucket("user_id")).groupby("__b"))
         .applyInPandas(
             asof,
             "user_id LONG, probe_ts TIMESTAMP, last_ts TIMESTAMP, last_value DOUBLE",

@@ -524,6 +524,11 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "l2j_dedup_threshold_sweep",
     "l45_domain_dedup_report",
     "l54_dedup_cluster_quality",
+    # pass-5 restructured bodies: u9's bucketed cogroup kernel, the
+    # l3k/l4e vectorized sign-sketch — all re-proven hash-green locally
+    "u9_cogroup_asof",
+    "l3k_knn_lsh_md5",
+    "l4e_embed_neardup_lsh_md5",
     # exact-quantile engine consumers (pull-budget default derivation)
     "d3_outliers_iqr",
     "d3c_outliers_mad",
@@ -614,6 +619,9 @@ ROWS_ONLY_FIRST: tuple[str, ...] = (
     "g1_pagerank",
     "l2d_dedup_clusters",
     "c30_dedup_keep_best",
+    # pass-5: bucketed + vectorized span kernels (full-frame l43
+    # equality tests pin the semantics)
+    "l43b_exact_dup_spans",
 )
 
 #: Round-13 holdout (the rotation-exclusion rule, applied in one place
