@@ -321,6 +321,53 @@ def topk_per_row_exact(
     )
 
 
+def cosine_score_pairs(
+    pairs: DataFrame, emb_a: str = "emb_a", emb_b: str = "emb_b",
+    out: str = "cos_sim",
+) -> DataFrame:
+    """Exact cosine over PAIR ROWS, vectorized (round 13, guide §4.2):
+    replaces the in-plan ``cosine_sim(emb_a, emb_b)`` on candidate-
+    verify stages, whose ``aggregate(zip_with(...))`` folds evaluate
+    interpreted per element (measured 10.9 s for l4e's 1.78M-pair
+    verify at sf1). Per pair the kernel accumulates dot and both
+    squared norms in ascending-dimension order and divides as
+    ``dot / (sqrt(na) * sqrt(nb))`` — the IDENTICAL IEEE op sequence
+    as functions/vector.cosine_sim's sequential folds, so scores are
+    bit-identical and dot_sql-certified oracles stay hash-green.
+
+    Input: any passthrough columns plus the two array<float/double>
+    embedding columns. Output: the passthrough columns (same order)
+    plus ``out`` DOUBLE. Project the pair table to just what the
+    verify needs before calling (the embeddings are dropped on the
+    way out)."""
+    keep = [f for f in pairs.schema.fields if f.name not in (emb_a, emb_b)]
+    names = [f.name for f in keep]
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in keep] + [f"{out} double"]
+    )
+
+    def _score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a = np.array(pdf[emb_a].tolist(), dtype=np.float64)
+            b = np.array(pdf[emb_b].tolist(), dtype=np.float64)
+            d = np.zeros(len(a))
+            na = np.zeros(len(a))
+            nb = np.zeros(len(a))
+            for i in range(a.shape[1]):  # ascending-dimension folds
+                d += a[:, i] * b[:, i]
+                na += a[:, i] * a[:, i]
+                nb += b[:, i] * b[:, i]
+            res = pdf[names].copy()
+            res[out] = d / (np.sqrt(na) * np.sqrt(nb))
+            yield res
+
+    return pairs.mapInPandas(_score, schema)
+
+
 #: blocked-mode fill target: blocks are cut at 80% of the cap so the
 #: hash-blocking's size variance can never trip the per-block assert
 _BLOCK_FILL = 0.8

@@ -280,11 +280,21 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     nn = nodes.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # ONE setup action (the count also materializes the node
+    # checkpoint): below ~10M nodes the rank table broadcasts, so each
+    # iteration's contribution join is map-side over the checkpointed
+    # edge table — without the hint the planner's unknown-size estimate
+    # for the checkpointed rank table picked a sort-merge join that
+    # re-shuffled the EDGE table every round (measured 34-50 s vs 19 s
+    # for the float twin at sf1). Same regime switch as pagerank().
+    n_nodes = nodes.count()
+    bcast = n_nodes < 10_000_000
     ranks = nd.select("node", "__dang", F.lit(_G1B_SCALE).cast("long").alias("r"))
     base = F.lit(15 * _G1B_SCALE // 100).cast("long")
     for _ in range(iterations):
+        ranks_j = ranks.select(F.col("node").alias("src"), "r")
         contribs = (
-            e.join(ranks.select(F.col("node").alias("src"), "r"), "src")
+            e.join(F.broadcast(ranks_j) if bcast else ranks_j, "src")
             .select(F.col("dst").alias("node"), F.expr("r div d").alias("contrib"))
             .groupBy("node")
             .agg(F.sum("contrib").cast("long").alias("in_sum"))
@@ -296,7 +306,7 @@ def pagerank_fixedpoint(edges: DataFrame, iterations: int = 10) -> DataFrame:
             .select(F.expr("dm div n").cast("long").alias("dang"))
         )
         ranks = (
-            nd.join(contribs, "node", "left")
+            nd.join(F.broadcast(contribs) if bcast else contribs, "node", "left")
             .crossJoin(F.broadcast(dang))
             .select(
                 "node",

@@ -1346,25 +1346,33 @@ def embed_neardup_pairs_lsh(
     P ≈ 0.55^16 ≈ 7e-5 — margins sized so a regenerated fixture with
     hundreds of twins still recalls them all with overwhelming odds
     (8 bands left ~1e-4/pair on twins, too thin across fixture
-    regenerations)."""
-    from ipydataclean_spark.functions.knn import hyperplane_bands
+    regenerations).
+
+    Round 13 (guide §2.3 + §4.2, the l2 slim-fanout pattern): the band
+    self-join previously carried BOTH full embeddings through the
+    exchange and the pair dedup; now only ids ride the band join, the
+    embeddings rejoin after the dedup, and the exact-cosine verify runs
+    in the vectorized pair kernel (bit-identical scores — see
+    cosine_score_pairs). Pair set and scores unchanged (dedup is keyed
+    on the id pair either way; embeddings are functionally determined
+    by the ids)."""
+    from ipydataclean_spark.functions.knn import cosine_score_pairs, hyperplane_bands
 
     sigs = hyperplane_bands(vectors, n_bands=n_bands, band_bits=band_bits)
-    a = sigs.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        "band_id", "band_val",
-    )
-    b = sigs.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        "band_id", "band_val",
-    )
-    return (
+    a = sigs.select(F.col("vec_id").alias("vec_a"), "band_id", "band_val")
+    b = sigs.select(F.col("vec_id").alias("vec_b"), "band_id", "band_val")
+    cand = (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("vec_a") < F.col("vec_b"))
         .dropDuplicates(["vec_a", "vec_b"])
-        .select("vec_a", "vec_b", cosine_sim("emb_a", "emb_b").alias("cos_sim"))
-        .where(F.col("cos_sim") >= tau)
+        .select("vec_a", "vec_b")
     )
+    ea = vectors.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = vectors.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    return cosine_score_pairs(
+        cand.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b", "emb_a", "emb_b")
+    ).where(F.col("cos_sim") >= tau)
 
 
 @register("l4b_embed_neardup_lsh", oracle=None, tags=("L4", "L2", "dedup"))
@@ -1447,12 +1455,15 @@ def l4e_embed_neardup_lsh_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
         .distinct()
     )
+    from ipydataclean_spark.functions.knn import cosine_score_pairs
+
     ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cosine_sim("emb_a", "emb_b").alias("cos_sim"))
+        cosine_score_pairs(
+            cand.join(ea, "vec_a").join(eb, "vec_b")
+            .select("vec_a", "vec_b", "emb_a", "emb_b")
+        )
         .where(F.col("cos_sim") >= NEARDUP_TAU)
         .orderBy("vec_a", "vec_b")
     )

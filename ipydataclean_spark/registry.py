@@ -622,6 +622,9 @@ ROWS_ONLY_FIRST: tuple[str, ...] = (
     # pass-5: bucketed + vectorized span kernels (full-frame l43
     # equality tests pin the semantics)
     "l43b_exact_dup_spans",
+    # pass-6: slim band-join fanout + vectorized pair-cosine verify
+    # (recall/no-false-positive tests pin the pair set)
+    "l4b_embed_neardup_lsh",
 )
 
 #: Round-13 holdout (the rotation-exclusion rule, applied in one place
