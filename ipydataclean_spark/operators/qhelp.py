@@ -76,19 +76,59 @@ def lineitem_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: events_dirty's global-row_id regime switch (round 13): above this
+#: input size the unpartitioned row_number window — which funnels the
+#: WHOLE table through one task (measured: c5b's noop wall was a FLAT
+#: ~51 s at sf10 on 8 and 32 cores alike — the serial window, not the
+#: interpolation) — swaps to the distributed exact-rank pattern
+#: (functions/ranking.with_global_rank, bit-identical row_ids). Below
+#: it the single window stays: at fixture sizes the distributed form's
+#: fixed costs (range exchange + eager checkpoint + offsets join)
+#: exceed the funnel it removes, and the sf0.1 bench plans stay
+#: byte-identical to rounds 1-12.
+_EVENTS_GLOBAL_ROWID_MAX_BYTES = 16 * 1024 * 1024
+
+
+def _path_bytes(path: str) -> int:
+    """Total bytes under a local fixture path (file or directory) — a
+    plan-shape probe that costs no Spark job. Unknown/remote paths
+    return -1 and the caller takes the scale-safe branch."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total if total > 0 else -1
+    except OSError:
+        return -1
+
+
 def events_dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + value_gap + stable global row_id.
 
-    The unpartitioned row_number window funnels through one partition —
-    acceptable for the 10k-row events fixture and for any "ordered
-    interpolation" semantics that are inherently sequential; the
-    scale path is the per-user variant (c5 partitioned form).
-    """
-    w = Window.orderBy("ts", "event_id")
+    row_id = ROW_NUMBER() OVER (ORDER BY ts, event_id) — a TOTAL order
+    (event_id unique). Small fixtures compute it with the plain
+    unpartitioned window; past _EVENTS_GLOBAL_ROWID_MAX_BYTES the
+    distributed three-step rank takes over (same values — the pattern's
+    exactness contract, pinned by functions/ranking's tests and every
+    events_dirty consumer's oracle)."""
+    from ipydataclean_spark.catalog import table_path
+
+    ev = T(spark, sf_dir, "events").withColumn("value_gap", F.expr(dirty.VALUE_GAP))
+    nbytes = _path_bytes(table_path(sf_dir, "events"))
+    if 0 <= nbytes <= _EVENTS_GLOBAL_ROWID_MAX_BYTES:
+        w = Window.orderBy("ts", "event_id")
+        return ev.withColumn("row_id", F.row_number().over(w))
+    from ipydataclean_spark.functions.ranking import with_global_rank
+
     return (
-        T(spark, sf_dir, "events")
-        .withColumn("value_gap", F.expr(dirty.VALUE_GAP))
-        .withColumn("row_id", F.row_number().over(w))
+        with_global_rank(ev, [F.col("ts"), F.col("event_id")], out="__row_id_l")
+        .withColumn("row_id", F.col("__row_id_l").cast("int"))
+        .drop("__row_id_l", "__n_total")
     )
 
 

@@ -529,6 +529,13 @@ CORE_FRESH_FIRST: tuple[str, ...] = (
     "u9_cogroup_asof",
     "l3k_knn_lsh_md5",
     "l4e_embed_neardup_lsh_md5",
+    # pass-7: events_dirty's size-gated distributed row_id (the serial
+    # global window at scale); the driver-SF plans are unchanged (small
+    # branch), but the body changed — re-queued per the rotation rule,
+    # and the forced-big-branch oracle compare passed locally
+    "c5_interpolate_linear",
+    "c5b_interpolate_per_user",
+    "c6_ffill_bfill",
     # exact-quantile engine consumers (pull-budget default derivation)
     "d3_outliers_iqr",
     "d3c_outliers_mad",

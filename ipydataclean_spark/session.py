@@ -63,6 +63,17 @@ def get_spark(app_name: str = "ipydataclean-spark", cpus: int | str | None = Non
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill codec, parameterized (guide §2.3): lz4 is the
+        # Spark default and stays the local default — measured FLAT on
+        # this class of single-node hosts twice (rounds 12 and 13,
+        # tools/ab_codec.py) because local shuffles never cross a NIC.
+        # On a real cluster zstd's better ratio usually wins once
+        # shuffle bytes cross the network; flip with
+        # SPARK_GRAFT_IO_CODEC=zstd and re-measure there.
+        .config(
+            "spark.io.compression.codec",
+            os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"),
+        )
     )
     # fastagg jar (jvm/Decimal128Sum.scala): the codegen'd int128 exact
     # decimal sum behind functions/exact.py. extraClassPath puts it on

@@ -131,3 +131,20 @@ def test_c39_ewma_matches_python_recurrence(spark, sf_dir):
         assert r.n_events == len(vals)
         assert r.last_value == vals[-1]
         assert r.residual == vals[-1] - s
+
+
+def test_events_dirty_rowid_branches_identical(spark, sf_dir, monkeypatch):
+    """events_dirty's distributed global-rank branch (taken past the
+    size gate — the round-13 fix for the serial unpartitioned
+    row_number window, flat ~51 s at sf10 on any core count) must
+    assign the IDENTICAL row_id per event as the plain window branch,
+    and the same schema."""
+    from ipydataclean_spark.operators import qhelp
+
+    small = qhelp.events_dirty(spark, sf_dir)
+    monkeypatch.setattr(qhelp, "_EVENTS_GLOBAL_ROWID_MAX_BYTES", -1)
+    big = qhelp.events_dirty(spark, sf_dir)
+    assert small.schema == big.schema
+    a = {r.event_id: r.row_id for r in small.select("event_id", "row_id").collect()}
+    b = {r.event_id: r.row_id for r in big.select("event_id", "row_id").collect()}
+    assert a == b

@@ -56,6 +56,18 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=10)
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "localdata", "sf1"))
+    # --files N (round 13): write each replicated fact table as N part
+    # files instead of the legacy coalesced 1-2. The legacy single-file
+    # layout is ONE parquet row group (6M rows), which is physically
+    # unsplittable — every scan runs as one task no matter the core
+    # count, so the core-scaling probe reads ~1 regardless of engine
+    # parallelism (the r12 driver's suspect_cpus_ignored). A multi-file
+    # layout is also the realistic production shape (guide §6). Row
+    # CONTENT is identical either way — only file assignment changes —
+    # so per-query results are unaffected (hash compare is
+    # order-insensitive). Default 0 keeps the legacy layout so existing
+    # sf1 book rows stay comparable.
+    ap.add_argument("--files", type=int, default=0)
     args = ap.parse_args()
 
     spark = get_spark("gen_sf1")
@@ -90,9 +102,11 @@ def main() -> None:
                     ),
                 )
             out = out.drop("__rep")
-        out.coalesce(max(1, args.reps // 2)).write.mode("overwrite").parquet(
-            table_path(args.out, name)
-        )
+        if args.files > 0 and keys is not None:
+            out = out.repartition(args.files)
+        else:
+            out = out.coalesce(max(1, args.reps // 2))
+        out.write.mode("overwrite").parquet(table_path(args.out, name))
         print(f"{name}: {out.count()} rows")
     spark.stop()
 
